@@ -1,0 +1,79 @@
+"""Thin table catalog: names → parquet/Delta paths, with schema contracts.
+
+Generalizes the reference's hard-coded tier paths
+(``etl_pipeline.py:19-26``: bronze/silver/gold constants) into a registry
+usable from both the DataFrame front door (``load_table``) and the SQL
+front door (``register_views`` + ``spark.sql``).
+
+Reads are plain ``spark.read.parquet`` — schema comes from parquet footers
+(a *metadata* read, not a data scan, so it is 100 TB-safe) and is then
+validated against the contract in ``schemas.TESTDATA_SCHEMAS`` when
+``validate=True``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lab3_lakehouse_spark.schemas import TESTDATA_SCHEMAS
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Small dimension tables — always broadcast-join candidates. At TPC-H
+#: scale these stay tiny (region=5, nation=25) or modest relative to the
+#: fact tables; used by operators.joins to pick broadcast hints.
+SMALL_DIMS: frozenset[str] = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+#: Columns stored as parquet TIMESTAMP(NANOS): Spark reads them as long
+#: (session conf ``nanosAsLong``); we convert to µs timestamps on load,
+#: truncating like µs-native engines do.
+NS_TIMESTAMP_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, validate: bool = False
+) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for c in NS_TIMESTAMP_COLS.get(name, ()):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            df = df.withColumn(
+                c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long"))
+            )
+    if validate and name in TESTDATA_SCHEMAS:
+        expected = {f.name for f in TESTDATA_SCHEMAS[name].fields}
+        got = set(df.columns)
+        if expected - got:
+            raise ValueError(
+                f"table {name!r} missing contracted columns: {sorted(expected - got)}"
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """SQL front door: expose every table as a temp view for ``spark.sql``."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

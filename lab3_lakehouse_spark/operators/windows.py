@@ -1,0 +1,89 @@
+"""Window-function operators (absent from the reference — SURVEY §2.7).
+
+Ranking, top-k-per-group, running aggregates, and lag/lead — all stock
+``pyspark.sql.window.Window`` specs.
+
+Scale notes: a window spec with ``partitionBy`` shuffles once on the
+partition keys and sorts within partitions — the same cost class as a
+groupBy. An *unpartitioned* window (global running total) serializes the
+whole dataset through one task, so every helper here requires partition
+keys; global top-n is expressed as ``orderBy().limit()`` instead, which
+Spark executes as per-partition top-n + driver merge (TakeOrdered), not
+a global sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def _spec(partition_by: Sequence[str], order_by: Sequence[Column | str]) -> WindowSpec:
+    if not partition_by:
+        raise ValueError("partition keys required — unpartitioned windows do not scale")
+    return Window.partitionBy(*partition_by).orderBy(*order_by)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    k: int,
+    rank_col: str = "rn",
+    keep_rank: bool = True,
+) -> DataFrame:
+    """Top-k rows per group via row_number. Use a total (tie-broken)
+    ordering for deterministic output."""
+    out = df.withColumn(rank_col, F.row_number().over(_spec(partition_by, order_by))).filter(
+        F.col(rank_col) <= k
+    )
+    return out if keep_rank else out.drop(rank_col)
+
+
+def ranked(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    method: str = "rank",
+    alias: str = "rank",
+) -> DataFrame:
+    fns = {"rank": F.rank, "dense_rank": F.dense_rank, "row_number": F.row_number,
+           "percent_rank": F.percent_rank, "ntile4": lambda: F.ntile(4)}
+    if method not in fns:
+        raise ValueError(f"method must be one of {sorted(fns)}")
+    return df.withColumn(alias, fns[method]().over(_spec(partition_by, order_by)))
+
+
+def running_agg(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    agg_col: str,
+    agg: str = "sum",
+    alias: str = "running",
+) -> DataFrame:
+    """Running aggregate over rows from partition start to current row."""
+    fns = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max, "count": F.count}
+    spec = _spec(partition_by, order_by).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(alias, fns[agg](F.col(agg_col)).over(spec))
+
+
+def lag_lead(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    col: str,
+    offset: int = 1,
+) -> DataFrame:
+    spec = _spec(partition_by, order_by)
+    return df.withColumn(f"{col}_lag", F.lag(F.col(col), offset).over(spec)).withColumn(
+        f"{col}_lead", F.lead(F.col(col), offset).over(spec)
+    )
+
+
+def global_top_n(df: DataFrame, order_by: Sequence[Column], n: int) -> DataFrame:
+    """Global top-n: executed as TakeOrdered (per-partition heap + merge),
+    NOT a full sort — the scalable way to answer limit-after-order."""
+    return df.orderBy(*order_by).limit(n)
