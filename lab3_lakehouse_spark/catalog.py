@@ -56,9 +56,9 @@ def load_table(
     df = spark.read.parquet(table_path(sf_dir, name))
     for c in NS_TIMESTAMP_COLS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
-            df = df.withColumn(
-                c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long"))
-            )
+            # `div`, not `/`: float division garbles µs precision on
+            # ~1e18 ns epoch values (doubles carry only 2^53)
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     if validate and name in TESTDATA_SCHEMAS:
         expected = {f.name for f in TESTDATA_SCHEMAS[name].fields}
         got = set(df.columns)
