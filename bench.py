@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Headline benchmark for the lakehouse engine.
+
+Runs a representative slice of the query catalog (scan-agg, join,
+window, dedup, similarity, text) at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed with a count-only sink (``df.count()``: full
+compute, no driver-side row materialization — the same way a cluster
+job would terminate in a write). A warm-up query runs first so JVM/
+codegen startup isn't billed to the first headline query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from lab3_lakehouse_spark.queries import QUERIES
+from lab3_lakehouse_spark.session import build_session, default_parallelism
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline queries: one per major operator family (SURVEY.md §2 + §2.7).
+HEADLINE = [
+    "pricing_summary",              # scan-heavy multi-agg (TPC-H Q1 shape)
+    "daily_revenue",                # reference A1: time-bucketed grouped agg
+    "regional_revenue",             # 4-way join w/ broadcast dims (TPC-H Q5 shape)
+    "top_building_orders",          # join + filter + top-k
+    "window_top_orders_per_customer",  # partitioned window ranking
+    "rollup_lineitem_status",       # rollup/grouping-sets agg
+    "json_extract_props",           # JSON scalar extraction over events
+    "dedup_exact_keep_first",       # exact dedup on content key
+    "minhash_lsh_near_dups",        # MinHash+LSH near-dup (the 100 TB path)
+    "simhash_near_dups",            # SimHash banded near-dup
+    "ann_topk_bruteforce",          # exact cosine top-k neighbors
+    "ann_lsh_topk",                 # random-hyperplane LSH ANN
+    "text_quality_features",        # text quality scoring scan
+    "token_counts",                 # tokenization accounting scan
+]
+
+
+def _sf_of(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    spark = build_session(app_name="lab3-lakehouse-bench")
+    # Warm-up: JVM classloading + codegen + parquet footer cache.
+    QUERIES["derived_metrics"](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_of(SF_DIR),
+                "cpus": default_parallelism(),
+                "n_queries": len(timings),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

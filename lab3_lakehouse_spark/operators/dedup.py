@@ -1,0 +1,308 @@
+"""Deduplication operators — exact and near-duplicate — for
+large-scale training-data pipelines (north-star surface; the reference
+has only implicit dedup-by-filter, SURVEY §2.7).
+
+Five tiers, cheapest first:
+
+- ``exact_dedup``            — deterministic keep-first-by-tiebreak on a
+                               content key (hash-groupBy; one shuffle).
+- ``fingerprint``            — md5 content fingerprint column.
+- ``word_jaccard_pairs``     — blocked all-pairs word-set Jaccard
+                               (exact, for modest block sizes).
+- ``minhash_lsh_candidates`` + ``minhash_verify`` — MinHash + banded LSH:
+                               the 100 TB near-dup path (shuffle on band
+                               keys only, candidates ≪ n²).
+- ``simhash``                + ``simhash_pairs`` — 64-bit SimHash with
+                               chunk-banded Hamming candidate generation.
+
+All hashing is JVM-side Catalyst expressions (``xxhash64``, higher-order
+functions) — no Python in the hot path, and no arithmetic that could
+trip ANSI-mode overflow (Spark 4 default): MinHash permutations are
+independent seeded rehashes, not modular-arithmetic maps (see
+``minhash_from_hashes`` for why that matters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(
+    df: DataFrame, key_cols: list[str], tie_break: list[str]
+) -> DataFrame:
+    """Keep exactly one row per key, deterministically (smallest
+    tie_break wins). Unlike ``dropDuplicates`` — which keeps an
+    arbitrary first-encountered row and is therefore not reproducible
+    across runs/cluster layouts — this is stable, which matters for
+    training-data lineage."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).asc() for c in tie_break])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """128-bit content fingerprint (md5 hex) — engine-portable."""
+    return F.md5(F.col(col) if isinstance(col, str) else col)
+
+
+def tokens(text: Column | str, lowercase: bool = True) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    if lowercase:
+        t = F.lower(t)
+    return F.split(t, r"\s+")
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles of a text column (pure Catalyst: split +
+    sequence + transform + slice)."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def shingle_hashes(text: Column | str, shingle_n: int = 3) -> Column:
+    """xxhash64 of each distinct word shingle (array<long>)."""
+    sh = word_shingles(text, shingle_n)
+    return F.transform(sh, lambda s: F.xxhash64(s))
+
+
+def minhash_from_hashes(hashes: Column, num_perm: int = 64, seed: int = 42) -> Column:
+    """MinHash signature from a *materialized* shingle-hash column.
+
+    Permutation i is an independent seeded rehash
+    ``xxhash64(seed·2⁶+i, h)`` — NOT a linear ``(a·h+b) mod p`` map:
+    with 31-bit h and a 61-bit modulus the linear map almost never
+    wraps, making it order-preserving, which correlates all
+    "permutations" (every one picks the same argmin shingle) and
+    silently destroys LSH recall. Found empirically: recall vs exact
+    Jaccard was 0.89 where the S-curve predicts 0.9998.
+
+    Keep the hash array in its own projection (withColumn) before
+    calling this: the signature references it num_perm times, and
+    materializing it guarantees single evaluation instead of trusting
+    expression CSE — a 64× difference on the hot path.
+    """
+
+    def perm_hash(i: int):
+        # closure factory: a plain 1-arg lambda (extra default args would
+        # be mistaken for higher-order-function arity by PySpark)
+        return lambda h: F.xxhash64(F.lit(seed * 64 + i), h)
+
+    return F.array(
+        *[F.array_min(F.transform(hashes, perm_hash(i))) for i in range(num_perm)]
+    )
+
+
+def minhash_signature(
+    text: Column | str, num_perm: int = 64, shingle_n: int = 3, seed: int = 42
+) -> Column:
+    """MinHash signature (array<long> of length num_perm) over word
+    shingles — convenience form; prefer shingle_hashes + withColumn +
+    minhash_from_hashes in pipelines (see minhash_lsh_candidates)."""
+    return minhash_from_hashes(shingle_hashes(text, shingle_n), num_perm, seed)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    rows × bands exploded rows, shuffled once on (band, band_hash);
+    pairs are generated only within buckets. With r = num_perm/bands
+    rows per band, the usual S-curve applies (collision prob ≈
+    1-(1-s^r)^b for Jaccard s). Returns distinct (id_a, id_b), id_a<id_b.
+
+    Scale: never materializes n² — bucket sizes bound the join fan-out;
+    a pathological bucket (giant cluster of identical docs) is handled
+    upstream by exact_dedup first.
+    """
+    if num_perm % bands:
+        raise ValueError("bands must divide num_perm")
+    r = num_perm // bands
+    banded = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            shingle_hashes(text_col, shingle_n).alias("__h"),
+        )
+        .select("__id", minhash_from_hashes(F.col("__h"), num_perm, seed).alias("__sig"))
+        .select(
+            "__id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("band"),
+                            F.xxhash64(F.slice(F.col("__sig"), j * r + 1, r)).alias("bh"),
+                        )
+                        for j in range(bands)
+                    ]
+                )
+            ).alias("b"),
+        )
+        .select("__id", "b.band", "b.bh")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bh") == F.col("r.bh"),
+                F.col("l.__id") < F.col("r.__id"),
+            ],
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_arrays(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two (distinct-element) array columns."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - inter
+    return inter / union
+
+
+def word_jaccard(text_a: Column, text_b: Column) -> Column:
+    """Exact word-set Jaccard similarity between two text columns."""
+    return jaccard_arrays(
+        F.array_distinct(tokens(text_a)), F.array_distinct(tokens(text_b))
+    )
+
+
+def shingle_jaccard(text_a: Column, text_b: Column, n: int = 3) -> Column:
+    """Exact n-word-shingle Jaccard — the measure banded MinHash-LSH
+    approximates; n=1 degenerates to word-set Jaccard."""
+    return jaccard_arrays(word_shingles(text_a, n), word_shingles(text_b, n))
+
+
+def minhash_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact-Jaccard verification of LSH candidates (joins text back in;
+    candidates ≪ n² so this is cheap).
+
+    ``shingle_n`` MUST match the value used in
+    ``minhash_lsh_candidates`` — verification has to measure the same
+    similarity the LSH banding approximates, or the precision/recall
+    analysis is incoherent (shingle-Jaccard ≠ word-set-Jaccard for
+    order-shuffled text).
+    """
+    a = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
+    b = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
+    out = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", shingle_jaccard(F.col("__ta"), F.col("__tb"), shingle_n))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ------------------------------------------------------------- SimHash --
+
+def simhash_bits(text: Column | str, bits: int = 64) -> Column:
+    """SimHash as array<int> of ±1-majority bits over token xxhash64s.
+
+    aggregate(tokens, zero[bits], acc ⊕ bit-contributions) — one pass,
+    no explode."""
+    toks = F.array_distinct(tokens(text))
+    zero = F.array_repeat(F.lit(0), bits)
+
+    def step(acc, tok):
+        h = F.xxhash64(tok)
+        # fixed shift amounts (shiftright requires literal bit counts)
+        contrib = F.array(
+            *[
+                F.when(F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                for k in range(bits)
+            ]
+        )
+        return F.zip_with(acc, contrib, lambda x, y: x + y)
+
+    counts = F.aggregate(toks, zero, step)
+    return F.transform(counts, lambda c: F.when(c > 0, 1).otherwise(0))
+
+
+def simhash_chunks(sim_bits: Column, n_chunks: int = 4) -> Column:
+    """Pack bit-array into n_chunks integers for banded candidate
+    generation (near-dup pairs agree on ≥1 chunk if Hamming ≤ bits/chunks
+    differences, pigeonhole)."""
+    size = 64 // n_chunks
+    return F.array(
+        *[
+            F.aggregate(
+                F.slice(sim_bits, j * size + 1, size),
+                F.lit(0).cast("long"),
+                lambda acc, bit: acc * 2 + bit,
+            )
+            for j in range(n_chunks)
+        ]
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, banded on
+    16-bit chunks (any pair within distance 3 shares ≥1 of 4 chunks)."""
+    base = df.select(
+        F.col(id_col).alias("__id"), simhash_bits(text_col).alias("__bits")
+    ).withColumn("__chunks", simhash_chunks(F.col("__bits"), n_chunks))
+    exploded = base.select(
+        "__id", "__bits", F.posexplode("__chunks").alias("chunk_idx", "chunk_val")
+    )
+    l, r = exploded.alias("l"), exploded.alias("r")
+    cands = (
+        l.join(
+            r,
+            on=[
+                F.col("l.chunk_idx") == F.col("r.chunk_idx"),
+                F.col("l.chunk_val") == F.col("r.chunk_val"),
+                F.col("l.__id") < F.col("r.__id"),
+            ],
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.col("l.__bits").alias("__ba"),
+            F.col("r.__bits").alias("__bb"),
+        )
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.zip_with(F.col("__ba"), F.col("__bb"), lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, d: acc + d,
+    )
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

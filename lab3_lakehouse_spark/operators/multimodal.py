@@ -1,0 +1,175 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched pandas UDFs via
+``mapInPandas`` (north-star surface).
+
+The Spark-side architecture here is real and tested — schemas,
+partition-preserving batch iteration, UDF signatures, Arrow batch
+shapes. The *codec* step is a deterministic fake behind
+``FakeCodec`` (this container has no image/audio libraries): swap in
+Pillow/torchaudio/decord by replacing ``FakeCodec`` — every other line
+is production-shaped.
+
+Scale notes: ``mapInPandas`` streams Arrow batches (size set by
+``spark.sql.execution.arrow.maxRecordsPerBatch``, session.py) so peak
+executor memory is one batch of decoded media, not one partition.
+Binary payloads should live in the table as (path, offset, nbytes)
+pointers OR inline bytes ≤ a few MiB; both layouts flow through the
+same operators.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Pandas-UDF closures defined here reference this module's globals
+# (FakeCodec). By default cloudpickle serializes those *by reference*,
+# so executors must be able to `import lab3_lakehouse_spark` — untrue
+# when the driver app isn't shipped as a wheel/pyFile. Registering the
+# module for by-value pickling makes every UDF self-contained, which is
+# how a 1000-executor cluster should receive them.
+try:
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover — older cloudpickle: rely on pyFiles
+    pass
+
+#: metadata contract attached to every media column
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),   # image|audio|video
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+    ]
+)
+
+
+def attach_media_metadata(df: DataFrame, binary_col: str, media_type: str) -> DataFrame:
+    """Typed metadata struct derived JVM-side (no Python)."""
+    b = F.col(binary_col)
+    return df.withColumn(
+        f"{binary_col}_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.octet_length(b).cast("long").alias("n_bytes"),
+            F.sha2(b, 256).alias("sha256"),
+        ),
+    )
+
+
+def text_as_binary(df: DataFrame, text_col: str, out_col: str = "content") -> DataFrame:
+    """Test harness: materialize a binary payload column from text (the
+    corpus has no real media; the plumbing doesn't care)."""
+    return df.withColumn(out_col, F.encode(F.col(text_col), "UTF-8"))
+
+
+class FakeCodec:
+    """Deterministic stand-in for image/audio decoding.
+
+    Derives stable pseudo-dimensions and pseudo-pixels from the payload
+    hash, so tests get reproducible values with zero media deps.
+    Replace with a real codec (Pillow, soundfile, …) in production —
+    signatures are identical: bytes in, ndarray + dims out.
+    """
+
+    @staticmethod
+    def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
+        if payload is None or len(payload) == 0:
+            raise ValueError("empty media payload")
+        h = hashlib.sha256(payload).digest()
+        width = 32 + h[0] % 97
+        height = 32 + h[1] % 97
+        rng = np.random.RandomState(int.from_bytes(h[2:6], "big"))
+        pixels = rng.randint(0, 256, size=(height, width), dtype=np.uint8)
+        return width, height, pixels
+
+    # A real implementation raises NotImplementedError until a codec
+    # library is wired in:
+    @staticmethod
+    def decode_real(payload: bytes):
+        raise NotImplementedError(
+            "no media codec library in this environment — swap FakeCodec "
+            "for Pillow/torchaudio/decord in production"
+        )
+
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+        T.StructField("feature_vec", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def decode_and_featurize_images(
+    df: DataFrame, id_col: str = "doc_id", binary_col: str = "content", feat_dim: int = 8
+) -> DataFrame:
+    """Decode media + extract features via mapInPandas (Arrow-batched).
+
+    Per batch: decode each payload, compute dims/intensity stats and a
+    fixed-size feature vector (row-mean downsample of the fake pixels).
+    This is the exact shape a CLIP/whisper featurizer takes — only the
+    body of ``featurize_one`` changes.
+    """
+
+    def featurize_one(payload: bytes) -> tuple[int, int, float, list[float]]:
+        width, height, pixels = FakeCodec.decode_image(payload)
+        rows = np.array_split(pixels.astype(np.float64), feat_dim, axis=0)
+        vec = [float(np.mean(r)) for r in rows]
+        return width, height, float(pixels.mean()), vec
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [featurize_one(p) for p in pdf[binary_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "mean_intensity": [f[2] for f in feats],
+                    "feature_vec": [np.asarray(f[3], dtype=np.float32) for f in feats],
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_sha256", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, id_col: str = "doc_id", binary_col: str = "content", every_n: int = 4
+) -> DataFrame:
+    """Video-style frame sampling: one input row → many frame rows
+    (mapInPandas output is not 1:1 — that's the point of the iterator
+    API). Frames are fake (payload chunks), hashing is real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[binary_col]):
+                chunks = [payload[i : i + 64] for i in range(0, len(payload), 64)]
+                for i, chunk in enumerate(chunks[::every_n]):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hashes.append(hashlib.sha256(chunk).hexdigest())
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_sha256": hashes})
+
+    return df.select(id_col, binary_col).mapInPandas(run, FRAME_SAMPLE_SCHEMA)

@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (``array<float>``) —
+north-star surface, no counterpart in the reference.
+
+- ``brute_force_topk``  — exact cosine top-k: broadcast the query set,
+  one narrow pass over the corpus, per-query heap via window row_number.
+  The correctness baseline and, up to ~10⁸ corpus rows × small query
+  sets, often also the fastest (no index build, perfect scan locality,
+  all JVM codegen).
+- ``rp_lsh_buckets`` / ``rp_lsh_topk`` — random-hyperplane (sign) LSH:
+  the scale path when query sets are large; candidates share ≥1 bucket
+  across ``n_tables`` hash tables, exact cosine re-rank on candidates.
+
+Hyperplanes are generated from a fixed seed → plans are deterministic
+and reproducible across runs (training-data lineage requirement).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from lab3_lakehouse_spark.functions.vector import cosine_similarity, dot
+
+
+def _lit_vec(v: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    query_id_col: str | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    ``queries`` is broadcast (query sets are small by contract); the
+    corpus is scanned once — no shuffle until the final per-query top-k
+    window on (query_id), whose cardinality is |queries|·|corpus| rows
+    reduced by the window to |queries|·k.
+    """
+    qid = query_id_col or id_col
+    q = queries.select(
+        F.col(qid).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    joined = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    ).crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.withColumn(
+        "cosine", cosine_similarity(F.col("__qvec"), F.col("__cvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long"))
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, n_tables: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_tables, n_bits, dim))
+
+
+def rp_lsh_buckets(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_bits: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Attach ``__buckets``: array<long> of one packed sign-signature per
+    hash table. Signature bit j = [dot(v, h_j) ≥ 0] — all Catalyst
+    ``zip_with``/``aggregate`` expressions, planes inlined as literals."""
+    planes = _hyperplanes(dim, n_bits, n_tables, seed)
+    buckets = []
+    for t in range(n_tables):
+        bits = [
+            F.when(dot(F.col(vec_col), _lit_vec(planes[t, j])) >= 0, 1).otherwise(0)
+            for j in range(n_bits)
+        ]
+        packed = bits[0].cast("long")
+        for bit in bits[1:]:
+            packed = packed * 2 + bit
+        buckets.append(packed)
+    return df.withColumn("__buckets", F.array(*buckets))
+
+
+def rp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 10,
+    n_bits: int = 10,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: candidates = corpus rows sharing ≥1 LSH bucket with the
+    query (any table), re-ranked by exact cosine. Recall vs brute force
+    is asserted in unit tests (tests/test_llmdata.py)."""
+    c = rp_lsh_buckets(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")),
+        "__cvec", dim, n_bits, n_tables, seed,
+    ).select(
+        "neighbor_id", "__cvec", F.posexplode("__buckets").alias("table", "bucket")
+    )
+    q = rp_lsh_buckets(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")),
+        "__qvec", dim, n_bits, n_tables, seed,
+    ).select(
+        "query_id", "__qvec", F.posexplode("__buckets").alias("table", "bucket")
+    )
+    cands = (
+        c.join(F.broadcast(q), on=["table", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "__qvec", "neighbor_id", "__cvec")
+        .distinct()
+    )
+    scored = cands.withColumn(
+        "cosine", cosine_similarity(F.col("__qvec"), F.col("__cvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long"))
+    )
+
+
+def cosine_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding near-dup pairs within blocks (e.g. same label/partition):
+    exact all-pairs cosine inside each block only — the blocked-join
+    pattern that keeps pair counts ≪ n² at scale."""
+    a = df.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = df.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+    )
+    return (
+        a.join(b, on="__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("__blk").alias(block_col), "id_a", "id_b", "cosine")
+    )

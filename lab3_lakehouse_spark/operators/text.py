@@ -1,0 +1,97 @@
+"""Text-analysis operators for training-data pipelines (north-star
+surface): token counting, quality scoring, language-ID heuristics,
+fingerprinting. All JVM-side Catalyst expressions — these run in the
+scan pipeline with zero shuffles, so they cost ~nothing at 100 TB
+beyond the scan itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny english stopword set used for ratio features (deterministic,
+#: shared with oracle SQL — keep sorted).
+STOPWORDS: tuple[str, ...] = (
+    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from",
+    "in", "is", "it", "of", "on", "or", "that", "the", "to", "with",
+)
+
+#: BPE-ish pre-tokenizer: word pieces, digit runs, or single
+#: non-alphanumeric marks (RE2/Java compatible — no lookarounds).
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def whitespace_tokens(text: Column | str) -> Column:
+    return F.split(F.col(text) if isinstance(text, str) else text, r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(whitespace_tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Regex sub-word token count (approximates BPE pre-tokenization)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_PATTERN), 0)).cast("long")
+
+
+def stopword_count(text: Column | str) -> Column:
+    toks = whitespace_tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.size(F.filter(toks, lambda w: F.array_contains(sw, w))).cast("long")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach standard quality-signal columns: n_tokens, mean token
+    length, stopword ratio, punctuation ratio, digit ratio. Heuristics in
+    the Gopher/C4 filtering tradition, expressed as Catalyst columns."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    n_chars = F.length(t).cast("double")
+    return df.withColumns(
+        {
+            "n_tokens": n_tok,
+            "mean_token_len": (n_chars - (n_tok - F.lit(1)).cast("double")) / n_tok.cast("double"),
+            "stopword_ratio": stopword_count(t).cast("double") / n_tok.cast("double"),
+            "punct_ratio": F.size(
+                F.regexp_extract_all(t, F.lit("[.,;:!?]"), 0)
+            ).cast("double") / n_chars,
+            "digit_ratio": F.size(
+                F.regexp_extract_all(t, F.lit("[0-9]"), 0)
+            ).cast("double") / n_chars,
+        }
+    )
+
+
+#: marker-word tables for the n-gram language-ID heuristic. Real
+#: pipelines use fastText/CLD3; the heuristic keeps the operator
+#: dependency-free and deterministic (and SQL-expressible for the
+#: oracle check).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "los"),
+    "de": ("der", "die", "das"),
+    "fr": ("le", "les", "des"),
+    "zh": ("de", "shi", "le"),
+}
+
+
+def marker_score(text: Column | str, markers: tuple[str, ...]) -> Column:
+    """Total occurrences of marker words among whitespace tokens."""
+    toks = whitespace_tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    m = F.array(*[F.lit(x) for x in markers])
+    return F.size(F.filter(toks, lambda w: F.array_contains(m, w)))
+
+
+def lang_id_heuristic(text: Column | str) -> Column:
+    """Language guess by marker-word hit count. Ties break in table
+    order; 'und' when no marker matches. (greatest + first-match CASE —
+    the same shape the SQL oracle uses.)"""
+    scores = {lang: marker_score(text, m) for lang, m in LANG_MARKERS.items()}
+    top = F.greatest(*scores.values())
+    out = F.lit("und")
+    for lang in reversed(list(scores)):  # earlier langs win ties
+        out = F.when((scores[lang] == top) & (top > 0), F.lit(lang)).otherwise(out)
+    return out

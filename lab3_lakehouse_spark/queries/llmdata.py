@@ -1,4 +1,356 @@
-"""LLM-data-pipeline surface (north star): dedup, similarity search,
-text analysis, multimodal column plumbing."""
+"""LLM-data-pipeline queries (north star): deduplication, similarity
+search, text analysis, multimodal plumbing — over ``documents`` and
+``embeddings``.
+
+Cross-engine facts this file relies on (probed, tests enforce):
+
+- the Catalyst ``zip_with``/``aggregate`` cosine in functions/vector.py
+  is BIT-IDENTICAL to DuckDB's ``list_cosine_similarity`` on
+  ``DOUBLE[]`` (both fold left-to-right in double) → no rounding of
+  similarities anywhere;
+- corpus text is single-space separated (``\\s+`` split ≡ split on
+  ``' '``);
+- integer-ratio features (jaccard = |∩|/|∪|) are exact double divisions
+  of ints → bit-identical.
+
+LSH-based operators (MinHash, SimHash, random-projection ANN) use
+engine-specific hashing (xxhash64) — not SQL-expressible → rows-only
+driver check + planted-duplicate unit tests in tests/test_llmdata.py.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lab3_lakehouse_spark.catalog import load_table
+from lab3_lakehouse_spark.operators import dedup as dedup_ops
+from lab3_lakehouse_spark.operators import multimodal as mm_ops
+from lab3_lakehouse_spark.operators import similarity as sim_ops
+from lab3_lakehouse_spark.operators import text as text_ops
+from lab3_lakehouse_spark.queries.registry import query
+from lab3_lakehouse_spark.session import tune_session
+
+# ------------------------------------------------------------- dedup ----
+
+@query(
+    "dedup_exact_keep_first",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents
+    QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    """,
+)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on content, deterministic keep-smallest-id (NOT
+    dropDuplicates, which keeps an arbitrary row — lineage requires
+    reproducibility)."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.exact_dedup(docs, ["text"], ["doc_id"])
+
+
+@query(
+    "dedup_fingerprint_groups",
+    oracle="""
+    SELECT md5(text) AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-fingerprint groups: the shuffle key for exact dedup at
+    100 TB is the 128-bit hash, never the full text."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(dedup_ops.fingerprint("text").alias("fp")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@query(
+    "word_jaccard_near_dups",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_distinct(string_split(lower(text), ' ')) AS w
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.w, b.w))::DOUBLE
+             / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) AS jaccard
+    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.w, b.w))::DOUBLE
+             / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8
+    """,
+)
+def word_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard near-dup pairs, blocked by language —
+    the blocked-all-pairs pattern (pairs only within blocks, never n²
+    across the corpus)."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang",
+        F.array_distinct(dedup_ops.tokens("text")).alias("w"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.w"), F.col("b.w"))).cast("double")
+    union = (F.size(F.col("a.w")) + F.size(F.col("b.w"))).cast("double") - inter
+    jac = inter / union
+    return (
+        a.join(b, on=[F.col("a.lang") == F.col("b.lang"), F.col("a.doc_id") < F.col("b.doc_id")])
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+@query("minhash_lsh_near_dups")  # xxhash64-based → rows-only check
+def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH candidates, exact-Jaccard verified — the
+    100 TB near-dup path (band-key shuffle, candidates ≪ n²).
+
+    shingle_n=1 → word-set MinHash, i.e. the LSH approximation of
+    word_jaccard_near_dups, making recall directly measurable against
+    that exact operator (asserted in unit tests); order-sensitive
+    near-dup detection uses shingle_n=3 (see tests for planted edits).
+    """
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    cands = dedup_ops.minhash_lsh_candidates(
+        docs, "doc_id", "text", num_perm=64, bands=16, shingle_n=1
+    )
+    return dedup_ops.minhash_verify(
+        cands, docs, "doc_id", "text", threshold=0.8, shingle_n=1
+    )
+
+
+@query("simhash_near_dups")  # xxhash64-based → rows-only check
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64) near-dup pairs, Hamming ≤ 3, banded on 16-bit chunks
+    (pigeonhole guarantees recall for the distance bound)."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+# -------------------------------------------------------- similarity ----
+
+@query(
+    "embedding_cosine_pairs",
+    oracle="""
+    SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+           list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+    """,
+)
+def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs within label blocks — exact cosine via
+    JVM higher-order functions (bit-identical to the oracle's
+    list_cosine_similarity; no Python, no UDF)."""
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.cosine_pairs_blocked(
+        emb, "vec_id", "embedding", "label", threshold=0.3
+    ).select("label", "id_a", "id_b", "cosine")
+
+
+@query(
+    "ann_topk_bruteforce",
+    oracle="""
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,
+           CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                        c.vec_id) AS BIGINT) AS rank
+    FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < 8
+    QUALIFY rank <= 5
+    """,
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for 8 query vectors: broadcast
+    queries × one corpus scan + per-query top-k window. The correctness
+    baseline every ANN variant is measured against."""
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding", k=5
+    )
+
+
+@query("ann_lsh_topk")  # seeded random hyperplanes → rows-only check
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: bucket join + exact re-rank — the
+    scale path when |queries| is too large for brute force. Recall vs
+    brute force asserted in unit tests."""
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.rp_lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding",
+        dim=64, k=5, n_bits=8, n_tables=4,
+    )
+
+
+# ------------------------------------------------------ text analysis ----
+
+_SW_SQL = "['" + "','".join(text_ops.STOPWORDS) + "']"
+
+
+@query(
+    "text_quality_features",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           (length(text)::DOUBLE - (len(string_split(text, ' ')) - 1)::DOUBLE)
+             / len(string_split(text, ' '))::DOUBLE     AS mean_token_len,
+           len(list_filter(string_split(lower(text), ' '),
+                           w -> list_contains({_SW_SQL}, w)))::DOUBLE
+             / len(string_split(text, ' '))::DOUBLE     AS stopword_ratio,
+           len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE
+             / length(text)::DOUBLE                     AS punct_ratio,
+           len(regexp_extract_all(text, '[0-9]'))::DOUBLE
+             / length(text)::DOUBLE                     AS digit_ratio
+    FROM documents
+    """,
+)
+def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal features (Gopher/C4-style): token stats, stopword/
+    punct/digit ratios — pure scan-pipeline expressions."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = text_ops.quality_features(docs.select("doc_id", "text"), "text")
+    return out.select(
+        "doc_id", "n_tokens", "mean_token_len",
+        "stopword_ratio", "punct_ratio", "digit_ratio",
+    )
+
+
+def _lang_score_sql(markers: tuple[str, ...]) -> str:
+    lst = "['" + "','".join(markers) + "']"
+    return (
+        f"len(list_filter(string_split(lower(text), ' '), "
+        f"w -> list_contains({lst}, w)))"
+    )
+
+
+_LANG_SCORES = {
+    lang: _lang_score_sql(m) for lang, m in text_ops.LANG_MARKERS.items()
+}
+_GREATEST = "greatest(" + ", ".join(f"s_{lang}" for lang in _LANG_SCORES) + ")"
+_LANG_CASE = (
+    "CASE WHEN " + _GREATEST + " = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN s_{lang} = {_GREATEST} THEN '{lang}'" for lang in _LANG_SCORES
+    )
+    + " END"
+)
+
+
+@query(
+    "lang_id_predictions",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, lang, text,
+               {", ".join(f"{sql} AS s_{lang}" for lang, sql in _LANG_SCORES.items())}
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           {_LANG_CASE} AS lang_pred,
+           CAST({_LANG_CASE} = lang AS BIGINT) AS is_match
+    FROM s
+    """,
+)
+def lang_id_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic vs the labeled lang column.
+    (Real pipelines plug fastText here; the operator contract — text in,
+    lang code out — is the same.)"""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pred = text_ops.lang_id_heuristic(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        pred.alias("lang_pred"),
+        (pred == F.col("lang")).cast("long").alias("is_match"),
+    )
+
+
+@query(
+    "token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT)   AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text,
+                '{text_ops.BPE_ISH_PATTERN}')) AS BIGINT)  AS n_bpe_ish_tokens,
+           CAST(length(text) AS BIGINT)                    AS n_chars_measured
+    FROM documents
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting: whitespace tokens + BPE-ish regex sub-word
+    tokens — the budget columns every training-data pipeline carries."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text_ops.token_count("text").alias("n_ws_tokens"),
+        text_ops.bpe_ish_token_count("text").alias("n_bpe_ish_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+    )
+
+
+# -------------------------------------------------------- multimodal ----
+
+@query(
+    "binary_media_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text)                               AS content_sha256
+    FROM documents
+    """,
+)
+def binary_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media column + typed metadata, derived JVM-side
+    (octet_length / sha2). The corpus has no real media, so payloads are
+    UTF-8 bytes of text — the plumbing is payload-agnostic."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    with_bin = mm_ops.text_as_binary(docs, "text", "content")
+    with_meta = mm_ops.attach_media_metadata(with_bin, "content", "image")
+    return with_meta.select(
+        "doc_id",
+        F.col("content_meta.n_bytes").alias("n_bytes"),
+        F.sha2(F.col("text"), 256).alias("content_sha256"),
+    )
+
+
+@query("media_decode_features")  # pandas-UDF pipeline → rows-only check
+def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode+featurize (FakeCodec stands in
+    for Pillow/torchaudio — see operators/multimodal.py). Exercises the
+    real batch-iterator plumbing, schema contract, and feature_vec
+    array<float> output."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    with_bin = mm_ops.text_as_binary(docs, "text", "content")
+    return mm_ops.decode_and_featurize_images(with_bin, "doc_id", "content")
+
+
+@query("media_frame_sample")  # pandas-UDF pipeline → rows-only check
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling shape: one media row → many frame rows through the
+    mapInPandas iterator API (row-count expansion is the point)."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    with_bin = mm_ops.text_as_binary(docs, "text", "content")
+    return mm_ops.sample_frames(with_bin, "doc_id", "content", every_n=4)

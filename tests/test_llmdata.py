@@ -1,0 +1,176 @@
+"""Unit tests for the non-SQL-expressible LLM-data operators: planted
+near-duplicates for MinHash/SimHash, planted clusters for LSH ANN
+recall, and the multimodal mapInPandas plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lab3_lakehouse_spark.operators import dedup as dedup_ops
+from lab3_lakehouse_spark.operators import multimodal as mm_ops
+from lab3_lakehouse_spark.operators import similarity as sim_ops
+
+
+WORDS = [f"w{i}" for i in range(50)]
+
+
+def _doc(rng: np.random.RandomState, n: int = 60) -> str:
+    return " ".join(rng.choice(WORDS, size=n))
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """40 random docs + 5 near-dup pairs (1-word edit) + 2 exact dups."""
+    rng = np.random.RandomState(7)
+    rows = [(i, _doc(rng)) for i in range(40)]
+    near_pairs = []
+    for j in range(5):
+        base_id = 100 + 2 * j
+        words = _doc(rng).split()
+        edited = list(words)
+        edited[3] = "zzz"
+        rows.append((base_id, " ".join(words)))
+        rows.append((base_id + 1, " ".join(edited)))
+        near_pairs.append((base_id, base_id + 1))
+    rows.append((200, rows[0][1]))  # exact dup of doc 0
+    rows.append((201, rows[1][1]))  # exact dup of doc 1
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    return df, near_pairs
+
+
+def test_exact_dedup_keeps_smallest_id(spark, planted_docs):
+    df, _ = planted_docs
+    out = dedup_ops.exact_dedup(df, ["text"], ["doc_id"])
+    kept = {r.doc_id for r in out.collect()}
+    assert 200 not in kept and 201 not in kept
+    assert 0 in kept and 1 in kept
+    assert out.count() == df.count() - 2
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, planted_docs):
+    df, near_pairs = planted_docs
+    cands = dedup_ops.minhash_lsh_candidates(df, "doc_id", "text", num_perm=64, bands=16)
+    verified = dedup_ops.minhash_verify(cands, df, "doc_id", "text", threshold=0.7)
+    found = {(r.id_a, r.id_b) for r in verified.collect()}
+    for pair in near_pairs:
+        assert pair in found, f"missed planted near-dup {pair}"
+    # exact dups are jaccard-1 candidates too
+    assert (0, 200) in found and (1, 201) in found
+
+
+def test_minhash_no_false_positives_after_verify(spark, planted_docs):
+    df, near_pairs = planted_docs
+    cands = dedup_ops.minhash_lsh_candidates(df, "doc_id", "text")
+    verified = dedup_ops.minhash_verify(cands, df, "doc_id", "text", threshold=0.7)
+    expected = set(near_pairs) | {(0, 200), (1, 201)}
+    found = {(r.id_a, r.id_b) for r in verified.collect()}
+    # verification stage guarantees precision: every surviving pair is
+    # genuinely >= threshold (random 60-word docs over 50 words do
+    # collide sometimes; check the planted pairs dominate)
+    assert expected <= found
+    for r in verified.collect():
+        assert r.jaccard >= 0.7
+
+
+def test_wordlevel_minhash_recall_vs_exact(spark, sf_small):
+    """shingle_n=1 MinHash-LSH approximates word-set Jaccard: recall vs
+    the exact same-lang blocked pairs at threshold 0.8 must be high
+    (S-curve: J=0.8, r=4, b=16 → collision prob ≈ 0.9998)."""
+    from lab3_lakehouse_spark.catalog import load_table
+    from lab3_lakehouse_spark.queries import QUERIES
+
+    docs = load_table(spark, sf_small, "documents")
+    cands = dedup_ops.minhash_lsh_candidates(
+        docs, "doc_id", "text", num_perm=64, bands=16, shingle_n=1
+    )
+    found = dedup_ops.minhash_verify(
+        cands, docs, "doc_id", "text", threshold=0.8, shingle_n=1
+    )
+    lsh_pairs = {(r.id_a, r.id_b) for r in found.collect()}
+    exact = QUERIES["word_jaccard_near_dups"](spark, sf_small).collect()
+    exact_pairs = {(r.id_a, r.id_b) for r in exact}
+    assert exact_pairs, "exact op found no pairs — test data changed?"
+    recall = len(exact_pairs & lsh_pairs) / len(exact_pairs)
+    assert recall >= 0.95, f"word-level MinHash recall {recall}"
+
+
+def test_simhash_planted_pairs(spark, planted_docs):
+    df, near_pairs = planted_docs
+    out = dedup_ops.simhash_pairs(df, "doc_id", "text", max_hamming=6)
+    found = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (0, 200) in found and (1, 201) in found  # exact dups: hamming 0
+    hits = sum(1 for p in near_pairs if p in found)
+    assert hits >= 3, f"simhash found only {hits}/5 planted near-dups"
+
+
+@pytest.fixture(scope="module")
+def clustered_vectors(spark):
+    """10 cluster centers × 30 members with small noise: ANN-meaningful
+    geometry (random Gaussians are adversarial for any LSH)."""
+    rng = np.random.RandomState(11)
+    centers = rng.normal(size=(10, 32))
+    rows = []
+    vid = 0
+    for c in range(10):
+        for _ in range(30):
+            v = centers[c] + 0.15 * rng.normal(size=32)
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_lsh_ann_recall_on_clusters(spark, clustered_vectors):
+    emb = clustered_vectors
+    queries = emb.filter(F.col("vec_id") % 30 == 0)  # one per cluster
+    bf = sim_ops.brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    lsh = sim_ops.rp_lsh_topk(
+        emb, queries, "vec_id", "embedding", dim=32, k=5, n_bits=8, n_tables=8
+    )
+    bf_pairs = {(r.query_id, r.neighbor_id) for r in bf.collect()}
+    lsh_pairs = {(r.query_id, r.neighbor_id) for r in lsh.collect()}
+    recall = len(bf_pairs & lsh_pairs) / len(bf_pairs)
+    assert recall >= 0.8, f"LSH recall {recall} below floor on clustered data"
+
+
+def test_brute_force_topk_self_exclusion_and_k(spark, clustered_vectors):
+    emb = clustered_vectors
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = sim_ops.brute_force_topk(emb, queries, "vec_id", "embedding", k=4).toPandas()
+    assert (out.groupby("query_id").size() == 4).all()
+    assert not ((out.query_id == out.neighbor_id).any())
+    assert (out.cosine <= 1.0 + 1e-9).all()
+
+
+def test_media_decode_deterministic(spark):
+    df = spark.createDataFrame([(1, "hello world"), (2, "spark engine")], ["doc_id", "text"])
+    with_bin = mm_ops.text_as_binary(df, "text", "content")
+    a = mm_ops.decode_and_featurize_images(with_bin).toPandas().sort_values("doc_id")
+    b = mm_ops.decode_and_featurize_images(with_bin).toPandas().sort_values("doc_id")
+    assert a.width.tolist() == b.width.tolist()
+    assert a.mean_intensity.tolist() == b.mean_intensity.tolist()
+    assert all(len(v) == 8 for v in a.feature_vec)
+
+
+def test_media_metadata_sha256_matches_hashlib(spark):
+    df = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+    out = mm_ops.attach_media_metadata(
+        mm_ops.text_as_binary(df, "text", "content"), "content", "image"
+    ).collect()[0]
+    expected = hashlib.sha256(b"hello world").hexdigest()
+    assert out.content_meta.sha256 == expected
+    assert out.content_meta.n_bytes == len(b"hello world")
+    assert out.content_meta.media_type == "image"
+
+
+def test_frame_sample_expands_rows(spark):
+    text = " ".join(["x"] * 200)  # 399 bytes → 7 chunks of 64 → 2 sampled
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = mm_ops.sample_frames(
+        mm_ops.text_as_binary(df, "text", "content"), every_n=4
+    ).toPandas()
+    assert len(out) == 2
+    assert out.frame_idx.tolist() == [0, 1]
