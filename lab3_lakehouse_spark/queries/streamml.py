@@ -1,0 +1,103 @@
+"""Streaming and ML queries (SURVEY §7 steps 7-8).
+
+The streaming tumbling query IS oracle-checked: with
+``Trigger.AvailableNow`` + complete output mode, Structured Streaming
+processes every file currently in the source and emits the full
+aggregate — semantically identical to the batch query (Spark's unified
+API guarantee), so the batch oracle applies verbatim. Session windows
+and RF training are rows-only (stateful merge order / model internals
+aren't SQL), with stream-vs-batch and metric-sanity assertions in
+tests/test_pipeline_streaming_ml.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lab3_lakehouse_spark.ml import regression as ml
+from lab3_lakehouse_spark.queries.registry import query
+from lab3_lakehouse_spark.queries._util import round4, sql_round4
+from lab3_lakehouse_spark.session import tune_session
+from lab3_lakehouse_spark.streaming import windows as sw
+
+
+@query(
+    "streaming_tumbling_hourly",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           count(*)                           AS n_events,
+           {sql_round4('sum(value)')}         AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling window over ``events`` as a FILE STREAM (readStream →
+    window agg → memory sink, AvailableNow). Matches the batch oracle
+    exactly — the unified-API parity the engine's streaming tier relies
+    on."""
+    tune_session(spark)
+    agg = (
+        sw.stream_events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round4(F.sum("value")).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+    return sw.run_to_memory(agg, spark, output_mode="complete")
+
+
+@query("streaming_session_windows")  # stateful merge → rows-only check
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-min gap) on the event stream;
+    stream-vs-batch equality asserted in tests."""
+    tune_session(spark)
+    agg = sw.session_windows(sw.stream_events(spark, sf_dir), gap="30 minutes")
+    return sw.run_to_memory(agg, spark, output_mode="complete")
+
+
+@query(
+    "ml_feature_table",
+    oracle=f"""
+    WITH gold AS (
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               {sql_round4('sum(value)')}               AS daily_revenue,
+               count(*)                                 AS trip_count,
+               {sql_round4('avg(value)')}               AS avg_value
+        FROM events
+        GROUP BY user_id, date_trunc('day', ts)
+    )
+    SELECT CAST(user_id AS DOUBLE)             AS user_id_f,
+           CAST((dayofweek(day) + 6) % 7 AS DOUBLE) AS day_of_week,
+           CAST(month(day) AS DOUBLE)          AS month,
+           CAST(trip_count AS DOUBLE)          AS trip_count,
+           CAST(avg_value AS DOUBLE)           AS avg_value,
+           CAST(daily_revenue AS DOUBLE)       AS label
+    FROM gold
+    """,
+)
+def ml_feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 feature derivation, distributed — including the deliberate
+    pandas day-of-week convention (Monday=0; Spark dayofweek is
+    1=Sunday, DuckDB's is 0=Sunday — both sides convert)."""
+    tune_session(spark)
+    from lab3_lakehouse_spark.queries.parity import daily_revenue
+
+    return ml.revenue_features(daily_revenue(spark, sf_dir))
+
+
+@query("ml_rf_metrics")  # model internals → rows-only check
+def ml_rf_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2+M3: seeded 80/20 split + RandomForest(20 trees) + MAE/RMSE/R²,
+    fully in spark.ml (the reference's sklearn exit, de-single-noded)."""
+    tune_session(spark)
+    feats = ml_feature_table(spark, sf_dir)
+    r = ml.train_random_forest(feats)
+    return spark.createDataFrame(
+        [(float(r.mae), float(r.rmse), float(r.r2), r.n_train, r.n_test)],
+        ["mae", "rmse", "r2", "n_train", "n_test"],
+    )

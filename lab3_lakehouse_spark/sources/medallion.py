@@ -1,0 +1,148 @@
+"""Medallion tier management: materialize / optimize / compose
+(SURVEY §2.1 S3-S4, §2.5 X1-X2, §3 EP1).
+
+The reference chains bronze → silver → gold through *materialized Delta
+tables on disk*, re-reading each tier (``etl_pipeline.py:77,96,150``) —
+checkpoint-at-tier-boundary makes every tier independently queryable
+and restartable. The engine keeps that property but generalizes:
+
+- any table, any partition columns, parquet-native with Delta as an
+  optional format (the container has no delta-spark; the writer
+  degrades gracefully),
+- layout sizing via AQE + ``target_partitions`` instead of the
+  reference's hard-coded ``repartition(16)`` / ``repartition(8)``
+  (``etl_pipeline.py:64,118`` — a fixed constant is always wrong in one
+  direction at 100 TB),
+- Z-order (X2, ``etl_pipeline.py:87-88``) maps to Delta
+  ``executeZOrderBy`` when Delta is present; on plain parquet we apply
+  *linear clustering* (``repartitionByRange`` + ``sortWithinPartitions``
+  on the cluster columns), which gives parquet min/max row-group
+  skipping on the same columns — the same data-skipping goal by
+  parquet-native means.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _delta_available() -> bool:
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def materialize(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+    target_partitions: int | None = None,
+) -> None:
+    """Write a tier table (S3/S4), layout-aware.
+
+    - ``partition_by``: Hive-style directory partitioning.
+    - ``cluster_by``: within-file clustering for min/max data skipping
+      (parquet-native Z-order substitute; Delta Z-order is applied by
+      ``optimize_table`` when Delta is available).
+    - ``target_partitions``: output file-count control. None → trust
+      AQE's coalescing (the at-scale default).
+    """
+    out = df
+    if cluster_by:
+        cols = [F.col(c) for c in cluster_by]
+        if target_partitions:
+            out = out.repartitionByRange(target_partitions, *cols)
+        else:
+            out = out.repartitionByRange(*cols)
+        out = out.sortWithinPartitions(*cols)
+    elif partition_by:
+        # co-locate rows of each output directory into one task each,
+        # avoiding the files = tasks × partitions small-file explosion
+        cols = [F.col(c) for c in partition_by]
+        out = (
+            out.repartition(target_partitions, *cols)
+            if target_partitions
+            else out.repartition(*cols)
+        )
+    elif target_partitions:
+        out = out.repartition(target_partitions)
+
+    writer = out.write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def read_tier(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """S2: tier scan (schema from footers/log — metadata-only)."""
+    return spark.read.format(fmt).load(path)
+
+
+def optimize_table(
+    spark: SparkSession, path: str, zorder_by: list[str], fmt: str = "parquet"
+) -> str:
+    """X2: layout optimization. Delta → ``OPTIMIZE ... ZORDER BY``;
+    parquet → rewrite with linear clustering on the same columns.
+    Returns the strategy applied (for observability/tests)."""
+    if fmt == "delta" and _delta_available():
+        from delta.tables import DeltaTable
+
+        DeltaTable.forPath(spark, path).optimize().executeZOrderBy(zorder_by)
+        return "delta-zorder"
+    df = read_tier(spark, path, fmt)
+    materialize(df, path + "__clustered", fmt=fmt, cluster_by=zorder_by)
+    return "parquet-linear-cluster"
+
+
+@dataclass
+class Stage:
+    """One tier boundary: transform, then checkpoint to disk."""
+
+    name: str
+    transform: Callable[[DataFrame], DataFrame]
+    partition_by: list[str] | None = None
+    cluster_by: list[str] | None = None
+
+
+@dataclass
+class Pipeline:
+    """EP1 generalized: ``Pipeline(root, [bronze, silver, gold...])``.
+
+    Each stage reads the previous tier *from disk* (not in-memory
+    lineage), exactly reproducing the reference's restartability
+    property: a failed gold build re-runs from silver, not from raw.
+    """
+
+    root: str
+    stages: list[Stage]
+    fmt: str = "parquet"
+    paths: dict[str, str] = field(default_factory=dict)
+
+    def tier_path(self, name: str) -> str:
+        return f"{self.root}/{name}"
+
+    def run(self, spark: SparkSession, source: DataFrame) -> dict[str, str]:
+        df = source
+        for st in self.stages:
+            df = st.transform(df)
+            p = self.tier_path(st.name)
+            materialize(
+                df,
+                p,
+                fmt=self.fmt,
+                partition_by=st.partition_by,
+                cluster_by=st.cluster_by,
+            )
+            self.paths[st.name] = p
+            df = read_tier(spark, p, self.fmt)  # checkpoint boundary
+        return dict(self.paths)

@@ -1,0 +1,155 @@
+"""Structured Streaming slice: windowed aggregation with watermarks
+over the ``events`` table as a file stream (SURVEY §7 step 7 — the
+reference is batch-only; stock Structured Streaming semantics apply).
+
+Batch/stream parity by construction: every windowed aggregation here is
+the *same DataFrame expression* the batch queries use
+(``queries/relational.py`` tumbling/session queries), applied to a
+``readStream`` source — the Spark unified-API guarantee, which the
+tests verify by running the stream with ``Trigger.AvailableNow`` and
+diffing against the batch result.
+
+Late data: ``withWatermark`` bounds state; events older than the
+watermark are dropped from open windows. Watermark delay is a policy
+argument, not a constant — at 100 TB of events the right delay depends
+on upstream delivery SLOs.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Physical parquet schema of events.parquet (ts is TIMESTAMP(NANOS),
+#: surfaced as long under ``nanosAsLong`` — streaming readers need the
+#: schema up front; there is no inference on streams).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` as a file stream. maxFilesPerTrigger=1 gives
+    deterministic micro-batch granularity in tests; a production reader
+    would bound *bytes* per trigger instead."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    if not os.path.isdir(path):
+        # single-file source: FileStreamSource requires a directory or a
+        # glob — bracketing the last char forces glob semantics, which
+        # makes basePath default to the parent directory
+        path = f"{path[:-1]}[{path[-1]}]"
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window per-type counts + value sum, watermarked."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window counts: each event lands in window/slide buckets."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows (gap-based, dynamic close)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("session_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_to_memory(
+    df: DataFrame,
+    spark: SparkSession,
+    output_mode: str = "complete",
+    name: str | None = None,
+) -> DataFrame:
+    """Execute a streaming DF with AvailableNow (process everything
+    currently in the source, then stop) into a memory sink; return the
+    result as a batch DataFrame. This is the test harness — production
+    sinks are ``foreachBatch`` → ``materialize`` (see ``to_tier``)."""
+    name = name or f"s_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def to_tier(
+    df: DataFrame, path: str, checkpoint: str, output_mode: str = "append"
+) -> "object":
+    """Streaming gold tier: foreachBatch → parquet materialize, with a
+    checkpoint dir for exactly-once restart. Returns the StreamingQuery."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(path)
+
+    return (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,225 @@
+"""Medallion pipeline, streaming, and ML tests (SURVEY §5.3 end-to-end
+medallion; §5.2 unit tests for non-oracle surfaces)."""
+
+from __future__ import annotations
+
+import math
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lab3_lakehouse_spark.catalog import load_table
+from lab3_lakehouse_spark.ml import regression as ml
+from lab3_lakehouse_spark.sources import ingest
+from lab3_lakehouse_spark.sources.medallion import (
+    Pipeline,
+    Stage,
+    materialize,
+    optimize_table,
+    read_tier,
+)
+from lab3_lakehouse_spark.streaming import windows as sw
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="lakehouse_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+# ------------------------------------------------------------ ingestion --
+
+def test_read_csv_explicit_schema_and_timestamp_parse(spark, tmpdir):
+    path = f"{tmpdir}/raw.csv"
+    with open(path, "w") as f:
+        f.write("id,ts,amount\n1,2024-03-01 10:00:00,5.5\n2,2024-03-02 11:30:00,7.25\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("ts", T.StringType()),
+            T.StructField("amount", T.StringType()),
+        ]
+    )
+    df = ingest.read_csv(spark, path, schema=schema)
+    df = ingest.parse_timestamps(df, ["ts", "not_a_column"])  # tolerant probe
+    df = ingest.apply_casts(df, {"amount": "float", "ghost": "int"})
+    assert dict(df.dtypes) == {"id": "int", "ts": "timestamp", "amount": "float"}
+    df = ingest.add_date_parts(df, "ts", ("year", "month"))
+    rows = {r.id: (r.year, r.month) for r in df.collect()}
+    assert rows == {1: (2024, 3), 2: (2024, 3)}
+
+
+# ------------------------------------------------- medallion composition --
+
+def test_medallion_pipeline_end_to_end(spark, sf_small, tmpdir):
+    """Reference EP1 shape over events: bronze(raw+date parts) →
+    silver(filtered) → gold(daily agg); checkpoint at each boundary."""
+    ev = load_table(spark, sf_small, "events")
+    n_raw = ev.count()
+
+    pipe = Pipeline(
+        root=tmpdir,
+        stages=[
+            Stage(
+                "bronze",
+                lambda df: ingest.add_date_parts(df, "ts", ("year", "month")),
+                partition_by=["year", "month"],
+            ),
+            Stage(
+                "silver",
+                lambda df: df.filter(F.col("value") > 0),
+                cluster_by=["user_id"],
+            ),
+            Stage(
+                "gold",
+                lambda df: df.groupBy(
+                    "user_id", F.date_trunc("day", "ts").alias("day")
+                ).agg(
+                    F.sum("value").alias("daily_revenue"),
+                    F.count(F.lit(1)).alias("trip_count"),
+                    F.avg("value").alias("avg_value"),
+                ),
+            ),
+        ],
+    )
+    paths = pipe.run(spark, ev)
+    assert set(paths) == {"bronze", "silver", "gold"}
+
+    bronze = read_tier(spark, paths["bronze"])
+    assert bronze.count() == n_raw
+    assert {"year", "month"} <= set(bronze.columns)
+
+    silver = read_tier(spark, paths["silver"])
+    n_expected_silver = ev.filter(F.col("value") > 0).count()
+    assert silver.count() == n_expected_silver
+
+    # gold values match direct (non-checkpointed) computation
+    gold = read_tier(spark, paths["gold"])
+    direct = (
+        ev.filter(F.col("value") > 0)
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum("value").alias("daily_revenue"))
+    )
+    merged = gold.select("user_id", "day", "daily_revenue").join(
+        direct, ["user_id", "day"], "full_outer"
+    )
+    assert merged.filter(
+        F.abs(gold["daily_revenue"] - direct["daily_revenue"]) > 1e-9
+    ).count() == 0
+    assert gold.count() == direct.count()
+
+
+def test_materialize_partitioned_layout(spark, sf_small, tmpdir):
+    import os
+
+    ev = load_table(spark, sf_small, "events").withColumn(
+        "year", F.year("ts")
+    )
+    materialize(ev, f"{tmpdir}/t", partition_by=["year"])
+    dirs = [d for d in os.listdir(f"{tmpdir}/t") if d.startswith("year=")]
+    assert dirs, "expected Hive-style partition directories"
+    back = read_tier(spark, f"{tmpdir}/t")
+    assert back.count() == ev.count()
+
+
+def test_optimize_table_parquet_clustering(spark, sf_small, tmpdir):
+    ev = load_table(spark, sf_small, "events")
+    materialize(ev, f"{tmpdir}/t")
+    strategy = optimize_table(spark, f"{tmpdir}/t", zorder_by=["user_id"])
+    assert strategy == "parquet-linear-cluster"
+    clustered = read_tier(spark, f"{tmpdir}/t__clustered")
+    assert clustered.count() == ev.count()
+    # clustering means each file's user_id range is narrow: verify rows
+    # are sorted within partitions by checking per-file min/max overlap
+    stats = (
+        clustered.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.min("user_id").alias("lo"), F.max("user_id").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r.lo, r.hi) for r in stats)
+    overlaps = sum(
+        1 for (a, b) in zip(spans, spans[1:]) if a[1] > b[0]
+    )
+    assert overlaps <= len(spans) // 2, f"poor clustering: {spans}"
+
+
+# -------------------------------------------------------------- streaming --
+
+def test_streaming_tumbling_matches_batch(spark, sf_small):
+    stream = sw.run_to_memory(
+        sw.tumbling_counts(sw.stream_events(spark, sf_small), "1 hour"),
+        spark,
+        output_mode="complete",
+    )
+    ev = load_table(spark, sf_small, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    s = {(r.window_start, r.event_type, r.n_events) for r in stream.collect()}
+    b = {(r.window_start, r.event_type, r.n_events) for r in batch.collect()}
+    assert s == b
+
+
+def test_streaming_session_matches_batch_session_window(spark, sf_small):
+    stream = sw.run_to_memory(
+        sw.session_windows(sw.stream_events(spark, sf_small), gap="30 minutes"),
+        spark,
+        output_mode="complete",
+    )
+    ev = load_table(spark, sf_small, "events")
+    batch = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    s = {(r.session_start, r.user_id, r.n_events) for r in stream.collect()}
+    b = {(r.w.start, r.user_id, r.n_events) for r in batch.collect()}
+    assert s == b
+
+
+def test_streaming_to_tier_foreachbatch(spark, sf_small, tmpdir):
+    agg = sw.tumbling_counts(sw.stream_events(spark, sf_small), "1 hour")
+    q = sw.to_tier(
+        agg, f"{tmpdir}/gold_stream", f"{tmpdir}/ckpt", output_mode="complete"
+    )
+    q.awaitTermination()
+    out = read_tier(spark, f"{tmpdir}/gold_stream")
+    assert out.count() > 0
+    assert {"window_start", "event_type", "n_events"} <= set(out.columns)
+
+
+# --------------------------------------------------------------------- ML --
+
+def test_rf_training_distributed(spark, sf_small):
+    from lab3_lakehouse_spark.queries.parity import daily_revenue
+
+    feats = ml.revenue_features(daily_revenue(spark, sf_small))
+    n = feats.count()
+    r = ml.train_random_forest(feats)
+    assert r.n_train + r.n_test == n
+    assert 0.6 < r.n_train / n < 0.95  # seeded 80/20 within tolerance
+    for m in (r.mae, r.rmse, r.r2):
+        assert math.isfinite(m)
+    assert r.rmse >= r.mae > 0
+    assert r.r2 <= 1.0
+
+
+def test_pandas_day_of_week_convention(spark):
+    # 2024-03-04 is a Monday → pandas dayofweek 0; 2024-03-10 Sunday → 6
+    df = spark.createDataFrame(
+        [("2024-03-04",), ("2024-03-10",)], ["d"]
+    ).withColumn("d", F.to_timestamp("d"))
+    out = [r[0] for r in df.select(ml.pandas_day_of_week("d")).collect()]
+    assert out == [0, 6]
