@@ -65,6 +65,108 @@ def star_join(
     return out
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] = (),
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the most recent
+    right row with ``right_ts <= left_ts`` for the same key (left join —
+    unmatched rows keep NULLs).
+
+    Spark has no AsOfJoin operator; the scalable formulation is the
+    union + carry-forward pattern: tag both inputs, union them, and run
+    ``last(col, ignorenulls=True)`` over a window partitioned by key and
+    ordered by (ts, side) — ONE shuffle on the key, zero join fan-out,
+    no per-left-row range probe. (The naive alternative — inequality
+    join + groupBy-max — explodes to |L|·|R| per key before aggregating.)
+    Right rows order before left rows at equal ts, so ties are inclusive,
+    matching DuckDB's ``ASOF JOIN ... ON r.ts <= l.ts`` semantics.
+    """
+    right_cols = list(right_cols) or [
+        c for c in right.columns if c not in (key, right_ts)
+    ]
+    lhs = left.select(
+        F.col(key),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in left.columns if c not in (key, left_ts)],
+        F.col(left_ts),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
+    )
+    rhs = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in (key, left_ts)],
+        F.lit(None).cast(left.schema[left_ts].dataType).alias(left_ts),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.col(right_ts).alias("__r_ts"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = lhs.unionByName(rhs).select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in right_cols
+        ],
+        F.last("__r_ts", ignorenulls=True).over(w).alias(f"{right_ts}{suffix}"),
+    )
+    keep = (
+        [key]
+        + [c for c in left.columns if c not in (key, left_ts)]
+        + [left_ts]
+        + [f"{c}{suffix}" for c in right_cols]
+        + [f"{right_ts}{suffix}"]
+    )
+    return carried.filter(F.col("__side") == 1).select(*keep)
+
+
+def binned_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Range join (point ∈ [lo, hi)) as an equi-join on bins.
+
+    A naive inequality join plans as BroadcastNestedLoopJoin — O(|L|·|R|)
+    compute even when the output is small. Binning makes it an equi-join:
+    each point hashes to one bin, each range is exploded to the bins it
+    covers (ranges ≫ bin_width explode wider — pick bin_width near the
+    median range length), and the residual predicate filters exact
+    membership. No duplicates: a point lives in exactly one bin.
+    """
+    lb = left.withColumn("__bin", F.floor(F.col(point_col) / F.lit(bin_width)))
+    rb = right.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bin_width)),
+                F.floor(F.col(hi_col) / F.lit(bin_width)),
+            )
+        ),
+    )
+    return (
+        lb.join(rb, on="__bin")
+        .filter((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col)))
+        .drop("__bin")
+    )
+
+
 def skew_salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -169,6 +169,81 @@ def rp_lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means-partition the corpus into
+    ``n_centroids`` cells, search only the ``n_probe`` cells nearest to
+    each query, exact cosine re-rank inside them.
+
+    The scale path when the corpus is too large for per-query full
+    scans: the index assignment is one ``spark.ml`` KMeans fit + one
+    transform (both distributed), and each query touches
+    ~n_probe/n_centroids of the data. Centroids are tiny (n_centroids ×
+    dim) — the query→cell routing is a broadcast cross-join + top-n_probe
+    window, never a shuffle of the corpus.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c_vec = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__mlvec"),
+    )
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="__mlvec", predictionCol="__cell")
+    model = km.fit(c_vec.select("__mlvec"))
+    assigned = model.transform(c_vec).select("neighbor_id", "__cvec", "__cell")
+
+    centroids = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cdf = F.broadcast(
+        corpus.sparkSession.createDataFrame(centroids, ["__cell", "__centroid"])
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+    # route each query to its n_probe nearest cells (euclidean, matching
+    # the KMeans objective)
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col("__qvec").cast("array<double>"),
+            F.col("__centroid"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.col("__d2").asc(), F.col("__cell").asc())
+    routed = (
+        q.crossJoin(cdf)
+        .withColumn("__d2", dist2)
+        .withColumn("__cr", F.row_number().over(wc))
+        .filter(F.col("__cr") <= n_probe)
+        .select("query_id", "__qvec", "__cell")
+    )
+    scored = routed.join(assigned, "__cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("cosine", cosine_similarity(F.col("__qvec"), F.col("__cvec")))
+        # a vector in 2 probed cells can't happen (hard assignment), so
+        # no distinct needed before the re-rank window
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long"))
+    )
+
+
 def cosine_pairs_blocked(
     df: DataFrame,
     id_col: str,

@@ -85,6 +85,27 @@ def marker_score(text: Column | str, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda w: F.array_contains(m, w)))
 
 
+def winnowed_fingerprints(text: Column | str, k: int = 5, w: int = 4) -> Column:
+    """Document fingerprints via winnowing (Schleimer et al., MOSS):
+    xxhash64 each k-word shingle, then keep the minimum hash of every
+    sliding window of w consecutive shingle hashes. Guarantees any
+    shared run of ≥ w+k-1 words between two documents contributes at
+    least one shared fingerprint — the rolling-hash fingerprint set used
+    for copy detection at corpus scale.
+
+    Pure Catalyst (split → sequence → transform → slice → array_min);
+    returns array<long> of distinct fingerprints, position-independent.
+    """
+    from lab3_lakehouse_spark.operators.dedup import shingle_hashes
+
+    hashes = shingle_hashes(text, k)
+    n_windows = F.greatest(F.size(hashes) - (w - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), n_windows)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_min(F.slice(hashes, i, w)))
+    )
+
+
 def lang_id_heuristic(text: Column | str) -> Column:
     """Language guess by marker-word hit count. Ties break in table
     order; 'und' when no marker matches. (greatest + first-match CASE —

@@ -13,3 +13,4 @@ from lab3_lakehouse_spark.queries import parity  # noqa: F401, E402
 from lab3_lakehouse_spark.queries import relational  # noqa: F401, E402
 from lab3_lakehouse_spark.queries import llmdata  # noqa: F401, E402
 from lab3_lakehouse_spark.queries import streamml  # noqa: F401, E402
+from lab3_lakehouse_spark.queries import temporal  # noqa: F401, E402

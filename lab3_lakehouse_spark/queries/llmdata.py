@@ -191,6 +191,41 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_ivf_topk")  # k-means index → rows-only check
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means cells + n_probe search + exact re-rank — the
+    index-based scale path (recall vs brute force asserted in unit
+    tests)."""
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding",
+        k=5, n_centroids=16, n_probe=4,
+    )
+
+
+@query("doc_fingerprint_matches")  # xxhash64 winnowing → rows-only check
+def doc_fingerprint_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed rolling-hash fingerprints (MOSS-style copy detection):
+    explode each document's fingerprint set, group by fingerprint, and
+    keep fingerprints shared by ≥2 documents — the shuffle key is the
+    64-bit fingerprint, never text."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    fps = docs.select(
+        "doc_id", F.explode(text_ops.winnowed_fingerprints("text", k=3, w=4)).alias("fp")
+    )
+    return (
+        fps.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 @query("ann_lsh_topk")  # seeded random hyperplanes → rows-only check
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN: bucket join + exact re-rank — the

@@ -1,0 +1,93 @@
+"""Temporal / interval join queries: as-of join and binned range join
+(operators Spark lacks natively — SURVEY §2.7 extension surface,
+"custom operators" built as compositions of stock DataFrame ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lab3_lakehouse_spark.catalog import load_table
+from lab3_lakehouse_spark.operators import joins as join_ops
+from lab3_lakehouse_spark.queries.registry import query
+from lab3_lakehouse_spark.queries._util import round4, sql_round4
+from lab3_lakehouse_spark.session import tune_session
+
+#: price bands for the range-join demo — deliberately non-uniform so the
+#: binned implementation is exercised across bin boundaries.
+PRICE_BANDS: tuple[tuple[str, float, float], ...] = (
+    ("budget", 0.0, 30_000.0),
+    ("mid", 30_000.0, 100_000.0),
+    ("premium", 100_000.0, 250_000.0),
+    ("luxury", 250_000.0, 500_001.0),
+)
+
+_BANDS_SQL = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in PRICE_BANDS)
+
+
+@query(
+    "asof_purchase_last_view",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts, p.value AS purchase_value,
+           v.ts AS view_ts_asof
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+)
+def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase gets the latest prior view by
+    the same user (attribution-style). One shuffle on user_id via the
+    union + carry-forward pattern — no join fan-out (operators/joins.py
+    asof_join)."""
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    out = join_ops.asof_join(
+        purchases, views, key="user_id", left_ts="ts", right_ts="ts",
+        right_cols=[], suffix="_view",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+        F.col("ts_view").alias("view_ts_asof"),
+    )
+
+
+@query(
+    "range_join_price_bands",
+    oracle=f"""
+    SELECT band,
+           count(*)                          AS n_orders,
+           {sql_round4('avg(o_totalprice)')} AS avg_price
+    FROM orders
+    JOIN (VALUES {_BANDS_SQL}) AS bands(band, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join as a binned equi-join (no
+    nested-loop): orders classified into non-uniform price bands, then
+    aggregated."""
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(list(PRICE_BANDS), ["band", "lo", "hi"])
+    joined = join_ops.binned_range_join(
+        orders.select("o_orderkey", "o_totalprice"),
+        bands,
+        point_col="o_totalprice",
+        lo_col="lo",
+        hi_col="hi",
+        bin_width=25_000.0,
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        round4(F.avg("o_totalprice")).alias("avg_price"),
+    )

@@ -1,0 +1,75 @@
+"""Unit tests for the temporal/interval join operators (edge cases the
+oracle differential can't isolate)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from lab3_lakehouse_spark.operators import joins as join_ops
+
+
+def _ts(s: str):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "l1"),
+            (1, _ts("2024-01-01T12:00:00"), "l2"),
+            (2, _ts("2024-01-01T09:00:00"), "l3"),  # before any right row
+        ],
+        ["k", "ts", "lv"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T09:30:00"), "r1"),
+            (1, _ts("2024-01-01T12:00:00"), "r2"),  # tie with l2 → inclusive
+            (2, _ts("2024-01-01T11:00:00"), "r3"),
+        ],
+        ["k", "ts", "rv"],
+    )
+    out = {
+        r.lv: (r.rv_asof, r.ts_asof)
+        for r in join_ops.asof_join(left, right, key="k").collect()
+    }
+    assert out["l1"] == ("r1", _ts("2024-01-01T09:30:00"))
+    assert out["l2"] == ("r2", _ts("2024-01-01T12:00:00"))  # <= is inclusive
+    assert out["l3"] == (None, None)  # left join: no prior match → nulls
+
+
+def test_binned_range_join_boundaries(spark):
+    points = spark.createDataFrame([(i, float(i)) for i in range(10)], ["id", "x"])
+    ranges = spark.createDataFrame(
+        [("a", 0.0, 3.0), ("b", 3.0, 7.0), ("c", 8.5, 9.5)], ["r", "lo", "hi"]
+    )
+    out = join_ops.binned_range_join(points, ranges, "x", "lo", "hi", bin_width=2.0)
+    got = sorted((r.id, r.r) for r in out.collect())
+    # [lo, hi): 3.0 belongs to b, not a; 7,8 uncovered; 9 in c
+    expected = sorted(
+        [(0, "a"), (1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "b"), (6, "b"), (9, "c")]
+    )
+    assert got == expected
+
+
+def test_binned_range_join_no_duplicate_pairs(spark):
+    """A range spanning many bins must still match each point once."""
+    points = spark.createDataFrame([(1, 5.0)], ["id", "x"])
+    ranges = spark.createDataFrame([("wide", 0.0, 100.0)], ["r", "lo", "hi"])
+    out = join_ops.binned_range_join(points, ranges, "x", "lo", "hi", bin_width=1.0)
+    assert out.count() == 1
+
+
+def test_skew_salted_join_matches_plain_join(spark):
+    left = spark.createDataFrame(
+        [(i % 3, i) for i in range(100)], ["k", "v"]
+    )
+    right = spark.createDataFrame([(0, "hot"), (1, "warm"), (5, "miss")], ["k", "w"])
+    plain = {(r.k, r.v, r.w) for r in left.join(right, "k").collect()}
+    salted = {
+        (r.k, r.v, r.w)
+        for r in join_ops.skew_salted_join(left, right, "k", salt_buckets=4).collect()
+    }
+    assert salted == plain

@@ -174,3 +174,36 @@ def test_frame_sample_expands_rows(spark):
     ).toPandas()
     assert len(out) == 2
     assert out.frame_idx.tolist() == [0, 1]
+
+
+def test_ivf_ann_recall_on_clusters(spark, clustered_vectors):
+    emb = clustered_vectors
+    queries = emb.filter(F.col("vec_id") % 30 == 0)
+    bf = sim_ops.brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    ivf = sim_ops.ivf_topk(
+        emb, queries, "vec_id", "embedding", k=5, n_centroids=10, n_probe=3
+    )
+    bf_pairs = {(r.query_id, r.neighbor_id) for r in bf.collect()}
+    ivf_pairs = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    recall = len(bf_pairs & ivf_pairs) / len(bf_pairs)
+    assert recall >= 0.9, f"IVF recall {recall} below floor on clustered data"
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Winnowing guarantee: docs sharing a run of >= w+k-1 words share
+    >= 1 fingerprint; disjoint-vocab docs share none."""
+    from lab3_lakehouse_spark.operators import text as text_ops
+
+    shared = " ".join(f"s{i}" for i in range(12))  # 12 shared words > w+k-1=8
+    rows = [
+        (1, "aa bb cc " + shared + " dd ee"),
+        (2, "xx yy " + shared + " zz ww qq"),
+        (3, " ".join(f"u{i}" for i in range(20))),  # disjoint vocab
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = df.select(
+        "doc_id", text_ops.winnowed_fingerprints("text", k=5, w=4).alias("fps")
+    ).collect()
+    fps = {r.doc_id: set(r.fps) for r in out}
+    assert fps[1] & fps[2], "shared run must produce a shared fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])

@@ -1,0 +1,70 @@
+"""Physical-plan regression tests (SURVEY §4): the 100 TB design
+assumes Catalyst delivers pushdown / pruning / broadcast / partial agg /
+codegen on our plans — these tests pin that, so a change that silently
+blocks an optimization (e.g. an opaque UDF above a scan) fails CI
+instead of shipping a full-scan regression.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lab3_lakehouse_spark.catalog import load_table
+from lab3_lakehouse_spark.plans import analysis as pa
+from lab3_lakehouse_spark.queries import QUERIES
+
+
+@pytest.fixture(scope="module")
+def sf(sf_small):
+    return sf_small
+
+
+def test_filter_pushdown_reaches_scan(spark, sf):
+    df = QUERIES["quality_filter"](spark, sf)
+    assert pa.has_pushed_filter(df, "l_quantity")
+    assert pa.has_pushed_filter(df, "l_extendedprice")
+
+
+def test_column_pruning_on_projection(spark, sf):
+    df = QUERIES["derived_metrics"](spark, sf)
+    lineitem_cols = set(load_table(spark, sf, "lineitem").columns)
+    needed = {
+        "l_orderkey", "l_linenumber", "l_shipdate",
+        "l_extendedprice", "l_discount", "l_tax",
+    }
+    assert pa.scan_reads_only(df, lineitem_cols, needed), pa.read_schemas(df)
+
+
+def test_small_dims_broadcast_not_shuffle(spark, sf):
+    df = QUERIES["regional_revenue"](spark, sf)
+    assert pa.count_nodes(df, "BroadcastHashJoin") >= 3
+    assert pa.count_nodes(df, "SortMergeJoin") == 0
+
+
+def test_no_nested_loop_in_range_join(spark, sf):
+    """The binned range join exists precisely to avoid BNLJ."""
+    df = QUERIES["range_join_price_bands"](spark, sf)
+    assert pa.count_nodes(df, "BroadcastNestedLoopJoin") == 0
+
+
+def test_aggregate_is_partial_plus_final(spark, sf):
+    df = QUERIES["pricing_summary"](spark, sf)
+    # partial + final HashAggregate (map-side combine before shuffle)
+    assert pa.count_nodes(df, "HashAggregate") >= 2
+    assert pa.codegen_stage_count(df) >= 1
+
+
+def test_scan_agg_path_stays_in_codegen(spark, sf):
+    df = QUERIES["daily_revenue"](spark, sf)
+    assert pa.codegen_stage_count(df) >= 1
+
+
+def test_text_scan_pipeline_is_narrow(spark, sf):
+    """Quality features are pure scan-pipeline: no shuffle at all."""
+    df = QUERIES["text_quality_features"](spark, sf)
+    assert pa.count_nodes(df, "Exchange") == 0
+
+
+def test_exact_dedup_single_shuffle(spark, sf):
+    df = QUERIES["dedup_exact_keep_first"](spark, sf)
+    assert pa.count_nodes(df, "Exchange") == 1
