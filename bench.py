@@ -43,6 +43,12 @@ HEADLINE = [
     "ann_lsh_topk",                 # random-hyperplane LSH ANN
     "text_quality_features",        # text quality scoring scan
     "token_counts",                 # tokenization accounting scan
+    "asof_purchase_last_view",      # as-of join (union + carry-forward)
+    "range_join_price_bands",       # binned range join (no nested loop)
+    "ann_ivf_topk",                 # IVF ANN (k-means cells + re-rank)
+    "doc_fingerprint_matches",      # winnowed rolling-hash fingerprints
+    "value_percentiles",            # exact grouped percentiles
+    "sql_late_order_priority",      # SQL front door, EXISTS decorrelation
 ]
 
 

@@ -223,3 +223,39 @@ def test_pandas_day_of_week_convention(spark):
     ).withColumn("d", F.to_timestamp("d"))
     out = [r[0] for r in df.select(ml.pandas_day_of_week("d")).collect()]
     assert out == [0, 6]
+
+
+def test_stateful_running_totals_matches_batch(spark, sf_small):
+    """applyInPandasWithState: after AvailableNow drains the source, the
+    last update per user must equal the batch groupBy totals."""
+    from lab3_lakehouse_spark.streaming import stateful
+
+    out = sw.run_to_memory(
+        stateful.running_user_totals(sw.stream_events(spark, sf_small)),
+        spark,
+        output_mode="update",
+    )
+    # update mode may emit a user several times (one per batch touching
+    # it); the final emission carries the running total -> take last per
+    # user by max n_events
+    import pandas as pd
+
+    pdf = out.toPandas()
+    final = pdf.sort_values("n_events").groupby("user_id").last()
+
+    ev = load_table(spark, sf_small, "events")
+    batch = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum("value").alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("last_ts"),
+        )
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(final) == len(batch)
+    joined = final.join(batch, lsuffix="_s", rsuffix="_b")
+    assert (joined.n_events_s == joined.n_events_b).all()
+    assert (abs(joined.total_value_s - joined.total_value_b) < 1e-6).all()
+    assert (joined.last_ts_s == joined.last_ts_b).all()
