@@ -88,20 +88,74 @@ def read_tier(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame
     return spark.read.format(fmt).load(path)
 
 
+def morton_key(
+    df: DataFrame, cols: list[str], bits_per_col: int = 16
+) -> tuple[DataFrame, str]:
+    """Attach a Morton (interleaved-bit Z-order) key over numeric columns.
+
+    Each column is min-max normalized to ``bits_per_col`` bits (one tiny
+    stats job), then the bits are interleaved so close values in ANY
+    clustered column land near each other in key order. Sorting files by
+    this key bounds every column's per-file min/max range —
+    multi-dimensional data skipping, which lexicographic sorting only
+    gives the leading column. Pure codegen'd shift/or arithmetic.
+    """
+    stats = df.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in cols],
+        *[F.max(c).alias(f"hi_{c}") for c in cols],
+    ).first()
+    scale = (1 << bits_per_col) - 1
+    key = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        lo = float(stats[f"lo_{c}"])
+        span = float(stats[f"hi_{c}"]) - lo
+        norm = (
+            ((F.coalesce(F.col(c), F.lit(lo)).cast("double") - F.lit(lo))
+             / F.lit(span if span > 0 else 1.0))
+            * F.lit(float(scale))
+        ).cast("long")
+        for b in range(bits_per_col):
+            key = key.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(norm, b).bitwiseAND(F.lit(1).cast("long")),
+                    b * len(cols) + i,
+                )
+            )
+    return df.withColumn("__zkey", key), "__zkey"
+
+
 def optimize_table(
-    spark: SparkSession, path: str, zorder_by: list[str], fmt: str = "parquet"
+    spark: SparkSession,
+    path: str,
+    zorder_by: list[str],
+    fmt: str = "parquet",
+    target_partitions: int | None = None,
 ) -> str:
-    """X2: layout optimization. Delta → ``OPTIMIZE ... ZORDER BY``;
-    parquet → rewrite with linear clustering on the same columns.
-    Returns the strategy applied (for observability/tests)."""
+    """X2: layout optimization (generalizes ``etl_pipeline.py:87-88``).
+    Delta → ``OPTIMIZE ... ZORDER BY``; parquet → rewrite clustered by a
+    Morton key over the same columns (single column degenerates to a
+    range sort). Returns the strategy applied (observability/tests)."""
     if fmt == "delta" and _delta_available():
         from delta.tables import DeltaTable
 
         DeltaTable.forPath(spark, path).optimize().executeZOrderBy(zorder_by)
         return "delta-zorder"
     df = read_tier(spark, path, fmt)
-    materialize(df, path + "__clustered", fmt=fmt, cluster_by=zorder_by)
-    return "parquet-linear-cluster"
+    if len(zorder_by) == 1:
+        materialize(
+            df, path + "__clustered", fmt=fmt, cluster_by=zorder_by,
+            target_partitions=target_partitions,
+        )
+        return "parquet-linear-cluster"
+    keyed, key = morton_key(df, zorder_by)
+    parts = [target_partitions] if target_partitions else []
+    clustered = (
+        keyed.repartitionByRange(*parts, F.col(key))
+        .sortWithinPartitions(key)
+        .drop(key)
+    )
+    clustered.write.format(fmt).mode("overwrite").save(path + "__clustered")
+    return "parquet-morton-cluster"
 
 
 @dataclass

@@ -259,3 +259,48 @@ def test_stateful_running_totals_matches_batch(spark, sf_small):
     assert (joined.n_events_s == joined.n_events_b).all()
     assert (abs(joined.total_value_s - joined.total_value_b) < 1e-6).all()
     assert (joined.last_ts_s == joined.last_ts_b).all()
+
+
+def test_morton_zorder_bounds_both_columns(spark, sf_small, tmpdir):
+    """Morton clustering must narrow per-file ranges on BOTH columns;
+    lexicographic clustering only bounds the leading one."""
+    from lab3_lakehouse_spark.sources.medallion import optimize_table
+
+    ev = load_table(spark, sf_small, "events")
+    materialize(ev.repartition(8), f"{tmpdir}/t")
+    strategy = optimize_table(
+        spark, f"{tmpdir}/t", zorder_by=["user_id", "value"], target_partitions=6
+    )
+    assert strategy == "parquet-morton-cluster"
+    clustered = read_tier(spark, f"{tmpdir}/t__clustered")
+    assert clustered.count() == ev.count()
+
+    stats = (
+        clustered.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(
+            F.min("user_id").alias("u_lo"), F.max("user_id").alias("u_hi"),
+            F.min("value").alias("v_lo"), F.max("value").alias("v_hi"),
+        )
+        .toPandas()
+    )
+    if len(stats) < 2:
+        pytest.skip("need >=2 output files to measure clustering")
+    g = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).first()
+    u_span, v_span = g[1] - g[0], g[3] - g[2]
+    mean_u = ((stats.u_hi - stats.u_lo) / u_span).mean()
+    mean_v = ((stats.v_hi - stats.v_lo) / v_span).mean()
+    # each file should cover well under the full range in BOTH dims
+    assert mean_u < 0.75 and mean_v < 0.75, (mean_u, mean_v, len(stats))
+
+
+def test_to_pandas_guarded(spark, sf_small):
+    from lab3_lakehouse_spark.collect import DriverCollectGuard, to_pandas_guarded
+
+    ev = load_table(spark, sf_small, "events")
+    small = to_pandas_guarded(ev.limit(10), max_rows=100)
+    assert len(small) == 10
+    with pytest.raises(DriverCollectGuard):
+        to_pandas_guarded(ev, max_rows=10)
