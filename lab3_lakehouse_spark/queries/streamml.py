@@ -50,6 +50,42 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sw.run_to_memory(agg, spark, output_mode="complete")
 
 
+@query(
+    "sliding_window_counts",
+    oracle=f"""
+    WITH buckets AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) AS w, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS w,
+               value
+        FROM events
+    )
+    SELECT w                           AS window_start,
+           count(*)                    AS n_events,
+           {sql_round4('sum(value)')}  AS sum_value
+    FROM buckets
+    GROUP BY w
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h window, 30 min slide) in batch:
+    each event expands into window/slide = 2 buckets. The oracle builds
+    the same expansion as a UNION ALL of the two shifted 30-min grids —
+    both engines align sub-day buckets on :00/:30 boundaries."""
+    tune_session(spark)
+    from lab3_lakehouse_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round4(F.sum("value")).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
 @query("streaming_session_windows")  # stateful merge → rows-only check
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows (30-min gap) on the event stream;

@@ -7,17 +7,21 @@ The reference reads CSV with ``header=true, inferSchema=true``
 to guess types. The engine inverts the default: explicit
 ``StructType`` contracts, with inference as an opt-in for exploration.
 
-Schema tolerance (the reference's ``if col in df.columns`` probes,
-``etl_pipeline.py:55,58``) is kept: ingestion accepts missing columns
-rather than failing, because upstream producers change schemas without
-notice at scale.
+Column-level transformations (timestamp parse, casts, date parts) are
+the projection operators in ``operators/derive`` — re-exported here so
+ingestion call sites read as one vocabulary.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from lab3_lakehouse_spark.operators.derive import (  # noqa: F401
+    add_date_parts,
+    cast_columns,
+    parse_timestamps,
+)
 
 
 def read_csv(
@@ -44,37 +48,7 @@ def read_csv(
     return reader.csv(path)
 
 
-def parse_timestamps(
-    df: DataFrame, cols: list[str], fmt: str | None = None
-) -> DataFrame:
-    """P1 + P5: string → timestamp for each *present* column (schema
-    probe mirrors ``etl_pipeline.py:55-59``; absent columns are skipped,
-    not an error)."""
-    for c in cols:
-        if c in df.columns:
-            df = df.withColumn(
-                c, F.to_timestamp(F.col(c), fmt) if fmt else F.to_timestamp(F.col(c))
-            )
-    return df
-
-
 def apply_casts(df: DataFrame, casts: dict[str, str]) -> DataFrame:
-    """P3: pin the column contract with explicit casts (schema-tolerant:
-    absent columns skipped). ``casts`` maps column → Spark type name
-    (``"int"``, ``"float"``, ``"double"``, ``"timestamp"``, ...)."""
-    for c, t in casts.items():
-        if c in df.columns:
-            df = df.withColumn(c, F.col(c).cast(t))
-    return df
-
-
-def add_date_parts(
-    df: DataFrame, ts_col: str, parts: tuple[str, ...] = ("year", "month")
-) -> DataFrame:
-    """P2: derive partition columns from an event-time column
-    (generalizes ``etl_pipeline.py:61-62``). Supported parts: year,
-    month, day, hour."""
-    fns = {"year": F.year, "month": F.month, "day": F.dayofmonth, "hour": F.hour}
-    for p in parts:
-        df = df.withColumn(p, fns[p](F.col(ts_col)))
-    return df
+    """P3 with string type names (``"int"``, ``"float"``, ...) —
+    convenience wrapper over :func:`cast_columns` (schema-tolerant)."""
+    return cast_columns(df, casts, strict=False)
