@@ -57,6 +57,43 @@ def _sf_of(path: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _bench_medallion(spark) -> float:
+    """The reference's actual workload shape (EP1): events → bronze
+    (partitioned) → silver (filtered+clustered) → gold (daily agg),
+    checkpointed to disk at each tier."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lab3_lakehouse_spark.catalog import load_table
+    from lab3_lakehouse_spark.sources import ingest
+    from lab3_lakehouse_spark.sources.medallion import Pipeline, Stage
+
+    root = tempfile.mkdtemp(prefix="bench_medallion_")
+    try:
+        ev = load_table(spark, SF_DIR, "events")
+        pipe = Pipeline(
+            root=root,
+            stages=[
+                Stage("bronze", lambda df: ingest.add_date_parts(df, "ts", ("year", "month")),
+                      partition_by=["year", "month"]),
+                Stage("silver", lambda df: df.filter(F.col("value") > 0),
+                      cluster_by=["user_id"]),
+                Stage("gold", lambda df: df.groupBy(
+                    "user_id", F.date_trunc("day", "ts").alias("day")
+                ).agg(F.sum("value").alias("daily_revenue"),
+                      F.count(F.lit(1)).alias("trip_count"),
+                      F.avg("value").alias("avg_value"))),
+            ],
+        )
+        t0 = time.perf_counter()
+        pipe.run(spark, ev)
+        return round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     spark = build_session(app_name="lab3-lakehouse-bench")
     # Warm-up: JVM classloading + codegen + parquet footer cache.
@@ -68,6 +105,7 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, SF_DIR).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+    timings["medallion_pipeline"] = _bench_medallion(spark)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -61,6 +61,67 @@ def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_trailing_1h_sum",
+    oracle=f"""
+    SELECT user_id, event_id, ts,
+           {sql_round4('''sum(value) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)''')}
+               AS trailing_1h_value
+    FROM events
+    """,
+)
+def window_trailing_1h_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (trailing 1-hour sum per user) — the
+    moving-aggregate family ROWS frames can't express when events are
+    irregularly spaced. Spark takes range bounds as longs, so the
+    ordering key is epoch seconds; the emitted ts stays a timestamp."""
+    tune_session(spark)
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    spec = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        round4(F.sum("value").over(spec)).alias("trailing_1h_value"),
+    )
+
+
+@query(
+    "salted_join_lineitem_supplier",
+    oracle=f"""
+    SELECT l.l_orderkey, l.l_linenumber, s.s_name,
+           {sql_round4('sum(l_extendedprice)')} AS price_sum
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY l.l_orderkey, l.l_linenumber, s.s_name
+    """,
+)
+def salted_join_lineitem_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join, oracle-checked against the PLAIN join SQL —
+    proving salting is a pure physical rewrite (identical results, hot
+    keys spread across salt_buckets reducers)."""
+    tune_session(spark)
+    from lab3_lakehouse_spark.operators.joins import skew_salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    joined = skew_salted_join(li, sup, on="l_suppkey", salt_buckets=8)
+    return joined.groupBy("l_orderkey", "l_linenumber", "s_name").agg(
+        round4(F.sum("l_extendedprice")).alias("price_sum")
+    )
+
+
+@query(
     "range_join_price_bands",
     oracle=f"""
     SELECT band,
