@@ -41,6 +41,30 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "salted_agg_event_type",
+    oracle=f"""
+    SELECT event_type,
+           count(*)                   AS cnt,
+           {sql_round4('sum(value)')} AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def salted_agg_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation on a low-cardinality (≡ skew-prone)
+    key, oracle-checked against the plain GROUP BY — like the salted
+    join, salting must be a pure physical rewrite."""
+    tune_session(spark)
+    from lab3_lakehouse_spark.operators.aggregate import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(ev, ["event_type"], ["value"], salt_buckets=16)
+    return out.select(
+        "event_type", "cnt", round4(F.col("sum_value")).alias("sum_value")
+    )
+
+
 _LATE_ORDERS_SQL = """
     SELECT o.o_orderpriority, count(*) AS order_count
     FROM orders o

@@ -304,3 +304,72 @@ def test_to_pandas_guarded(spark, sf_small):
     assert len(small) == 10
     with pytest.raises(DriverCollectGuard):
         to_pandas_guarded(ev, max_rows=10)
+
+
+def test_watermark_drops_late_data_across_restarts(spark, tmpdir):
+    """Late-data policy with the real-world shape: run 1 drains a batch
+    whose max event time advances the watermark past window W0's end
+    (committed to the checkpoint); an event for W0 arriving in run 2 —
+    restored watermark 02:00 — must be dropped, so W0 is emitted with
+    its pre-late count. (A single AvailableNow run plans all batches up
+    front, so the in-run watermark can lag; checkpoint recovery is the
+    contract that holds.)"""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    src = f"{tmpdir}/stream_src"
+    out = f"{tmpdir}/out"
+    ckpt = f"{tmpdir}/ckpt"
+    os.makedirs(src)
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def write_file(name, minutes):
+        pd.DataFrame(
+            {
+                "event_id": range(len(minutes)),
+                "user_id": [1] * len(minutes),
+                "event_type": ["click"] * len(minutes),
+                "ts": [(base + pd.Timedelta(minutes=m)).value for m in minutes],
+                "value": [1.0] * len(minutes),
+                "props": ["{}"] * len(minutes),
+            }
+        ).to_parquet(f"{src}/{name}")
+        _time.sleep(1.1)  # mtime is 1s-granular; order batches
+
+    from lab3_lakehouse_spark.streaming.windows import EVENTS_RAW_SCHEMA
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .parquet(src)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: W0=[00:00,01:00) gets 2 events; max ts 03:00 -> watermark
+    # 02:00 committed at run end
+    write_file("b1.parquet", [5, 10, 180])
+    run_once()
+    # run 2: late event for W0 arrives; restored watermark drops it and
+    # finalizes W0 with n=2
+    write_file("b2.parquet", [20])
+    run_once()
+
+    got = {r.ws: r.n for r in spark.read.parquet(out).collect()}
+    assert got.get(base.to_pydatetime()) == 2, got
