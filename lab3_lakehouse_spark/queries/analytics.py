@@ -98,3 +98,102 @@ def sql_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     register_views(spark, sf_dir, ("orders", "lineitem"))
     return spark.sql(_LATE_ORDERS_SQL)
+
+
+EVENT_TYPES: tuple[str, ...] = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "pivot_user_event_counts",
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}" for t in EVENT_TYPES)}
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pivot_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): per-user counts, one column per event type.
+    The pivot values are declared explicitly — at scale an undeclared
+    pivot needs an extra distinct-values job before planning."""
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in EVENT_TYPES],
+    )
+
+
+@query(
+    "unpivot_order_amounts",
+    oracle="""
+    SELECT o_orderkey, 'total' AS measure, o_totalprice AS amount FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'half' AS measure, o_totalprice / 2.0 AS amount FROM orders
+    """,
+)
+def unpivot_order_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide → long) via the native unpivot operator —
+    a narrow transform, no shuffle."""
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("total"),
+        (F.col("o_totalprice") / 2.0).alias("half"),
+    )
+    return orders.unpivot(
+        ids=["o_orderkey"], values=["total", "half"],
+        variableColumnName="measure", valueColumnName="amount",
+    )
+
+
+@query(
+    "explode_embedding_positions",
+    oracle="""
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+           CAST(unnest(embedding) AS DOUBLE)                  AS component
+    FROM embeddings
+    WHERE vec_id < 16
+    """,
+)
+def explode_embedding_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode (posexplode) of an array column into rows —
+    row-count expansion is |array| per row; filter FIRST so the
+    explosion happens on the pruned set."""
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.filter(F.col("vec_id") < 16)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "component"))
+        .select("vec_id", "pos", F.col("component").cast("double").alias("component"))
+    )
+
+
+@query(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_type, ts) AS last_event_type,
+           arg_max(value, ts)      AS last_value,
+           max(ts)                 AS last_ts
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/arg_max: latest row's attributes per group in ONE hash agg
+    — no self-join back, no window sort. (ts values are unique in the
+    corpus; ties would need a composite ordering key.)"""
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", "ts").alias("last_event_type"),
+        F.max_by("value", "ts").alias("last_value"),
+        F.max("ts").alias("last_ts"),
+    )
