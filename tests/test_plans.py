@@ -68,3 +68,30 @@ def test_text_scan_pipeline_is_narrow(spark, sf):
 def test_exact_dedup_single_shuffle(spark, sf):
     df = QUERIES["dedup_exact_keep_first"](spark, sf)
     assert pa.count_nodes(df, "Exchange") == 1
+
+
+def test_asof_join_single_shuffle(spark, sf):
+    """The union+carry-forward as-of join must cost exactly one exchange
+    (the window shuffle on the key) — no join, no fan-out."""
+    df = QUERIES["asof_purchase_last_view"](spark, sf)
+    assert pa.count_nodes(df, "Exchange") == 1
+    assert pa.count_nodes(df, "SortMergeJoin") == 0
+    assert pa.count_nodes(df, "BroadcastNestedLoopJoin") == 0
+
+
+def test_salted_join_no_nested_loop_and_broadcast(spark, sf):
+    df = QUERIES["salted_join_lineitem_supplier"](spark, sf)
+    assert pa.count_nodes(df, "BroadcastNestedLoopJoin") == 0
+
+
+def test_pivot_two_phase_aggregation(spark, sf):
+    """Spark plans pivot as pre-agg on (keys, pivot col) then a pivot
+    agg on keys — exactly two exchanges, both on grouping keys (and no
+    extra distinct-values job, because values are declared)."""
+    df = QUERIES["pivot_user_event_counts"](spark, sf)
+    assert pa.count_nodes(df, "Exchange") == 2
+
+
+def test_unpivot_is_narrow(spark, sf):
+    df = QUERIES["unpivot_order_amounts"](spark, sf)
+    assert pa.count_nodes(df, "Exchange") == 0
