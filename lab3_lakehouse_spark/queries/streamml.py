@@ -96,6 +96,37 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_purchase_view_join",
+    oracle="""
+    SELECT p.event_id AS p_id, v.event_id AS v_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def streaming_purchase_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join (purchases ⋈ views within 1 h, per
+    user), drained with AvailableNow — equals the batch interval-join
+    SQL, so it is oracle-checked like a batch query. Watermarks on both
+    sides bound the join state at scale."""
+    tune_session(spark)
+    from lab3_lakehouse_spark.streaming import joins as sj
+
+    ev = sw.stream_events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("p_id")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("v_id")
+    )
+    joined = sj.interval_join(p, v, key="user_id", lookback="1 hour").select(
+        F.col("l.p_id").alias("p_id"), F.col("r.v_id").alias("v_id")
+    )
+    return sw.run_to_memory(joined, spark, output_mode="append")
+
+
+@query(
     "ml_feature_table",
     oracle=f"""
     WITH gold AS (

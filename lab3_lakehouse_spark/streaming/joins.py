@@ -1,0 +1,56 @@
+"""Stream-stream joins and streaming deduplication (Structured
+Streaming surface the batch operators can't stand in for).
+
+- ``interval_join``: inner join of two event streams on a key plus an
+  event-time interval (right.ts ∈ [left.ts - lookback, left.ts]).
+  Watermarks on BOTH sides bound the buffered state: Spark keeps only
+  rows young enough to still find a partner, evicting as the watermarks
+  advance — without the time bound, stream-stream join state grows
+  forever.
+- ``dedup_stream``: exact streaming dedup by key with a watermark-bound
+  state (the training-pipeline "have I seen this doc id" filter). State
+  is O(distinct keys within the watermark horizon), not O(stream).
+
+Batch/stream parity: the same join/dropDuplicates expressions on static
+DataFrames give the batch semantics; tests diff the two.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    lookback: str = "1 hour",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Inner stream-stream join: pairs where the right event happened in
+    ``[left_ts - lookback, left_ts]`` for the same key."""
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {lookback}")
+        )
+    )
+    return l.join(r, on=cond, how="inner")
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each key wins; state
+    for keys older than the watermark horizon is evicted."""
+    return events.withWatermark(ts_col, watermark).dropDuplicates(keys)

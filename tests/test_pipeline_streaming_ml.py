@@ -373,3 +373,56 @@ def test_watermark_drops_late_data_across_restarts(spark, tmpdir):
 
     got = {r.ws: r.n for r in spark.read.parquet(out).collect()}
     assert got.get(base.to_pydatetime()) == 2, got
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_small):
+    """purchase⋈view interval join on the stream equals the same join
+    expression in batch (drained with AvailableNow)."""
+    from lab3_lakehouse_spark.streaming import joins as sj
+
+    def split(df):
+        p = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("event_id").alias("p_id")
+        )
+        v = df.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("v_id"),
+        )
+        return p, v
+
+    sp, sv = split(sw.stream_events(spark, sf_small))
+    joined = sj.interval_join(
+        sp, sv.withColumnRenamed("v_user", "user_id").withColumnRenamed("v_ts", "ts"),
+        key="user_id", lookback="1 hour",
+        left_ts="ts", right_ts="ts",
+    ).select(F.col("l.p_id").alias("p_id"), F.col("r.v_id").alias("v_id"))
+    stream_out = sw.run_to_memory(joined, spark, output_mode="append")
+
+    ev = load_table(spark, sf_small, "events")
+    bp, bv = split(ev)
+    batch = bp.join(
+        bv,
+        on=[
+            bp.user_id == bv.v_user,
+            bv.v_ts <= bp.ts,
+            bv.v_ts >= bp.ts - F.expr("INTERVAL 1 HOUR"),
+        ],
+    ).select("p_id", F.col("v_id"))
+    got = {(r.p_id, r.v_id) for r in stream_out.collect()}
+    want = {(r.p_id, r.v_id) for r in batch.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_streaming_dedup_first_wins(spark, sf_small):
+    """Streaming dropDuplicates by key leaves exactly one row per key."""
+    from lab3_lakehouse_spark.streaming import joins as sj
+
+    deduped = sj.dedup_stream(
+        sw.stream_events(spark, sf_small), keys=["user_id"]
+    ).select("user_id", "event_id")
+    out = sw.run_to_memory(deduped, spark, output_mode="append")
+    ev = load_table(spark, sf_small, "events")
+    n_users = ev.select("user_id").distinct().count()
+    pdf = out.toPandas()
+    assert len(pdf) == n_users
+    assert pdf.user_id.nunique() == n_users
