@@ -69,6 +69,24 @@ def load_table(
     return df
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Spread a CPU-dense input across all cores.
+
+    Small-at-rest corpora (documents/embeddings at low SF) arrive as
+    one parquet split, so per-row hashing/LSH/decode work runs on a
+    single core while 31 idle. Repartition ONLY when the scan yields
+    fewer partitions than the session's parallelism — at 100 TB the
+    scan already produces >= cores splits and this is a no-op, so it
+    never adds a shuffle to a big table.
+    """
+    from lab3_lakehouse_spark.session import default_parallelism
+
+    target = min_partitions or default_parallelism()
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in names}
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lab3_lakehouse_spark.catalog import load_table
+from lab3_lakehouse_spark.catalog import fan_out, load_table
 from lab3_lakehouse_spark.operators import dedup as dedup_ops
 from lab3_lakehouse_spark.operators import multimodal as mm_ops
 from lab3_lakehouse_spark.operators import similarity as sim_ops
@@ -90,7 +90,7 @@ def word_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     the blocked-all-pairs pattern (pairs only within blocks, never n²
     across the corpus)."""
     tune_session(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     t = docs.select(
         "doc_id", "lang",
         F.array_distinct(dedup_ops.tokens("text")).alias("w"),
@@ -125,7 +125,7 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     that exact operator is asserted in unit tests.
     """
     tune_session(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     cands = dedup_ops.minhash_lsh_candidates(
         docs, "doc_id", "text", num_perm=64, bands=16, shingle_n=3
     )
@@ -160,7 +160,7 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM higher-order functions (bit-identical to the oracle's
     list_cosine_similarity; no Python, no UDF)."""
     tune_session(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     return sim_ops.cosine_pairs_blocked(
         emb, "vec_id", "embedding", "label", threshold=0.3
     ).select("label", "id_a", "id_b", "cosine")
@@ -211,7 +211,7 @@ def doc_fingerprint_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep fingerprints shared by ≥2 documents — the shuffle key is the
     64-bit fingerprint, never text."""
     tune_session(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     fps = docs.select(
         "doc_id", F.explode(text_ops.winnowed_fingerprints("text", k=3, w=4)).alias("fp")
     )
@@ -380,7 +380,7 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     real batch-iterator plumbing, schema contract, and feature_vec
     array<float> output."""
     tune_session(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     with_bin = mm_ops.text_as_binary(docs, "text", "content")
     return mm_ops.decode_and_featurize_images(with_bin, "doc_id", "content")
 
@@ -390,6 +390,6 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling shape: one media row → many frame rows through the
     mapInPandas iterator API (row-count expansion is the point)."""
     tune_session(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     with_bin = mm_ops.text_as_binary(docs, "text", "content")
     return mm_ops.sample_frames(with_bin, "doc_id", "content", every_n=4)
