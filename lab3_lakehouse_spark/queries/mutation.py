@@ -1,0 +1,146 @@
+"""Mutation surface: MERGE / CDC-apply / SCD2 as oracle-checked queries.
+
+The reference's tiers are Delta but write-once (``etl_pipeline.py:66-69``
+only ever ``mode("overwrite")``); the mutation operators in
+operators/merge.py fill that gap. Each query builds a DETERMINISTIC
+change batch out of the corpus itself (key-modulus selections — no
+randomness, no timestamps) and applies it, so the DuckDB oracle can
+reconstruct the exact same merge with plain SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lab3_lakehouse_spark.catalog import load_table
+from lab3_lakehouse_spark.operators import merge as merge_ops
+from lab3_lakehouse_spark.queries._util import round4, sql_round4
+from lab3_lakehouse_spark.queries.registry import query
+from lab3_lakehouse_spark.session import tune_session
+
+
+def _orders_cdc_batch(orders: DataFrame) -> DataFrame:
+    """Deterministic CDC batch: updates (key%10==0, not %100), inserts
+    (key%1000==0, shifted key space), deletes (key%100==0). Key sets are
+    disjoint → at most one change row per target key, as MERGE requires."""
+    updates = (
+        orders.filter((F.col("o_orderkey") % 10 == 0) & (F.col("o_orderkey") % 100 != 0))
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .withColumn("__op", F.lit(merge_ops.OP_UPSERT))
+    )
+    inserts = (
+        orders.filter(F.col("o_orderkey") % 1000 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+        .withColumn("o_orderstatus", F.lit("N"))
+        .withColumn("__op", F.lit(merge_ops.OP_UPSERT))
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+        "__op", F.lit(merge_ops.OP_DELETE)
+    )
+    return updates.unionByName(inserts).unionByName(deletes)
+
+
+_CDC_ORACLE = f"""
+    WITH upserts AS (
+        SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+               o_totalprice * 1.1 AS o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 100 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 1000 = 0
+    ),
+    touched AS (
+        SELECT o_orderkey FROM upserts
+        UNION ALL
+        SELECT o_orderkey FROM orders WHERE o_orderkey % 100 = 0
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           {sql_round4('o_totalprice')} AS o_totalprice, o_orderpriority
+    FROM (
+        SELECT * FROM upserts
+        UNION ALL
+        SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.o_totalprice, t.o_orderpriority
+        FROM orders t ANTI JOIN touched s ON t.o_orderkey = s.o_orderkey
+    )
+"""
+
+
+@query("merge_cdc_orders", oracle=_CDC_ORACLE)
+def merge_cdc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-MERGE-equivalent CDC apply on ``orders``: one batch carrying
+    updates, inserts, and deletes, merged in a single key-shuffle outer
+    join (the snapshot side stays put when the batch is broadcast)."""
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    merged = merge_ops.cdc_apply(
+        orders, _orders_cdc_batch(orders), ["o_orderkey"], broadcast_source=True
+    )
+    return merged.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        round4(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+
+
+_SCD2_ORACLE = """
+    WITH cur AS (
+        SELECT o_custkey, o_orderpriority AS priority, min(o_orderdate) AS valid_from
+        FROM orders WHERE o_orderkey % 3 = 0
+        GROUP BY o_custkey, o_orderpriority
+        QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY min(o_orderdate), o_orderpriority) = 1
+    ),
+    upd AS (
+        SELECT o_custkey, min(o_orderpriority) AS priority
+        FROM orders WHERE o_orderkey % 3 = 1
+        GROUP BY o_custkey
+    ),
+    changed AS (
+        SELECT u.o_custkey, u.priority
+        FROM upd u LEFT JOIN cur c ON u.o_custkey = c.o_custkey
+        WHERE c.o_custkey IS NULL OR u.priority <> c.priority
+    )
+    SELECT c.o_custkey, c.priority, c.valid_from,
+           CASE WHEN ch.o_custkey IS NOT NULL
+                THEN TIMESTAMP '2000-01-01' END       AS valid_to,
+           ch.o_custkey IS NULL                       AS is_current
+    FROM cur c LEFT JOIN changed ch ON c.o_custkey = ch.o_custkey
+    UNION ALL
+    SELECT o_custkey, priority, TIMESTAMP '2000-01-01', NULL, true FROM changed
+"""
+
+
+@query("scd2_customer_priority", oracle=_SCD2_ORACLE)
+def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history maintenance: seed a current-only dimension from one
+    deterministic slice of ``orders``, apply a second slice as the update
+    batch, and emit the versioned history (closed + current rows). Only
+    the current slice joins the batch — closed history never shuffles."""
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    seed = (
+        orders.filter(F.col("o_orderkey") % 3 == 0)
+        .groupBy("o_custkey", F.col("o_orderpriority").alias("priority"))
+        .agg(F.min("o_orderdate").alias("valid_from"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("o_custkey").orderBy("valid_from", "priority")
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumn("valid_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 3 == 1)
+        .groupBy("o_custkey")
+        .agg(F.min("o_orderpriority").alias("priority"))
+    )
+    return merge_ops.scd2_apply(
+        seed, updates,
+        keys=["o_custkey"], tracked_cols=["priority"],
+        effective_ts=F.lit("2000-01-01").cast("timestamp"),
+    )

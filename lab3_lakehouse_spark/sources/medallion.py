@@ -83,6 +83,53 @@ def materialize(
     writer.save(path)
 
 
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    keys: list[str],
+    fmt: str = "parquet",
+    delete_condition=None,
+    broadcast_source: bool = True,
+) -> None:
+    """Apply a change batch to a persisted tier (Delta-MERGE parity).
+
+    With delta-spark installed this delegates to the transactional
+    ``DeltaTable.merge`` (file-pruned, ACID). On parquet tiers it is a
+    read → ``operators.merge.merge_upsert`` → rewrite: correct but
+    non-transactional and full-rewrite — the honest floor documented in
+    operators/merge.py. Change batches are usually ≪ snapshot, so the
+    source defaults to broadcast and the snapshot never shuffles.
+    """
+    from lab3_lakehouse_spark.operators.merge import merge_upsert
+
+    if fmt == "delta" and _delta_available():
+        from delta.tables import DeltaTable  # pragma: no cover - env-gated
+
+        t = DeltaTable.forPath(spark, path)
+        cond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in keys)
+        m = t.alias("t").merge(source.alias("s"), cond)
+        if delete_condition is not None:
+            m = m.whenMatchedDelete(condition=delete_condition)
+        m.whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+        return
+    snapshot = spark.read.format(fmt).load(path)
+    merged = merge_upsert(
+        snapshot, source, keys,
+        delete_condition=delete_condition, broadcast_source=broadcast_source,
+    )
+    # parquet has no transaction log: Spark cannot overwrite a path it
+    # is reading from, so stage the rewrite next to the tier and swap
+    # via a same-filesystem rename (works on HDFS/S3A-committer/local;
+    # the delete→rename window is the non-transactional cost vs Delta)
+    staging = path.rstrip("/") + ".__staging__"
+    merged.write.format(fmt).mode("overwrite").save(staging)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jpath(path), True)
+    fs.rename(jpath(staging), jpath(path))
+
+
 def read_tier(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
     """S2: tier scan (schema from footers/log — metadata-only)."""
     return spark.read.format(fmt).load(path)

@@ -1,0 +1,116 @@
+"""MERGE / CDC / SCD2 semantics on literal frames + tier round-trip.
+
+Covers the branch matrix the oracle can't isolate: update-only,
+insert-only, delete-only, null-key matching, duplicate-source
+validation, and the persisted merge_into rewrite."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lab3_lakehouse_spark.operators import merge as merge_ops
+from lab3_lakehouse_spark.sources import medallion
+
+
+def _target(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (None, "z", 0.0)],
+        "k int, v string, x double",
+    )
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_merge_upsert_update_insert_keep(spark):
+    src = spark.createDataFrame([(2, "B", 22.0), (9, "i", 90.0)], "k int, v string, x double")
+    out = merge_ops.merge_upsert(_target(spark), src, ["k"])
+    assert _rows(out) == {
+        (1, "a", 10.0), (2, "B", 22.0), (3, "c", 30.0), (None, "z", 0.0), (9, "i", 90.0),
+    }
+
+
+def test_merge_upsert_null_key_matches_null_safely(spark):
+    src = spark.createDataFrame([(None, "Z", -1.0)], "k int, v string, x double")
+    out = merge_ops.merge_upsert(_target(spark), src, ["k"])
+    assert (None, "Z", -1.0) in _rows(out) and (None, "z", 0.0) not in _rows(out)
+
+
+def test_merge_upsert_delete_branch(spark):
+    src = spark.createDataFrame(
+        [(1, "a", 0.0, "D"), (3, "C", 33.0, "U"), (7, "n", 70.0, "U")],
+        "k int, v string, x double, __op string",
+    )
+    out = merge_ops.cdc_apply(_target(spark), src, ["k"])
+    assert _rows(out) == {
+        (2, "b", 20.0), (3, "C", 33.0), (None, "z", 0.0), (7, "n", 70.0),
+    }
+
+
+def test_merge_upsert_rejects_duplicate_source_keys(spark):
+    src = spark.createDataFrame(
+        [(2, "B", 1.0), (2, "BB", 2.0)], "k int, v string, x double"
+    )
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        merge_ops.merge_upsert(_target(spark), src, ["k"], validate_unique_source=True)
+
+
+def test_broadcast_path_equals_general_path_and_never_shuffles(spark):
+    from lab3_lakehouse_spark.plans import analysis as pa
+
+    src = spark.createDataFrame(
+        [(1, "a", 0.0, "D"), (3, "C", 33.0, "U"), (None, "Z", -1.0, "U"), (7, "n", 70.0, "U")],
+        "k int, v string, x double, __op string",
+    )
+    general = merge_ops.cdc_apply(_target(spark), src, ["k"], broadcast_source=False)
+    fast = merge_ops.cdc_apply(_target(spark), src, ["k"], broadcast_source=True)
+    assert _rows(fast) == _rows(general)
+    # the point of the fast path: the snapshot side never shuffles
+    assert pa.count_nodes(fast, "SortMergeJoin") == 0
+    assert pa.count_nodes(fast, "BroadcastNestedLoopJoin") == 0
+
+
+def test_merge_into_parquet_tier_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "tier")
+    _target(spark).write.parquet(path)
+    src = spark.createDataFrame([(2, "B", 22.0), (9, "i", 90.0)], "k int, v string, x double")
+    medallion.merge_into(spark, path, src, ["k"])
+    got = _rows(spark.read.parquet(path))
+    assert got == {
+        (1, "a", 10.0), (2, "B", 22.0), (3, "c", 30.0), (None, "z", 0.0), (9, "i", 90.0),
+    }
+    # second batch applies on top of the rewritten tier
+    medallion.merge_into(
+        spark, path,
+        spark.createDataFrame([(9, "I", 99.0, "U"), (1, "", 0.0, "D")],
+                              "k int, v string, x double, __op string"),
+        ["k"], delete_condition=F.col("__op") == "D",
+    )
+    assert _rows(spark.read.parquet(path)) == {
+        (2, "B", 22.0), (3, "c", 30.0), (None, "z", 0.0), (9, "I", 99.0),
+    }
+
+
+def test_scd2_two_batches_build_history(spark):
+    ts1, ts2 = (F.lit(t).cast("timestamp") for t in ("2000-01-01", "2000-02-01"))
+    seed = spark.createDataFrame(
+        [], "k int, v string, valid_from timestamp, valid_to timestamp, is_current boolean"
+    )
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    h1 = merge_ops.scd2_apply(seed, b1, ["k"], ["v"], ts1)
+    assert {(r.k, r.v, r.is_current) for r in h1.collect()} == {(1, "a", True), (2, "b", True)}
+
+    b2 = spark.createDataFrame([(1, "a"), (2, "B"), (3, "c")], "k int, v string")
+    h2 = merge_ops.scd2_apply(h1, b2, ["k"], ["v"], ts2)
+    rows = {(r.k, r.v, r.is_current, r.valid_to is not None) for r in h2.collect()}
+    assert rows == {
+        (1, "a", True, False),   # unchanged — never closed
+        (2, "b", False, True),   # superseded version, closed at ts2
+        (2, "B", True, False),   # new current version
+        (3, "c", True, False),   # brand-new key
+    }
+    # closed rows carry the batch timestamp
+    closed = h2.filter(~F.col("is_current")).collect()
+    assert all(str(r.valid_to) == "2000-02-01 00:00:00" for r in closed)
