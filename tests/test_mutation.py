@@ -93,6 +93,36 @@ def test_merge_into_parquet_tier_roundtrip(spark, tmp_path):
     }
 
 
+def test_streaming_cdc_apply_builds_and_evolves_tier(spark, tmp_path):
+    """File-source CDC stream → cdc_to_tier: bootstrap batch, then an
+    incremental batch (same checkpoint) carrying multiple changes per
+    key, an update, a delete, and an insert."""
+    from lab3_lakehouse_spark.streaming import cdc
+
+    chg, ckpt, tier = (str(tmp_path / d) for d in ("chg", "ckpt", "tier"))
+    schema = "k int, v string, seq int, __op string"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(chg)
+        q = cdc.cdc_to_tier(stream, tier, ["k"], "seq", ckpt)
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        [(1, "a", 1, "U"), (2, "b", 1, "U")], schema
+    ).write.mode("append").parquet(chg)
+    run()
+    assert _rows(spark.read.parquet(tier)) == {(1, "a"), (2, "b")}
+
+    spark.createDataFrame(
+        [(1, "x", 2, "U"), (1, "y", 3, "U"),   # two changes, latest wins
+         (2, "b", 2, "D"),                      # delete
+         (3, "c", 2, "U")],                     # insert
+        schema,
+    ).write.mode("append").parquet(chg)
+    run()
+    assert _rows(spark.read.parquet(tier)) == {(1, "y"), (3, "c")}
+
+
 def test_scd2_two_batches_build_history(spark):
     ts1, ts2 = (F.lit(t).cast("timestamp") for t in ("2000-01-01", "2000-02-01"))
     seed = spark.createDataFrame(
