@@ -83,6 +83,38 @@ def materialize(
     writer.save(path)
 
 
+def materialize_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Persist a tier hash-bucketed (and optionally sorted) on its join
+    key — the co-located-join layout.
+
+    Two tables bucketed on the same key with the same bucket count
+    sort-merge-join with ZERO exchanges (and zero sorts when sorted):
+    at 100 TB, pre-bucketing the fact tables once removes the dominant
+    shuffle from every subsequent key join and key aggregation.
+    Bucketing rides the table catalog (``saveAsTable``), not a bare
+    path — bucket metadata is what lets Catalyst elide the exchange.
+    """
+    w = (
+        df.write.format(fmt)
+        .mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
 def merge_into(
     spark: SparkSession,
     path: str,

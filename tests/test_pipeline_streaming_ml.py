@@ -126,6 +126,39 @@ def test_materialize_partitioned_layout(spark, sf_small, tmpdir):
     assert back.count() == ev.count()
 
 
+def test_bucketed_tables_join_without_exchange(spark, sf_small, tmpdir):
+    """Co-located join: two tables bucketed+sorted on the join key SMJ
+    with zero exchanges and zero sorts — the pre-bucketing payoff that
+    removes the dominant shuffle from every repeated key join at scale."""
+    from lab3_lakehouse_spark.plans import analysis as pa
+    from lab3_lakehouse_spark.sources.medallion import materialize_bucketed
+
+    orders = load_table(spark, sf_small, "orders")
+    customer = load_table(spark, sf_small, "customer")
+    materialize_bucketed(
+        orders, "b_orders", ["o_custkey"], 4,
+        sort_cols=["o_custkey"], path=f"{tmpdir}/b_orders",
+    )
+    materialize_bucketed(
+        customer.withColumnRenamed("c_custkey", "o_custkey"),
+        "b_customer", ["o_custkey"], 4,
+        sort_cols=["o_custkey"], path=f"{tmpdir}/b_customer",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
+        assert pa.count_nodes(joined, "SortMergeJoin") == 1
+        assert pa.count_nodes(joined, "Exchange") == 0
+        assert joined.count() == orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
 def test_optimize_table_parquet_clustering(spark, sf_small, tmpdir):
     ev = load_table(spark, sf_small, "events")
     materialize(ev, f"{tmpdir}/t")
