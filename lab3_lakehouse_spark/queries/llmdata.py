@@ -393,3 +393,79 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     with_bin = mm_ops.text_as_binary(docs, "text", "content")
     return mm_ops.sample_frames(with_bin, "doc_id", "content", every_n=4)
+
+
+# ---------------------------------------------- packing & sampling ----
+
+@query(
+    "pack_documents_concat_chop",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    off AS (
+        SELECT lang, doc_id, n_tok,
+               sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id)
+                   - n_tok AS start_offset
+        FROM tok
+    )
+    SELECT lang,
+           CAST(floor(start_offset / 512.0) AS BIGINT) AS pack_id,
+           count(*)      AS n_docs,
+           sum(n_tok)    AS pack_tokens,
+           min(doc_id)   AS first_doc,
+           max(doc_id)   AS last_doc
+    FROM off
+    GROUP BY lang, pack_id
+    """,
+)
+def pack_documents_concat_chop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing (seq_len=512, sharded by lang):
+    one window prefix-sum per shard, then per-pack accounting. The
+    deterministic (shard, doc_id) order makes packing reproducible."""
+    from lab3_lakehouse_spark.operators import packing as pack_ops
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", text_ops.token_count("text").alias("n_tok")
+    )
+    packed = pack_ops.pack_concat_chop(
+        docs, token_col="n_tok", order_col="doc_id", shard_col="lang", seq_len=512
+    )
+    return pack_ops.pack_stats(
+        packed, token_col="n_tok", order_col="doc_id", shard_col="lang"
+    )
+
+
+@query(
+    "stratified_sample_documents",
+    oracle="""
+    SELECT lang, count(*) AS n_sampled,
+           sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS sampled_tokens
+    FROM documents
+    WHERE doc_id % 100 < CASE lang
+        WHEN 'en' THEN 80 WHEN 'zh' THEN 50 WHEN 'de' THEN 25 ELSE 10 END
+    GROUP BY lang
+    """,
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus-mixing sample: per-lang keep percentages via
+    a scan-side ``id mod 100`` predicate (rerun-stable, pushdown-able —
+    the reproducible alternative to Bernoulli sampleBy)."""
+    from lab3_lakehouse_spark.operators import sampling as sample_ops
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    kept = sample_ops.deterministic_stratified_sample(
+        docs,
+        id_col="doc_id",
+        stratum_col="lang",
+        pct_by_stratum={"en": 80, "zh": 50, "de": 25},
+        default_pct=10,
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(text_ops.token_count("text")).alias("sampled_tokens"),
+    )

@@ -207,3 +207,69 @@ def test_winnowing_shared_run_guarantee(spark):
     fps = {r.doc_id: set(r.fps) for r in out}
     assert fps[1] & fps[2], "shared run must produce a shared fingerprint"
     assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+# ---------------------------------------------- packing & sampling ----
+
+def test_pack_concat_chop_straddle_and_determinism(spark):
+    from lab3_lakehouse_spark.operators import packing as pack_ops
+
+    # shard "a": tokens 3,4,5 with seq_len 6 → starts 0,3,7 → packs 0,0,1
+    # (doc 2 straddles the 6-token boundary: it belongs to the pack its
+    # FIRST token lands in). shard "b" independent: starts 0,5 → 0,0.
+    rows = [("a", 1, 3), ("a", 2, 4), ("a", 3, 5), ("b", 1, 5), ("b", 2, 1)]
+    df = spark.createDataFrame(rows, ["shard", "doc_id", "n_tok"])
+    packed = pack_ops.pack_concat_chop(
+        df, token_col="n_tok", order_col="doc_id", shard_col="shard", seq_len=6
+    )
+    got = {
+        (r.shard, r.doc_id): (r.start_offset, r.pack_id)
+        for r in packed.collect()
+    }
+    assert got == {
+        ("a", 1): (0, 0), ("a", 2): (3, 0), ("a", 3): (7, 1),
+        ("b", 1): (0, 0), ("b", 2): (5, 0),
+    }
+    # rerun on a reshuffled snapshot → byte-identical assignment
+    again = pack_ops.pack_concat_chop(
+        df.repartition(7), token_col="n_tok", order_col="doc_id",
+        shard_col="shard", seq_len=6,
+    )
+    assert {(r.shard, r.doc_id): (r.start_offset, r.pack_id)
+            for r in again.collect()} == got
+
+
+def test_deterministic_stratified_sample_exact_membership(spark):
+    from lab3_lakehouse_spark.operators import sampling as sample_ops
+
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    kept = sample_ops.deterministic_stratified_sample(
+        df, id_col="doc_id", stratum_col="lang",
+        pct_by_stratum={"en": 50}, default_pct=10,
+    )
+    ids = {(r.lang, r.doc_id) for r in kept.collect()}
+    expected = {
+        ("en" if i % 2 == 0 else "de", i)
+        for i in range(200)
+        if i % 100 < (50 if i % 2 == 0 else 10)
+    }
+    assert ids == expected  # exact, rerun-stable membership
+
+
+def test_bernoulli_stratified_sample_is_seed_stable(spark):
+    from lab3_lakehouse_spark.operators import sampling as sample_ops
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(500)],
+        ["doc_id", "lang"],
+    )
+    a = sample_ops.bernoulli_stratified_sample(
+        df, stratum_col="lang", fractions={"en": 0.5, "de": 0.1}, seed=7
+    )
+    b = sample_ops.bernoulli_stratified_sample(
+        df, stratum_col="lang", fractions={"en": 0.5, "de": 0.1}, seed=7
+    )
+    assert sorted(r.doc_id for r in a.collect()) == sorted(
+        r.doc_id for r in b.collect()
+    )
