@@ -100,6 +100,34 @@ def sql_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_LATE_ORDERS_SQL)
 
 
+_SMALL_QTY_SQL = """
+    SELECT p.p_brand,
+           floor(sum(l.l_extendedprice) / 7.0 * 10000.0 + 0.5) / 10000.0
+               AS avg_yearly,
+           count(*) AS n_small_qty
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+    )
+    GROUP BY p.p_brand
+"""
+
+
+@query("sql_small_qty_revenue", oracle=_SMALL_QTY_SQL)
+def sql_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated SCALAR subquery (per-part average)
+    through the SQL front door. Catalyst decorrelates it into an
+    aggregate-then-join — one pass over lineitem for the averages, no
+    per-row re-execution. Cross-engine exact: l_quantity is
+    integer-valued, so the correlated avg is order-independent and the
+    ``<`` threshold comparison cannot flip between engines; only the
+    final revenue sum needs round4."""
+    tune_session(spark)
+    register_views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(_SMALL_QTY_SQL)
+
+
 EVENT_TYPES: tuple[str, ...] = ("click", "error", "purchase", "signup", "view")
 
 
