@@ -95,3 +95,33 @@ def test_pivot_two_phase_aggregation(spark, sf):
 def test_unpivot_is_narrow(spark, sf):
     df = QUERIES["unpivot_order_amounts"](spark, sf)
     assert pa.count_nodes(df, "Exchange") == 0
+
+
+def test_packing_single_shuffle_reuses_window_partitioning(spark, sf):
+    """Concat-and-chop packing: ONE exchange total. The per-pack
+    aggregation on (shard, pack_id) must reuse the window's
+    hash-partitioning on shard (a hash distribution on a subset of the
+    grouping keys satisfies the agg's clustered distribution) — a
+    second shuffle here would double the cost of packing a 100 TB
+    corpus."""
+    df = QUERIES["pack_documents_concat_chop"](spark, sf)
+    assert pa.count_nodes(df, "Exchange") == 1
+    assert pa.count_nodes(df, "SortMergeJoin") == 0
+
+
+def test_stratified_sample_filters_before_shuffle(spark, sf):
+    """Deterministic mixing: the keep-predicate runs scan-side, so the
+    only exchange is the final per-stratum aggregation (the sampled-out
+    rows never enter a shuffle)."""
+    df = QUERIES["stratified_sample_documents"](spark, sf)
+    assert pa.count_nodes(df, "Exchange") == 1
+
+
+def test_correlated_scalar_subquery_is_decorrelated(spark, sf):
+    """TPC-H Q17 shape: Catalyst must rewrite the correlated scalar
+    subquery into aggregate-then-join (no per-row re-execution, no
+    nested loop); at this SF both joins broadcast."""
+    df = QUERIES["sql_small_qty_revenue"](spark, sf)
+    assert pa.count_nodes(df, "BroadcastNestedLoopJoin") == 0
+    assert pa.count_nodes(df, "BroadcastHashJoin") == 2
+    assert pa.count_nodes(df, "SortMergeJoin") == 0
