@@ -144,3 +144,59 @@ def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["o_custkey"], tracked_cols=["priority"],
         effective_ts=F.lit("2000-01-01").cast("timestamp"),
     )
+
+
+@query(
+    "incremental_rollup_hourly",
+    oracle=f"""
+    SELECT event_type,
+           date_trunc('hour', ts) AS bucket_ts,
+           count(*) AS n_rows,
+           {sql_round4('sum(value)')} AS total,
+           {sql_round4('sum(value)')} / count(*) AS mean,
+           min(value) AS vmin,
+           max(value) AS vmax
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def incremental_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance: the hourly per-type rollup is
+    built INCREMENTALLY — two disjoint batches (event_id modulus; no
+    randomness) refreshed one after the other into a persisted partials
+    tier — then finalized. The oracle is the one-shot GROUP BY over all
+    events: incremental merge must equal full recompute. Counts/min/max
+    are exact; double totals carry ULP drift from the extra partial-sum
+    level, absorbed by round4 (the corpus values are 2-decimal, so
+    rounded totals never sit on a floor boundary) — and ``mean`` is
+    derived from the ROUNDED total, because raw sum/count with
+    power-of-2 counts lands exactly on round4 half-boundaries, where an
+    ULP decides the digit."""
+    import shutil
+    import tempfile
+
+    from lab3_lakehouse_spark.operators import rollup as rollup_ops
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="rollup_hourly_")
+    path = f"{tmp}/hourly"
+    try:
+        for residue in (0, 1):
+            batch = ev.filter(F.pmod("event_id", F.lit(2)) == residue)
+            rollup_ops.refresh_rollup(
+                spark, path, batch,
+                ts_col="ts", bucket="hour", keys=["event_type"], value_col="value",
+            )
+        rolled = spark.read.parquet(path)
+        total4 = round4(F.col("total"))
+        out = rollup_ops.finalize(rolled, ["event_type"]).select(
+            "event_type", "bucket_ts", "n_rows",
+            total4.alias("total"),
+            (total4 / F.col("n_rows")).alias("mean"),
+            "vmin", "vmax",
+        )
+        # materialized before the temp tier is deleted
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -144,3 +144,38 @@ def test_scd2_two_batches_build_history(spark):
     # closed rows carry the batch timestamp
     closed = h2.filter(~F.col("is_current")).collect()
     assert all(str(r.valid_to) == "2000-02-01 00:00:00" for r in closed)
+
+
+def test_incremental_rollup_equals_full_and_touches_only_dirty_buckets(spark, tmp_path):
+    from datetime import datetime
+
+    from lab3_lakehouse_spark.operators import rollup as rollup_ops
+
+    path = str(tmp_path / "rollup")
+    t = datetime(2024, 1, 1, 10)
+    u = datetime(2024, 1, 1, 11)
+    batch1 = spark.createDataFrame(
+        [("a", t, 1.0), ("a", t, 2.0), ("b", u, 10.0)], ["k", "ts", "v"]
+    )
+    batch2 = spark.createDataFrame(
+        [("a", t, 4.0), ("c", u, 7.0)], ["k", "ts", "v"]
+    )
+    for b in (batch1, batch2):
+        rollup_ops.refresh_rollup(
+            spark, path, b, ts_col="ts", bucket="hour", keys=["k"], value_col="v"
+        )
+    got = {
+        (r.k, r.bucket_ts.hour): (r.cnt, r.sum_v, r.min_v, r.max_v)
+        for r in spark.read.parquet(path).collect()
+    }
+    # incremental == one-shot over the union, and batch2 left ("b", 11) alone
+    assert got == {
+        ("a", 10): (3, 7.0, 1.0, 4.0),
+        ("b", 11): (1, 10.0, 10.0, 10.0),
+        ("c", 11): (1, 7.0, 7.0, 7.0),
+    }
+    fin = {
+        (r.k, r.bucket_ts.hour): (r.n_rows, r.total, r.mean, r.vmin, r.vmax)
+        for r in rollup_ops.finalize(spark.read.parquet(path), ["k"]).collect()
+    }
+    assert fin[("a", 10)] == (3, 7.0, 7.0 / 3, 1.0, 4.0)
