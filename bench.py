@@ -49,6 +49,10 @@ HEADLINE = [
     "doc_fingerprint_matches",      # winnowed rolling-hash fingerprints
     "value_percentiles",            # exact grouped percentiles
     "sql_late_order_priority",      # SQL front door, EXISTS decorrelation
+    "sql_small_qty_revenue",        # correlated scalar subquery (TPC-H Q17 shape)
+    "pack_documents_concat_chop",   # sequence packing: sharded prefix-sum, 1 shuffle
+    "stratified_sample_documents",  # deterministic corpus mixing, scan-side filter
+    "incremental_rollup_hourly",    # continuous-aggregate maintenance (2 merge cycles)
 ]
 
 
