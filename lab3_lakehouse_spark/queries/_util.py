@@ -21,5 +21,14 @@ def round4(col: Column) -> Column:
 
 
 def sql_round4(expr: str) -> str:
-    """The oracle-SQL twin of :func:`round4` — same IEEE ops, same result."""
-    return f"floor(({expr}) * 10000.0 + 0.5) / 10000.0"
+    """The oracle-SQL twin of :func:`round4` — same IEEE ops, same result.
+
+    The CAST keeps the division in DOUBLE on *both* engines: DuckDB's
+    ``floor(double)`` is already DOUBLE (cast is a no-op), but Spark SQL's
+    ``floor(double)`` returns BIGINT and ``BIGINT / 10000.0`` with a
+    decimal literal would yield DECIMAL — the round-1 driver-hash failure
+    mode for every query routed through ``spark.sql`` (grouping_sets /
+    Q17). With the cast, both engines divide the exactly-represented
+    integer by 10000.0 in IEEE double → bit-identical.
+    """
+    return f"CAST(floor(({expr}) * 10000.0 + 0.5) AS DOUBLE) / 10000.0"

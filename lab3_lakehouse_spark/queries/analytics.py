@@ -102,8 +102,8 @@ def sql_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SMALL_QTY_SQL = """
     SELECT p.p_brand,
-           floor(sum(l.l_extendedprice) / 7.0 * 10000.0 + 0.5) / 10000.0
-               AS avg_yearly,
+           CAST(floor(sum(l.l_extendedprice) / 7.0 * 10000.0 + 0.5) AS DOUBLE)
+               / 10000.0 AS avg_yearly,
            count(*) AS n_small_qty
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE l.l_quantity < (

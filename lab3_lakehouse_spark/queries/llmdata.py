@@ -382,7 +382,15 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     with_bin = mm_ops.text_as_binary(docs, "text", "content")
-    return mm_ops.decode_and_featurize_images(with_bin, "doc_id", "content")
+    out = mm_ops.decode_and_featurize_images(with_bin, "doc_id", "content")
+    # Catalog projection: the raw array<float> feature_vec stays in the
+    # operator API, but the driver's canonicalizer can't sort/hash numpy
+    # arrays — emit a deterministic scalar digest + dim instead.
+    return out.select(
+        "doc_id", "width", "height", "mean_intensity",
+        F.size("feature_vec").alias("feat_dim"),
+        F.xxhash64(F.col("feature_vec").cast("string")).alias("feat_digest"),
+    )
 
 
 @query("media_frame_sample")  # pandas-UDF pipeline → rows-only check
@@ -413,8 +421,8 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            CAST(floor(start_offset / 512.0) AS BIGINT) AS pack_id,
-           count(*)      AS n_docs,
-           sum(n_tok)    AS pack_tokens,
+           count(*)                     AS n_docs,
+           CAST(sum(n_tok) AS BIGINT)   AS pack_tokens,
            min(doc_id)   AS first_doc,
            max(doc_id)   AS last_doc
     FROM off
@@ -443,7 +451,7 @@ def pack_documents_concat_chop(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stratified_sample_documents",
     oracle="""
     SELECT lang, count(*) AS n_sampled,
-           sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS sampled_tokens
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sampled_tokens
     FROM documents
     WHERE doc_id % 100 < CASE lang
         WHEN 'en' THEN 80 WHEN 'zh' THEN 50 WHEN 'de' THEN 25 ELSE 10 END

@@ -34,17 +34,19 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon_value(v) -> str:
-    # unwrap numpy scalars (DuckDB .df() yields np.int64/np.bool_/…)
+    # Dtype-FAITHFUL canonicalization, matching the verify driver: no
+    # cross-dtype coercion. Decimal('3.0000') ≠ float 3.0 ≠ int 3 —
+    # round 1 proved the driver distinguishes all three (DECIMAL leaks
+    # from Spark-SQL literals, HUGEINT→float64 from DuckDB sums), so
+    # the local harness must red on them too.
     if hasattr(v, "item") and type(v).__name__ != "ndarray":
-        v = v.item()
+        v = v.item()  # unwrap numpy scalars (np.int64 → int, np.float64 → float)
     if isinstance(v, _decimal.Decimal):
-        v = int(v) if v == v.to_integral_value() else float(v)
+        return f"Decimal({v})"  # dtype-visible: never equals a float/int repr
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "NULL"
     if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))  # 3.0 and 3 hash alike
-        return repr(v)
+        return repr(v)  # 3.0 stays "3.0" — float ≠ int, like the driver
     if isinstance(v, (pd.Timestamp, _dt.datetime)):
         return pd.Timestamp(v).isoformat()
     if isinstance(v, _dt.date):
