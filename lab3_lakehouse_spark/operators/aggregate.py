@@ -108,6 +108,7 @@ def salted_agg(
     keys: Sequence[str],
     sum_cols: Sequence[str],
     salt_buckets: int = 32,
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Two-phase salted sum/count for pathologically skewed group keys.
 
@@ -117,9 +118,16 @@ def salted_agg(
     Spark's partial aggregation already does this job in the common case;
     use this only when a single group key dominates a partition *after*
     partial agg (e.g. high-cardinality payload under one key).
+
+    The salt is deterministic row content (``xxhash64`` of ``salt_cols``,
+    default: every column) — a nondeterministic salt feeding the shuffle
+    key is the SPARK-23207 lost/duplicated-rows hazard under fetch-failure
+    recomputation (see ``joins.skew_salted_join``).
     """
-    salt = (F.crc32(F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys]))
-            + F.monotonically_increasing_id()) % salt_buckets
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in (salt_cols if salt_cols else df.columns)]),
+        F.lit(salt_buckets),
+    )
     phase1 = (
         df.withColumn("__salt", salt)
         .groupBy(*keys, "__salt")

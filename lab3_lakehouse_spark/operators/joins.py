@@ -86,18 +86,30 @@ def asof_join(
     join + groupBy-max — explodes to |L|·|R| per key before aggregating.)
     Right rows order before left rows at equal ts, so ties are inclusive,
     matching DuckDB's ``ASOF JOIN ... ON r.ts <= l.ts`` semantics.
+
+    The right payload travels as ONE struct column carried by a single
+    ``last(ignorenulls=True)``, so the matched right row is attached
+    atomically — NULLs in its payload columns stay NULL instead of being
+    back-filled from older right rows (per-column carry would mix
+    several right rows, diverging from DuckDB/pandas ASOF semantics).
     """
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
     right_cols = list(right_cols) or [
         c for c in right.columns if c not in (key, right_ts)
     ]
+    r_struct_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in right_cols]
+        + [T.StructField("__rts", right.schema[right_ts].dataType)]
+    )
     lhs = left.select(
         F.col(key),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         *[F.col(c) for c in left.columns if c not in (key, left_ts)],
         F.col(left_ts),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     rhs = right.select(
         F.col(key),
@@ -105,30 +117,25 @@ def asof_join(
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in (key, left_ts)],
         F.lit(None).cast(left.schema[left_ts].dataType).alias(left_ts),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
-        F.col(right_ts).alias("__r_ts"),
+        F.struct(
+            *[F.col(c).alias(c) for c in right_cols],
+            F.col(right_ts).alias("__rts"),
+        ).alias("__r"),
     )
-    from pyspark.sql import Window
-
     w = (
         Window.partitionBy(key)
         .orderBy(F.col("__ts").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = lhs.unionByName(rhs).select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in right_cols
-        ],
-        F.last("__r_ts", ignorenulls=True).over(w).alias(f"{right_ts}{suffix}"),
+    carried = lhs.unionByName(rhs).withColumn(
+        "__rc", F.last("__r", ignorenulls=True).over(w)
     )
     keep = (
         [key]
         + [c for c in left.columns if c not in (key, left_ts)]
         + [left_ts]
-        + [f"{c}{suffix}" for c in right_cols]
-        + [f"{right_ts}{suffix}"]
+        + [F.col(f"__rc.{c}").alias(f"{c}{suffix}") for c in right_cols]
+        + [F.col("__rc.__rts").alias(f"{right_ts}{suffix}")]
     )
     return carried.filter(F.col("__side") == 1).select(*keep)
 
@@ -173,18 +180,29 @@ def skew_salted_join(
     on: str,
     salt_buckets: int = 16,
     how: str = "inner",
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Salted equi-join for a skewed single-key join.
 
-    Left rows get a random-ish salt in [0, salt_buckets); the right side
-    is replicated ``salt_buckets``× with every salt value, and the join
-    key becomes (key, salt) — spreading a hot key across reducers.
-    Exact for inner/left joins (each left row matches exactly the same
-    right rows as before). Prefer AQE skew-join; use this when one key
-    alone exceeds a single executor's memory.
+    Left rows get a salt in [0, salt_buckets); the right side is
+    replicated ``salt_buckets``× with every salt value, and the join key
+    becomes (key, salt) — spreading a hot key across reducers. Exact for
+    inner/left joins (each left row matches exactly the same right rows
+    as before). Prefer AQE skew-join; use this when one key alone
+    exceeds a single executor's memory.
+
+    The salt is derived DETERMINISTICALLY from row content
+    (``xxhash64`` of ``salt_cols``, default: every left column) — never
+    from ``monotonically_increasing_id()``/``rand()``. A nondeterministic
+    expression feeding a shuffle key is the SPARK-23207 hazard: a map
+    stage recomputed after a fetch failure can re-salt rows into
+    different buckets than already-fetched output, silently dropping or
+    duplicating rows. Pass a stable unique-id column as ``salt_cols``
+    when one exists (cheaper than hashing the full row).
     """
+    salt_src = [F.col(c) for c in (salt_cols if salt_cols else left.columns)]
     salted_left = left.withColumn(
-        "__salt", (F.crc32(F.col(on).cast("string")) + F.monotonically_increasing_id()) % salt_buckets
+        "__salt", F.pmod(F.xxhash64(*salt_src), F.lit(salt_buckets)).cast("long")
     )
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("__salt")
     salted_right = right.select("*", salts).withColumn("__salt", F.col("__salt").cast("long"))

@@ -86,7 +86,15 @@ def merge_upsert(
         ]
     )
     if deletes is not None:
-        merged = merged.join(deletes, on=keys, how="left_anti")
+        # eqNullSafe, matching the broadcast path and Delta's `<=>`: a
+        # delete row with a NULL merge key must remove the NULL-keyed
+        # target row (name-based `=` would never match it).
+        m, d = merged.alias("__m"), deletes.alias("__d")
+        merged = m.join(
+            d,
+            on=[F.col(f"__m.{k}").eqNullSafe(F.col(f"__d.{k}")) for k in keys],
+            how="left_anti",
+        )
     return merged
 
 

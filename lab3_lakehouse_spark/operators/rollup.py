@@ -59,6 +59,16 @@ def combine_partials(parts: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+def table_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FileSystem existence probe — works on local FS, HDFS, and
+    object stores alike (anywhere Spark itself can read), with zero
+    Spark jobs launched."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
 def refresh_rollup(
     spark: SparkSession,
     path: str,
@@ -82,11 +92,15 @@ def refresh_rollup(
         batch, ts_col=ts_col, bucket=bucket, keys=keys, value_col=value_col
     )
     merge_keys = [*keys, "bucket_ts"]
-    try:
-        target = spark.read.format(fmt).load(path)
-    except Exception:  # first refresh: no rollup yet
+    # Explicit existence probe, NOT try/except around the read: a bare
+    # except would treat any transient FS error / corrupt footer /
+    # permission failure as "first refresh" and overwrite the persisted
+    # rollup with only this batch's partials, destroying history. With
+    # the probe, read failures on an existing table propagate.
+    if not table_exists(spark, path):
         medallion.materialize(delta, path, fmt=fmt)
         return
+    target = spark.read.format(fmt).load(path)
     dirty = target.join(F.broadcast(delta.select(*merge_keys)), merge_keys, "left_semi")
     combined = combine_partials(dirty.unionByName(delta), keys)
     medallion.merge_into(spark, path, combined, merge_keys, fmt=fmt)

@@ -141,10 +141,26 @@ def to_tier(
     df: DataFrame, path: str, checkpoint: str, output_mode: str = "append"
 ) -> "object":
     """Streaming gold tier: foreachBatch → parquet materialize, with a
-    checkpoint dir for exactly-once restart. Returns the StreamingQuery."""
+    checkpoint dir for restart. Returns the StreamingQuery.
+
+    End-to-end exactly-once requires the sink write to be IDEMPOTENT —
+    foreachBatch alone is at-least-once (a crash after the write but
+    before the checkpoint commit replays the batch). Both modes here are
+    replay-safe:
+
+    - ``complete``: each batch is the full result → overwrite the tier
+      (a replay rewrites the same snapshot);
+    - ``append``/``update``: each batch lands in its own Hive-style
+      ``batch_id=<n>`` partition with overwrite (a replay rewrites that
+      partition in place, never duplicating rows; readers see
+      ``batch_id`` as an ordinary partition column).
+    """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(path)
+        if output_mode == "complete":
+            batch_df.write.mode("overwrite").parquet(path)
+        else:
+            batch_df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
 
     return (
         df.writeStream.foreachBatch(write_batch)

@@ -40,6 +40,26 @@ def test_asof_join_backward_semantics(spark):
     assert out["l3"] == (None, None)  # left join: no prior match → nulls
 
 
+def test_asof_join_null_payload_attached_atomically(spark):
+    """The matched right row travels as one struct: a NULL in its payload
+    stays NULL instead of being back-filled from an OLDER right row
+    (DuckDB/pandas ASOF semantics)."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T12:00:00"), "l1")], ["k", "ts", "lv"]
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T09:00:00"), "old", 10.0),
+            (1, _ts("2024-01-01T11:00:00"), None, 20.0),  # latest: rv is NULL
+        ],
+        ["k", "ts", "rv", "rx"],
+    )
+    row = join_ops.asof_join(left, right, key="k").collect()[0]
+    assert row.rx_asof == 20.0
+    assert row.rv_asof is None  # NOT "old" — no per-column back-fill
+    assert row.ts_asof == _ts("2024-01-01T11:00:00")
+
+
 def test_binned_range_join_boundaries(spark):
     points = spark.createDataFrame([(i, float(i)) for i in range(10)], ["id", "x"])
     ranges = spark.createDataFrame(

@@ -49,6 +49,16 @@ def test_merge_upsert_delete_branch(spark):
     }
 
 
+def test_merge_upsert_null_key_delete_removes_null_row(spark):
+    """Delete semantics are null-safe like Delta's `<=>`: a delete row
+    with a NULL merge key removes the NULL-keyed target row on both the
+    general and broadcast paths."""
+    src = spark.createDataFrame([(None, "z", 0.0, "D")], "k int, v string, x double, __op string")
+    for bc in (False, True):
+        out = merge_ops.cdc_apply(_target(spark), src, ["k"], broadcast_source=bc)
+        assert all(r[0] is not None for r in _rows(out)), f"broadcast={bc}"
+
+
 def test_merge_upsert_rejects_duplicate_source_keys(spark):
     src = spark.createDataFrame(
         [(2, "B", 1.0), (2, "BB", 2.0)], "k int, v string, x double"
