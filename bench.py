@@ -56,6 +56,60 @@ HEADLINE = [
 ]
 
 
+def _bench_overrides() -> dict:
+    """Bench-only bodies for queries whose catalog entry now carries an
+    assert-style correctness contract (round 2): the catalog query runs
+    the production operator PLUS a brute-force reference computation so
+    the driver can verify recall/completeness cross-engine. The bench
+    times the production operator alone — the brute-force side is
+    verification scaffolding, not workload. Configs match the catalog
+    entries exactly.
+    """
+    from pyspark.sql import functions as F
+
+    from lab3_lakehouse_spark.catalog import fan_out, load_table
+    from lab3_lakehouse_spark.operators import dedup as dedup_ops
+    from lab3_lakehouse_spark.operators import similarity as sim_ops
+    from lab3_lakehouse_spark.operators import text as text_ops
+
+    def simhash(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        return dedup_ops.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+    def fingerprints(spark, sf_dir):
+        docs = fan_out(load_table(spark, sf_dir, "documents"))
+        fps = docs.select(
+            "doc_id",
+            F.explode(text_ops.winnowed_fingerprints("text", k=3, w=4)).alias("fp"),
+        )
+        return (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+            .filter(F.col("n_docs") >= 2)
+        )
+
+    def ann_lsh(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        return sim_ops.rp_lsh_topk(
+            emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding",
+            dim=64, k=5, n_bits=4, n_tables=32,
+        )
+
+    def ann_ivf(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        return sim_ops.ivf_topk(
+            emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding",
+            k=5, n_centroids=16, n_probe=8,
+        )
+
+    return {
+        "simhash_near_dups": simhash,
+        "doc_fingerprint_matches": fingerprints,
+        "ann_lsh_topk": ann_lsh,
+        "ann_ivf_topk": ann_ivf,
+    }
+
+
 def _sf_of(path: str) -> float:
     m = re.search(r"sf([0-9.]+)", path)
     return float(m.group(1)) if m else -1.0

@@ -296,6 +296,15 @@ def simhash_pairs(
     Hamming is ``bit_count(xor)`` JVM-side."""
     base = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
     sims = simhash64(base, "__id", "__t")
+    return simhash_pairs_from_sims(sims, max_hamming, n_chunks)
+
+
+def simhash_pairs_from_sims(
+    sims: DataFrame, max_hamming: int = 3, n_chunks: int = 4
+) -> DataFrame:
+    """Banded candidate generation from a precomputed ``(__id, simhash)``
+    frame — split out so callers that also need the signatures (e.g. a
+    brute-force completeness check) compute them once."""
     banded = sims.select(
         "__id",
         "simhash",

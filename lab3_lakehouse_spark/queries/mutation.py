@@ -196,7 +196,9 @@ def incremental_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             (total4 / F.col("n_rows")).alias("mean"),
             "vmin", "vmax",
         )
-        # materialized before the temp tier is deleted
-        return spark.createDataFrame(out.collect(), out.schema)
+        # Pin the finalized frame in executor block storage (eager
+        # localCheckpoint truncates lineage) so the temp tier can be
+        # deleted — result stays distributed, no driver round-trip.
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -384,14 +384,37 @@ def distinct_user_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_users")  # no oracle: HLL estimate is Spark-specific
+@query(
+    "approx_distinct_users",
+    oracle="""
+    SELECT count(DISTINCT user_id) AS n_exact, true AS within_3rsd
+    FROM events
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the 100 TB default for
     distinct counts — constant memory, no per-key dedup shuffle.
-    Rows-only driver check; accuracy asserted vs exact in unit tests."""
+
+    Assert-style oracle: the HLL estimate itself is Spark-specific, so
+    the query emits the exact count (SQL-checkable) plus the boolean
+    ``|approx − exact| ≤ 3·rsd·exact`` — the driver now verifies the
+    accuracy contract instead of merely counting rows."""
     tune_session(spark)
     ev = load_table(spark, sf_dir, "events")
-    return agg_ops.approx_distinct_count(ev, "user_id", rsd=0.02)
+    rsd = 0.02
+    return (
+        ev.agg(
+            F.countDistinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id", rsd).alias("__approx"),
+        )
+        .select(
+            "n_exact",
+            (
+                F.abs(F.col("__approx") - F.col("n_exact"))
+                <= F.lit(3 * rsd) * F.col("n_exact")
+            ).alias("within_3rsd"),
+        )
+    )
 
 
 # -------------------------------------------- rollup / cube / grouping --

@@ -1,12 +1,13 @@
 """Streaming and ML queries (SURVEY §7 steps 7-8).
 
-The streaming tumbling query IS oracle-checked: with
+The streaming queries ARE oracle-checked: with
 ``Trigger.AvailableNow`` + complete output mode, Structured Streaming
 processes every file currently in the source and emits the full
 aggregate — semantically identical to the batch query (Spark's unified
-API guarantee), so the batch oracle applies verbatim. Session windows
-and RF training are rows-only (stateful merge order / model internals
-aren't SQL), with stream-vs-batch and metric-sanity assertions in
+API guarantee), so the batch oracles apply verbatim (tumbling counts,
+session gaps-and-islands). RF training uses an assert-style oracle
+(row totals + split/metric sanity booleans — model internals aren't
+SQL); stream-vs-batch and metric assertions also live in
 tests/test_pipeline_streaming_ml.py.
 """
 
@@ -86,13 +87,43 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("streaming_session_windows")  # stateful merge → rows-only check
+@query(
+    "streaming_session_windows",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         < INTERVAL '30 minutes'
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+    )
+    SELECT user_id,
+           min(ts)                          AS session_start,
+           max(ts) + INTERVAL '30 minutes'  AS session_end,
+           count(*)                         AS n_events,
+           {sql_round4('sum(value)')}       AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user session windows (30-min gap) on the event stream;
-    stream-vs-batch equality asserted in tests."""
+    """Per-user session windows (30-min gap) on the event STREAM,
+    drained with AvailableNow — oracle-checked against the batch
+    gaps-and-islands SQL (the same oracle that proves the batch
+    ``session_window`` semantics; Spark session end = last event + gap).
+    Stream-vs-batch equality is additionally asserted in tests."""
     tune_session(spark)
     agg = sw.session_windows(sw.stream_events(spark, sf_dir), gap="30 minutes")
-    return sw.run_to_memory(agg, spark, output_mode="complete")
+    res = sw.run_to_memory(agg, spark, output_mode="complete")
+    return res.select(
+        "user_id", "session_start", "session_end", "n_events",
+        round4(F.col("session_value")).alias("session_value"),
+    )
 
 
 @query(
@@ -157,14 +188,35 @@ def ml_feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ml.revenue_features(daily_revenue(spark, sf_dir))
 
 
-@query("ml_rf_metrics")  # model internals → rows-only check
+@query(
+    "ml_rf_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           true AS split_ok, true AS metrics_ok
+    FROM (SELECT user_id, date_trunc('day', ts) AS d FROM events GROUP BY 1, 2)
+    """,
+)
 def ml_rf_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2+M3: seeded 80/20 split + RandomForest(20 trees) + MAE/RMSE/R²,
-    fully in spark.ml (the reference's sklearn exit, de-single-noded)."""
+    fully in spark.ml (the reference's sklearn exit, de-single-noded).
+
+    Assert-style oracle: model internals aren't SQL, so the query emits
+    the feature-row total (SQL-checkable: split halves must add back up
+    to the gold-table row count) plus booleans for the seeded-split
+    fraction and metric sanity (finite, rmse ≥ mae > 0, r² ≤ 1)."""
+    import math
+
     tune_session(spark)
     feats = ml_feature_table(spark, sf_dir)
     r = ml.train_random_forest(feats)
+    n_total = r.n_train + r.n_test
+    split_ok = 0.75 <= r.n_train / n_total <= 0.85
+    metrics_ok = (
+        all(math.isfinite(m) for m in (r.mae, r.rmse, r.r2))
+        and r.rmse >= r.mae > 0
+        and r.r2 <= 1.0
+    )
     return spark.createDataFrame(
-        [(float(r.mae), float(r.rmse), float(r.r2), r.n_train, r.n_test)],
-        ["mae", "rmse", "r2", "n_train", "n_test"],
+        [(n_total, bool(split_ok), bool(metrics_ok))],
+        "n_total long, split_ok boolean, metrics_ok boolean",
     )

@@ -125,3 +125,16 @@ def test_correlated_scalar_subquery_is_decorrelated(spark, sf):
     assert pa.count_nodes(df, "BroadcastNestedLoopJoin") == 0
     assert pa.count_nodes(df, "BroadcastHashJoin") == 2
     assert pa.count_nodes(df, "SortMergeJoin") == 0
+
+
+def test_no_driver_collect_in_query_paths():
+    """Every query stays distributed end-to-end: no collect()/toPandas()
+    driver round-trips in the query catalog (localCheckpoint is the
+    sanctioned way to pin a result past a temp tier's lifetime)."""
+    import pathlib
+
+    qdir = pathlib.Path(__file__).parent.parent / "lab3_lakehouse_spark" / "queries"
+    for f in qdir.glob("*.py"):
+        src = f.read_text()
+        assert ".collect()" not in src, f"{f.name} collects in a query path"
+        assert ".toPandas()" not in src, f"{f.name} round-trips via pandas"
