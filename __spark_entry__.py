@@ -27,48 +27,48 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["daily_revenue"](spark, SF0001_DIR)
 
 
-# Queries whose verdict would CHANGE this round come first: round 1
-# showed the driver checks the first 50 registry entries, so the 21
-# never-checked queries, the rows that were red (now fixed), and the
-# formerly rows-only queries (now oracled) are promoted to the front.
-# Queries already fully green in CORRECTNESS_r01 keep their relative
-# order behind them — re-checking those adds no information.
+# Queries whose verdict would CHANGE this round come first (the driver
+# checks the first 50 registry entries per round). Round-3 rotation:
+# the 21 queries whose latest green verdict is round 1 (their code was
+# untouched in round 2, but any edit to shared helpers could silently
+# break them) are promoted to the front, followed by every query whose
+# implementation round 3 touches (dedup/fingerprint sharing, bench
+# override paths, joins.py/aggregate.py/rollup.py ADVICE fixes).
+# Queries green in CORRECTNESS_r02 with untouched code sit at the back.
 _PRIORITY = [
-    # red in r01 → dtype/canonicalizer fixes landed
-    "grouping_sets_orders",
-    "pack_documents_concat_chop",
-    "stratified_sample_documents",
-    "media_decode_features",
-    # rows-only in r01 → now oracle- or assert-checked
-    "approx_distinct_users",
+    # green-in-r1-only (code unchanged in r2; re-verify this round)
+    "set_intersect_orders",
+    "set_except_orders",
+    "distinct_user_event_types",
+    "distinct_user_count",
+    "rollup_lineitem_status",
+    "cube_order_status_priority",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "json_extract_props",
+    "tumbling_window_hourly",
+    "session_window_per_user",
+    "dedup_exact_keep_first",
+    "dedup_fingerprint_groups",
+    "word_jaccard_near_dups",
+    "embedding_cosine_pairs",
+    "ann_topk_bruteforce",
+    "text_quality_features",
+    "lang_id_predictions",
+    "token_counts",
+    "binary_media_metadata",
+    # code touched in round 3 → re-verify even though green in r2
     "minhash_lsh_near_dups",
     "simhash_near_dups",
     "doc_fingerprint_matches",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    "media_frame_sample",
-    # never driver-checked in r01 (registry positions 51-71)
-    "asof_purchase_last_view",
-    "window_trailing_1h_sum",
-    "salted_join_lineitem_supplier",
     "range_join_price_bands",
-    "value_percentiles",
+    "salted_join_lineitem_supplier",
     "salted_agg_event_type",
-    "sql_late_order_priority",
-    "sql_small_qty_revenue",
-    "pivot_user_event_counts",
-    "unpivot_order_amounts",
-    "explode_embedding_positions",
-    "latest_event_per_user",
-    "merge_cdc_orders",
-    "scd2_customer_priority",
     "incremental_rollup_hourly",
-    "ml_feature_table",
-    "ml_rf_metrics",
-    "streaming_tumbling_hourly",
-    "sliding_window_counts",
-    "streaming_session_windows",
-    "streaming_purchase_view_join",
+    "asof_purchase_last_view",
 ]
 
 

@@ -68,17 +68,22 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     )
 
 
-def shingle_hashes(text: Column | str, shingle_n: int = 3) -> Column:
-    """xxhash64 of each distinct word n-shingle (array<long>).
+def token_hashes(text: Column | str) -> Column:
+    """xxhash64 of each whitespace token, in order (array<long>) — the
+    shared base every shingle width derives from. Compute it once per
+    document and reuse across widths (see doc_fingerprint_matches)."""
+    return F.transform(tokens(text), lambda t: F.xxhash64(t))
 
-    Formulation matters: hash each token once, then zip the hash array
-    with its n-1 shifted copies (one O(len) slice each) and hash the
-    n-tuples — every step O(len) per document. The obvious
+
+def shingle_hashes_from_token_hashes(th: Column, shingle_n: int = 3) -> Column:
+    """Distinct n-shingle hashes from a precomputed token-hash array.
+
+    Formulation matters: zip the hash array with its n-1 shifted copies
+    (one O(len) slice each) and hash the n-tuples — every step O(len)
+    per document. The obvious
     ``transform(idx, i -> hash(concat_ws(slice(tokens, i, n))))`` is
     O(len) *per element* (slice copies from i), i.e. O(len²) per doc —
     measured 25× slower on 5k docs (29 s → 1.2 s)."""
-    toks = tokens(text)
-    th = F.transform(toks, lambda t: F.xxhash64(t))
     n_shingles = F.greatest(F.size(th) - (shingle_n - 1), F.lit(1))
     shifted = [F.slice(th, 1 + j, n_shingles) for j in range(shingle_n)]
     return F.array_distinct(
@@ -87,6 +92,12 @@ def shingle_hashes(text: Column | str, shingle_n: int = 3) -> Column:
             lambda s: F.xxhash64(*[s[str(j)] for j in range(shingle_n)]),
         )
     )
+
+
+def shingle_hashes(text: Column | str, shingle_n: int = 3) -> Column:
+    """xxhash64 of each distinct word n-shingle (array<long>):
+    tokenize → hash each token once → hash the n-tuples."""
+    return shingle_hashes_from_token_hashes(token_hashes(text), shingle_n)
 
 
 def minhash_from_hashes(hashes: Column, num_perm: int = 64, seed: int = 42) -> Column:
@@ -145,6 +156,26 @@ def minhash_lsh_candidates(
     a pathological bucket (giant cluster of identical docs) is handled
     upstream by exact_dedup first.
     """
+    hashed = df.select(
+        F.col(id_col).alias("__id"),
+        shingle_hashes(text_col, shingle_n).alias("__h"),
+    )
+    return minhash_lsh_candidates_from_hashes(hashed, num_perm, bands, seed)
+
+
+def minhash_lsh_candidates_from_hashes(
+    hashed: DataFrame,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Banded-LSH candidates from a precomputed ``(__id, __h)`` frame
+    (``__h`` = distinct shingle hashes, array<long>) — split out so
+    callers that also need the shingle hashes for verification (e.g.
+    ``minhash_verify_hashed``) tokenize + hash each document ONCE and
+    share the frame via ``localCheckpoint`` (same pattern as
+    ``simhash_pairs_from_sims``). At 100 TB the double tokenize pass
+    this avoids is a full extra corpus scan."""
     if num_perm % bands:
         raise ValueError("bands must divide num_perm")
     r = num_perm // bands
@@ -153,10 +184,7 @@ def minhash_lsh_candidates(
     # aggregate-update expressions exceeds interpreted array_min over a
     # materialized hash array; keep the array formulation
     banded = (
-        df.select(
-            F.col(id_col).alias("__id"),
-            shingle_hashes(text_col, shingle_n).alias("__h"),
-        )
+        hashed
         .select("__id", minhash_from_hashes(F.col("__h"), num_perm, seed).alias("__sig"))
         .select(
             "__id",
@@ -238,6 +266,25 @@ def minhash_verify(
         .select("id_a", "id_b", "jaccard")
     )
     return out
+
+
+def minhash_verify_hashed(
+    pairs: DataFrame, hashed: DataFrame, threshold: float = 0.7
+) -> DataFrame:
+    """Exact-Jaccard verification against the SAME ``(__id, __h)``
+    shingle-hash frame the candidates were banded from — no re-tokenize,
+    no second text scan. Jaccard over distinct 64-bit shingle hashes is
+    exact shingle-Jaccard up to hash collisions (negligible and
+    deterministic at these set sizes)."""
+    a = hashed.select(F.col("__id").alias("id_a"), F.col("__h").alias("__ha"))
+    b = hashed.select(F.col("__id").alias("id_b"), F.col("__h").alias("__hb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", jaccard_arrays(F.col("__ha"), F.col("__hb")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 # ------------------------------------------------------------- SimHash --

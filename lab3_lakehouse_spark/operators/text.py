@@ -98,7 +98,13 @@ def winnowed_fingerprints(text: Column | str, k: int = 5, w: int = 4) -> Column:
     """
     from lab3_lakehouse_spark.operators.dedup import shingle_hashes
 
-    hashes = shingle_hashes(text, k)
+    return winnowed_fingerprints_from_shingle_hashes(shingle_hashes(text, k), w)
+
+
+def winnowed_fingerprints_from_shingle_hashes(hashes: Column, w: int = 4) -> Column:
+    """Winnowing over a precomputed shingle-hash array — split out so
+    callers that need several shingle widths of the same document (e.g.
+    doc_fingerprint_matches) hash the tokens once and share the frame."""
     n_windows = F.greatest(F.size(hashes) - (w - 1), F.lit(1))
     # window-min via arrays_zip of w shifted copies + least(): every
     # step O(len) per doc. (transform(idx, i -> array_min(slice(h, i, w)))

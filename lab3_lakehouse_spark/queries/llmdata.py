@@ -154,12 +154,17 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    cands = dedup_ops.minhash_lsh_candidates(
-        docs, "doc_id", "text", num_perm=64, bands=16, shingle_n=3
+    # Tokenize + shingle-hash each doc ONCE; candidates and verification
+    # both read this frame (localCheckpoint pins it past both subtrees —
+    # the simhash_near_dups pattern). Saves a full second text scan.
+    hashed = docs.select(
+        F.col("doc_id").alias("__id"),
+        dedup_ops.shingle_hashes("text", 3).alias("__h"),
+    ).localCheckpoint(eager=False)
+    cands = dedup_ops.minhash_lsh_candidates_from_hashes(
+        hashed, num_perm=64, bands=16
     )
-    return dedup_ops.minhash_verify(
-        cands, docs, "doc_id", "text", threshold=0.8, shingle_n=3
-    )
+    return dedup_ops.minhash_verify_hashed(cands, hashed, threshold=0.8)
 
 
 @query(
@@ -333,8 +338,19 @@ def doc_fingerprint_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     available via operators.text.winnowed_fingerprints."""
     tune_session(spark)
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    fps = docs.select(
-        "doc_id", F.explode(text_ops.winnowed_fingerprints("text", k=3, w=4)).alias("fp")
+    # Tokenize + hash tokens ONCE; all three shingle widths (winnowed
+    # k=3, guarantee k=6, precision k=3) derive from this checkpointed
+    # token-hash frame instead of re-scanning + re-tokenizing text 3×.
+    base = docs.select(
+        "doc_id", dedup_ops.token_hashes("text").alias("__th")
+    ).localCheckpoint(eager=False)
+    fps = base.select(
+        "doc_id",
+        F.explode(
+            text_ops.winnowed_fingerprints_from_shingle_hashes(
+                dedup_ops.shingle_hashes_from_token_hashes(F.col("__th"), 3), w=4
+            )
+        ).alias("fp"),
     )
     a, b = fps.alias("a"), fps.alias("b")
     fp_pairs = (
@@ -345,8 +361,11 @@ def doc_fingerprint_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    sh6 = docs.select(
-        "doc_id", F.explode(dedup_ops.shingle_hashes("text", 6)).alias("sh")
+    sh6 = base.select(
+        "doc_id",
+        F.explode(
+            dedup_ops.shingle_hashes_from_token_hashes(F.col("__th"), 6)
+        ).alias("sh"),
     )
     g_pairs = (
         sh6.alias("a")
@@ -363,8 +382,9 @@ def doc_fingerprint_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_guaranteed = g_pairs.agg(
         F.count(F.lit(1)).cast("long").alias("n_guaranteed_pairs")
     )
-    sh3 = docs.select(
-        "doc_id", dedup_ops.shingle_hashes("text", 3).alias("sh3")
+    sh3 = base.select(
+        "doc_id",
+        dedup_ops.shingle_hashes_from_token_hashes(F.col("__th"), 3).alias("sh3"),
     )
     precision = (
         fp_pairs.join(sh3.withColumnRenamed("doc_id", "id_a"), "id_a")
