@@ -58,6 +58,8 @@ _PRIORITY = [
     "lang_id_predictions",
     "token_counts",
     "binary_media_metadata",
+    # new in round 3 → never driver-checked
+    "streaming_stateful_user_totals",
     # code touched in round 3 → re-verify even though green in r2
     "minhash_lsh_near_dups",
     "simhash_near_dups",

@@ -120,12 +120,21 @@ def salted_agg(
     partial agg (e.g. high-cardinality payload under one key).
 
     The salt is deterministic row content (``xxhash64`` of ``salt_cols``,
-    default: every column) — a nondeterministic salt feeding the shuffle
-    key is the SPARK-23207 lost/duplicated-rows hazard under fetch-failure
-    recomputation (see ``joins.skew_salted_join``).
+    default: every hashable column — MapType columns are excluded, as
+    ``xxhash64`` rejects them) — a nondeterministic salt feeding the
+    shuffle key is the SPARK-23207 lost/duplicated-rows hazard under
+    fetch-failure recomputation (see ``joins.skew_salted_join``).
+
+    Pass a unique-id column as ``salt_cols`` whenever rows can be FULLY
+    duplicate (common in exactly the skewed workloads this targets):
+    identical rows hash to one salt bucket, so the content-hash default
+    would funnel every copy of a hot duplicated row to a single reducer
+    — the skew this exists to break.
     """
+    from lab3_lakehouse_spark.operators.joins import _hashable_salt_source
+
     salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in (salt_cols if salt_cols else df.columns)]),
+        F.xxhash64(*[F.col(c) for c in _hashable_salt_source(df, salt_cols)]),
         F.lit(salt_buckets),
     )
     phase1 = (

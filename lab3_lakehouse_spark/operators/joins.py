@@ -28,6 +28,19 @@ from pyspark.sql import functions as F
 JOIN_TYPES = ("inner", "left", "right", "full", "left_semi", "left_anti", "cross")
 
 
+def _hashable_salt_source(df: DataFrame, salt_cols: Sequence[str] | None) -> list[str]:
+    """Columns to derive a deterministic salt from. Explicit
+    ``salt_cols`` are used verbatim (caller asked for them — fail loudly
+    if unhashable); the every-column default silently drops types
+    ``xxhash64`` rejects (MapType, and nested types containing maps)."""
+    if salt_cols:
+        return list(salt_cols)
+    cols = [f.name for f in df.schema.fields if "map<" not in f.dataType.simpleString()]
+    if not cols:
+        raise ValueError("no hashable columns to derive a salt from; pass salt_cols")
+    return cols
+
+
 def equi_join(
     left: DataFrame,
     right: DataFrame,
@@ -192,15 +205,29 @@ def skew_salted_join(
     exceeds a single executor's memory.
 
     The salt is derived DETERMINISTICALLY from row content
-    (``xxhash64`` of ``salt_cols``, default: every left column) — never
-    from ``monotonically_increasing_id()``/``rand()``. A nondeterministic
-    expression feeding a shuffle key is the SPARK-23207 hazard: a map
-    stage recomputed after a fetch failure can re-salt rows into
-    different buckets than already-fetched output, silently dropping or
-    duplicating rows. Pass a stable unique-id column as ``salt_cols``
-    when one exists (cheaper than hashing the full row).
+    (``xxhash64`` of ``salt_cols``, default: every hashable left column)
+    — never from ``monotonically_increasing_id()``/``rand()``. A
+    nondeterministic expression feeding a shuffle key is the SPARK-23207
+    hazard: a map stage recomputed after a fetch failure can re-salt rows
+    into different buckets than already-fetched output, silently dropping
+    or duplicating rows. Pass a stable unique-id column as ``salt_cols``
+    when one exists (cheaper than hashing the full row) — and ALWAYS when
+    left rows can be fully duplicate: identical rows hash to one salt
+    bucket, so the very duplicates a skewed workload tends to carry would
+    all land on one reducer, defeating the salting.
+
+    Only inner/left are supported: the right side is replicated
+    ``salt_buckets``×, so for right/full joins every unmatched right row
+    would surface ``salt_buckets`` times, and semi/anti existence
+    semantics survive replication only by accident of the left-side salt.
     """
-    salt_src = [F.col(c) for c in (salt_cols if salt_cols else left.columns)]
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"skew_salted_join supports how in ('inner','left','left_outer'); "
+            f"got {how!r} — right/full/semi/anti are incorrect under right-side "
+            f"replication (use AQE skew-join instead)"
+        )
+    salt_src = [F.col(c) for c in _hashable_salt_source(left, salt_cols)]
     salted_left = left.withColumn(
         "__salt", F.pmod(F.xxhash64(*salt_src), F.lit(salt_buckets)).cast("long")
     )

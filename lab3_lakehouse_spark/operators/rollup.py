@@ -59,14 +59,29 @@ def combine_partials(parts: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
-def table_exists(spark: SparkSession, path: str) -> bool:
-    """Hadoop-FileSystem existence probe — works on local FS, HDFS, and
-    object stores alike (anywhere Spark itself can read), with zero
-    Spark jobs launched."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(p))
+def table_exists(spark: SparkSession, path: str, fmt: str = "parquet") -> bool:
+    """Existence probe that never launches a Spark job on the happy path.
+
+    Classic sessions: Hadoop-FileSystem check — works on local FS, HDFS,
+    and object stores alike. Spark Connect sessions have no ``_jvm``
+    (py4j private API is gone), so fall back to a driver-side schema
+    probe catching ``AnalysisException`` ONLY — a missing path analyzes
+    as PATH_NOT_FOUND, while transient FS errors / corrupt footers /
+    permission failures raise other exception types and propagate (see
+    the refresh_rollup comment for why a broad except would be
+    history-destroying)."""
+    if hasattr(spark, "_jvm") and spark._jvm is not None:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(p))
+    from pyspark.errors import AnalysisException
+
+    try:
+        spark.read.format(fmt).load(path).schema
+        return True
+    except AnalysisException:
+        return False
 
 
 def refresh_rollup(
@@ -97,7 +112,7 @@ def refresh_rollup(
     # permission failure as "first refresh" and overwrite the persisted
     # rollup with only this batch's partials, destroying history. With
     # the probe, read failures on an existing table propagate.
-    if not table_exists(spark, path):
+    if not table_exists(spark, path, fmt):
         medallion.materialize(delta, path, fmt=fmt)
         return
     target = spark.read.format(fmt).load(path)

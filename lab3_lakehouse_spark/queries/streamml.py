@@ -158,6 +158,49 @@ def streaming_purchase_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_stateful_user_totals",
+    oracle=f"""
+    SELECT user_id,
+           {sql_round4('sum(value)')} AS total_value,
+           count(*)                   AS n_events,
+           max(ts)                    AS last_ts
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator (applyInPandasWithState):
+    per-user running totals over the event stream, update mode. The
+    state transition is arbitrary Python over Arrow batches; Spark owns
+    partitioning (state shards with its key), checkpointing, recovery.
+
+    Oracle-checked with a REAL oracle: after draining the stream
+    (AvailableNow), the latest emission per user — update mode re-emits
+    a key each batch it's touched, and n_events is cumulative, so max
+    n_events IS the final state — must equal the batch per-user
+    aggregate. This is the streaming≡batch contract for user-defined
+    state, same as the built-in window queries above."""
+    tune_session(spark)
+    from pyspark.sql import Window
+
+    from lab3_lakehouse_spark.streaming import stateful
+
+    upd = stateful.running_user_totals(sw.stream_events(spark, sf_dir))
+    res = sw.run_to_memory(upd, spark, output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        res.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            round4(F.col("total_value")).alias("total_value"),
+            "n_events",
+            "last_ts",
+        )
+    )
+
+
+@query(
     "ml_feature_table",
     oracle=f"""
     WITH gold AS (

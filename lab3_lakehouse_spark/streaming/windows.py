@@ -154,6 +154,18 @@ def to_tier(
       ``batch_id=<n>`` partition with overwrite (a replay rewrites that
       partition in place, never duplicating rows; readers see
       ``batch_id`` as an ordinary partition column).
+
+    READER CONTRACT for ``update`` mode: a key that is updated in
+    several batches persists in several ``batch_id`` partitions, so a
+    plain read of the tier returns MULTIPLE versions per key — the tier
+    is a change log, not a snapshot. Readers must dedupe to the latest
+    version, e.g.::
+
+        QUALIFY row_number() OVER (PARTITION BY <keys>
+                                   ORDER BY batch_id DESC) = 1
+
+    ``append`` mode emits each finalized key exactly once (watermark
+    close), so a plain read IS the snapshot; ``complete`` mode likewise.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -93,3 +93,29 @@ def test_skew_salted_join_matches_plain_join(spark):
         for r in join_ops.skew_salted_join(left, right, "k", salt_buckets=4).collect()
     }
     assert salted == plain
+
+
+def test_skew_salted_join_rejects_unsupported_how(spark):
+    """Right/full/semi/anti are incorrect under right-side replication
+    (unmatched right rows surface salt_buckets times) — must refuse."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    for how in ("right", "full", "left_semi", "left_anti"):
+        with pytest.raises(ValueError, match="skew_salted_join supports"):
+            join_ops.skew_salted_join(df, df, "k", how=how)
+
+
+def test_salt_source_skips_map_columns(spark):
+    """Default salt source must drop MapType columns (xxhash64 rejects
+    them) but keep everything else; explicit salt_cols pass verbatim."""
+    df = spark.createDataFrame(
+        [(1, {"a": 1}, "x")], ["k", "m", "v"]
+    )
+    assert join_ops._hashable_salt_source(df, None) == ["k", "v"]
+    assert join_ops._hashable_salt_source(df, ["k"]) == ["k"]
+    # and the salted join actually runs on a frame carrying a map column
+    out = join_ops.skew_salted_join(
+        df, spark.createDataFrame([(1, 9)], ["k", "w"]), "k", salt_buckets=4
+    )
+    assert out.count() == 1

@@ -127,6 +127,60 @@ def test_correlated_scalar_subquery_is_decorrelated(spark, sf):
     assert pa.count_nodes(df, "SortMergeJoin") == 0
 
 
+def test_simhash_production_pairs_banded_no_nested_loop(spark, sf):
+    """The production simhash operator must stay a banded equi-join —
+    only the catalog wrapper's brute-force completeness CHECK is allowed
+    an all-pairs plan. A banding regression here would only show up in
+    the bench otherwise."""
+    from lab3_lakehouse_spark.operators import dedup as dedup_ops
+
+    docs = load_table(spark, sf, "documents")
+    df = dedup_ops.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    assert pa.count_nodes(df, "BroadcastNestedLoopJoin") == 0
+    assert pa.count_nodes(df, "CartesianProduct") == 0
+
+
+def test_winnowing_fingerprint_groups_no_nested_loop(spark, sf):
+    """The production copy-detection path (winnowed fingerprints →
+    group by fingerprint key) must plan as scan + hash-agg — no joins at
+    all, let alone nested-loop ones."""
+    from pyspark.sql import functions as F
+
+    from lab3_lakehouse_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf, "documents")
+    fps = docs.select(
+        "doc_id",
+        F.explode(text_ops.winnowed_fingerprints("text", k=3, w=4)).alias("fp"),
+    )
+    groups = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    assert pa.count_nodes(groups, "BroadcastNestedLoopJoin") == 0
+    assert pa.count_nodes(groups, "CartesianProduct") == 0
+    assert pa.count_nodes(groups, "Exchange") == 1  # the fp-key shuffle
+
+
+def test_minhash_production_path_banded_no_nested_loop(spark, sf):
+    """Candidates + hash-verify (the refactored shared-frame path) must
+    stay equi-join-only end-to-end."""
+    from pyspark.sql import functions as F
+
+    from lab3_lakehouse_spark.operators import dedup as dedup_ops
+
+    docs = load_table(spark, sf, "documents")
+    hashed = docs.select(
+        F.col("doc_id").alias("__id"),
+        dedup_ops.shingle_hashes("text", 3).alias("__h"),
+    )
+    cands = dedup_ops.minhash_lsh_candidates_from_hashes(hashed, num_perm=64, bands=16)
+    verified = dedup_ops.minhash_verify_hashed(cands, hashed, threshold=0.8)
+    assert pa.count_nodes(verified, "BroadcastNestedLoopJoin") == 0
+    assert pa.count_nodes(verified, "CartesianProduct") == 0
+
+
 def test_no_driver_collect_in_query_paths():
     """Every query stays distributed end-to-end: no collect()/toPandas()
     driver round-trips in the query catalog (localCheckpoint is the
