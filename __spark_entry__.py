@@ -60,6 +60,7 @@ _PRIORITY = [
     "binary_media_metadata",
     # new in round 3 → never driver-checked
     "streaming_stateful_user_totals",
+    "dup_groups_connected",
     # code touched in round 3 → re-verify even though green in r2
     "minhash_lsh_near_dups",
     "simhash_near_dups",

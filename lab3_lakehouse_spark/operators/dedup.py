@@ -287,6 +287,72 @@ def minhash_verify_hashed(
     )
 
 
+# ------------------------------------------- duplicate-group resolution --
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate GROUPS: connected
+    components of the pair graph, by iterative hash-min label
+    propagation. Returns ``(vertex, component)`` where ``component`` is
+    the smallest vertex id in the component — the canonical "keep this
+    one" representative for keep-smallest-id dedup lineage.
+
+    This is the standard post-LSH collapse step in training-data dedup
+    (candidate pairs → verified pairs → components → keep one per
+    component): without it, a cluster of k mutual near-dups yields
+    k·(k-1)/2 pairs but no decision about which k-1 rows to drop.
+
+    Scale design: each iteration is ONE shuffle — ``groupBy(vertex)``
+    over |V|+|E| constant-width (long, long) rows — and the frame is
+    eagerly ``localCheckpoint``-ed per round, so lineage (and therefore
+    plan size) stays O(1) instead of O(iterations). Iteration count is
+    the maximum component DIAMETER, which for near-dup graphs is tiny
+    (clusters are near-cliques). For adversarial long-chain graphs the
+    O(log n) alternating large-star/small-star algorithm (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") drops in with
+    the same per-round shape; dup graphs don't need it. Convergence is
+    detected by one scalar aggregate per round (labels only ever
+    decrease, so the label sum strictly decreases until fixpoint).
+
+    Vertices are the ids appearing in ≥1 edge; singleton documents are
+    their own trivial component and never enter the graph.
+    """
+    sym = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    sym = (
+        sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select("u")
+        .distinct()
+        .withColumn("comp", F.col("u"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        neighbor_labels = sym.join(
+            labels.select(F.col("u").alias("v"), "comp"), "v"
+        ).select("u", "comp")
+        labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("u")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        label_sum = labels.agg(F.sum("comp")).first()[0]
+        if label_sum == prev_sum:
+            break
+        prev_sum = label_sum
+    return labels.select(F.col("u").alias("vertex"), F.col("comp").alias("component"))
+
+
 # ------------------------------------------------------------- SimHash --
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -91,6 +91,12 @@ def word_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     across the corpus)."""
     tune_session(spark)
     docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return _word_jaccard_pairs(docs)
+
+
+def _word_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Lang-blocked exact word-Jaccard pairs ≥ threshold (shared by
+    word_jaccard_near_dups and dup_groups_connected)."""
     t = docs.select(
         "doc_id", "lang",
         F.array_distinct(dedup_ops.tokens("text")).alias("w"),
@@ -106,7 +112,63 @@ def word_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("id_b"),
             jac.alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= 0.8)
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+@query(
+    "dup_groups_connected",
+    oracle="""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, lang,
+               list_distinct(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.w, b.w))::DOUBLE
+              / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach(u, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.u
+    ), comp AS (
+        SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u
+    )
+    SELECT doc_id, component,
+           count(*) OVER (PARTITION BY component) AS group_size
+    FROM comp
+    """,
+)
+def dup_groups_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-GROUP resolution: near-dup pairs (lang-blocked exact
+    word-Jaccard ≥ 0.8 — the SQL-expressible pair tier) collapsed into
+    connected components by iterative hash-min propagation
+    (operators/dedup.py:connected_components). Output is one row per
+    document that has at least one near-dup: its component id (= the
+    smallest doc_id in the group, i.e. the row keep-smallest-id dedup
+    retains) and the group size.
+
+    The oracle resolves the same components in DuckDB with a recursive
+    transitive-closure CTE — exact cross-engine agreement on an
+    iterative/graph operator, not just on relational ops. (The
+    recursive closure is O(n·|component|) and oracle-only; the Spark
+    side stays one shuffle per propagation round.)
+    """
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    pairs = _word_jaccard_pairs(docs)
+    cc = dedup_ops.connected_components(pairs, "id_a", "id_b")
+    return cc.select(
+        F.col("vertex").alias("doc_id"),
+        "component",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("component"))
+        .alias("group_size"),
     )
 
 

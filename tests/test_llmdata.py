@@ -273,3 +273,51 @@ def test_bernoulli_stratified_sample_is_seed_stable(spark):
     assert sorted(r.doc_id for r in a.collect()) == sorted(
         r.doc_id for r in b.collect()
     )
+
+
+# ------------------------------------------- connected components --------
+
+def test_connected_components_planted_graph(spark):
+    """Chain + triangle + isolated pair: labels converge to the min id
+    of each component, and component diameter > 1 exercises multiple
+    propagation rounds."""
+    from lab3_lakehouse_spark.operators import dedup as dedup_ops
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4-5 (diameter 4), triangle 10-11-12, pair 20-21
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21)],
+        ["id_a", "id_b"],
+    )
+    cc = dedup_ops.connected_components(edges)
+    got = {r.vertex: r.component for r in cc.collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_connected_components_direction_and_duplicate_insensitive(spark):
+    """Edge direction and repeated pairs must not change the result."""
+    from lab3_lakehouse_spark.operators import dedup as dedup_ops
+
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 5), (3, 1), (5, 3), (7, 9)], ["id_a", "id_b"]
+    )
+    cc = dedup_ops.connected_components(edges)
+    got = {r.vertex: r.component for r in cc.collect()}
+    assert got == {1: 1, 3: 1, 5: 1, 7: 7, 9: 7}
+
+
+def test_connected_components_max_iter_caps_rounds(spark):
+    """max_iter=1 on a long chain must return a PARTIALLY propagated
+    labeling (correct per-round semantics), not loop forever."""
+    from lab3_lakehouse_spark.operators import dedup as dedup_ops
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(1, 6)], ["id_a", "id_b"])
+    cc = dedup_ops.connected_components(edges, max_iter=1)
+    got = {r.vertex: r.component for r in cc.collect()}
+    # one hash-min round: each vertex takes min(self, direct neighbors)
+    assert got == {1: 1, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5}
