@@ -61,6 +61,7 @@ _PRIORITY = [
     # new in round 3 → never driver-checked
     "streaming_stateful_user_totals",
     "dup_groups_connected",
+    "decontamination_ngram_overlap",
     # code touched in round 3 → re-verify even though green in r2
     "minhash_lsh_near_dups",
     "simhash_near_dups",

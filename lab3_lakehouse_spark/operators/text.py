@@ -118,6 +118,62 @@ def winnowed_fingerprints_from_shingle_hashes(hashes: Column, w: int = 4) -> Col
     )
 
 
+def ngram_overlap(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: for every (corpus doc, benchmark doc)
+    pair sharing at least one distinct word n-shingle, count the shared
+    shingles. Returns ``(doc_id, bench_id, n_overlap, n_shingles)``
+    with ``n_shingles`` = the corpus doc's distinct-shingle count, so
+    callers derive the overlap fraction ``n_overlap / n_shingles`` (the
+    "what part of this training doc appears in the test set" measure
+    used for n-gram decontamination of pretraining corpora).
+
+    Scale design: both sides explode to constant-width
+    ``(id, shingle_hash)`` rows and meet in ONE equi-join on the 64-bit
+    xxhash64 shingle key — never doc×doc. The join's fan-out is bounded
+    by shingle document frequency; high-DF shingles (boilerplate) are
+    the skew risk, so ``max_df`` drops shingles indexed by more than
+    that many benchmark docs before the join (standard stop-gram
+    filtering — contamination evidence should be rare n-grams anyway).
+    """
+    from lab3_lakehouse_spark.operators.dedup import shingle_hashes
+
+    c = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        shingle_hashes(text_col, shingle_n).alias("__s"),
+    ).select(
+        "doc_id",
+        F.size("__s").cast("long").alias("n_shingles"),
+        F.explode("__s").alias("__sh"),
+    )
+    b = bench.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(shingle_hashes(text_col, shingle_n)).alias("__sh"),
+    )
+    if max_df is not None:
+        keep = (
+            b.groupBy("__sh")
+            .agg(F.count_distinct("bench_id").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("__sh")
+        )
+        b = b.join(keep, "__sh")
+    return (
+        c.join(b, "__sh")
+        .groupBy("doc_id", "bench_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap"),
+            F.max("n_shingles").alias("n_shingles"),
+        )
+    )
+
+
 def lang_id_heuristic(text: Column | str) -> Column:
     """Language guess by marker-word hit count. Ties break in table
     order; 'und' when no marker matches. (greatest + first-match CASE —

@@ -173,6 +173,76 @@ def dup_groups_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "decontamination_ngram_overlap",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), t AS (
+        SELECT doc_id,
+               list_distinct(
+                 list_transform(generate_series(1, greatest(len(w)-2, 1)),
+                                i -> array_to_string(w[i:i+2], ' '))
+               ) AS s
+        FROM w
+    ), bench AS (
+        SELECT doc_id AS bench_id, unnest(s) AS sh FROM t WHERE doc_id % 10 = 0
+    ), corp AS (
+        SELECT doc_id, len(s) AS n_shingles, unnest(s) AS sh
+        FROM t WHERE doc_id % 10 <> 0
+    ), ov AS (
+        SELECT c.doc_id, b.bench_id,
+               count(*) AS n_overlap, max(c.n_shingles) AS n_shingles
+        FROM corp c JOIN bench b USING (sh)
+        GROUP BY c.doc_id, b.bench_id
+    ), best AS (
+        SELECT doc_id, bench_id, n_overlap, n_shingles
+        FROM ov
+        QUALIFY row_number()
+            OVER (PARTITION BY doc_id ORDER BY n_overlap DESC, bench_id) = 1
+    )
+    SELECT doc_id, bench_id, n_overlap, n_shingles,
+           n_overlap::DOUBLE / n_shingles AS overlap_frac
+    FROM best
+    WHERE n_overlap::DOUBLE / n_shingles >= 0.5
+    """,
+)
+def decontamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over the documents corpus: docs with
+    ``doc_id % 10 == 0`` play the held-out benchmark, the rest the
+    training corpus; report each corpus doc whose best benchmark match
+    shares ≥ 50% of its distinct 3-word shingles (operators/text.py:
+    ngram_overlap — one equi-join on the 64-bit shingle hash, never
+    doc×doc). The corpus here is cleanly bimodal (background best-match
+    overlap ≤ 0.08, planted contamination ≥ 0.96 at sf0.01/sf0.1), so
+    the 0.5 boundary is decision-stable.
+
+    Cross-engine note: Spark joins on xxhash64(shingle), the oracle on
+    the shingle string — identical counts up to 64-bit collisions
+    (negligible, deterministic; same equivalence minhash_verify_hashed
+    relies on). overlap_frac is an exact int/int double division —
+    bit-identical, no rounding policy needed.
+    """
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    ov = text_ops.ngram_overlap(corpus, bench, shingle_n=3)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n_overlap").desc(), F.col("bench_id")
+    )
+    return (
+        ov.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .withColumn(
+            "overlap_frac",
+            F.col("n_overlap").cast("double") / F.col("n_shingles").cast("double"),
+        )
+        .filter(F.col("overlap_frac") >= 0.5)
+        .select("doc_id", "bench_id", "n_overlap", "n_shingles", "overlap_frac")
+    )
+
+
+@query(
     "minhash_lsh_near_dups",
     oracle="""
     WITH w AS (

@@ -321,3 +321,50 @@ def test_connected_components_max_iter_caps_rounds(spark):
     got = {r.vertex: r.component for r in cc.collect()}
     # one hash-min round: each vertex takes min(self, direct neighbors)
     assert got == {1: 1, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5}
+
+
+# ------------------------------------------------ decontamination --------
+
+def test_ngram_overlap_planted_contamination(spark):
+    """A corpus doc containing a verbatim benchmark sentence must show
+    the full benchmark shingle set as overlap; unrelated docs none."""
+    from lab3_lakehouse_spark.operators import text as text_ops
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words the quick brown fox jumps over the lazy dog suffix"),
+            (2, "completely unrelated text about spark physical plans"),
+        ],
+        ["doc_id", "text"],
+    )
+    ov = text_ops.ngram_overlap(corpus, bench, shingle_n=3)
+    rows = {r.doc_id: r for r in ov.collect()}
+    assert set(rows) == {1}  # doc 2 shares no 3-shingle
+    # the benchmark sentence has 9 tokens → 7 shingles, all present in doc 1
+    assert rows[1].bench_id == 100
+    assert rows[1].n_overlap == 7
+    # doc 1 has 12 tokens → 10 distinct shingles
+    assert rows[1].n_shingles == 10
+
+
+def test_ngram_overlap_max_df_drops_boilerplate(spark):
+    """Shingles indexed by more than max_df benchmark docs are stop-gram
+    filtered before the join — boilerplate can't claim contamination."""
+    from lab3_lakehouse_spark.operators import text as text_ops
+
+    boiler = "all rights reserved do not redistribute"
+    bench = spark.createDataFrame(
+        [(100, f"alpha beta gamma {boiler}"), (101, f"delta epsilon zeta {boiler}")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [(1, f"my own words here {boiler}")], ["doc_id", "text"]
+    )
+    with_boiler = text_ops.ngram_overlap(corpus, bench, shingle_n=3)
+    assert with_boiler.count() == 2  # boilerplate matches both bench docs
+    filtered = text_ops.ngram_overlap(corpus, bench, shingle_n=3, max_df=1)
+    assert filtered.count() == 0  # every shared shingle sits in 2 bench docs
