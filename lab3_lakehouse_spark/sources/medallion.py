@@ -115,6 +115,54 @@ def materialize_bucketed(
     w.saveAsTable(table)
 
 
+def bucket_spec(spark: SparkSession, table: str) -> tuple[int, list[str]] | None:
+    """(num_buckets, bucket_cols) of a catalog table from its metadata,
+    or None if the table is not bucketed."""
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    meta = {r["col_name"]: r["data_type"] for r in rows}
+    if "Num Buckets" not in meta:
+        return None
+    cols = [c.strip("`") for c in meta["Bucket Columns"].strip("[]").split(", ")]
+    return int(meta["Num Buckets"]), cols
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two bucketed tables on their bucket keys, validating up
+    front (via catalog metadata) that the layouts actually co-locate:
+    same bucket count, join keys covering the bucket columns. Spark
+    only elides the exchange when output partitionings match —
+    mismatched counts silently shuffle one side, which at 100 TB is the
+    difference between a metadata-only merge join and rehashing a
+    table. A layout mismatch here is a *pipeline bug* (someone rewrote
+    a tier with different bucketing), so it fails loudly instead."""
+    specs = []
+    for t in (left_table, right_table):
+        spec = bucket_spec(spark, t)
+        if spec is None:
+            raise ValueError(
+                f"{t} is not bucketed — write it with materialize_bucketed"
+            )
+        specs.append(spec)
+    (n_l, cols_l), (n_r, cols_r) = specs
+    if n_l != n_r:
+        raise ValueError(
+            f"bucket-count mismatch ({left_table}: {n_l}, {right_table}: {n_r})"
+            " — Spark would shuffle one side; rewrite with matching counts"
+        )
+    for cols, t in ((cols_l, left_table), (cols_r, right_table)):
+        if not set(cols).issubset(on):
+            raise ValueError(
+                f"join keys {on} do not cover {t}'s bucket columns {cols}"
+            )
+    return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
 def merge_into(
     spark: SparkSession,
     path: str,
@@ -160,6 +208,83 @@ def merge_into(
     fs = jpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
     fs.delete(jpath(path), True)
     fs.rename(jpath(staging), jpath(path))
+
+
+def compact_tier(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
+    sort_within: list[str] | None = None,
+) -> dict[str, int]:
+    """Small-file compaction (Delta ``OPTIMIZE``-compact parity for
+    parquet tiers). Streaming sinks and incremental merges accrete
+    files far below scan granularity; at 100 TB the scan cost of a
+    fragmented tier is dominated by per-file open/footer overhead and
+    lost row-group pruning, and the fix is a periodic rewrite toward
+    ``target_file_bytes`` (default = the engine's 128 MiB
+    ``maxPartitionBytes``, so one compacted file ≈ one scan split).
+
+    Delta tiers delegate to the transactional ``optimize().
+    executeCompaction()``. Parquet tiers rewrite: bytes are measured
+    from the filesystem, the frame is repartitioned to
+    ``ceil(bytes / target)`` output files (range-partitioned when
+    ``sort_within`` is given, preserving cluster-by layouts), staged
+    next to the tier, and swapped via same-filesystem rename — the
+    merge_into pattern, same non-transactional window.
+
+    Returns ``{"files_before", "files_after", "bytes", "n_target"}``
+    for observability/assertions. Uses the Hadoop FS API via py4j
+    (HDFS/S3A/local); like merge_into, classic sessions only.
+    """
+    import math
+
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _data_files() -> int:
+        it, n = fs.listFiles(jpath(path), True), 0
+        while it.hasNext():
+            f = it.next().getPath().getName()
+            n += not (f.startswith("_") or f.startswith("."))
+        return n
+
+    if fmt == "delta" and _delta_available():  # pragma: no cover - env-gated
+        from delta.tables import DeltaTable
+
+        before = _data_files()
+        DeltaTable.forPath(spark, path).optimize().executeCompaction()
+        return {
+            "files_before": before, "files_after": _data_files(),
+            "bytes": fs.getContentSummary(jpath(path)).getLength(),
+            "n_target": -1,
+        }
+
+    total = fs.getContentSummary(jpath(path)).getLength()
+    n_target = max(1, math.ceil(total / target_file_bytes))
+    before = _data_files()
+    df = read_tier(spark, path, fmt)
+    if sort_within:
+        cols = [F.col(c) for c in sort_within]
+        out = df.repartitionByRange(n_target, *cols).sortWithinPartitions(*cols)
+    elif partition_by:
+        out = df.repartition(n_target, *[F.col(c) for c in partition_by])
+    else:
+        out = df.repartition(n_target)
+    staging = path.rstrip("/") + ".__compacting__"
+    writer = out.write.format(fmt).mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(staging)
+    fs.delete(jpath(path), True)
+    fs.rename(jpath(staging), jpath(path))
+    return {
+        "files_before": before,
+        "files_after": _data_files(),
+        "bytes": total,
+        "n_target": n_target,
+    }
 
 
 def read_tier(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:

@@ -459,3 +459,46 @@ def test_streaming_dedup_first_wins(spark, sf_small):
     pdf = out.toPandas()
     assert len(pdf) == n_users
     assert pdf.user_id.nunique() == n_users
+
+
+def test_compact_tier_rewrites_small_files(spark, sf_small, tmpdir):
+    """A 64-way fragmented tier compacts to ceil(bytes/target) files
+    with identical data."""
+    import pyspark.sql.functions as F
+
+    from lab3_lakehouse_spark.sources.medallion import compact_tier, read_tier
+
+    ev = load_table(spark, sf_small, "events")
+    ev.repartition(64).write.mode("overwrite").parquet(f"{tmpdir}/frag")
+    want_sum = ev.agg(F.sum("user_id")).first()[0]
+    stats = compact_tier(
+        spark, f"{tmpdir}/frag", target_file_bytes=512 * 1024
+    )
+    assert stats["files_before"] == 64
+    assert stats["files_after"] == stats["n_target"] < 64
+    back = read_tier(spark, f"{tmpdir}/frag")
+    assert back.count() == ev.count()
+    assert back.agg(F.sum("user_id")).first()[0] == want_sum
+
+
+def test_compact_tier_preserves_hive_partitions(spark, sf_small, tmpdir):
+    import os
+
+    import pyspark.sql.functions as F
+
+    from lab3_lakehouse_spark.sources.medallion import compact_tier, read_tier
+
+    ev = load_table(spark, sf_small, "events").withColumn(
+        "etype", F.col("event_type")
+    )
+    ev.repartition(32).write.mode("overwrite").partitionBy("etype").parquet(
+        f"{tmpdir}/part"
+    )
+    stats = compact_tier(
+        spark, f"{tmpdir}/part", target_file_bytes=512 * 1024,
+        partition_by=["etype"],
+    )
+    assert stats["files_after"] < stats["files_before"]
+    dirs = [d for d in os.listdir(f"{tmpdir}/part") if d.startswith("etype=")]
+    assert dirs, "Hive partition layout must survive compaction"
+    assert read_tier(spark, f"{tmpdir}/part").count() == ev.count()
