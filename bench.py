@@ -53,6 +53,8 @@ HEADLINE = [
     "pack_documents_concat_chop",   # sequence packing: sharded prefix-sum, 1 shuffle
     "stratified_sample_documents",  # deterministic corpus mixing, scan-side filter
     "incremental_rollup_hourly",    # continuous-aggregate maintenance (2 merge cycles)
+    "dup_groups_connected",         # near-dup group resolution (LSH pairs + CC)
+    "decontamination_ngram_overlap",  # corpus-vs-benchmark n-gram overlap join
 ]
 
 
@@ -102,11 +104,27 @@ def _bench_overrides() -> dict:
             k=5, n_centroids=16, n_probe=8,
         )
 
+    def dup_groups(spark, sf_dir):
+        # production composition: banded-LSH verified pairs → connected
+        # components (the catalog entry's word-Jaccard pair tier is the
+        # SQL-expressible *contract*; the at-scale pair source is LSH)
+        docs = fan_out(load_table(spark, sf_dir, "documents"))
+        hashed = docs.select(
+            F.col("doc_id").alias("__id"),
+            dedup_ops.shingle_hashes("text", 3).alias("__h"),
+        ).localCheckpoint(eager=False)
+        cands = dedup_ops.minhash_lsh_candidates_from_hashes(
+            hashed, num_perm=64, bands=16
+        )
+        verified = dedup_ops.minhash_verify_hashed(cands, hashed, threshold=0.8)
+        return dedup_ops.connected_components(verified, "id_a", "id_b")
+
     return {
         "simhash_near_dups": simhash,
         "doc_fingerprint_matches": fingerprints,
         "ann_lsh_topk": ann_lsh,
         "ann_ivf_topk": ann_ivf,
+        "dup_groups_connected": dup_groups,
     }
 
 
