@@ -62,6 +62,8 @@ _PRIORITY = [
     "streaming_stateful_user_totals",
     "dup_groups_connected",
     "decontamination_ngram_overlap",
+    "tfidf_top_terms",
+    "approx_percentiles_contract",
     # code touched in round 3 → re-verify even though green in r2
     "minhash_lsh_near_dups",
     "simhash_near_dups",

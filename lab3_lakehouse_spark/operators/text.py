@@ -174,6 +174,58 @@ def ngram_overlap(
     )
 
 
+def linear_tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-document keyword extraction by tf-idf with a LINEAR inverse
+    document frequency: ``score = tf · (N / df)``. Returns the top_k
+    terms per document as ``(doc_id, term, tf, df, score)``,
+    deterministically ordered (score desc, tf desc, term asc).
+
+    Why linear idf instead of the textbook ``log(N/df)``: every
+    arithmetic step here is integer counting plus one exact IEEE double
+    multiply/divide, so the scores are bit-identical across engines
+    (the repo's oracle-parity requirement — cross-engine ``log`` can
+    differ in the last ulp, which flips ties). Log-idf is a one-line
+    swap where cross-engine determinism isn't needed; the *shape* of
+    the operator (explode → tf agg → df agg → score → windowed top-k)
+    is identical.
+
+    Scale: two hash aggregations (tf on (doc, term), df on term) + one
+    broadcast of the tiny (term, df) side back onto tf, + one window
+    shuffle on doc — no joins wider than the vocabulary.
+    """
+    from pyspark.sql import Window
+
+    from lab3_lakehouse_spark.operators.dedup import tokens
+
+    terms = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(text_col)).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = terms.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count_distinct(id_col).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("tf").desc(), F.col("term")
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double") * F.col("n_docs").cast("double")
+            / F.col("df").cast("double"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= top_k)
+        .select("doc_id", "term", "tf", "df", "score")
+    )
+
+
 def lang_id_heuristic(text: Column | str) -> Column:
     """Language guess by marker-word hit count. Ties break in table
     order; 'und' when no marker matches. (greatest + first-match CASE —

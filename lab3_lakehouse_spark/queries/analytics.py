@@ -42,6 +42,59 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "approx_percentiles_contract",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           true AS p50_within_eps, true AS p90_within_eps
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def approx_percentiles_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``percentile_approx`` (Greenwald-Khanna sketch) — the 100 TB
+    percentile path: constant-memory mergeable sketch per group instead
+    of the full-sort/full-materialize exact percentile.
+
+    Assert-style oracle (the approx_distinct_users pattern): the sketch
+    value is Spark-specific, so the query emits the group size
+    (SQL-checkable) plus booleans asserting the GK rank guarantee —
+    the exact rank of the returned value is within ``ε·n + 1`` of the
+    target rank ``p·n``, ε = 1/accuracy. The rank is measured against
+    the real data by a second aggregation, so the driver verifies the
+    sketch's accuracy contract end-to-end, not just that it ran.
+    """
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    accuracy = 1000
+    eps = 1.0 / accuracy
+    approx = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", F.lit(0.5), F.lit(accuracy)).alias("__a50"),
+        F.percentile_approx("value", F.lit(0.9), F.lit(accuracy)).alias("__a90"),
+    )
+    ranked = (
+        ev.join(F.broadcast(approx), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("value") <= F.col("__a50")).cast("long")).alias("__r50"),
+            F.sum((F.col("value") <= F.col("__a90")).cast("long")).alias("__r90"),
+        )
+    )
+    n = F.col("n").cast("double")
+    bound = F.lit(eps) * n + F.lit(1.0)
+    return ranked.select(
+        "event_type",
+        "n",
+        (F.abs(F.col("__r50").cast("double") - F.lit(0.5) * n) <= bound).alias(
+            "p50_within_eps"
+        ),
+        (F.abs(F.col("__r90").cast("double") - F.lit(0.9) * n) <= bound).alias(
+            "p90_within_eps"
+        ),
+    )
+
+
+@query(
     "salted_agg_event_type",
     oracle=f"""
     SELECT event_type,

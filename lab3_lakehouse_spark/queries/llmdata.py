@@ -243,6 +243,37 @@ def decontamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH terms AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term
+    ), n AS (
+        SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+    )
+    SELECT doc_id, term, tf, df,
+           tf::DOUBLE * n_docs::DOUBLE / df::DOUBLE AS score
+    FROM tf JOIN df USING (term), n
+    QUALIFY row_number()
+        OVER (PARTITION BY doc_id ORDER BY score DESC, tf DESC, term) <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by tf-idf with a
+    linear inverse document frequency (operators/text.py:
+    linear_tfidf_top_terms — integer counting + one exact IEEE
+    multiply/divide, so scores are bit-identical cross-engine; log-idf
+    is a one-line swap where oracle determinism isn't required)."""
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return text_ops.linear_tfidf_top_terms(docs, "doc_id", "text", top_k=3)
+
+
+@query(
     "minhash_lsh_near_dups",
     oracle="""
     WITH w AS (

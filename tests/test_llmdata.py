@@ -368,3 +368,25 @@ def test_ngram_overlap_max_df_drops_boilerplate(spark):
     assert with_boiler.count() == 2  # boilerplate matches both bench docs
     filtered = text_ops.ngram_overlap(corpus, bench, shingle_n=3, max_df=1)
     assert filtered.count() == 0  # every shared shingle sits in 2 bench docs
+
+
+def test_linear_tfidf_top_terms_planted(spark):
+    """A term unique to one doc must outscore corpus-wide terms; ties
+    and ordering are deterministic."""
+    from lab3_lakehouse_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common rare common"),
+            (2, "common common common common"),
+            (3, "common other other common"),
+        ],
+        ["doc_id", "text"],
+    )
+    top = text_ops.linear_tfidf_top_terms(docs, top_k=1)
+    best = {r.doc_id: (r.term, r.tf, r.df) for r in top.collect()}
+    # doc 1: 'rare' tf=1 df=1 → score 3.0 beats 'common' tf=3 df=3 → 3.0?
+    # scores tie at 3.0; tf desc breaks the tie toward 'common' (tf=3)
+    assert best[1] == ("common", 3, 3)
+    assert best[2] == ("common", 4, 3)
+    assert best[3] == ("other", 2, 1)  # 2*3/1=6 beats common 2*3/3=2

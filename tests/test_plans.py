@@ -192,3 +192,19 @@ def test_no_driver_collect_in_query_paths():
         src = f.read_text()
         assert ".collect()" not in src, f"{f.name} collects in a query path"
         assert ".toPandas()" not in src, f"{f.name} round-trips via pandas"
+
+
+def test_decontamination_join_is_equi_only(spark, sf):
+    """The corpus-vs-benchmark overlap must plan as shingle-key
+    equi-join — never a doc-by-doc nested loop."""
+    df = QUERIES["decontamination_ngram_overlap"](spark, sf)
+    assert pa.count_nodes(df, "BroadcastNestedLoopJoin") == 0
+    assert pa.count_nodes(df, "CartesianProduct") == 0
+
+
+def test_tfidf_df_side_broadcasts(spark, sf):
+    """tf⋈df must broadcast the (term, df) vocabulary side, not
+    shuffle the tf frame a second time."""
+    df = QUERIES["tfidf_top_terms"](spark, sf)
+    assert pa.count_nodes(df, "BroadcastHashJoin") >= 1
+    assert pa.count_nodes(df, "SortMergeJoin") == 0
