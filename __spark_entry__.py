@@ -64,6 +64,8 @@ _PRIORITY = [
     "decontamination_ngram_overlap",
     "tfidf_top_terms",
     "approx_percentiles_contract",
+    "streaming_dedup_users",
+    "sql_large_volume_customers",
     # code touched in round 3 → re-verify even though green in r2
     "minhash_lsh_near_dups",
     "simhash_near_dups",

@@ -181,6 +181,41 @@ def sql_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SMALL_QTY_SQL)
 
 
+_LARGE_VOLUME_SQL = f"""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+           o.o_totalprice,
+           {sql_round4('sum(l.l_quantity)')} AS sum_qty
+    FROM customer c
+    JOIN orders o   ON o.o_custkey  = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 250
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+"""
+
+
+@query("sql_large_volume_customers", oracle=_LARGE_VOLUME_SQL)
+def sql_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery over a grouped HAVING aggregate.
+    Catalyst rewrites the IN into a left-semi join against the
+    aggregated subquery (one pass over lineitem for the per-order sums,
+    then a semi-join probe — no per-row subquery re-execution), then
+    the 3-way join + final agg + top-100. Completes the decorrelation
+    family: EXISTS (Q4 shape), correlated scalar (Q17 shape), aggregate
+    IN (this). Ordering ties break on o_orderkey; l_quantity sums are
+    integer-valued doubles, so the HAVING threshold cannot flip
+    cross-engine — only the reported sum is round4'd."""
+    tune_session(spark)
+    register_views(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql(_LARGE_VOLUME_SQL)
+
+
 EVENT_TYPES: tuple[str, ...] = ("click", "error", "purchase", "signup", "view")
 
 

@@ -127,6 +127,41 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_dedup_users",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def streaming_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication (streaming/joins.py:dedup_stream):
+    first occurrence of each (user_id, event_type) wins, watermark
+    bounds the dedup state — THE mechanism that makes exactly-once
+    per-key semantics affordable on an infinite stream (state is
+    O(keys inside the watermark horizon), not O(stream)).
+
+    Which physical row survives depends on micro-batch arrival order,
+    so the query aggregates to an arrival-order-independent result
+    (distinct users per event type) that the batch oracle checks
+    exactly. The watermark is sized past the corpus's event-time span
+    so AvailableNow drains every key (late-data eviction semantics are
+    unit-tested in tests/test_pipeline_streaming_ml.py)."""
+    tune_session(spark)
+    from lab3_lakehouse_spark.streaming.joins import dedup_stream
+
+    deduped = dedup_stream(
+        sw.stream_events(spark, sf_dir),
+        keys=["user_id", "event_type"],
+        watermark="720 hours",
+    )
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    return sw.run_to_memory(agg, spark, output_mode="complete")
+
+
+@query(
     "streaming_purchase_view_join",
     oracle="""
     SELECT p.event_id AS p_id, v.event_id AS v_id

@@ -208,3 +208,13 @@ def test_tfidf_df_side_broadcasts(spark, sf):
     df = QUERIES["tfidf_top_terms"](spark, sf)
     assert pa.count_nodes(df, "BroadcastHashJoin") >= 1
     assert pa.count_nodes(df, "SortMergeJoin") == 0
+
+
+def test_aggregate_in_subquery_becomes_semi_join(spark, sf):
+    """TPC-H Q18 shape: the IN over a HAVING aggregate must plan as an
+    aggregate + semi-join probe (no nested-loop, no per-row subquery)."""
+    df = QUERIES["sql_large_volume_customers"](spark, sf)
+    assert pa.count_nodes(df, "BroadcastNestedLoopJoin") == 0
+    assert pa.count_nodes(df, "CartesianProduct") == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
