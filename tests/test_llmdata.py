@@ -390,3 +390,45 @@ def test_linear_tfidf_top_terms_planted(spark):
     assert best[1] == ("common", 3, 3)
     assert best[2] == ("common", 4, 3)
     assert best[3] == ("other", 2, 1)  # 2*3/1=6 beats common 2*3/3=2
+
+
+def test_alternating_cc_solves_long_chain_in_log_rounds(spark):
+    """A 200-vertex path has diameter 199 — hash-min inside the same
+    25-round budget CANNOT finish it, the alternating algorithm must
+    (O(log n) rounds is the whole point at adversarial scale)."""
+    from lab3_lakehouse_spark.operators import dedup as dedup_ops
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], ["id_a", "id_b"]
+    )
+    cc = dedup_ops.connected_components(edges, algorithm="alternating")
+    got = {r.vertex: r.component for r in cc.collect()}
+    assert got == {i: 0 for i in range(201)}
+
+
+def test_alternating_cc_matches_hash_min_on_clustered_graph(spark):
+    """On a small-diameter graph (the near-dup regime) both algorithms
+    must agree exactly."""
+    import random
+
+    from lab3_lakehouse_spark.operators import dedup as dedup_ops
+
+    rng = random.Random(7)
+    edges = []
+    for base in range(0, 100, 10):  # 10 clusters of 10, random intra-edges
+        members = list(range(base, base + 10))
+        for v in members[1:]:
+            edges.append((rng.choice(members[: members.index(v)]), v))
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    a = {
+        (r.vertex, r.component)
+        for r in dedup_ops.connected_components(df).collect()
+    }
+    b = {
+        (r.vertex, r.component)
+        for r in dedup_ops.connected_components(
+            df, algorithm="alternating"
+        ).collect()
+    }
+    assert a == b
+    assert {c for _, c in a} == set(range(0, 100, 10))
