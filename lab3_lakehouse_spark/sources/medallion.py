@@ -47,6 +47,7 @@ def materialize(
     partition_by: list[str] | None = None,
     cluster_by: list[str] | None = None,
     target_partitions: int | None = None,
+    dynamic_partition_overwrite: bool = False,
 ) -> None:
     """Write a tier table (S3/S4), layout-aware.
 
@@ -56,6 +57,11 @@ def materialize(
       ``optimize_table`` when Delta is available).
     - ``target_partitions``: output file-count control. None → trust
       AQE's coalescing (the at-scale default).
+    - ``dynamic_partition_overwrite``: with ``mode="overwrite"`` +
+      ``partition_by``, replace ONLY the partitions present in ``df``
+      (incremental backfill: rewriting one day must not clobber the
+      other 3 649 days of a 10-year tier). Per-writer option, so it
+      never leaks session-wide config.
     """
     out = df
     if cluster_by:
@@ -80,6 +86,8 @@ def materialize(
     writer = out.write.format(fmt).mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+        if dynamic_partition_overwrite:
+            writer = writer.option("partitionOverwriteMode", "dynamic")
     writer.save(path)
 
 

@@ -502,3 +502,26 @@ def test_compact_tier_preserves_hive_partitions(spark, sf_small, tmpdir):
     dirs = [d for d in os.listdir(f"{tmpdir}/part") if d.startswith("etype=")]
     assert dirs, "Hive partition layout must survive compaction"
     assert read_tier(spark, f"{tmpdir}/part").count() == ev.count()
+
+
+def test_dynamic_partition_overwrite_keeps_sibling_partitions(spark, sf_small, tmpdir):
+    """Overwriting one partition's batch must not clobber the others
+    (incremental backfill semantics)."""
+    import pyspark.sql.functions as F
+
+    from lab3_lakehouse_spark.sources.medallion import materialize, read_tier
+
+    ev = load_table(spark, sf_small, "events")
+    materialize(ev, f"{tmpdir}/dp", partition_by=["event_type"])
+    full = read_tier(spark, f"{tmpdir}/dp").count()
+    one_type = ev.filter(F.col("event_type") == "click").limit(10)
+    materialize(
+        one_type, f"{tmpdir}/dp", partition_by=["event_type"],
+        dynamic_partition_overwrite=True,
+    )
+    back = read_tier(spark, f"{tmpdir}/dp")
+    assert back.filter(F.col("event_type") == "click").count() == 10
+    # non-click partitions untouched
+    assert back.filter(F.col("event_type") != "click").count() == full - ev.filter(
+        F.col("event_type") == "click"
+    ).count()

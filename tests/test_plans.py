@@ -218,3 +218,23 @@ def test_aggregate_in_subquery_becomes_semi_join(spark, sf):
     assert pa.count_nodes(df, "CartesianProduct") == 0
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf, tmp_path):
+    """A fact table partitioned on the join key must get a runtime
+    partition filter injected from the filtered dim side (DPP) — at
+    100 TB this is the difference between scanning one partition and
+    scanning the tier."""
+    from pyspark.sql import functions as F
+
+    fact_path = str(tmp_path / "fact_dpp")
+    ev = load_table(spark, sf, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("click", 1), ("purchase", 2), ("view", 3), ("error", 4), ("signup", 5)],
+        ["event_type", "type_rank"],
+    ).filter(F.col("type_rank") <= 1)
+    joined = fact.join(dim, "event_type").groupBy("event_type").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan[:2000]
