@@ -77,6 +77,25 @@ _PRIORITY = [
     "salted_agg_event_type",
     "incremental_rollup_hourly",
     "asof_purchase_last_view",
+    # file touched in round 3 (pure additions, but the module changed —
+    # keep their verdicts ≤1 round old), ordered by residual risk
+    "media_decode_features",
+    "media_frame_sample",
+    "pack_documents_concat_chop",
+    "stratified_sample_documents",
+    "streaming_tumbling_hourly",
+    "sliding_window_counts",
+    "streaming_session_windows",
+    "streaming_purchase_view_join",
+    "ml_feature_table",
+    "ml_rf_metrics",
+    "value_percentiles",
+    "sql_late_order_priority",
+    "sql_small_qty_revenue",
+    "pivot_user_event_counts",
+    "unpivot_order_amounts",
+    "explode_embedding_positions",
+    "latest_event_per_user",
 ]
 
 
