@@ -66,6 +66,7 @@ _PRIORITY = [
     "approx_percentiles_contract",
     "streaming_dedup_users",
     "sql_large_volume_customers",
+    "streaming_static_enrichment",
     # code touched in round 3 → re-verify even though green in r2
     "minhash_lsh_near_dups",
     "simhash_near_dups",

@@ -162,6 +162,33 @@ def streaming_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_static_enrichment",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, count(*) AS n_events
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join — the third Structured Streaming join mode
+    (besides stream-stream interval join and windowed aggs): each
+    micro-batch of the event stream is enriched against a BATCH
+    dimension table, no state store involved (the static side is just
+    re-planned per batch; at scale it broadcasts). Aggregated per
+    segment so the result is micro-batch-partition independent; the
+    batch oracle applies verbatim."""
+    tune_session(spark)
+    from lab3_lakehouse_spark.catalog import load_table
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    enriched = sw.stream_events(spark, sf_dir).join(dim, "user_id")
+    agg = enriched.groupBy("segment").agg(F.count(F.lit(1)).alias("n_events"))
+    return sw.run_to_memory(agg, spark, output_mode="complete")
+
+
+@query(
     "streaming_purchase_view_join",
     oracle="""
     SELECT p.event_id AS p_id, v.event_id AS v_id
