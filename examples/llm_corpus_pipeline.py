@@ -1,0 +1,136 @@
+"""End-to-end LLM training-corpus pipeline on the engine — the
+north-star workload (BASELINE.json) composed from the operator kit,
+the way a data team would actually chain it:
+
+    documents
+      → quality gate           (operators/text.quality_features)
+      → language ID            (operators/text.lang_id_heuristic)
+      → exact dedup            (operators/dedup.exact_dedup)
+      → near-dup collapse      (MinHash-LSH pairs → verify →
+                                connected components → keep each
+                                component's smallest doc_id)
+      → decontamination        (operators/text.ngram_overlap vs a
+                                held-out benchmark split)
+      → sequence packing       (operators/packing.pack_concat_chop)
+      → versioned corpus tier  (sources/versioned.write_version)
+
+Every stage is the PRODUCTION formulation (LSH banding, hash-shuffle
+dedup, postings-join decontamination — no brute force anywhere), so the
+same composition is the 100 TB plan. Stage row counts are collected
+once at the end from a single cached frame per stage boundary.
+
+Run: ``python examples/llm_corpus_pipeline.py [sf_dir] [out_dir]``.
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lab3_lakehouse_spark.catalog import fan_out, load_table
+from lab3_lakehouse_spark.operators import dedup as dedup_ops
+from lab3_lakehouse_spark.operators import packing as pack_ops
+from lab3_lakehouse_spark.operators import text as text_ops
+from lab3_lakehouse_spark.sources import versioned as vt
+
+
+def run_corpus_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    out_root: str,
+    seq_len: int = 512,
+    near_dup_threshold: float = 0.8,
+    contamination_threshold: float = 0.5,
+) -> dict[str, int]:
+    """Build a packed, deduplicated, decontaminated corpus tier.
+    Returns per-stage surviving row counts (monotonically
+    non-increasing until packing)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+
+    # 1. quality gate: drop degenerate docs before any expensive op
+    quality = text_ops.quality_features(docs).filter(
+        (F.col("n_tokens") >= 5) & (F.col("mean_token_len") < 20)
+    )
+
+    # 2. language ID (kept as metadata; a real run would partition by it)
+    tagged = quality.withColumn(
+        "lang_pred", text_ops.lang_id_heuristic(F.col("text"))
+    )
+
+    # 3. exact dedup — cheapest tier first, shrinks the LSH input
+    exact = dedup_ops.exact_dedup(tagged, ["text"], ["doc_id"])
+
+    # 4. near-dup collapse: one shingle-hash pass shared by candidates
+    #    and verification, then component-root survivors
+    hashed = exact.select(
+        F.col("doc_id").alias("__id"),
+        dedup_ops.shingle_hashes("text", 3).alias("__h"),
+    ).localCheckpoint(eager=False)
+    pairs = dedup_ops.minhash_verify_hashed(
+        dedup_ops.minhash_lsh_candidates_from_hashes(hashed, num_perm=64, bands=16),
+        hashed,
+        threshold=near_dup_threshold,
+    )
+    components = dedup_ops.connected_components(pairs, "id_a", "id_b")
+    non_roots = components.filter(F.col("vertex") != F.col("component")).select(
+        F.col("vertex").alias("doc_id")
+    )
+    deduped = exact.join(non_roots, "doc_id", "left_anti")
+
+    # 5. decontamination against the held-out benchmark split
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = deduped.filter(F.col("doc_id") % 10 != 0)
+    overlaps = text_ops.ngram_overlap(corpus, bench, shingle_n=3)
+    contaminated = overlaps.filter(
+        F.col("n_overlap").cast("double") / F.col("n_shingles").cast("double")
+        >= contamination_threshold
+    ).select("doc_id").distinct()
+    clean = corpus.join(contaminated, "doc_id", "left_anti")
+
+    # 6. concat-and-chop packing into fixed-length training sequences
+    packed = pack_ops.pack_concat_chop(
+        clean.withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(8))),
+        token_col="n_tokens",
+        order_col="doc_id",
+        shard_col="shard",
+        seq_len=seq_len,
+    )
+
+    # 7. publish as an immutable corpus snapshot
+    version = vt.write_version(packed, spark, f"{out_root}/corpus")
+
+    stages: dict[str, DataFrame] = {
+        "input": docs,
+        "quality": quality,
+        "exact_dedup": exact,
+        "near_dedup": deduped,
+        "decontaminated": clean,
+    }
+    counts = {name: df.count() for name, df in stages.items()}
+    final = vt.read_version(spark, f"{out_root}/corpus")
+    counts["packed_rows"] = final.count()
+    counts["n_packs"] = final.select("shard", "pack_id").distinct().count()
+    counts["corpus_version"] = version
+    return counts
+
+
+def main() -> None:
+    from lab3_lakehouse_spark.session import build_session
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp("llm_corpus")
+    spark = build_session(app_name="llm-corpus-pipeline")
+    try:
+        print(run_corpus_pipeline(spark, sf_dir, out))
+    finally:
+        if len(sys.argv) <= 2:
+            shutil.rmtree(out, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,33 @@
+"""The composed LLM-corpus pipeline example must run end-to-end with
+monotone stage shrinkage and a committed versioned output."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent / "examples"))
+
+
+def test_corpus_pipeline_end_to_end(spark, sf_small, tmpdir):
+    from llm_corpus_pipeline import run_corpus_pipeline
+
+    from lab3_lakehouse_spark.sources import versioned as vt
+
+    c = run_corpus_pipeline(spark, sf_small, str(tmpdir), seq_len=128)
+    # each cleaning stage can only shrink the corpus
+    assert c["input"] >= c["quality"] >= c["exact_dedup"] >= c["near_dedup"]
+    # decontamination also removes the benchmark split itself
+    assert c["near_dedup"] > c["decontaminated"] >= 1
+    assert c["packed_rows"] == c["decontaminated"]
+    assert 1 <= c["n_packs"] <= c["packed_rows"]
+    assert vt.history(spark, f"{tmpdir}/corpus") == [c["corpus_version"]]
+    # rerun publishes a NEW snapshot with identical content (determinism)
+    c2 = run_corpus_pipeline(spark, sf_small, str(tmpdir), seq_len=128)
+    assert c2["packed_rows"] == c["packed_rows"]
+    assert c2["corpus_version"] == c["corpus_version"] + 1
+    a = vt.read_version(spark, f"{tmpdir}/corpus", version=c["corpus_version"])
+    b = vt.read_version(spark, f"{tmpdir}/corpus", version=c2["corpus_version"])
+    key = ["doc_id", "shard", "pack_id", "start_offset"]
+    assert a.select(*key).subtract(b.select(*key)).count() == 0
+    assert b.select(*key).subtract(a.select(*key)).count() == 0
