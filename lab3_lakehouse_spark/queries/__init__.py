@@ -2,8 +2,11 @@
 
 Each query is a ``(spark, sf_dir) -> DataFrame`` callable registered via
 ``@query(name, oracle=...)``; the oracle is the ANSI-SQL equivalent run
-by DuckDB in the driver's differential check. Queries without an oracle
-(LSH dedup, streaming, ML — non-SQL-expressible) get a rows-only check.
+by DuckDB in the driver's differential check. Every registered query
+carries an oracle: a real SQL twin where the operator is
+SQL-expressible (including recursive CTEs for graph ops), or an
+assert-style contract (recall floor, rank-error bound, completeness
+check) emitted as SQL-checkable columns where it is not.
 
 Import side effects populate the registry.
 """
