@@ -117,3 +117,50 @@ def test_duration_minutes_exact(spark, s_sec, e_sec):
     df = spark.createDataFrame([(s, e)], ["a", "b"])
     got = df.select(duration_minutes("a", "b").alias("d")).first().d
     assert got == (e_sec - s_sec) / 60.0
+
+
+# --------------------------------------------- connected components ------
+
+_edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=30),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _union_find(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {v: find(v) for v in parent}
+
+
+@settings(max_examples=6, deadline=None)
+@given(_edge_lists)
+def test_connected_components_both_algorithms_match_union_find(spark, edges):
+    """Random graphs (self-loop-free, dup/reversed edges allowed): both
+    distributed algorithms must produce exactly the min-id component
+    labeling a sequential union-find computes."""
+    from lab3_lakehouse_spark.operators import dedup as dedup_ops
+
+    expected = _union_find(edges)
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    for algo in ("hash-min", "alternating"):
+        got = {
+            r.vertex: r.component
+            for r in dedup_ops.connected_components(df, algorithm=algo).collect()
+        }
+        assert got == expected, algo
