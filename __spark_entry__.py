@@ -67,6 +67,7 @@ _PRIORITY = [
     "streaming_dedup_users",
     "sql_large_volume_customers",
     "streaming_static_enrichment",
+    "window_distribution_ranks",
     # code touched in round 3 → re-verify even though green in r2
     "minhash_lsh_near_dups",
     "simhash_near_dups",

@@ -305,6 +305,40 @@ def window_rank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_distribution_ranks",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(4) OVER w AS BIGINT) AS price_quartile,
+           percent_rank() OVER w           AS pct_rank,
+           cume_dist() OVER w              AS cdist,
+           first_value(o_orderkey) OVER w  AS cheapest_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window family: ntile quartiles, percent_rank,
+    cume_dist, first_value. The ORDER BY carries an o_orderkey
+    tie-break because ntile assigns by ROW POSITION (ties split across
+    buckets arbitrarily without a total order — unlike rank/dense_rank
+    which window_rank_parts_by_price covers tie-group-exactly).
+    percent_rank and cume_dist are exact rational doubles of row
+    counts → bit-identical cross-engine, no rounding policy needed."""
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    spec = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(spec).cast("long").alias("price_quartile"),
+        F.percent_rank().over(spec).alias("pct_rank"),
+        F.cume_dist().over(spec).alias("cdist"),
+        F.first("o_orderkey").over(spec).alias("cheapest_key"),
+    )
+
+
+@query(
     "global_top_orders",
     oracle="""
     SELECT o_orderkey, o_totalprice, o_orderpriority
