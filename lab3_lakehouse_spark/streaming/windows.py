@@ -23,9 +23,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: Physical parquet schema of events.parquet (ts is TIMESTAMP(NANOS),
-#: surfaced as long under ``nanosAsLong`` — streaming readers need the
-#: schema up front; there is no inference on streams).
+#: Raw parquet schema of events.parquet when ``ts`` is stored as
+#: TIMESTAMP(NANOS) or a plain INT64 of epoch-nanos: surfaced as long
+#: (under ``nanosAsLong`` for the former) — streaming readers need the
+#: schema up front; there is no inference on streams.
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -37,26 +38,68 @@ EVENTS_RAW_SCHEMA = T.StructType(
     ]
 )
 
+#: Same table when ``ts`` is parquet TIMESTAMP(MICROS/MILLIS) — Spark's
+#: native timestamp encoding, read without any conversion.
+EVENTS_TS_SCHEMA = T.StructType(
+    [f if f.name != "ts" else T.StructField("ts", T.TimestampType()) for f in EVENTS_RAW_SCHEMA]
+)
+
+
+def _ts_stored_as_nanos(path: str) -> bool:
+    """True when the ``ts`` column is epoch-nanoseconds carried in an
+    int64 (either parquet TIMESTAMP(NANOS) or a plain INT64).
+
+    Footer-only metadata read of ONE file on the driver — no data scan,
+    so it is 100 TB-safe. Contract: every file in a stream directory
+    uses the same ``ts`` encoding (standard for any parquet source —
+    Spark itself requires a single reader schema per stream).
+    """
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    if not files:
+        return True  # empty source dir: keep the historical nanos contract
+    t = pq.ParquetFile(files[0]).schema_arrow.field("ts").type
+    return t == pa.int64() or (pa.types.is_timestamp(t) and t.unit == "ns")
+
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``events`` as a file stream. maxFilesPerTrigger=1 gives
     deterministic micro-batch granularity in tests; a production reader
-    would bound *bytes* per trigger instead."""
+    would bound *bytes* per trigger instead.
+
+    The ``ts`` encoding is detected from the parquet footer (the
+    testdata has shipped both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    over time): nanos arrive as long and are truncated to µs timestamps,
+    micros/millis are read natively — mirroring the batch reader's
+    defensive decode in ``catalog.load_table``.
+    """
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
+    nanos = _ts_stored_as_nanos(path)
     if not os.path.isdir(path):
         # single-file source: FileStreamSource requires a directory or a
         # glob — bracketing the last char forces glob semantics, which
         # makes basePath default to the parent directory
         path = f"{path[:-1]}[{path[-1]}]"
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(EVENTS_RAW_SCHEMA if nanos else EVENTS_TS_SCHEMA)
         .option("maxFilesPerTrigger", "1")
         .parquet(path)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def tumbling_counts(
