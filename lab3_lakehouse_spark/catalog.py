@@ -43,9 +43,11 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-#: Columns stored as parquet TIMESTAMP(NANOS): Spark reads them as long
-#: (session conf ``nanosAsLong``); we convert to µs timestamps on load,
-#: truncating like µs-native engines do.
+#: Columns whose at-rest encoding has varied across testdata versions
+#: (parquet TIMESTAMP(NANOS) → long under ``nanosAsLong``; naive
+#: TIMESTAMP(MICROS) → TIMESTAMP_NTZ): normalized to plain TimestampType
+#: on load so the rest of the engine sees ONE type. The session timezone
+#: is pinned to UTC (session.py), so the NTZ→LTZ cast is lossless.
 NS_TIMESTAMP_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
@@ -55,10 +57,15 @@ def load_table(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     for c in NS_TIMESTAMP_COLS.get(name, ()):
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+        if c not in df.columns:
+            continue
+        dt = dict(df.dtypes)[c]
+        if dt == "bigint":
             # `div`, not `/`: float division garbles µs precision on
             # ~1e18 ns epoch values (doubles carry only 2^53)
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     if validate and name in TESTDATA_SCHEMAS:
         expected = {f.name for f in TESTDATA_SCHEMAS[name].fields}
         got = set(df.columns)
