@@ -68,6 +68,11 @@ _PRIORITY = [
     "sql_large_volume_customers",
     "streaming_static_enrichment",
     "window_distribution_ranks",
+    "gopher_repetition_rules",
+    "pii_redaction_report",
+    "heavy_hitter_tokens",
+    "embedding_label_centroids",
+    "sql_balance_prospects",
     # code touched in round 3 → re-verify even though green in r2
     "minhash_lsh_near_dups",
     "simhash_near_dups",
@@ -81,6 +86,13 @@ _PRIORITY = [
     "asof_purchase_last_view",
     # file touched in round 3 (pure additions, but the module changed —
     # keep their verdicts ≤1 round old), ordered by residual risk
+    "value_percentiles",
+    "sql_late_order_priority",
+    "sql_small_qty_revenue",
+    "pivot_user_event_counts",
+    "unpivot_order_amounts",
+    "explode_embedding_positions",
+    "latest_event_per_user",
     "media_decode_features",
     "media_frame_sample",
     "pack_documents_concat_chop",
@@ -91,13 +103,6 @@ _PRIORITY = [
     "streaming_purchase_view_join",
     "ml_feature_table",
     "ml_rf_metrics",
-    "value_percentiles",
-    "sql_late_order_priority",
-    "sql_small_qty_revenue",
-    "pivot_user_event_counts",
-    "unpivot_order_amounts",
-    "explode_embedding_positions",
-    "latest_event_per_user",
 ]
 
 

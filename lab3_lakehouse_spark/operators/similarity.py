@@ -282,3 +282,30 @@ def cosine_pairs_blocked(
         .filter(F.col("cosine") >= threshold)
         .select(F.col("__blk").alias(block_col), "id_a", "id_b", "cosine")
     )
+
+
+def grouped_centroids(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str,
+    dim: int,
+) -> DataFrame:
+    """Per-group centroid of an embedding column, LONG format:
+    ``(group_col, pos, centroid)`` with one row per (group, dimension).
+
+    Scale design: ``dim`` scalar ``avg(vec[i])`` aggregate expressions in
+    ONE hash aggregation — a single shuffle keyed on the group, carrying
+    ``dim`` doubles per partial state. The tempting alternative
+    (``posexplode`` then group by (group, pos)) multiplies shuffle rows
+    by ``dim`` (64× here) for the same answer; with known fixed ``dim``
+    the wide-agg form is strictly better. The tiny aggregated result is
+    then unpivoted driver-cost-free with ``stack``.
+    """
+    aggs = [
+        F.avg(F.col(vec_col)[i].cast("double")).alias(f"c{i}") for i in range(dim)
+    ]
+    wide = df.groupBy(group_col).agg(*aggs)
+    stack = ", ".join(f"{i}L, c{i}" for i in range(dim))
+    return wide.selectExpr(
+        group_col, f"stack({dim}, {stack}) AS (pos, centroid)"
+    )

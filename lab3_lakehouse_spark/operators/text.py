@@ -65,6 +65,103 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _max_run_length(sorted_arr: Column) -> Column:
+    """Length of the longest run of equal adjacent elements in a SORTED
+    array — i.e. the count of the most frequent element. One O(len)
+    ``aggregate`` fold per row, all integer arithmetic (exact on any
+    engine), zero shuffle."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("int").alias("run"),
+        F.lit(0).cast("int").alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1, re-derived
+    from the published heuristics): fraction of tokens taken by the most
+    frequent token, and the duplicate fraction of word 2-grams /
+    3-grams. High values flag boilerplate/spam for corpus filtering.
+
+    All per-row Catalyst expressions — integer counts and exact int/int
+    double divisions (bit-identical cross-engine, no rounding needed),
+    computed in the scan pipeline with ZERO shuffles; at 100 TB this
+    costs only the scan it is fused into.
+    """
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+
+    def dup_ngram_fraction(n: int) -> Column:
+        n_grams = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+        shifted = [F.slice(toks, 1 + j, n_grams) for j in range(n)]
+        grams = F.transform(
+            F.arrays_zip(*shifted),
+            lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]),
+        )
+        return F.when(
+            n_grams > 0,
+            (n_grams - F.size(F.array_distinct(grams))).cast("double")
+            / n_grams.cast("double"),
+        )
+
+    n_tok = F.size(toks)
+    return df.withColumns(
+        {
+            "n_tokens": n_tok.cast("long"),
+            "top_token_ratio": _max_run_length(F.array_sort(toks)).cast("double")
+            / n_tok.cast("double"),
+            "dup_bigram_fraction": dup_ngram_fraction(2),
+            "dup_trigram_fraction": dup_ngram_fraction(3),
+        }
+    )
+
+
+#: PII detector patterns — the Java-regex / RE2 common subset (char
+#: classes + bounded repetition + \b), so Spark's regexp_* and any
+#: RE2-based engine (DuckDB, Go) agree match-for-match. Ordered dict:
+#: redaction applies in this order (patterns are non-overlapping).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Scrub PII from a text column: replace every match of each
+    detector pattern with ``<TYPE>`` and attach per-type match counts
+    (``n_<type>``, counted on the ORIGINAL text) for audit accounting.
+
+    JVM-side ``regexp_replace``/``regexp_count`` in the scan pipeline —
+    zero shuffle, linear in text size, the standard pre-training
+    scrubbing pass. Patterns stay in the Java/RE2 common subset so
+    results are engine-portable.
+    """
+    patterns = PII_PATTERNS if patterns is None else patterns
+    out_col = out_col or f"{text_col}_redacted"
+    src = F.col(text_col)
+    redacted = src
+    counts: dict[str, Column] = {}
+    for name, pat in patterns.items():
+        counts[f"n_{name}"] = F.regexp_count(src, F.lit(pat)).cast("long")
+        redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
+    return df.withColumns({**counts, out_col: redacted})
+
+
 #: marker-word tables for the n-gram language-ID heuristic. Real
 #: pipelines use fastText/CLD3; the heuristic keeps the operator
 #: dependency-free and deterministic (and SQL-expressible for the

@@ -313,3 +313,38 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", "ts").alias("last_value"),
         F.max("ts").alias("last_ts"),
     )
+
+
+_BALANCE_PROSPECTS_SQL = """
+    WITH avg_bal AS (
+        SELECT CAST(floor(avg(c_acctbal) * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+                   AS threshold
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_prospects,
+           CAST(floor(sum(c.c_acctbal) * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+               AS total_bal
+    FROM customer c, avg_bal a
+    WHERE c.c_acctbal > a.threshold
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_mktsegment
+"""
+
+
+@query("sql_balance_prospects", oracle=_BALANCE_PROSPECTS_SQL)
+def sql_balance_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: uncorrelated scalar subquery (global average
+    balance) + correlated NOT EXISTS (customers above the average
+    balance with no urgent orders), through the SQL front door.
+    Catalyst plans the scalar as a one-row broadcast (computed once,
+    never per row) and decorrelates NOT EXISTS into a left-anti join —
+    completing the decorrelation family (EXISTS/Q4, scalar/Q17,
+    aggregate-IN/Q18). The threshold is round4'd INSIDE the query on
+    both engines, so the avg's summation-order ulp difference cannot
+    flip the comparison for a customer sitting exactly on the boundary."""
+    tune_session(spark)
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_BALANCE_PROSPECTS_SQL)

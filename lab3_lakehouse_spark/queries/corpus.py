@@ -1,0 +1,189 @@
+"""Corpus-statistics and scrubbing queries (north-star surface):
+Gopher-style repetition filters, PII redaction accounting, vocabulary
+heavy hitters, per-label embedding centroids.
+
+Cross-engine determinism notes:
+
+- repetition ratios are exact int/int double divisions → bit-identical,
+  no rounding anywhere;
+- PII patterns live in the Java-regex / RE2 common subset, so Spark and
+  DuckDB agree match-for-match (tests plant known PII and check counts);
+- centroid averages are cross-row double sums (shuffle-order-dependent
+  in Spark, scan-order in DuckDB) → ``round4`` on both sides, the same
+  policy every aggregate query in the catalog uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lab3_lakehouse_spark.catalog import load_table
+from lab3_lakehouse_spark.operators import similarity as sim_ops
+from lab3_lakehouse_spark.operators import text as text_ops
+from lab3_lakehouse_spark.queries._util import round4, sql_round4
+from lab3_lakehouse_spark.queries.registry import query
+from lab3_lakehouse_spark.session import tune_session
+
+
+@query(
+    "gopher_repetition_rules",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+    ), per_tok AS (
+        SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+    ), top AS (
+        SELECT doc_id, max(c) AS top_cnt, CAST(sum(c) AS BIGINT) AS n_tokens
+        FROM per_tok GROUP BY doc_id
+    ), grams AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i + 1]) AS bg,
+               list_transform(generate_series(1, len(t) - 2),
+                              i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS tg
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+    )
+    SELECT top.doc_id,
+           top.n_tokens,
+           top.top_cnt::DOUBLE / top.n_tokens AS top_token_ratio,
+           CASE WHEN len(bg) > 0
+                THEN (len(bg) - len(list_distinct(bg)))::DOUBLE / len(bg)
+           END AS dup_bigram_fraction,
+           CASE WHEN len(tg) > 0
+                THEN (len(tg) - len(list_distinct(tg)))::DOUBLE / len(tg)
+           END AS dup_trigram_fraction
+    FROM top JOIN grams ON top.doc_id = grams.doc_id
+    """,
+)
+def gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals in the Gopher/MassiveText
+    tradition: most-frequent-token fraction and duplicate 2-/3-gram
+    fractions per document. The Spark side is pure per-row Catalyst
+    (sort + fold, zero shuffle — operators/text.py:repetition_features);
+    the oracle recomputes the same integer counts relationally."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.repetition_features(docs).select(
+        "doc_id",
+        "n_tokens",
+        "top_token_ratio",
+        "dup_bigram_fraction",
+        "dup_trigram_fraction",
+    )
+
+
+#: deterministic PII augmentation shared by the Spark query and the
+#: oracle: plants an email in every doc, an IP in even docs, a phone in
+#: docs ≡ 0 (mod 5) — so counts vary per row and the redactor does real
+#: work the hash-compare can check.
+_PII_AUGMENT_SQL = """
+    text
+    || ' contact user' || CAST(doc_id AS STRING) || '@example.com'
+    || CASE WHEN doc_id % 2 = 0
+            THEN ' ip 10.0.' || CAST(doc_id % 256 AS STRING) || '.7'
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END
+"""
+
+
+@query(
+    "pii_redaction_report",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id, {_PII_AUGMENT_SQL} AS text FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT)
+               AS n_email,
+           CAST(len(regexp_extract_all(text,
+                '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b')) AS BIGINT)
+               AS n_ipv4,
+           CAST(len(regexp_extract_all(text,
+                '\\b[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}\\b')) AS BIGINT)
+               AS n_phone,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                       '<EMAIL>', 'g'),
+                   '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b',
+                   '<IPV4>', 'g'),
+               '\\b[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}\\b',
+               '<PHONE>', 'g') AS text_redacted
+    FROM aug
+    """,
+)
+def pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing with audit accounting (operators/text.py:redact_pii):
+    detector regexes in the Java/RE2 common subset replace every match
+    and report per-type counts from the original text. The corpus has no
+    organic PII, so the query plants deterministic synthetic PII (same
+    expression in the oracle) — the redactor's behavior, not the data,
+    is what's under test. Zero shuffle: runs in the scan pipeline."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", F.expr(_PII_AUGMENT_SQL).alias("text"))
+    return text_ops.redact_pii(aug, "text").select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "text_redacted"
+    )
+
+
+@query(
+    "heavy_hitter_tokens",
+    oracle="""
+    SELECT tok AS token, count(*) AS cnt
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY cnt DESC, tok
+    LIMIT 25
+    """,
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters: top-25 tokens by frequency,
+    ties broken lexically (deterministic cross-engine). Shape at scale:
+    explode → hash agg (map-side partial combine collapses each
+    partition to its vocabulary before the shuffle — token frequency is
+    exactly the workload partial aggregation exists for) → TakeOrdered
+    on the tiny vocabulary frame; the full token stream is never
+    shuffled."""
+    tune_session(spark)
+    from lab3_lakehouse_spark.operators.dedup import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(25)
+    )
+
+
+@query(
+    "embedding_label_centroids",
+    oracle=f"""
+    SELECT label,
+           CAST(pos - 1 AS BIGINT)     AS pos,
+           {sql_round4('avg(CAST(v AS DOUBLE))')} AS centroid
+    FROM (
+        SELECT label,
+               unnest(embedding) AS v,
+               unnest(generate_series(1, len(embedding))) AS pos
+        FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long format (label, pos,
+    centroid) — the class-prototype computation behind semantic dedup
+    and clustering QA. One hash aggregation carrying dim=64 doubles of
+    partial state per label; see operators/similarity.py:
+    grouped_centroids for why this beats posexplode 64-fold."""
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = sim_ops.grouped_centroids(emb, "label", "embedding", dim=64)
+    return cent.select("label", "pos", round4(F.col("centroid")).alias("centroid"))
