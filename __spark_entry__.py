@@ -73,6 +73,8 @@ _PRIORITY = [
     "heavy_hitter_tokens",
     "embedding_label_centroids",
     "sql_balance_prospects",
+    "semantic_dedup_flags",
+    "embedding_quantization_report",
     # code touched in round 3 → re-verify even though green in r2
     "minhash_lsh_near_dups",
     "simhash_near_dups",

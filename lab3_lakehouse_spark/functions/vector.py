@@ -59,3 +59,32 @@ def normalize(a: Column | str) -> Column:
     plain dot product — half the flops on the hot inner loop."""
     arr = _dbl(a)
     return F.transform(arr, lambda x: x / l2_norm(arr))
+
+
+def quantize_int8(a: Column | str) -> Column:
+    """Symmetric int8 quantization of an embedding: per-vector scale
+    ``max(|x|)/127`` and codes ``round(x/scale)`` in [-127, 127] —
+    struct ``(scale, q)``. 4× smaller at rest than float32, the standard
+    storage/bandwidth trade for corpus-scale vector stores; dequantize
+    is ``q * scale``.
+
+    Pure Catalyst fold/transform (JVM codegen, zero shuffle, fused into
+    the scan). Precondition: no all-zero vectors (scale > 0) — callers
+    quantizing data that may contain them should filter on
+    ``l2_norm(col) > 0`` first.
+    """
+    arr = _dbl(a)
+    scale = F.aggregate(
+        arr, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    ) / F.lit(127.0)
+    return F.struct(
+        scale.alias("scale"),
+        F.transform(arr, lambda x: F.round(x / scale).cast("int")).alias("q"),
+    )
+
+
+def dequantize(qstruct: Column) -> Column:
+    """Inverse of :func:`quantize_int8`: ``q * scale`` as array<double>."""
+    return F.transform(
+        qstruct["q"], lambda q: q.cast("double") * qstruct["scale"]
+    )

@@ -284,6 +284,44 @@ def cosine_pairs_blocked(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Semantic (embedding-space) deduplication in the SemDeDup
+    tradition (Abbas et al. 2023, re-derived from the published idea):
+    inside each block — a semantic cluster; here a label, at scale a
+    k-means cell with k ∝ n — a vector is a DUPLICATE iff some
+    lower-id vector in the same block has cosine ≥ ``threshold``.
+    Returns the corpus annotated with ``is_dup`` and ``dup_of`` (the
+    smallest such earlier id, NULL for keepers), so callers can either
+    filter keepers or audit what was dropped and why.
+
+    The keep-lowest-id rule makes the output deterministic and
+    order-free (no greedy sequential chain), which is what lets both a
+    distributed engine and a SQL oracle compute the identical answer.
+
+    Scale shape: blocked all-pairs cosine (pairs ≪ n² — SemDeDup's own
+    trick; cluster count grows with n so cell size stays bounded), one
+    hash-agg min per duplicate, one broadcast-size join back. No
+    driver participation at any point.
+    """
+    pairs = cosine_pairs_blocked(df, id_col, vec_col, block_col, threshold)
+    dup_of = pairs.groupBy(F.col("id_b").alias("__dup_id")).agg(
+        F.min("id_a").alias("dup_of")
+    )
+    out = df.join(dup_of, df[id_col] == dup_of["__dup_id"], "left")
+    return out.select(
+        block_col,
+        id_col,
+        F.col("dup_of"),
+        F.col("dup_of").isNotNull().alias("is_dup"),
+    )
+
+
 def grouped_centroids(
     df: DataFrame,
     group_col: str,

@@ -187,3 +187,89 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cent = sim_ops.grouped_centroids(emb, "label", "embedding", dim=64)
     return cent.select("label", "pos", round4(F.col("centroid")).alias("centroid"))
+
+
+@query(
+    "semantic_dedup_flags",
+    oracle="""
+    SELECT e.label, e.vec_id, d.dup_of,
+           d.dup_of IS NOT NULL AS is_dup
+    FROM embeddings e
+    LEFT JOIN (
+        SELECT b.vec_id AS dup_id, min(a.vec_id) AS dup_of
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]) >= 0.35
+        GROUP BY b.vec_id
+    ) d ON d.dup_id = e.vec_id
+    """,
+)
+def semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup over the embedding corpus: within each label
+    cluster, flag vectors whose cosine to a lower-id cluster-mate is
+    ≥ 0.35 and record the keeper (operators/similarity.py:
+    semantic_dedup). Exact cosine via the JVM fold — bit-identical to
+    the oracle's list_cosine_similarity, so the threshold comparison
+    cannot diverge cross-engine."""
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.semantic_dedup(
+        emb, "vec_id", "embedding", "label", threshold=0.35
+    )
+
+
+@query(
+    "embedding_quantization_report",
+    oracle=f"""
+    WITH scaled AS (
+        SELECT vec_id,
+               embedding::DOUBLE[] AS v,
+               list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        FROM embeddings
+    )
+    SELECT vec_id,
+           {sql_round4('scale')} AS scale,
+           CAST(len(list_filter(v,
+               x -> abs(round(x / scale)) >= 127)) AS BIGINT) AS n_sat,
+           {sql_round4(
+               "list_sum(list_transform(v,"
+               " x -> (x - round(x / scale) * scale)"
+               "    * (x - round(x / scale) * scale))) / len(v)"
+           )} AS recon_mse
+    FROM scaled
+    """,
+)
+def embedding_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization audit (functions/vector.py:quantize_int8):
+    per-vector scale, saturated-code count, and reconstruction MSE of
+    the symmetric int8 encoding — the go/no-go report before swapping a
+    float32 vector store for int8 at 4× the density. Pure scan-side
+    Catalyst (fold/transform inside codegen, zero shuffle)."""
+    tune_session(spark)
+    from lab3_lakehouse_spark.functions import vector as vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = vec.quantize_int8("embedding")
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("__v"),
+        q.alias("__q"),
+    )
+    sq_err = F.zip_with(
+        vec.dequantize(F.col("__q")),
+        F.col("__v"),
+        lambda d, x: (x - d) * (x - d),
+    )
+    return base.select(
+        "vec_id",
+        round4(F.col("__q")["scale"]).alias("scale"),
+        F.size(
+            F.filter(F.col("__q")["q"], lambda c: F.abs(c) >= 127)
+        ).cast("long").alias("n_sat"),
+        round4(
+            F.aggregate(sq_err, F.lit(0.0), lambda acc, x: acc + x)
+            / F.size(F.col("__v"))
+        ).alias("recon_mse"),
+    )

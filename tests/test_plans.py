@@ -238,3 +238,35 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf, tmp_path):
     joined = fact.join(dim, "event_type").groupBy("event_type").count()
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan, plan[:2000]
+
+
+def test_semantic_dedup_blocked_equi_join(spark, sf):
+    """Semantic dedup must pair within blocks via equi-join hashing —
+    an all-pairs BNLJ/cartesian would be O(n²) at corpus scale."""
+    df = QUERIES["semantic_dedup_flags"](spark, sf)
+    assert pa.count_nodes(df, "BroadcastNestedLoopJoin") == 0
+    assert pa.count_nodes(df, "CartesianProduct") == 0
+
+
+def test_quantization_is_scan_pipeline(spark, sf):
+    """Int8 quantization audit is pure per-row math: zero shuffles,
+    fused into the parquet scan."""
+    df = QUERIES["embedding_quantization_report"](spark, sf)
+    assert pa.count_nodes(df, "Exchange") == 0
+
+
+def test_repetition_features_scan_pipeline(spark, sf):
+    """Gopher repetition signals fold per-row arrays — no shuffle."""
+    df = QUERIES["gopher_repetition_rules"](spark, sf)
+    assert pa.count_nodes(df, "Exchange") == 0
+
+
+def test_centroids_single_wide_aggregation(spark, sf):
+    """Label centroids: ONE shuffle (the group-by), dim folded into
+    wide agg state — not a posexplode 64× row multiplication."""
+    df = QUERIES["embedding_label_centroids"](spark, sf)
+    assert pa.count_nodes(df, "Exchange") == 1
+    # partial + final HashAggregate: the 64 per-dim avgs combine
+    # map-side; the stack-unpivot Generate runs AFTER the agg on the
+    # tiny (n_labels × 65) frame, never on the corpus
+    assert pa.count_nodes(df, "HashAggregate") >= 2
