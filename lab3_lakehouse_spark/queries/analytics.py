@@ -348,3 +348,66 @@ def sql_balance_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     register_views(spark, sf_dir, ("customer", "orders"))
     return spark.sql(_BALANCE_PROSPECTS_SQL)
+
+
+_RETURNED_ITEM_SQL = f"""
+    SELECT c.c_custkey AS custkey,
+           c.c_name AS name,
+           n.n_name AS nation,
+           {sql_round4("sum(l.l_extendedprice * (1 - l.l_discount))")} AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, custkey
+    LIMIT 20
+"""
+
+
+@query("sql_returned_item_report", oracle=_RETURNED_ITEM_SQL)
+def sql_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    quarter — fact⋈fact⋈dim⋈dim star with a date-range predicate,
+    through the SQL front door. The o_orderdate and l_returnflag
+    filters push to the parquet scans BEFORE the joins (Catalyst
+    filter pushdown); customer/nation broadcast. The top-20 is ordered
+    by the round4'd revenue with a custkey tie-break, so the cross-row
+    summation-order ulp between engines cannot reorder the cut."""
+    tune_session(spark)
+    register_views(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
+    return spark.sql(_RETURNED_ITEM_SQL)
+
+
+@query(
+    "order_price_histogram",
+    oracle=f"""
+    SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+           {sql_round4('floor(o_totalprice / 25000.0) * 25000.0')} AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {sql_round4('sum(o_totalprice)')} AS total_price
+    FROM orders
+    GROUP BY bin, bin_lo
+    """,
+)
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram over order totals (the width_bucket
+    pattern with explicit edge math so both engines bin identically:
+    o_totalprice is double, /25000.0 and floor are the same IEEE ops).
+    Shape at scale: bin id computed scan-side → ONE hash agg with
+    map-side combine; the histogram frame is as small as the bin count
+    regardless of input size."""
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    b = F.floor(F.col("o_totalprice") / F.lit(25000.0))
+    return orders.groupBy(
+        b.cast("long").alias("bin"),
+        round4(b * F.lit(25000.0)).alias("bin_lo"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        round4(F.sum("o_totalprice")).alias("total_price"),
+    )
