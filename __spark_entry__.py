@@ -77,6 +77,7 @@ _PRIORITY = [
     "embedding_quantization_report",
     "sql_returned_item_report",
     "order_price_histogram",
+    "profile_orders_columns",
     # code touched in round 3 → re-verify even though green in r2
     "minhash_lsh_near_dups",
     "simhash_near_dups",
@@ -84,10 +85,10 @@ _PRIORITY = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "range_join_price_bands",
-    "salted_join_lineitem_supplier",
     "incremental_rollup_hourly",
     "asof_purchase_last_view",
-    # docstring-only change in r3 → lowest re-verify urgency of the touched set
+    # guard-/docstring-only r3 changes → lowest re-verify urgency of the touched set
+    "salted_join_lineitem_supplier",
     "salted_agg_event_type",
     # file touched in round 3 (pure additions, but the module changed —
     # keep their verdicts ≤1 round old), ordered by residual risk

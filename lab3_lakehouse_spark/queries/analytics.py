@@ -411,3 +411,34 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         round4(F.sum("o_totalprice")).alias("total_price"),
     )
+
+
+_PROFILE_COLS = [
+    ("o_orderkey", True), ("o_custkey", True), ("o_orderstatus", False),
+    ("o_totalprice", True), ("o_orderdate", False), ("o_orderpriority", False),
+]
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column",
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           {f'CAST(min({c}) AS DOUBLE)' if num else 'CAST(NULL AS DOUBLE)'} AS min_value,
+           {f'CAST(max({c}) AS DOUBLE)' if num else 'CAST(NULL AS DOUBLE)'} AS max_value
+    FROM orders"""
+    for c, num in _PROFILE_COLS
+)
+
+
+@query("profile_orders_columns", oracle=_PROFILE_ORACLE)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of the orders table in ONE pass
+    (operators/profiling.py:profile_columns): row/null/exact-distinct
+    counts for every column, numeric min/max as doubles. min/max are
+    exact data values (no cross-row arithmetic), so no rounding is
+    needed for the cross-engine compare."""
+    tune_session(spark)
+    from lab3_lakehouse_spark.operators.profiling import profile_columns
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_columns(orders)
