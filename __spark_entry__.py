@@ -78,16 +78,19 @@ _PRIORITY = [
     "sql_returned_item_report",
     "order_price_histogram",
     "profile_orders_columns",
+    "fuzzy_part_name_matches",
+    "impute_event_values",
     # code touched in round 3 → re-verify even though green in r2
     "minhash_lsh_near_dups",
     "simhash_near_dups",
     "doc_fingerprint_matches",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    "range_join_price_bands",
     "incremental_rollup_hourly",
+    # r3 left these queries' own code paths untouched (guard/docstring/
+    # helper-only edits in their modules) → lowest re-verify urgency
+    "range_join_price_bands",
     "asof_purchase_last_view",
-    # guard-/docstring-only r3 changes → lowest re-verify urgency of the touched set
     "salted_join_lineitem_supplier",
     "salted_agg_event_type",
     # file touched in round 3 (pure additions, but the module changed —

@@ -72,3 +72,31 @@ def reject_report(df: DataFrame, predicates: dict[str, Column]) -> DataFrame:
         combined = combined & p
     aggs.append(F.sum(F.when(combined, 1).otherwise(0)).alias("n_passed"))
     return df.agg(*aggs)
+
+
+def impute_group_mean(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    out_col: str | None = None,
+) -> DataFrame:
+    """Mean-imputation of NULLs in ``value_col`` using the per-group
+    mean of the non-null values; adds ``out_col`` (default
+    ``<value_col>_imputed``) and a ``was_imputed`` flag.
+
+    Scale shape: the group means come from a ``groupBy().avg()`` —
+    map-side partial combine collapses each partition to its group
+    count before ONE shuffle of tiny partials — and re-attach via a
+    join on the group key. The means frame is as small as the group
+    cardinality, so AQE broadcasts it; the window-function alternative
+    (``avg OVER (PARTITION BY …)``) would instead shuffle the FULL
+    table into one partition per group — the skew trap this avoids.
+    """
+    out_col = out_col or f"{value_col}_imputed"
+    means = df.groupBy(*group_cols).agg(F.avg(value_col).alias("__grp_mean"))
+    return (
+        df.join(means, list(group_cols), "left")
+        .withColumn(out_col, F.coalesce(F.col(value_col), F.col("__grp_mean")))
+        .withColumn("was_imputed", F.col(value_col).isNull())
+        .drop("__grp_mean")
+    )

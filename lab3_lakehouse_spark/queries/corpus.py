@@ -273,3 +273,76 @@ def embedding_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame
             / F.size(F.col("__v"))
         ).alias("recon_mse"),
     )
+
+
+@query(
+    "fuzzy_part_name_matches",
+    oracle="""
+    SELECT a.p_brand AS brand,
+           a.p_partkey AS key_a,
+           b.p_partkey AS key_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a
+    JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def fuzzy_part_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage on part names: Levenshtein ≤ 3 within a
+    brand block (operators/dedup.py:edit_distance_pairs). Both engines
+    implement classic unweighted edit distance, so the integer
+    distances agree exactly."""
+    tune_session(spark)
+    from lab3_lakehouse_spark.operators import dedup as dedup_ops
+
+    part = load_table(spark, sf_dir, "part")
+    return (
+        dedup_ops.edit_distance_pairs(
+            part, "p_partkey", "p_name", "p_brand", max_dist=3
+        )
+        .withColumnsRenamed(
+            {"p_brand": "brand", "id_a": "key_a", "id_b": "key_b"}
+        )
+    )
+
+
+@query(
+    "impute_event_values",
+    oracle=f"""
+    WITH masked AS (
+        SELECT user_id, event_type, ts,
+               CASE WHEN user_id % 7 = 0 THEN NULL ELSE value END AS value
+        FROM events
+    ), means AS (
+        SELECT event_type, avg(value) AS grp_mean
+        FROM masked GROUP BY event_type
+    )
+    SELECT m.user_id, m.event_type, m.ts,
+           {sql_round4('coalesce(m.value, mm.grp_mean)')} AS value_imputed,
+           m.value IS NULL AS was_imputed
+    FROM masked m JOIN means mm USING (event_type)
+    """,
+)
+def impute_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-imputation with per-group means (operators/quality.py:
+    impute_group_mean). The corpus has no organic NULLs, so the query
+    masks a deterministic slice (user_id ≡ 0 mod 7) NULL first — the
+    imputer's behavior is what's under test. Group means re-attach via
+    a tiny AQE-broadcast join, NOT a full-table window shuffle."""
+    tune_session(spark)
+    from lab3_lakehouse_spark.operators.quality import impute_group_mean
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.when(F.col("user_id") % 7 != 0, F.col("value")).alias("value"),
+    )
+    out = impute_group_mean(ev, "value", ["event_type"])
+    return out.select(
+        "user_id",
+        "event_type",
+        "ts",
+        round4(F.col("value_imputed")).alias("value_imputed"),
+        "was_imputed",
+    )

@@ -52,3 +52,29 @@ def apply_casts(df: DataFrame, casts: dict[str, str]) -> DataFrame:
     """P3 with string type names (``"int"``, ``"float"``, ...) —
     convenience wrapper over :func:`cast_columns` (schema-tolerant)."""
     return cast_columns(df, casts, strict=False)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    infer: bool = False,
+) -> DataFrame:
+    """S1 companion: newline-delimited JSON scan with an explicit
+    schema contract — the interchange format most raw web/event dumps
+    arrive in before they become columnar tiers.
+
+    Same inversion as :func:`read_csv`: schema inference double-scans
+    (and, for JSON, unions object shapes across the whole input), so
+    production callers pass ``schema`` and the read is single-pass with
+    full predicate/column pruning available to Catalyst. Fields absent
+    in a line surface as NULLs (schema-tolerant by construction);
+    malformed lines go to ``_corrupt_record`` under the default
+    PERMISSIVE mode rather than failing the scan.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif not infer:
+        raise ValueError("pass a schema, or opt in to inference (infer=True)")
+    return reader.json(path)

@@ -4,6 +4,7 @@ medallion; §5.2 unit tests for non-oracle surfaces)."""
 from __future__ import annotations
 
 import math
+import os
 import shutil
 import tempfile
 
@@ -525,3 +526,38 @@ def test_dynamic_partition_overwrite_keeps_sibling_partitions(spark, sf_small, t
     assert back.filter(F.col("event_type") != "click").count() == full - ev.filter(
         F.col("event_type") == "click"
     ).count()
+
+
+def test_read_jsonl_explicit_schema_tolerant(spark, tmpdir):
+    """JSONL source: explicit schema, absent fields → NULL, no
+    inference scan."""
+    import pyspark.sql.types as T
+
+    path = os.path.join(tmpdir, "events.jsonl")
+    with open(path, "w") as f:
+        f.write('{"user_id": 1, "value": 2.5, "tag": "a"}\n')
+        f.write('{"user_id": 2, "value": 7.0}\n')  # tag absent → NULL
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("tag", T.StringType()),
+    ])
+    df = ingest.read_jsonl(spark, path, schema=schema)
+    rows = {r["user_id"]: (r["value"], r["tag"]) for r in df.collect()}
+    assert rows == {1: (2.5, "a"), 2: (7.0, None)}
+    with pytest.raises(ValueError):
+        ingest.read_jsonl(spark, path)
+
+
+def test_materialize_orc_roundtrip(spark, tmpdir):
+    """Tier writes are format-parametric: ORC at rest reads back
+    identically to parquet."""
+    from lab3_lakehouse_spark.sources import medallion
+
+    src = spark.range(100).selectExpr("id", "id % 7 AS grp", "id * 1.5 AS v")
+    path = os.path.join(tmpdir, "orc_tier")
+    medallion.materialize(src, path, fmt="orc")
+    back = spark.read.orc(path)
+    assert back.count() == 100
+    assert sorted(back.columns) == ["grp", "id", "v"]
+    assert back.agg({"v": "sum"}).first()[0] == src.agg({"v": "sum"}).first()[0]
