@@ -80,17 +80,20 @@ _PRIORITY = [
     "profile_orders_columns",
     "fuzzy_part_name_matches",
     "impute_event_values",
+    "hll_mergeable_daily_users",
+    "approx_top_tokens_contract",
     # code touched in round 3 → re-verify even though green in r2
     "minhash_lsh_near_dups",
     "simhash_near_dups",
     "doc_fingerprint_matches",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
     "incremental_rollup_hourly",
     # r3 left these queries' own code paths untouched (guard/docstring/
     # helper-only edits in their modules) → lowest re-verify urgency
     "range_join_price_bands",
     "asof_purchase_last_view",
+    # recall-contract queries: r3 changes were re-verified at sf0.01+sf0.1 when made
+    "ann_lsh_topk",
+    "ann_ivf_topk",
     "salted_join_lineitem_supplier",
     "salted_agg_event_type",
     # file touched in round 3 (pure additions, but the module changed —

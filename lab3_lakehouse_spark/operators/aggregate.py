@@ -149,3 +149,40 @@ def salted_agg(
         F.sum("__cnt").alias("cnt"),
         *[F.sum(f"__sum_{c}").alias(f"sum_{c}") for c in sum_cols],
     )
+
+
+def hll_sketch_rollup(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    lgk: int = 12,
+) -> DataFrame:
+    """Per-key Datasketches-HLL sketches of ``value_col`` — the
+    MERGEABLE distinct-count building block: sketches persist as
+    binary columns in a rollup tier and re-aggregate to any coarser
+    grain with :func:`hll_merge` (union is lossless), so "distinct
+    users per day" rolls up to per-month/global without ever
+    rescanning raw events. ``approx_count_distinct`` cannot do this —
+    its estimate doesn't compose; this is why continuous aggregates at
+    100 TB store sketches, not numbers.
+    """
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(value_col, F.lit(lgk)).alias("hll"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def hll_merge(
+    sketches: DataFrame,
+    keys: Sequence[str],
+    sketch_col: str = "hll",
+) -> DataFrame:
+    """Merge per-fine-key sketches to coarser ``keys`` (lossless HLL
+    union) and estimate: ``(keys, n_distinct_est)``."""
+    grouped = (
+        sketches.groupBy(*keys) if keys else sketches.groupBy(F.lit(1).alias("__g"))
+    )
+    out = grouped.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(sketch_col)).alias("n_distinct_est")
+    )
+    return out.drop("__g") if not keys else out

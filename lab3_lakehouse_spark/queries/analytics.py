@@ -442,3 +442,109 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return profile_columns(orders)
+
+
+@query(
+    "hll_mergeable_daily_users",
+    oracle="""
+    WITH per_day AS (
+        SELECT date_trunc('day', ts) AS day,
+               count(DISTINCT user_id) AS n_exact
+        FROM events GROUP BY day
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           (SELECT count(DISTINCT user_id) FROM events) AS n_users_exact,
+           true AS all_days_within_3pct,
+           true AS merged_within_3pct
+    FROM per_day
+    """,
+)
+def hll_mergeable_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count rollup (operators/aggregate.py:
+    hll_sketch_rollup/hll_merge): per-day Datasketches-HLL sketches of
+    user_id, then a lossless union to the global estimate — the
+    store-sketches-not-numbers pattern continuous aggregates need at
+    100 TB (a number can't roll up; a sketch can, without rescanning
+    raw events). Assert-style oracle: every per-day estimate and the
+    merged global estimate must sit within 3% of the exact counts."""
+    tune_session(spark)
+    from lab3_lakehouse_spark.operators import aggregate as agg_ops
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    sk = agg_ops.hll_sketch_rollup(ev, ["day"], "user_id").localCheckpoint(
+        eager=False
+    )
+    per_day = sk.select(
+        "day", F.hll_sketch_estimate("hll").alias("est")
+    ).join(
+        ev.groupBy("day").agg(F.count_distinct("user_id").alias("n_exact")),
+        "day",
+    )
+    day_ok = per_day.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.min(
+            F.abs(F.col("est") - F.col("n_exact"))
+            <= F.lit(0.03) * F.col("n_exact")
+        ).alias("all_days_within_3pct"),
+    )
+    merged = agg_ops.hll_merge(sk, []).select(
+        F.col("n_distinct_est").alias("est_global")
+    )
+    exact = ev.agg(F.count_distinct("user_id").alias("n_users_exact"))
+    return (
+        day_ok.crossJoin(merged)
+        .crossJoin(exact)
+        .select(
+            F.col("n_days").cast("long").alias("n_days"),
+            "n_users_exact",
+            "all_days_within_3pct",
+            (
+                F.abs(F.col("est_global") - F.col("n_users_exact"))
+                <= F.lit(0.03) * F.col("n_users_exact")
+            ).alias("merged_within_3pct"),
+        )
+    )
+
+
+@query(
+    "approx_top_tokens_contract",
+    oracle="""
+    WITH counts AS (
+        SELECT tok AS token, count(*) AS cnt
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents)
+        GROUP BY tok
+    )
+    SELECT CAST(10 AS BIGINT) AS n_reported,
+           true AS all_counts_exact,
+           (SELECT max(cnt) FROM counts) AS max_token_cnt
+    """,
+)
+def approx_top_tokens_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_top_k`` (Datasketches frequent-items) over the token
+    stream — the sketch path for heavy hitters when the vocabulary
+    outgrows memory. Under capacity the sketch is EXACT, so the
+    contract asserts every reported count equals the exact count and
+    the max matches — checkable cross-engine while still executing the
+    production sketch plan (one agg, no full-vocab shuffle)."""
+    tune_session(spark)
+    from lab3_lakehouse_spark.operators.dedup import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("token")).localCheckpoint(
+        eager=False
+    )
+    top = toks.agg(
+        F.expr("approx_top_k(token, 10)").alias("tk")
+    ).select(F.explode("tk").alias("t")).select(
+        F.col("t.item").alias("token"), F.col("t.count").alias("est")
+    )
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    joined = top.join(exact, "token")
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_reported"),
+        F.min(F.col("est") == F.col("cnt")).alias("all_counts_exact"),
+        F.max("cnt").alias("max_token_cnt"),
+    )
