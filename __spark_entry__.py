@@ -82,15 +82,17 @@ _PRIORITY = [
     "impute_event_values",
     "hll_mergeable_daily_users",
     "approx_top_tokens_contract",
+    "chunk_documents_sliding",
+    "interval_overlap_view_purchase",
     # code touched in round 3 → re-verify even though green in r2
     "minhash_lsh_near_dups",
-    "simhash_near_dups",
     "doc_fingerprint_matches",
-    "incremental_rollup_hourly",
     # r3 left these queries' own code paths untouched (guard/docstring/
     # helper-only edits in their modules) → lowest re-verify urgency
     "range_join_price_bands",
     "asof_purchase_last_view",
+    "simhash_near_dups",
+    "incremental_rollup_hourly",
     # recall-contract queries: r3 changes were re-verified at sf0.01+sf0.1 when made
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -333,3 +333,41 @@ def lang_id_heuristic(text: Column | str) -> Column:
     for lang in reversed(list(scores)):  # earlier langs win ties
         out = F.when((scores[lang] == top) & (top > 0), F.lit(lang)).otherwise(out)
     return out
+
+
+def chunk_token_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    n_tokens: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """Chunk documents into overlapping token windows of ``n_tokens``
+    with step ``stride`` — the context-window preparation step for
+    embedding / retrieval pipelines (chunk → embed → index). Documents
+    shorter than one window yield exactly one whole-document chunk.
+
+    Adds ``chunk_idx`` (0-based), ``chunk`` (space-rejoined text) and
+    ``n_chunk_tokens``; other columns pass through (duplicated per
+    chunk). Pure Catalyst: tokenize once, ``sequence``+``explode`` the
+    window starts, ``slice`` each window — no Python, and the explode
+    multiplies rows only by ~len/stride (bounded fan-out in the scan
+    stage, the same shape every chunker has)."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    last_start = F.greatest(
+        F.ceil((F.size(toks) - F.lit(n_tokens)) / F.lit(stride)).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    out = df.withColumn(
+        "chunk_idx", F.explode(F.sequence(F.lit(0).cast("long"), last_start))
+    )
+    window = F.slice(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        (F.col("chunk_idx") * stride + 1).cast("int"),
+        n_tokens,
+    )
+    return out.withColumns(
+        {
+            "chunk": F.array_join(window, " "),
+            "n_chunk_tokens": F.size(window).cast("long"),
+        }
+    )

@@ -346,3 +346,83 @@ def impute_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(F.col("value_imputed")).alias("value_imputed"),
         "was_imputed",
     )
+
+
+@query(
+    "chunk_documents_sliding",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           array_to_string(toks[i*16+1 : i*16+32], ' ') AS chunk,
+           CAST(len(toks[i*16+1 : i*16+32]) AS BIGINT) AS n_chunk_tokens
+    FROM t, unnest(generate_series(0,
+        greatest(CAST(ceil((len(toks) - 32) / 16.0) AS BIGINT), 0))) AS u(i)
+    """,
+)
+def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking for embedding pipelines
+    (operators/text.py:chunk_token_windows): 32-token windows, stride
+    16 (50% overlap), short docs → one whole-doc chunk. Spark's
+    1-based `slice(start, length)` and DuckDB's inclusive list slicing
+    clamp identically at the document end, so chunks agree verbatim."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.chunk_token_windows(
+        docs, "text", n_tokens=32, stride=16
+    ).select("doc_id", "chunk_idx", "chunk", "n_chunk_tokens")
+
+
+@query(
+    "interval_overlap_view_purchase",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, ts AS v_ts, ts + INTERVAL 300 SECOND AS v_end
+        FROM events WHERE event_type = 'view'
+    ), p AS (
+        SELECT user_id, ts AS p_ts, ts + INTERVAL 300 SECOND AS p_end
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT v.user_id, v.v_ts, p.p_ts,
+           CAST(epoch(least(v.v_end, p.p_end))
+              - epoch(greatest(v.v_ts, p.p_ts)) AS BIGINT) AS overlap_sec
+    FROM v JOIN p
+      ON v.user_id = p.user_id
+     AND v.v_ts <= p.p_end AND p.p_ts <= v.v_end
+    """,
+)
+def interval_overlap_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval–interval overlap join (operators/joins.py:
+    interval_overlap_join): 5-minute view windows × 5-minute purchase
+    windows per user, overlap length in seconds. The Spark plan is a
+    binned equi-join (bucket fan-out ≤ 2, pair emitted once from the
+    overlap-start bucket) — the oracle states the same relation as a
+    direct inequality join, which DuckDB can afford at driver scale."""
+    tune_session(spark)
+    from lab3_lakehouse_spark.operators.joins import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    mk = lambda t, pre: (
+        ev.filter(F.col("event_type") == t).select(
+            "user_id",
+            F.col("ts").alias(f"{pre}_ts"),
+            (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias(f"{pre}_end"),
+        )
+    )
+    joined = interval_overlap_join(
+        mk("view", "v"), mk("purchase", "p"),
+        keys=["user_id"],
+        a_start="v_ts", a_end="v_end", b_start="p_ts", b_end="p_end",
+        bin_seconds=600,
+    )
+    return joined.select(
+        "user_id",
+        "v_ts",
+        "p_ts",
+        (
+            F.unix_timestamp(F.least("v_end", "p_end"))
+            - F.unix_timestamp(F.greatest("v_ts", "p_ts"))
+        ).cast("long").alias("overlap_sec"),
+    )

@@ -270,3 +270,17 @@ def test_centroids_single_wide_aggregation(spark, sf):
     # map-side; the stack-unpivot Generate runs AFTER the agg on the
     # tiny (n_labels × 65) frame, never on the corpus
     assert pa.count_nodes(df, "HashAggregate") >= 2
+
+
+def test_interval_overlap_join_no_nested_loop(spark, sf):
+    """Interval×interval overlap must plan as a binned equi-join."""
+    df = QUERIES["interval_overlap_view_purchase"](spark, sf)
+    assert pa.count_nodes(df, "BroadcastNestedLoopJoin") == 0
+    assert pa.count_nodes(df, "CartesianProduct") == 0
+
+
+def test_chunking_is_scan_pipeline(spark, sf):
+    """Sliding-window chunking: bounded explode fan-out in the scan
+    stage, zero shuffles."""
+    df = QUERIES["chunk_documents_sliding"](spark, sf)
+    assert pa.count_nodes(df, "Exchange") == 0
