@@ -84,6 +84,8 @@ _PRIORITY = [
     "approx_top_tokens_contract",
     "chunk_documents_sliding",
     "interval_overlap_view_purchase",
+    "equi_depth_price_buckets",
+    "lineitem_stat_moments",
     # code touched in round 3 → re-verify even though green in r2
     "minhash_lsh_near_dups",
     "doc_fingerprint_matches",

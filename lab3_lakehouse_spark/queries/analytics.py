@@ -548,3 +548,84 @@ def approx_top_tokens_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("est") == F.col("cnt")).alias("all_counts_exact"),
         F.max("cnt").alias("max_token_cnt"),
     )
+
+
+@query(
+    "equi_depth_price_buckets",
+    oracle="""
+    WITH b AS (
+        SELECT quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS bs
+        FROM orders
+    )
+    SELECT CAST(CASE WHEN o_totalprice <= bs[1] THEN 0
+                     WHEN o_totalprice <= bs[2] THEN 1
+                     WHEN o_totalprice <= bs[3] THEN 2
+                     ELSE 3 END AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(floor(sum(o_totalprice) * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+               AS total_price
+    FROM orders, b
+    GROUP BY bucket
+    """,
+)
+def equi_depth_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quartile) histogram: exact interpolated quartile
+    boundaries, then bucket counts/sums — the complement of the
+    fixed-width histogram for skewed distributions. Both engines use
+    linear interpolation on the sorted values, and a bucket edge can
+    only coincide with a data value when the two straddling order
+    statistics are equal (in which case both engines produce exactly
+    that value) — so the <=-bucketing cannot diverge cross-engine.
+    Scale shape: ONE percentile pass (sort-based agg to a 1-row frame),
+    broadcast to the scan, one hash agg on the 4-row bucket key."""
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.agg(
+        F.percentile("o_totalprice", F.lit([0.25, 0.5, 0.75])).alias("bs")
+    )
+    p = F.col("o_totalprice")
+    bucket = (
+        F.when(p <= F.col("bs")[0], 0)
+        .when(p <= F.col("bs")[1], 1)
+        .when(p <= F.col("bs")[2], 2)
+        .otherwise(3)
+    )
+    return (
+        orders.crossJoin(F.broadcast(b))
+        .groupBy(bucket.cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            round4(F.sum(p)).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "lineitem_stat_moments",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           {sql_round4('corr(l_quantity, l_extendedprice)')} AS qty_price_corr,
+           {sql_round4('covar_samp(l_quantity, l_extendedprice)')} AS qty_price_covar,
+           {sql_round4('stddev_samp(l_quantity)')} AS qty_stddev,
+           {sql_round4('var_samp(l_extendedprice)')} AS price_var
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def lineitem_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistical aggregates per group: Pearson
+    correlation, sample covariance/variance/stddev — the numeric
+    profiling layer over a fact table. All are one-pass co-moment
+    aggregations (partial + final combine, one shuffle of constant
+    width); cross-row accumulation order differs between engines, so
+    every moment is round4'd — the catalog's standard policy."""
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        round4(F.corr("l_quantity", "l_extendedprice")).alias("qty_price_corr"),
+        round4(F.covar_samp("l_quantity", "l_extendedprice")).alias("qty_price_covar"),
+        round4(F.stddev_samp("l_quantity")).alias("qty_stddev"),
+        round4(F.var_samp("l_extendedprice")).alias("price_var"),
+    )
