@@ -55,6 +55,10 @@ HEADLINE = [
     "incremental_rollup_hourly",    # continuous-aggregate maintenance (2 merge cycles)
     "dup_groups_connected",         # near-dup group resolution (LSH pairs + CC)
     "decontamination_ngram_overlap",  # corpus-vs-benchmark n-gram overlap join
+    "chunk_documents_sliding",      # sliding token-window chunking (scan+explode)
+    "semantic_dedup_flags",         # SemDeDup: blocked pairwise cosine
+    "hll_mergeable_daily_users",    # mergeable HLL sketch rollup
+    "interval_overlap_view_purchase",  # binned interval-overlap join
 ]
 
 
