@@ -379,15 +379,15 @@ def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "interval_overlap_view_purchase",
     oracle="""
     WITH v AS (
-        SELECT user_id, ts AS v_ts, ts + INTERVAL 300 SECOND AS v_end
+        SELECT user_id, ts AS v_ts, ts + INTERVAL 1800 SECOND AS v_end
         FROM events WHERE event_type = 'view'
     ), p AS (
-        SELECT user_id, ts AS p_ts, ts + INTERVAL 300 SECOND AS p_end
+        SELECT user_id, ts AS p_ts, ts + INTERVAL 1800 SECOND AS p_end
         FROM events WHERE event_type = 'purchase'
     )
     SELECT v.user_id, v.v_ts, p.p_ts,
-           CAST(epoch(least(v.v_end, p.p_end))
-              - epoch(greatest(v.v_ts, p.p_ts)) AS BIGINT) AS overlap_sec
+           epoch_us(least(v.v_end, p.p_end))
+              - epoch_us(greatest(v.v_ts, p.p_ts)) AS overlap_us
     FROM v JOIN p
       ON v.user_id = p.user_id
      AND v.v_ts <= p.p_end AND p.p_ts <= v.v_end
@@ -395,9 +395,12 @@ def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def interval_overlap_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval–interval overlap join (operators/joins.py:
-    interval_overlap_join): 5-minute view windows × 5-minute purchase
-    windows per user, overlap length in seconds. The Spark plan is a
-    binned equi-join (bucket fan-out ≤ 2, pair emitted once from the
+    interval_overlap_join): 30-minute view windows × 30-minute purchase
+    windows per user, overlap length in exact integer MICROSECONDS
+    (event timestamps carry fractional seconds; second-truncating
+    arithmetic rounds differently across engines, `unix_micros` /
+    `epoch_us` are exact on both). The Spark plan is a binned
+    equi-join (bucket fan-out ≤ 2, pair emitted once from the
     overlap-start bucket) — the oracle states the same relation as a
     direct inequality join, which DuckDB can afford at driver scale."""
     tune_session(spark)
@@ -408,21 +411,21 @@ def interval_overlap_view_purchase(spark: SparkSession, sf_dir: str) -> DataFram
         ev.filter(F.col("event_type") == t).select(
             "user_id",
             F.col("ts").alias(f"{pre}_ts"),
-            (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias(f"{pre}_end"),
+            (F.col("ts") + F.expr("INTERVAL 1800 SECONDS")).alias(f"{pre}_end"),
         )
     )
     joined = interval_overlap_join(
         mk("view", "v"), mk("purchase", "p"),
         keys=["user_id"],
         a_start="v_ts", a_end="v_end", b_start="p_ts", b_end="p_end",
-        bin_seconds=600,
+        bin_seconds=3600,
     )
     return joined.select(
         "user_id",
         "v_ts",
         "p_ts",
         (
-            F.unix_timestamp(F.least("v_end", "p_end"))
-            - F.unix_timestamp(F.greatest("v_ts", "p_ts"))
-        ).cast("long").alias("overlap_sec"),
+            F.unix_micros(F.least("v_end", "p_end"))
+            - F.unix_micros(F.greatest("v_ts", "p_ts"))
+        ).cast("long").alias("overlap_us"),
     )

@@ -1,0 +1,121 @@
+"""Edge-case unit tests for the round-3 operator additions (chunking,
+interval overlap, profiling, imputation, quantization, semantic dedup,
+fuzzy matching) — the boundary behaviors the corpus-level oracle
+differentials exercise only statistically.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from lab3_lakehouse_spark.operators.dedup import edit_distance_pairs
+from lab3_lakehouse_spark.operators.joins import interval_overlap_join
+from lab3_lakehouse_spark.operators.profiling import profile_columns
+from lab3_lakehouse_spark.operators.quality import impute_group_mean
+from lab3_lakehouse_spark.operators.similarity import semantic_dedup
+from lab3_lakehouse_spark.operators.text import chunk_token_windows
+
+
+def test_chunking_short_doc_single_whole_chunk(spark):
+    df = spark.createDataFrame([Row(id=1, text="alpha beta gamma")])
+    out = chunk_token_windows(df, "text", n_tokens=8, stride=4).collect()
+    assert len(out) == 1
+    assert out[0]["chunk"] == "alpha beta gamma"
+    assert out[0]["chunk_idx"] == 0 and out[0]["n_chunk_tokens"] == 3
+
+
+def test_chunking_boundary_counts(spark):
+    words = " ".join(f"w{i}" for i in range(8))
+    df = spark.createDataFrame([Row(id=1, text=words)])
+    # len == n → exactly one chunk
+    assert chunk_token_windows(df, "text", 8, 4).count() == 1
+    # len == n+1 → a second, shorter chunk starting at the stride
+    out = chunk_token_windows(
+        spark.createDataFrame([Row(id=1, text=words + " w8")]), "text", 8, 4
+    ).orderBy("chunk_idx").collect()
+    assert [r["n_chunk_tokens"] for r in out] == [8, 5]
+    assert out[1]["chunk"].split() == ["w4", "w5", "w6", "w7", "w8"]
+
+
+def test_interval_overlap_exact_touch_and_multibin_dedup(spark):
+    a = spark.createDataFrame(
+        [Row(k=1, s="2024-01-01 00:00:00", e="2024-01-01 01:00:00")]
+    ).select("k", F.col("s").cast("timestamp"), F.col("e").cast("timestamp"))
+    # touches exactly at a's end (closed intervals → 0-second overlap);
+    # b spans many 600s bins — the pair must still appear exactly once
+    b = spark.createDataFrame(
+        [Row(k=1, s="2024-01-01 01:00:00", e="2024-01-01 03:00:00"),
+         Row(k=1, s="2024-01-01 05:00:00", e="2024-01-01 06:00:00")]
+    ).select("k", F.col("s").cast("timestamp"), F.col("e").cast("timestamp"))
+    a = a.toDF("k", "a_s", "a_e")
+    b = b.toDF("k", "b_s", "b_e")
+    out = interval_overlap_join(
+        a, b, ["k"], "a_s", "a_e", "b_s", "b_e", bin_seconds=600
+    ).collect()
+    assert len(out) == 1  # only the touching pair; emitted once
+
+
+def test_profile_columns_approx_shape_and_accuracy(spark):
+    df = spark.range(1000).selectExpr(
+        "id", "CAST(id % 13 AS DOUBLE) AS v",
+        "CASE WHEN id % 10 = 0 THEN NULL ELSE 'x' END AS s",
+    )
+    rows = {r["column"]: r for r in profile_columns(df, approx=True).collect()}
+    assert rows["s"]["n_nulls"] == 100 and rows["s"]["min_value"] is None
+    assert rows["v"]["min_value"] == 0.0 and rows["v"]["max_value"] == 12.0
+    # HLL estimate of 13 distinct values is exact at this cardinality
+    assert abs(rows["v"]["n_distinct"] - 13) <= 1
+
+
+def test_impute_group_mean_all_null_group_stays_null(spark):
+    df = spark.createDataFrame(
+        [Row(g="a", v=2.0), Row(g="a", v=None), Row(g="b", v=None)]
+    )
+    rows = {(r["g"], r["v"]): r for r in impute_group_mean(df, "v", ["g"]).collect()}
+    assert rows[("a", None)]["v_imputed"] == 2.0
+    assert rows[("a", None)]["was_imputed"] is True
+    assert rows[("b", None)]["v_imputed"] is None  # no donor values
+    assert rows[("a", 2.0)]["was_imputed"] is False
+
+
+def test_edit_distance_pairs_blocked_and_thresholded(spark):
+    df = spark.createDataFrame([
+        Row(id=1, name="red widget", blk="A"),
+        Row(id=2, name="red widgit", blk="A"),   # dist 1 → pair
+        Row(id=3, name="blue bolt", blk="A"),    # far → no pair
+        Row(id=4, name="red widget", blk="B"),   # other block → never paired
+    ])
+    out = edit_distance_pairs(df, "id", "name", "blk", max_dist=2).collect()
+    assert [(r["id_a"], r["id_b"], r["edit_dist"]) for r in out] == [(1, 2, 1)]
+
+
+def test_semantic_dedup_flags_lowest_id_keeper(spark):
+    df = spark.createDataFrame([
+        Row(id=10, vec=[1.0, 0.0], blk=1),
+        Row(id=11, vec=[1.0, 0.001], blk=1),   # ~identical → dup of 10
+        Row(id=12, vec=[0.0, 1.0], blk=1),     # orthogonal → keeper
+        Row(id=13, vec=[1.0, 0.0], blk=2),     # same vec, other block → keeper
+    ])
+    rows = {r["id"]: r for r in semantic_dedup(df, "id", "vec", "blk", 0.9).collect()}
+    assert rows[11]["is_dup"] and rows[11]["dup_of"] == 10
+    assert not rows[10]["is_dup"] and not rows[12]["is_dup"] and not rows[13]["is_dup"]
+
+
+def test_quantize_int8_roundtrip_error_bound(spark):
+    from lab3_lakehouse_spark.functions.vector import dequantize, quantize_int8
+
+    df = spark.createDataFrame([Row(vec=[0.5, -1.0, 0.25, 0.0])])
+    r = df.select(
+        quantize_int8("vec").alias("q"), F.col("vec").cast("array<double>").alias("v")
+    ).select(
+        F.col("q.scale").alias("scale"),
+        F.col("q.q").alias("codes"),
+        F.zip_with(
+            dequantize(F.col("q")), F.col("v"), lambda d, x: F.abs(x - d)
+        ).alias("err"),
+    ).first()
+    assert r["scale"] == pytest.approx(1.0 / 127.0)
+    assert max(abs(c) for c in r["codes"]) == 127
+    assert all(e <= r["scale"] / 2 + 1e-12 for e in r["err"])
