@@ -86,6 +86,7 @@ _PRIORITY = [
     "interval_overlap_view_purchase",
     "equi_depth_price_buckets",
     "lineitem_stat_moments",
+    "event_value_trends",
     # code touched in round 3 → re-verify even though green in r2
     "minhash_lsh_near_dups",
     "doc_fingerprint_matches",

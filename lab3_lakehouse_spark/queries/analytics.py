@@ -629,3 +629,40 @@ def lineitem_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(F.stddev_samp("l_quantity")).alias("qty_stddev"),
         round4(F.var_samp("l_extendedprice")).alias("price_var"),
     )
+
+
+@query(
+    "event_value_trends",
+    oracle=f"""
+    WITH pts AS (
+        SELECT event_type,
+               epoch_us(ts) / 86400000000.0 AS x,
+               value AS y
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           {sql_round4('covar_samp(x, y) / var_samp(x)')} AS slope_per_day,
+           {sql_round4('avg(y) - covar_samp(x, y) / var_samp(x) * avg(x)')}
+               AS intercept
+    FROM pts
+    GROUP BY event_type
+    """,
+)
+def event_value_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares trend (slope per day +
+    intercept) in CLOSED FORM: slope = covar/var, intercept from the
+    means — regression as pure one-pass aggregates (no ML fit, no
+    per-group Python). The 100 TB shape: constant-width co-moment
+    partials, one shuffle, however many rows. Time enters as exact
+    integer microseconds scaled to days (fractional-second safe)."""
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    x = (F.unix_micros(F.col("ts")) / F.lit(86400000000.0)).alias("x")
+    pts = ev.select("event_type", x, F.col("value").alias("y"))
+    slope = F.covar_samp("x", "y") / F.var_samp("x")
+    return pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        round4(slope).alias("slope_per_day"),
+        round4(F.avg("y") - slope * F.avg("x")).alias("intercept"),
+    )

@@ -164,3 +164,63 @@ def test_connected_components_both_algorithms_match_union_find(spark, edges):
             for r in dedup_ops.connected_components(df, algorithm=algo).collect()
         }
         assert got == expected, algo
+
+
+@given(
+    n_words=st.integers(min_value=1, max_value=40),
+    n_tokens=st.integers(min_value=2, max_value=12),
+    stride_frac=st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=12, deadline=None)
+def test_chunking_covers_every_token_in_order(spark, n_words, n_tokens, stride_frac):
+    """Property: with stride ≤ n_tokens, the chunk sequence covers every
+    token of the document in order, first chunk starts at token 0, and
+    consecutive chunk starts differ by exactly `stride`."""
+    from lab3_lakehouse_spark.operators.text import chunk_token_windows
+
+    stride = min(stride_frac, n_tokens)  # overlap or exact tiling, never gaps
+    words = [f"w{i}" for i in range(n_words)]
+    df = spark.createDataFrame([(1, " ".join(words))], ["id", "text"])
+    rows = (
+        chunk_token_windows(df, "text", n_tokens=n_tokens, stride=stride)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    assert rows[0]["chunk_idx"] == 0
+    seen = []
+    for r in rows:
+        start = r["chunk_idx"] * stride
+        expect = words[start:start + n_tokens]
+        assert r["chunk"].split() == expect
+        seen.extend(expect)
+    assert set(seen) == set(words)  # full coverage, no token dropped
+
+
+@given(
+    vec=st.lists(
+        st.floats(
+            min_value=-100.0, max_value=100.0,
+            allow_nan=False, allow_infinity=False,
+        ).filter(lambda x: abs(x) > 1e-9),
+        min_size=1, max_size=16,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_quantize_int8_error_bound_and_range(spark, vec):
+    """Property: int8 codes stay in [-127,127] and reconstruction error
+    per element is ≤ scale/2 (round-to-nearest guarantee)."""
+    from lab3_lakehouse_spark.functions.vector import dequantize, quantize_int8
+
+    df = spark.createDataFrame([(vec,)], ["vec"])
+    r = df.select(
+        quantize_int8("vec").alias("q"),
+        F.col("vec").cast("array<double>").alias("v"),
+    ).select(
+        F.col("q.scale").alias("scale"),
+        F.col("q.q").alias("codes"),
+        F.zip_with(
+            dequantize(F.col("q")), F.col("v"), lambda d, x: F.abs(x - d)
+        ).alias("err"),
+    ).first()
+    assert all(-127 <= c <= 127 for c in r["codes"])
+    assert all(e <= r["scale"] / 2 + 1e-9 for e in r["err"])
