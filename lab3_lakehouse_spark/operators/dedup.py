@@ -491,9 +491,15 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming, banded on
     16-bit chunks. Shuffle rows are (id, long, chunk) — constant width;
-    Hamming is ``bit_count(xor)`` JVM-side."""
+    Hamming is ``bit_count(xor)`` JVM-side.
+
+    The signature frame is ``localCheckpoint``-ed before banding: the
+    banded candidate join is a SELF-join, and without pinning, both
+    sides re-run the tokenize → 64-column hash-agg subtree (measured
+    2× the signature cost at sf0.1). Compute-signatures-once-then-join
+    is also the only sane shape at 100 TB."""
     base = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
-    sims = simhash64(base, "__id", "__t")
+    sims = simhash64(base, "__id", "__t").localCheckpoint(eager=False)
     return simhash_pairs_from_sims(sims, max_hamming, n_chunks)
 
 
