@@ -11,6 +11,9 @@ the way a data team would actually chain it:
                                 component's smallest doc_id)
       → decontamination        (operators/text.ngram_overlap vs a
                                 held-out benchmark split)
+      → PII scrub              (operators/text.redact_pii, audit counts)
+      → embedding chunks       (operators/text.chunk_token_windows,
+                                side branch for the retrieval corpus)
       → sequence packing       (operators/packing.pack_concat_chop)
       → versioned corpus tier  (sources/versioned.write_version)
 
@@ -91,9 +94,21 @@ def run_corpus_pipeline(
     ).select("doc_id").distinct()
     clean = corpus.join(contaminated, "doc_id", "left_anti")
 
+    # 5b. PII scrub before publication — row-preserving; audit counts
+    #     ride along as metadata (zero on a synthetic PII-free corpus,
+    #     but the gate always runs: scrubbing is not optional at 100 TB)
+    scrubbed = text_ops.redact_pii(clean, "text")
+
+    # 5c. side branch: sliding-window chunks for the embedding/retrieval
+    #     corpus (the LM corpus continues to packing below)
+    chunks = text_ops.chunk_token_windows(
+        scrubbed.select("doc_id", F.col("text_redacted").alias("text")),
+        "text", n_tokens=64, stride=32,
+    )
+
     # 6. concat-and-chop packing into fixed-length training sequences
     packed = pack_ops.pack_concat_chop(
-        clean.withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(8))),
+        scrubbed.withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(8))),
         token_col="n_tokens",
         order_col="doc_id",
         shard_col="shard",
@@ -111,6 +126,13 @@ def run_corpus_pipeline(
         "decontaminated": clean,
     }
     counts = {name: df.count() for name, df in stages.items()}
+    counts["pii_hits"] = int(
+        scrubbed.agg(
+            F.sum(F.col("n_email") + F.col("n_ipv4") + F.col("n_phone"))
+        ).first()[0]
+        or 0
+    )
+    counts["embed_chunks"] = chunks.count()
     final = vt.read_version(spark, f"{out_root}/corpus")
     counts["packed_rows"] = final.count()
     counts["n_packs"] = final.select("shard", "pack_id").distinct().count()

@@ -20,6 +20,9 @@ def test_corpus_pipeline_end_to_end(spark, sf_small, tmpdir):
     # decontamination also removes the benchmark split itself
     assert c["near_dedup"] > c["decontaminated"] >= 1
     assert c["packed_rows"] == c["decontaminated"]
+    assert c["pii_hits"] == 0  # synthetic corpus carries no organic PII
+    # every surviving doc yields at least one embedding chunk
+    assert c["embed_chunks"] >= c["decontaminated"]
     assert 1 <= c["n_packs"] <= c["packed_rows"]
     assert vt.history(spark, f"{tmpdir}/corpus") == [c["corpus_version"]]
     # rerun publishes a NEW snapshot with identical content (determinism)
