@@ -75,15 +75,19 @@ def window_trailing_1h_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE window frame (trailing 1-hour sum per user) — the
     moving-aggregate family ROWS frames can't express when events are
     irregularly spaced. Spark takes range bounds as longs, so the
-    ordering key is epoch seconds; the emitted ts stays a timestamp."""
+    ordering key is epoch MICROSECONDS (``unix_micros``): event
+    timestamps carry fractional seconds, and a seconds-truncated key
+    shifts the frame boundary by up to 1s relative to the oracle's
+    full-precision INTERVAL frame (observed as a real mismatch at
+    sf0.1 density). The emitted ts stays a timestamp."""
     tune_session(spark)
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
     spec = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(
         "user_id",
