@@ -78,3 +78,28 @@ def read_jsonl(
     elif not infer:
         raise ValueError("pass a schema, or opt in to inference (infer=True)")
     return reader.json(path)
+
+
+def bootstrap_sample(
+    spark: SparkSession,
+    src_path: str,
+    out_path: str,
+    n_rows: int = 100_000,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """S5: bootstrap a bounded working sample from a (possibly huge)
+    columnar source into a single CSV — the reference's dataset
+    bootstrap (download_dataset.py:7-16: fetch public parquet, truncate
+    to ``sample_size`` rows, save CSV) re-expressed in-engine. Network
+    transport stays out of scope (a shell concern); the sampling and
+    hand-off are the engine's job.
+
+    ``limit(n)`` short-circuits the scan (Spark's CollectLimit reads
+    only the partitions it needs — bounded work however large the
+    source); ``coalesce(1)`` is safe BECAUSE the frame is already
+    limit-bounded, and gives the single portable file a bootstrap
+    exists to produce. Returns the sampled frame for immediate use.
+    """
+    df = spark.read.format(fmt).load(src_path).limit(n_rows)
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(out_path)
+    return df

@@ -561,3 +561,18 @@ def test_materialize_orc_roundtrip(spark, tmpdir):
     assert back.count() == 100
     assert sorted(back.columns) == ["grp", "id", "v"]
     assert back.agg({"v": "sum"}).first()[0] == src.agg({"v": "sum"}).first()[0]
+
+
+def test_bootstrap_sample_bounded_csv_handoff(spark, tmpdir):
+    """S5: bounded sample from a parquet source lands as one CSV file
+    and round-trips with the same row count."""
+    out = os.path.join(tmpdir, "boot_csv")
+    df = ingest.bootstrap_sample(
+        spark, "/root/testdata/sf0.001/events.parquet", out, n_rows=250
+    )
+    assert df.count() == 250
+    import glob
+    parts = glob.glob(os.path.join(out, "*.csv"))
+    assert len(parts) == 1  # single portable file
+    back = spark.read.option("header", "true").csv(out)
+    assert back.count() == 250
