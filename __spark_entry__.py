@@ -87,6 +87,7 @@ _PRIORITY = [
     "equi_depth_price_buckets",
     "lineitem_stat_moments",
     "event_value_trends",
+    "union_evolved_event_slices",
     # code touched in round 3 → re-verify even though green in r2
     "minhash_lsh_near_dups",
     "doc_fingerprint_matches",

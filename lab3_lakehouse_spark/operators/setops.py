@@ -27,3 +27,13 @@ def intersect(a: DataFrame, b: DataFrame, keep_duplicates: bool = False) -> Data
 
 def except_rows(a: DataFrame, b: DataFrame, keep_duplicates: bool = False) -> DataFrame:
     return a.exceptAll(b) if keep_duplicates else a.subtract(b)
+
+
+def union_evolved(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Schema-evolution union: rows from frames whose schemas drifted
+    (columns added/removed between corpus versions) align BY NAME, with
+    absent columns NULL-filled — ``unionByName(allowMissingColumns)``.
+    Positional union would silently misalign drifted schemas; this is
+    the safe default when appending monthly drops of a long-lived
+    dataset. Narrow op: no shuffle, columns aligned at plan time."""
+    return a.unionByName(b, allowMissingColumns=True)

@@ -706,3 +706,30 @@ def session_window_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "union_evolved_event_slices",
+    oracle="""
+    SELECT user_id, event_type, value
+    FROM events WHERE event_type = 'purchase'
+    UNION ALL BY NAME
+    SELECT user_id, event_type, ts
+    FROM events WHERE event_type = 'signup'
+    """,
+)
+def union_evolved_event_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union (operators/setops.py:union_evolved):
+    purchase rows carry ``value``, signup rows carry ``ts`` — the
+    frames align by column NAME with NULL fill, exactly DuckDB's
+    ``UNION ALL BY NAME``. The driver's compare sorts columns by name,
+    so the engines' differing column orders are immaterial."""
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_type", "value"
+    )
+    b = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "event_type", "ts"
+    )
+    return set_ops.union_evolved(a, b)
