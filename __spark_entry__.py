@@ -28,15 +28,84 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Queries whose verdict would CHANGE this round come first (the driver
-# checks the first 50 registry entries per round). Round-3 rotation:
-# the 21 queries whose latest green verdict is round 1 (their code was
-# untouched in round 2, but any edit to shared helpers could silently
-# break them) are promoted to the front, followed by every query whose
-# implementation round 3 touches (dedup/fingerprint sharing, bench
-# override paths, joins.py/aggregate.py/rollup.py ADVICE fixes).
-# Queries green in CORRECTNESS_r02 with untouched code sit at the back.
+# checks the first 50 registry entries per round). Round-4 rotation:
+# the 50 slots go to the exact complement of round 3's window — every
+# query whose latest green verdict is CORRECTNESS_r02 — so after this
+# round no verdict in the registry is more than one round old. Within
+# that set, the queries whose code was edited in round 3 AFTER their
+# last driver check lead (their green verdicts predate the code they
+# certify — VERDICT r3 "What's wrong" #1), then the queries round 4
+# itself touches (SQL-decorrelation plan work), then recall-contract
+# and remaining r2-green queries by residual risk. The 50 queries
+# verified green in CORRECTNESS_r03 sit at the back; any of those whose
+# code round 4 edits (ADVICE fixes: event_value_trends NULL-slope
+# guard, quantize_int8 scale hoist, tokenizer-parity oracle updates)
+# are self-verified via tests/check_query at sf0.01 this round and must
+# lead round 5's window.
 _PRIORITY = [
-    # green-in-r1-only (code unchanged in r2; re-verify this round)
+    # code changed in r3 after last driver check (stale-verdict hole)
+    "window_trailing_1h_sum",
+    "minhash_lsh_near_dups",
+    "simhash_near_dups",
+    "doc_fingerprint_matches",
+    "incremental_rollup_hourly",
+    "asof_purchase_last_view",
+    "range_join_price_bands",
+    "salted_join_lineitem_supplier",
+    "salted_agg_event_type",
+    # round 4 touches these plans (decorrelation profiling / fixes)
+    "sql_late_order_priority",
+    "sql_small_qty_revenue",
+    # recall-contract queries re-verified manually in r3; driver-confirm
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    # r2-green, code untouched since — oldest verdicts, by risk
+    "merge_cdc_orders",
+    "scd2_customer_priority",
+    "streaming_tumbling_hourly",
+    "sliding_window_counts",
+    "streaming_session_windows",
+    "streaming_purchase_view_join",
+    "pack_documents_concat_chop",
+    "stratified_sample_documents",
+    "media_decode_features",
+    "media_frame_sample",
+    "ml_feature_table",
+    "ml_rf_metrics",
+    "value_percentiles",
+    "approx_distinct_users",
+    "grouping_sets_orders",
+    "pivot_user_event_counts",
+    "unpivot_order_amounts",
+    "explode_embedding_positions",
+    "latest_event_per_user",
+    "daily_revenue",
+    "hourly_demand",
+    "quality_filter",
+    "reject_report",
+    "derived_metrics",
+    "pricing_summary",
+    "join_customer_orders",
+    "join_left_order_stats",
+    "join_semi_customers_with_urgent_orders",
+    "join_anti_customers_without_urgent_orders",
+    "regional_revenue",
+    "top_building_orders",
+    "window_top_orders_per_customer",
+    "window_running_spend",
+    "window_lag_lead_events",
+    "window_rank_parts_by_price",
+    "global_top_orders",
+    "set_union_orders",
+    # ---- 50-slot window boundary: everything below is green in
+    # CORRECTNESS_r03 (checked last round); r4-touched members are
+    # self-verified this round and scheduled first for round 5:
+    "event_value_trends",
+    "embedding_quantization_report",
+    "gopher_repetition_rules",
+    "heavy_hitter_tokens",
+    "approx_top_tokens_contract",
+    "chunk_documents_sliding",
     "set_intersect_orders",
     "set_except_orders",
     "distinct_user_event_types",
@@ -58,7 +127,6 @@ _PRIORITY = [
     "lang_id_predictions",
     "token_counts",
     "binary_media_metadata",
-    # new in round 3 → never driver-checked
     "streaming_stateful_user_totals",
     "dup_groups_connected",
     "decontamination_ngram_overlap",
@@ -68,59 +136,20 @@ _PRIORITY = [
     "sql_large_volume_customers",
     "streaming_static_enrichment",
     "window_distribution_ranks",
-    "gopher_repetition_rules",
     "pii_redaction_report",
-    "heavy_hitter_tokens",
     "embedding_label_centroids",
     "sql_balance_prospects",
     "semantic_dedup_flags",
-    "embedding_quantization_report",
     "sql_returned_item_report",
     "order_price_histogram",
     "profile_orders_columns",
     "fuzzy_part_name_matches",
     "impute_event_values",
     "hll_mergeable_daily_users",
-    "approx_top_tokens_contract",
-    "chunk_documents_sliding",
     "interval_overlap_view_purchase",
     "equi_depth_price_buckets",
     "lineitem_stat_moments",
-    "event_value_trends",
     "union_evolved_event_slices",
-    # code touched in round 3 → re-verify even though green in r2
-    "minhash_lsh_near_dups",
-    "doc_fingerprint_matches",
-    # r3 left these queries' own code paths untouched (guard/docstring/
-    # helper-only edits in their modules) → lowest re-verify urgency
-    "range_join_price_bands",
-    "asof_purchase_last_view",
-    "simhash_near_dups",
-    "incremental_rollup_hourly",
-    # recall-contract queries: r3 changes were re-verified at sf0.01+sf0.1 when made
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "salted_join_lineitem_supplier",
-    "salted_agg_event_type",
-    # file touched in round 3 (pure additions, but the module changed —
-    # keep their verdicts ≤1 round old), ordered by residual risk
-    "value_percentiles",
-    "sql_late_order_priority",
-    "sql_small_qty_revenue",
-    "pivot_user_event_counts",
-    "unpivot_order_amounts",
-    "explode_embedding_positions",
-    "latest_event_per_user",
-    "media_decode_features",
-    "media_frame_sample",
-    "pack_documents_concat_chop",
-    "stratified_sample_documents",
-    "streaming_tumbling_hourly",
-    "sliding_window_counts",
-    "streaming_session_windows",
-    "streaming_purchase_view_join",
-    "ml_feature_table",
-    "ml_rf_metrics",
 ]
 
 
