@@ -96,14 +96,21 @@ def run_corpus_pipeline(
 
     # 5b. PII scrub before publication — row-preserving; audit counts
     #     ride along as metadata (zero on a synthetic PII-free corpus,
-    #     but the gate always runs: scrubbing is not optional at 100 TB)
-    scrubbed = text_ops.redact_pii(clean, "text")
+    #     but the gate always runs: scrubbing is not optional at 100 TB).
+    #     The raw column is DROPPED here: everything downstream (chunks,
+    #     packing, the published tier) must see only redacted text, and
+    #     n_tokens is recomputed because redaction rewrites the text.
+    scrubbed = (
+        text_ops.redact_pii(clean, "text")
+        .withColumn("text", F.col("text_redacted"))
+        .drop("text_redacted")
+        .withColumn("n_tokens", text_ops.token_count("text"))
+    )
 
     # 5c. side branch: sliding-window chunks for the embedding/retrieval
     #     corpus (the LM corpus continues to packing below)
     chunks = text_ops.chunk_token_windows(
-        scrubbed.select("doc_id", F.col("text_redacted").alias("text")),
-        "text", n_tokens=64, stride=32,
+        scrubbed.select("doc_id", "text"), "text", n_tokens=64, stride=32,
     )
 
     # 6. concat-and-chop packing into fixed-length training sequences

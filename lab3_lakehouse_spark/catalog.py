@@ -89,9 +89,24 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     from lab3_lakehouse_spark.session import default_parallelism
 
     target = min_partitions or default_parallelism()
-    if df.rdd.getNumPartitions() >= target:
+    if _estimated_scan_partitions(df) >= target:
         return df
     return df.repartition(target)
+
+
+def _estimated_scan_partitions(df: DataFrame) -> int:
+    """Partition count of a scan without requiring the RDD API.
+
+    Classic sessions give the exact number (plan conversion only — no
+    job). Under Spark Connect there is no client-side RDD, so the file
+    count stands in: it lower-bounds the split count (large files only
+    add splits), which errs toward repartitioning borderline inputs —
+    harmless, since at scale file count >> cores keeps fan_out a no-op.
+    """
+    try:
+        return df.rdd.getNumPartitions()
+    except Exception:
+        return len(df.inputFiles())
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:

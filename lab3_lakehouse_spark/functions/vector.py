@@ -77,9 +77,20 @@ def quantize_int8(a: Column | str) -> Column:
     scale = F.aggregate(
         arr, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
     ) / F.lit(127.0)
-    return F.struct(
-        scale.alias("scale"),
-        F.transform(arr, lambda x: F.round(x / scale).cast("int")).alias("q"),
+    # let-bind the scale via a one-element array: Catalyst does not CSE
+    # across lambda boundaries, so referencing the O(d) max-abs fold
+    # inside the transform lambda would re-evaluate it per element
+    # (O(d²) per vector). Bound as the lambda variable `s` it is
+    # computed exactly once, keeping quantization linear in dim.
+    return F.element_at(
+        F.transform(
+            F.array(scale),
+            lambda s: F.struct(
+                s.alias("scale"),
+                F.transform(arr, lambda x: F.round(x / s).cast("int")).alias("q"),
+            ),
+        ),
+        1,
     )
 
 

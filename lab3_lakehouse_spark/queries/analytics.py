@@ -513,7 +513,7 @@ def hll_mergeable_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH counts AS (
         SELECT tok AS token, count(*) AS cnt
-        FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+        FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
               FROM documents)
         GROUP BY tok
     )
@@ -642,8 +642,8 @@ def lineitem_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
-           {sql_round4('covar_samp(x, y) / var_samp(x)')} AS slope_per_day,
-           {sql_round4('avg(y) - covar_samp(x, y) / var_samp(x) * avg(x)')}
+           {sql_round4('CASE WHEN var_samp(x) > 0 THEN covar_samp(x, y) / var_samp(x) END')} AS slope_per_day,
+           {sql_round4('CASE WHEN var_samp(x) > 0 THEN avg(y) - covar_samp(x, y) / var_samp(x) * avg(x) END')}
                AS intercept
     FROM pts
     GROUP BY event_type
@@ -660,9 +660,13 @@ def event_value_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     x = (F.unix_micros(F.col("ts")) / F.lit(86400000000.0)).alias("x")
     pts = ev.select("event_type", x, F.col("value").alias("y"))
-    slope = F.covar_samp("x", "y") / F.var_samp("x")
+    # degenerate groups (one point, or all points at one timestamp)
+    # would give 0/0 = NaN in Spark but NULL in DuckDB — gate on
+    # var > 0 so both engines emit NULL
+    defined = F.var_samp("x") > 0
+    slope = F.when(defined, F.covar_samp("x", "y") / F.var_samp("x"))
     return pts.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         round4(slope).alias("slope_per_day"),
-        round4(F.avg("y") - slope * F.avg("x")).alias("intercept"),
+        round4(F.when(defined, F.avg("y") - F.covar_samp("x", "y") / F.var_samp("x") * F.avg("x"))).alias("intercept"),
     )

@@ -30,7 +30,7 @@ from lab3_lakehouse_spark.session import tune_session
     "gopher_repetition_rules",
     oracle="""
     WITH toks AS (
-        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
         FROM documents
     ), per_tok AS (
         SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
@@ -43,7 +43,7 @@ from lab3_lakehouse_spark.session import tune_session
                               i -> t[i] || ' ' || t[i + 1]) AS bg,
                list_transform(generate_series(1, len(t) - 2),
                               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS tg
-        FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+        FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents)
     )
     SELECT top.doc_id,
            top.n_tokens,
@@ -135,7 +135,7 @@ def pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "heavy_hitter_tokens",
     oracle="""
     SELECT tok AS token, count(*) AS cnt
-    FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+    FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok FROM documents)
     GROUP BY tok
     ORDER BY cnt DESC, tok
     LIMIT 25
@@ -352,7 +352,7 @@ def impute_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     "chunk_documents_sliding",
     oracle="""
     WITH t AS (
-        SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents
     )
     SELECT doc_id,
            CAST(i AS BIGINT) AS chunk_idx,

@@ -8,8 +8,11 @@ Cross-engine facts this file relies on (probed, tests enforce):
   is BIT-IDENTICAL to DuckDB's ``list_cosine_similarity`` on
   ``DOUBLE[]`` (both fold left-to-right in double) → no rounding of
   similarities anywhere;
-- corpus text is single-space separated (``\\s+`` split ≡ split on
-  ``' '``);
+- tokenization is ``\\s+`` regex split on BOTH engines (Spark
+  ``F.split(col, r"\\s+")`` ≡ DuckDB ``regexp_split_to_array(col,
+  '\\s+')`` — probed identical on leading/trailing/empty/mixed
+  whitespace), so the parity contract no longer depends on the corpus
+  being single-spaced;
 - integer-ratio features (jaccard = |∩|/|∪|) are exact double divisions
   of ints → bit-identical.
 
@@ -74,7 +77,7 @@ def dedup_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
         SELECT doc_id, lang,
-               list_distinct(string_split(lower(text), ' ')) AS w
+               list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS w
         FROM documents
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -121,7 +124,7 @@ def _word_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     oracle="""
     WITH RECURSIVE t AS (
         SELECT doc_id, lang,
-               list_distinct(string_split(lower(text), ' ')) AS w
+               list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS w
         FROM documents
     ), pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -176,7 +179,7 @@ def dup_groups_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decontamination_ngram_overlap",
     oracle="""
     WITH w AS (
-        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
     ), t AS (
         SELECT doc_id,
                list_distinct(
@@ -246,7 +249,7 @@ def decontamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     "tfidf_top_terms",
     oracle="""
     WITH terms AS (
-        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
         FROM documents
     ), tf AS (
         SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
@@ -277,7 +280,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "minhash_lsh_near_dups",
     oracle="""
     WITH w AS (
-      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
     ), t AS (
       SELECT doc_id,
              list_distinct(
@@ -472,7 +475,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_fingerprint_matches",
     oracle="""
     WITH w AS (
-      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
     ), sh AS (
       SELECT doc_id, unnest(list_distinct(
            list_transform(generate_series(1, greatest(len(w)-5, 1)),
@@ -594,12 +597,12 @@ _SW_SQL = "['" + "','".join(text_ops.STOPWORDS) + "']"
     "text_quality_features",
     oracle=f"""
     SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-           (length(text)::DOUBLE - (len(string_split(text, ' ')) - 1)::DOUBLE)
-             / len(string_split(text, ' '))::DOUBLE     AS mean_token_len,
-           len(list_filter(string_split(lower(text), ' '),
+           CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+           (length(text)::DOUBLE - (len(regexp_split_to_array(text, '\\s+')) - 1)::DOUBLE)
+             / len(regexp_split_to_array(text, '\\s+'))::DOUBLE     AS mean_token_len,
+           len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
                            w -> list_contains({_SW_SQL}, w)))::DOUBLE
-             / len(string_split(text, ' '))::DOUBLE     AS stopword_ratio,
+             / len(regexp_split_to_array(text, '\\s+'))::DOUBLE     AS stopword_ratio,
            len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE
              / length(text)::DOUBLE                     AS punct_ratio,
            len(regexp_extract_all(text, '[0-9]'))::DOUBLE
@@ -622,7 +625,7 @@ def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lang_score_sql(markers: tuple[str, ...]) -> str:
     lst = "['" + "','".join(markers) + "']"
     return (
-        f"len(list_filter(string_split(lower(text), ' '), "
+        f"len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
         f"w -> list_contains({lst}, w)))"
     )
 
@@ -673,7 +676,7 @@ def lang_id_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_counts",
     oracle=f"""
     SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS BIGINT)   AS n_ws_tokens,
+           CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)   AS n_ws_tokens,
            CAST(len(regexp_extract_all(text,
                 '{text_ops.BPE_ISH_PATTERN}')) AS BIGINT)  AS n_bpe_ish_tokens,
            CAST(length(text) AS BIGINT)                    AS n_chars_measured
@@ -786,7 +789,7 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tok AS (
         SELECT lang, doc_id,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+               CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tok
         FROM documents
     ),
     off AS (
@@ -827,7 +830,7 @@ def pack_documents_concat_chop(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stratified_sample_documents",
     oracle="""
     SELECT lang, count(*) AS n_sampled,
-           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sampled_tokens
+           CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS sampled_tokens
     FROM documents
     WHERE doc_id % 100 < CASE lang
         WHEN 'en' THEN 80 WHEN 'zh' THEN 50 WHEN 'de' THEN 25 ELSE 10 END

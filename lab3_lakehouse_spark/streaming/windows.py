@@ -53,6 +53,11 @@ def _ts_stored_as_nanos(path: str) -> bool:
     so it is 100 TB-safe. Contract: every file in a stream directory
     uses the same ``ts`` encoding (standard for any parquet source —
     Spark itself requires a single reader schema per stream).
+
+    The probe only understands LOCAL paths (glob + pyarrow). Guessing
+    on a path it cannot probe would be a silent 1000× mis-decode if the
+    guess is wrong, so it raises instead — callers on object stores
+    must pass ``ts_encoding`` to :func:`stream_events` explicitly.
     """
     import glob
     import os
@@ -63,15 +68,21 @@ def _ts_stored_as_nanos(path: str) -> bool:
     files = (
         sorted(glob.glob(os.path.join(path, "*.parquet")))
         if os.path.isdir(path)
-        else [path]
+        else ([path] if os.path.isfile(path) else [])
     )
     if not files:
-        return True  # empty source dir: keep the historical nanos contract
+        raise ValueError(
+            f"cannot probe ts encoding of {path!r}: no local parquet file "
+            "found (non-local scheme or empty dir) — pass "
+            "stream_events(..., ts_encoding='nanos'|'micros') explicitly"
+        )
     t = pq.ParquetFile(files[0]).schema_arrow.field("ts").type
     return t == pa.int64() or (pa.types.is_timestamp(t) and t.unit == "ns")
 
 
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_events(
+    spark: SparkSession, sf_dir: str, ts_encoding: str | None = None
+) -> DataFrame:
     """``events`` as a file stream. maxFilesPerTrigger=1 gives
     deterministic micro-batch granularity in tests; a production reader
     would bound *bytes* per trigger instead.
@@ -80,13 +91,18 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     testdata has shipped both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
     over time): nanos arrive as long and are truncated to µs timestamps,
     micros/millis are read natively — mirroring the batch reader's
-    defensive decode in ``catalog.load_table``.
+    defensive decode in ``catalog.load_table``. The footer probe is
+    local-filesystem only; for object-store paths pass
+    ``ts_encoding='nanos'`` or ``'micros'`` (the probe raises rather
+    than guess — a wrong guess mis-decodes every timestamp by 1000×).
     """
     import os
 
+    if ts_encoding not in (None, "nanos", "micros"):
+        raise ValueError(f"ts_encoding must be 'nanos'|'micros'|None, got {ts_encoding!r}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
-    nanos = _ts_stored_as_nanos(path)
+    nanos = _ts_stored_as_nanos(path) if ts_encoding is None else ts_encoding == "nanos"
     if not os.path.isdir(path):
         # single-file source: FileStreamSource requires a directory or a
         # glob — bracketing the last char forces glob semantics, which
