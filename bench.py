@@ -83,10 +83,21 @@ def _bench_overrides() -> dict:
         return dedup_ops.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
 
     def fingerprints(spark, sf_dir):
+        # the catalog body's production prefix: tokenize+hash ONCE into a
+        # checkpointed frame, winnow from the shared shingle hashes, then
+        # group by fingerprint — identical to what ships, minus the
+        # guarantee/precision theorem scaffolding the driver verifies
         docs = fan_out(load_table(spark, sf_dir, "documents"))
-        fps = docs.select(
+        base = docs.select(
+            "doc_id", dedup_ops.token_hashes("text").alias("__th")
+        ).localCheckpoint(eager=False)
+        fps = base.select(
             "doc_id",
-            F.explode(text_ops.winnowed_fingerprints("text", k=3, w=4)).alias("fp"),
+            F.explode(
+                text_ops.winnowed_fingerprints_from_shingle_hashes(
+                    dedup_ops.shingle_hashes_from_token_hashes(F.col("__th"), 3), w=4
+                )
+            ).alias("fp"),
         )
         return (
             fps.groupBy("fp")
