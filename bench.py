@@ -59,6 +59,10 @@ HEADLINE = [
     "semantic_dedup_flags",         # SemDeDup: blocked pairwise cosine
     "hll_mergeable_daily_users",    # mergeable HLL sketch rollup
     "interval_overlap_view_purchase",  # binned interval-overlap join
+    "gopher_repetition_rules",      # repetition-signal scan (zero shuffle)
+    "pii_redaction_report",         # PII scrub + audit scan
+    "tfidf_top_terms",              # tf-idf keywords (tf/df aggs + window)
+    "profile_orders_columns",       # column profiling (one wide agg pass)
 ]
 
 

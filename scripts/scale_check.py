@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""Scale checkpoint: measure how the heavy corpus operators grow with
+data volume (VERDICT r3 "Next" #6 — convert the 100×-scale design
+claims from plan-shape arguments into measured growth curves).
+
+The driver testdata tops out at sf0.1, so this tool AMPLIFIES sf0.1 by
+integer factors into ``<repo>/.scale/x{m}/`` (git-ignored): each table
+becomes m disjoint copies with remapped keys. Document text gets a
+per-copy token prefix so copies share no shingles — near-dup structure
+is preserved *within* a copy and never *across* copies, which is what
+linear corpus growth looks like (more docs, same duplication rate).
+Events/orders/lineitem keep their foreign-key structure via a common
+``key*16+i`` remap; dimension tables are carried over unchanged.
+
+For each multiplier it runs the heavy operators once (plan shapes
+pre-warmed at sf0.001) and reports wall time plus the Spark UI's
+shuffle-write/input bytes per run, then prints one JSON line with
+per-operator growth exponents alpha = log(t_m/t_1)/log(m) — alpha ~ 1
+is linear scaling, alpha ~ 2 would be the all-pairs failure mode the
+banded/blocked designs exist to avoid.
+
+Run: ``python scripts/scale_check.py [multipliers ...]`` (default 3 10).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+import urllib.request
+
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from lab3_lakehouse_spark.catalog import TABLES, load_table, table_path
+from lab3_lakehouse_spark.queries import QUERIES
+from lab3_lakehouse_spark.session import build_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WARMUP = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
+SCALE_ROOT = os.path.join(REPO, ".scale")
+
+#: tables whose volume scales with the corpus; the rest are dimensions.
+FACTS = ("documents", "events", "orders", "lineitem")
+
+
+def _amplified(spark, src: str, name: str, m: int):
+    df = load_table(spark, src, name)
+    copies = []
+    for i in range(m):
+        c = df
+        if name == "documents":
+            c = c.withColumn("doc_id", F.col("doc_id") * 16 + F.lit(i))
+            if i > 0:  # copy 0 keeps original text → x1 results embed exactly
+                c = c.withColumn(
+                    "text",
+                    F.array_join(
+                        F.transform(
+                            F.split(F.col("text"), r"\s+"),
+                            lambda t: F.concat(F.lit(f"c{i}~"), t),
+                        ),
+                        " ",
+                    ),
+                )
+        elif name == "events":
+            c = c.withColumn("event_id", F.col("event_id") * 16 + F.lit(i))
+        elif name == "orders":
+            c = c.withColumn("o_orderkey", F.col("o_orderkey") * 16 + F.lit(i))
+        elif name == "lineitem":
+            c = c.withColumn("l_orderkey", F.col("l_orderkey") * 16 + F.lit(i))
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def build_scaled_dir(spark, m: int) -> str:
+    dst = os.path.join(SCALE_ROOT, f"x{m}")
+    if os.path.isdir(dst):
+        return dst
+    os.makedirs(dst, exist_ok=True)
+    for name in TABLES:
+        path = table_path(dst, name)
+        if name in FACTS:
+            n_files = max(1, m * 2)
+            _amplified(spark, SF_DIR, name, m).repartition(n_files).write.mode(
+                "overwrite"
+            ).parquet(path)
+        else:
+            src = table_path(SF_DIR, name)
+            if os.path.isdir(src):
+                shutil.copytree(src, path)
+            else:
+                shutil.copy(src, path)
+    return dst
+
+
+def _ui_totals(spark) -> dict[str, int]:
+    """Cumulative shuffle-write/input bytes across all completed stages,
+    from the local UI REST API (diffed around each run)."""
+    try:
+        base = f"http://localhost:{spark.sparkContext.uiWebUrl.rsplit(':', 1)[1]}"
+        app = spark.sparkContext.applicationId
+        stages = json.load(
+            urllib.request.urlopen(f"{base}/api/v1/applications/{app}/stages?status=complete")
+        )
+        return {
+            "shuffle_write": sum(s.get("shuffleWriteBytes", 0) for s in stages),
+            "input": sum(s.get("inputBytes", 0) for s in stages),
+        }
+    except Exception:
+        return {"shuffle_write": 0, "input": 0}
+
+
+def corpus_pipeline(spark, sf_dir):
+    sys.path.insert(0, os.path.join(REPO, "examples"))
+    from llm_corpus_pipeline import run_corpus_pipeline
+
+    out = tempfile.mkdtemp(prefix="scale_corpus_")
+    try:
+        counts = run_corpus_pipeline(spark, sf_dir, out)
+        return counts["packed_rows"]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def workloads():
+    from bench import _bench_overrides
+
+    ov = _bench_overrides()
+    return {
+        "minhash_lsh_near_dups": QUERIES["minhash_lsh_near_dups"],
+        "dup_groups_connected_lsh_cc": ov["dup_groups_connected"],
+        "decontamination_ngram_overlap": QUERIES["decontamination_ngram_overlap"],
+        "doc_fingerprint_groups": ov["doc_fingerprint_matches"],
+        "incremental_rollup_hourly": QUERIES["incremental_rollup_hourly"],
+        "sql_late_order_priority": QUERIES["sql_late_order_priority"],
+        "corpus_pipeline": corpus_pipeline,
+    }
+
+
+def main() -> None:
+    multipliers = [int(a) for a in sys.argv[1:]] or [3, 10]
+    spark = build_session(app_name="scale-check")
+    from bench import _reset_session_state
+
+    work = workloads()
+    for name, fn in work.items():  # warm every plan shape
+        if name != "corpus_pipeline":
+            fn(spark, WARMUP).count()
+
+    dirs = {1: SF_DIR}
+    for m in multipliers:
+        dirs[m] = build_scaled_dir(spark, m)
+
+    results: dict[str, dict] = {}
+    for m, d in dirs.items():
+        for name, fn in work.items():
+            _reset_session_state(spark)
+            before = _ui_totals(spark)
+            t0 = time.perf_counter()
+            out = fn(spark, d)
+            n_rows = out if isinstance(out, int) else out.count()
+            dt = round(time.perf_counter() - t0, 2)
+            after = _ui_totals(spark)
+            results.setdefault(name, {})[f"x{m}"] = {
+                "sec": dt,
+                "rows": n_rows,
+                "shuffle_write_mb": round(
+                    (after["shuffle_write"] - before["shuffle_write"]) / 1e6, 1
+                ),
+                "input_mb": round((after["input"] - before["input"]) / 1e6, 1),
+            }
+            print(f"x{m} {name}: {dt}s rows={n_rows}", file=sys.stderr, flush=True)
+
+    top = max(multipliers)
+    for name, r in results.items():
+        t1, tm = r["x1"]["sec"], r[f"x{top}"]["sec"]
+        r["alpha"] = round(math.log(max(tm, 0.01) / max(t1, 0.01)) / math.log(top), 2)
+    print(json.dumps({"sf_base": SF_DIR, "multipliers": multipliers, "results": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
