@@ -100,6 +100,21 @@ _PRIORITY = [
     # ---- 50-slot window boundary: everything below is green in
     # CORRECTNESS_r03 (checked last round); r4-touched members are
     # self-verified this round and scheduled first for round 5:
+    # -- NEW in round 4 (queries/scaleops.py): no driver verdict yet;
+    # each verified vs its DuckDB oracle at sf0.01 this round
+    # (tests/test_oracle_parity.py + tests/test_scaleops.py). These
+    # MUST occupy the front of round 5's window:
+    "cms_heavy_tokens_contract",
+    "bloom_filter_semi_join",
+    "rare_token_doc_quality",
+    "funnel_stage_conversion",
+    "time_decay_user_value",
+    "events_gap_filled_daily",
+    "mad_outlier_report",
+    "user_retention_cohorts",
+    "per_source_document_quota",
+    "ann_filtered_topk",
+    # -- green in CORRECTNESS_r03, code untouched in r4:
     "event_value_trends",
     "embedding_quantization_report",
     "gopher_repetition_rules",

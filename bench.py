@@ -63,6 +63,11 @@ HEADLINE = [
     "pii_redaction_report",         # PII scrub + audit scan
     "tfidf_top_terms",              # tf-idf keywords (tf/df aggs + window)
     "profile_orders_columns",       # column profiling (one wide agg pass)
+    "cms_heavy_tokens_contract",    # count-min sketch build + estimate (r4)
+    "bloom_filter_semi_join",       # runtime-filter Bloom probe, shuffle-free (r4)
+    "rare_token_doc_quality",       # corpus-frequency quality scoring (r4)
+    "funnel_stage_conversion",      # first-touch funnel, 1 shuffle (r4)
+    "user_retention_cohorts",       # cohort retention triangle (r4)
 ]
 
 

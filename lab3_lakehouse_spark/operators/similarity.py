@@ -67,6 +67,56 @@ def brute_force_topk(
     )
 
 
+def filtered_brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    filter_cols: list[str],
+    k: int = 10,
+    query_id_col: str | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Metadata-filtered exact cosine top-k: candidates must match the
+    query on every ``filter_cols`` value (the vector-store metadata
+    filter mode).
+
+    The equality predicates become the JOIN KEYS — a broadcast hash
+    join on the filter columns instead of :func:`brute_force_topk`'s
+    crossJoin — so the candidate set shrinks to the matching slices
+    *before* any cosine is computed (filter-then-score). With a
+    selective filter this cuts scored pairs by the filter's
+    selectivity; the plan stays one corpus scan + one per-query top-k
+    window.
+    """
+    qid = query_id_col or id_col
+    q = queries.select(
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        *[F.col(c).alias(f"__qf_{c}") for c in filter_cols],
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        *filter_cols,
+    )
+    on = [F.col(fc) == F.col(f"__qf_{fc}") for fc in filter_cols]
+    joined = c.join(F.broadcast(q), on=on)
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.withColumn(
+        "cosine", cosine_similarity(F.col("__qvec"), F.col("__cvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long"))
+    )
+
+
 def _hyperplanes(dim: int, n_bits: int, n_tables: int, seed: int = 42) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.normal(size=(n_tables, n_bits, dim))

@@ -1,0 +1,148 @@
+"""Relational probabilistic sketches: count-min and Bloom filters.
+
+Both sketches are expressed as *DataFrames of sketch cells*, not opaque
+binary blobs, which buys three things at 100 TB:
+
+1. **Mergeable by construction** — CMS cells add (``groupBy(r, b).sum``)
+   and Bloom bit sets union (``distinct``), so per-partition /
+   per-day sketches roll up to any grain with plain aggregations,
+   the same store-sketches-not-numbers design as the HLL rollup
+   (operators/aggregate.py:154).
+2. **Engine-portable** — every hash is an md5-derived 60-bit integer
+   computed by identical string operations in Spark and ANSI SQL, so
+   the driver's DuckDB oracle can rebuild the exact same sketch and
+   the differential check covers the sketch *values*, not just row
+   counts (unlike ``xxhash64``-based ops which get rows-only checks).
+3. **Broadcast-size probe side** — a CMS of depth·width cells or a
+   Bloom bit set of ≤ m rows is kilobytes; probing a 100 TB fact
+   table is a broadcast hash join per hash function, no shuffle of
+   the fact side. This is the runtime-filter pattern: build a Bloom
+   filter from a selective dimension predicate, prune the fact scan
+   *before* the expensive join/shuffle.
+
+The md5 path is ~3× slower per row than ``xxhash64`` — for pipelines
+that never need cross-engine parity, swap ``portable_hash60`` for
+``F.xxhash64(F.lit(seed), col)``; every downstream shape is unchanged.
+
+No counterpart in the reference (its 333-line ETL has no sketches;
+closest is SURVEY §2.7's "distinct & approx" family which this extends).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def portable_hash60(col: Column | str, seed: int) -> Column:
+    """Seeded 60-bit integer hash with an exact ANSI-SQL twin.
+
+    Spark: ``conv(substring(md5(concat(seed, '|', x)), 1, 15), 16, 10)``;
+    DuckDB: ``('0x' || substr(md5(seed || '|' || x), 1, 15))::BIGINT``
+    (emitted by :func:`sql_hash60`). 15 hex chars = 60 bits → always a
+    positive BIGINT, so ``% width`` agrees across engines (no negative-
+    modulo divergence).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    tagged = F.concat_ws("|", F.lit(str(seed)), c.cast("string"))
+    return F.conv(F.substring(F.md5(tagged), 1, 15), 16, 10).cast("long")
+
+
+def sql_hash60(expr: str, seed: int) -> str:
+    """The DuckDB twin of :func:`portable_hash60` for oracle SQL."""
+    return f"('0x' || substr(md5('{seed}' || '|' || CAST(({expr}) AS VARCHAR)), 1, 15))::BIGINT"
+
+
+# ------------------------------------------------------------ count-min ----
+
+def cms_buckets(col: Column | str, depth: int, width: int) -> Column:
+    """array<long> of the key's bucket per sketch row (one seeded hash
+    each — the pairwise-independent family the CMS bound assumes)."""
+    return F.array(*[portable_hash60(col, r) % width for r in range(depth)])
+
+
+def cms_build(df: DataFrame, col: Column | str, depth: int = 4, width: int = 256) -> DataFrame:
+    """Count-min sketch of a key column as a cell table ``(r, b, cnt)``.
+
+    One narrow pass: each key row explodes to ``depth`` (row, bucket)
+    pairs, then a single ``groupBy(r, b)`` — map-side partial combine
+    collapses the per-partition cells to ≤ depth·width rows *before*
+    the exchange, so shuffle volume is bounded by the sketch size times
+    the partition count, independent of data volume. Merging sketches
+    from different slices = union + re-sum of the same cell grid.
+    """
+    cells = df.select(F.posexplode(cms_buckets(col, depth, width)).alias("r", "b"))
+    return cells.groupBy("r", "b").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    cms: DataFrame, keys: DataFrame, col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Point-estimate each key against a built sketch: min over the
+    key's ``depth`` cells (missing cell → 0). The sketch side is
+    broadcast — estimating any number of keys never shuffles them.
+    Guarantee: estimate ≥ true count always (cells only over-count);
+    over-estimate ≤ ε·N with prob 1-δ for width=⌈e/ε⌉, depth=⌈ln 1/δ⌉.
+    """
+    kb = keys.select(
+        F.col(col), F.posexplode(cms_buckets(col, depth, width)).alias("r", "b")
+    )
+    joined = kb.join(F.broadcast(cms), ["r", "b"], "left")
+    return joined.groupBy(col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_n")
+    )
+
+
+# --------------------------------------------------------------- bloom ----
+
+#: seed base for Bloom hash functions — disjoint from CMS row seeds.
+_BLOOM_SEED0 = 100
+
+
+def bloom_bit_positions(col: Column | str, n_bits: int, n_hashes: int) -> list[Column]:
+    return [
+        portable_hash60(col, _BLOOM_SEED0 + s) % n_bits for s in range(n_hashes)
+    ]
+
+
+def bloom_build(
+    keys: DataFrame, col: Column | str, n_bits: int = 4096, n_hashes: int = 3
+) -> DataFrame:
+    """Bloom filter of a key set as a set-bit table ``(bit)``.
+
+    ≤ ``n_bits`` rows regardless of key count; sketches from disjoint
+    key slices merge with ``union().distinct()``.
+    """
+    pos = F.explode(F.array(*bloom_bit_positions(col, n_bits, n_hashes)))
+    return keys.select(pos.alias("bit")).distinct()
+
+
+def bloom_probe(
+    df: DataFrame,
+    col: Column | str,
+    bits: DataFrame,
+    n_bits: int = 4096,
+    n_hashes: int = 3,
+    flag: str = "bloom_pass",
+) -> DataFrame:
+    """Tag each probe row with membership-in-filter (no false negatives).
+
+    ``n_hashes`` broadcast LEFT joins of the tiny bit table against the
+    row's bit positions — the probe side is never shuffled, which is
+    the whole point: at 100 TB this runs inside the fact-table scan
+    stage and drops non-matching rows before any exchange.
+    """
+    out = df
+    markers = []
+    for s, pos in enumerate(bloom_bit_positions(col, n_bits, n_hashes)):
+        m = f"__bloom{s}"
+        markers.append(m)
+        out = out.join(
+            F.broadcast(bits.select(F.col("bit").alias(m))),
+            on=[pos == F.col(m)],
+            how="left",
+        )
+    cond = F.col(markers[0]).isNotNull()
+    for m in markers[1:]:
+        cond = cond & F.col(m).isNotNull()
+    return out.withColumn(flag, cond).drop(*markers)

@@ -1,0 +1,555 @@
+"""Scale-pattern queries (round 4): relational sketches, runtime-filter
+joins, corpus quality signals, product analytics, and filtered vector
+search — each a thin named query over operators that stay shuffle-lean
+at 100 TB.
+
+Every query here carries a FULL oracle twin (not just a contract): the
+probabilistic structures (count-min, Bloom) use the md5-derived
+portable hash (operators/sketches.py), so DuckDB rebuilds the exact
+same sketch cell-by-cell and the driver's differential check covers
+sketch *values* cross-engine.
+
+No counterpart in the reference (SURVEY §2.7 gap surface); scale notes
+per query docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lab3_lakehouse_spark.catalog import fan_out, load_table
+from lab3_lakehouse_spark.operators import dedup as dedup_ops
+from lab3_lakehouse_spark.operators import sketches
+from lab3_lakehouse_spark.operators import similarity as sim_ops
+from lab3_lakehouse_spark.queries.registry import query
+from lab3_lakehouse_spark.queries._util import round4, sql_round4
+from lab3_lakehouse_spark.session import tune_session
+
+# ------------------------------------------------------------- sketches ----
+
+_CMS_DEPTH, _CMS_WIDTH, _CMS_TOPK = 4, 256, 15
+
+_CMS_SQL_BUCKETS = ", ".join(
+    f"{sketches.sql_hash60('token', r)} % {_CMS_WIDTH}" for r in range(_CMS_DEPTH)
+)
+_CMS_SQL_ROWS = ", ".join(str(r) for r in range(_CMS_DEPTH))
+
+
+@query(
+    "cms_heavy_tokens_contract",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+        FROM documents
+    ), exact AS (
+        SELECT token, count(*) AS exact_n FROM toks GROUP BY token
+    ), top AS (
+        SELECT token, exact_n FROM exact
+        QUALIFY row_number() OVER (ORDER BY exact_n DESC, token) <= {_CMS_TOPK}
+    ), cells AS (
+        SELECT r, b, count(*) AS cnt
+        FROM (SELECT unnest([{_CMS_SQL_ROWS}]) AS r,
+                     unnest([{_CMS_SQL_BUCKETS}]) AS b
+              FROM toks)
+        GROUP BY r, b
+    ), est AS (
+        SELECT token, min(coalesce(cnt, 0)) AS cms_n
+        FROM (SELECT token, unnest([{_CMS_SQL_ROWS}]) AS r,
+                     unnest([{_CMS_SQL_BUCKETS}]) AS b
+              FROM top) kb
+        LEFT JOIN cells USING (r, b)
+        GROUP BY token
+    )
+    SELECT token, exact_n, cms_n, cms_n >= exact_n AS no_undercount
+    FROM top JOIN est USING (token)
+    """,
+)
+def cms_heavy_tokens_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch of the corpus token stream, checked against the
+    exact top-15 heavy tokens.
+
+    The sketch is a ≤ depth·width cell TABLE built in one narrow pass
+    with map-side combine (operators/sketches.py:cms_build) — at 100 TB
+    the shuffle ships only per-partition cell grids, never tokens, and
+    per-day cell tables merge to any grain by re-summing (the
+    store-sketches-not-numbers design, same as the HLL rollup). The
+    no-undercount column is the CMS guarantee made driver-checkable;
+    the cms_n values themselves are ALSO oracle-verified because the
+    hash is engine-portable.
+    """
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(dedup_ops.tokens("text")).alias("token")
+    ).localCheckpoint(eager=False)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = exact.orderBy(F.desc("exact_n"), F.asc("token")).limit(_CMS_TOPK)
+    cms = sketches.cms_build(toks, "token", _CMS_DEPTH, _CMS_WIDTH)
+    est = sketches.cms_estimate(cms, top.select("token"), "token", _CMS_DEPTH, _CMS_WIDTH)
+    return (
+        top.join(est, "token")
+        .select(
+            "token",
+            "exact_n",
+            "cms_n",
+            (F.col("cms_n") >= F.col("exact_n")).alias("no_undercount"),
+        )
+    )
+
+
+_BLOOM_BITS, _BLOOM_K = 4096, 3
+
+
+def _bloom_sql_pos(expr: str, s: int) -> str:
+    return f"{sketches.sql_hash60(expr, 100 + s)} % {_BLOOM_BITS}"
+
+
+@query(
+    "bloom_filter_semi_join",
+    oracle=f"""
+    WITH build AS (
+        SELECT c_custkey AS key FROM customer WHERE c_acctbal > 9000
+    ), bits AS (
+        SELECT DISTINCT unnest([
+            {_bloom_sql_pos('key', 0)},
+            {_bloom_sql_pos('key', 1)},
+            {_bloom_sql_pos('key', 2)}]) AS bit
+        FROM build
+    ), probe AS (
+        SELECT o.o_custkey,
+               b0.bit IS NOT NULL AND b1.bit IS NOT NULL
+                   AND b2.bit IS NOT NULL AS bloom_pass,
+               bl.key IS NOT NULL AS true_match
+        FROM orders o
+        LEFT JOIN bits b0 ON {_bloom_sql_pos('o.o_custkey', 0)} = b0.bit
+        LEFT JOIN bits b1 ON {_bloom_sql_pos('o.o_custkey', 1)} = b1.bit
+        LEFT JOIN bits b2 ON {_bloom_sql_pos('o.o_custkey', 2)} = b2.bit
+        LEFT JOIN build bl ON o.o_custkey = bl.key
+    )
+    SELECT count(*)                                        AS n_probe,
+           count(CASE WHEN bloom_pass THEN 1 END)          AS n_pass,
+           count(CASE WHEN true_match THEN 1 END)          AS n_true,
+           count(CASE WHEN bloom_pass AND NOT true_match THEN 1 END)
+                                                           AS n_false_pos,
+           count(CASE WHEN true_match AND NOT bloom_pass THEN 1 END) = 0
+                                                           AS no_false_negatives,
+           {sql_round4('''count(CASE WHEN bloom_pass AND NOT true_match THEN 1 END)::DOUBLE
+               / (count(*) - count(CASE WHEN true_match THEN 1 END))''')} AS fp_rate
+    FROM probe
+    """,
+)
+def bloom_filter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter pattern: Bloom filter built from a selective
+    dimension predicate (high-balance customers), probed against the
+    orders fact table *without shuffling it* — the ≤ m-row set-bit
+    table is broadcast into the fact scan stage, which is how a 100 TB
+    join prunes its probe side before the exchange. Emits the filter's
+    quality sheet: no-false-negatives (hard guarantee) + measured
+    false-positive rate, all rebuilt bit-for-bit by the oracle.
+    """
+    tune_session(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    build = cust.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("key")
+    )
+    bits = sketches.bloom_build(build, "key", _BLOOM_BITS, _BLOOM_K)
+    probed = sketches.bloom_probe(
+        orders.select("o_custkey"), F.col("o_custkey"), bits, _BLOOM_BITS, _BLOOM_K
+    )
+    probed = probed.join(
+        F.broadcast(build), probed["o_custkey"] == build["key"], "left"
+    ).withColumn("true_match", F.col("key").isNotNull())
+    n_fp = F.count(F.when(F.col("bloom_pass") & ~F.col("true_match"), 1))
+    n_true = F.count(F.when(F.col("true_match"), 1))
+    return probed.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.count(F.when(F.col("bloom_pass"), 1)).alias("n_pass"),
+        n_true.alias("n_true"),
+        n_fp.alias("n_false_pos"),
+        (F.count(F.when(F.col("true_match") & ~F.col("bloom_pass"), 1)) == 0).alias(
+            "no_false_negatives"
+        ),
+        round4(
+            n_fp.cast("double") / (F.count(F.lit(1)) - n_true)
+        ).alias("fp_rate"),
+    )
+
+
+# -------------------------------------------------- corpus quality ----
+
+
+@query(
+    "rare_token_doc_quality",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+        FROM documents
+    ), corpus AS (
+        SELECT token, count(*) AS cnt FROM toks GROUP BY token
+    ), total AS (
+        SELECT count(*) AS total FROM toks
+    )
+    SELECT doc_id,
+           count(*)                                   AS n_tokens,
+           count(CASE WHEN cnt <= 2 THEN 1 END)       AS n_rare,
+           {sql_round4('''count(CASE WHEN cnt <= 2 THEN 1 END)::DOUBLE
+               / count(*)''')}                        AS rare_frac,
+           {sql_round4('''(sum(cnt)::DOUBLE * 1000000.0)
+               / (max(total)::DOUBLE * count(*)::DOUBLE)''')} AS avg_freq_ppm
+    FROM toks JOIN corpus USING (token), total
+    GROUP BY doc_id
+    """,
+)
+def rare_token_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency quality signals per document: rare-token ratio
+    (OCR-garbage / mojibake detector — junk text is dominated by tokens
+    the corpus has never seen twice) and mean token corpus-frequency in
+    ppm. A self-join unigram model: one token-level aggregate builds
+    the 'model', one postings join scores every document — both shuffle
+    fixed-width (token-hash, count) pairs, the same postings pattern as
+    decontamination (operators/text.py:218). Integer sums keep the
+    score exact cross-engine (no float accumulation order anywhere
+    before the final two divisions).
+    """
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(dedup_ops.tokens("text")).alias("token")
+    ).localCheckpoint(eager=False)
+    corpus = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    per_doc = (
+        toks.join(corpus, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("cnt") <= 2, 1)).alias("n_rare"),
+            F.sum("cnt").alias("__sum_cnt"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        "n_rare",
+        round4(F.col("n_rare").cast("double") / F.col("n_tokens")).alias("rare_frac"),
+        round4(
+            (F.col("__sum_cnt").cast("double") * F.lit(1000000.0))
+            / (F.col("total").cast("double") * F.col("n_tokens").cast("double"))
+        ).alias("avg_freq_ppm"),
+    )
+
+
+# ---------------------------------------------- product analytics ----
+
+
+@query(
+    "funnel_stage_conversion",
+    oracle=f"""
+    WITH s AS (
+        SELECT user_id,
+               min(ts) FILTER (WHERE event_type = 'view')     AS t_view,
+               min(ts) FILTER (WHERE event_type = 'click')    AS t_click,
+               min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT count(*)                          AS n_users,
+           count(t_view)                     AS n_view,
+           count(CASE WHEN t_click > t_view THEN 1 END) AS n_view_then_click,
+           count(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 END)
+                                             AS n_full_funnel,
+           {sql_round4('''count(CASE WHEN t_click > t_view THEN 1 END)::DOUBLE
+               / count(t_view)''')}          AS click_rate,
+           {sql_round4('''count(CASE WHEN t_click > t_view AND t_purchase > t_click
+               THEN 1 END)::DOUBLE
+               / count(CASE WHEN t_click > t_view THEN 1 END)''')} AS purchase_rate
+    FROM s
+    """,
+)
+def funnel_stage_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch funnel view → click → purchase: one grouped pass
+    builds per-user first-touch timestamps via conditional MIN (no
+    pivot, no self-joins), one global agg computes stage conversion.
+    Scale shape: a single shuffle on user_id then a scalar agg —
+    the canonical funnel plan for a 100 TB event log.
+    """
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    clicked = F.col("t_click") > F.col("t_view")
+    full = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return s.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(clicked, 1)).alias("n_view_then_click"),
+        F.count(F.when(full, 1)).alias("n_full_funnel"),
+        round4(
+            F.count(F.when(clicked, 1)).cast("double") / F.count("t_view")
+        ).alias("click_rate"),
+        round4(
+            F.count(F.when(full, 1)).cast("double") / F.count(F.when(clicked, 1))
+        ).alias("purchase_rate"),
+    )
+
+
+@query(
+    "time_decay_user_value",
+    oracle=f"""
+    WITH ref AS (SELECT max(ts::DATE) AS ref_day FROM events)
+    SELECT user_id,
+           count(*) AS n_events,
+           {sql_round4('''sum(value / CAST(1::BIGINT <<
+               date_diff('day', ts::DATE, ref_day) AS DOUBLE))''')} AS decayed_value
+    FROM events, ref
+    GROUP BY user_id
+    """,
+)
+def time_decay_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted user scoring with a one-day half-life:
+    weight = 2^-(days before newest event), computed as an exact
+    integer shift (1<<days) so the weights are bit-identical
+    cross-engine (no libm exp/pow in the plan). The reference day is a
+    broadcast one-row aggregate; the scoring pass is a single grouped
+    agg — recency features for 100 TB of events at one shuffle.
+    """
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.agg(F.max(F.to_date("ts")).alias("ref_day"))
+    weight_div = F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), CAST(datediff(ref_day, to_date(ts)) AS INT)) AS DOUBLE)"
+    )
+    return (
+        ev.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round4(F.sum(F.col("value") / weight_div)).alias("decayed_value"),
+        )
+    )
+
+
+@query(
+    "events_gap_filled_daily",
+    oracle="""
+    WITH b AS (SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events),
+    spine AS (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM b
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    daily AS (
+        SELECT ts::DATE AS day, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT s.day::TIMESTAMP AS day, t.event_type, coalesce(d.n, 0) AS n_events
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
+    """,
+)
+def events_gap_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily resample (the hypertable ``time_bucket_gapfill``
+    pattern): a date spine generated from the observed bounds ×
+    distinct series keys, left-joined onto the real per-day counts with
+    zero-fill. The spine is O(days × keys) — tiny by construction —
+    so the grid side broadcasts and the only data-sized operation is
+    the one grouped count.
+    """
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    types = ev.select("event_type").distinct()
+    daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        spine.crossJoin(types)
+        .join(daily, ["day", "event_type"], "left")
+        .select(
+            # TIMESTAMP, not DATE, in the output: DuckDB DATE arrives in
+            # pandas as datetime64 while Spark DATE stays datetime.date —
+            # the engine-wide convention is to emit day grains as
+            # midnight timestamps (see queries/parity.py).
+            F.col("day").cast("timestamp").alias("day"),
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "mad_outlier_report",
+    oracle=f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ), mad AS (
+        SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type
+    )
+    SELECT event_type,
+           count(*) AS n,
+           {sql_round4('max(med)')} AS med,
+           {sql_round4('max(mad)')} AS mad,
+           count(CASE WHEN abs(value - med) > mad * 4.4478 THEN 1 END)
+               AS n_outliers
+    FROM events JOIN med USING (event_type) JOIN mad USING (event_type)
+    GROUP BY event_type
+    """,
+)
+def mad_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection via median absolute deviation
+    (3σ-equivalent threshold 3·1.4826·MAD, folded to the single literal
+    4.4478 so both engines evaluate ONE multiply — no float-order
+    ambiguity in the cut). Three grouped passes with the tiny per-group
+    medians broadcast back; exact medians are the sf-scale baseline —
+    at 100 TB swap ``percentile`` for the GK sketch
+    (approx_percentiles_contract) and keep the same plan shape.
+    """
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad"))
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round4(F.max("med")).alias("med"),
+            round4(F.max("mad")).alias("mad"),
+            F.count(
+                F.when(
+                    F.abs(F.col("value") - F.col("med")) > F.col("mad") * F.lit(4.4478),
+                    1,
+                )
+            ).alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "user_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, min(ts::DATE) AS cohort_day FROM events GROUP BY user_id
+    )
+    SELECT cohort_day::TIMESTAMP AS cohort_day,
+           date_diff('day', cohort_day, ts::DATE) AS day_offset,
+           count(DISTINCT user_id) AS n_users
+    FROM events JOIN first_seen USING (user_id)
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-seen day,
+    activity counted per (cohort, day-offset) cell. Two shuffles on
+    user_id (first-seen agg, then the distinct-count) — the cohort
+    frame joins back broadcast-sized relative to the event log.
+    """
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    return (
+        ev.join(first_seen, "user_id")
+        .groupBy(
+            # day-grain timestamps in the output (engine convention,
+            # see queries/parity.py) — the offset math stays on DATE
+            F.col("cohort_day").cast("timestamp").alias("cohort_day"),
+            F.datediff(F.to_date("ts"), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+# ------------------------------------------------ corpus curation ----
+
+
+@query(
+    "per_source_document_quota",
+    oracle="""
+    SELECT doc_id, source,
+           CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+               AS pick_rank
+    FROM documents
+    QUALIFY pick_rank <= 5
+    """,
+)
+def per_source_document_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota capping (the C4/RefinedWeb anti-domination
+    rule): keep at most k documents per source, chosen by a
+    deterministic pseudo-random order — md5 of the id, reproducible on
+    any engine and any run, unlike ``rand()``. One window over the
+    source partition; at 100 TB sources are the natural partition key
+    and heavy domains are exactly the ones this op exists to cut.
+    """
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick_rank") <= 5)
+        .select("doc_id", "source", "pick_rank")
+    )
+
+
+# ------------------------------------------------- vector search ----
+
+
+@query(
+    "ann_filtered_topk",
+    oracle="""
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,
+           CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                        c.vec_id) AS BIGINT) AS rank
+    FROM embeddings q
+    JOIN embeddings c ON c.vec_id != q.vec_id AND c.label = q.label
+    WHERE q.vec_id < 8
+    QUALIFY rank <= 5
+    """,
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: exact cosine top-k restricted to
+    candidates sharing the query's label (the metadata-filter mode
+    every vector store exposes). The equality predicate becomes the
+    JOIN KEY — Catalyst turns the scan into a hash join on label
+    instead of a crossJoin, so the candidate set shrinks before any
+    scoring work, which is precisely how filtered ANN should execute
+    at scale (filter-then-score, not score-then-filter).
+    """
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.filtered_brute_force_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        "vec_id",
+        "embedding",
+        filter_cols=["label"],
+        k=5,
+    )

@@ -1,0 +1,192 @@
+"""Unit tests for the round-4 scale-pattern operators (sketches,
+runtime-filter join, funnel, quota, filtered ANN) on planted data —
+the oracle-parity gate covers the real tables; these pin semantics
+and plan shapes on inputs where the expected answer is hand-checkable.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from lab3_lakehouse_spark.operators import sketches
+from lab3_lakehouse_spark.operators.similarity import filtered_brute_force_topk
+from lab3_lakehouse_spark.plans.analysis import count_nodes
+
+
+# ------------------------------------------------------------- CMS ----
+
+
+def test_cms_never_undercounts(spark):
+    rows = [("a",)] * 7 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, ["k"])
+    cms = sketches.cms_build(df, "k", depth=4, width=16)
+    keys = spark.createDataFrame([("a",), ("b",), ("c",), ("zz",)], ["k"])
+    est = {r["k"]: r["cms_n"] for r in
+           sketches.cms_estimate(cms, keys, "k", depth=4, width=16).collect()}
+    assert est["a"] >= 7 and est["b"] >= 3 and est["c"] >= 1
+    # a key the sketch never saw can only collide upward, never go negative
+    assert est["zz"] >= 0
+
+
+def test_cms_slices_merge_to_whole(spark):
+    """Cell tables from disjoint slices re-aggregate to the sketch of
+    the union — the mergeability contract that makes per-day sketches
+    roll up to any grain."""
+    s1 = spark.createDataFrame([("a",)] * 4 + [("b",)] * 2, ["k"])
+    s2 = spark.createDataFrame([("a",)] * 1 + [("c",)] * 5, ["k"])
+    whole = sketches.cms_build(s1.union(s2), "k", depth=3, width=8)
+    merged = (
+        sketches.cms_build(s1, "k", depth=3, width=8)
+        .union(sketches.cms_build(s2, "k", depth=3, width=8))
+        .groupBy("r", "b")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+
+# ----------------------------------------------------------- Bloom ----
+
+
+def test_bloom_no_false_negatives_and_merges(spark):
+    keys = spark.createDataFrame([(i,) for i in range(50)], ["k"])
+    bits = sketches.bloom_build(keys, "k", n_bits=1024, n_hashes=3)
+    probe = spark.createDataFrame([(i,) for i in range(200)], ["k"])
+    flagged = sketches.bloom_probe(probe, F.col("k"), bits, n_bits=1024, n_hashes=3)
+    got = {r["k"]: r["bloom_pass"] for r in flagged.collect()}
+    assert all(got[i] for i in range(50)), "member keys must always pass"
+    fp = sum(got[i] for i in range(50, 200))
+    assert fp < 75, f"false-positive rate implausibly high: {fp}/150"
+    # bit sets from key slices union to the whole filter
+    half1 = sketches.bloom_build(keys.filter("k < 25"), "k", 1024, 3)
+    half2 = sketches.bloom_build(keys.filter("k >= 25"), "k", 1024, 3)
+    merged = half1.union(half2).distinct()
+    assert sorted(r["bit"] for r in merged.collect()) == sorted(
+        r["bit"] for r in bits.collect()
+    )
+
+
+def test_bloom_probe_side_never_shuffles(spark):
+    """The probe plan must be broadcast joins only — no Exchange of the
+    fact side (the entire point of the runtime-filter pattern)."""
+    keys = spark.createDataFrame([(i,) for i in range(10)], ["k"])
+    bits = sketches.bloom_build(keys, "k", n_bits=256, n_hashes=3)
+    probe = spark.createDataFrame([(i,) for i in range(100)], ["k"])
+    flagged = sketches.bloom_probe(probe, F.col("k"), bits, n_bits=256, n_hashes=3)
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+# ---------------------------------------------------- filtered ANN ----
+
+
+def test_filtered_topk_respects_metadata_filter(spark):
+    rows = [
+        (0, [1.0, 0.0], 1),
+        (1, [0.9, 0.1], 1),
+        (2, [1.0, 0.01], 2),  # closer, but wrong label — must be excluded
+        (3, [0.0, 1.0], 1),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = filtered_brute_force_topk(
+        emb, emb.filter("vec_id = 0"), "vec_id", "embedding",
+        filter_cols=["label"], k=2,
+    ).collect()
+    ids = [r["neighbor_id"] for r in out]
+    assert ids == [1, 3], f"label filter violated: {ids}"
+
+
+def test_filtered_topk_plan_joins_on_filter_not_cross(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0], i % 3) for i in range(30)],
+        ["vec_id", "embedding", "label"],
+    )
+    df = filtered_brute_force_topk(
+        emb, emb.filter("vec_id < 2"), "vec_id", "embedding",
+        filter_cols=["label"], k=2,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, "filter must be a hash-join key"
+
+
+# ------------------------------------------------ planted semantics ----
+
+
+@pytest.fixture(scope="module")
+def planted_events(spark):
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # u1: full funnel in order
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(hours=1), 1, "click", 1.0, "{}"),
+        (3, t0 + dt.timedelta(hours=2), 1, "purchase", 10.0, "{}"),
+        # u2: click BEFORE view → not a conversion
+        (4, t0, 2, "click", 1.0, "{}"),
+        (5, t0 + dt.timedelta(hours=1), 2, "view", 1.0, "{}"),
+        # u3: view only
+        (6, t0, 3, "view", 1.0, "{}"),
+    ]
+    return spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+
+
+def test_funnel_semantics_on_planted_events(spark, planted_events, tmp_path):
+    from lab3_lakehouse_spark.queries.scaleops import funnel_stage_conversion
+
+    path = str(tmp_path / "events.parquet")
+    planted_events.write.parquet(path)
+    # reuse the query body against the planted dir (other tables unused)
+    row = funnel_stage_conversion(spark, str(tmp_path)).collect()[0]
+    assert row["n_users"] == 3
+    assert row["n_view"] == 3
+    assert row["n_view_then_click"] == 1  # only u1 clicked after first view
+    assert row["n_full_funnel"] == 1
+
+
+def test_quota_cap_and_determinism(spark, sf_small):
+    from lab3_lakehouse_spark.queries.scaleops import per_source_document_quota
+
+    a = per_source_document_quota(spark, sf_small).collect()
+    b = per_source_document_quota(spark, sf_small).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)), "must be deterministic"
+    per_src: dict[str, int] = {}
+    for r in a:
+        per_src[r["source"]] = per_src.get(r["source"], 0) + 1
+    assert all(v <= 5 for v in per_src.values())
+
+
+def test_time_decay_weights_are_exact_halving(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 10, 8, 0, 0)
+    rows = [
+        (1, t0, 7, "view", 8.0, "{}"),                       # newest day → w=1
+        (2, t0 - dt.timedelta(days=1), 7, "view", 8.0, "{}"),  # w=1/2
+        (3, t0 - dt.timedelta(days=3), 7, "view", 8.0, "{}"),  # w=1/8
+    ]
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    from lab3_lakehouse_spark.queries.scaleops import time_decay_user_value
+
+    row = time_decay_user_value(spark, str(tmp_path)).collect()[0]
+    assert row["decayed_value"] == 8.0 + 4.0 + 1.0
+
+
+def test_gap_fill_emits_zero_rows_for_missing_days(spark, tmp_path):
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(days=3), 1, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    from lab3_lakehouse_spark.queries.scaleops import events_gap_filled_daily
+
+    out = events_gap_filled_daily(spark, str(tmp_path)).collect()
+    assert len(out) == 4  # 4-day spine × 1 event type
+    by_day = {r["day"].day: r["n_events"] for r in out}
+    assert by_day[1] == 1 and by_day[2] == 0 and by_day[3] == 0 and by_day[4] == 1
