@@ -114,6 +114,11 @@ _PRIORITY = [
     "user_retention_cohorts",
     "per_source_document_quota",
     "ann_filtered_topk",
+    "kmeans_cluster_contract",
+    "shared_span_dup_report",
+    "referential_integrity_audit",
+    "event_transition_matrix",
+    "throttled_event_stream",
     # -- green in CORRECTNESS_r03, code untouched in r4:
     "event_value_trends",
     "embedding_quantization_report",

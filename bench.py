@@ -68,6 +68,9 @@ HEADLINE = [
     "rare_token_doc_quality",       # corpus-frequency quality scoring (r4)
     "funnel_stage_conversion",      # first-touch funnel, 1 shuffle (r4)
     "user_retention_cohorts",       # cohort retention triangle (r4)
+    "shared_span_dup_report",       # sub-document exact-substring dedup (r4)
+    "referential_integrity_audit",  # FK conformance, broadcast anti joins (r4)
+    "event_transition_matrix",      # Markov transition counts, 1 window (r4)
 ]
 
 

@@ -553,3 +553,232 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         filter_cols=["label"],
         k=5,
     )
+
+
+@query(
+    "kmeans_cluster_contract",
+    oracle="""
+    SELECT 8 AS k,
+           count(*) AS n_points,
+           true AS all_assigned,
+           true AS cells_within_k
+    FROM embeddings
+    """,
+)
+def kmeans_cluster_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means as a first-class operation (it already powers
+    the IVF index build — operators/similarity.py:ivf_topk — this
+    surfaces it standalone): spark.ml Lloyd's with a bounded iteration
+    budget, every step a distributed job. Assert-style oracle (the
+    ANN-recall pattern): cluster memberships are engine-specific, so
+    the query emits the SQL-checkable population count plus booleans
+    proving every vector got exactly one cell and no more than k cells
+    exist — the partition-into-k contract, verified end-to-end.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("__mlvec"),
+    )
+    km = KMeans(k=8, seed=42, maxIter=8, featuresCol="__mlvec", predictionCol="__cell")
+    assigned = km.fit(vecs.select("__mlvec")).transform(vecs)
+    sizes = assigned.groupBy("__cell").agg(F.count(F.lit(1)).alias("n"))
+    n_points = emb.count()
+    return sizes.agg(
+        F.lit(8).alias("k"),
+        F.sum("n").cast("long").alias("n_points"),
+        (F.sum("n") == F.lit(n_points)).alias("all_assigned"),
+        (F.count(F.lit(1)) <= F.lit(8)).alias("cells_within_k"),
+    )
+
+
+# ------------------------------------------------ substring dedup ----
+
+
+@query(
+    "shared_span_dup_report",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+        FROM documents
+    ), spans AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   list_transform(generate_series(1, greatest(len(w) - 9, 1)),
+                                  i -> array_to_string(w[i:i+9], ' ')))) AS span
+        FROM w
+    )
+    SELECT md5(span) AS span_fp,
+           count(*) AS n_docs,
+           min(doc_id) AS min_doc_id
+    FROM spans
+    GROUP BY md5(span)
+    HAVING count(*) >= 2
+    """,
+)
+def shared_span_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact-substring dedup — the training-data pattern
+    from "Deduplicating Training Data Makes Language Models Better":
+    documents that are not duplicates as wholes still share verbatim
+    spans (boilerplate, licenses, quoted passages). Every distinct
+    10-token window per document, shuffled on its 128-bit md5
+    fingerprint — never the span text — then grouped to find spans
+    present in ≥ 2 documents. Span count is O(tokens) per document and
+    the exchange ships fixed-width keys, so the pass stays linear at
+    any corpus size; the production follow-up (cut the flagged spans
+    out of the losing documents) is a join back on doc_id.
+    """
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    spans = docs.select(
+        "doc_id", F.explode(dedup_ops.word_shingles("text", n=10)).alias("span")
+    )
+    return (
+        spans.groupBy(F.md5("span").alias("span_fp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# --------------------------------------------------- data quality ----
+
+
+@query(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'orders->customer' AS relation,
+           (SELECT count(*) FROM orders) AS n_child,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->orders',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey))
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key conformance audit across the star schema: one row
+    per relationship with child cardinality and orphan count (child
+    keys with no parent). Orphans are LEFT ANTI joins — for small
+    parents (customer/part/supplier) Catalyst broadcasts the parent
+    key set, so the fact side is scanned once per relation with no
+    shuffle; lineitem→orders goes shuffled-anti, the unavoidable
+    big-big case. The lakehouse data-quality gate the medallion silver
+    tier would run before publishing.
+    """
+    tune_session(spark)
+    rels = [
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ]
+    parts = []
+    for name, child, ck, parent, pk in rels:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(pk)
+        orphans = c.join(p, c[ck] == p[pk], "left_anti")
+        parts.append(
+            c.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
+                orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+            ).select(F.lit(name).alias("relation"), "n_child", "n_orphans")
+        )
+    out = parts[0]
+    for p_df in parts[1:]:
+        out = out.union(p_df)
+    return out
+
+
+# ------------------------------------------------ sequence analytics ----
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           count(*) AS n_transitions
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event
+    sequences: one LEAD window per user (event_id tie-break for
+    determinism on equal timestamps), one grouped count. The window
+    shuffle partitions by user_id — the same key every sequence
+    operator here uses, so at scale the exchanges collapse into one.
+    """
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w))
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+@query(
+    "throttled_event_stream",
+    oracle="""
+    WITH t AS (
+        SELECT event_id, user_id, event_type, ts,
+               lag(ts) OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    )
+    SELECT event_id, user_id, event_type, ts
+    FROM t
+    WHERE prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 300000000
+    """,
+)
+def throttled_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-limit / debounce filter: drop an event when the same
+    (user, type) fired within the last 5 minutes — duplicate-click and
+    retry-storm suppression, the batch twin of streaming
+    ``dropDuplicatesWithinWatermark``. One LAG window on the
+    (user, type) key; the 5-minute gap is compared in exact
+    microseconds (``unix_micros`` ≡ DuckDB ``epoch_us``), never in
+    truncated seconds — the same lesson as the trailing-1h frame fix
+    (queries/temporal.py, commit aed936a).
+    """
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    t = ev.withColumn("prev_ts", F.lag("ts").over(w))
+    return t.filter(
+        F.col("prev_ts").isNull()
+        | (F.unix_micros("ts") - F.unix_micros("prev_ts") > F.lit(300_000_000))
+    ).select("event_id", "user_id", "event_type", "ts")

@@ -190,3 +190,94 @@ def test_gap_fill_emits_zero_rows_for_missing_days(spark, tmp_path):
     assert len(out) == 4  # 4-day spine × 1 event type
     by_day = {r["day"].day: r["n_events"] for r in out}
     assert by_day[1] == 1 and by_day[2] == 0 and by_day[3] == 0 and by_day[4] == 1
+
+
+# --------------------------------------------- round-4 batch 2 ----
+
+
+def test_shared_span_detects_planted_verbatim_overlap(spark, tmp_path):
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    rows = [
+        (1, f"{shared} unique tail one two three four five six seven", "en", "s1", 10),
+        (2, f"different head words here {shared}", "en", "s2", 10),
+        (3, "no overlap at all just fresh tokens everywhere in this one", "en", "s3", 10),
+    ]
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    from lab3_lakehouse_spark.queries.scaleops import shared_span_dup_report
+
+    out = shared_span_dup_report(spark, str(tmp_path)).collect()
+    assert len(out) == 1, f"exactly the planted 10-gram should be shared: {out}"
+    assert out[0]["n_docs"] == 2 and out[0]["min_doc_id"] == 1
+
+
+def test_referential_integrity_flags_planted_orphans(spark, tmp_path):
+    spark.createDataFrame(
+        [(1, "a", 1, 0.0, "BUILDING")],
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(10, 1, "O", 5.0, "1996-01-01", "1-URGENT"),
+         (11, 99, "O", 5.0, "1996-01-01", "1-URGENT")],  # orphan custkey 99
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"],
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(10, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-02")],
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+         "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+         "l_linestatus", "l_shipdate"],
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame([(1,)], ["p_partkey"]).write.parquet(
+        str(tmp_path / "part.parquet"))
+    spark.createDataFrame([(1,)], ["s_suppkey"]).write.parquet(
+        str(tmp_path / "supplier.parquet"))
+    from lab3_lakehouse_spark.queries.scaleops import referential_integrity_audit
+
+    got = {r["relation"]: (r["n_child"], r["n_orphans"])
+           for r in referential_integrity_audit(spark, str(tmp_path)).collect()}
+    assert got["orders->customer"] == (2, 1)
+    assert got["lineitem->orders"] == (1, 0)
+
+
+def test_throttle_keeps_first_and_spaced_events(spark, tmp_path):
+    import datetime as dt
+    t0 = dt.datetime(2024, 5, 1, 9, 0, 0)
+    rows = [
+        (1, t0, 1, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(seconds=100), 1, "click", 1.0, "{}"),  # < 5 min → drop
+        (3, t0 + dt.timedelta(seconds=400), 1, "click", 1.0, "{}"),  # >5 min after #1 → keep
+        (4, t0 + dt.timedelta(seconds=100), 1, "view", 1.0, "{}"),   # other type → keep
+    ]
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    from lab3_lakehouse_spark.queries.scaleops import throttled_event_stream
+
+    kept = sorted(r["event_id"]
+                  for r in throttled_event_stream(spark, str(tmp_path)).collect())
+    # the gap is measured vs the previous RAW event (lag), strictly
+    # greater than 300 s: #2 is 100 s after #1 (drop), #3 is exactly
+    # 300 s after #2 (not > 300 → drop), #4 is the type's first (keep)
+    assert kept == [1, 4]
+
+
+def test_transition_matrix_counts_planted_sequence(spark, tmp_path):
+    import datetime as dt
+    t0 = dt.datetime(2024, 5, 1, 9, 0, 0)
+    rows = [
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 1, "click", 1.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=2), 1, "view", 1.0, "{}"),
+        (4, t0 + dt.timedelta(minutes=3), 1, "click", 1.0, "{}"),
+        (5, t0, 2, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    from lab3_lakehouse_spark.queries.scaleops import event_transition_matrix
+
+    got = {(r["from_type"], r["to_type"]): r["n_transitions"]
+           for r in event_transition_matrix(spark, str(tmp_path)).collect()}
+    assert got == {("view", "click"): 2, ("click", "view"): 1}
