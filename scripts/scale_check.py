@@ -142,6 +142,12 @@ def workloads():
         "doc_fingerprint_groups": ov["doc_fingerprint_matches"],
         "incremental_rollup_hourly": QUERIES["incremental_rollup_hourly"],
         "sql_late_order_priority": QUERIES["sql_late_order_priority"],
+        # round-4 token-heavy additions: span explode + md5-keyed
+        # shuffle, CMS cell build, and the unigram postings join —
+        # each should hold alpha ~ 1 (span/token count grows linearly)
+        "shared_span_dup_report": QUERIES["shared_span_dup_report"],
+        "cms_heavy_tokens_contract": QUERIES["cms_heavy_tokens_contract"],
+        "rare_token_doc_quality": QUERIES["rare_token_doc_quality"],
         "corpus_pipeline": corpus_pipeline,
     }
 
