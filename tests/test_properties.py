@@ -224,3 +224,52 @@ def test_quantize_int8_error_bound_and_range(spark, vec):
     ).first()
     assert all(-127 <= c <= 127 for c in r["codes"])
     assert all(e <= r["scale"] / 2 + 1e-9 for e in r["err"])
+
+
+# ------------------------------------------- round-4 sketches ----
+
+_keys = st.lists(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=4), min_size=1, max_size=60
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_keys)
+def test_cms_estimate_dominates_exact_count(spark, ks):
+    """CMS guarantee on arbitrary multisets: estimate >= true count for
+    every key that appears (cells only ever over-count)."""
+    from collections import Counter
+
+    from lab3_lakehouse_spark.operators import sketches
+
+    df = spark.createDataFrame([(k,) for k in ks], ["k"])
+    cms = sketches.cms_build(df, "k", depth=3, width=8)
+    uniq = spark.createDataFrame([(k,) for k in set(ks)], ["k"])
+    est = {
+        r["k"]: r["cms_n"]
+        for r in sketches.cms_estimate(cms, uniq, "k", depth=3, width=8).collect()
+    }
+    truth = Counter(ks)
+    assert all(est[k] >= n for k, n in truth.items()), (est, truth)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40),
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40),
+)
+def test_bloom_membership_never_misses(spark, members, probes):
+    """No false negatives for ANY member/probe sets — the Bloom hard
+    guarantee, independent of collisions."""
+    from lab3_lakehouse_spark.operators import sketches
+
+    mdf = spark.createDataFrame([(k,) for k in set(members)], ["k"])
+    bits = sketches.bloom_build(mdf, "k", n_bits=128, n_hashes=2)
+    pdf = spark.createDataFrame([(k,) for k in set(members) | set(probes)], ["k"])
+    got = {
+        r["k"]: r["bloom_pass"]
+        for r in sketches.bloom_probe(
+            pdf, F.col("k"), bits, n_bits=128, n_hashes=2
+        ).collect()
+    }
+    assert all(got[k] for k in set(members))
