@@ -11,6 +11,8 @@ the way a data team would actually chain it:
                                 component's smallest doc_id)
       → decontamination        (operators/text.ngram_overlap vs a
                                 held-out benchmark split)
+      → source quota cap       (operators/sampling.cap_per_key,
+                                C4-style anti-domination; optional)
       → PII scrub              (operators/text.redact_pii, audit counts)
       → embedding chunks       (operators/text.chunk_token_windows,
                                 side branch for the retrieval corpus)
@@ -37,6 +39,7 @@ from pyspark.sql import functions as F
 from lab3_lakehouse_spark.catalog import fan_out, load_table
 from lab3_lakehouse_spark.operators import dedup as dedup_ops
 from lab3_lakehouse_spark.operators import packing as pack_ops
+from lab3_lakehouse_spark.operators import sampling as sampling_ops
 from lab3_lakehouse_spark.operators import text as text_ops
 from lab3_lakehouse_spark.sources import versioned as vt
 
@@ -48,6 +51,7 @@ def run_corpus_pipeline(
     seq_len: int = 512,
     near_dup_threshold: float = 0.8,
     contamination_threshold: float = 0.5,
+    max_docs_per_source: int | None = None,
 ) -> dict[str, int]:
     """Build a packed, deduplicated, decontaminated corpus tier.
     Returns per-stage surviving row counts (monotonically
@@ -94,6 +98,17 @@ def run_corpus_pipeline(
     ).select("doc_id").distinct()
     clean = corpus.join(contaminated, "doc_id", "left_anti")
 
+    # 5a. per-source quota cap (C4-style anti-domination): bound how
+    #     many documents any single domain contributes to the mix —
+    #     deterministic md5-ordered pick (operators/sampling.cap_per_key).
+    #     None disables the cap (the synthetic corpus is already
+    #     balanced); a real web crawl always sets it.
+    capped = clean
+    if max_docs_per_source is not None:
+        capped = sampling_ops.cap_per_key(
+            clean, key_col="source", k=max_docs_per_source, id_col="doc_id"
+        )
+
     # 5b. PII scrub before publication — row-preserving; audit counts
     #     ride along as metadata (zero on a synthetic PII-free corpus,
     #     but the gate always runs: scrubbing is not optional at 100 TB).
@@ -101,7 +116,7 @@ def run_corpus_pipeline(
     #     packing, the published tier) must see only redacted text, and
     #     n_tokens is recomputed because redaction rewrites the text.
     scrubbed = (
-        text_ops.redact_pii(clean, "text")
+        text_ops.redact_pii(capped, "text")
         .withColumn("text", F.col("text_redacted"))
         .drop("text_redacted")
         .withColumn("n_tokens", text_ops.token_count("text"))
@@ -131,6 +146,7 @@ def run_corpus_pipeline(
         "exact_dedup": exact,
         "near_dedup": deduped,
         "decontaminated": clean,
+        "source_capped": capped,
     }
     counts = {name: df.count() for name, df in stages.items()}
     counts["pii_hits"] = int(

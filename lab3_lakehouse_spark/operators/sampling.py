@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -61,3 +61,35 @@ def bernoulli_stratified_sample(
 ) -> DataFrame:
     """Seeded per-stratum Bernoulli sample (Spark ``sampleBy``)."""
     return df.sampleBy(stratum_col, dict(fractions), seed=seed)
+
+
+def cap_per_key(
+    df: DataFrame,
+    *,
+    key_col: str,
+    k: int,
+    id_col: str,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Per-key quota cap (the C4/RefinedWeb anti-domination rule): keep
+    at most ``k`` rows per ``key_col`` value, chosen in a deterministic
+    pseudo-random order — md5 of the id, reproducible on any engine and
+    any rerun, unlike ``rand()``. Pass ``rank_col`` to keep the pick
+    rank in the output.
+
+    Scale: one window sort per key partition. Heavy keys (the ones the
+    cap exists to cut) dominate the sort cost; when ``k`` is much
+    smaller than the largest partitions, pre-prune with a cheap hash
+    range filter (``pmod(hash(id), P) < ceil(margin·k·P/n_key)``)
+    before the exact window so the sort only sees a small multiple of
+    ``k`` rows per key.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    rank = rank_col or "__quota_rank"
+    out = (
+        df.withColumn(rank, F.row_number().over(w).cast("long"))
+        .filter(F.col(rank) <= k)
+    )
+    return out if rank_col else out.drop(rank)

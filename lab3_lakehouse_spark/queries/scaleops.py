@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from lab3_lakehouse_spark.catalog import fan_out, load_table
 from lab3_lakehouse_spark.operators import dedup as dedup_ops
+from lab3_lakehouse_spark.operators import sampling as sampling_ops
 from lab3_lakehouse_spark.operators import sketches
 from lab3_lakehouse_spark.operators import similarity as sim_ops
 from lab3_lakehouse_spark.queries.registry import query
@@ -506,14 +507,10 @@ def per_source_document_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    capped = sampling_ops.cap_per_key(
+        docs, key_col="source", k=5, id_col="doc_id", rank_col="pick_rank"
     )
-    return (
-        docs.withColumn("pick_rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("pick_rank") <= 5)
-        .select("doc_id", "source", "pick_rank")
-    )
+    return capped.select("doc_id", "source", "pick_rank")
 
 
 # ------------------------------------------------- vector search ----

@@ -34,3 +34,20 @@ def test_corpus_pipeline_end_to_end(spark, sf_small, tmpdir):
     key = ["doc_id", "shard", "pack_id", "start_offset"]
     assert a.select(*key).subtract(b.select(*key)).count() == 0
     assert b.select(*key).subtract(a.select(*key)).count() == 0
+
+
+def test_corpus_pipeline_source_quota_cap(spark, sf_small, tmpdir):
+    from llm_corpus_pipeline import run_corpus_pipeline
+
+    c = run_corpus_pipeline(
+        spark, sf_small, str(tmpdir), seq_len=128, max_docs_per_source=1
+    )
+    # 20 sources in the corpus → at most 20 docs survive the cap
+    assert c["source_capped"] <= 20
+    assert c["source_capped"] < c["decontaminated"]
+    assert c["packed_rows"] == c["source_capped"]
+    # rerun is deterministic (md5 pick order, not rand())
+    c2 = run_corpus_pipeline(
+        spark, sf_small, str(tmpdir), seq_len=128, max_docs_per_source=1
+    )
+    assert c2["source_capped"] == c["source_capped"]
