@@ -119,6 +119,8 @@ _PRIORITY = [
     "referential_integrity_audit",
     "event_transition_matrix",
     "throttled_event_stream",
+    "join_key_skew_report",
+    "seasonal_residual_anomalies",
     # -- green in CORRECTNESS_r03, code untouched in r4:
     "event_value_trends",
     "embedding_quantization_report",

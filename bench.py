@@ -71,6 +71,8 @@ HEADLINE = [
     "shared_span_dup_report",       # sub-document exact-substring dedup (r4)
     "referential_integrity_audit",  # FK conformance, broadcast anti joins (r4)
     "event_transition_matrix",      # Markov transition counts, 1 window (r4)
+    "join_key_skew_report",         # shuffle-key skew pre-flight (r4)
+    "seasonal_residual_anomalies",  # 24h-lag anomaly ranking, gap-filled (r4)
 ]
 
 

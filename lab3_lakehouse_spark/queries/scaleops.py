@@ -779,3 +779,155 @@ def throttled_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev_ts").isNull()
         | (F.unix_micros("ts") - F.unix_micros("prev_ts") > F.lit(300_000_000))
     ).select("event_id", "user_id", "event_type", "ts")
+
+
+# --------------------------------------------- scale diagnostics ----
+
+
+def _skew_sql(table: str, key: str) -> str:
+    return f"""
+    SELECT '{table}.{key}' AS key_col,
+           sum(cnt)::BIGINT AS n_rows,
+           count(*) AS n_keys,
+           max(cnt) AS max_key_rows,
+           {sql_round4('max(cnt)::DOUBLE * count(*)::DOUBLE / sum(cnt)::DOUBLE')}
+               AS skew_max_over_mean,
+           {sql_round4('quantile_cont(cnt::DOUBLE, 0.99)')} AS p99_key_rows
+    FROM (SELECT {key}, count(*) AS cnt FROM {table} GROUP BY {key})
+    """
+
+
+@query(
+    "join_key_skew_report",
+    oracle=" UNION ALL ".join(
+        [
+            _skew_sql("events", "user_id"),
+            _skew_sql("lineitem", "l_orderkey"),
+            _skew_sql("lineitem", "l_partkey"),
+            _skew_sql("orders", "o_custkey"),
+        ]
+    ),
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics — the measurement that decides when
+    to reach for the salted join/agg operators (operators/joins.py:240,
+    operators/aggregate.py): per candidate join key, the key-count
+    distribution's max, p99, and max-over-mean ratio. One groupBy per
+    key then a scalar agg over the tiny count frame; at 100 TB this is
+    exactly the pre-flight a pipeline runs before choosing a join
+    strategy, and it reuses the shuffle the real join would do anyway
+    (or runs on a sample). Ratio ~1 = uniform; >> cores = salt it.
+    """
+    tune_session(spark)
+    audits = [
+        ("events", "user_id"),
+        ("lineitem", "l_orderkey"),
+        ("lineitem", "l_partkey"),
+        ("orders", "o_custkey"),
+    ]
+    parts = []
+    for table, key in audits:
+        counts = (
+            load_table(spark, sf_dir, table)
+            .groupBy(key)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        mean = F.sum("cnt").cast("double") / F.count(F.lit(1)).cast("double")
+        parts.append(
+            counts.agg(
+                F.lit(f"{table}.{key}").alias("key_col"),
+                F.sum("cnt").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.max("cnt").alias("max_key_rows"),
+                round4(F.max("cnt").cast("double") / mean).alias(
+                    "skew_max_over_mean"
+                ),
+                round4(
+                    F.percentile(F.col("cnt").cast("double"), F.lit(0.99))
+                ).alias("p99_key_rows"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+@query(
+    "seasonal_residual_anomalies",
+    oracle="""
+    WITH b AS (
+        SELECT date_trunc('hour', min(ts)) AS h0,
+               date_trunc('hour', max(ts)) AS h1
+        FROM events
+    ), spine AS (
+        SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr FROM b
+    ), types AS (SELECT DISTINCT event_type FROM events),
+    hourly AS (
+        SELECT t.event_type, s.hr, count(e.event_id) AS n
+        FROM spine s CROSS JOIN types t
+        LEFT JOIN events e
+          ON date_trunc('hour', e.ts) = s.hr AND e.event_type = t.event_type
+        GROUP BY t.event_type, s.hr
+    ), lagged AS (
+        SELECT event_type, hr, n,
+               lag(n, 24) OVER (PARTITION BY event_type ORDER BY hr) AS baseline_n
+        FROM hourly
+    )
+    SELECT event_type, hr, n, baseline_n,
+           n - baseline_n AS residual,
+           CAST(row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY abs(n - baseline_n) DESC, hr) AS BIGINT) AS rank
+    FROM lagged
+    WHERE baseline_n IS NOT NULL
+    QUALIFY rank <= 5
+    """,
+)
+def seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive anomaly detection on the event stream: each
+    hour's count vs the same hour one day earlier (24-step lag on a
+    gap-filled hourly grid — the spine guarantees the lag really is
+    "yesterday, same hour" even when an hour had zero events), then the
+    top-5 largest absolute residuals per series. All arithmetic is
+    integer (counts and differences), so the anomaly ranking is exactly
+    reproducible cross-engine — no variance/z-score float cut that
+    could flip membership at the boundary; consumers scale residuals
+    into z-scores downstream if they need them.
+    """
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr")
+    )
+    types = ev.select("event_type").distinct()
+    hourly = (
+        spine.crossJoin(types)
+        .join(
+            ev.groupBy(
+                F.date_trunc("hour", "ts").alias("hr"), "event_type"
+            ).agg(F.count(F.lit(1)).alias("__n")),
+            ["hr", "event_type"],
+            "left",
+        )
+        .select("event_type", "hr", F.coalesce("__n", F.lit(0)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    lagged = hourly.withColumn("baseline_n", F.lag("n", 24).over(w)).filter(
+        F.col("baseline_n").isNotNull()
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("n") - F.col("baseline_n")).desc(), F.col("hr")
+    )
+    return (
+        lagged.withColumn("residual", F.col("n") - F.col("baseline_n"))
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("event_type", "hr", "n", "baseline_n", "residual", "rank")
+    )

@@ -281,3 +281,51 @@ def test_transition_matrix_counts_planted_sequence(spark, tmp_path):
     got = {(r["from_type"], r["to_type"]): r["n_transitions"]
            for r in event_transition_matrix(spark, str(tmp_path)).collect()}
     assert got == {("view", "click"): 2, ("click", "view"): 1}
+
+
+def test_skew_report_flags_planted_hot_key(spark, tmp_path):
+    import datetime as dt
+    t0 = dt.datetime(2024, 6, 1)
+    rows = [(i, t0, 999, "view", 1.0, "{}") for i in range(90)]   # hot user
+    rows += [(100 + i, t0, i, "view", 1.0, "{}") for i in range(10)]  # 10 singletons
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    # minimal companion tables so the other audits run
+    spark.createDataFrame([(1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-02")],
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+         "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+         "l_linestatus", "l_shipdate"]).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame([(1, 1, "O", 5.0, "1996-01-01", "1-URGENT")],
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"]).write.parquet(str(tmp_path / "orders.parquet"))
+    from lab3_lakehouse_spark.queries.scaleops import join_key_skew_report
+
+    got = {r["key_col"]: r for r in join_key_skew_report(spark, str(tmp_path)).collect()}
+    ev = got["events.user_id"]
+    assert ev["n_rows"] == 100 and ev["n_keys"] == 11
+    assert ev["max_key_rows"] == 90
+    # max/mean = 90 / (100/11) = 9.9 — clearly flagged as skewed
+    assert abs(ev["skew_max_over_mean"] - 9.9) < 1e-9
+
+
+def test_seasonal_residual_finds_planted_spike(spark, tmp_path):
+    import datetime as dt
+    t0 = dt.datetime(2024, 7, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    # two days of 1-event hours, except hour 30 (day 2, 06:00) has 50 events
+    for h in range(48):
+        n = 50 if h == 30 else 1
+        for _ in range(n):
+            rows.append((eid, t0 + dt.timedelta(hours=h), 1, "view", 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    from lab3_lakehouse_spark.queries.scaleops import seasonal_residual_anomalies
+
+    out = seasonal_residual_anomalies(spark, str(tmp_path)).collect()
+    top = [r for r in out if r["rank"] == 1][0]
+    assert top["hr"] == t0 + dt.timedelta(hours=30)
+    assert top["residual"] == 49  # 50 vs 1 at the same hour yesterday
