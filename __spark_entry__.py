@@ -121,6 +121,7 @@ _PRIORITY = [
     "throttled_event_stream",
     "join_key_skew_report",
     "seasonal_residual_anomalies",
+    "join_cardinality_preflight",
     # -- green in CORRECTNESS_r03, code untouched in r4:
     "event_value_trends",
     "embedding_quantization_report",

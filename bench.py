@@ -73,6 +73,7 @@ HEADLINE = [
     "event_transition_matrix",      # Markov transition counts, 1 window (r4)
     "join_key_skew_report",         # shuffle-key skew pre-flight (r4)
     "seasonal_residual_anomalies",  # 24h-lag anomaly ranking, gap-filled (r4)
+    "join_cardinality_preflight",   # exact join-size estimate from count frames (r4)
 ]
 
 

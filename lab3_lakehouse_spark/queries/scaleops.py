@@ -853,6 +853,81 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _cardinality_sql(name: str, a: str, ak: str, b: str, bk: str) -> str:
+    return f"""
+    SELECT '{name}' AS join_name,
+           (SELECT count(*) FROM {a}) AS n_left,
+           (SELECT count(*) FROM {b}) AS n_right,
+           coalesce(sum(ca.cnt * cb.cnt), 0)::BIGINT AS n_out,
+           {sql_round4(f'''coalesce(sum(ca.cnt * cb.cnt), 0)::DOUBLE
+               / greatest((SELECT count(*) FROM {a}), 1)''')} AS amplification
+    FROM (SELECT {ak} AS k, count(*) AS cnt FROM {a} GROUP BY {ak}) ca
+    JOIN (SELECT {bk} AS k, count(*) AS cnt FROM {b} GROUP BY {bk}) cb
+      USING (k)
+    """
+
+
+@query(
+    "join_cardinality_preflight",
+    oracle=" UNION ALL ".join(
+        [
+            _cardinality_sql(
+                "lineitem*orders", "lineitem", "l_orderkey", "orders", "o_orderkey"
+            ),
+            _cardinality_sql(
+                "orders*customer", "orders", "o_custkey", "customer", "c_custkey"
+            ),
+            _cardinality_sql(
+                "lineitem*part", "lineitem", "l_partkey", "part", "p_partkey"
+            ),
+        ]
+    ),
+)
+def join_cardinality_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-output cardinality without running the join:
+    |A ⋈ B| = Σ_k cnt_A(k)·cnt_B(k) over the two key-count frames —
+    the measurement a cost-based optimizer wants and AQE approximates
+    from runtime stats, exposed as a pre-flight query (companion to
+    join_key_skew_report: skew says HOW a join will shuffle,
+    cardinality says how BIG it lands). The count frames are orders of
+    magnitude smaller than the fact tables, so the pre-flight costs two
+    grouped counts + one join of aggregates; on a 100 TB fact table run
+    it on a block sample for an unbiased estimate with the same plan.
+    """
+    tune_session(spark)
+    joins = [
+        ("lineitem*orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders*customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem*part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ]
+    parts = []
+    for name, a, ak, b, bk in joins:
+        da, db = load_table(spark, sf_dir, a), load_table(spark, sf_dir, b)
+        ca = da.groupBy(F.col(ak).alias("k")).agg(F.count(F.lit(1)).alias("ca"))
+        cb = db.groupBy(F.col(bk).alias("k")).agg(F.count(F.lit(1)).alias("cb"))
+        n_left, n_right = da.count(), db.count()
+        parts.append(
+            ca.join(cb, "k").agg(
+                F.lit(name).alias("join_name"),
+                F.lit(n_left).cast("long").alias("n_left"),
+                F.lit(n_right).cast("long").alias("n_right"),
+                F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
+                .cast("long")
+                .alias("n_out"),
+                round4(
+                    F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0)).cast(
+                        "double"
+                    )
+                    / F.lit(float(max(n_left, 1)))
+                ).alias("amplification"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
 @query(
     "seasonal_residual_anomalies",
     oracle="""

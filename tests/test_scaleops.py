@@ -329,3 +329,15 @@ def test_seasonal_residual_finds_planted_spike(spark, tmp_path):
     top = [r for r in out if r["rank"] == 1][0]
     assert top["hr"] == t0 + dt.timedelta(hours=30)
     assert top["residual"] == 49  # 50 vs 1 at the same hour yesterday
+
+
+def test_cardinality_preflight_matches_actual_join(spark, sf_small):
+    from lab3_lakehouse_spark.catalog import load_table
+    from lab3_lakehouse_spark.queries.scaleops import join_cardinality_preflight
+
+    got = {r["join_name"]: r["n_out"]
+           for r in join_cardinality_preflight(spark, sf_small).collect()}
+    li = load_table(spark, sf_small, "lineitem")
+    orders = load_table(spark, sf_small, "orders")
+    actual = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).count()
+    assert got["lineitem*orders"] == actual
