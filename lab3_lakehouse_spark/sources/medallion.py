@@ -212,10 +212,23 @@ def merge_into(
     # the delete→rename window is the non-transactional cost vs Delta)
     staging = path.rstrip("/") + ".__staging__"
     merged.write.format(fmt).mode("overwrite").save(staging)
-    jpath = spark._jvm.org.apache.hadoop.fs.Path
-    fs = jpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs, jpath = _hadoop_fs(spark, path)
     fs.delete(jpath(path), True)
     fs.rename(jpath(staging), jpath(path))
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """Hadoop FileSystem handle (local/HDFS/S3A) — classic sessions
+    only: Spark Connect has no py4j ``_jvm``, and a staged-rename swap
+    has no metadata fallback, so fail with a diagnostic up front
+    (same hazard class as rollup.table_exists / versioned._fs)."""
+    if not (hasattr(spark, "_jvm") and spark._jvm is not None):
+        raise RuntimeError(
+            "merge_into/compact_tier need a classic (py4j) SparkSession: "
+            "Spark Connect has no JVM handle for Hadoop FileSystem renames"
+        )
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    return jpath(path).getFileSystem(spark._jsc.hadoopConfiguration()), jpath
 
 
 def compact_tier(
@@ -248,8 +261,7 @@ def compact_tier(
     """
     import math
 
-    jpath = spark._jvm.org.apache.hadoop.fs.Path
-    fs = jpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs, jpath = _hadoop_fs(spark, path)
 
     def _data_files() -> int:
         it, n = fs.listFiles(jpath(path), True), 0

@@ -36,6 +36,19 @@ _VDIR = re.compile(r"^v=(\d{8})$")
 
 
 def _fs(spark: SparkSession, path: str):
+    """Hadoop FileSystem handle for ``path`` (works for local/HDFS/S3A).
+
+    Requires a classic session: Spark Connect exposes no py4j ``_jvm``
+    handle, so snapshot listing/commit-marker checks cannot run there —
+    fail with a diagnostic instead of an AttributeError (same hazard
+    class as rollup.table_exists / catalog.fan_out, which have
+    metadata-based fallbacks; a filesystem mutation has none).
+    """
+    if not (hasattr(spark, "_jvm") and spark._jvm is not None):
+        raise RuntimeError(
+            "versioned tiers need a classic (py4j) SparkSession: Spark "
+            "Connect has no JVM handle for Hadoop FileSystem operations"
+        )
     jpath = spark._jvm.org.apache.hadoop.fs.Path
     return jpath(path).getFileSystem(spark._jsc.hadoopConfiguration()), jpath
 

@@ -155,3 +155,19 @@ def test_pipeline_publishes_only_redacted_text(spark, sf_small, tmp_path):
     assert published.filter(
         (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")) > 0
     ).count() == 0
+
+
+def test_hadoop_fs_helpers_raise_clearly_without_jvm():
+    """Spark Connect sessions (no py4j _jvm) must get a diagnostic, not
+    an AttributeError, from the filesystem-mutating helpers."""
+    import pytest
+
+    from lab3_lakehouse_spark.sources.medallion import _hadoop_fs
+    from lab3_lakehouse_spark.sources.versioned import _fs
+
+    class FakeConnectSession:
+        _jvm = None
+
+    for helper in (_hadoop_fs, _fs):
+        with pytest.raises(RuntimeError, match="classic"):
+            helper(FakeConnectSession(), "/tmp/x")
