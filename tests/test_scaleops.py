@@ -341,3 +341,27 @@ def test_cardinality_preflight_matches_actual_join(spark, sf_small):
     orders = load_table(spark, sf_small, "orders")
     actual = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).count()
     assert got["lineitem*orders"] == actual
+
+
+def test_span_dedup_plan_is_single_exchange(spark, sf_small):
+    """The span-dedup pass must be explode → one hash-agg exchange on
+    the md5 fingerprint — no join, no extra shuffle."""
+    from lab3_lakehouse_spark.queries.scaleops import shared_span_dup_report
+
+    df = shared_span_dup_report(spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_exchange = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_exchange <= 2, plan  # fan_out repartition + fingerprint agg
+    assert "Join" not in plan
+
+
+def test_cms_query_shares_one_token_explode(spark, sf_small):
+    """cms_heavy_tokens_contract checkpoints the exploded token frame so
+    the exact-count side and the sketch build don't re-tokenize."""
+    from lab3_lakehouse_spark.queries.scaleops import cms_heavy_tokens_contract
+
+    df = cms_heavy_tokens_contract(spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the scan of documents appears at most once in the executed plan —
+    # everything else reads the checkpointed RDD
+    assert plan.count("documents.parquet") <= 1, plan
