@@ -1,0 +1,189 @@
+"""Event-stream analytics operators: debounce, sequence transitions,
+first-touch funnels, cohort retention, gap-filled resampling, and
+seasonal-naive anomaly ranking.
+
+Extracted from the round-4 query bodies (queries/scaleops.py) so the
+catalog queries and composed pipelines (examples/
+event_analytics_pipeline.py) share one implementation. Every operator
+is a pure DataFrame transformation over an event log with at least
+``(id, ts, key, type)`` columns; the shapes are the one-shuffle-on-the-
+sequence-key patterns that hold at 100 TB (see each docstring).
+
+No counterpart in the reference (its 333-line ETL has no windows or
+sequence analytics; SURVEY §2.7 gap surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def throttle(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    min_gap_us: int = 300_000_000,
+) -> DataFrame:
+    """Debounce: drop a row when the previous row of the same key is
+    closer than ``min_gap_us`` microseconds — duplicate-click / retry-
+    storm suppression, the batch twin of streaming
+    ``dropDuplicatesWithinWatermark``. One LAG window on the key; the
+    gap compares exact microseconds, never truncated seconds."""
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, id_col)
+    t = df.withColumn("__prev_ts", F.lag(ts_col).over(w))
+    return t.filter(
+        F.col("__prev_ts").isNull()
+        | (F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("__prev_ts"))
+           > F.lit(min_gap_us))
+    ).drop("__prev_ts")
+
+
+def transition_counts(
+    df: DataFrame,
+    seq_key: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts over per-key sequences:
+    one LEAD window per key (id tie-break for equal timestamps), one
+    grouped count → ``(from_type, to_type, n_transitions)``."""
+    w = Window.partitionBy(seq_key).orderBy(ts_col, id_col)
+    seq = df.withColumn("__next", F.lead(type_col).over(w))
+    return (
+        seq.filter(F.col("__next").isNotNull())
+        .groupBy(
+            F.col(type_col).alias("from_type"),
+            F.col("__next").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+def first_touch_stages(
+    df: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user first-touch timestamp per funnel stage via conditional
+    MIN — no pivot, no self-joins; single shuffle on the user key.
+    Output: ``(user_col, t_<stage>...)``."""
+    return df.groupBy(user_col).agg(
+        *[
+            F.min(F.when(F.col(type_col) == s, F.col(ts_col))).alias(f"t_{s}")
+            for s in stages
+        ]
+    )
+
+
+def funnel_summary(df: DataFrame, stages: list[str], user_col: str = "user_id") -> DataFrame:
+    """Ordered-conversion summary over a :func:`first_touch_stages`
+    frame: a user converts stage k when its first touch is strictly
+    after stage k-1's. One scalar agg; rates are exact integer
+    divisions (round them at the presentation edge)."""
+    conds = []
+    cond = None
+    for prev, cur in zip(stages, stages[1:]):
+        step = F.col(f"t_{cur}") > F.col(f"t_{prev}")
+        cond = step if cond is None else (cond & step)
+        conds.append(cond)
+    aggs = [
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(f"t_{stages[0]}").alias(f"n_{stages[0]}"),
+    ]
+    for cur, c in zip(stages[1:], conds):
+        aggs.append(F.count(F.when(c, 1)).alias(f"n_{cur}_conv"))
+    return df.agg(*aggs)
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-seen day,
+    activity counted per (cohort, day-offset) cell. Two shuffles on the
+    user key. Cohort day emitted as a midnight TIMESTAMP (engine
+    convention — see queries/parity.py)."""
+    first_seen = df.groupBy(user_col).agg(
+        F.min(F.to_date(ts_col)).alias("__cohort_day")
+    )
+    return (
+        df.join(first_seen, user_col)
+        .groupBy(
+            F.col("__cohort_day").cast("timestamp").alias("cohort_day"),
+            F.datediff(F.to_date(ts_col), F.col("__cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.countDistinct(user_col).alias("n_users"))
+    )
+
+
+def gap_filled_counts(
+    df: DataFrame,
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    grain: str = "day",
+) -> DataFrame:
+    """Gap-filled resample (the hypertable ``time_bucket_gapfill``
+    pattern): a bucket spine generated from the observed bounds ×
+    distinct series keys, left-joined onto real per-bucket counts with
+    zero-fill. The spine grid is O(buckets × keys) — tiny by
+    construction — so it broadcasts; the only data-sized operation is
+    the one grouped count. ``grain`` is ``day`` or ``hour``."""
+    step = {"day": "INTERVAL 1 DAY", "hour": "INTERVAL 1 HOUR"}[grain]
+    bucket = (
+        F.to_date(ts_col).cast("timestamp")
+        if grain == "day"
+        else F.date_trunc("hour", F.col(ts_col))
+    )
+    bounds = df.agg(
+        F.date_trunc(grain, F.min(ts_col)).alias("b0"),
+        F.date_trunc(grain, F.max(ts_col)).alias("b1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("b0", "b1", F.expr(step))).alias("bucket")
+    )
+    series = df.select(series_col).distinct()
+    counts = df.groupBy(bucket.alias("bucket"), series_col).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        spine.crossJoin(series)
+        .join(counts, ["bucket", series_col], "left")
+        .select(
+            "bucket", series_col, F.coalesce("__n", F.lit(0)).alias("n_events")
+        )
+    )
+
+
+def seasonal_residual_topk(
+    hourly: DataFrame,
+    series_col: str = "event_type",
+    bucket_col: str = "bucket",
+    n_col: str = "n_events",
+    lag_buckets: int = 24,
+    k: int = 5,
+) -> DataFrame:
+    """Seasonal-naive anomaly ranking over a gap-filled bucket frame:
+    each bucket's count vs the count ``lag_buckets`` earlier (on a
+    gap-filled grid the lag really is "same hour yesterday"), top-k
+    absolute residuals per series. Integer-only arithmetic — the
+    ranking can never flip on a float boundary."""
+    w = Window.partitionBy(series_col).orderBy(bucket_col)
+    lagged = hourly.withColumn(
+        "baseline_n", F.lag(n_col, lag_buckets).over(w)
+    ).filter(F.col("baseline_n").isNotNull())
+    wr = Window.partitionBy(series_col).orderBy(
+        F.abs(F.col(n_col) - F.col("baseline_n")).desc(), F.col(bucket_col)
+    )
+    return (
+        lagged.withColumn("residual", F.col(n_col) - F.col("baseline_n"))
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

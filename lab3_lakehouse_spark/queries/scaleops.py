@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from lab3_lakehouse_spark.catalog import fan_out, load_table
 from lab3_lakehouse_spark.operators import dedup as dedup_ops
+from lab3_lakehouse_spark.operators import events as events_ops
 from lab3_lakehouse_spark.operators import sampling as sampling_ops
 from lab3_lakehouse_spark.operators import sketches
 from lab3_lakehouse_spark.operators import similarity as sim_ops
@@ -277,13 +278,7 @@ def funnel_stage_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     ev = load_table(spark, sf_dir, "events")
-    s = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
-        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
-        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
-            "t_purchase"
-        ),
-    )
+    s = events_ops.first_touch_stages(ev, ["view", "click", "purchase"])
     clicked = F.col("t_click") > F.col("t_view")
     full = clicked & (F.col("t_purchase") > F.col("t_click"))
     return s.agg(
@@ -363,26 +358,8 @@ def events_gap_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     ev = load_table(spark, sf_dir, "events")
-    bounds = ev.agg(
-        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
-    )
-    spine = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
-    types = ev.select("event_type").distinct()
-    daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    return (
-        spine.crossJoin(types)
-        .join(daily, ["day", "event_type"], "left")
-        .select(
-            # TIMESTAMP, not DATE, in the output: DuckDB DATE arrives in
-            # pandas as datetime64 while Spark DATE stays datetime.date —
-            # the engine-wide convention is to emit day grains as
-            # midnight timestamps (see queries/parity.py).
-            F.col("day").cast("timestamp").alias("day"),
-            "event_type",
-            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
-        )
+    return events_ops.gap_filled_counts(ev, grain="day").select(
+        F.col("bucket").alias("day"), "event_type", "n_events"
     )
 
 
@@ -465,21 +442,7 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     ev = load_table(spark, sf_dir, "events")
-    first_seen = ev.groupBy("user_id").agg(
-        F.min(F.to_date("ts")).alias("cohort_day")
-    )
-    return (
-        ev.join(first_seen, "user_id")
-        .groupBy(
-            # day-grain timestamps in the output (engine convention,
-            # see queries/parity.py) — the offset math stays on DATE
-            F.col("cohort_day").cast("timestamp").alias("cohort_day"),
-            F.datediff(F.to_date("ts"), F.col("cohort_day"))
-            .cast("long")
-            .alias("day_offset"),
-        )
-        .agg(F.countDistinct("user_id").alias("n_users"))
-    )
+    return events_ops.retention_cohorts(ev)
 
 
 # ------------------------------------------------ corpus curation ----
@@ -735,16 +698,7 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.withColumn("next_type", F.lead("event_type").over(w))
-    return (
-        seq.filter(F.col("next_type").isNotNull())
-        .groupBy(
-            F.col("event_type").alias("from_type"),
-            F.col("next_type").alias("to_type"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_transitions"))
-    )
+    return events_ops.transition_counts(ev)
 
 
 @query(
@@ -773,12 +727,9 @@ def throttled_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    t = ev.withColumn("prev_ts", F.lag("ts").over(w))
-    return t.filter(
-        F.col("prev_ts").isNull()
-        | (F.unix_micros("ts") - F.unix_micros("prev_ts") > F.lit(300_000_000))
-    ).select("event_id", "user_id", "event_type", "ts")
+    return events_ops.throttle(ev, ["user_id", "event_type"]).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
 
 
 # --------------------------------------------- scale diagnostics ----
@@ -972,37 +923,12 @@ def seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     ev = load_table(spark, sf_dir, "events")
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
-    )
-    spine = bounds.select(
-        F.explode(
-            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
-        ).alias("hr")
-    )
-    types = ev.select("event_type").distinct()
-    hourly = (
-        spine.crossJoin(types)
-        .join(
-            ev.groupBy(
-                F.date_trunc("hour", "ts").alias("hr"), "event_type"
-            ).agg(F.count(F.lit(1)).alias("__n")),
-            ["hr", "event_type"],
-            "left",
-        )
-        .select("event_type", "hr", F.coalesce("__n", F.lit(0)).alias("n"))
-    )
-    w = Window.partitionBy("event_type").orderBy("hr")
-    lagged = hourly.withColumn("baseline_n", F.lag("n", 24).over(w)).filter(
-        F.col("baseline_n").isNotNull()
-    )
-    wr = Window.partitionBy("event_type").orderBy(
-        F.abs(F.col("n") - F.col("baseline_n")).desc(), F.col("hr")
-    )
-    return (
-        lagged.withColumn("residual", F.col("n") - F.col("baseline_n"))
-        .withColumn("rank", F.row_number().over(wr).cast("long"))
-        .filter(F.col("rank") <= 5)
-        .select("event_type", "hr", "n", "baseline_n", "residual", "rank")
+    hourly = events_ops.gap_filled_counts(ev, grain="hour")
+    return events_ops.seasonal_residual_topk(hourly, lag_buckets=24, k=5).select(
+        "event_type",
+        F.col("bucket").alias("hr"),
+        F.col("n_events").alias("n"),
+        "baseline_n",
+        "residual",
+        "rank",
     )

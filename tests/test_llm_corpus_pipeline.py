@@ -51,3 +51,19 @@ def test_corpus_pipeline_source_quota_cap(spark, sf_small, tmpdir):
         spark, sf_small, str(tmpdir), seq_len=128, max_docs_per_source=1
     )
     assert c2["source_capped"] == c["source_capped"]
+
+
+def test_event_analytics_pipeline_end_to_end(spark, sf_small, tmpdir):
+    from event_analytics_pipeline import run_event_analytics
+
+    c = run_event_analytics(spark, sf_small, str(tmpdir))
+    assert c["debounced"] <= c["input"]
+    assert c["funnel"] == 1
+    assert 1 <= c["transitions"] <= 25  # at most |types|^2 cells
+    assert c["retention"] >= 1
+    # daily activity is a full zero-filled grid: days x types
+    assert c["daily_activity"] % 1 == 0 and c["daily_activity"] >= c["retention"]
+    assert c["anomalies"] <= 5 * 5  # top-5 per series
+    # determinism: identical rerun counts
+    c2 = run_event_analytics(spark, sf_small, str(tmpdir))
+    assert c2 == c
