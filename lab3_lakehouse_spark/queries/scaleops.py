@@ -15,7 +15,7 @@ per query docstring.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lab3_lakehouse_spark.catalog import fan_out, load_table
