@@ -122,6 +122,7 @@ _PRIORITY = [
     "join_key_skew_report",
     "seasonal_residual_anomalies",
     "join_cardinality_preflight",
+    "incremental_near_dup_new_docs",
     # -- green in CORRECTNESS_r03, code untouched in r4:
     "event_value_trends",
     "embedding_quantization_report",

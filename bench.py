@@ -74,6 +74,7 @@ HEADLINE = [
     "join_key_skew_report",         # shuffle-key skew pre-flight (r4)
     "seasonal_residual_anomalies",  # 24h-lag anomaly ranking, gap-filled (r4)
     "join_cardinality_preflight",   # exact join-size estimate from count frames (r4)
+    "incremental_near_dup_new_docs",  # bipartite LSH: new batch vs corpus (r4)
 ]
 
 

@@ -176,14 +176,42 @@ def minhash_lsh_candidates_from_hashes(
     share the frame via ``localCheckpoint`` (same pattern as
     ``simhash_pairs_from_sims``). At 100 TB the double tokenize pass
     this avoids is a full extra corpus scan."""
+    banded = _banded(hashed, num_perm, bands, seed)
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bh") == F.col("r.bh"),
+                F.col("l.__id") < F.col("r.__id"),
+            ],
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def _banded(
+    hashed: DataFrame, num_perm: int, bands: int, seed: int
+) -> DataFrame:
+    """``(__id, band, bh)`` band-bucket table from a ``(__id, __h)``
+    shingle-hash frame — the shared banding step of the self-join and
+    bipartite candidate generators. In a production incremental-dedup
+    deployment this table IS the persisted signature store: build it
+    once per corpus snapshot, then each new batch joins its own (tiny)
+    band table against it.
+
+    Note: an explode + groupBy-with-64-min-aggs formulation (as in
+    simhash64) was measured 2× SLOWER here — the per-row cost of 64
+    aggregate-update expressions exceeds interpreted array_min over a
+    materialized hash array; keep the array formulation."""
     if num_perm % bands:
         raise ValueError("bands must divide num_perm")
     r = num_perm // bands
-    # note: an explode + groupBy-with-64-min-aggs formulation (as in
-    # simhash64) was measured 2× SLOWER here — the per-row cost of 64
-    # aggregate-update expressions exceeds interpreted array_min over a
-    # materialized hash array; keep the array formulation
-    banded = (
+    return (
         hashed
         .select("__id", minhash_from_hashes(F.col("__h"), num_perm, seed).alias("__sig"))
         .select(
@@ -202,21 +230,39 @@ def minhash_lsh_candidates_from_hashes(
         )
         .select("__id", "b.band", "b.bh")
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
+
+
+def minhash_lsh_candidates_bipartite(
+    probe_hashed: DataFrame,
+    index_hashed: DataFrame,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Banded-LSH candidates BETWEEN two corpora — the incremental-
+    ingestion shape: ``probe`` is today's new batch, ``index`` is the
+    existing corpus. Returns distinct ``(id_a, id_b)`` with ``id_a``
+    from the probe side and ``id_b`` from the index.
+
+    Scale: the index's band table is buildable once and persisted (see
+    :func:`_banded`); each ingestion run then shuffles only the NEW
+    batch's bands — cost proportional to the delta, not the corpus,
+    which is what makes daily dedup against a 100 TB corpus affordable.
+    Within-batch duplicates are a separate (much smaller) self-join via
+    :func:`minhash_lsh_candidates_from_hashes`."""
+    pb = _banded(probe_hashed, num_perm, bands, seed).alias("l")
+    ib = _banded(index_hashed, num_perm, bands, seed).alias("r")
+    return (
+        pb.join(
+            ib,
             on=[
                 F.col("l.band") == F.col("r.band"),
                 F.col("l.bh") == F.col("r.bh"),
-                F.col("l.__id") < F.col("r.__id"),
             ],
         )
         .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
         .distinct()
     )
-    return pairs
 
 
 def jaccard_arrays(a: Column, b: Column) -> Column:

@@ -732,6 +732,56 @@ def throttled_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "incremental_near_dup_new_docs",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+    ), t AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(generate_series(1, greatest(len(w)-2, 1)),
+                              i -> array_to_string(w[i:i+2], ' '))
+             ) AS s
+      FROM w
+    )
+    SELECT a.doc_id AS new_doc_id, b.doc_id AS corpus_doc_id,
+           len(list_intersect(a.s, b.s))::DOUBLE
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+    FROM t a JOIN t b ON a.doc_id % 5 = 0 AND b.doc_id % 5 != 0
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+    """,
+)
+def incremental_near_dup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup: near-duplicates of a NEW batch
+    (doc_id % 5 == 0 stands in for today's crawl) against the EXISTING
+    corpus, via bipartite banded MinHash-LSH
+    (operators/dedup.py:minhash_lsh_candidates_bipartite) + exact
+    verification on the shared shingle-hash frame. The daily-pipeline
+    shape: the corpus band table persists as a signature store, each
+    run shuffles only the delta — cost proportional to the batch, not
+    the 100 TB corpus. Oracle = DuckDB brute-force exact 3-shingle
+    Jaccard between the two splits (the minhash_lsh_near_dups recall
+    pattern, asymmetric roles).
+    """
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    hashed = docs.select(
+        F.col("doc_id").alias("__id"),
+        dedup_ops.shingle_hashes("text", 3).alias("__h"),
+    ).localCheckpoint(eager=False)
+    probe = hashed.filter(F.col("__id") % 5 == 0)
+    index = hashed.filter(F.col("__id") % 5 != 0)
+    cands = dedup_ops.minhash_lsh_candidates_bipartite(probe, index)
+    verified = dedup_ops.minhash_verify_hashed(cands, hashed, threshold=0.8)
+    return verified.select(
+        F.col("id_a").alias("new_doc_id"),
+        F.col("id_b").alias("corpus_doc_id"),
+        "jaccard",
+    )
+
+
 # --------------------------------------------- scale diagnostics ----
 
 

@@ -365,3 +365,27 @@ def test_cms_query_shares_one_token_explode(spark, sf_small):
     # the scan of documents appears at most once in the executed plan —
     # everything else reads the checkpointed RDD
     assert plan.count("documents.parquet") <= 1, plan
+
+
+def test_bipartite_lsh_finds_cross_corpus_dup_only(spark):
+    """Bipartite candidates must pair probe-vs-index only — never
+    within either side — and catch a planted verbatim duplicate."""
+    from lab3_lakehouse_spark.operators import dedup as dedup_ops
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (10, base),                                  # index
+        (11, "completely different text with no overlap whatsoever here"),
+        (20, base),                                  # probe: dup of 10
+        (21, "another unrelated probe document with fresh tokens only"),
+    ]
+    hashed = spark.createDataFrame(rows, ["doc_id", "text"]).select(
+        F.col("doc_id").alias("__id"),
+        dedup_ops.shingle_hashes("text", 3).alias("__h"),
+    ).localCheckpoint(eager=False)
+    cands = dedup_ops.minhash_lsh_candidates_bipartite(
+        hashed.filter("__id >= 20"), hashed.filter("__id < 20")
+    )
+    verified = dedup_ops.minhash_verify_hashed(cands, hashed, threshold=0.8)
+    got = [(r["id_a"], r["id_b"]) for r in verified.collect()]
+    assert got == [(20, 10)], got
