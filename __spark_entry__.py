@@ -123,6 +123,7 @@ _PRIORITY = [
     "seasonal_residual_anomalies",
     "join_cardinality_preflight",
     "incremental_near_dup_new_docs",
+    "unicode_nfc_report",
     # -- green in CORRECTNESS_r03, code untouched in r4:
     "event_value_trends",
     "embedding_quantization_report",

@@ -375,3 +375,30 @@ def chunk_token_windows(
             "n_chunk_tokens": F.size(window).cast("long"),
         }
     )
+
+
+def nfc_normalize(col: Column | str) -> Column:
+    """Unicode NFC normalization of a string column — the standard
+    corpus-cleaning step that collapses combining-mark sequences
+    (e + U+0301) into precomposed code points (é) so downstream exact
+    dedup, shingling, and tokenization treat visually-identical text
+    as identical bytes.
+
+    Spark has no NFC builtin, so this is an Arrow-batched pandas UDF
+    over Python's ``unicodedata`` (the same normalization tables DuckDB
+    uses via utf8proc — probed equal on combining marks). Vectorized
+    batch transfer, not per-row py4j; still the Python path, so run it
+    ONCE at ingestion and persist, not per-query.
+    """
+    import pandas as pd  # noqa: F401 (signature typing)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    return _nfc(F.col(col) if isinstance(col, str) else col)

@@ -24,6 +24,7 @@ from lab3_lakehouse_spark.operators import events as events_ops
 from lab3_lakehouse_spark.operators import sampling as sampling_ops
 from lab3_lakehouse_spark.operators import sketches
 from lab3_lakehouse_spark.operators import similarity as sim_ops
+from lab3_lakehouse_spark.operators import text as text_ops
 from lab3_lakehouse_spark.queries.registry import query
 from lab3_lakehouse_spark.queries._util import round4, sql_round4
 from lab3_lakehouse_spark.session import tune_session
@@ -779,6 +780,39 @@ def incremental_near_dup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("id_a").alias("new_doc_id"),
         F.col("id_b").alias("corpus_doc_id"),
         "jaccard",
+    )
+
+
+@query(
+    "unicode_nfc_report",
+    oracle="""
+    SELECT doc_id,
+           nfc_normalize(text) != text AS nfc_changed,
+           length(text) AS n_chars_raw,
+           length(nfc_normalize(text)) AS n_chars_nfc
+    FROM documents
+    """,
+)
+def unicode_nfc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization audit: which documents change under
+    NFC, and by how many code points — the corpus-cleaning step that
+    makes combining-mark sequences byte-identical to their precomposed
+    forms BEFORE exact dedup/shingling (é as e+U+0301 vs U+00E9 would
+    otherwise defeat both). Spark has no NFC builtin, so the operator
+    (operators/text.py:nfc_normalize) is an Arrow-batched pandas UDF
+    over Python's unicodedata — the same normalization tables DuckDB's
+    utf8proc applies, so the oracle's nfc_normalize is a true twin
+    (probed equal on combining marks; planted non-ASCII coverage in
+    tests/test_scaleops.py — the synthetic corpus itself is ASCII).
+    """
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    norm = text_ops.nfc_normalize("text")
+    return docs.select(
+        "doc_id",
+        (norm != F.col("text")).alias("nfc_changed"),
+        F.length("text").cast("long").alias("n_chars_raw"),
+        F.length(norm).cast("long").alias("n_chars_nfc"),
     )
 
 

@@ -389,3 +389,23 @@ def test_bipartite_lsh_finds_cross_corpus_dup_only(spark):
     verified = dedup_ops.minhash_verify_hashed(cands, hashed, threshold=0.8)
     got = [(r["id_a"], r["id_b"]) for r in verified.collect()]
     assert got == [(20, 10)], got
+
+
+def test_nfc_normalize_on_planted_unicode(spark, tmp_path):
+    """Combining-mark text must normalize to precomposed form; the
+    Spark operator and DuckDB's nfc_normalize must agree byte-for-byte."""
+    import duckdb
+
+    from lab3_lakehouse_spark.operators.text import nfc_normalize
+
+    decomposed = "cafe\u0301 cre\u0300me"   # e + combining accents (NFD)
+    precomposed = "caf\u00e9 cr\u00e8me"    # precomposed \u00e9 / \u00e8 (NFC)
+    assert decomposed != precomposed and len(decomposed) == len(precomposed) + 2
+    rows = [(1, decomposed, "fr", "s1", 10), (2, "plain ascii", "en", "s2", 11)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    got = {r["doc_id"]: r["norm"]
+           for r in df.select("doc_id", nfc_normalize("text").alias("norm")).collect()}
+    assert got[1] == precomposed
+    assert got[2] == "plain ascii"
+    duck = duckdb.sql("select nfc_normalize(?)", params=[decomposed]).fetchone()[0]
+    assert got[1] == duck, "Spark unicodedata and DuckDB utf8proc must agree"
