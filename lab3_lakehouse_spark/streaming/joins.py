@@ -54,3 +54,33 @@ def dedup_stream(
     """Streaming exact dedup: first occurrence of each key wins; state
     for keys older than the watermark horizon is evicted."""
     return events.withWatermark(ts_col, watermark).dropDuplicates(keys)
+
+
+def throttle_stream(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Streaming debounce — the stream twin of the batch
+    ``operators/events.throttle``: ``dropDuplicatesWithinWatermark``
+    keeps one event per key within the watermark delay, then forgets
+    the key, so the SAME key may re-emit once its earlier state ages
+    past the horizon. State is O(keys active inside the delay), which
+    is what makes per-key rate-limiting affordable on an infinite
+    stream.
+
+    Eviction timing matters (pinned by the planted test): dedup is a
+    key-existence lookup, and expired state is cleaned up at the END of
+    a micro-batch — so a key re-emits only in a batch that starts
+    AFTER some earlier batch's watermark passed the key's expiration.
+    On an infinite stream that's the steady state; in bounded tests it
+    takes an intervening watermark-advancing batch.
+
+    Not in the oracle registry: which physical row survives inside a
+    cluster depends on micro-batch arrival order (the retained COUNT is
+    only deterministic when clusters are separated by more than the
+    delay — exactly what the planted unit test pins); the batch twin
+    carries the cross-engine contract.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

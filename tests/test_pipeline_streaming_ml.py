@@ -576,3 +576,54 @@ def test_bootstrap_sample_bounded_csv_handoff(spark, tmpdir):
     assert len(parts) == 1  # single portable file
     back = spark.read.option("header", "true").csv(out)
     assert back.count() == 250
+
+
+def test_streaming_throttle_keeps_spaced_clusters(spark, tmpdir):
+    """dropDuplicatesWithinWatermark debounce: one survivor per burst;
+    the key re-emits only after the WATERMARK passes its expiration
+    (state eviction is watermark-driven, not wall-clock) — so the test
+    stages three micro-batches: burst -> watermark-advancing traffic on
+    another key -> the late same-key event, which then emits. This is
+    the stream twin of operators/events.throttle; the batch twin
+    carries the cross-engine oracle."""
+    import datetime as dt
+    import time
+
+    from lab3_lakehouse_spark.streaming import joins as sj
+
+    t0 = dt.datetime(2024, 9, 1, 12, 0, 0)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    batches = [
+        # burst on (1, click) inside the 5-min delay + a singleton key
+        [(1, t0, 1, "click", 1.0, "{}"),
+         (2, t0 + dt.timedelta(seconds=60), 1, "click", 1.0, "{}"),
+         (3, t0 + dt.timedelta(seconds=120), 1, "click", 1.0, "{}"),
+         (5, t0, 2, "view", 1.0, "{}")],
+        # unrelated traffic advances the watermark to t0+15min ...
+        [(6, t0 + dt.timedelta(minutes=20), 3, "view", 1.0, "{}")],
+        # ... and a second batch lets the state cleanup (which runs at
+        # batch end, AFTER lookups) actually evict (1, click)
+        [(7, t0 + dt.timedelta(minutes=21), 4, "view", 1.0, "{}")],
+        # same key again, far beyond the delay -> must re-emit
+        [(4, t0 + dt.timedelta(minutes=30), 1, "click", 1.0, "{}")],
+    ]
+    src = f"{tmpdir}/events_stream"
+    for rows in batches:
+        spark.createDataFrame(rows, cols).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # distinct mod-times keep file order = batch order
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    throttled = sj.throttle_stream(
+        stream, keys=["user_id", "event_type"], watermark="5 minutes"
+    ).select("event_id", "user_id", "event_type", "ts")
+    out = sw.run_to_memory(throttled, spark, output_mode="append").toPandas()
+    per_key = out.groupby(["user_id", "event_type"]).size().to_dict()
+    assert per_key[(1, "click")] == 2  # burst collapsed + the re-emission
+    assert per_key[(2, "view")] == 1 and per_key[(3, "view")] == 1
+    assert sorted(out.event_id) == [1, 4, 5, 6, 7]
