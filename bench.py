@@ -75,6 +75,8 @@ HEADLINE = [
     "seasonal_residual_anomalies",  # 24h-lag anomaly ranking, gap-filled (r4)
     "join_cardinality_preflight",   # exact join-size estimate from count frames (r4)
     "incremental_near_dup_new_docs",  # bipartite LSH: new batch vs corpus (r4)
+    "throttled_event_stream",       # LAG-window debounce, µs-exact (r4)
+    "unicode_nfc_report",           # Arrow-batched NFC normalization scan (r4)
 ]
 
 
