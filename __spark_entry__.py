@@ -124,6 +124,8 @@ _PRIORITY = [
     "join_cardinality_preflight",
     "incremental_near_dup_new_docs",
     "unicode_nfc_report",
+    "segment_top_spenders_with_ties",
+    "revenue_pareto_curve",
     # -- green in CORRECTNESS_r03, code untouched in r4:
     "event_value_trends",
     "embedding_quantization_report",

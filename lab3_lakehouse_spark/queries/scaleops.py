@@ -15,7 +15,7 @@ per query docstring.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lab3_lakehouse_spark.catalog import fan_out, load_table
@@ -813,6 +813,94 @@ def unicode_nfc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (norm != F.col("text")).alias("nfc_changed"),
         F.length("text").cast("long").alias("n_chars_raw"),
         F.length(norm).cast("long").alias("n_chars_nfc"),
+    )
+
+
+@query(
+    "segment_top_spenders_with_ties",
+    oracle=f"""
+    WITH spend AS (
+        SELECT c.c_mktsegment AS segment, c.c_custkey,
+               {sql_round4('sum(o.o_totalprice)')} AS total_spend
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, c.c_custkey
+    )
+    SELECT segment, c_custkey, total_spend,
+           CAST(dense_rank() OVER (
+               PARTITION BY segment ORDER BY total_spend DESC) AS BIGINT)
+               AS spend_rank
+    FROM spend
+    QUALIFY spend_rank <= 3
+    """,
+)
+def segment_top_spenders_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group WITH ties (dense_rank, not row_number): every
+    customer at the top 3 spend LEVELS per market segment survives —
+    the semantics reports actually want when "top 3" means top 3
+    values, and equal spenders must not be dropped arbitrarily. Spend
+    is rounded with the shared cross-engine policy BEFORE ranking so
+    tie groups are identical on both engines.
+    """
+    tune_session(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"), "c_custkey")
+        .agg(round4(F.sum("o_totalprice")).alias("total_spend"))
+    )
+    w = Window.partitionBy("segment").orderBy(F.col("total_spend").desc())
+    return (
+        spend.withColumn("spend_rank", F.dense_rank().over(w).cast("long"))
+        .filter(F.col("spend_rank") <= 3)
+    )
+
+
+@query(
+    "revenue_pareto_curve",
+    oracle=f"""
+    WITH spend AS (
+        SELECT o_custkey, sum(o_totalprice) AS revenue
+        FROM orders GROUP BY o_custkey
+    ), total AS (SELECT sum(revenue) AS total_rev FROM spend)
+    SELECT CAST(row_number() OVER w AS BIGINT) AS rank,
+           o_custkey,
+           {sql_round4('revenue')} AS revenue,
+           {sql_round4('sum(revenue) OVER w / total_rev')} AS cum_share
+    FROM spend, total
+    WINDOW w AS (ORDER BY revenue DESC, o_custkey)
+    QUALIFY rank <= 20
+    """,
+)
+def revenue_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto) curve: the top-20 customers with
+    their cumulative share of total revenue — the 80/20 diagnostic.
+    The running share is a window sum in a DETERMINISTIC total order
+    (revenue desc, key), so both engines fold the same doubles in the
+    same order — bit-identical before the presentation rounding; no
+    float threshold ever decides membership (rank ≤ 20 does). At 100 TB
+    the per-customer aggregate shuffles once and the global top-20
+    window runs on the aggregate frame, not the fact table.
+    """
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("revenue"))
+    total = spend.agg(F.sum("revenue").alias("total_rev"))
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_custkey"))
+    return (
+        spend.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum_share",
+            round4(
+                F.sum("revenue").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                / F.col("total_rev")
+            ),
+        )
+        .filter(F.col("rank") <= 20)
+        .select("rank", "o_custkey", round4(F.col("revenue")).alias("revenue"), "cum_share")
     )
 
 
