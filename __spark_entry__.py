@@ -126,6 +126,7 @@ _PRIORITY = [
     "unicode_nfc_report",
     "segment_top_spenders_with_ties",
     "revenue_pareto_curve",
+    "customer_rfm_segments",
     # -- green in CORRECTNESS_r03, code untouched in r4:
     "event_value_trends",
     "embedding_quantization_report",

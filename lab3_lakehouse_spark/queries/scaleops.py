@@ -904,6 +904,63 @@ def revenue_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "customer_rfm_segments",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_custkey,
+               date_diff('day', max(o_orderdate::DATE),
+                         (SELECT max(o_orderdate::DATE) FROM orders)) AS recency_days,
+               count(*) AS frequency,
+               {sql_round4('sum(o_totalprice)')} AS monetary
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           CAST(ntile(4) OVER (ORDER BY recency_days, o_custkey) AS BIGINT) AS r_score,
+           CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f_score,
+           CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT) AS m_score
+    FROM base
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quartiles) —
+    the classic customer-scoring table. Each score is an NTILE(4) over
+    a TOTAL order (metric, then key) so quartile membership is
+    deterministic and identical cross-engine (the
+    window_distribution_ranks tie-break rule); recency counts whole
+    days from each customer's last order to the corpus's newest order
+    (broadcast one-row aggregate). One shuffle for the per-customer
+    aggregate; the three rankings run on the aggregate frame.
+    """
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    ref = orders.agg(F.max(F.to_date("o_orderdate")).alias("__ref"))
+    base = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("__last"),
+            F.count(F.lit(1)).alias("frequency"),
+            round4(F.sum("o_totalprice")).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .withColumn(
+            "recency_days", F.datediff(F.col("__ref"), F.col("__last")).cast("long")
+        )
+    )
+    wr = Window.orderBy("recency_days", "o_custkey")
+    wf = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    wm = Window.orderBy(F.col("monetary").desc(), "o_custkey")
+    return base.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(wr).cast("long").alias("r_score"),
+        F.ntile(4).over(wf).cast("long").alias("f_score"),
+        F.ntile(4).over(wm).cast("long").alias("m_score"),
+    )
+
+
 # --------------------------------------------- scale diagnostics ----
 
 

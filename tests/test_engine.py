@@ -50,3 +50,19 @@ def test_materialize_and_optimize_roundtrip(spark, sf_small):
         assert p.startswith(root)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_priority_rotation_names_all_registered():
+    """Every _PRIORITY entry must name a registered query — _ordered()
+    silently drops unknown names, so a typo would silently shrink the
+    driver's 50-slot verification window."""
+    import __spark_entry__ as e
+    from lab3_lakehouse_spark.queries import ORACLES, QUERIES
+
+    unknown = [n for n in e._PRIORITY if n not in QUERIES]
+    assert not unknown, f"_PRIORITY names unregistered queries: {unknown}"
+    dupes = [n for n in set(e._PRIORITY) if e._PRIORITY.count(n) > 1]
+    assert not dupes, f"duplicate _PRIORITY entries: {dupes}"
+    window = list(e.queries())[:50]
+    assert window == e._PRIORITY[:50], "window must follow the rotation order"
+    assert set(e.oracle_sql()) == set(QUERIES) & set(ORACLES)
