@@ -31,17 +31,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # checks the first 50 registry entries per round). Round-4 rotation:
 # the 50 slots go to the exact complement of round 3's window — every
 # query whose latest green verdict is CORRECTNESS_r02 — so after this
-# round no verdict in the registry is more than one round old. Within
-# that set, the queries whose code was edited in round 3 AFTER their
-# last driver check lead (their green verdicts predate the code they
-# certify — VERDICT r3 "What's wrong" #1), then the queries round 4
-# itself touches (SQL-decorrelation plan work), then recall-contract
-# and remaining r2-green queries by residual risk. The 50 queries
-# verified green in CORRECTNESS_r03 sit at the back; any of those whose
-# code round 4 edits (ADVICE fixes: event_value_trends NULL-slope
-# guard, quantize_int8 scale hoist, tokenizer-parity oracle updates)
-# are self-verified via tests/check_query at sf0.01 this round and must
-# lead round 5's window.
+# round no verdict in the registry is more than one round old. All 50
+# were additionally pre-verified green through the exact driver gate
+# (testing.check_query at sf0.01) before the round closed.
+#
+# ROUND-5 ROTATION PLAN (for the next builder): lead the window with
+# (1) the 24 round-4 queries marked NEW below — they have tests +
+# self-verification but no driver verdict yet; (2) any query whose
+# code or shared helpers round 5 edits after its last check; (3) the
+# oldest-verdict remainder (the r3-green tail, whose verdicts will be
+# two rounds old by then). tests/test_engine.py::
+# test_priority_rotation_names_all_registered guards against typos
+# silently shrinking the window.
 _PRIORITY = [
     # code changed in r3 after last driver check (stale-verdict hole)
     "window_trailing_1h_sum",
