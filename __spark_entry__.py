@@ -128,6 +128,7 @@ _PRIORITY = [
     "segment_top_spenders_with_ties",
     "revenue_pareto_curve",
     "customer_rfm_segments",
+    "packing_utilization_report",
     # -- green in CORRECTNESS_r03, code untouched in r4:
     "event_value_trends",
     "embedding_quantization_report",

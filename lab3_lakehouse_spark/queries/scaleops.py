@@ -961,6 +961,63 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "packing_utilization_report",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang,
+               CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tok
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(n_tok)::BIGINT AS shard_tokens,
+           CAST(ceil(sum(n_tok) / 512.0) AS BIGINT) AS n_seqs,
+           (CAST(ceil(sum(n_tok) / 512.0) AS BIGINT) * 512
+               - sum(n_tok))::BIGINT AS pad_tokens,
+           {sql_round4('''sum(n_tok)::DOUBLE
+               / (CAST(ceil(sum(n_tok) / 512.0) AS BIGINT) * 512)''')}
+               AS utilization
+    FROM tok
+    GROUP BY lang
+    """,
+)
+def packing_utilization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing efficiency accounting (seq_len=512, sharded by
+    lang): tokens, emitted sequences, pad waste, and utilization per
+    shard — the number that decides training cost. Concat-and-chop
+    (operators/packing.pack_concat_chop) fills every sequence except
+    each shard's tail by construction, so per-shard waste is exactly
+    ``ceil(tokens/512)·512 - tokens`` — the closed form computed here
+    in one grouped pass (the equivalence to the packed output is what
+    the packing property tests pin). All-integer math; one exact
+    division at the end.
+    """
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("lang", dedup_ops.tokens("text").alias("__t")).select(
+        "lang", F.size("__t").cast("long").alias("n_tok")
+    )
+    seq = F.ceil(F.col("shard_tokens") / F.lit(512.0)).cast("long")
+    return (
+        tok.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("shard_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "shard_tokens",
+            seq.alias("n_seqs"),
+            (seq * F.lit(512) - F.col("shard_tokens")).alias("pad_tokens"),
+            round4(
+                F.col("shard_tokens").cast("double") / (seq * F.lit(512)).cast("double")
+            ).alias("utilization"),
+        )
+    )
+
+
 # --------------------------------------------- scale diagnostics ----
 
 
