@@ -250,8 +250,37 @@ def minhash_lsh_candidates_bipartite(
     which is what makes daily dedup against a 100 TB corpus affordable.
     Within-batch duplicates are a separate (much smaller) self-join via
     :func:`minhash_lsh_candidates_from_hashes`."""
+    return minhash_candidates_vs_bands(
+        probe_hashed, banded_signatures(index_hashed, num_perm, bands, seed),
+        num_perm, bands, seed,
+    )
+
+
+def banded_signatures(
+    hashed: DataFrame, num_perm: int = 64, bands: int = 16, seed: int = 42
+) -> DataFrame:
+    """Public band-bucket table ``(__id, band, bh)`` — the persistable
+    MinHash signature store (see :func:`_banded`). Write it next to the
+    corpus tier; subsequent ingestion runs probe it via
+    :func:`minhash_candidates_vs_bands` without touching corpus text.
+    Pair it with the ``(__id, __h)`` shingle-hash frame if exact
+    verification is needed (``minhash_verify_hashed``)."""
+    return _banded(hashed, num_perm, bands, seed)
+
+
+def minhash_candidates_vs_bands(
+    probe_hashed: DataFrame,
+    index_bands: DataFrame,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidates between a probe batch and a PRE-BUILT band table
+    (the reload half of the signature-store cycle): bands only the
+    probe side, joins the stored bands. Parameters must match the ones
+    the store was built with."""
     pb = _banded(probe_hashed, num_perm, bands, seed).alias("l")
-    ib = _banded(index_hashed, num_perm, bands, seed).alias("r")
+    ib = index_bands.alias("r")
     return (
         pb.join(
             ib,

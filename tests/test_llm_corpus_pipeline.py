@@ -67,3 +67,20 @@ def test_event_analytics_pipeline_end_to_end(spark, sf_small, tmpdir):
     # determinism: identical rerun counts
     c2 = run_event_analytics(spark, sf_small, str(tmpdir))
     assert c2 == c
+
+
+def test_incremental_ingest_pipeline_end_to_end(spark, sf_medium, tmpdir):
+    from incremental_ingest_pipeline import run_incremental_ingest
+
+    from lab3_lakehouse_spark.sources import versioned as vt
+
+    c = run_incremental_ingest(spark, sf_medium, str(tmpdir))
+    # bookkeeping identities
+    assert c["delta_survivors"] == c["delta_after_exact"] - c["delta_near_dups"]
+    assert c["corpus_v2"] == c["corpus_v1"] + c["delta_survivors"]
+    assert c["v2"] == c["v1"] + 1
+    # the sf0.01 corpus plants cross-split near-dups — the store must
+    # catch them (incremental_near_dup_new_docs finds 14 pairs there)
+    assert c["delta_near_dups"] >= 1
+    # v1 snapshot is immutable: re-reading it still gives the old count
+    assert vt.read_version(spark, f"{tmpdir}/corpus", version=c["v1"]).count() == c["corpus_v1"]
