@@ -129,6 +129,7 @@ _PRIORITY = [
     "revenue_pareto_curve",
     "customer_rfm_segments",
     "packing_utilization_report",
+    "dow_hour_activity_matrix",
     # -- green in CORRECTNESS_r03, code untouched in r4:
     "event_value_trends",
     "embedding_quantization_report",

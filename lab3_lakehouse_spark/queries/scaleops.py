@@ -1018,6 +1018,37 @@ def packing_utilization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dow_hour_activity_matrix",
+    oracle="""
+    SELECT dayofweek(ts) AS dow,
+           CAST(hour(ts) AS INTEGER) AS hour,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY dow, hour
+    """,
+)
+def dow_hour_activity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity matrix (the usage-heatmap backing
+    table): one grouped pass emitting event and distinct-user counts
+    per cell. Cross-engine note: Spark's ``dayofweek`` and DuckDB's
+    ``dayofweek`` use DIFFERENT conventions (Spark 1=Sunday…7=Saturday;
+    DuckDB 0=Sunday…6=Saturday), so the Spark side subtracts 1 to emit
+    the DuckDB numbering — the convention is part of the contract, not
+    an engine accident.
+    """
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.dayofweek("ts") - F.lit(1)).cast("long").alias("dow"),
+        F.hour("ts").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 # --------------------------------------------- scale diagnostics ----
 
 
