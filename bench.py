@@ -77,6 +77,11 @@ HEADLINE = [
     "incremental_near_dup_new_docs",  # bipartite LSH: new batch vs corpus (r4)
     "throttled_event_stream",       # LAG-window debounce, µs-exact (r4)
     "unicode_nfc_report",           # Arrow-batched NFC normalization scan (r4)
+    "segment_top_spenders_with_ties",  # dense_rank top-k with ties (r4)
+    "revenue_pareto_curve",         # concentration curve, global window (r4)
+    "customer_rfm_segments",        # RFM quartile scoring, 3 ntile windows (r4)
+    "packing_utilization_report",   # pad-waste accounting, 1 grouped pass (r4)
+    "dow_hour_activity_matrix",     # usage heatmap, 1 grouped pass (r4)
 ]
 
 
