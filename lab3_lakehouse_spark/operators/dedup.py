@@ -168,6 +168,7 @@ def minhash_lsh_candidates_from_hashes(
     num_perm: int = 64,
     bands: int = 16,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded-LSH candidates from a precomputed ``(__id, __h)`` frame
     (``__h`` = distinct shingle hashes, array<long>) — split out so
@@ -175,8 +176,22 @@ def minhash_lsh_candidates_from_hashes(
     ``minhash_verify_hashed``) tokenize + hash each document ONCE and
     share the frame via ``localCheckpoint`` (same pattern as
     ``simhash_pairs_from_sims``). At 100 TB the double tokenize pass
-    this avoids is a full extra corpus scan."""
+    this avoids is a full extra corpus scan.
+
+    ``max_bucket`` is the hot-bucket guard: a band bucket with n
+    members emits n(n-1)/2 pairs, so ONE pathological bucket (mass-
+    produced boilerplate that survived exact dedup) can reintroduce the
+    quadratic blowup banding exists to avoid. With the cap set,
+    buckets larger than ``max_bucket`` are dropped from candidate
+    generation (see :func:`cap_band_buckets` for the accounting
+    variant). Recall is preserved in practice because members of a
+    pathological bucket collide in MANY bands — the pair only needs
+    one surviving co-occurrence — and near-identical docs are caught
+    by the cheaper exact/fingerprint tier first. Default None keeps
+    the historical exact behavior."""
     banded = _banded(hashed, num_perm, bands, seed)
+    if max_bucket is not None:
+        banded = cap_band_buckets(banded, max_bucket)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -192,6 +207,23 @@ def minhash_lsh_candidates_from_hashes(
         .distinct()
     )
     return pairs
+
+
+def cap_band_buckets(banded: DataFrame, max_bucket: int) -> DataFrame:
+    """Drop band buckets with more than ``max_bucket`` members from a
+    ``(__id, band, bh)`` table — the quadratic-blowup guard for banded
+    self-joins. One window count over the (band, bh) key; at scale the
+    dropped buckets should be logged/inspected (they are exactly the
+    mass-duplication hot spots worth routing to the exact-dedup tier).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bh")
+    return (
+        banded.withColumn("__bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bn") <= max_bucket)
+        .drop("__bn")
+    )
 
 
 def _banded(

@@ -432,3 +432,28 @@ def test_alternating_cc_matches_hash_min_on_clustered_graph(spark):
     }
     assert a == b
     assert {c for _, c in a} == set(range(0, 100, 10))
+
+
+def test_hot_bucket_cap_bounds_candidate_blowup(spark):
+    """A planted pathological cluster (many mutually-identical-shingle
+    docs) must stop generating quadratic candidates once max_bucket is
+    set — while a small genuine near-dup pair elsewhere still surfaces
+    (its buckets are below the cap)."""
+    from lab3_lakehouse_spark.operators import dedup as dedup_ops
+    from pyspark.sql import functions as F
+
+    boiler = "terms of service apply to all users of this site without exception"
+    pair = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, f"{boiler} variant") for i in range(40)]   # hot cluster
+    rows += [(100, pair), (101, pair)]                      # genuine pair
+    hashed = spark.createDataFrame(rows, ["doc_id", "text"]).select(
+        F.col("doc_id").alias("__id"),
+        dedup_ops.shingle_hashes("text", 3).alias("__h"),
+    ).localCheckpoint(eager=False)
+    uncapped = dedup_ops.minhash_lsh_candidates_from_hashes(hashed).count()
+    capped_df = dedup_ops.minhash_lsh_candidates_from_hashes(hashed, max_bucket=10)
+    capped = capped_df.count()
+    assert uncapped >= 40 * 39 / 2, "hot cluster must dominate uncapped pairs"
+    assert capped < uncapped / 10, f"cap must collapse the blowup: {capped}"
+    got = {(r["id_a"], r["id_b"]) for r in capped_df.collect()}
+    assert (100, 101) in got, "small genuine pair must survive the cap"
