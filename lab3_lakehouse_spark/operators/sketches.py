@@ -42,9 +42,17 @@ def portable_hash60(col: Column | str, seed: int) -> Column:
     (emitted by :func:`sql_hash60`). 15 hex chars = 60 bits → always a
     positive BIGINT, so ``% width`` agrees across engines (no negative-
     modulo divergence).
+
+    NULL keys hash to NULL on BOTH engines: ``F.concat`` propagates
+    NULL exactly like DuckDB's ``||`` (``concat_ws`` would silently
+    skip it and hash ``'seed|'`` — the r4 ADVICE divergence, where a
+    null key got sketched in Spark but dropped by the oracle). The
+    sketch builders therefore share the engines' own contract: null
+    keys contribute no cells/bits; callers that want nulls counted
+    must coalesce to a sentinel BEFORE hashing, in both engines.
     """
     c = F.col(col) if isinstance(col, str) else col
-    tagged = F.concat_ws("|", F.lit(str(seed)), c.cast("string"))
+    tagged = F.concat(F.lit(str(seed) + "|"), c.cast("string"))
     return F.conv(F.substring(F.md5(tagged), 1, 15), 16, 10).cast("long")
 
 

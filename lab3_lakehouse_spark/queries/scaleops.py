@@ -303,7 +303,7 @@ def funnel_stage_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            count(*) AS n_events,
            {sql_round4('''sum(value / CAST(1::BIGINT <<
-               date_diff('day', ts::DATE, ref_day) AS DOUBLE))''')} AS decayed_value
+               least(date_diff('day', ts::DATE, ref_day), 62) AS DOUBLE))''')} AS decayed_value
     FROM events, ref
     GROUP BY user_id
     """,
@@ -315,12 +315,21 @@ def time_decay_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine (no libm exp/pow in the plan). The reference day is a
     broadcast one-row aggregate; the scoring pass is a single grouped
     agg — recency features for 100 TB of events at one shuffle.
+
+    The shift exponent is clamped to 62 on BOTH engines: Java masks
+    shifts mod 64 (day 63 would yield a negative weight, day 64 weight
+    1 again — silently corrupting multi-month logs), while DuckDB
+    raises Out-of-Range at shift 63. Events ≥ 62 days old all get the
+    same floor weight 2⁻⁶² ≈ 2e-19 — zero at double precision relative
+    to any recent event, so the clamp changes no meaningful score.
+    Planted >63-day-span test: tests/test_scaleops.py.
     """
     tune_session(spark)
     ev = load_table(spark, sf_dir, "events")
     ref = ev.agg(F.max(F.to_date("ts")).alias("ref_day"))
     weight_div = F.expr(
-        "CAST(shiftleft(CAST(1 AS BIGINT), CAST(datediff(ref_day, to_date(ts)) AS INT)) AS DOUBLE)"
+        "CAST(shiftleft(CAST(1 AS BIGINT),"
+        " least(CAST(datediff(ref_day, to_date(ts)) AS INT), 62)) AS DOUBLE)"
     )
     return (
         ev.crossJoin(F.broadcast(ref))

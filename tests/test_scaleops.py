@@ -31,6 +31,32 @@ def test_cms_never_undercounts(spark):
     assert est["zz"] >= 0
 
 
+def test_portable_hash60_null_key_matches_duckdb(spark):
+    """Null keys must hash to NULL on BOTH engines (the r4 ADVICE
+    divergence: concat_ws skipped the NULL and Spark sketched
+    'seed|' while the DuckDB `||` twin dropped the row)."""
+    import duckdb
+
+    df = spark.createDataFrame([("a",), (None,)], ["k"])
+    got = [
+        r["h"]
+        for r in df.select(sketches.portable_hash60("k", 7).alias("h")).collect()
+    ]
+    con = duckdb.connect()
+    try:
+        want = [
+            r[0]
+            for r in con.execute(
+                f"SELECT {sketches.sql_hash60('k', 7)} FROM"
+                " (VALUES ('a'), (NULL)) t(k)"
+            ).fetchall()
+        ]
+    finally:
+        con.close()
+    assert sorted(got, key=str) == sorted(want, key=str)
+    assert None in got  # null propagates, never hashes as 'seed|'
+
+
 def test_cms_slices_merge_to_whole(spark):
     """Cell tables from disjoint slices re-aggregate to the sketch of
     the union — the mergeability contract that makes per-day sketches
@@ -173,6 +199,43 @@ def test_time_decay_weights_are_exact_halving(spark, tmp_path):
 
     row = time_decay_user_value(spark, str(tmp_path)).collect()[0]
     assert row["decayed_value"] == 8.0 + 4.0 + 1.0
+
+
+def test_time_decay_survives_multi_month_span(spark, tmp_path):
+    """Planted >63-day span (the ADVICE r4 wrap bug): Java masks shifts
+    mod 64, so an unclamped 1<<63 flips the weight negative and 1<<64
+    wraps to 1 — and DuckDB raises Out-of-Range at shift 63. The clamp
+    at 62 must (a) keep every weight positive, (b) score day-0 events
+    at full weight, and (c) agree with the DuckDB oracle bit-for-bit
+    on the same long-span input."""
+    import duckdb
+
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 7, "view", 8.0, "{}"),                          # w = 1
+        (2, t0 - dt.timedelta(days=63), 7, "view", 8.0, "{}"),  # clamped
+        (3, t0 - dt.timedelta(days=64), 7, "view", 8.0, "{}"),  # would wrap to w=1
+        (4, t0 - dt.timedelta(days=200), 7, "view", 8.0, "{}"),
+    ]
+    path = str(tmp_path / "events.parquet")
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).write.parquet(path)
+    from lab3_lakehouse_spark.queries import ORACLES
+    from lab3_lakehouse_spark.queries.scaleops import time_decay_user_value
+    from lab3_lakehouse_spark.testing import compare_frames
+
+    spark_pdf = time_decay_user_value(spark, str(tmp_path)).toPandas()
+    # weights stay positive and the day-0 event dominates: 8 ≤ v < 8 + ε
+    v = float(spark_pdf["decayed_value"].iloc[0])
+    assert 8.0 <= v < 8.0001
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}/*.parquet'")
+        oracle_pdf = con.execute(ORACLES["time_decay_user_value"]).df()
+    finally:
+        con.close()
+    compare_frames(spark_pdf, oracle_pdf, "time_decay_multi_month")
 
 
 def test_gap_fill_emits_zero_rows_for_missing_days(spark, tmp_path):
