@@ -15,7 +15,7 @@ per query docstring.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lab3_lakehouse_spark.catalog import fan_out, load_table
@@ -869,12 +869,12 @@ def segment_top_spenders_with_ties(spark: SparkSession, sf_dir: str) -> DataFram
     "revenue_pareto_curve",
     oracle=f"""
     WITH spend AS (
-        SELECT o_custkey, sum(o_totalprice) AS revenue
+        SELECT o_custkey, {sql_round4('sum(o_totalprice)')} AS revenue
         FROM orders GROUP BY o_custkey
     ), total AS (SELECT sum(revenue) AS total_rev FROM spend)
     SELECT CAST(row_number() OVER w AS BIGINT) AS rank,
            o_custkey,
-           {sql_round4('revenue')} AS revenue,
+           revenue,
            {sql_round4('sum(revenue) OVER w / total_rev')} AS cum_share
     FROM spend, total
     WINDOW w AS (ORDER BY revenue DESC, o_custkey)
@@ -884,20 +884,30 @@ def segment_top_spenders_with_ties(spark: SparkSession, sf_dir: str) -> DataFram
 def revenue_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue-concentration (Pareto) curve: the top-20 customers with
     their cumulative share of total revenue — the 80/20 diagnostic.
-    The running share is a window sum in a DETERMINISTIC total order
-    (revenue desc, key), so both engines fold the same doubles in the
-    same order — bit-identical before the presentation rounding; no
-    float threshold ever decides membership (rank ≤ 20 does). At 100 TB
-    the per-customer aggregate shuffles once and the global top-20
-    window runs on the aggregate frame, not the fact table.
+
+    Scale shape (the r4 verdict fix): the top-20 is taken with
+    ``orderBy().limit(20)`` — Spark plans that as TakeOrderedAndProject
+    (per-partition top-20, tiny driver merge), so NO global
+    single-partition sort of the per-customer frame ever runs (pinned
+    in tests/test_plans.py). The running-share window then covers ≤ 20
+    rows; its prefix sums equal the full-frame window's because a
+    running sum at rank k only reads rows ranked ≤ k.
+
+    Determinism: revenue is round4-ed BEFORE ranking (the r4 ADVICE
+    tie-stability rule, mirroring segment_top_spenders_with_ties), so
+    rank membership never depends on engine fold order; ties break on
+    the key.
     """
     tune_session(spark)
     orders = load_table(spark, sf_dir, "orders")
-    spend = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("revenue"))
+    spend = orders.groupBy("o_custkey").agg(
+        round4(F.sum("o_totalprice")).alias("revenue")
+    )
     total = spend.agg(F.sum("revenue").alias("total_rev"))
+    top = spend.orderBy(F.col("revenue").desc(), F.col("o_custkey")).limit(20)
     w = Window.orderBy(F.col("revenue").desc(), F.col("o_custkey"))
     return (
-        spend.crossJoin(F.broadcast(total))
+        top.crossJoin(F.broadcast(total))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .withColumn(
             "cum_share",
@@ -908,9 +918,15 @@ def revenue_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("total_rev")
             ),
         )
-        .filter(F.col("rank") <= 20)
-        .select("rank", "o_custkey", round4(F.col("revenue")).alias("revenue"), "cum_share")
+        .select("rank", "o_custkey", "revenue", "cum_share")
     )
+
+
+_RFM_CUTS_SQL = ", ".join(
+    f"{sql_round4(f'quantile_cont({m}, {p})')} AS {a}{i}"
+    for m, a in (("recency_days", "r"), ("frequency", "f"), ("monetary", "m"))
+    for i, p in ((1, 0.25), (2, 0.5), (3, 0.75))
+)
 
 
 @query(
@@ -923,23 +939,36 @@ def revenue_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS frequency,
                {sql_round4('sum(o_totalprice)')} AS monetary
         FROM orders GROUP BY o_custkey
-    )
+    ), cuts AS (SELECT {_RFM_CUTS_SQL} FROM base)
     SELECT o_custkey, recency_days, frequency, monetary,
-           CAST(ntile(4) OVER (ORDER BY recency_days, o_custkey) AS BIGINT) AS r_score,
-           CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f_score,
-           CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT) AS m_score
-    FROM base
+           CAST(1 + (recency_days > r1)::INT + (recency_days > r2)::INT
+                  + (recency_days > r3)::INT AS BIGINT) AS r_score,
+           CAST(1 + (frequency < f3)::INT + (frequency < f2)::INT
+                  + (frequency < f1)::INT AS BIGINT) AS f_score,
+           CAST(1 + (monetary < m3)::INT + (monetary < m2)::INT
+                  + (monetary < m1)::INT AS BIGINT) AS m_score
+    FROM base, cuts
     """,
 )
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (recency / frequency / monetary quartiles) —
-    the classic customer-scoring table. Each score is an NTILE(4) over
-    a TOTAL order (metric, then key) so quartile membership is
-    deterministic and identical cross-engine (the
-    window_distribution_ranks tie-break rule); recency counts whole
-    days from each customer's last order to the corpus's newest order
-    (broadcast one-row aggregate). One shuffle for the per-customer
-    aggregate; the three rankings run on the aggregate frame.
+    the classic customer-scoring table, in the scale-safe formulation
+    (the r4 verdict fix): quartile CUT-POINTS are computed once as a
+    single nine-value aggregate row, broadcast, and each customer's
+    score is a comparison against them — no window, no sort, never a
+    single-partition shuffle of the customer frame (pinned in
+    tests/test_plans.py). Score 1 is best: most recent / most frequent
+    / highest spend quartile; equal metric values always share a score
+    (value quartiles, not positional NTILE — ties never straddle a
+    boundary, which is also what makes the scoring engine-portable).
+
+    Cross-engine determinism: cut-points are exact type-7 interpolated
+    percentiles (Spark ``percentile`` ≡ DuckDB ``quantile_cont``) —
+    exact IEEE doubles for the integer metrics, round4-ed for the float
+    one so both engines compare against bit-identical cuts. At 100 TB
+    swap ``percentile`` for ``approx_percentile`` (GK): the exact
+    aggregate buffers all values in one reducer, GK buffers O(1/ε);
+    the comparison-join shape is unchanged.
     """
     tune_session(spark)
     orders = load_table(spark, sf_dir, "orders")
@@ -956,17 +985,35 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recency_days", F.datediff(F.col("__ref"), F.col("__last")).cast("long")
         )
     )
-    wr = Window.orderBy("recency_days", "o_custkey")
-    wf = Window.orderBy(F.col("frequency").desc(), "o_custkey")
-    wm = Window.orderBy(F.col("monetary").desc(), "o_custkey")
-    return base.select(
+    cuts = base.agg(
+        *[
+            round4(
+                F.percentile(F.col(metric).cast("double"), F.lit(p))
+            ).alias(f"{a}{i}")
+            for metric, a in (
+                ("recency_days", "r"),
+                ("frequency", "f"),
+                ("monetary", "m"),
+            )
+            for i, p in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ]
+    )
+    def _score(metric: str, a: str, best_low: bool) -> Column:
+        m = F.col(metric).cast("double")
+        if best_low:  # recency: small is good → score grows past each cut
+            parts = [(m > F.col(f"{a}{i}")).cast("int") for i in (1, 2, 3)]
+        else:  # frequency/monetary: large is good → score grows below cuts
+            parts = [(m < F.col(f"{a}{i}")).cast("int") for i in (3, 2, 1)]
+        return (F.lit(1) + parts[0] + parts[1] + parts[2]).cast("long")
+
+    return base.crossJoin(F.broadcast(cuts)).select(
         "o_custkey",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(4).over(wr).cast("long").alias("r_score"),
-        F.ntile(4).over(wf).cast("long").alias("f_score"),
-        F.ntile(4).over(wm).cast("long").alias("m_score"),
+        _score("recency_days", "r", True).alias("r_score"),
+        _score("frequency", "f", False).alias("f_score"),
+        _score("monetary", "m", False).alias("m_score"),
     )
 
 

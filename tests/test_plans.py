@@ -284,3 +284,21 @@ def test_chunking_is_scan_pipeline(spark, sf):
     stage, zero shuffles."""
     df = QUERIES["chunk_documents_sliding"](spark, sf)
     assert pa.count_nodes(df, "Exchange") == 0
+
+def test_pareto_top20_is_take_ordered_not_global_sort(spark, sf):
+    """The r4 verdict scale fix: the Pareto top-20 must plan as
+    TakeOrderedAndProject (per-partition top-k + tiny merge), so the
+    only window in the query runs over ≤ 20 rows — never a
+    single-partition sort of the whole per-customer frame."""
+    df = QUERIES["revenue_pareto_curve"](spark, sf)
+    assert pa.count_nodes(df, "TakeOrderedAndProject") >= 1, pa.formatted_plan(df)
+
+
+def test_rfm_scoring_has_no_window_at_all(spark, sf):
+    """The r4 verdict scale fix: RFM quartile scores are comparisons
+    against one broadcast cut-point row — the physical plan must
+    contain zero Window nodes (the three un-partitioned NTILE sorts
+    are gone) and broadcast the cuts."""
+    df = QUERIES["customer_rfm_segments"](spark, sf)
+    assert pa.count_nodes(df, "Window") == 0, pa.formatted_plan(df)
+    assert pa.count_nodes(df, "BroadcastNestedLoopJoin") >= 1  # 1-row cut join
