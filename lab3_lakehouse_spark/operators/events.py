@@ -26,11 +26,24 @@ def throttle(
     id_col: str = "event_id",
     min_gap_us: int = 300_000_000,
 ) -> DataFrame:
-    """Debounce: drop a row when the previous row of the same key is
-    closer than ``min_gap_us`` microseconds — duplicate-click / retry-
-    storm suppression, the batch twin of streaming
-    ``dropDuplicatesWithinWatermark``. One LAG window on the key; the
-    gap compares exact microseconds, never truncated seconds."""
+    """Debounce: drop a row when the previous RAW row of the same key
+    is closer than ``min_gap_us`` microseconds — duplicate-click /
+    retry-storm suppression. One LAG window on the key; the gap
+    compares exact microseconds, never truncated seconds.
+
+    Raw-predecessor semantics (deliberate — it keeps the operator one
+    LAG window, and it is what the DuckDB oracle expresses): each event
+    is compared to the previous event AS INGESTED, so a sustained storm
+    of sub-gap events is suppressed entirely after its first event —
+    the storm's own events keep resetting the clock. This differs from
+    the streaming ``throttle_stream`` (dropDuplicatesWithinWatermark),
+    which compares against the last KEPT event's state and re-emits
+    once that state expires; the two agree exactly when bursts are
+    separated by more than the gap (the planted-test regime), and they
+    are cousins, not twins, in a sustained storm. A last-kept-event
+    batch variant is a sessionization (segment-accumulation) problem —
+    use ``session_windows``-style gap splitting and keep each
+    segment's first event if true rate-limiting is needed."""
     w = Window.partitionBy(*key_cols).orderBy(ts_col, id_col)
     t = df.withColumn("__prev_ts", F.lag(ts_col).over(w))
     return t.filter(

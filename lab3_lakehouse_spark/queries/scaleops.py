@@ -530,8 +530,10 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 8 AS k,
            count(*) AS n_points,
+           least(8, count(*)) AS n_nonempty_cells,
            true AS all_assigned,
-           true AS cells_within_k
+           true AS no_cell_dominates,
+           true AS sse_beats_global
     FROM embeddings
     """,
 )
@@ -539,11 +541,19 @@ def kmeans_cluster_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means as a first-class operation (it already powers
     the IVF index build — operators/similarity.py:ivf_topk — this
     surfaces it standalone): spark.ml Lloyd's with a bounded iteration
-    budget, every step a distributed job. Assert-style oracle (the
-    ANN-recall pattern): cluster memberships are engine-specific, so
-    the query emits the SQL-checkable population count plus booleans
-    proving every vector got exactly one cell and no more than k cells
-    exist — the partition-into-k contract, verified end-to-end.
+    budget, every step a distributed job.
+
+    Assert-style oracle of the ANN-recall pattern, strengthened per the
+    r4 verdict (the old contract only checked count(*)): cluster
+    memberships are engine-specific, but a WRONG clustering now fails —
+    ``n_nonempty_cells`` is an exact value the oracle pins to
+    min(k, n) (an empty-cell collapse changes it),
+    ``no_cell_dominates`` fails if any cell swallows everything
+    (max cell < n when k > 1), and ``sse_beats_global`` requires the
+    within-cluster SSE (the model's trainingCost) to beat the
+    single-cluster SSE around the global centroid — per-dimension
+    variance times n, computed distributedly — which random or
+    corrupted centroids do not achieve.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -555,14 +565,28 @@ def kmeans_cluster_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         array_to_vector(F.col("embedding").cast("array<double>")).alias("__mlvec"),
     )
     km = KMeans(k=8, seed=42, maxIter=8, featuresCol="__mlvec", predictionCol="__cell")
-    assigned = km.fit(vecs.select("__mlvec")).transform(vecs)
+    model = km.fit(vecs.select("__mlvec"))
+    assigned = model.transform(vecs)
+    sse = float(model.summary.trainingCost)  # Σ ||x - centroid(x)||²
+    # single-cluster baseline: Σ_d var_pop(x_d) · n == SSE around the
+    # global mean — one narrow pass (posexplode + per-dimension moments)
+    global_sse = (
+        emb.select(F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "v"))
+        .groupBy("d")
+        .agg(F.var_pop("v").alias("var"), F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(F.col("var") * F.col("n")).alias("g"),
+            F.max("n").alias("np"),  # every dimension counts all points
+        )
+    )
     sizes = assigned.groupBy("__cell").agg(F.count(F.lit(1)).alias("n"))
-    n_points = emb.count()
-    return sizes.agg(
+    return sizes.crossJoin(F.broadcast(global_sse)).agg(
         F.lit(8).alias("k"),
         F.sum("n").cast("long").alias("n_points"),
-        (F.sum("n") == F.lit(n_points)).alias("all_assigned"),
-        (F.count(F.lit(1)) <= F.lit(8)).alias("cells_within_k"),
+        F.count(F.lit(1)).cast("long").alias("n_nonempty_cells"),
+        (F.sum("n") == F.min("np")).alias("all_assigned"),
+        (F.max("n") < F.min("np")).alias("no_cell_dominates"),
+        (F.lit(sse) < F.min("g")).alias("sse_beats_global"),
     )
 
 
@@ -1229,20 +1253,23 @@ def join_cardinality_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
         da, db = load_table(spark, sf_dir, a), load_table(spark, sf_dir, b)
         ca = da.groupBy(F.col(ak).alias("k")).agg(F.count(F.lit(1)).alias("ca"))
         cb = db.groupBy(F.col(bk).alias("k")).agg(F.count(F.lit(1)).alias("cb"))
-        n_left, n_right = da.count(), db.count()
+        # FULL OUTER join of the two count frames: matched keys carry
+        # the product term, unmatched keys keep their side's count —
+        # so n_left/n_right/n_out all fall out of ONE distributed agg
+        # (no eager driver-side .count() literals: the r4 verdict nit —
+        # a pre-flight advertised as cheap must not cost 6 extra jobs).
+        n_left = F.sum(F.coalesce(F.col("ca"), F.lit(0)))
+        n_out = F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
         parts.append(
-            ca.join(cb, "k").agg(
+            ca.join(cb, "k", "full_outer").agg(
                 F.lit(name).alias("join_name"),
-                F.lit(n_left).cast("long").alias("n_left"),
-                F.lit(n_right).cast("long").alias("n_right"),
-                F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
+                n_left.cast("long").alias("n_left"),
+                F.sum(F.coalesce(F.col("cb"), F.lit(0)))
                 .cast("long")
-                .alias("n_out"),
+                .alias("n_right"),
+                n_out.cast("long").alias("n_out"),
                 round4(
-                    F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0)).cast(
-                        "double"
-                    )
-                    / F.lit(float(max(n_left, 1)))
+                    n_out.cast("double") / F.greatest(n_left, F.lit(1)).cast("double")
                 ).alias("amplification"),
             )
         )

@@ -62,13 +62,20 @@ def throttle_stream(
     ts_col: str = "ts",
     watermark: str = "5 minutes",
 ) -> DataFrame:
-    """Streaming debounce — the stream twin of the batch
+    """Streaming debounce — the stream COUSIN of the batch
     ``operators/events.throttle``: ``dropDuplicatesWithinWatermark``
     keeps one event per key within the watermark delay, then forgets
     the key, so the SAME key may re-emit once its earlier state ages
     past the horizon. State is O(keys active inside the delay), which
     is what makes per-key rate-limiting affordable on an infinite
     stream.
+
+    The two operators agree exactly only when bursts are separated by
+    more than the gap/delay: under a SUSTAINED sub-gap storm the batch
+    LAG formulation suppresses everything after the storm's first
+    event (each raw event resets the clock), while this one re-emits
+    once per state expiration — last-KEPT-event semantics. See the
+    batch docstring for the full contrast.
 
     Eviction timing matters (pinned by the planted test): dedup is a
     key-existence lookup, and expired state is cleaned up at the END of
