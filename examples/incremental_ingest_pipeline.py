@@ -55,10 +55,18 @@ def run_incremental_ingest(
     sf_dir: str,
     out_root: str,
     near_dup_threshold: float = 0.8,
+    max_band_bucket: int = 1000,
 ) -> dict[str, int]:
     """Bootstrap the corpus from one split, then ingest the other split
     as a delta batch against the persisted signature store. Returns
-    per-stage counts."""
+    per-stage counts.
+
+    ``max_band_bucket`` guards the probe join: a hot bucket in the
+    persisted store multiplies EVERY future delta batch by its
+    membership, so buckets above the cap are excluded from candidate
+    probing and accounted in the report (``hot_buckets_dropped`` /
+    ``hot_bucket_max_members``) — the operator's cue to mine that
+    cluster in the exact-dedup tier instead."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     corpus_raw = docs.filter(F.col("doc_id") % 5 != 0)
     delta_raw = docs.filter(F.col("doc_id") % 5 == 0)
@@ -89,8 +97,10 @@ def run_incremental_ingest(
     # near: band ONLY the delta, probe the stored band table, verify on
     # stored hashes — corpus text is never touched
     delta_hashed = _hashed(delta_exact).localCheckpoint(eager=False)
+    stored_bands = read_tier(spark, bands_path)
+    hot = dedup_ops.hot_band_buckets(stored_bands, max_band_bucket)
     cands = dedup_ops.minhash_candidates_vs_bands(
-        delta_hashed, read_tier(spark, bands_path)
+        delta_hashed, stored_bands, max_bucket=max_band_bucket
     )
     verified = dedup_ops.minhash_verify_hashed(
         cands,
@@ -108,7 +118,12 @@ def run_incremental_ingest(
     )
     materialize(surv_hashed, hashes_path, mode="append")
 
+    hot_row = hot.agg(
+        F.count(F.lit(1)).alias("n"), F.max("n_members").alias("mx")
+    ).first()
     return {
+        "hot_buckets_dropped": int(hot_row["n"] or 0),
+        "hot_bucket_max_members": int(hot_row["mx"] or 0),
         "corpus_v1": corpus_v1.count(),
         "delta_raw": delta_raw.count(),
         "delta_after_exact": delta_exact.count(),

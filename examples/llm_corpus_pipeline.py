@@ -52,10 +52,22 @@ def run_corpus_pipeline(
     near_dup_threshold: float = 0.8,
     contamination_threshold: float = 0.5,
     max_docs_per_source: int | None = None,
+    max_band_bucket: int = 1000,
 ) -> dict[str, int]:
     """Build a packed, deduplicated, decontaminated corpus tier.
     Returns per-stage surviving row counts (monotonically
-    non-increasing until packing)."""
+    non-increasing until packing).
+
+    ``max_band_bucket`` is the LSH hot-bucket cap (always ON here —
+    mass boilerplate that survives exact dedup is a crawl-scale
+    certainty, and one hot bucket is an n² pair bomb): band buckets
+    larger than the cap are excluded from candidate generation and
+    ACCOUNTED in the returned report (``hot_buckets_dropped`` count +
+    ``hot_bucket_max_members``) so an operator sees exactly what was
+    routed away from the quadratic tier. Members of a capped bucket
+    still collide in their other bands, so genuine near-dup pairs
+    outside the pathological cluster are unaffected (planted e2e test:
+    tests/test_llm_corpus_pipeline.py)."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
 
     # 1. quality gate: drop degenerate docs before any expensive op
@@ -72,13 +84,21 @@ def run_corpus_pipeline(
     exact = dedup_ops.exact_dedup(tagged, ["text"], ["doc_id"])
 
     # 4. near-dup collapse: one shingle-hash pass shared by candidates
-    #    and verification, then component-root survivors
+    #    and verification, then component-root survivors. The band
+    #    table is built ONCE (checkpointed) so the hot-bucket report
+    #    and the capped candidate join read the same frame.
     hashed = exact.select(
         F.col("doc_id").alias("__id"),
         dedup_ops.shingle_hashes("text", 3).alias("__h"),
     ).localCheckpoint(eager=False)
+    banded = dedup_ops.banded_signatures(
+        hashed, num_perm=64, bands=16
+    ).localCheckpoint(eager=False)
+    hot = dedup_ops.hot_band_buckets(banded, max_band_bucket)
     pairs = dedup_ops.minhash_verify_hashed(
-        dedup_ops.minhash_lsh_candidates_from_hashes(hashed, num_perm=64, bands=16),
+        dedup_ops.minhash_lsh_candidates_from_bands(
+            dedup_ops.cap_band_buckets(banded, max_band_bucket)
+        ),
         hashed,
         threshold=near_dup_threshold,
     )
@@ -149,6 +169,14 @@ def run_corpus_pipeline(
         "source_capped": capped,
     }
     counts = {name: df.count() for name, df in stages.items()}
+    # hot-bucket accounting: what the cap routed away from the pair
+    # generator (count + worst offender; the full (band, bh, n) frame
+    # is `hot` if an operator wants to mine the clusters)
+    hot_rows = hot.agg(
+        F.count(F.lit(1)).alias("n"), F.max("n_members").alias("mx")
+    ).first()
+    counts["hot_buckets_dropped"] = int(hot_rows["n"] or 0)
+    counts["hot_bucket_max_members"] = int(hot_rows["mx"] or 0)
     counts["pii_hits"] = int(
         scrubbed.agg(
             F.sum(F.col("n_email") + F.col("n_ipv4") + F.col("n_phone"))

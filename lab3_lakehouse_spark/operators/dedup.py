@@ -192,9 +192,18 @@ def minhash_lsh_candidates_from_hashes(
     banded = _banded(hashed, num_perm, bands, seed)
     if max_bucket is not None:
         banded = cap_band_buckets(banded, max_bucket)
+    return minhash_lsh_candidates_from_bands(banded)
+
+
+def minhash_lsh_candidates_from_bands(banded: DataFrame) -> DataFrame:
+    """Self-join a ``(__id, band, bh)`` band table into distinct
+    candidate pairs (``id_a < id_b``) — the final step of
+    :func:`minhash_lsh_candidates_from_hashes`, public so pipelines
+    that need the band table for accounting (hot-bucket reports) or
+    persistence (the signature store) band ONCE and reuse the frame."""
     left = banded.alias("l")
     right = banded.alias("r")
-    pairs = (
+    return (
         left.join(
             right,
             on=[
@@ -206,7 +215,21 @@ def minhash_lsh_candidates_from_hashes(
         .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
         .distinct()
     )
-    return pairs
+
+
+def hot_band_buckets(banded: DataFrame, max_bucket: int) -> DataFrame:
+    """The accounting twin of :func:`cap_band_buckets`: the band
+    buckets a cap of ``max_bucket`` would DROP, as
+    ``(band, bh, n_members)`` — one grouped count, rows only for the
+    pathological buckets. Surface this next to any capped dedup run:
+    hot buckets are exactly the mass-duplication clusters (boilerplate,
+    templated spam) that should be routed to the exact-dedup /
+    template-mining tier instead of the quadratic pair generator."""
+    return (
+        banded.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > max_bucket)
+    )
 
 
 def cap_band_buckets(banded: DataFrame, max_bucket: int) -> DataFrame:
@@ -306,12 +329,23 @@ def minhash_candidates_vs_bands(
     num_perm: int = 64,
     bands: int = 16,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidates between a probe batch and a PRE-BUILT band table
     (the reload half of the signature-store cycle): bands only the
     probe side, joins the stored bands. Parameters must match the ones
-    the store was built with."""
+    the store was built with.
+
+    ``max_bucket`` caps the INDEX side's bucket sizes before the join
+    (see :func:`cap_band_buckets`): a hot bucket in a 100 TB signature
+    store would multiply EVERY future probe batch by its membership —
+    the incremental pipeline's blowup mode — so the probe path carries
+    the same guard as the self-join path. Use
+    :func:`hot_band_buckets` on the store for the dropped-bucket
+    report."""
     pb = _banded(probe_hashed, num_perm, bands, seed).alias("l")
+    if max_bucket is not None:
+        index_bands = cap_band_buckets(index_bands, max_bucket)
     ib = index_bands.alias("r")
     return (
         pb.join(

