@@ -10,8 +10,19 @@ ONE JSON line::
 
 Each query is executed with a count-only sink (``df.count()``: full
 compute, no driver-side row materialization — the same way a cluster
-job would terminate in a write). A warm-up query runs first so JVM/
-codegen startup isn't billed to the first headline query.
+job would terminate in a write).
+
+Isolation by construction (round 5, per the r4 verdict): every query
+runs in its OWN freshly-forked JVM (``--one <name>`` child process),
+with a plan-shape warm-up at sf0.001 inside that JVM so classloading /
+codegen-compile / Python-worker startup is never billed to the timed
+sf0.1 run. Rounds 3 and 4 both needed manual adjudication notes
+because one long JVM accumulates checkpoint blocks and GC pressure —
+suite-tail queries measured up to 3× their fresh-session cost. A
+fresh JVM per query makes the committed number the isolated
+steady-state number with no adjudication step; the ~4 s of per-child
+startup happens OUTSIDE the timed window and the suite runs once per
+round.
 """
 
 from __future__ import annotations
@@ -19,6 +30,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
@@ -171,7 +183,7 @@ def _sf_of(path: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
-def _bench_medallion(spark) -> float:
+def _bench_medallion(spark, sf_dir: str | None = None) -> float:
     """The reference's actual workload shape (EP1): events → bronze
     (partitioned) → silver (filtered+clustered) → gold (daily agg),
     checkpointed to disk at each tier."""
@@ -186,7 +198,7 @@ def _bench_medallion(spark) -> float:
 
     root = tempfile.mkdtemp(prefix="bench_medallion_")
     try:
-        ev = load_table(spark, SF_DIR, "events")
+        ev = load_table(spark, sf_dir or SF_DIR, "events")
         pipe = Pipeline(
             root=root,
             stages=[
@@ -212,52 +224,58 @@ def _bench_medallion(spark) -> float:
 WARMUP_SF_DIR = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
 
 
-def _reset_session_state(spark) -> None:
-    """Between-query hygiene (runs OUTSIDE the timed window): drop
-    cached datasets and release localCheckpoint RDDs left by previous
-    queries. In one long session those accumulate — by the tail of the
-    suite the JVM carries dozens of retained checkpoint blocks and
-    broadcasts, and queries that measure 1.3 s in a fresh session were
-    billed 6.8 s from GC/memory pressure (measured on ann_lsh_topk).
-    Isolated steady-state cost is the quantity that predicts cluster
-    throughput; inter-query interference is a single-JVM artifact.
-    """
-    import gc
+def run_single(name: str) -> float:
+    """Warm up and time ONE query inside the current (fresh) process.
 
-    spark.catalog.clearCache()
-    gc.collect()  # free Python-side DataFrame handles → ContextCleaner
+    The warm-up runs the exact timed callable at sf0.001 first: the
+    first execution of a plan pays JVM classloading, whole-stage-
+    codegen compile, Python-worker fork and BLAS init (measured
+    11.1 s → 3.5 s on ann_ivf_topk, 3.4 s → 1.3 s on ann_lsh_topk) —
+    session startup cost, not operator throughput. The timed sf0.1 run
+    is therefore the isolated steady-state cost, the quantity that
+    predicts cluster throughput at scale.
+    """
+    spark = build_session(app_name=f"lab3-bench-{name}")
     try:
-        spark.sparkContext._jvm.System.gc()  # reclaim checkpoint blocks now
-    except Exception:
-        pass  # Spark Connect: no py4j JVM handle; clearCache alone suffices
+        if name == "medallion_pipeline":
+            # its own warm-up: one tiny end-to-end pass compiles the
+            # write paths before the timed sf0.1 run
+            _bench_medallion(spark, WARMUP_SF_DIR)
+            return _bench_medallion(spark, SF_DIR)
+        fn = _bench_overrides().get(name, QUERIES[name])
+        fn(spark, WARMUP_SF_DIR).count()
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).count()
+        return round(time.perf_counter() - t0, 3)
+    finally:
+        spark.stop()
+
+
+def _child(name: str) -> float:
+    """Fork a fresh interpreter+JVM for one query and read its timing."""
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--one", name],
+        capture_output=True,
+        text=True,
+        env=os.environ,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"bench child for {name} failed:\n{proc.stderr.strip()[-2000:]}"
+        )
+    line = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)[name]
 
 
 def main() -> None:
-    spark = build_session(app_name="lab3-lakehouse-bench")
-    overrides = _bench_overrides()
-
-    # Warm-up: run every headline plan SHAPE once at sf0.001 first.
-    # A single scan warm-up is not enough — the first execution of each
-    # distinct plan pays JVM classloading, whole-stage-codegen compile,
-    # Python-worker fork and BLAS init (measured 11.1 s → 3.5 s on
-    # ann_ivf_topk, 3.4 s → 1.3 s on ann_lsh_topk), which is session
-    # startup cost, not operator throughput. The tiny-SF pass loads the
-    # same classes and compiles the same codegen stages in a few
-    # seconds, so the timed sf0.1 loop measures steady-state cost — the
-    # quantity that predicts cluster throughput at scale.
-    QUERIES["derived_metrics"](spark, SF_DIR).count()
-    for name in HEADLINE:
-        overrides.get(name, QUERIES[name])(spark, WARMUP_SF_DIR).count()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--one":
+        name = sys.argv[2]
+        print(json.dumps({name: run_single(name)}))
+        return
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        _reset_session_state(spark)
-        fn = overrides.get(name, QUERIES[name])
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-    _reset_session_state(spark)
-    timings["medallion_pipeline"] = _bench_medallion(spark)
+    for name in [*HEADLINE, "medallion_pipeline"]:
+        timings[name] = _child(name)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -270,10 +288,10 @@ def main() -> None:
                 "sf": _sf_of(SF_DIR),
                 "cpus": default_parallelism(),
                 "n_queries": len(timings),
+                "isolation": "fresh JVM per query (warm-up at sf0.001 in-child)",
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

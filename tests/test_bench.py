@@ -21,10 +21,25 @@ def test_every_override_targets_a_headline_query():
         assert name in QUERIES, f"{name} overridden but not registered"
 
 
-def test_main_resolves_through_overrides():
-    """main() must consult _bench_overrides(), not QUERIES directly —
-    the exact bug of round 2 (defined but never called)."""
-    assert "_bench_overrides" in bench.main.__code__.co_names
+def test_timed_path_resolves_through_overrides():
+    """The timed path must consult _bench_overrides(), not QUERIES
+    directly — the exact bug of round 2 (defined but never called).
+    Since round 5 the timed path is run_single (executed in a fresh
+    child JVM per query); main() only orchestrates children."""
+    assert "_bench_overrides" in bench.run_single.__code__.co_names
+    assert "_child" in bench.main.__code__.co_names
+
+
+def test_fresh_jvm_child_measures_one_query(monkeypatch):
+    """End-to-end child smoke (the r4 verdict isolation fix): forking
+    `bench.py --one <name>` must start its own JVM, warm up, time the
+    query at $SPARK_GRAFT_SF_DIR and print one parseable JSON line."""
+    import os
+
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", os.environ.get(
+        "SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001"))
+    secs = bench._child("daily_revenue")
+    assert 0 < secs < 120
 
 
 def test_overrides_differ_from_catalog_bodies():
