@@ -28,25 +28,116 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Queries whose verdict would CHANGE this round come first (the driver
-# checks the first 50 registry entries per round). Round-4 rotation:
-# the 50 slots go to the exact complement of round 3's window — every
-# query whose latest green verdict is CORRECTNESS_r02 — so after this
-# round no verdict in the registry is more than one round old. All 50
-# were additionally pre-verified green through the exact driver gate
-# (testing.check_query at sf0.01) before the round closed.
+# checks the first 50 registry entries per round). Round-5 rotation
+# (the r4 verdict's item #1, exactly): slots 1–26 are the queries whose
+# code or shared helpers changed in r4/r5 AFTER their last driver check
+# — the 25 r4-new scaleops queries (several additionally edited in r5:
+# pareto/RFM scale shapes, preflight, kmeans contract, time-decay
+# clamp, the hash60 null fix feeding CMS/Bloom) plus
+# minhash_lsh_near_dups (its candidate generator was refactored in
+# r5); slots 27–39 are the 13 queries whose oracles migrated to
+# regexp_split_to_array in r4 after their r3 check; slots 40–50 fill
+# with the oldest-verdict (r3-green) tail, riskiest first. All 50
+# pre-verified green through the exact driver gate (check_query at
+# sf0.01) before the round closed.
 #
-# ROUND-5 ROTATION PLAN (for the next builder): lead the window with
-# (1) the 24 round-4 queries marked NEW below — they have tests +
-# self-verification but no driver verdict yet; (2) any query whose
-# code or shared helpers round 5 edits after its last check; (3) the
-# oldest-verdict remainder (the r3-green tail, whose verdicts will be
-# two rounds old by then). tests/test_engine.py::
-# test_priority_rotation_names_all_registered guards against typos
-# silently shrinking the window.
+# ROUND-6 ROTATION PLAN (for the next builder): lead with (1) any
+# query whose code/shared helpers round 6 edits after its last check,
+# (2) the remaining r3-green tail below the boundary (their verdicts
+# will be three rounds old), (3) the r4-green block (two rounds old).
+# tests/test_engine.py::test_priority_rotation_names_all_registered
+# guards against typos silently shrinking the window.
 _PRIORITY = [
-    # code changed in r3 after last driver check (stale-verdict hole)
-    "window_trailing_1h_sum",
+    # -- r5-edited shared helper: dedup candidate generator refactor
     "minhash_lsh_near_dups",
+    # -- the 25 r4-new queries (no driver verdict yet); r5-edited
+    # members: revenue_pareto_curve, customer_rfm_segments,
+    # join_cardinality_preflight, kmeans_cluster_contract,
+    # time_decay_user_value, cms_heavy_tokens_contract,
+    # bloom_filter_semi_join
+    "cms_heavy_tokens_contract",
+    "bloom_filter_semi_join",
+    "rare_token_doc_quality",
+    "funnel_stage_conversion",
+    "time_decay_user_value",
+    "events_gap_filled_daily",
+    "mad_outlier_report",
+    "user_retention_cohorts",
+    "per_source_document_quota",
+    "ann_filtered_topk",
+    "kmeans_cluster_contract",
+    "shared_span_dup_report",
+    "referential_integrity_audit",
+    "event_transition_matrix",
+    "throttled_event_stream",
+    "join_key_skew_report",
+    "seasonal_residual_anomalies",
+    "join_cardinality_preflight",
+    "incremental_near_dup_new_docs",
+    "unicode_nfc_report",
+    "segment_top_spenders_with_ties",
+    "revenue_pareto_curve",
+    "customer_rfm_segments",
+    "packing_utilization_report",
+    "dow_hour_activity_matrix",
+    # -- the 13 whose oracles changed in the r4 string_split →
+    # regexp_split_to_array migration (r3 verdicts stale since)
+    "dedup_fingerprint_groups",
+    "word_jaccard_near_dups",
+    "dup_groups_connected",
+    "decontamination_ngram_overlap",
+    "tfidf_top_terms",
+    "text_quality_features",
+    "lang_id_predictions",
+    "token_counts",
+    "chunk_documents_sliding",
+    "hll_mergeable_daily_users",
+    "lineitem_stat_moments",
+    "event_value_trends",
+    "embedding_quantization_report",
+    # -- oldest-verdict tail (r3-green, code untouched r4+r5), by risk
+    "gopher_repetition_rules",
+    "heavy_hitter_tokens",
+    "approx_top_tokens_contract",
+    "semantic_dedup_flags",
+    "sql_returned_item_report",
+    "profile_orders_columns",
+    "fuzzy_part_name_matches",
+    "impute_event_values",
+    "interval_overlap_view_purchase",
+    "equi_depth_price_buckets",
+    "order_price_histogram",
+    # ---- 50-slot window boundary ----
+    # -- r3-green remainder (verdicts three rounds old by round 6 —
+    # rotate these FIRST next round):
+    "set_intersect_orders",
+    "set_except_orders",
+    "distinct_user_event_types",
+    "distinct_user_count",
+    "rollup_lineitem_status",
+    "cube_order_status_priority",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "json_extract_props",
+    "tumbling_window_hourly",
+    "session_window_per_user",
+    "dedup_exact_keep_first",
+    "embedding_cosine_pairs",
+    "ann_topk_bruteforce",
+    "binary_media_metadata",
+    "streaming_stateful_user_totals",
+    "approx_percentiles_contract",
+    "streaming_dedup_users",
+    "sql_large_volume_customers",
+    "streaming_static_enrichment",
+    "window_distribution_ranks",
+    "pii_redaction_report",
+    "embedding_label_centroids",
+    "sql_balance_prospects",
+    "union_evolved_event_slices",
+    # -- green in CORRECTNESS_r04 at HEAD (one round old):
+    "window_trailing_1h_sum",
     "simhash_near_dups",
     "doc_fingerprint_matches",
     "incremental_rollup_hourly",
@@ -54,13 +145,10 @@ _PRIORITY = [
     "range_join_price_bands",
     "salted_join_lineitem_supplier",
     "salted_agg_event_type",
-    # round 4 touches these plans (decorrelation profiling / fixes)
     "sql_late_order_priority",
     "sql_small_qty_revenue",
-    # recall-contract queries re-verified manually in r3; driver-confirm
     "ann_lsh_topk",
     "ann_ivf_topk",
-    # r2-green, code untouched since — oldest verdicts, by risk
     "merge_cdc_orders",
     "scd2_customer_priority",
     "streaming_tumbling_hourly",
@@ -98,89 +186,6 @@ _PRIORITY = [
     "window_rank_parts_by_price",
     "global_top_orders",
     "set_union_orders",
-    # ---- 50-slot window boundary: everything below is green in
-    # CORRECTNESS_r03 (checked last round); r4-touched members are
-    # self-verified this round and scheduled first for round 5:
-    # -- NEW in round 4 (queries/scaleops.py): no driver verdict yet;
-    # each verified vs its DuckDB oracle at sf0.01 this round
-    # (tests/test_oracle_parity.py + tests/test_scaleops.py). These
-    # MUST occupy the front of round 5's window:
-    "cms_heavy_tokens_contract",
-    "bloom_filter_semi_join",
-    "rare_token_doc_quality",
-    "funnel_stage_conversion",
-    "time_decay_user_value",
-    "events_gap_filled_daily",
-    "mad_outlier_report",
-    "user_retention_cohorts",
-    "per_source_document_quota",
-    "ann_filtered_topk",
-    "kmeans_cluster_contract",
-    "shared_span_dup_report",
-    "referential_integrity_audit",
-    "event_transition_matrix",
-    "throttled_event_stream",
-    "join_key_skew_report",
-    "seasonal_residual_anomalies",
-    "join_cardinality_preflight",
-    "incremental_near_dup_new_docs",
-    "unicode_nfc_report",
-    "segment_top_spenders_with_ties",
-    "revenue_pareto_curve",
-    "customer_rfm_segments",
-    "packing_utilization_report",
-    "dow_hour_activity_matrix",
-    # -- green in CORRECTNESS_r03, code untouched in r4:
-    "event_value_trends",
-    "embedding_quantization_report",
-    "gopher_repetition_rules",
-    "heavy_hitter_tokens",
-    "approx_top_tokens_contract",
-    "chunk_documents_sliding",
-    "set_intersect_orders",
-    "set_except_orders",
-    "distinct_user_event_types",
-    "distinct_user_count",
-    "rollup_lineitem_status",
-    "cube_order_status_priority",
-    "scalar_string_funcs",
-    "scalar_date_funcs",
-    "scalar_math_funcs",
-    "json_extract_props",
-    "tumbling_window_hourly",
-    "session_window_per_user",
-    "dedup_exact_keep_first",
-    "dedup_fingerprint_groups",
-    "word_jaccard_near_dups",
-    "embedding_cosine_pairs",
-    "ann_topk_bruteforce",
-    "text_quality_features",
-    "lang_id_predictions",
-    "token_counts",
-    "binary_media_metadata",
-    "streaming_stateful_user_totals",
-    "dup_groups_connected",
-    "decontamination_ngram_overlap",
-    "tfidf_top_terms",
-    "approx_percentiles_contract",
-    "streaming_dedup_users",
-    "sql_large_volume_customers",
-    "streaming_static_enrichment",
-    "window_distribution_ranks",
-    "pii_redaction_report",
-    "embedding_label_centroids",
-    "sql_balance_prospects",
-    "semantic_dedup_flags",
-    "sql_returned_item_report",
-    "order_price_histogram",
-    "profile_orders_columns",
-    "fuzzy_part_name_matches",
-    "impute_event_values",
-    "hll_mergeable_daily_users",
-    "interval_overlap_view_purchase",
-    "equi_depth_price_buckets",
-    "lineitem_stat_moments",
-    "union_evolved_event_slices",
 ]
 
 

@@ -16,8 +16,12 @@ def _oracle_query_names() -> list[str]:
 
 
 @pytest.mark.parametrize("name", _oracle_query_names())
-def test_query_matches_oracle(spark, sf_small, name):
-    n = check_query(spark, sf_small, QUERIES[name], ORACLES[name], name)
+def test_query_matches_oracle(spark, sf_medium, name):
+    """Runs at sf0.01 — the EXACT scale the verify driver checks (r4
+    verdict item #5: sf0.001 can hide degenerate-group / threshold-
+    boundary divergences the driver would catch; the event_value_trends
+    NaN class). Set SPARK_GRAFT_SF_MEDIUM to override."""
+    n = check_query(spark, sf_medium, QUERIES[name], ORACLES[name], name)
     assert n >= 0
 
 
