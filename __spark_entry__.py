@@ -108,6 +108,14 @@ _PRIORITY = [
     "equi_depth_price_buckets",
     "order_price_histogram",
     # ---- 50-slot window boundary ----
+    # -- NEW in round 5 (queries/sqlsuite.py): no driver verdict yet;
+    # each pre-verified vs its oracle at sf0.01 this round. Schedule
+    # these FIRST in round 6 (alongside any r6-edited queries):
+    "sql_volume_shipping",
+    "sql_national_market_share",
+    "sql_nation_profit",
+    "sql_promo_revenue_share",
+    "sql_disjunctive_revenue",
     # -- r3-green remainder (verdicts three rounds old by round 6 —
     # rotate these FIRST next round):
     "set_intersect_orders",

@@ -21,3 +21,4 @@ from lab3_lakehouse_spark.queries import analytics  # noqa: F401, E402
 from lab3_lakehouse_spark.queries import mutation  # noqa: F401, E402
 from lab3_lakehouse_spark.queries import corpus  # noqa: F401, E402
 from lab3_lakehouse_spark.queries import scaleops  # noqa: F401, E402
+from lab3_lakehouse_spark.queries import sqlsuite  # noqa: F401, E402

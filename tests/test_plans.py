@@ -302,3 +302,20 @@ def test_rfm_scoring_has_no_window_at_all(spark, sf):
     df = QUERIES["customer_rfm_segments"](spark, sf)
     assert pa.count_nodes(df, "Window") == 0, pa.formatted_plan(df)
     assert pa.count_nodes(df, "BroadcastNestedLoopJoin") >= 1  # 1-row cut join
+
+
+def test_volume_shipping_broadcasts_dims_single_fact_scan(spark, sf):
+    """Q7 shape: every dimension join must broadcast (no SortMergeJoin)
+    so the fact table is scanned once and never shuffled."""
+    df = QUERIES["sql_volume_shipping"](spark, sf)
+    assert pa.count_nodes(df, "BroadcastHashJoin") >= 4
+    assert pa.count_nodes(df, "SortMergeJoin") == 0
+
+
+def test_disjunctive_predicate_reaches_both_scans(spark, sf):
+    """Q19 shape: Catalyst must derive the single-table implications of
+    the OR-of-ANDs — the quantity-range union reaches the lineitem
+    scan, the brand/size union reaches the part scan."""
+    df = QUERIES["sql_disjunctive_revenue"](spark, sf)
+    assert pa.has_pushed_filter(df, "l_quantity"), pa.pushed_filters(df)
+    assert pa.has_pushed_filter(df, "p_brand"), pa.pushed_filters(df)
