@@ -116,6 +116,7 @@ _PRIORITY = [
     "sql_nation_profit",
     "sql_promo_revenue_share",
     "sql_disjunctive_revenue",
+    "global_balance_ranks",
     # -- r3-green remainder (verdicts three rounds old by round 6 —
     # rotate these FIRST next round):
     "set_intersect_orders",

@@ -87,3 +87,69 @@ def global_top_n(df: DataFrame, order_by: Sequence[Column], n: int) -> DataFrame
     """Global top-n: executed as TakeOrdered (per-partition heap + merge),
     NOT a full sort — the scalable way to answer limit-after-order."""
     return df.orderBy(*order_by).limit(n)
+
+
+def global_row_number(
+    df: DataFrame,
+    metric: str,
+    tie_breakers: Sequence[str],
+    rank_col: str = "rank",
+    ascending: bool = False,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic GLOBAL row_number over ``(metric, *tie_breakers)``
+    without a single-partition sort — the scale-safe form of
+    ``row_number() OVER (ORDER BY ...)``.
+
+    Classic two-phase distributed ranking, expressed entirely as one
+    lazy plan (no driver actions, unlike ``repartitionByRange`` whose
+    sampled boundaries can differ between job evaluations):
+
+    1. ``approx_percentile`` computes ``n_buckets-1`` cut points of the
+       metric in one pass — a single broadcast row.
+    2. every row gets a bucket by counting cuts it exceeds; the
+       assignment is monotone in the metric, so bucket order IS metric
+       order, and equal metrics always share a bucket (the tie-break
+       sort never straddles buckets).
+    3. per-bucket ``row_number`` (a PARTITIONED window: one shuffle on
+       the bucket id) plus each bucket's cumulative predecessor count
+       (a ≤ ``n_buckets``-row frame, broadcast back).
+
+    The final rank is EXACT and independent of the cut values — GK
+    sketch error only skews bucket sizes, never the rank — which is
+    why the approximate percentile is safe here even though the
+    operator's output is deterministic. Null metrics are not ranked
+    (filter or coalesce first); ``ascending=False`` ranks the largest
+    metric 1. Skew note: all-equal metrics degenerate to one bucket
+    (inherent — a total order over indistinguishable keys); mix a
+    second metric into ``metric`` upstream if that is a real workload.
+    """
+    m = F.col(metric)
+    probs = F.array(
+        *[F.lit(i / n_buckets) for i in range(1, n_buckets)]
+    )
+    cuts = df.agg(
+        F.approx_percentile(m.cast("double"), probs, F.lit(10000)).alias("__cuts")
+    )
+    cmp = (lambda acc, c: acc + F.when(m > c, 1).otherwise(0)) if ascending else (
+        lambda acc, c: acc + F.when(m < c, 1).otherwise(0)
+    )
+    bucketed = df.crossJoin(F.broadcast(cuts)).withColumn(
+        "__b",
+        F.aggregate(F.col("__cuts"), F.lit(0), cmp),
+    ).drop("__cuts")
+    counts = bucketed.groupBy("__b").agg(F.count(F.lit(1)).alias("__bn"))
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__bn").over(w_off), F.lit(0))
+    ).drop("__bn")
+    order = [m.asc() if ascending else m.desc()] + [F.col(t) for t in tie_breakers]
+    w_in = Window.partitionBy("__b").orderBy(*order)
+    return (
+        bucketed.join(F.broadcast(offsets), "__b")
+        .withColumn(
+            rank_col,
+            (F.row_number().over(w_in) + F.col("__off")).cast("long"),
+        )
+        .drop("__b", "__off")
+    )

@@ -733,3 +733,32 @@ def union_evolved_event_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", "ts"
     )
     return set_ops.union_evolved(a, b)
+
+
+@query(
+    "global_balance_ranks",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           CAST(row_number() OVER (ORDER BY c_acctbal DESC, c_custkey)
+                AS BIGINT) AS rank
+    FROM customer
+    """,
+)
+def global_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact GLOBAL ranking of every customer by account balance —
+    ``row_number() OVER (ORDER BY ...)`` semantics WITHOUT the
+    single-partition sort that window spec forces on both engines'
+    naive plans. Runs operators/windows.global_row_number: bucket by
+    broadcast approx-percentile cuts (monotone ⇒ bucket order = metric
+    order), partitioned row_number per bucket, cumulative bucket
+    offsets broadcast back — rank exactness is independent of the cut
+    accuracy, so the sketch is safe. This is the operator the r4
+    verdict's Pareto/RFM scale fixes sidestepped (top-k / cut-point
+    comparisons); when the full ranking itself is the product (billing
+    tiers, leaderboards), this is the 100 TB plan. No rounding needed:
+    c_acctbal is compared and emitted verbatim, never aggregated."""
+    tune_session(spark)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    return win_ops.global_row_number(
+        cust, "c_acctbal", ["c_custkey"], rank_col="rank", ascending=False
+    )

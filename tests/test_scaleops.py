@@ -472,3 +472,41 @@ def test_nfc_normalize_on_planted_unicode(spark, tmp_path):
     assert got[2] == "plain ascii"
     duck = duckdb.sql("select nfc_normalize(?)", params=[decomposed]).fetchone()[0]
     assert got[1] == duck, "Spark unicodedata and DuckDB utf8proc must agree"
+
+
+# ------------------------------------------- scalable global rank ----
+
+
+def test_global_row_number_exact_and_tie_stable(spark):
+    """global_row_number must equal the naive global window's answer on
+    planted data with duplicate metrics (ties break on the key, never
+    straddle buckets) and assign each rank exactly once."""
+    from lab3_lakehouse_spark.operators import windows as win_ops
+
+    rows = [(i, float(v)) for i, v in enumerate([5, 3, 9, 3, 9, 1, 9, 7, 3, 2] * 5)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {
+        r["k"]: r["rank"]
+        for r in win_ops.global_row_number(
+            df, "v", ["k"], ascending=False, n_buckets=4
+        ).collect()
+    }
+    want = {
+        k: rank + 1
+        for rank, (k, _) in enumerate(
+            sorted(rows, key=lambda t: (-t[1], t[0]))
+        )
+    }
+    assert got == want
+    assert sorted(got.values()) == list(range(1, len(rows) + 1))
+
+
+def test_global_row_number_plan_partitions_the_big_window(spark, sf_small):
+    """The data-sized window must be hash-partitioned on the bucket id;
+    the only un-partitioned frames are the one-row cuts aggregate and
+    the <= n_buckets offsets table."""
+    from lab3_lakehouse_spark.plans.analysis import formatted_plan
+    from lab3_lakehouse_spark.queries import QUERIES
+
+    plan = formatted_plan(QUERIES["global_balance_ranks"](spark, sf_small))
+    assert "hashpartitioning(__b" in plan, plan
