@@ -192,11 +192,14 @@ def incremental_probe_experiment(spark, dirs: dict[int, str]) -> dict:
     ).localCheckpoint(eager=False)
     n_probe = probe_hashed.count()
 
+    # Phase 1: build every store (the one-off linear cost), THEN probe —
+    # probing right after a big build measures the build's GC debris,
+    # not the probe (measured: 11.9 s in-harness vs 1.9 s isolated on
+    # the x30 probe).
     out: dict[str, dict] = {}
     for m, d in sorted(dirs.items()):
         store = os.path.join(SCALE_ROOT, f"x{m}_sigstore")
         bands_path = os.path.join(store, "bands")
-        hashes_path = os.path.join(store, "hashes")
         hashed = load_table(spark, d, "documents").select(
             F.col("doc_id").alias("__id"),
             dedup_ops.shingle_hashes("text", 3).alias("__h"),
@@ -204,29 +207,40 @@ def incremental_probe_experiment(spark, dirs: dict[int, str]) -> dict:
         t0 = time.perf_counter()
         if not os.path.isdir(bands_path):
             dedup_ops.banded_signatures(hashed).write.parquet(bands_path)
-            hashed.write.parquet(hashes_path)
+            hashed.write.parquet(os.path.join(store, "hashes"))
             build_sec = round(time.perf_counter() - t0, 2)
         else:
             build_sec = None  # reused from an earlier run
+        out[f"x{m}"] = {"store_build_sec": build_sec, "n_probe_docs": n_probe}
+
+    for m in sorted(dirs):
+        store = os.path.join(SCALE_ROOT, f"x{m}_sigstore")
+
+        def _probe():
+            cands = dedup_ops.minhash_candidates_vs_bands(
+                probe_hashed,
+                spark.read.parquet(os.path.join(store, "bands")),
+                max_bucket=1000,
+            )
+            return dedup_ops.minhash_verify_hashed(
+                cands,
+                probe_hashed.unionByName(
+                    spark.read.parquet(os.path.join(store, "hashes"))
+                ),
+                threshold=0.8,
+            )
+
         _reset_session_state(spark)
-        t0 = time.perf_counter()
-        cands = dedup_ops.minhash_candidates_vs_bands(
-            probe_hashed, spark.read.parquet(bands_path), max_bucket=1000
-        )
-        verified = dedup_ops.minhash_verify_hashed(
-            cands,
-            probe_hashed.unionByName(spark.read.parquet(hashes_path)),
-            threshold=0.8,
-        )
-        n_pairs = verified.count()
-        probe_sec = round(time.perf_counter() - t0, 2)
-        out[f"x{m}"] = {
-            "store_build_sec": build_sec,
-            "probe_sec": probe_sec,
-            "n_probe_docs": n_probe,
-            "n_verified_pairs": n_pairs,
-        }
-        print(f"x{m} probe: {probe_sec}s pairs={n_pairs}", file=sys.stderr, flush=True)
+        best, n_pairs = float("inf"), 0
+        for _ in range(2):  # min-of-2: steady-state probe cost
+            t0 = time.perf_counter()
+            n_pairs = _probe().count()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        out[f"x{m}"]["probe_sec"] = round(best, 2)
+        out[f"x{m}"]["n_verified_pairs"] = n_pairs
+        print(f"x{m} probe: {out[f'x{m}']['probe_sec']}s pairs={n_pairs}",
+              file=sys.stderr, flush=True)
     ms = sorted(dirs)
     t1, tm = out[f"x{ms[0]}"]["probe_sec"], out[f"x{ms[-1]}"]["probe_sec"]
     out["probe_alpha"] = round(
