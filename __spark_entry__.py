@@ -117,6 +117,11 @@ _PRIORITY = [
     "sql_promo_revenue_share",
     "sql_disjunctive_revenue",
     "global_balance_ranks",
+    "sql_order_count_distribution",
+    "sql_waiting_suppliers",
+    "sql_part_promotion_suppliers",
+    "sql_top_revenue_supplier",
+    "containment_near_dups",
     # -- r3-green remainder (verdicts three rounds old by round 6 —
     # rotate these FIRST next round):
     "set_intersect_orders",

@@ -856,3 +856,69 @@ def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled"),
         F.sum(text_ops.token_count("text")).alias("sampled_tokens"),
     )
+
+
+@query(
+    "containment_near_dups",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS w
+        FROM documents
+    )
+    SELECT a.doc_id AS id_small, b.doc_id AS id_big,
+           len(list_intersect(a.w, b.w))::DOUBLE / len(a.w) AS containment,
+           len(a.w) AS n_small, len(b.w) AS n_big
+    FROM t a JOIN t b
+      ON a.lang = b.lang
+     AND (len(a.w) < len(b.w)
+          OR (len(a.w) = len(b.w) AND a.doc_id < b.doc_id))
+    WHERE len(a.w) >= 20
+      AND len(list_intersect(a.w, b.w))::DOUBLE / len(a.w) >= 0.9
+    """,
+)
+def containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: word-set containment
+    |A ∩ B| / |A| of the smaller document in the larger one. Catches
+    the quote/subset class symmetric Jaccard structurally misses — a
+    200-word doc embedded verbatim in a 10k-word doc has Jaccard ≈ 0.02
+    but containment 1.0, and at crawl scale that subset relation is the
+    dominant duplication mode (boilerplate-wrapped syndication).
+    Pair orientation is deterministic: smaller word-set is the
+    contained side, doc_id breaks exact size ties, and sets under 20
+    distinct words are excluded (on a narrow vocabulary every tiny doc
+    is trivially "contained" — noise, not duplication). Same
+    lang-blocked exact tier as word_jaccard_near_dups (pairs only
+    within blocks); the 100 TB candidate tier is LSH banding on the
+    SMALL side's shingles (containment LSH), for which this exact
+    formula is the verify stage. Integer-ratio output → exact double
+    division, no rounding policy needed."""
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    t = docs.select(
+        "doc_id", "lang",
+        F.array_distinct(dedup_ops.tokens("text")).alias("w"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    na, nb = F.size(F.col("a.w")), F.size(F.col("b.w"))
+    inter = F.size(F.array_intersect(F.col("a.w"), F.col("b.w"))).cast("double")
+    containment = inter / na.cast("double")
+    return (
+        a.filter(F.size("w") >= 20)
+        .alias("a")
+        .join(
+            b,
+            on=[
+                F.col("a.lang") == F.col("b.lang"),
+                (na < nb) | ((na == nb) & (F.col("a.doc_id") < F.col("b.doc_id"))),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("id_small"),
+            F.col("b.doc_id").alias("id_big"),
+            containment.alias("containment"),
+            na.cast("long").alias("n_small"),
+            nb.cast("long").alias("n_big"),
+        )
+        .filter(F.col("containment") >= 0.9)
+    )

@@ -190,3 +190,137 @@ def sql_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     register_views(spark, sf_dir, ("lineitem", "part"))
     return spark.sql(_DISJUNCTIVE_SQL)
+
+
+_ORDER_COUNT_DIST_SQL = """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+"""
+
+
+@query("sql_order_count_distribution", oracle=_ORDER_COUNT_DIST_SQL)
+def sql_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts,
+    INCLUDING zero-order customers. The filter lives in the LEFT JOIN's
+    ON clause (a WHERE would silently turn the join inner and drop the
+    zero bucket — the classic outer-join bug), and the double
+    aggregation is two cheap shuffles: the first on c_custkey (the
+    fact's natural key), the second on the tiny count domain. All-count
+    output → no float policy needed."""
+    tune_session(spark)
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_ORDER_COUNT_DIST_SQL)
+
+
+_WAITING_SUPPLIERS_SQL = """
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1
+          FROM lineitem l3
+          JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY s.s_name
+"""
+
+
+@query("sql_waiting_suppliers", oracle=_WAITING_SUPPLIERS_SQL)
+def sql_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: the corpus has no commit/receipt
+    dates, so "late" is shipped > 90 days after the order date):
+    suppliers who were the SOLE late shipper on a finalized
+    multi-supplier order. The hardest decorrelation classic — one
+    correlated EXISTS plus one correlated NOT EXISTS over the same
+    fact table. The NOT EXISTS leg re-joins orders INSIDE the subquery
+    so the only correlated predicate is the l_orderkey equality;
+    Catalyst then plans both legs as existence joins on the orderkey
+    (semi + anti), i.e. the fact table shuffles on its natural key
+    three times and nothing is re-executed per outer row."""
+    tune_session(spark)
+    register_views(spark, sf_dir, ("supplier", "lineitem", "orders"))
+    return spark.sql(_WAITING_SUPPLIERS_SQL)
+
+
+_PART_PROMO_SUPPLIERS_SQL = """
+    SELECT s.s_suppkey, s.s_name, s.s_acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        WHERE l.l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE '%gear%'
+        )
+          AND l.l_shipdate >= TIMESTAMP '1998-01-01'
+        GROUP BY l.l_suppkey
+        HAVING sum(l.l_quantity) > 1225
+    )
+"""
+
+
+@query("sql_part_promotion_suppliers", oracle=_PART_PROMO_SUPPLIERS_SQL)
+def sql_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: no partsupp tier, so "availability"
+    becomes shipped volume): suppliers who moved > 1225 units of
+    gear-type parts since 1998 — a NESTED IN: the inner part-name IN
+    prunes lineitem via a broadcast semi join BEFORE the grouped
+    HAVING, whose survivor set semi-joins the tiny supplier dim.
+    Determinism: quantities are integral doubles (probed), so the
+    HAVING sum is exact and the 1225 threshold sits ≥ 4 units from the
+    nearest attained sum; s_acctbal is a raw parquet column
+    (bit-identical cross-engine, no rounding policy needed)."""
+    tune_session(spark)
+    register_views(spark, sf_dir, ("supplier", "lineitem", "part"))
+    return spark.sql(_PART_PROMO_SUPPLIERS_SQL)
+
+
+_TOP_REVENUE_SUPPLIER_SQL = f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {sql_round4('sum(l_extendedprice * (1 - l_discount))')}
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+@query("sql_top_revenue_supplier", oracle=_TOP_REVENUE_SUPPLIER_SQL)
+def sql_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: a CTE referenced TWICE — once as the join input
+    and once inside an uncorrelated scalar-max subquery — selecting the
+    quarter's top-revenue supplier(s). The float-equality trap is
+    defused by round4-ing total_revenue INSIDE the CTE: the max
+    comparison then runs on identical doubles in both engines, and a
+    genuine tie at 4 decimals emits BOTH suppliers on both engines
+    (deterministic either way). At scale the CTE is one grouped pass
+    over the quarter's partition-pruned slice; the scalar max is a
+    broadcast of one double."""
+    tune_session(spark)
+    register_views(spark, sf_dir, ("supplier", "lineitem"))
+    return spark.sql(_TOP_REVENUE_SUPPLIER_SQL)

@@ -319,3 +319,55 @@ def test_disjunctive_predicate_reaches_both_scans(spark, sf):
     df = QUERIES["sql_disjunctive_revenue"](spark, sf)
     assert pa.has_pushed_filter(df, "l_quantity"), pa.pushed_filters(df)
     assert pa.has_pushed_filter(df, "p_brand"), pa.pushed_filters(df)
+
+
+def test_order_count_distribution_keeps_outer_join_and_double_agg(spark, sf):
+    """Q13 shape: the priority filter must stay in the LEFT JOIN's ON
+    clause (outer join preserved — zero-order customers survive) and
+    both aggregation levels must run partial+final (map-side combine
+    before each shuffle)."""
+    df = QUERIES["sql_order_count_distribution"](spark, sf)
+    assert pa.count_nodes(df, "HashAggregate") >= 4, pa.formatted_plan(df)
+    assert pa.count_nodes(df, "BroadcastNestedLoopJoin") == 0
+
+
+def test_waiting_suppliers_existence_joins_no_nested_loop(spark, sf):
+    """Q21 shape: the correlated EXISTS / NOT EXISTS legs must
+    decorrelate into existence joins on l_orderkey — at 100 TB that is
+    a shuffle of the fact on its natural key (SortMergeJoin is the
+    RIGHT plan for the fact-to-fact legs), never a per-outer-row
+    re-execution (BroadcastNestedLoopJoin) of the subquery."""
+    df = QUERIES["sql_waiting_suppliers"](spark, sf)
+    assert pa.count_nodes(df, "BroadcastNestedLoopJoin") == 0, pa.formatted_plan(df)
+    assert pa.count_nodes(df, "SortMergeJoin") >= 1  # fact-to-fact existence legs
+    assert pa.count_nodes(df, "BroadcastHashJoin") >= 2  # supplier + orders dims
+
+
+def test_part_promotion_nested_in_stays_broadcast_semi(spark, sf):
+    """Q20 shape: both IN subqueries must become semi joins — the part
+    name-filter broadcast INTO the lineitem scan side, the grouped
+    survivor set semi-joined against the tiny supplier dim — with no
+    shuffle of anything but the fact's grouped aggregation."""
+    df = QUERIES["sql_part_promotion_suppliers"](spark, sf)
+    assert pa.count_nodes(df, "BroadcastHashJoin") >= 2, pa.formatted_plan(df)
+    assert pa.count_nodes(df, "SortMergeJoin") == 0
+    assert pa.count_nodes(df, "BroadcastNestedLoopJoin") == 0
+
+
+def test_top_revenue_supplier_scalar_max_not_cartesian(spark, sf):
+    """Q15 shape: the scalar-max subquery over the CTE must evaluate
+    once and compare as a filter (Spark plans it as a scalar subquery
+    reference) — never a cartesian of revenue × revenue."""
+    df = QUERIES["sql_top_revenue_supplier"](spark, sf)
+    assert pa.count_nodes(df, "CartesianProduct") == 0, pa.formatted_plan(df)
+    assert pa.count_nodes(df, "SortMergeJoin") == 0  # supplier dim broadcasts
+
+
+def test_containment_pairs_equi_join_on_lang_block(spark, sf):
+    """Containment near-dup: the size ordering is a join CONDITION on
+    the lang-equi join, not a join strategy — the plan must stay a
+    hash/merge equi join on the block key, never a nested loop over
+    the cross product."""
+    df = QUERIES["containment_near_dups"](spark, sf)
+    assert pa.count_nodes(df, "BroadcastNestedLoopJoin") == 0, pa.formatted_plan(df)
+    assert pa.count_nodes(df, "CartesianProduct") == 0
