@@ -122,6 +122,7 @@ _PRIORITY = [
     "sql_part_promotion_suppliers",
     "sql_top_revenue_supplier",
     "containment_near_dups",
+    "snapshot_diff_orders",
     # -- r3-green remainder (verdicts three rounds old by round 6 —
     # rotate these FIRST next round):
     "set_intersect_orders",

@@ -213,3 +213,59 @@ def scd2_apply(
         .unionByName(to_close)
         .unionByName(new_rows)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+    change_col: str = "change_type",
+) -> DataFrame:
+    """Table diff between two snapshot versions: one row per key that
+    was 'added', 'removed', or 'changed' (unchanged keys are filtered
+    out — at 100 TB the diff is small even when the snapshots are not).
+    The inverse of :func:`cdc_apply`: ``snapshot_diff(t, cdc_apply(t,
+    batch, keys), keys)`` recovers the batch's classification, which is
+    exactly how lakehouse CDF (change-data-feed) readers reconstruct a
+    change stream from two versions when the writer didn't record one.
+
+    One full outer join on the key — at scale both sides shuffle on
+    the snapshot's natural key (SortMergeJoin, AQE-sized), and column
+    comparison is null-safe ``<=>`` per column (no row hashing, so the
+    classification is engine-portable and survives column reordering).
+
+    Output: ``keys + change_type + {old_/new_ for each compare_col}``.
+    """
+    compare_cols = compare_cols or [c for c in old.columns if c not in keys]
+    # presence markers, not key-null checks: a legitimately-NULL key
+    # value must not read as "row absent" under the null-safe join
+    o = old.withColumn("__o_present", F.lit(True)).alias("__o")
+    n = new.withColumn("__n_present", F.lit(True)).alias("__n")
+    joined = o.join(
+        n, on=[F.col(f"__o.{k}").eqNullSafe(F.col(f"__n.{k}")) for k in keys],
+        how="full_outer",
+    )
+    old_present = F.col("__o.__o_present").isNotNull()
+    new_present = F.col("__n.__n_present").isNotNull()
+    changed_pred = None
+    for c in compare_cols:
+        p = ~F.col(f"__o.{c}").eqNullSafe(F.col(f"__n.{c}"))
+        changed_pred = p if changed_pred is None else (changed_pred | p)
+    change = (
+        F.when(~new_present, F.lit("removed"))
+        .when(~old_present, F.lit("added"))
+        .when(changed_pred, F.lit("changed"))
+    )  # unchanged -> NULL -> dropped by the filter below
+    return (
+        joined.select(
+            *[
+                F.coalesce(F.col(f"__o.{k}"), F.col(f"__n.{k}")).alias(k)
+                for k in keys
+            ],
+            change.alias(change_col),
+            *[F.col(f"__o.{c}").alias(f"old_{c}") for c in compare_cols],
+            *[F.col(f"__n.{c}").alias(f"new_{c}") for c in compare_cols],
+        )
+        .filter(F.col(change_col).isNotNull())
+    )

@@ -202,3 +202,53 @@ def incremental_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SNAPSHOT_DIFF_ORACLE = f"""
+    SELECT o_orderkey, 'changed' AS change_type,
+           o_orderstatus AS old_o_orderstatus,
+           'U' AS new_o_orderstatus,
+           {sql_round4('o_totalprice')} AS old_o_totalprice,
+           {sql_round4('o_totalprice * 1.1')} AS new_o_totalprice
+    FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 100 <> 0
+    UNION ALL
+    SELECT o_orderkey, 'removed', o_orderstatus, CAST(NULL AS VARCHAR),
+           {sql_round4('o_totalprice')}, CAST(NULL AS DOUBLE)
+    FROM orders WHERE o_orderkey % 100 = 0
+    UNION ALL
+    SELECT o_orderkey + 10000000, 'added', CAST(NULL AS VARCHAR), 'N',
+           CAST(NULL AS DOUBLE), {sql_round4('o_totalprice')}
+    FROM orders WHERE o_orderkey % 1000 = 0
+"""
+
+
+@query("snapshot_diff_orders", oracle=_SNAPSHOT_DIFF_ORACLE)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version diff (change-data-feed reconstruction): apply the
+    deterministic CDC batch to ``orders``, then diff the NEW snapshot
+    against the OLD one with operators/merge.py:snapshot_diff — the
+    diff must recover exactly the batch's added/removed/changed
+    classification (which is what the oracle enumerates directly from
+    the modulus definitions). One full outer join on the snapshot key;
+    unchanged keys — the overwhelming majority at scale — are dropped
+    before anything else happens, so the diff output is delta-sized."""
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    merged = merge_ops.cdc_apply(
+        load_table(spark, sf_dir, "orders"),
+        _orders_cdc_batch(load_table(spark, sf_dir, "orders")),
+        ["o_orderkey"],
+        broadcast_source=True,
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    diff = merge_ops.snapshot_diff(
+        orders, merged, keys=["o_orderkey"],
+        compare_cols=["o_orderstatus", "o_totalprice"],
+    )
+    return diff.select(
+        "o_orderkey", "change_type",
+        "old_o_orderstatus", "new_o_orderstatus",
+        round4(F.col("old_o_totalprice")).alias("old_o_totalprice"),
+        round4(F.col("new_o_totalprice")).alias("new_o_totalprice"),
+    )

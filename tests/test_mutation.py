@@ -189,3 +189,47 @@ def test_incremental_rollup_equals_full_and_touches_only_dirty_buckets(spark, tm
         for r in rollup_ops.finalize(spark.read.parquet(path), ["k"]).collect()
     }
     assert fin[("a", 10)] == (3, 7.0, 7.0 / 3, 1.0, 4.0)
+
+
+def test_snapshot_diff_classifies_all_change_kinds(spark):
+    old = _target(spark)  # keys 1,2,3,None
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),            # unchanged -> dropped
+         (2, "B", 20.0),            # value changed
+         (None, "z", 5.0),          # NULL key changed (null-safe match)
+         (9, "i", 90.0)],           # added; 3 removed
+        "k int, v string, x double",
+    )
+    out = merge_ops.snapshot_diff(old, new, ["k"])
+    got = {tuple(r) for r in out.collect()}
+    assert got == {
+        (2, "changed", "b", 20.0, "B", 20.0),
+        (None, "changed", "z", 0.0, "z", 5.0),
+        (3, "removed", "c", 30.0, None, None),
+        (9, "added", None, None, "i", 90.0),
+    }, got
+
+
+def test_snapshot_diff_null_to_value_transition_is_changed(spark):
+    old = spark.createDataFrame([(1, None)], "k int, v string")
+    new = spark.createDataFrame([(1, "x")], "k int, v string")
+    out = merge_ops.snapshot_diff(old, new, ["k"])
+    assert [tuple(r) for r in out.collect()] == [(1, "changed", None, "x")]
+
+
+def test_snapshot_diff_identical_snapshots_is_empty(spark):
+    assert merge_ops.snapshot_diff(_target(spark), _target(spark), ["k"]).count() == 0
+
+
+def test_snapshot_diff_inverts_cdc_apply(spark):
+    """The CDF-reconstruction contract: diffing cdc_apply's output
+    against its input recovers the batch classification."""
+    tgt = _target(spark)
+    batch = spark.createDataFrame(
+        [(2, "B", 22.0, "U"), (9, "i", 90.0, "U"), (3, "c", 30.0, "D")],
+        "k int, v string, x double, __op string",
+    )
+    new = merge_ops.cdc_apply(tgt, batch, ["k"])
+    diff = merge_ops.snapshot_diff(tgt, new, ["k"])
+    kinds = {r["k"]: r["change_type"] for r in diff.collect()}
+    assert kinds == {2: "changed", 9: "added", 3: "removed"}

@@ -371,3 +371,13 @@ def test_containment_pairs_equi_join_on_lang_block(spark, sf):
     df = QUERIES["containment_near_dups"](spark, sf)
     assert pa.count_nodes(df, "BroadcastNestedLoopJoin") == 0, pa.formatted_plan(df)
     assert pa.count_nodes(df, "CartesianProduct") == 0
+
+
+def test_snapshot_diff_full_outer_on_key_no_nested_loop(spark, sf):
+    """Snapshot diff: one full outer equi-join on the snapshot key —
+    never a nested loop / cartesian, and the unchanged-row filter sits
+    above a single join (delta-sized output from snapshot-sized
+    input)."""
+    df = QUERIES["snapshot_diff_orders"](spark, sf)
+    assert pa.count_nodes(df, "BroadcastNestedLoopJoin") == 0, pa.formatted_plan(df)
+    assert pa.count_nodes(df, "CartesianProduct") == 0
