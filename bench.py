@@ -97,6 +97,9 @@ HEADLINE = [
     "sql_volume_shipping",          # Q7 shape: 6-way broadcast snowflake (r5)
     "sql_disjunctive_revenue",      # Q19 shape: DNF pushdown to both scans (r5)
     "global_balance_ranks",         # scalable global row_number, no global sort (r5)
+    "sql_waiting_suppliers",        # Q21 shape: EXISTS + NOT EXISTS decorrelation (r5)
+    "containment_near_dups",        # asymmetric subset dedup, lang-blocked (r5)
+    "snapshot_diff_orders",         # CDF reconstruction: full outer diff (r5)
 ]
 
 
