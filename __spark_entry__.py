@@ -108,9 +108,11 @@ _PRIORITY = [
     "equi_depth_price_buckets",
     "order_price_histogram",
     # ---- 50-slot window boundary ----
-    # -- NEW in round 5 (queries/sqlsuite.py): no driver verdict yet;
-    # each pre-verified vs its oracle at sf0.01 this round. Schedule
-    # these FIRST in round 6 (alongside any r6-edited queries):
+    # -- NEW in round 5 (queries/sqlsuite.py Q7-Q21 shapes,
+    # global ranking, containment dedup, snapshot diff): no driver
+    # verdict yet; each pre-verified vs its oracle at sf0.01 this
+    # round. Schedule these FIRST in round 6 (alongside any
+    # r6-edited queries):
     "sql_volume_shipping",
     "sql_national_market_share",
     "sql_nation_profit",

@@ -98,6 +98,19 @@ SHOWCASE: dict[str, str] = {
         "BroadcastHashJoins and is never shuffled before the final "
         "aggregate."
     ),
+    "sql_waiting_suppliers": (
+        "Q21 shape: the correlated EXISTS / NOT EXISTS legs are "
+        "decorrelated into existence joins on l_orderkey — "
+        "SortMergeJoin for the fact-to-fact legs (the right plan: "
+        "shuffle on the natural key), broadcast for the dims; no "
+        "per-outer-row subquery re-execution anywhere."
+    ),
+    "snapshot_diff_orders": (
+        "CDF reconstruction: ONE full outer equi-join on the snapshot "
+        "key with null-safe per-column comparison above it — the "
+        "unchanged majority is dropped immediately, so the output is "
+        "delta-sized while the inputs are snapshot-sized."
+    ),
 }
 
 
