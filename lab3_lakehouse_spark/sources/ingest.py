@@ -103,3 +103,36 @@ def bootstrap_sample(
     df = spark.read.format(fmt).load(src_path).limit(n_rows)
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(out_path)
     return df
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """S1 companion: ORC scan — the other mainstream columnar format
+    (Hive-lineage warehouses hand data over as ORC as often as
+    Parquet). Native Spark reader, so predicate pushdown, column
+    pruning, and vectorized decoding all apply exactly as for parquet;
+    an explicit ``schema`` both documents the contract and lets Spark
+    skip the footer-merge pass over many files."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    compression: str = "zstd",
+) -> None:
+    """ORC hand-off tier for Hive-lineage consumers: same layout
+    policy as the parquet medallion writer (partition columns optional,
+    zstd default), so a downstream warehouse can mount the directory
+    as an external table unchanged."""
+    writer = df.write.mode("overwrite").option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

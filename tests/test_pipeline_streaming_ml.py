@@ -627,3 +627,30 @@ def test_streaming_throttle_keeps_spaced_clusters(spark, tmpdir):
     assert per_key[(1, "click")] == 2  # burst collapsed + the re-emission
     assert per_key[(2, "view")] == 1 and per_key[(3, "view")] == 1
     assert sorted(out.event_id) == [1, 4, 5, 6, 7]
+
+
+def test_orc_roundtrip_preserves_schema_and_partitions(spark, tmpdir, sf_small):
+    from lab3_lakehouse_spark.catalog import load_table
+    from lab3_lakehouse_spark.sources import ingest
+
+    orders = load_table(spark, sf_small, "orders")
+    path = str(tmpdir.join("orders_orc"))
+    ingest.write_orc(orders, path, partition_by=["o_orderstatus"])
+    back = ingest.read_orc(spark, path)
+    assert set(back.columns) == set(orders.columns)
+    assert back.count() == orders.count()
+    # partition pruning: status filter must not read every file
+    import glob
+    assert glob.glob(f"{path}/o_orderstatus=*"), "partitioned layout expected"
+
+
+def test_orc_scan_pushes_filters(spark, tmpdir, sf_small):
+    from lab3_lakehouse_spark.catalog import load_table
+    from lab3_lakehouse_spark.plans import analysis as pa
+    from lab3_lakehouse_spark.sources import ingest
+
+    li = load_table(spark, sf_small, "lineitem")
+    path = str(tmpdir.join("li_orc"))
+    ingest.write_orc(li, path)
+    df = ingest.read_orc(spark, path).filter("l_quantity > 40").select("l_orderkey")
+    assert pa.has_pushed_filter(df, "l_quantity"), pa.formatted_plan(df)
