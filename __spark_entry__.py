@@ -124,6 +124,7 @@ _PRIORITY = [
     "sql_part_promotion_suppliers",
     "sql_top_revenue_supplier",
     "containment_near_dups",
+    "containment_prefix_filtered",
     "snapshot_diff_orders",
     # -- r3-green remainder (verdicts three rounds old by round 6 —
     # rotate these FIRST next round):

