@@ -233,3 +233,34 @@ def test_snapshot_diff_inverts_cdc_apply(spark):
     diff = merge_ops.snapshot_diff(tgt, new, ["k"])
     kinds = {r["k"]: r["change_type"] for r in diff.collect()}
     assert kinds == {2: "changed", 9: "added", 3: "removed"}
+
+
+def test_streaming_tier_versions_yield_cdf_via_snapshot_diff(spark, tmp_path):
+    """CDF lifecycle: a CDC stream evolves the tier, and snapshot_diff
+    between two tier versions reconstructs the change feed the stream
+    applied — the reader-side complement of cdc_to_tier for consumers
+    that only see materialized versions."""
+    from lab3_lakehouse_spark.streaming import cdc
+
+    chg, ckpt, tier = (str(tmp_path / d) for d in ("chg", "ckpt", "tier"))
+    schema = "k int, v string, seq int, __op string"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(chg)
+        cdc.cdc_to_tier(stream, tier, ["k"], "seq", ckpt).awaitTermination()
+
+    spark.createDataFrame([(1, "a", 1, "U"), (2, "b", 1, "U")], schema) \
+        .write.mode("append").parquet(chg)
+    run()
+    v1 = spark.createDataFrame(spark.read.parquet(tier).collect(),
+                               spark.read.parquet(tier).schema)  # freeze v1
+    spark.createDataFrame(
+        [(1, "y", 2, "U"), (2, "b", 2, "D"), (3, "c", 2, "U")], schema
+    ).write.mode("append").parquet(chg)
+    run()
+    v2 = spark.read.parquet(tier)
+    diff = merge_ops.snapshot_diff(v1, v2, ["k"], compare_cols=["v"])
+    got = {(r["k"], r["change_type"], r["old_v"], r["new_v"]) for r in diff.collect()}
+    assert got == {(1, "changed", "a", "y"),
+                   (2, "removed", "b", None),
+                   (3, "added", None, "c")}, got
