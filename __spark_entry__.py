@@ -126,6 +126,9 @@ _PRIORITY = [
     "containment_near_dups",
     "containment_prefix_filtered",
     "snapshot_diff_orders",
+    "sql_important_parts",
+    "sql_part_supplier_counts",
+    "sql_cheapest_supplier_per_part",
     # -- r3-green remainder (verdicts three rounds old by round 6 —
     # rotate these FIRST next round):
     "set_intersect_orders",

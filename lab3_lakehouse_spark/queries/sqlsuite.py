@@ -324,3 +324,87 @@ def sql_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     register_views(spark, sf_dir, ("supplier", "lineitem"))
     return spark.sql(_TOP_REVENUE_SUPPLIER_SQL)
+
+
+_IMPORTANT_PARTS_SQL = f"""
+    SELECT l_partkey, {sql_round4('sum(l_extendedprice * (1 - l_discount))')}
+               AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING sum(l_extendedprice * (1 - l_discount)) >
+           0.0005 * (SELECT sum(l_extendedprice * (1 - l_discount)) FROM lineitem)
+"""
+
+
+@query("sql_important_parts", oracle=_IMPORTANT_PARTS_SQL)
+def sql_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: part revenue in lieu of the absent
+    partsupp stock value): parts whose revenue exceeds a fixed fraction
+    of TOTAL revenue — an uncorrelated scalar subquery inside HAVING.
+    Both aggregations are one grouped pass each; the global total
+    evaluates once and broadcasts as a literal into the HAVING filter.
+    Determinism: the comparison is on RAW sums, but the nearest
+    attained share sits 1.0e-08 from the 5e-4 threshold (probed at
+    sf0.01) while cross-engine fold noise is ~1e-15 relative — seven
+    orders of margin; emitted values go through round4 as usual."""
+    tune_session(spark)
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_IMPORTANT_PARTS_SQL)
+
+
+_SUPPLIER_COUNT_SQL = """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@query("sql_part_supplier_counts", oracle=_SUPPLIER_COUNT_SQL)
+def sql_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: the excluded-supplier list comes from
+    a deterministic key predicate instead of the absent s_comment):
+    distinct-supplier counts per part attribute group with a NOT IN
+    subquery. NOT IN is the null-trap shape — Spark must plan a
+    null-aware anti join (the excluded set is provably non-null here,
+    so it degenerates to a plain broadcast anti join) — and
+    count(DISTINCT) forces the two-phase distinct aggregation."""
+    tune_session(spark)
+    register_views(spark, sf_dir, ("lineitem", "part", "supplier"))
+    return spark.sql(_SUPPLIER_COUNT_SQL)
+
+
+_CHEAPEST_SUPPLIER_SQL = """
+    SELECT p.p_partkey, s.s_suppkey, s.s_name,
+           l.l_extendedprice / l.l_quantity AS unit_price
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE p.p_size = 15
+      AND l.l_extendedprice / l.l_quantity = (
+          SELECT min(l2.l_extendedprice / l2.l_quantity)
+          FROM lineitem l2
+          WHERE l2.l_partkey = p.p_partkey
+      )
+"""
+
+
+@query("sql_cheapest_supplier_per_part", oracle=_CHEAPEST_SUPPLIER_SQL)
+def sql_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: minimal shipped unit price in lieu of
+    the absent ps_supplycost): for every size-15 part, the supplier(s)
+    that achieved its minimum unit price — a correlated scalar MIN
+    decorrelated into an aggregate + join-back (argmin join). Float
+    equality is SAFE here, deliberately: unit_price is a per-row
+    division (bit-identical on both engines) and MIN over a set of
+    doubles is order-insensitive, so the equality compares identical
+    bits — no rounding policy required, and genuine ties emit the same
+    multiple rows on both engines."""
+    tune_session(spark)
+    register_views(spark, sf_dir, ("part", "lineitem", "supplier"))
+    return spark.sql(_CHEAPEST_SUPPLIER_SQL)

@@ -249,11 +249,55 @@ def incremental_probe_experiment(spark, dirs: dict[int, str]) -> dict:
     return out
 
 
+def containment_experiment(spark, dirs: dict[int, str]) -> dict:
+    """Brute-force blocked containment vs the lossless prefix-filtered
+    path on amplified corpora. Amplified copies share no vocabulary
+    (per-copy token prefixes), so within a lang block the BLOCKED PAIR
+    count grows ~m² while the QUALIFYING pair count grows ~m — the
+    workload shape where candidate generation must beat all-pairs.
+    Expected: brute alpha → 2 (it enumerates the block cross product),
+    prefix alpha → 1 (candidates are vocabulary-sharing pairs only).
+    Both paths are exact, so their row counts must agree at every m."""
+    out: dict[str, dict] = {"brute": {}, "prefix": {}}
+    for m in sorted(dirs):
+        d = dirs[m]
+        for key, qname in (("brute", "containment_near_dups"),
+                           ("prefix", "containment_prefix_filtered")):
+            _reset_session_state(spark)
+            t0 = time.perf_counter()
+            n = QUERIES[qname](spark, d).count()
+            dt = round(time.perf_counter() - t0, 2)
+            out[key][f"x{m}"] = {"sec": dt, "pairs": n}
+            print(f"x{m} containment/{key}: {dt}s pairs={n}",
+                  file=sys.stderr, flush=True)
+        assert out["brute"][f"x{m}"]["pairs"] == out["prefix"][f"x{m}"]["pairs"]
+    top = max(dirs)
+    for key in out:
+        t1, tm = out[key]["x1"]["sec"], out[key][f"x{top}"]["sec"]
+        out[key]["alpha"] = round(
+            math.log(max(tm, 0.01) / max(t1, 0.01)) / math.log(top), 2
+        )
+    return out
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--probe-only"]
+    args = [a for a in sys.argv[1:] if a not in ("--probe-only", "--containment-only")]
     probe_only = "--probe-only" in sys.argv[1:]
+    containment_only = "--containment-only" in sys.argv[1:]
     multipliers = [int(a) for a in args] or [3, 10]
     spark = build_session(app_name="scale-check")
+
+    if containment_only:
+        dirs = {1: SF_DIR}
+        for m in multipliers:
+            dirs[m] = build_scaled_dir(spark, m)
+        for q in ("containment_near_dups", "containment_prefix_filtered"):
+            QUERIES[q](spark, WARMUP).count()  # plan-shape warm-up
+        res = containment_experiment(spark, dirs)
+        print(json.dumps({"sf_base": SF_DIR, "multipliers": multipliers,
+                          "containment": res}))
+        spark.stop()
+        return
 
     if probe_only:
         dirs = {1: SF_DIR}

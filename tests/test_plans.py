@@ -390,3 +390,34 @@ def test_prefix_filtered_containment_no_nested_loop(spark, sf):
     df = QUERIES["containment_prefix_filtered"](spark, sf)
     assert pa.count_nodes(df, "BroadcastNestedLoopJoin") == 0, pa.formatted_plan(df)
     assert pa.count_nodes(df, "CartesianProduct") == 0
+
+
+def test_important_parts_scalar_subquery_no_join(spark, sf):
+    """Q11 shape: the HAVING's global-total scalar subquery must
+    evaluate once and fold in as a literal — the plan has aggregates
+    only, never a join of the two aggregations."""
+    df = QUERIES["sql_important_parts"](spark, sf)
+    assert pa.count_nodes(df, "HashAggregate") >= 4, pa.formatted_plan(df)
+    for node in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert pa.count_nodes(df, node) == 0
+
+
+def test_part_supplier_counts_not_in_is_hash_anti_join(spark, sf):
+    """Q16 shape: NOT IN must plan as a (null-aware) broadcast HASH
+    anti join — the BroadcastNestedLoopJoin fallback is the null-trap
+    performance cliff this pin guards against — and count(DISTINCT)
+    runs the two-phase distinct aggregation."""
+    df = QUERIES["sql_part_supplier_counts"](spark, sf)
+    assert pa.count_nodes(df, "BroadcastNestedLoopJoin") == 0, pa.formatted_plan(df)
+    assert pa.count_nodes(df, "BroadcastHashJoin") >= 2
+    assert pa.count_nodes(df, "HashAggregate") >= 4
+
+
+def test_cheapest_supplier_correlated_min_decorrelates(spark, sf):
+    """Q2 shape: the correlated scalar MIN must decorrelate into a
+    per-part aggregate joined back (argmin join) — hash joins plus one
+    aggregate, no per-outer-row re-execution."""
+    df = QUERIES["sql_cheapest_supplier_per_part"](spark, sf)
+    assert pa.count_nodes(df, "BroadcastNestedLoopJoin") == 0, pa.formatted_plan(df)
+    assert pa.count_nodes(df, "BroadcastHashJoin") >= 3
+    assert pa.count_nodes(df, "HashAggregate") >= 2
