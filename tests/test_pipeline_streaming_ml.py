@@ -634,7 +634,7 @@ def test_orc_roundtrip_preserves_schema_and_partitions(spark, tmpdir, sf_small):
     from lab3_lakehouse_spark.sources import ingest
 
     orders = load_table(spark, sf_small, "orders")
-    path = str(tmpdir.join("orders_orc"))
+    path = f"{tmpdir}/orders_orc"
     ingest.write_orc(orders, path, partition_by=["o_orderstatus"])
     back = ingest.read_orc(spark, path)
     assert set(back.columns) == set(orders.columns)
@@ -650,7 +650,7 @@ def test_orc_scan_pushes_filters(spark, tmpdir, sf_small):
     from lab3_lakehouse_spark.sources import ingest
 
     li = load_table(spark, sf_small, "lineitem")
-    path = str(tmpdir.join("li_orc"))
+    path = f"{tmpdir}/li_orc"
     ingest.write_orc(li, path)
     df = ingest.read_orc(spark, path).filter("l_quantity > 40").select("l_orderkey")
     assert pa.has_pushed_filter(df, "l_quantity"), pa.formatted_plan(df)
