@@ -379,6 +379,74 @@ def sql_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SUPPLIER_COUNT_SQL)
 
 
+_FORECAST_REVENUE_SQL = f"""
+    SELECT ship_year, {sql_round4('sum(discounted)')} AS revenue
+    FROM (
+        SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS ship_year,
+               l_extendedprice * l_discount AS discounted
+        FROM lineitem
+        WHERE l_discount >= CAST(0.03 AS DOUBLE)
+          AND l_discount <= CAST(0.07 AS DOUBLE)
+          AND l_quantity < 24
+    ) q
+    GROUP BY ship_year
+"""
+
+
+@query("sql_forecast_revenue", oracle=_FORECAST_REVENUE_SQL)
+def sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the canonical scan-only filter-aggregate —
+    revenue uplift from dropping mid-band discounts on small-quantity
+    lines, per ship year. No join at all: the whole query is one
+    partition-local scan + partial aggregate, and every predicate
+    (discount band, quantity cap) reaches the parquet reader as a
+    pushed filter — the plan that proves the scan path itself is
+    optimal before any join shape matters. Determinism: the discount
+    band compares the stored doubles against explicit DOUBLE casts of
+    the literals (DuckDB would otherwise parse 0.03 as DECIMAL and
+    round the COLUMN to compare, silently shifting the band edge)."""
+    tune_session(spark)
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_FORECAST_REVENUE_SQL)
+
+
+_SHIPMODE_PRIORITY_SQL = """
+    SELECT delay_class,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM (
+        SELECT o.o_orderpriority,
+               CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                    THEN 'LATE'
+                    WHEN l.l_shipdate > o.o_orderdate + INTERVAL 21 DAY
+                    THEN 'SLOW'
+                    ELSE 'FAST' END AS delay_class
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE EXTRACT(YEAR FROM l.l_shipdate) = 1997
+    ) graded
+    GROUP BY delay_class
+"""
+
+
+@query("sql_shipmode_priority", oracle=_SHIPMODE_PRIORITY_SQL)
+def sql_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: the corpus has no l_shipmode /
+    commit / receipt columns, so the mode axis becomes a ship-DELAY
+    class derived from shipdate - orderdate): for one ship year, how
+    many high-priority vs low-priority order lines fall in each delay
+    class. The Q12 signature survives intact — a fact-to-fact join
+    whose grouping key is DERIVED from columns of both sides, with the
+    dual CASE-conditional counts in one grouped pass (never two
+    aggregations joined). At scale the year predicate prunes lineitem
+    before the join and the integer counts need no float policy."""
+    tune_session(spark)
+    register_views(spark, sf_dir, ("lineitem", "orders"))
+    return spark.sql(_SHIPMODE_PRIORITY_SQL)
+
+
 _CHEAPEST_SUPPLIER_SQL = """
     SELECT p.p_partkey, s.s_suppkey, s.s_name,
            l.l_extendedprice / l.l_quantity AS unit_price
