@@ -93,3 +93,58 @@ def cap_per_key(
         .filter(F.col(rank) <= k)
     )
     return out if rank_col else out.drop(rank)
+
+
+# ---------------------------------------------- weighted reservoir ----
+
+#: 2^60 — the range of :func:`~lab3_lakehouse_spark.operators.sketches.
+#: portable_hash60`; divides a hash into a uniform double in (0, 1].
+_HASH60_RANGE = float(1 << 60)
+
+
+def weighted_priority(id_col: str, weight_col: Column | str, seed: int = 7) -> Column:
+    """Efraimidis–Spirakis A-Res priority ``ln(u) / w`` with a
+    DETERMINISTIC uniform ``u = (hash60(id) + 1) / 2^60`` in (0, 1].
+
+    Taking the top-n rows by this priority draws a weighted sample
+    WITHOUT replacement (inclusion probability proportional to weight,
+    per Efraimidis & Spirakis 2006, "Weighted random sampling with a
+    reservoir") — but, unlike ``rand()``-keyed reservoirs, the draw is
+    reproducible across reruns, partition layouts, and engines, because
+    the randomness comes from an md5 of the stable id. The priority is
+    engine-portable: the hash is integer-exact on both engines and
+    ``ln`` agrees to ≤1 ulp, far below any realistic rank gap.
+    """
+    from lab3_lakehouse_spark.operators.sketches import portable_hash60
+
+    u = (
+        (portable_hash60(F.col(id_col).cast("string"), seed) + F.lit(1)).cast("double")
+        / F.lit(_HASH60_RANGE)
+    )
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    return F.log(u) / w.cast("double")
+
+
+def weighted_sample_topn(
+    df: DataFrame,
+    *,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    seed: int = 7,
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Deterministic weighted sample of ``n`` rows without replacement.
+
+    Scale: ``orderBy(...).limit(n)`` plans as TakeOrdered — each
+    partition keeps its local top-n and only n·partitions candidate
+    rows move to the driver-side merge, so there is NO global sort and
+    no single-partition shuffle at any corpus size. The priority column
+    is kept (caller may drop) so audits can re-verify the draw.
+    """
+    pr = weighted_priority(id_col, weight_col, seed)
+    return (
+        df.withColumn(priority_col, pr)
+        .orderBy(F.desc(priority_col), F.col(id_col))
+        .limit(n)
+    )

@@ -402,3 +402,32 @@ def nfc_normalize(col: Column | str) -> Column:
         )
 
     return _nfc(F.col(col) if isinstance(col, str) else col)
+
+
+def adjacent_token_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Explode each document into its adjacent whitespace-token pairs —
+    the count unit of one BPE merge round (Sennrich et al. 2016: the
+    next merge is the most frequent adjacent pair; at corpus scale the
+    pair-counting pass IS the expensive step of tokenizer training).
+
+    Emits columns ``tok_a``/``tok_b``, one row per adjacent pair. The
+    pair list is built array-side (transform over an index sequence —
+    whole-stage-codegen'd, no Python) and documents shorter than two
+    tokens contribute nothing. Scale: pair explosion is partition-local
+    (no shuffle); only the downstream count aggregates shuffle, keyed
+    on the pair itself.
+    """
+    toks = whitespace_tokens(text_col)
+    return (
+        df.select(toks.alias("__t"))
+        .filter(F.size("__t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__t) - 1),"
+                    " i -> struct(__t[i-1] AS tok_a, __t[i] AS tok_b))"
+                )
+            ).alias("__p")
+        )
+        .select("__p.tok_a", "__p.tok_b")
+    )

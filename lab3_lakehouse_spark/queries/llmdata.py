@@ -967,3 +967,147 @@ def containment_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, id_col="doc_id", text_col="text", block_col="lang",
         threshold=0.9, min_small=20,
     )
+
+
+# ------------------------------------------- tokenizer & mixing ----
+
+@query(
+    "bpe_pair_frequencies",
+    oracle=r"""
+    WITH toks AS (
+        SELECT regexp_split_to_array(text, '\s+') AS t FROM documents
+    ),
+    pairs AS (
+        SELECT z[1] AS tok_a, z[2] AS tok_b
+        FROM (SELECT unnest(list_zip(t[:len(t)-1], t[2:])) AS z FROM toks) q
+    )
+    SELECT tok_a, tok_b, count(*) AS pair_count
+    FROM pairs
+    GROUP BY tok_a, tok_b
+    ORDER BY pair_count DESC, tok_a, tok_b
+    LIMIT 20
+    """,
+)
+def bpe_pair_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge round, distributed: count every adjacent token
+    pair across the corpus and surface the top merge candidates —
+    corpus-scale tokenizer training's hot loop (Sennrich et al. 2016).
+    Pair explosion is partition-local (operators/text.py
+    adjacent_token_pairs); the only shuffle is the pair-keyed count,
+    and the top-20 is TakeOrdered (per-partition heads, no global
+    sort). Ties at the cut are broken lexicographically on the pair
+    itself, so membership is deterministic on both engines."""
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    pairs = text_ops.adjacent_token_pairs(docs, "text")
+    return (
+        pairs.groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "tok_a", "tok_b")
+        .limit(20)
+    )
+
+
+_W_SAMPLE_N = 50
+_W_SAMPLE_SEED = 7
+
+
+def _weighted_sample_oracle() -> str:
+    from lab3_lakehouse_spark.operators.sketches import sql_hash60
+    from lab3_lakehouse_spark.queries._util import sql_round4
+
+    u = f"(({sql_hash60('doc_id', _W_SAMPLE_SEED)}) + 1) / 1152921504606846976.0"
+    pr = f"ln({u}) / CAST(n_chars AS DOUBLE)"
+    return f"""
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           {sql_round4(pr)} AS priority
+    FROM documents
+    ORDER BY {pr} DESC, doc_id
+    LIMIT {_W_SAMPLE_N}
+    """
+
+
+@query("weighted_doc_sample", oracle=_weighted_sample_oracle())
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-Res, operators/sampling.py
+    weighted_sample_topn): draw 50 documents with inclusion
+    probability proportional to length, reproducibly — the randomness
+    is an md5 of the doc id, so the SAME sample comes out on any
+    rerun, any partitioning, any engine (the oracle recomputes the
+    identical priorities in SQL). Scale: TakeOrdered — per-partition
+    top-n, no global sort; this is how you cut a weighted probe set
+    from a 100 TB corpus in one scan."""
+    from lab3_lakehouse_spark.operators import sampling as sample_ops
+    from lab3_lakehouse_spark.queries._util import round4
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = sample_ops.weighted_sample_topn(
+        docs.select("doc_id", "source", "n_chars"),
+        id_col="doc_id",
+        weight_col="n_chars",
+        n=_W_SAMPLE_N,
+        seed=_W_SAMPLE_SEED,
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        round4(F.col("priority")).alias("priority"),
+    )
+
+
+def _mix_weights_oracle() -> str:
+    from lab3_lakehouse_spark.queries._util import sql_round4
+
+    share = "n_tokens / total_tokens"
+    return rf"""
+    WITH per_src AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS DOUBLE)
+                   AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(sum(n_tokens) AS DOUBLE) AS total_tokens,
+               CAST(count(*) AS DOUBLE) AS n_sources
+        FROM per_src
+    )
+    SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+           {sql_round4(share)} AS actual_share,
+           {sql_round4(f'least(4.0, (1.0 / n_sources) / ({share}))')} AS mix_weight
+    FROM per_src, tot
+    """
+
+
+@query("domain_mix_weights", oracle=_mix_weights_oracle())
+def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture rebalancing weights: per-source token share vs
+    a uniform target, emitting the resample weight (capped at 4× to
+    bound upsampling of tiny sources) that a mixing pass would apply —
+    the DoReMi/Pile-style knob computed FROM the corpus instead of
+    hand-set. One grouped pass per source (the 100 TB scan), then the
+    totals join back as a broadcast singleton — no second fact scan."""
+    from lab3_lakehouse_spark.queries._util import round4
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text_ops.token_count("text")).cast("double").alias("n_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").cast("double").alias("total_tokens"),
+        F.count(F.lit(1)).cast("double").alias("n_sources"),
+    )
+    share = F.col("n_tokens") / F.col("total_tokens")
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        round4(share).alias("actual_share"),
+        round4(F.least(F.lit(4.0), (F.lit(1.0) / F.col("n_sources")) / share)).alias(
+            "mix_weight"
+        ),
+    )

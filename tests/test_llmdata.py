@@ -492,3 +492,60 @@ def test_prefix_filtered_containment_boundary_and_direction(spark):
     out = dedup_ops.prefix_filtered_containment(docs)
     rows = [(r["id_small"], r["id_big"], r["containment"]) for r in out.collect()]
     assert rows == [(2, 1, 0.9)], rows
+
+
+# ------------------------------------------ tokenizer & mixing ops ----
+
+
+def test_adjacent_token_pairs_planted(spark):
+    from lab3_lakehouse_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "solo"), (3, "x y")], ["doc_id", "text"]
+    )
+    pairs = sorted(
+        (r.tok_a, r.tok_b)
+        for r in text_ops.adjacent_token_pairs(df, "text").collect()
+    )
+    # doc 2 (single token) contributes nothing; order within docs kept
+    assert pairs == [("a", "b"), ("b", "c"), ("x", "y")]
+
+
+def test_weighted_sample_topn_deterministic_and_weight_monotone(spark):
+    from lab3_lakehouse_spark.operators import sampling as sample_ops
+
+    rows = [(i, 1000.0 if i < 20 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    pick = lambda d: sorted(
+        r.doc_id
+        for r in sample_ops.weighted_sample_topn(
+            d, id_col="doc_id", weight_col="w", n=30
+        ).collect()
+    )
+    first = pick(df)
+    # partition-layout independence: same draw from any repartitioning
+    assert pick(df.repartition(13)) == first
+    # weight monotonicity: the 20 heavy rows (1000x weight) all make the
+    # top-30 with overwhelming probability under ES sampling
+    assert set(range(20)) <= set(first)
+    # priorities are <= 0 (ln of u in (0,1] over positive weight) and the
+    # emitted set is exactly n rows
+    out = sample_ops.weighted_sample_topn(
+        df, id_col="doc_id", weight_col="w", n=30
+    ).collect()
+    assert len(out) == 30 and all(r.priority <= 0 for r in out)
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    from lab3_lakehouse_spark.operators import sampling as sample_ops
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") + 1).cast("double").alias("w")
+    )
+    plan = (
+        sample_ops.weighted_sample_topn(df, id_col="doc_id", weight_col="w", n=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan  # no global sort materialization
