@@ -1332,3 +1332,81 @@ def seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "residual",
         "rank",
     )
+
+
+# ------------------------------------------------------ graph analytics ----
+
+def _pagerank_oracle() -> str:
+    # 3 unrolled power iterations; float constants go through explicit
+    # DOUBLE casts so DuckDB's decimal literals can't shift an ulp vs
+    # the Python-float lits on the Spark side.
+    tele = "(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n"
+    damp = "CAST(0.85 AS DOUBLE)"
+    rounds = ",\n".join(
+        f"""
+    c{i} AS (
+        SELECT e.dst AS node, sum(r.rank / d.out_deg) AS contrib
+        FROM edges e
+        JOIN r{i - 1} r ON r.node = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+    ),
+    r{i} AS (
+        SELECT nodes.node,
+               {tele} + {damp} * coalesce(c{i}.contrib, 0.0) AS rank
+        FROM nodes CROSS JOIN nn
+        LEFT JOIN c{i} ON c{i}.node = nodes.node
+    )"""
+        for i in (1, 2, 3)
+    )
+    return f"""
+    WITH edges AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS out_deg
+            FROM edges GROUP BY src),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+    {rounds}
+    SELECT r3.node AS part_key,
+           {sql_round4('r3.rank * 1000000.0')} AS pagerank_ppm
+    FROM r3
+    """
+
+
+@query("part_copurchase_pagerank", oracle=_pagerank_oracle())
+def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph analytics with a FULL differential oracle:
+    3-iteration damped PageRank over the part co-purchase graph (parts
+    are neighbors when they ship on the same order), the oracle being
+    the exact power iteration unrolled into SQL CTEs — every rank of
+    every node must match DuckDB bit-for-bit after round4, proving the
+    join-based iteration (operators/graph.py) IS the power method and
+    not an approximation of it.
+
+    Scale: edge build is one shuffle on the basket key with bounded
+    per-basket fan-out; each iteration is one broadcast join of the
+    rank vector against the edge list plus one dst-keyed aggregation,
+    lineage cut per round with localCheckpoint (the CC discipline).
+    Ranks are emitted in parts-per-million: raw ranks are O(1/N) and
+    would vanish under the 4-decimal float policy at any real N.
+
+    Every node is emitted (no top-k): rank near-ties at a cut boundary
+    are the one place cross-engine fold noise could flip membership, so
+    the query keeps the full vector and leaves cutting to consumers."""
+    from lab3_lakehouse_spark.operators import graph as graph_ops
+
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = graph_ops.cooccurrence_edges(
+        li, group_col="l_orderkey", item_col="l_partkey"
+    )
+    pr = graph_ops.pagerank(edges, iterations=3, damping=0.85)
+    return pr.select(
+        F.col("node").alias("part_key"),
+        round4(F.col("rank") * F.lit(1000000.0)).alias("pagerank_ppm"),
+    )

@@ -510,3 +510,40 @@ def test_global_row_number_plan_partitions_the_big_window(spark, sf_small):
 
     plan = formatted_plan(QUERIES["global_balance_ranks"](spark, sf_small))
     assert "hashpartitioning(__b" in plan, plan
+
+
+# ---------------------------------------------------------- pagerank ----
+
+
+def test_pagerank_planted_star_graph(spark):
+    """Hub of a 4-spoke star must outrank every spoke; ranks sum to ~1
+    on a symmetric graph (no dangling leakage)."""
+    from lab3_lakehouse_spark.operators import graph as graph_ops
+
+    edges = [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    r = {
+        row.node: row.rank
+        for row in graph_ops.pagerank(e, iterations=10).collect()
+    }
+    assert len(r) == 5
+    assert all(r[0] > r[i] for i in range(1, 5))
+    spoke = [r[i] for i in range(1, 5)]
+    assert max(spoke) - min(spoke) < 1e-12  # symmetric spokes tie exactly
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+
+
+def test_cooccurrence_edges_planted(spark):
+    from lab3_lakehouse_spark.operators import graph as graph_ops
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "b"), (2, "c")], ["basket", "item"]
+    )
+    got = sorted(
+        (r.src, r.dst)
+        for r in graph_ops.cooccurrence_edges(
+            df, group_col="basket", item_col="item"
+        ).collect()
+    )
+    # both directions, deduped, no self-loops, singleton basket inert
+    assert got == [("a", "b"), ("b", "a")]
