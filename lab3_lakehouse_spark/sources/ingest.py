@@ -15,6 +15,7 @@ ingestion call sites read as one vocabulary.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from lab3_lakehouse_spark.operators.derive import (  # noqa: F401
@@ -136,3 +137,83 @@ def write_orc(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
+
+
+def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Raw-text corpus ingestion: one document per line (the WET/LM
+    dump convention), emitting ``(source_file, text, doc_hash)``.
+
+    Document identity at ingest is the CONTENT hash (md5), not a line
+    number: ``spark.read.text`` gives no stable per-line ordinal
+    without a zipWithIndex pass (an RDD barrier that breaks pushdown
+    and costs an extra stage at 100 TB), and content-addressed ids are
+    what the exact-dedup stage keys on anyway — identical lines
+    collapsing to one id is the semantics the pipeline wants. Empty
+    lines are dropped at the scan (pushed filter).
+    """
+    return (
+        spark.read.text(path)
+        .select(
+            F.input_file_name().alias("source_file"),
+            F.col("value").alias("text"),
+        )
+        .filter(F.length("text") > 0)
+        .withColumn("doc_hash", F.md5("text"))
+    )
+
+
+def read_binary_media(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Multimodal ingestion front door: Spark's ``binaryFile`` source →
+    the engine's opaque-binary media schema (``media_id`` = file path,
+    ``content`` = bytes, plus size/mtime metadata). Decode/feature
+    stages (operators/multimodal.py) consume this frame unchanged.
+
+    Scale: binaryFile is a real FileFormat — partition pruning over
+    directory layout and ``pathGlobFilter`` predicate both apply, and
+    files stream in as one row each (no driver-side listing of
+    content). Oversized assets should be length-filtered BEFORE decode
+    (the ``length`` column is metadata — filtering on it never reads
+    file bodies).
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    return df.select(
+        F.col("path").alias("media_id"),
+        F.col("content"),
+        F.col("length").alias("n_bytes"),
+        F.col("modificationTime").alias("modified_at"),
+    )
+
+
+def _avro_available(spark: SparkSession) -> bool:
+    """The avro source ships outside core Spark (spark-avro jar); this
+    container has no jar and installs are prohibited, so avro paths
+    are env-gated exactly like Delta (sources/medallion.py)."""
+    try:
+        spark.read.format("avro").schema("x INT").load("/nonexistent-avro-probe")
+        return True
+    except Exception as ex:  # pragma: no cover - env-dependent
+        return "Failed to find data source" not in str(ex)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan (Kafka-lineage hand-offs). Raises a clear error when
+    the spark-avro jar is absent rather than Spark's generic
+    data-source failure."""
+    if not _avro_available(spark):
+        raise RuntimeError(
+            "avro source requires the spark-avro jar on the session classpath"
+        )
+    return spark.read.format("avro").load(path)  # pragma: no cover - env-gated
+
+
+def write_avro(df: DataFrame, path: str) -> None:
+    """Avro hand-off tier (row-oriented — the right format when the
+    consumer is a streaming bus, not a warehouse scan)."""
+    if not _avro_available(df.sparkSession):
+        raise RuntimeError(
+            "avro sink requires the spark-avro jar on the session classpath"
+        )
+    df.write.mode("overwrite").format("avro").save(path)  # pragma: no cover

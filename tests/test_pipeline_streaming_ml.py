@@ -654,3 +654,61 @@ def test_orc_scan_pushes_filters(spark, tmpdir, sf_small):
     ingest.write_orc(li, path)
     df = ingest.read_orc(spark, path).filter("l_quantity > 40").select("l_orderkey")
     assert pa.has_pushed_filter(df, "l_quantity"), pa.formatted_plan(df)
+
+
+def test_text_corpus_ingest_content_addressed(spark, tmpdir):
+    import os
+
+    from lab3_lakehouse_spark.sources import ingest
+
+    src = f"{tmpdir}/corpus_txt"
+    os.makedirs(src)
+    with open(f"{src}/a.txt", "w") as f:
+        f.write("alpha beta\n\ngamma delta\n")
+    with open(f"{src}/b.txt", "w") as f:
+        f.write("alpha beta\n")
+    docs = ingest.read_text_corpus(spark, src)
+    rows = docs.collect()
+    assert len(rows) == 3  # empty line dropped
+    assert {r.text for r in rows} == {"alpha beta", "gamma delta"}
+    # content-addressed identity: identical lines share a doc_hash
+    hashes = {r.text: set() for r in rows}
+    for r in rows:
+        hashes[r.text].add(r.doc_hash)
+    assert all(len(v) == 1 for v in hashes.values())
+    assert all(r.source_file for r in rows)
+
+
+def test_binary_media_ingest_metadata_without_decode(spark, tmpdir):
+    import os
+
+    from lab3_lakehouse_spark.sources import ingest
+
+    src = f"{tmpdir}/media"
+    os.makedirs(src)
+    payload = bytes(range(64))
+    with open(f"{src}/clip.fake", "wb") as f:
+        f.write(payload)
+    with open(f"{src}/skip.other", "wb") as f:
+        f.write(b"xx")
+    df = ingest.read_binary_media(spark, src, glob="*.fake")
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0].n_bytes == 64 and bytes(rows[0].content) == payload
+    assert rows[0].media_id.endswith("clip.fake")
+
+
+def test_avro_paths_are_env_gated(spark, tmpdir):
+    import pytest as _pytest
+
+    from lab3_lakehouse_spark.sources import ingest
+
+    if ingest._avro_available(spark):  # pragma: no cover - jar present
+        df = spark.range(3).withColumnRenamed("id", "x")
+        ingest.write_avro(df, f"{tmpdir}/av")
+        assert ingest.read_avro(spark, f"{tmpdir}/av").count() == 3
+    else:
+        with _pytest.raises(RuntimeError, match="spark-avro jar"):
+            ingest.read_avro(spark, f"{tmpdir}/av")
+        with _pytest.raises(RuntimeError, match="spark-avro jar"):
+            ingest.write_avro(spark.range(1), f"{tmpdir}/av")
