@@ -421,3 +421,46 @@ def test_cheapest_supplier_correlated_min_decorrelates(spark, sf):
     assert pa.count_nodes(df, "BroadcastNestedLoopJoin") == 0, pa.formatted_plan(df)
     assert pa.count_nodes(df, "BroadcastHashJoin") >= 3
     assert pa.count_nodes(df, "HashAggregate") >= 2
+
+
+def test_q6_scan_only_pushed_filters_no_join(spark, sf):
+    """Q6 is the pure scan-aggregate: both predicates reach the parquet
+    reader and the plan contains no join at all."""
+    df = QUERIES["sql_forecast_revenue"](spark, sf)
+    assert pa.has_pushed_filter(df, "l_discount")
+    assert pa.has_pushed_filter(df, "l_quantity")
+    plan = pa.formatted_plan(df)
+    assert "Join" not in plan, plan
+
+
+def test_q12_single_join_single_agg_pass(spark, sf):
+    """Q12's dual CASE-counts must be ONE grouped pass (partial+final),
+    never two aggregations joined; the year filter prunes lineitem
+    before the join."""
+    df = QUERIES["sql_shipmode_priority"](spark, sf)
+    assert pa.count_nodes(df, "BroadcastHashJoin") == 1  # the only join
+    assert pa.count_nodes(df, "SortMergeJoin") == 0
+    assert pa.count_nodes(df, "HashAggregate") == 2  # partial + final only
+
+
+def test_bpe_pair_topk_is_take_ordered(spark, sf):
+    """The top-20 merge candidates must plan as TakeOrdered (per-
+    partition heads), never a global sort of the pair domain."""
+    df = QUERIES["bpe_pair_frequencies"](spark, sf)
+    plan = pa.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pagerank_iterations_use_no_nested_loop(spark, sf):
+    """Each power iteration is hash joins + one dst-keyed aggregation;
+    a BNLJ would mean the rank join degenerated to a cross product."""
+    df = QUERIES["part_copurchase_pagerank"](spark, sf)
+    assert pa.count_nodes(df, "BroadcastNestedLoopJoin") == 0
+
+
+def test_domain_mix_weights_broadcasts_totals(spark, sf):
+    """The totals singleton must come back as a broadcast, not a
+    shuffle of the per-source frame."""
+    df = QUERIES["domain_mix_weights"](spark, sf)
+    assert pa.count_nodes(df, "BroadcastNestedLoopJoin") <= 1  # 1x1 singleton
+    assert pa.count_nodes(df, "SortMergeJoin") == 0
