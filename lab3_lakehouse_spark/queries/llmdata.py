@@ -1111,3 +1111,138 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mix_weight"
         ),
     )
+
+
+#: ln(2) as the exact double both engines share as a literal — dividing
+#: by a ln(2.0) CALL would trust two libms to agree on the last ulp.
+_LN2 = "0.6931471805599453"
+
+
+def _surprisal_oracle() -> str:
+    from lab3_lakehouse_spark.queries._util import sql_round4
+
+    return rf"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+        FROM documents
+    ),
+    vocab AS (
+        SELECT token, CAST(count(*) AS DOUBLE) AS cnt FROM tok GROUP BY token
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM vocab)
+    SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           {sql_round4(f'avg(-ln(vocab.cnt / tot.t) / {_LN2})')}
+               AS mean_surprisal_bits
+    FROM tok JOIN vocab ON vocab.token = tok.token CROSS JOIN tot
+    GROUP BY tok.doc_id
+    """
+
+
+@query("unigram_surprisal_scores", oracle=_surprisal_oracle())
+def unigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-free perplexity proxy: per-document mean unigram surprisal
+    (−log₂ p(token) under the corpus's own unigram distribution) — the
+    classic cheap stand-in for model-based quality scoring (docs of
+    mostly rare tokens score high, boilerplate scores low). Two grouped
+    passes over the exploded tokens (vocab build, per-doc mean) and one
+    token-keyed join; the corpus total joins back as a broadcast
+    singleton. The ln(2) divisor is a shared double LITERAL — both
+    engines' ln(x) agree to ≤1 ulp but their ln(2.0) calls need not be
+    the same bits, so the constant is pinned instead of computed."""
+    from lab3_lakehouse_spark.queries._util import round4
+
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(text_ops.whitespace_tokens("text")).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    tot = vocab.agg(F.sum("cnt").cast("double").alias("t"))
+    ln2 = float(_LN2)
+    return (
+        tok.join(vocab, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            round4(
+                F.avg(-F.log(F.col("cnt") / F.col("t")) / F.lit(ln2))
+            ).alias("mean_surprisal_bits"),
+        )
+    )
+
+
+def _zipf_oracle() -> str:
+    from lab3_lakehouse_spark.queries._util import sql_round4
+
+    slope = "(s.n * s.sxy - s.sx * s.sy) / (s.n * s.sxx - s.sx * s.sx)"
+    return rf"""
+    WITH tok AS (
+        SELECT unnest(regexp_split_to_array(text, '\s+')) AS token
+        FROM documents
+    ),
+    vocab AS (
+        SELECT token, CAST(count(*) AS DOUBLE) AS cnt FROM tok GROUP BY token
+    ),
+    ranked AS (
+        SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rk
+        FROM vocab
+    ),
+    pts AS (
+        SELECT ln(CAST(rk AS DOUBLE)) AS x, ln(cnt) AS y FROM ranked
+    ),
+    s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM pts
+    )
+    SELECT CAST(s.n AS BIGINT) AS vocab_size,
+           {sql_round4(slope)} AS zipf_slope,
+           {sql_round4(f'(s.sy - ({slope}) * s.sx) / s.n')} AS intercept
+    FROM s
+    """
+
+
+@query("zipf_fit_tokens", oracle=_zipf_oracle())
+def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token-frequency curve: closed-form
+    OLS of ln(freq) on ln(rank) — the one-number diagnostic that
+    separates natural language (slope ≈ −1) from template spam and
+    synthetic word soup. Ranking uses the scale-safe two-phase global
+    row_number (operators/windows.py global_row_number — approx cut
+    points + per-bucket window), NEVER a single-partition sort: the
+    vocabulary of a 100 TB crawl is itself hundreds of millions of
+    rows. The fit is five aggregate sums — one reduce."""
+    from lab3_lakehouse_spark.operators import windows as win_ops
+    from lab3_lakehouse_spark.queries._util import round4
+
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    vocab = (
+        docs.select(F.explode(text_ops.whitespace_tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    ranked = win_ops.global_row_number(
+        vocab, metric="cnt", tie_breakers=["token"], rank_col="rk"
+    )
+    pts = ranked.select(
+        F.log(F.col("rk").cast("double")).alias("x"), F.log("cnt").alias("y")
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("vocab_size"),
+        round4(slope).alias("zipf_slope"),
+        round4((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+    )

@@ -549,3 +549,32 @@ def test_weighted_sample_plan_is_take_ordered(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan  # no global sort materialization
+
+
+def test_unigram_surprisal_rare_tokens_score_higher(spark, tmp_path):
+    """A doc of corpus-rare tokens must out-score a doc of the
+    boilerplate token (the quality-filter semantics)."""
+    import os
+
+    from lab3_lakehouse_spark.queries import QUERIES
+
+    docs = spark.createDataFrame(
+        [(1, "common common common common", "en", "s", 27)]
+        + [(i, "common common common rare%d" % i, "en", "s", 30) for i in (2, 3)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    path = str(tmp_path / "documents.parquet")
+    docs.write.parquet(path)
+    out = {
+        r.doc_id: r.mean_surprisal_bits
+        for r in QUERIES["unigram_surprisal_scores"](spark, str(tmp_path)).collect()
+    }
+    assert out[2] > out[1] and out[3] > out[1]
+
+
+def test_zipf_slope_negative_on_skewed_counts(spark, sf_small):
+    from lab3_lakehouse_spark.queries import QUERIES
+
+    row = QUERIES["zipf_fit_tokens"](spark, sf_small).collect()[0]
+    assert row.vocab_size > 10
+    assert row.zipf_slope < 0  # frequency decays with rank
