@@ -29,17 +29,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Queries whose verdict would CHANGE this round come first (the driver
 # checks the first 50 registry entries per round). Round-5 rotation
-# (the r4 verdict's item #1, exactly): slots 1–26 are the queries whose
-# code or shared helpers changed in r4/r5 AFTER their last driver check
-# — the 25 r4-new scaleops queries (several additionally edited in r5:
-# pareto/RFM scale shapes, preflight, kmeans contract, time-decay
-# clamp, the hash60 null fix feeding CMS/Bloom) plus
-# minhash_lsh_near_dups (its candidate generator was refactored in
-# r5); slots 27–39 are the 13 queries whose oracles migrated to
-# regexp_split_to_array in r4 after their r3 check; slots 40–50 fill
-# with the oldest-verdict (r3-green) tail, riskiest first. All 50
-# pre-verified green through the exact driver gate (check_query at
-# sf0.01) before the round closed.
+# (the r4 verdict's item #1, exactly): slots 1–8 are the queries NEW
+# this round (no driver verdict exists at all); slots 9–34 are the
+# queries whose code or shared helpers changed in r4/r5 AFTER their
+# last driver check — the 25 r4-new scaleops queries (several
+# additionally edited in r5: pareto/RFM scale shapes, preflight,
+# kmeans contract, time-decay clamp, the hash60 null fix feeding
+# CMS/Bloom) plus minhash_lsh_near_dups (its candidate generator was
+# refactored in r5); slots 35–47 are the 13 queries whose oracles
+# migrated to regexp_split_to_array in r4 after their r3 check; slots
+# 48–50 fill with the oldest-verdict (r3-green) tail, riskiest first.
+# All 50 pre-verified green through the exact driver gate
+# (check_query at sf0.01) before the round closed.
 #
 # ROUND-6 ROTATION PLAN (for the next builder): lead with (1) any
 # query whose code/shared helpers round 6 edits after its last check,
@@ -48,6 +49,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_engine.py::test_priority_rotation_names_all_registered
 # guards against typos silently shrinking the window.
 _PRIORITY = [
+    # -- NEW this round (no driver verdict at all): the late round-5
+    # additions — TPC-H Q6/Q12 closing the 22-shape sweep, the
+    # tokenizer/mixing/graph/corpus-statistics operators. Each
+    # pre-verified through the exact driver gate (check_query at
+    # sf0.01) before commit.
+    "sql_forecast_revenue",
+    "sql_shipmode_priority",
+    "bpe_pair_frequencies",
+    "weighted_doc_sample",
+    "domain_mix_weights",
+    "part_copurchase_pagerank",
+    "unigram_surprisal_scores",
+    "zipf_fit_tokens",
     # -- r5-edited shared helper: dedup candidate generator refactor
     "minhash_lsh_near_dups",
     # -- the 25 r4-new queries (no driver verdict yet); r5-edited
@@ -99,6 +113,10 @@ _PRIORITY = [
     "gopher_repetition_rules",
     "heavy_hitter_tokens",
     "approx_top_tokens_contract",
+    # ---- 50-slot window boundary (the 8 new round-5 queries above
+    # displaced the 8 oldest r3-green tail entries below this line;
+    # their code is untouched and their r3 verdicts stand — rotate
+    # them early in round 6) ----
     "semantic_dedup_flags",
     "sql_returned_item_report",
     "profile_orders_columns",
@@ -107,7 +125,6 @@ _PRIORITY = [
     "interval_overlap_view_purchase",
     "equi_depth_price_buckets",
     "order_price_histogram",
-    # ---- 50-slot window boundary ----
     # -- NEW in round 5 (queries/sqlsuite.py Q7-Q21 shapes,
     # global ranking, containment dedup, snapshot diff): no driver
     # verdict yet; each pre-verified vs its oracle at sf0.01 this

@@ -100,6 +100,13 @@ HEADLINE = [
     "sql_waiting_suppliers",        # Q21 shape: EXISTS + NOT EXISTS decorrelation (r5)
     "containment_near_dups",        # asymmetric subset dedup, lang-blocked (r5)
     "snapshot_diff_orders",         # CDF reconstruction: full outer diff (r5)
+    "sql_forecast_revenue",         # Q6 shape: pure pushed-filter scan-agg (r5)
+    "sql_shipmode_priority",        # Q12 shape: derived-key CASE counts (r5)
+    "bpe_pair_frequencies",         # BPE merge-round pair counting (r5)
+    "part_copurchase_pagerank",     # 3-iteration join-based PageRank (r5)
+    "unigram_surprisal_scores",     # unigram LM quality scoring join (r5)
+    "weighted_doc_sample",          # deterministic ES weighted sample (r5)
+    "zipf_fit_tokens",              # vocab rank OLS, two-phase ranking (r5)
 ]
 
 

@@ -52,11 +52,17 @@ FACTS = ("documents", "events", "orders", "lineitem")
 
 def _amplified(spark, src: str, name: str, m: int):
     df = load_table(spark, src, name)
+    # key stride must EXCEED the copy count or copies collide
+    # (id*16+i with m=30 merges copy 16 of doc d into copy 0 of d+1 —
+    # silently shrinking the distinct-key domain of x30 runs)
+    stride = 1
+    while stride < m:
+        stride *= 2
     copies = []
     for i in range(m):
         c = df
         if name == "documents":
-            c = c.withColumn("doc_id", F.col("doc_id") * 16 + F.lit(i))
+            c = c.withColumn("doc_id", F.col("doc_id") * stride + F.lit(i))
             if i > 0:  # copy 0 keeps original text → x1 results embed exactly
                 c = c.withColumn(
                     "text",
@@ -69,11 +75,11 @@ def _amplified(spark, src: str, name: str, m: int):
                     ),
                 )
         elif name == "events":
-            c = c.withColumn("event_id", F.col("event_id") * 16 + F.lit(i))
+            c = c.withColumn("event_id", F.col("event_id") * stride + F.lit(i))
         elif name == "orders":
-            c = c.withColumn("o_orderkey", F.col("o_orderkey") * 16 + F.lit(i))
+            c = c.withColumn("o_orderkey", F.col("o_orderkey") * stride + F.lit(i))
         elif name == "lineitem":
-            c = c.withColumn("l_orderkey", F.col("l_orderkey") * 16 + F.lit(i))
+            c = c.withColumn("l_orderkey", F.col("l_orderkey") * stride + F.lit(i))
         copies.append(c)
     out = copies[0]
     for c in copies[1:]:
@@ -148,6 +154,14 @@ def workloads():
         "shared_span_dup_report": QUERIES["shared_span_dup_report"],
         "cms_heavy_tokens_contract": QUERIES["cms_heavy_tokens_contract"],
         "rare_token_doc_quality": QUERIES["rare_token_doc_quality"],
+        # round-5 additions: the co-purchase graph (edge build is the
+        # linear part, the 3 power iterations run over a deduped edge
+        # set), BPE pair counting (pair domain grows with the prefixed
+        # copies), and the surprisal join (vocab and postings both grow
+        # linearly) — alpha ~ 1 expected for all three
+        "part_copurchase_pagerank": QUERIES["part_copurchase_pagerank"],
+        "bpe_pair_frequencies": QUERIES["bpe_pair_frequencies"],
+        "unigram_surprisal_scores": QUERIES["unigram_surprisal_scores"],
         "corpus_pipeline": corpus_pipeline,
     }
 
@@ -281,9 +295,15 @@ def containment_experiment(spark, dirs: dict[int, str]) -> dict:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a not in ("--probe-only", "--containment-only")]
-    probe_only = "--probe-only" in sys.argv[1:]
-    containment_only = "--containment-only" in sys.argv[1:]
+    only: set[str] | None = None
+    argv = list(sys.argv[1:])
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    args = [a for a in argv if a not in ("--probe-only", "--containment-only")]
+    probe_only = "--probe-only" in argv
+    containment_only = "--containment-only" in argv
     multipliers = [int(a) for a in args] or [3, 10]
     spark = build_session(app_name="scale-check")
 
@@ -314,6 +334,8 @@ def main() -> None:
         return
 
     work = workloads()
+    if only is not None:
+        work = {k: v for k, v in work.items() if k in only}
     for name, fn in work.items():  # warm every plan shape
         if name != "corpus_pipeline":
             fn(spark, WARMUP).count()
