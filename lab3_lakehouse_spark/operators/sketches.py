@@ -154,3 +154,57 @@ def bloom_probe(
     for m in markers[1:]:
         cond = cond & F.col(m).isNotNull()
     return out.withColumn(flag, cond).drop(*markers)
+
+
+# ---------------------------------------------------------------- KMV ----
+
+def kmv_cells(
+    df: DataFrame,
+    *,
+    segment_col: str,
+    key_col: str,
+    k: int,
+    seed: int = 11,
+) -> DataFrame:
+    """K-minimum-values distinct sketch per segment: the ``k`` smallest
+    ``portable_hash60`` values of the segment's distinct keys — columns
+    ``(segment, h, rn)``.
+
+    KMV (Bar-Yossef et al. 2002) is the sketch family that gives
+    DISTINCT-INTERSECTION estimates, which HLL cannot: cells from any
+    two segments merge by "union hashes, keep k smallest", and the
+    fraction of merged cells present in both inputs estimates the
+    Jaccard of the key sets. Like every sketch in this module the hash
+    is engine-portable, so cells — not just estimates — are
+    reproducible cell-by-cell in the oracle.
+
+    Scale: distinct → hash → per-segment top-k is one shuffle on the
+    segment key plus a PARTITIONED window (never a global sort); the
+    output is k rows per segment no matter the corpus size.
+    """
+    from pyspark.sql import Window
+
+    seg = F.col(segment_col)
+    distinct_keys = df.select(seg.alias("segment"), F.col(key_col).alias("k")).distinct()
+    hashed = distinct_keys.select(
+        "segment", portable_hash60(F.col("k"), seed).alias("h")
+    ).distinct()
+    w = Window.partitionBy("segment").orderBy("h")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
+#: 2^60 as a double — the hash range KMV estimates divide by.
+KMV_RANGE = float(1 << 60)
+
+
+def kmv_estimate(theta: Column, n_cells: Column, k: int) -> Column:
+    """Distinct-count estimate from a KMV sketch: ``(k-1) * 2^60 /
+    theta`` when the sketch saturated (``n_cells = k``), else the exact
+    cell count (the standard small-set rule — below ``k`` the sketch IS
+    the distinct set)."""
+    return F.when(
+        n_cells < F.lit(k), n_cells.cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(KMV_RANGE) / theta.cast("double"))

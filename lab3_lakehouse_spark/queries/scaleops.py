@@ -1410,3 +1410,232 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("part_key"),
         round4(F.col("rank") * F.lit(1000000.0)).alias("pagerank_ppm"),
     )
+
+
+# ----------------------------------------------------- KMV set sketches ----
+
+_KMV_K, _KMV_SEED = 64, 11
+_KMV_EST_SQL = (
+    lambda theta, nc: f"CASE WHEN {nc} < {_KMV_K} THEN CAST({nc} AS DOUBLE) "
+    f"ELSE {float(_KMV_K - 1)} * 1152921504606846976.0 / CAST({theta} AS DOUBLE) END"
+)
+
+
+def _kmv_overlap_oracle() -> str:
+    h = sketches.sql_hash60("user_id", _KMV_SEED)
+    est_u = _KMV_EST_SQL("ps.theta_u", "ps.nc_u")
+    return f"""
+    WITH du AS (
+        SELECT DISTINCT event_type AS segment, user_id FROM events
+    ),
+    hashed AS (SELECT DISTINCT segment, {h} AS h FROM du),
+    cells AS (
+        SELECT segment, h,
+               row_number() OVER (PARTITION BY segment ORDER BY h) AS rn
+        FROM hashed QUALIFY rn <= {_KMV_K}
+    ),
+    seg_stats AS (
+        SELECT segment, max(h) AS theta, count(*) AS nc
+        FROM cells GROUP BY segment
+    ),
+    pairs AS (
+        SELECT a.segment AS seg_a, b.segment AS seg_b,
+               a.theta AS theta_a, a.nc AS nc_a,
+               b.theta AS theta_b, b.nc AS nc_b
+        FROM seg_stats a JOIN seg_stats b ON a.segment < b.segment
+    ),
+    uc AS (
+        SELECT p.seg_a, p.seg_b, c.h,
+               max(CASE WHEN c.segment = p.seg_a THEN 1 ELSE 0 END) AS in_a,
+               max(CASE WHEN c.segment = p.seg_b THEN 1 ELSE 0 END) AS in_b
+        FROM pairs p JOIN cells c ON c.segment IN (p.seg_a, p.seg_b)
+        GROUP BY p.seg_a, p.seg_b, c.h
+    ),
+    uk AS (
+        SELECT *, row_number() OVER (PARTITION BY seg_a, seg_b ORDER BY h) AS rn
+        FROM uc QUALIFY rn <= {_KMV_K}
+    ),
+    ps AS (
+        SELECT seg_a, seg_b, max(h) AS theta_u, count(*) AS nc_u,
+               CAST(sum(in_a * in_b) AS BIGINT) AS rho
+        FROM uk GROUP BY seg_a, seg_b
+    ),
+    exact_int AS (
+        SELECT da.segment AS seg_a, db.segment AS seg_b,
+               count(*) AS n_int
+        FROM du da JOIN du db
+          ON da.user_id = db.user_id AND da.segment < db.segment
+        GROUP BY da.segment, db.segment
+    ),
+    exact_n AS (SELECT segment, count(*) AS n FROM du GROUP BY segment)
+    SELECT p.seg_a, p.seg_b,
+           ea.n AS exact_a, eb.n AS exact_b,
+           coalesce(ei.n_int, 0) AS exact_int,
+           {sql_round4(_KMV_EST_SQL('p.theta_a', 'p.nc_a'))} AS est_a,
+           {sql_round4(_KMV_EST_SQL('p.theta_b', 'p.nc_b'))} AS est_b,
+           {sql_round4(est_u)} AS est_union,
+           {sql_round4(f'(CAST(ps.rho AS DOUBLE) / CAST(ps.nc_u AS DOUBLE)) * ({est_u})')}
+               AS est_intersection
+    FROM pairs p
+    JOIN ps ON ps.seg_a = p.seg_a AND ps.seg_b = p.seg_b
+    JOIN exact_n ea ON ea.segment = p.seg_a
+    JOIN exact_n eb ON eb.segment = p.seg_b
+    LEFT JOIN exact_int ei ON ei.seg_a = p.seg_a AND ei.seg_b = p.seg_b
+    """
+
+
+@query("kmv_audience_overlap", oracle=_kmv_overlap_oracle())
+def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-INTERSECTION estimation via K-minimum-values sketches —
+    the audience-overlap question HLL cannot answer (HLL unions merge;
+    intersections need inclusion-exclusion with compounding error; KMV
+    estimates them directly from merged cells). Every segment keeps its
+    k=64 smallest md5-hash cells (operators/sketches.kmv_cells — one
+    shuffle + partitioned window, k rows out per segment regardless of
+    corpus size); pair sketches merge cell-wise ("union, keep k
+    smallest"), so after the sketch step ALL pair math runs on
+    k·segments rows. The oracle rebuilds the exact same cells in SQL —
+    estimates are hash-checked cell-for-cell, and the exact distinct /
+    intersection counts ride along so the artifact itself shows the
+    estimate error. At 100 TB the exact columns are the expensive part
+    you'd drop; here they are the honesty columns."""
+    from pyspark.sql import Window
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cells = sketches.kmv_cells(
+        ev, segment_col="event_type", key_col="user_id", k=_KMV_K, seed=_KMV_SEED
+    ).localCheckpoint(eager=False)
+
+    seg_stats = cells.groupBy("segment").agg(
+        F.max("h").alias("theta"), F.count(F.lit(1)).alias("nc")
+    )
+    a = seg_stats.select(
+        F.col("segment").alias("seg_a"),
+        F.col("theta").alias("theta_a"),
+        F.col("nc").alias("nc_a"),
+    )
+    b = seg_stats.select(
+        F.col("segment").alias("seg_b"),
+        F.col("theta").alias("theta_b"),
+        F.col("nc").alias("nc_b"),
+    )
+    pairs = a.crossJoin(b).filter(F.col("seg_a") < F.col("seg_b"))
+
+    ca = pairs.select("seg_a", "seg_b").join(
+        cells.withColumnRenamed("segment", "seg_a"), "seg_a"
+    ).select("seg_a", "seg_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    cb = pairs.select("seg_a", "seg_b").join(
+        cells.withColumnRenamed("segment", "seg_b"), "seg_b"
+    ).select("seg_a", "seg_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    uc = (
+        ca.unionByName(cb)
+        .groupBy("seg_a", "seg_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("seg_a", "seg_b").orderBy("h")
+    uk = uc.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _KMV_K)
+    ps = uk.groupBy("seg_a", "seg_b").agg(
+        F.max("h").alias("theta_u"),
+        F.count(F.lit(1)).alias("nc_u"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("rho"),
+    )
+
+    du = ev.select(
+        F.col("event_type").alias("segment"), F.col("user_id").alias("u")
+    ).distinct().localCheckpoint(eager=False)
+    exact_n = du.groupBy("segment").agg(F.count(F.lit(1)).alias("n"))
+    da = du.select(F.col("segment").alias("seg_a"), "u")
+    db = du.select(F.col("segment").alias("seg_b"), "u")
+    exact_int = (
+        da.join(db, "u")
+        .filter(F.col("seg_a") < F.col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(F.count(F.lit(1)).alias("n_int"))
+    )
+
+    est_u = sketches.kmv_estimate(F.col("theta_u"), F.col("nc_u"), _KMV_K)
+    return (
+        pairs.join(ps, ["seg_a", "seg_b"])
+        .join(exact_n.withColumnRenamed("segment", "seg_a").withColumnRenamed("n", "exact_a"), "seg_a")
+        .join(exact_n.withColumnRenamed("segment", "seg_b").withColumnRenamed("n", "exact_b"), "seg_b")
+        .join(exact_int, ["seg_a", "seg_b"], "left")
+        .select(
+            "seg_a",
+            "seg_b",
+            "exact_a",
+            "exact_b",
+            F.coalesce(F.col("n_int"), F.lit(0)).alias("exact_int"),
+            round4(sketches.kmv_estimate(F.col("theta_a"), F.col("nc_a"), _KMV_K)).alias("est_a"),
+            round4(sketches.kmv_estimate(F.col("theta_b"), F.col("nc_b"), _KMV_K)).alias("est_b"),
+            round4(est_u).alias("est_union"),
+            round4(
+                (F.col("rho").cast("double") / F.col("nc_u").cast("double")) * est_u
+            ).alias("est_intersection"),
+        )
+    )
+
+
+# --------------------------------------- incremental view maintenance ----
+
+_IVM_CUTOFF = "2001-01-01"
+
+
+def _ivm_oracle() -> str:
+    return f"""
+    SELECT n.n_name AS nation, o.o_orderstatus,
+           count(*) AS n_orders,
+           {sql_round4('sum(o.o_totalprice)')} AS total_price
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name, o.o_orderstatus
+    """
+
+
+@query("incremental_join_maintenance", oracle=_ivm_oracle())
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-maintenance of a materialized join view: the Spark side
+    maintains ``orders ⋈ customer ⋈ nation`` INCREMENTALLY — the
+    pre-cutoff base join is materialized (localCheckpoint standing in
+    for the stored view), and only the post-cutoff order delta joins
+    the dimensions before a unionByName — while the oracle recomputes
+    the whole join from scratch. The driver hash equality IS the
+    maintenance-correctness theorem (ΔFact ⋈ Dim ∪ View ≡ full join,
+    for append-only facts with stable dims; dim CHANGES are the SCD2
+    surface, operators/merge.py). At 100 TB this is the difference
+    between re-joining the full history daily and joining one day's
+    append — the delta side is dimension-broadcast, zero fact
+    shuffles."""
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cutoff = F.lit(_IVM_CUTOFF).cast("timestamp")
+
+    dims = customer.join(
+        F.broadcast(nation),
+        customer["c_nationkey"] == nation["n_nationkey"],
+    ).select("c_custkey", F.col("n_name").alias("nation"))
+
+    base = orders.filter(F.col("o_orderdate") < cutoff)
+    delta = orders.filter(F.col("o_orderdate") >= cutoff)
+
+    # the "stored" view: materialized once, never recomputed
+    view = (
+        base.join(F.broadcast(dims), base["o_custkey"] == dims["c_custkey"])
+        .select("nation", "o_orderstatus", "o_totalprice")
+        .localCheckpoint(eager=False)
+    )
+    delta_join = delta.join(
+        F.broadcast(dims), delta["o_custkey"] == dims["c_custkey"]
+    ).select("nation", "o_orderstatus", "o_totalprice")
+
+    return (
+        view.unionByName(delta_join)
+        .groupBy("nation", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            round4(F.sum("o_totalprice")).alias("total_price"),
+        )
+    )

@@ -547,3 +547,28 @@ def test_cooccurrence_edges_planted(spark):
     )
     # both directions, deduped, no self-loops, singleton basket inert
     assert got == [("a", "b"), ("b", "a")]
+
+
+def test_kmv_small_set_rule_exact_below_k(spark):
+    """Below k cells the sketch IS the distinct set: estimate must be
+    the exact count, and a saturated segment must use the theta rule."""
+    from pyspark.sql import functions as F
+
+    from lab3_lakehouse_spark.operators import sketches
+
+    rows = [("small", f"u{i}") for i in range(5)] + [
+        ("big", f"v{i}") for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["seg", "user"])
+    cells = sketches.kmv_cells(df, segment_col="seg", key_col="user", k=64)
+    stats = (
+        cells.groupBy("segment")
+        .agg(F.max("h").alias("theta"), F.count(F.lit(1)).alias("nc"))
+        .withColumn("est", sketches.kmv_estimate(F.col("theta"), F.col("nc"), 64))
+        .collect()
+    )
+    by = {r.segment: r for r in stats}
+    assert by["small"].nc == 5 and by["small"].est == 5.0
+    assert by["big"].nc == 64
+    # saturated estimate within a loose KMV error band of the truth
+    assert 100 < by["big"].est < 400
