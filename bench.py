@@ -107,6 +107,8 @@ HEADLINE = [
     "unigram_surprisal_scores",     # unigram LM quality scoring join (r5)
     "weighted_doc_sample",          # deterministic ES weighted sample (r5)
     "zipf_fit_tokens",              # vocab rank OLS, two-phase ranking (r5)
+    "kmv_audience_overlap",         # KMV distinct-intersection sketches (r5)
+    "incremental_join_maintenance", # delta view maintenance vs recompute (r5)
 ]
 
 
@@ -182,12 +184,64 @@ def _bench_overrides() -> dict:
         verified = dedup_ops.minhash_verify_hashed(cands, hashed, threshold=0.8)
         return dedup_ops.connected_components(verified, "id_a", "id_b")
 
+    def kmv_overlap(spark, sf_dir):
+        # production sketch path alone: per-segment KMV cells + pair
+        # merge estimates. The catalog entry ALSO computes the exact
+        # distinct/intersection counts so the driver artifact shows the
+        # estimate error — exactly the full-scan work the sketch exists
+        # to avoid at 100 TB, so the bench excludes it.
+        from pyspark.sql import Window
+
+        from lab3_lakehouse_spark.operators import sketches
+
+        ev = load_table(spark, sf_dir, "events")
+        cells = sketches.kmv_cells(
+            ev, segment_col="event_type", key_col="user_id", k=64, seed=11
+        ).localCheckpoint(eager=False)
+        stats = cells.groupBy("segment").agg(
+            F.max("h").alias("theta"), F.count(F.lit(1)).alias("nc")
+        )
+        a = stats.select(
+            F.col("segment").alias("seg_a"), F.col("theta").alias("theta_a"),
+            F.col("nc").alias("nc_a"),
+        )
+        b = stats.select(
+            F.col("segment").alias("seg_b"), F.col("theta").alias("theta_b"),
+            F.col("nc").alias("nc_b"),
+        )
+        pairs = a.crossJoin(b).filter(F.col("seg_a") < F.col("seg_b"))
+        ca = pairs.select("seg_a", "seg_b").join(
+            cells.withColumnRenamed("segment", "seg_a"), "seg_a"
+        ).select("seg_a", "seg_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        cb = pairs.select("seg_a", "seg_b").join(
+            cells.withColumnRenamed("segment", "seg_b"), "seg_b"
+        ).select("seg_a", "seg_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+        uc = ca.unionByName(cb).groupBy("seg_a", "seg_b", "h").agg(
+            F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+        )
+        w = Window.partitionBy("seg_a", "seg_b").orderBy("h")
+        uk = uc.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 64)
+        ps = uk.groupBy("seg_a", "seg_b").agg(
+            F.max("h").alias("theta_u"), F.count(F.lit(1)).alias("nc_u"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("rho"),
+        )
+        est_u = sketches.kmv_estimate(F.col("theta_u"), F.col("nc_u"), 64)
+        return pairs.join(ps, ["seg_a", "seg_b"]).select(
+            "seg_a", "seg_b",
+            sketches.kmv_estimate(F.col("theta_a"), F.col("nc_a"), 64).alias("est_a"),
+            sketches.kmv_estimate(F.col("theta_b"), F.col("nc_b"), 64).alias("est_b"),
+            est_u.alias("est_union"),
+            ((F.col("rho").cast("double") / F.col("nc_u").cast("double")) * est_u
+             ).alias("est_intersection"),
+        )
+
     return {
         "simhash_near_dups": simhash,
         "doc_fingerprint_matches": fingerprints,
         "ann_lsh_topk": ann_lsh,
         "ann_ivf_topk": ann_ivf,
         "dup_groups_connected": dup_groups,
+        "kmv_audience_overlap": kmv_overlap,
     }
 
 

@@ -51,8 +51,18 @@ def pagerank(
     relative) stays far below any meaningful rank gap; consumers that
     hash results should round (queries/_util.round4) as usual.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Materialize the (possibly expensive) edge derivation ONCE: the
+    # edge list feeds the degree count, the node set, and every power
+    # iteration — left lazy, Spark would re-run the upstream plan (e.g.
+    # the basket self-join + distinct) once per consumer, turning 3
+    # iterations into ~5 edge builds.
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("out_deg"))
+    # degree-annotated edges, materialized once: per-iteration work is
+    # then exactly one rank join + one dst-keyed aggregation
+    e_deg = e.join(out_deg, "src").localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -65,8 +75,7 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
         contribs = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .join(out_deg, "src")
+            e_deg.join(ranks, e_deg["src"] == ranks["node"])
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("contrib"))
         )
@@ -96,9 +105,14 @@ def cooccurrence_edges(
     """
     a = df.select(F.col(group_col).alias("g"), F.col(item_col).alias("src"))
     b = df.select(F.col(group_col).alias("g"), F.col(item_col).alias("dst"))
-    return (
+    # dedupe the ORDERED pairs (src < dst) and symmetrize afterwards:
+    # same edge set, half the rows through the distinct's shuffle
+    ordered = (
         a.join(b, "g")
-        .filter(F.col("src") != F.col("dst"))
+        .filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
         .distinct()
+    )
+    return ordered.unionByName(
+        ordered.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
