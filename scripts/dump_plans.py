@@ -105,6 +105,42 @@ SHOWCASE: dict[str, str] = {
         "shuffle on the natural key), broadcast for the dims; no "
         "per-outer-row subquery re-execution anywhere."
     ),
+    "sql_forecast_revenue": (
+        "TPC-H Q6 shape: NO join nodes at all — the discount band and "
+        "quantity cap are PushedFilters on the lineitem scan, and the "
+        "whole query is scan → partial agg → exchange → final agg."
+    ),
+    "part_copurchase_pagerank": (
+        "Join-based PageRank: the final iteration shows ONE hash join of "
+        "the rank vector against the checkpointed degree-annotated edge "
+        "scan plus one dst-keyed HashAggregate — no nested loops, no "
+        "edge-build recomputation (the self-join happened once, upstream "
+        "of the checkpoint)."
+    ),
+    "bpe_pair_frequencies": (
+        "BPE pair counting: pair explosion is scan-side (Generate inside "
+        "the first codegen stage), ONE exchange on the pair key with "
+        "partial_count before it, and the top-20 is TakeOrderedAndProject "
+        "— never a global sort."
+    ),
+    "weighted_doc_sample": (
+        "Efraimidis–Spirakis weighted sampling: the md5 priority is "
+        "computed scan-side and the plan is a single "
+        "TakeOrderedAndProject — per-partition heaps, no shuffle of the "
+        "corpus, no global sort at any corpus size."
+    ),
+    "kmv_audience_overlap": (
+        "KMV sketches: one exchange for the per-segment distinct+top-k "
+        "window; every pair-merge join below it operates on k-row "
+        "sketch frames (BroadcastHashJoin), so nothing corpus-sized "
+        "moves after the sketch step."
+    ),
+    "incremental_join_maintenance": (
+        "Delta view maintenance: the delta order scan joins "
+        "BROADCAST dimensions (no fact shuffle), unions the "
+        "checkpointed view scan, and aggregates partial→final — the "
+        "full-history join appears nowhere in the plan."
+    ),
     "snapshot_diff_orders": (
         "CDF reconstruction: ONE full outer equi-join on the snapshot "
         "key with null-safe per-column comparison above it — the "
