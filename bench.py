@@ -226,7 +226,7 @@ def _bench_overrides() -> dict:
             F.sum(F.col("in_a") * F.col("in_b")).alias("rho"),
         )
         est_u = sketches.kmv_estimate(F.col("theta_u"), F.col("nc_u"), 64)
-        return pairs.join(ps, ["seg_a", "seg_b"]).select(
+        return pairs.join(F.broadcast(ps), ["seg_a", "seg_b"]).select(
             "seg_a", "seg_b",
             sketches.kmv_estimate(F.col("theta_a"), F.col("nc_a"), 64).alias("est_a"),
             sketches.kmv_estimate(F.col("theta_b"), F.col("nc_b"), 64).alias("est_b"),

@@ -1556,7 +1556,7 @@ def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     est_u = sketches.kmv_estimate(F.col("theta_u"), F.col("nc_u"), _KMV_K)
     return (
-        pairs.join(ps, ["seg_a", "seg_b"])
+        pairs.join(F.broadcast(ps), ["seg_a", "seg_b"])
         .join(exact_n.withColumnRenamed("segment", "seg_a").withColumnRenamed("n", "exact_a"), "seg_a")
         .join(exact_n.withColumnRenamed("segment", "seg_b").withColumnRenamed("n", "exact_b"), "seg_b")
         .join(exact_int, ["seg_a", "seg_b"], "left")

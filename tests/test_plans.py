@@ -464,3 +464,31 @@ def test_domain_mix_weights_broadcasts_totals(spark, sf):
     df = QUERIES["domain_mix_weights"](spark, sf)
     assert pa.count_nodes(df, "BroadcastNestedLoopJoin") <= 1  # 1x1 singleton
     assert pa.count_nodes(df, "SortMergeJoin") == 0
+
+
+def test_ivm_plan_never_rejoins_the_base(spark, sf):
+    """The maintained view must appear as a materialized scan
+    (ExistingRDD from the localCheckpoint) — the only join in the plan
+    is the DELTA joining broadcast dims; a full-history re-join would
+    defeat the maintenance."""
+    df = QUERIES["incremental_join_maintenance"](spark, sf)
+    plan = pa.formatted_plan(df)
+    assert "ExistingRDD" in plan, plan
+    assert pa.count_nodes(df, "SortMergeJoin") == 0
+    # dims join the delta (and the dim-dim build side) as broadcasts only
+    assert pa.count_nodes(df, "BroadcastHashJoin") >= 1
+
+
+def test_kmv_pair_math_runs_on_sketch_frames(spark, sf):
+    """After the per-segment sketch (one shuffle + partitioned window),
+    every pair-merge join must be broadcast — k-row frames never
+    sort-merge. Pinned on the PRODUCTION path (the bench override):
+    the catalog body deliberately adds the exact-count honesty columns,
+    whose corpus-sized user self-join is a legitimate shuffle join."""
+    import bench
+
+    df = bench._bench_overrides()["kmv_audience_overlap"](spark, sf)
+    assert pa.count_nodes(df, "SortMergeJoin") == 0
+    # the only cross products are the documented 5x5 segment-pair
+    # builds (broadcast singletons of the segment list)
+    assert pa.count_nodes(df, "CartesianProduct") == 0
