@@ -129,6 +129,17 @@ def run_corpus_pipeline(
             clean, key_col="source", k=max_docs_per_source, id_col="doc_id"
         )
 
+    # 5a'. mixture diagnostics on the capped corpus: per-source token
+    #      share vs a uniform target and the capped resample weight a
+    #      mixing pass would apply (operators/sampling.
+    #      source_mix_weights). Reported, not applied: the synthetic
+    #      corpus is near-uniform, and applying weights is a training-
+    #      loader decision — the pipeline's job is to compute them from
+    #      the data that actually survived cleaning.
+    mix = sampling_ops.source_mix_weights(
+        capped, source_col="source", weight=text_ops.token_count("text")
+    )
+
     # 5b. PII scrub before publication — row-preserving; audit counts
     #     ride along as metadata (zero on a synthetic PII-free corpus,
     #     but the gate always runs: scrubbing is not optional at 100 TB).
@@ -184,6 +195,14 @@ def run_corpus_pipeline(
         or 0
     )
     counts["embed_chunks"] = chunks.count()
+    mix_row = mix.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.max("mix_weight").alias("mx"),
+        F.min("mix_weight").alias("mn"),
+    ).first()
+    counts["mix_n_sources"] = int(mix_row["n_sources"] or 0)
+    counts["mix_weight_max"] = round(float(mix_row["mx"] or 0.0), 4)
+    counts["mix_weight_min"] = round(float(mix_row["mn"] or 0.0), 4)
     final = vt.read_version(spark, f"{out_root}/corpus")
     counts["packed_rows"] = final.count()
     counts["n_packs"] = final.select("shard", "pack_id").distinct().count()

@@ -148,3 +148,42 @@ def weighted_sample_topn(
         .orderBy(F.desc(priority_col), F.col(id_col))
         .limit(n)
     )
+
+
+def source_mix_weights(
+    df: DataFrame,
+    *,
+    source_col: str,
+    weight: Column,
+    cap: float = 4.0,
+) -> DataFrame:
+    """Per-source mixture-rebalancing weights against a uniform target:
+    ``min(cap, target_share / actual_share)`` where ``actual_share`` is
+    the source's share of total ``weight`` (tokens, usually) and the
+    target is ``1 / n_sources`` — the DoReMi/Pile-style resampling knob
+    computed FROM the corpus instead of hand-set, with the cap bounding
+    how hard a tiny source can be upsampled.
+
+    Emits ``(source, n_docs, n_tokens, actual_share, mix_weight)`` with
+    the float columns UNROUNDED (query-layer callers apply the round4
+    policy). One grouped pass over the corpus; the totals come back as
+    a broadcast singleton — no second fact scan.
+    """
+    per_src = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(weight).cast("double").alias("n_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").cast("double").alias("total_tokens"),
+        F.count(F.lit(1)).cast("double").alias("n_sources"),
+    )
+    share = F.col("n_tokens") / F.col("total_tokens")
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        share.alias("actual_share"),
+        F.least(
+            F.lit(float(cap)), (F.lit(1.0) / F.col("n_sources")) / share
+        ).alias("mix_weight"),
+    )

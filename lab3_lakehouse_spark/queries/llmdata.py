@@ -1089,27 +1089,20 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DoReMi/Pile-style knob computed FROM the corpus instead of
     hand-set. One grouped pass per source (the 100 TB scan), then the
     totals join back as a broadcast singleton — no second fact scan."""
+    from lab3_lakehouse_spark.operators import sampling as sample_ops
     from lab3_lakehouse_spark.queries._util import round4
 
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    per_src = docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(text_ops.token_count("text")).cast("double").alias("n_tokens"),
+    w = sample_ops.source_mix_weights(
+        docs, source_col="source", weight=text_ops.token_count("text"), cap=4.0
     )
-    tot = per_src.agg(
-        F.sum("n_tokens").cast("double").alias("total_tokens"),
-        F.count(F.lit(1)).cast("double").alias("n_sources"),
-    )
-    share = F.col("n_tokens") / F.col("total_tokens")
-    return per_src.crossJoin(F.broadcast(tot)).select(
+    return w.select(
         "source",
         "n_docs",
         F.col("n_tokens").cast("long").alias("n_tokens"),
-        round4(share).alias("actual_share"),
-        round4(F.least(F.lit(4.0), (F.lit(1.0) / F.col("n_sources")) / share)).alias(
-            "mix_weight"
-        ),
+        round4(F.col("actual_share")).alias("actual_share"),
+        round4(F.col("mix_weight")).alias("mix_weight"),
     )
 
 

@@ -24,6 +24,9 @@ def test_corpus_pipeline_end_to_end(spark, sf_small, tmpdir):
     # every surviving doc yields at least one embedding chunk
     assert c["embed_chunks"] >= c["decontaminated"]
     assert 1 <= c["n_packs"] <= c["packed_rows"]
+    # mixture diagnostics: every source's capped weight in (0, 4]
+    assert c["mix_n_sources"] >= 1
+    assert 0 < c["mix_weight_min"] <= c["mix_weight_max"] <= 4.0
     assert vt.history(spark, f"{tmpdir}/corpus") == [c["corpus_version"]]
     # rerun publishes a NEW snapshot with identical content (determinism)
     c2 = run_corpus_pipeline(spark, sf_small, str(tmpdir), seq_len=128)
