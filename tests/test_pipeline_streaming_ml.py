@@ -712,3 +712,69 @@ def test_avro_paths_are_env_gated(spark, tmpdir):
             ingest.read_avro(spark, f"{tmpdir}/av")
         with _pytest.raises(RuntimeError, match="spark-avro jar"):
             ingest.write_avro(spark.range(1), f"{tmpdir}/av")
+
+
+def test_streaming_ingest_dedups_against_persisted_store(spark, tmpdir):
+    """Continuous ingestion (streaming/ingest.py): files arrive one
+    micro-batch at a time; exact copies die on the corpus fingerprint
+    gate and near-dups die on the persisted LSH store probe — whichever
+    order the files land in, exactly one representative of each content
+    cluster survives."""
+    import json as _json
+    import os
+
+    from lab3_lakehouse_spark.streaming import ingest as st_ingest
+
+    src = f"{tmpdir}/arrivals"
+    out = f"{tmpdir}/ingested"
+    os.makedirs(src)
+
+    base = "spark shuffle broadcast join window aggregate scan filter " \
+           "partition codegen catalyst tungsten arrow pandas column row " \
+           "batch stream state watermark trigger sink source schema plan"
+    # doc 2 differs from doc 1 by an interior token edit (Jaccard 0.77
+    # with 3-shingles — a genuine NON-duplicate under the 0.8 gate)
+    docs1 = [
+        {"doc_id": 1, "text": base, "source": "a"},
+        {"doc_id": 2, "text": base.replace("arrow", "velox"), "source": "a"},
+        {"doc_id": 3, "text": " ".join(sorted(set(base.split()))[:12]), "source": "b"},
+    ]
+    # 4 = exact copy of 1; 5 = near-dup of 1 (one token APPENDED —
+    # 3-shingle Jaccard 22/24 = 0.92; an interior one-token EDIT would
+    # only reach 0.77 and should survive the 0.8 gate); 6 = novel
+    docs2 = [
+        {"doc_id": 4, "text": base, "source": "c"},
+        {"doc_id": 5, "text": base + " appendix", "source": "c"},
+        {"doc_id": 6, "text": "entirely different tiny document", "source": "c"},
+    ]
+    with open(f"{src}/f1.json", "w") as f:
+        f.write("\n".join(_json.dumps(d) for d in docs1))
+    with open(f"{src}/f2.json", "w") as f:
+        f.write("\n".join(_json.dumps(d) for d in docs2))
+
+    q = st_ingest.stream_ingest_with_dedup(spark, src, out, threshold=0.8)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    corpus = spark.read.parquet(f"{out}/corpus")
+    rows = corpus.collect()
+    # one survivor per content cluster: {1,4,5} collapse, 2, 3, 6 → 4 docs
+    assert len(rows) == 4, rows
+    assert corpus.select("fp").distinct().count() == 4
+    texts = {r.text for r in rows}
+    assert "entirely different tiny document" in texts
+    # the store grew with exactly the survivors
+    assert spark.read.parquet(f"{out}/store/hashes").count() == 4
+
+    # a replayed/late drop of the same content is fully suppressed
+    with open(f"{src}/f3.json", "w") as f:
+        f.write("\n".join(_json.dumps(dict(d, doc_id=d["doc_id"] + 100))
+                          for d in docs1 + docs2))
+    q2 = st_ingest.stream_ingest_with_dedup(spark, src, out, threshold=0.8)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert spark.read.parquet(f"{out}/corpus").count() == 4
