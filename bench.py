@@ -109,6 +109,7 @@ HEADLINE = [
     "zipf_fit_tokens",              # vocab rank OLS, two-phase ranking (r5)
     "kmv_audience_overlap",         # KMV distinct-intersection sketches (r5)
     "incremental_join_maintenance", # delta view maintenance vs recompute (r5)
+    "distribution_drift_psi",       # PSI drift monitor, 1 grouped pass (r5)
 ]
 
 

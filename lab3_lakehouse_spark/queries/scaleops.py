@@ -1639,3 +1639,108 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             round4(F.sum("o_totalprice")).alias("total_price"),
         )
     )
+
+
+# ------------------------------------------------- distribution drift ----
+
+_PSI_BUCKETS, _PSI_WIDTH = 10, 50.0
+_PSI_SPLIT = "2024-01-16"
+
+
+def _psi_oracle() -> str:
+    # smoothed shares: (n + 0.5) / (N + 0.5 * buckets) keeps ln() finite
+    # on empty buckets, identically on both engines
+    share = lambda n, N: (
+        f"(CAST({n} AS DOUBLE) + 0.5) / (CAST({N} AS DOUBLE) + {0.5 * _PSI_BUCKETS})"
+    )
+    pa, pb = share("n_ref", "tot_ref"), share("n_cur", "tot_cur")
+    return f"""
+    WITH ev AS (
+        SELECT value, ts < TIMESTAMP '{_PSI_SPLIT}' AS is_ref,
+               CAST(least({_PSI_BUCKETS - 1},
+                          floor(value / {_PSI_WIDTH})) AS BIGINT) AS bucket
+        FROM events WHERE value IS NOT NULL
+    ),
+    counts AS (
+        SELECT bucket,
+               CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+               CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+        FROM ev GROUP BY bucket
+    ),
+    spine AS (SELECT CAST(range AS BIGINT) AS bucket FROM range({_PSI_BUCKETS})),
+    filled AS (
+        SELECT s.bucket,
+               coalesce(c.n_ref, 0) AS n_ref,
+               coalesce(c.n_cur, 0) AS n_cur
+        FROM spine s LEFT JOIN counts c ON c.bucket = s.bucket
+    ),
+    tot AS (
+        SELECT CAST(sum(n_ref) AS DOUBLE) AS tot_ref,
+               CAST(sum(n_cur) AS DOUBLE) AS tot_cur
+        FROM filled
+    )
+    SELECT bucket, n_ref, n_cur,
+           {sql_round4(pa)} AS p_ref,
+           {sql_round4(pb)} AS p_cur,
+           {sql_round4(f"(({pa}) - ({pb})) * ln(({pa}) / ({pb}))")} AS psi_term
+    FROM filled CROSS JOIN tot
+    """
+
+
+@query("distribution_drift_psi", oracle=_psi_oracle())
+def distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data drift monitoring: Population Stability Index of
+    the event-value distribution, reference period vs current (the
+    metric every production data pipeline alarms on before a model
+    retrains on shifted data). Fixed-width buckets — the cut points are
+    CONSTANTS, not data-dependent quantiles, so bucketing is a
+    scan-side expression with no preliminary pass — and the smoothed
+    shares ((n + ½) / (N + ½·B)) keep ln finite on empty buckets
+    without an epsilon-guard divergence between engines. One grouped
+    pass over the fact table; the bucket spine and the totals are
+    broadcast singletons. Per-bucket PSI terms are emitted (sum ≥ 0.2
+    is the conventional drift alarm); consumers sum — keeping the
+    reduction out of the query leaves the bucket-level attribution,
+    which is what you actually debug with."""
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    graded = ev.select(
+        (F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp")).alias("is_ref"),
+        F.least(
+            F.lit(_PSI_BUCKETS - 1),
+            F.floor(F.col("value") / F.lit(_PSI_WIDTH)),
+        ).cast("long").alias("bucket"),
+    )
+    counts = graded.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
+    )
+    spine = spark.range(_PSI_BUCKETS).select(F.col("id").alias("bucket"))
+    filled = (
+        spine.join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("n_ref"), F.lit(0)).alias("n_ref"),
+            F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = filled.agg(
+        F.sum("n_ref").cast("double").alias("tot_ref"),
+        F.sum("n_cur").cast("double").alias("tot_cur"),
+    )
+    smooth = 0.5 * _PSI_BUCKETS
+    pa = (F.col("n_ref").cast("double") + F.lit(0.5)) / (
+        F.col("tot_ref") + F.lit(smooth)
+    )
+    pb = (F.col("n_cur").cast("double") + F.lit(0.5)) / (
+        F.col("tot_cur") + F.lit(smooth)
+    )
+    return filled.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        round4(pa).alias("p_ref"),
+        round4(pb).alias("p_cur"),
+        round4((pa - pb) * F.log(pa / pb)).alias("psi_term"),
+    )

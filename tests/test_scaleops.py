@@ -572,3 +572,35 @@ def test_kmv_small_set_rule_exact_below_k(spark):
     assert by["big"].nc == 64
     # saturated estimate within a loose KMV error band of the truth
     assert 100 < by["big"].est < 400
+
+
+def test_psi_detects_planted_drift(spark, tmp_path):
+    """A genuinely shifted distribution must produce a PSI sum above the
+    0.2 alarm line; an identical split stays near zero."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    from lab3_lakehouse_spark.queries import QUERIES
+
+    ref_day = _dt.datetime(2024, 1, 10)
+    cur_day = _dt.datetime(2024, 1, 20)
+    rows = [(i, ref_day, "u", "view", 10.0 + (i % 5), "{}") for i in range(300)]
+    rows += [(1000 + i, cur_day, "u", "view", 410.0 + (i % 5), "{}") for i in range(300)]
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = QUERIES["distribution_drift_psi"](spark, str(tmp_path))
+    total = out.agg(F.sum("psi_term")).first()[0]
+    assert total > 0.2, total  # mass moved from bucket 0 to bucket 8
+
+    # identical halves: same values both periods → PSI ~ 0
+    rows2 = [(i, ref_day, "u", "view", 10.0 + (i % 50), "{}") for i in range(300)]
+    rows2 += [(1000 + i, cur_day, "u", "view", 10.0 + (i % 50), "{}") for i in range(300)]
+    import shutil
+    shutil.rmtree(str(tmp_path / "events.parquet"))
+    spark.createDataFrame(
+        rows2, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    flat = QUERIES["distribution_drift_psi"](spark, str(tmp_path))
+    assert abs(flat.agg(F.sum("psi_term")).first()[0]) < 0.01
