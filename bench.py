@@ -110,6 +110,7 @@ HEADLINE = [
     "kmv_audience_overlap",         # KMV distinct-intersection sketches (r5)
     "incremental_join_maintenance", # delta view maintenance vs recompute (r5)
     "distribution_drift_psi",       # PSI drift monitor, 1 grouped pass (r5)
+    "daily_user_novelty_rate",      # new-vs-returning via first-seen dim (r5)
 ]
 
 

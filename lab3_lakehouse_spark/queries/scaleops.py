@@ -1744,3 +1744,64 @@ def distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(pb).alias("p_cur"),
         round4((pa - pb) * F.log(pa / pb)).alias("psi_term"),
     )
+
+
+# ----------------------------------------------------- novelty rate ----
+
+def _novelty_oracle() -> str:
+    return f"""
+    WITH first_seen AS (
+        SELECT user_id, CAST(min(date_trunc('day', ts)) AS TIMESTAMP) AS d0
+        FROM events GROUP BY user_id
+    ),
+    graded AS (
+        SELECT CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS day,
+               e.user_id,
+               CAST(date_trunc('day', e.ts) AS TIMESTAMP) = f.d0 AS is_new
+        FROM events e JOIN first_seen f ON f.user_id = e.user_id
+    ),
+    per_day AS (
+        SELECT day,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_active,
+               CAST(count(DISTINCT CASE WHEN is_new THEN user_id END) AS BIGINT)
+                   AS n_new
+        FROM graded GROUP BY day
+    )
+    SELECT day, n_active, n_new,
+           {sql_round4('CAST(n_new AS DOUBLE) / CAST(n_active AS DOUBLE)')}
+               AS novelty_rate
+    FROM per_day
+    """
+
+
+@query("daily_user_novelty_rate", oracle=_novelty_oracle())
+def daily_user_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning decomposition: per day, how many active users
+    are being seen for the FIRST time. The naive formulation is a
+    running distinct over an ever-growing window — state that grows
+    with history and can't shard. The scale-safe form derives a
+    first-seen DIMENSION (one grouped min per user — the same shuffle
+    key the activity count needs anyway) and joins it back, so both
+    aggregations shard on user_id and nothing accumulates: the pattern
+    for any "cumulative distinct" ask at 100 TB. Count-distinct per day
+    handles users with multiple events; the rate is exact integer
+    division under round4."""
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    first_seen = ev.groupBy("user_id").agg(F.min(day).alias("d0"))
+    graded = ev.select(day.alias("day"), "user_id").join(first_seen, "user_id")
+    per_day = graded.groupBy("day").agg(
+        F.countDistinct("user_id").alias("n_active"),
+        F.countDistinct(
+            F.when(F.col("day") == F.col("d0"), F.col("user_id"))
+        ).alias("n_new"),
+    )
+    return per_day.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "n_active",
+        "n_new",
+        round4(
+            F.col("n_new").cast("double") / F.col("n_active").cast("double")
+        ).alias("novelty_rate"),
+    )
