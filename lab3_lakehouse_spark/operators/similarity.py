@@ -219,34 +219,29 @@ def rp_lsh_topk(
     )
 
 
-def ivf_topk(
+def ivf_build(
     corpus: DataFrame,
-    queries: DataFrame,
     id_col: str,
     vec_col: str,
-    k: int = 10,
     n_centroids: int = 16,
-    n_probe: int = 4,
     seed: int = 42,
     max_iter: int = 8,
-) -> DataFrame:
-    """IVF (inverted-file) ANN: k-means-partition the corpus into
-    ``n_centroids`` cells, search only the ``n_probe`` cells nearest to
-    each query, exact cosine re-rank inside them.
+) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF index as two PERSISTABLE frames: the cell
+    assignments ``(neighbor_id, __cvec, __cell)`` and the centroid
+    table ``(__cell, __centroid)``.
 
-    The scale path when the corpus is too large for per-query full
-    scans: the index assignment is one ``spark.ml`` KMeans fit + one
-    transform (both distributed), and each query touches
-    ~n_probe/n_centroids of the data. Centroids are tiny (n_centroids ×
-    dim) — the query→cell routing is a broadcast cross-join + top-n_probe
-    window, never a shuffle of the corpus.
+    Splitting build from probe is the index LIFECYCLE (the ANN twin of
+    the MinHash signature store): fit once, ``materialize`` both frames
+    next to the corpus tier, and every later query batch probes the
+    stored index without re-fitting — at 100 TB the k-means fit is the
+    expensive pass, and queries arrive long after it ran.
 
-    ``max_iter`` defaults well below spark.ml's 20: an IVF index needs a
-    *balanced spatial partition*, not a converged clustering — recall is
-    governed by n_probe, and extra Lloyd iterations each cost a full
-    corpus pass (distributed job round) for marginally moved centroids.
-    Measured here: 8 vs 20 iters leaves recall@5 unchanged (0.90+) and
-    cuts fit time ~2×.
+    ``max_iter`` defaults well below spark.ml's 20: an IVF index needs
+    a *balanced spatial partition*, not a converged clustering — recall
+    is governed by n_probe, and extra Lloyd iterations each cost a full
+    corpus pass for marginally moved centroids. Measured here: 8 vs 20
+    iters leaves recall@5 unchanged (0.90+) and cuts fit time ~2×.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -262,16 +257,29 @@ def ivf_topk(
     )
     model = km.fit(c_vec.select("__mlvec"))
     assigned = model.transform(c_vec).select("neighbor_id", "__cvec", "__cell")
-
     centroids = [
         (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
-    cdf = F.broadcast(
-        corpus.sparkSession.createDataFrame(centroids, ["__cell", "__centroid"])
-    )
+    cdf = corpus.sparkSession.createDataFrame(centroids, ["__cell", "__centroid"])
+    return assigned, cdf
+
+
+def ivf_probe(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Search a (possibly reloaded) IVF index: route each query to its
+    ``n_probe`` nearest cells (euclidean, matching the KMeans
+    objective), exact cosine re-rank inside them. The centroid table is
+    tiny and broadcast; each query touches ~n_probe/n_centroids of the
+    assignments — never the whole corpus."""
+    cdf = F.broadcast(centroids)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
-    # route each query to its n_probe nearest cells (euclidean, matching
-    # the KMeans objective)
     dist2 = F.aggregate(
         F.zip_with(
             F.col("__qvec").cast("array<double>"),
@@ -302,6 +310,30 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    max_iter: int = 8,
+) -> DataFrame:
+    """IVF (inverted-file) ANN in one call: :func:`ivf_build` +
+    :func:`ivf_probe`. For repeated query batches against a stable
+    corpus, build once, persist the two index frames, and call
+    ``ivf_probe`` directly (see the build docstring)."""
+    assigned, cdf = ivf_build(
+        corpus, id_col, vec_col, n_centroids=n_centroids, seed=seed,
+        max_iter=max_iter,
+    )
+    return ivf_probe(
+        assigned, cdf, queries, id_col, vec_col, k=k, n_probe=n_probe
     )
 
 

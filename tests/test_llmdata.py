@@ -578,3 +578,37 @@ def test_zipf_slope_negative_on_skewed_counts(spark, sf_small):
     row = QUERIES["zipf_fit_tokens"](spark, sf_small).collect()[0]
     assert row.vocab_size > 10
     assert row.zipf_slope < 0  # frequency decays with rank
+
+
+def test_ivf_index_persists_and_reloads_identically(spark, clustered_vectors, tmp_path):
+    """The IVF index lifecycle (ANN twin of the MinHash signature
+    store): build → materialize both frames → reload → probe must
+    reproduce the fused ivf_topk answer exactly (same seed, same
+    index, same routing)."""
+    from lab3_lakehouse_spark.operators import similarity as sim_ops
+
+    corpus = clustered_vectors
+    queries = corpus.filter(F.col("vec_id") < 4)
+    direct = sorted(
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in sim_ops.ivf_topk(
+            corpus, queries, "vec_id", "embedding",
+            k=5, n_centroids=8, n_probe=4,
+        ).collect()
+    )
+
+    assigned, centroids = sim_ops.ivf_build(
+        corpus, "vec_id", "embedding", n_centroids=8
+    )
+    assigned.write.parquet(str(tmp_path / "ivf_assigned"))
+    centroids.write.parquet(str(tmp_path / "ivf_centroids"))
+    re_assigned = spark.read.parquet(str(tmp_path / "ivf_assigned"))
+    re_centroids = spark.read.parquet(str(tmp_path / "ivf_centroids"))
+    reloaded = sorted(
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in sim_ops.ivf_probe(
+            re_assigned, re_centroids, queries, "vec_id", "embedding",
+            k=5, n_probe=4,
+        ).collect()
+    )
+    assert reloaded == direct and len(direct) > 0
