@@ -15,6 +15,8 @@ composes the corpus side):
           retention         (retention_cohorts triangle)
           daily activity    (gap_filled_counts, zero-filled)
           anomalies         (hourly gap-fill → seasonal_residual_topk)
+          value drift       (value_drift_psi: PSI retrain gate)
+          novelty           (daily_user_novelty: new vs returning)
       → each report materialized as a gold tier table
 
 Every stage is the production formulation: one shuffle on the sequence
@@ -72,6 +74,12 @@ def run_event_analytics(
         "anomalies": events_ops.seasonal_residual_topk(
             events_ops.gap_filled_counts(ev, grain="hour"), lag_buckets=24, k=5
         ),
+        # drift gate: value-distribution PSI across the month midpoint —
+        # the retrain alarm a training pipeline checks BEFORE consuming
+        # this tier (sum(psi_term) >= 0.2 blocks the downstream job)
+        "value_drift": events_ops.value_drift_psi(ev, split_ts="2024-01-16"),
+        # audience composition: new-vs-returning decomposition per day
+        "novelty": events_ops.daily_user_novelty(ev),
     }
     counts: dict[str, int] = {"input": raw.count(), "debounced": ev.count()}
     for name, df in gold.items():

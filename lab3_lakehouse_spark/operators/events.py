@@ -200,3 +200,96 @@ def seasonal_residual_topk(
         .withColumn("rank", F.row_number().over(wr).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def value_drift_psi(
+    ev: DataFrame,
+    *,
+    split_ts: str,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    n_buckets: int = 10,
+    bucket_width: float = 50.0,
+) -> DataFrame:
+    """Population Stability Index inputs for the ``value_col``
+    distribution, reference period (before ``split_ts``) vs current —
+    per-bucket rows ``(bucket, n_ref, n_cur, p_ref, p_cur, psi_term)``
+    with UNROUNDED floats (query layer applies the round4 policy).
+
+    Cut points are constants (``bucket_width``-wide, capped at
+    ``n_buckets``), so bucketing is a scan-side expression — no
+    quantile pre-pass; shares are smoothed ``(n + ½)/(N + ½·B)`` to
+    keep ln finite on empty buckets. Sum of psi_term ≥ 0.2 is the
+    conventional drift alarm; the per-bucket attribution is what you
+    debug with."""
+    spark = ev.sparkSession
+    graded = ev.filter(F.col(value_col).isNotNull()).select(
+        (F.col(ts_col) < F.lit(split_ts).cast("timestamp")).alias("is_ref"),
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor(F.col(value_col) / F.lit(float(bucket_width))),
+        ).cast("long").alias("bucket"),
+    )
+    counts = graded.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
+    )
+    spine = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    filled = (
+        spine.join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("n_ref"), F.lit(0)).alias("n_ref"),
+            F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = filled.agg(
+        F.sum("n_ref").cast("double").alias("tot_ref"),
+        F.sum("n_cur").cast("double").alias("tot_cur"),
+    )
+    smooth = 0.5 * n_buckets
+    pa = (F.col("n_ref").cast("double") + F.lit(0.5)) / (
+        F.col("tot_ref") + F.lit(smooth)
+    )
+    pb = (F.col("n_cur").cast("double") + F.lit(0.5)) / (
+        F.col("tot_cur") + F.lit(smooth)
+    )
+    return filled.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        pa.alias("p_ref"),
+        pb.alias("p_cur"),
+        ((pa - pb) * F.log(pa / pb)).alias("psi_term"),
+    )
+
+
+def daily_user_novelty(
+    ev: DataFrame, *, user_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """New-vs-returning users per day via a first-seen DIMENSION (one
+    grouped min per user, joined back) — the scale-safe form of the
+    "cumulative distinct" ask: both aggregations shard on the user key
+    and no running-distinct state accumulates. Emits ``(day, n_active,
+    n_new, novelty_rate)`` with the rate unrounded."""
+    day = F.date_trunc("day", F.col(ts_col))
+    first_seen = ev.groupBy(user_col).agg(F.min(day).alias("d0"))
+    graded = ev.select(day.alias("day"), user_col).join(first_seen, user_col)
+    return (
+        graded.groupBy("day")
+        .agg(
+            F.countDistinct(user_col).alias("n_active"),
+            F.countDistinct(
+                F.when(F.col("day") == F.col("d0"), F.col(user_col))
+            ).alias("n_new"),
+        )
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "n_active",
+            "n_new",
+            (
+                F.col("n_new").cast("double") / F.col("n_active").cast("double")
+            ).alias("novelty_rate"),
+        )
+    )

@@ -1703,46 +1703,17 @@ def distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduction out of the query leaves the bucket-level attribution,
     which is what you actually debug with."""
     tune_session(spark)
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    graded = ev.select(
-        (F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp")).alias("is_ref"),
-        F.least(
-            F.lit(_PSI_BUCKETS - 1),
-            F.floor(F.col("value") / F.lit(_PSI_WIDTH)),
-        ).cast("long").alias("bucket"),
+    ev = load_table(spark, sf_dir, "events")
+    out = events_ops.value_drift_psi(
+        ev, split_ts=_PSI_SPLIT, n_buckets=_PSI_BUCKETS, bucket_width=_PSI_WIDTH
     )
-    counts = graded.groupBy("bucket").agg(
-        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
-        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
-    )
-    spine = spark.range(_PSI_BUCKETS).select(F.col("id").alias("bucket"))
-    filled = (
-        spine.join(counts, "bucket", "left")
-        .select(
-            "bucket",
-            F.coalesce(F.col("n_ref"), F.lit(0)).alias("n_ref"),
-            F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    tot = filled.agg(
-        F.sum("n_ref").cast("double").alias("tot_ref"),
-        F.sum("n_cur").cast("double").alias("tot_cur"),
-    )
-    smooth = 0.5 * _PSI_BUCKETS
-    pa = (F.col("n_ref").cast("double") + F.lit(0.5)) / (
-        F.col("tot_ref") + F.lit(smooth)
-    )
-    pb = (F.col("n_cur").cast("double") + F.lit(0.5)) / (
-        F.col("tot_cur") + F.lit(smooth)
-    )
-    return filled.crossJoin(F.broadcast(tot)).select(
+    return out.select(
         "bucket",
         "n_ref",
         "n_cur",
-        round4(pa).alias("p_ref"),
-        round4(pb).alias("p_cur"),
-        round4((pa - pb) * F.log(pa / pb)).alias("psi_term"),
+        round4(F.col("p_ref")).alias("p_ref"),
+        round4(F.col("p_cur")).alias("p_cur"),
+        round4(F.col("psi_term")).alias("psi_term"),
     )
 
 
@@ -1788,20 +1759,10 @@ def daily_user_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     division under round4."""
     tune_session(spark)
     ev = load_table(spark, sf_dir, "events")
-    day = F.date_trunc("day", F.col("ts"))
-    first_seen = ev.groupBy("user_id").agg(F.min(day).alias("d0"))
-    graded = ev.select(day.alias("day"), "user_id").join(first_seen, "user_id")
-    per_day = graded.groupBy("day").agg(
-        F.countDistinct("user_id").alias("n_active"),
-        F.countDistinct(
-            F.when(F.col("day") == F.col("d0"), F.col("user_id"))
-        ).alias("n_new"),
-    )
-    return per_day.select(
-        F.col("day").cast("timestamp").alias("day"),
+    out = events_ops.daily_user_novelty(ev)
+    return out.select(
+        "day",
         "n_active",
         "n_new",
-        round4(
-            F.col("n_new").cast("double") / F.col("n_active").cast("double")
-        ).alias("novelty_rate"),
+        round4(F.col("novelty_rate")).alias("novelty_rate"),
     )

@@ -273,3 +273,30 @@ def test_bloom_membership_never_misses(spark, members, probes):
         ).collect()
     }
     assert all(got[k] for k in set(members))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_pagerank_conserves_mass_on_symmetrized_graphs(spark, edges):
+    """On any symmetrized edge set every node has out-edges, so no
+    rank leaks: the vector must sum to 1 after every iteration count,
+    and each rank stays within [teleport_floor, 1]."""
+    from lab3_lakehouse_spark.operators import graph as graph_ops
+
+    sym = sorted({(a, b) for a, b in edges} | {(b, a) for a, b in edges})
+    e = spark.createDataFrame(sym, ["src", "dst"])
+    ranks = graph_ops.pagerank(e, iterations=4)
+    rows = ranks.collect()
+    n = len(rows)
+    total = sum(r.rank for r in rows)
+    assert abs(total - 1.0) < 1e-9
+    floor = (1.0 - 0.85) / n
+    assert all(floor - 1e-12 <= r.rank <= 1.0 for r in rows)
