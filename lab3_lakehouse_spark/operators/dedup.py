@@ -342,7 +342,15 @@ def minhash_candidates_vs_bands(
     the incremental pipeline's blowup mode — so the probe path carries
     the same guard as the self-join path. Use
     :func:`hot_band_buckets` on the store for the dropped-bucket
-    report."""
+    report.
+
+    Self-pairs (``l.__id == r.__id``) are excluded: when a probe batch
+    is REPLAYED against a store that already holds its own signatures
+    (the at-least-once crash-replay case in ``streaming/ingest.py``,
+    where the store appends land before the corpus append), a document
+    must not match itself and be dropped forever. Ids are assumed
+    globally unique across probe and index — the documented contract
+    of the signature store."""
     pb = _banded(probe_hashed, num_perm, bands, seed).alias("l")
     if max_bucket is not None:
         index_bands = cap_band_buckets(index_bands, max_bucket)
@@ -353,6 +361,7 @@ def minhash_candidates_vs_bands(
             on=[
                 F.col("l.band") == F.col("r.band"),
                 F.col("l.bh") == F.col("r.bh"),
+                F.col("l.__id") != F.col("r.__id"),
             ],
         )
         .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))

@@ -219,15 +219,21 @@ def value_drift_psi(
     Cut points are constants (``bucket_width``-wide, capped at
     ``n_buckets``), so bucketing is a scan-side expression — no
     quantile pre-pass; shares are smoothed ``(n + ½)/(N + ½·B)`` to
-    keep ln finite on empty buckets. Sum of psi_term ≥ 0.2 is the
-    conventional drift alarm; the per-bucket attribution is what you
-    debug with."""
+    keep ln finite on empty buckets. Values are clamped into
+    ``[0, n_buckets-1]`` from BOTH sides — negative values land in
+    bucket 0 rather than silently vanishing from the PSI denominator
+    (the spine join would otherwise exclude bucket −1 from counts and
+    totals alike). Sum of psi_term ≥ 0.2 is the conventional drift
+    alarm; the per-bucket attribution is what you debug with."""
     spark = ev.sparkSession
     graded = ev.filter(F.col(value_col).isNotNull()).select(
         (F.col(ts_col) < F.lit(split_ts).cast("timestamp")).alias("is_ref"),
-        F.least(
-            F.lit(n_buckets - 1),
-            F.floor(F.col(value_col) / F.lit(float(bucket_width))),
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor(F.col(value_col) / F.lit(float(bucket_width))),
+            ),
         ).cast("long").alias("bucket"),
     )
     counts = graded.groupBy("bucket").agg(

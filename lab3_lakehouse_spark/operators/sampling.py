@@ -114,6 +114,13 @@ def weighted_priority(id_col: str, weight_col: Column | str, seed: int = 7) -> C
     the randomness comes from an md5 of the stable id. The priority is
     engine-portable: the hash is integer-exact on both engines and
     ``ln`` agrees to ≤1 ulp, far below any realistic rank gap.
+
+    PRECONDITION: weights must be strictly positive. ``w = 0`` yields
+    −Inf (or NaN when ``u`` is exactly 1, and NaN sorts ABOVE every
+    double under ``desc`` in Spark — such a row would win the sample);
+    ``w < 0`` flips the sign and makes the row win deterministically.
+    :func:`weighted_sample_topn` enforces the precondition by
+    filtering; callers using this column directly must do the same.
     """
     from lab3_lakehouse_spark.operators.sketches import portable_hash60
 
@@ -141,10 +148,16 @@ def weighted_sample_topn(
     rows move to the driver-side merge, so there is NO global sort and
     no single-partition shuffle at any corpus size. The priority column
     is kept (caller may drop) so audits can re-verify the draw.
+
+    Rows with non-positive (or null) weight are EXCLUDED — the A-Res
+    priority is undefined there (see :func:`weighted_priority`), and a
+    zero-weight row must have zero inclusion probability anyway.
     """
     pr = weighted_priority(id_col, weight_col, seed)
+    w = F.col(weight_col)
     return (
-        df.withColumn(priority_col, pr)
+        df.filter(w.cast("double") > 0)
+        .withColumn(priority_col, pr)
         .orderBy(F.desc(priority_col), F.col(id_col))
         .limit(n)
     )

@@ -1022,6 +1022,7 @@ def _weighted_sample_oracle() -> str:
     SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
            {sql_round4(pr)} AS priority
     FROM documents
+    WHERE CAST(n_chars AS DOUBLE) > 0
     ORDER BY {pr} DESC, doc_id
     LIMIT {_W_SAMPLE_N}
     """

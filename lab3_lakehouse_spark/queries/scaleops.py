@@ -1657,8 +1657,8 @@ def _psi_oracle() -> str:
     return f"""
     WITH ev AS (
         SELECT value, ts < TIMESTAMP '{_PSI_SPLIT}' AS is_ref,
-               CAST(least({_PSI_BUCKETS - 1},
-                          floor(value / {_PSI_WIDTH})) AS BIGINT) AS bucket
+               CAST(greatest(0, least({_PSI_BUCKETS - 1},
+                          floor(value / {_PSI_WIDTH}))) AS BIGINT) AS bucket
         FROM events WHERE value IS NOT NULL
     ),
     counts AS (

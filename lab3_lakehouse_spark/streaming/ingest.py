@@ -12,14 +12,31 @@ not the corpus (measured: SCALE_r05.json probe alpha 0.09).
 
 Delivery semantics: file sources are exactly-once on the READ side
 (the checkpoint tracks consumed files); the foreachBatch body performs
-three appends (corpus, bands, hashes) that are not atomic together, so
-a crash between them can leave a batch partially applied — on restart
-the batch REPLAYS, and the exact-fingerprint gate drops the rows that
-already landed in the corpus tier, restoring idempotence for the
-corpus itself (store re-appends are harmless duplicates for candidate
-generation: the verify step dedups pairs). This is the standard
+three appends (bands, hashes, then corpus — STORE FIRST) that are not
+atomic together, so a crash between them can leave a batch partially
+applied — on restart the batch REPLAYS. Store-first ordering is what
+makes replay converge: a crash after the store appends but before the
+corpus append leaves signatures without corpus rows, and on replay the
+fingerprint gate does NOT drop those rows (they never reached the
+corpus), the store probe skips self-matches
+(``minhash_candidates_vs_bands`` excludes ``id_a == id_b``), and the
+corpus append completes; the duplicate store re-appends are the
+harmless case (candidate generation is distinct-ed and the verify
+input is deduped per id). The REVERSE order (corpus first) would be a
+real bug: replay's fp gate would drop the rows before their signatures
+were ever written, so the store would permanently miss them and future
+near-dups of those docs would pass undetected. This is the standard
 at-least-once + idempotent-sink contract of foreachBatch — same class
 as streaming/windows.to_tier, documented rather than hidden.
+
+Intra-batch near-dups ARE deduped: alongside the store probe, each
+micro-batch runs a banded self-join over its own (post-fp-gate) rows,
+and the unified drop rule keeps the LOWEST doc_id of each candidate
+pair whose both sides are in the batch (store-side matches always drop
+the probe row). The rule is greedy on verified pairs — in a chain
+A~B~C where A~C is below threshold, B and C both drop — deterministic
+and the standard LSH-dedup resolution. Doc ids are assumed globally
+unique across arrivals (the signature-store contract).
 
 The micro-batch body is the EXACT batch-pipeline composition — one
 code path, two drivers (the reference's batch-vs-stream split kept two
@@ -110,15 +127,40 @@ def stream_ingest_with_dedup(
         fresh_hashed = _hashed(fresh).localCheckpoint(eager=False)
         stored_bands = _read_or_empty(spark, bands_path, _BANDS_SCHEMA)
         stored_hashes = _read_or_empty(spark, hashes_path, _HASHES_SCHEMA)
-        cands = dedup_ops.minhash_candidates_vs_bands(
+        store_cands = dedup_ops.minhash_candidates_vs_bands(
             fresh_hashed, stored_bands, max_bucket=max_band_bucket
         )
-        dup_ids = (
-            dedup_ops.minhash_verify_hashed(
-                cands,
-                fresh_hashed.unionByName(stored_hashes),
-                threshold=threshold,
+        # Intra-batch pass: near-dup pairs ARRIVING TOGETHER never meet
+        # the store probe (neither side is persisted yet) — band the
+        # batch against itself and symmetrize the (id_a < id_b) pairs so
+        # one drop rule below covers both candidate sources.
+        intra = dedup_ops.minhash_lsh_candidates_from_hashes(
+            fresh_hashed, max_bucket=max_band_bucket
+        )
+        cands = store_cands.unionByName(
+            intra.unionByName(
+                intra.select(
+                    F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+                )
             )
+        ).distinct()
+        # dropDuplicates: on replay the store already holds this batch's
+        # hashes, so fresh ∪ stored carries the same id twice (identical
+        # rows) — dedup before verify or pair rows multiply.
+        verified = dedup_ops.minhash_verify_hashed(
+            cands,
+            fresh_hashed.unionByName(stored_hashes).dropDuplicates(["__id"]),
+            threshold=threshold,
+        )
+        # Drop rule: a match against a genuine store doc always drops the
+        # probe row; when BOTH sides are in the batch (intra pair, or a
+        # replayed batch matching its own stored bands) keep the lowest id.
+        fresh_ids = fresh_hashed.select(F.col("__id").alias("id_b")).withColumn(
+            "__b_fresh", F.lit(True)
+        )
+        dup_ids = (
+            verified.join(fresh_ids, "id_b", "left")
+            .filter(F.col("__b_fresh").isNull() | (F.col("id_a") > F.col("id_b")))
             .select(F.col("id_a").alias("doc_id"))
             .distinct()
         )
@@ -126,14 +168,17 @@ def stream_ingest_with_dedup(
             eager=True
         )
 
-        survivors.select("doc_id", "text", "source", "fp").write.mode(
-            "append"
-        ).parquet(corpus_path)
-        surv_hashed = _hashed(survivors)
+        # STORE FIRST, corpus last — the crash-replay contract (module
+        # docstring): signatures must exist before their corpus rows, or
+        # a replay's fp gate strands corpus docs without signatures.
+        surv_hashed = _hashed(survivors).localCheckpoint(eager=False)
         dedup_ops.banded_signatures(surv_hashed).write.mode("append").parquet(
             bands_path
         )
         surv_hashed.write.mode("append").parquet(hashes_path)
+        survivors.select("doc_id", "text", "source", "fp").write.mode(
+            "append"
+        ).parquet(corpus_path)
 
     stream = (
         spark.readStream.schema(DOC_STREAM_SCHEMA)

@@ -536,6 +536,20 @@ def test_weighted_sample_topn_deterministic_and_weight_monotone(spark):
     assert len(out) == 30 and all(r.priority <= 0 for r in out)
 
 
+def test_weighted_sample_excludes_non_positive_weights(spark):
+    """ADVICE r5: w=0 gives -Inf/NaN priorities (NaN sorts ABOVE all
+    doubles under desc) and w<0 flips the sign — such rows must be
+    excluded from the draw, not sampled first."""
+    from lab3_lakehouse_spark.operators import sampling as sample_ops
+
+    rows = [(1, 0.0), (2, -5.0), (3, None), (4, 1.0), (5, 2.0), (6, 3.0)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    out = sample_ops.weighted_sample_topn(
+        df, id_col="doc_id", weight_col="w", n=10
+    ).collect()
+    assert sorted(r.doc_id for r in out) == [4, 5, 6]
+
+
 def test_weighted_sample_plan_is_take_ordered(spark):
     from lab3_lakehouse_spark.operators import sampling as sample_ops
 

@@ -778,3 +778,101 @@ def test_streaming_ingest_dedups_against_persisted_store(spark, tmpdir):
     finally:
         q2.stop()
     assert spark.read.parquet(f"{out}/corpus").count() == 4
+
+
+def test_streaming_ingest_dedups_intra_batch_near_dups(spark, tmpdir):
+    """ADVICE r5: two near-dup docs arriving IN THE SAME micro-batch
+    must not both enter the corpus — the banded self-join over the
+    batch catches pairs the store probe can't see (neither side is
+    persisted yet), and the drop rule keeps the lowest doc_id."""
+    import json as _json
+
+    from lab3_lakehouse_spark.streaming import ingest as st_ingest
+
+    src = f"{tmpdir}/arrivals"
+    out = f"{tmpdir}/ingested"
+    os.makedirs(src)
+
+    base = "spark shuffle broadcast join window aggregate scan filter " \
+           "partition codegen catalyst tungsten arrow pandas column row " \
+           "batch stream state watermark trigger sink source schema plan"
+    docs = [
+        {"doc_id": 11, "text": base + " appendix", "source": "a"},  # near-dup of 10
+        {"doc_id": 10, "text": base, "source": "a"},
+        {"doc_id": 12, "text": "entirely different tiny document", "source": "a"},
+    ]
+    with open(f"{src}/f1.json", "w") as f:
+        f.write("\n".join(_json.dumps(d) for d in docs))
+
+    q = st_ingest.stream_ingest_with_dedup(spark, src, out, threshold=0.8)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ids = {r.doc_id for r in spark.read.parquet(f"{out}/corpus").collect()}
+    # 10 and 11 are an intra-batch near-dup pair: lowest id survives
+    assert ids == {10, 12}, ids
+    # the store holds signatures for exactly the survivors
+    assert {r["__id"] for r in spark.read.parquet(f"{out}/store/hashes").collect()} \
+        == {10, 12}
+
+
+def test_streaming_ingest_replay_after_partial_store_write(spark, tmpdir):
+    """ADVICE r5 (medium): the crash-replay contract. Simulate a crash
+    AFTER the store appends but BEFORE the corpus append (the exact
+    window the store-first ordering creates), then replay the batch:
+    the fp gate must not drop the doc (it never reached the corpus),
+    the store probe must not match the doc to its own stored
+    signatures, and the corpus append must complete — while the
+    stranded signatures still dedup FUTURE near-dups."""
+    import json as _json
+
+    from lab3_lakehouse_spark.operators import dedup as dedup_ops
+    from lab3_lakehouse_spark.streaming import ingest as st_ingest
+
+    src = f"{tmpdir}/arrivals"
+    out = f"{tmpdir}/ingested"
+    os.makedirs(src)
+
+    base = "spark shuffle broadcast join window aggregate scan filter " \
+           "partition codegen catalyst tungsten arrow pandas column row " \
+           "batch stream state watermark trigger sink source schema plan"
+
+    # Stage the partial state by hand: signatures for doc 1 in the
+    # store, corpus absent — exactly what a crash between the store
+    # writes and the corpus write leaves behind.
+    staged = spark.createDataFrame(
+        [(1, base)], ["doc_id", "text"]
+    ).select(
+        F.col("doc_id").alias("__id"),
+        dedup_ops.shingle_hashes("text", 3).alias("__h"),
+    )
+    dedup_ops.banded_signatures(staged).write.parquet(f"{out}/store/bands")
+    staged.write.parquet(f"{out}/store/hashes")
+
+    # The replayed arrival file: doc 1 again, plus a near-dup (2) and a
+    # novel doc (3).
+    docs = [
+        {"doc_id": 1, "text": base, "source": "a"},
+        {"doc_id": 2, "text": base + " appendix", "source": "a"},
+        {"doc_id": 3, "text": "entirely different tiny document", "source": "a"},
+    ]
+    with open(f"{src}/f1.json", "w") as f:
+        f.write("\n".join(_json.dumps(d) for d in docs))
+
+    q = st_ingest.stream_ingest_with_dedup(spark, src, out, threshold=0.8)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    corpus = spark.read.parquet(f"{out}/corpus")
+    ids = {r.doc_id for r in corpus.collect()}
+    # doc 1 recovered into the corpus (NOT self-matched out of it);
+    # doc 2 deduped against the stranded signatures; doc 3 novel
+    assert ids == {1, 3}, ids
+    assert corpus.filter(F.col("doc_id") == 1).count() == 1
+    # store re-append for doc 1 is the harmless duplicate case
+    hashes = spark.read.parquet(f"{out}/store/hashes")
+    assert {r["__id"] for r in hashes.collect()} == {1, 3}

@@ -604,3 +604,23 @@ def test_psi_detects_planted_drift(spark, tmp_path):
     ).write.parquet(str(tmp_path / "events.parquet"))
     flat = QUERIES["distribution_drift_psi"](spark, str(tmp_path))
     assert abs(flat.agg(F.sum("psi_term")).first()[0]) < 0.01
+
+
+def test_psi_clamps_negative_values_into_bucket_zero(spark):
+    """ADVICE r5: negative values must land in bucket 0, not silently
+    vanish from the PSI denominator (floor(v/width) < 0 used to be
+    excluded by the spine join from counts AND totals)."""
+    import datetime as _dt
+
+    from lab3_lakehouse_spark.operators import events as events_ops
+
+    ref_day = _dt.datetime(2024, 1, 10)
+    cur_day = _dt.datetime(2024, 1, 20)
+    rows = [(ref_day, -25.0)] * 10 + [(ref_day, 75.0)] * 10
+    rows += [(cur_day, -25.0)] * 10 + [(cur_day, 75.0)] * 10
+    ev = spark.createDataFrame(rows, ["ts", "value"])
+    out = events_ops.value_drift_psi(ev, split_ts="2024-01-16").collect()
+    by = {r.bucket: r for r in out}
+    # the 10 negative rows per period are IN bucket 0 and in the totals
+    assert by[0].n_ref == 10 and by[0].n_cur == 10
+    assert sum(r.n_ref for r in out) == 20 and sum(r.n_cur for r in out) == 20
