@@ -28,113 +28,39 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Queries whose verdict would CHANGE this round come first (the driver
-# checks the first 50 registry entries per round). Round-5 rotation
-# (the r4 verdict's item #1, exactly): slots 1–12 are the queries NEW
-# this round (no driver verdict exists at all); slots 13–38 are the
-# queries whose code or shared helpers changed in r4/r5 AFTER their
-# last driver check — the 25 r4-new scaleops queries (several
-# additionally edited in r5: pareto/RFM scale shapes, preflight,
-# kmeans contract, time-decay clamp, the hash60 null fix feeding
-# CMS/Bloom) plus minhash_lsh_near_dups (its candidate generator was
-# refactored in r5); slots 39–50 are 12 of the 13 queries whose
-# oracles migrated to regexp_split_to_array in r4 after their r3 check
-# (the 13th, embedding_quantization_report, plus the whole r3-green
-# tail sit just below the boundary — rotate them early in round 6).
-# All 50 pre-verified green through the exact driver gate
-# (check_query at sf0.01) before the round closed.
+# checks the first 50 registry entries per round). Round-6 rotation
+# (executes the written r5 plan): slots 1–4 are the queries NEW this
+# round (graph communities/triangles, bigram LM, PMI collocations —
+# no driver verdict exists); 5–7 the r6-EDITED queries (the ADVICE
+# fixes: PSI negative-bucket clamp touched distribution_drift_psi,
+# the non-positive-weight guard touched weighted_doc_sample, and the
+# store-probe self-pair exclusion touched the bipartite candidate
+# generator feeding incremental_near_dup_new_docs); 8 is
+# embedding_quantization_report (its r4 judge verdict is the oldest
+# standing signal in the registry); 9–24 the 16 r5-new sqlsuite/
+# containment/snapshot queries (pre-verified at sf0.01 in r5, no
+# driver verdict yet); 25–35 the oldest r3-green tail by risk; 36–50
+# fifteen of the 26-entry r3-green remainder. All 50 pre-verified
+# green through the exact driver gate (check_query at sf0.01) before
+# commit.
 #
-# ROUND-6 ROTATION PLAN (for the next builder): lead with (1) any
-# query whose code/shared helpers round 6 edits after its last check,
-# (2) the remaining r3-green tail below the boundary (their verdicts
-# will be three rounds old), (3) the r4-green block (two rounds old).
+# ROUND-7 ROTATION PLAN (for the next builder): lead with (1) any
+# query round 7 edits after its last check, (2) the 11 remaining
+# r3-green-remainder entries directly below the boundary (their
+# verdicts will be FOUR rounds old), (3) the r4-green block (three
+# rounds old), then the r5/r6-green blocks.
 # tests/test_engine.py::test_priority_rotation_names_all_registered
 # guards against typos silently shrinking the window.
 _PRIORITY = [
-    # -- NEW this round (no driver verdict at all): the late round-5
-    # additions — TPC-H Q6/Q12 closing the 22-shape sweep, the
-    # tokenizer/mixing/graph/corpus-statistics operators. Each
-    # pre-verified through the exact driver gate (check_query at
-    # sf0.01) before commit.
-    "sql_forecast_revenue",
-    "sql_shipmode_priority",
-    "bpe_pair_frequencies",
-    "weighted_doc_sample",
-    "domain_mix_weights",
-    "part_copurchase_pagerank",
-    "unigram_surprisal_scores",
-    "zipf_fit_tokens",
-    "kmv_audience_overlap",
-    "incremental_join_maintenance",
+    # -- round-6 window (slots 1-50) --
+    "part_copurchase_communities",
+    "part_copurchase_triangles",
+    "bigram_surprisal_scores",
+    "token_pmi_collocations",
     "distribution_drift_psi",
-    "daily_user_novelty_rate",
-    # -- r5-edited shared helper: dedup candidate generator refactor
-    "minhash_lsh_near_dups",
-    # -- the 25 r4-new queries (no driver verdict yet); r5-edited
-    # members: revenue_pareto_curve, customer_rfm_segments,
-    # join_cardinality_preflight, kmeans_cluster_contract,
-    # time_decay_user_value, cms_heavy_tokens_contract,
-    # bloom_filter_semi_join
-    "cms_heavy_tokens_contract",
-    "bloom_filter_semi_join",
-    "rare_token_doc_quality",
-    "funnel_stage_conversion",
-    "time_decay_user_value",
-    "events_gap_filled_daily",
-    "mad_outlier_report",
-    "user_retention_cohorts",
-    "per_source_document_quota",
-    "ann_filtered_topk",
-    "kmeans_cluster_contract",
-    "shared_span_dup_report",
-    "referential_integrity_audit",
-    "event_transition_matrix",
-    "throttled_event_stream",
-    "join_key_skew_report",
-    "seasonal_residual_anomalies",
-    "join_cardinality_preflight",
+    "weighted_doc_sample",
     "incremental_near_dup_new_docs",
-    "unicode_nfc_report",
-    "segment_top_spenders_with_ties",
-    "revenue_pareto_curve",
-    "customer_rfm_segments",
-    "packing_utilization_report",
-    "dow_hour_activity_matrix",
-    # -- the 13 whose oracles changed in the r4 string_split →
-    # regexp_split_to_array migration (r3 verdicts stale since)
-    "dedup_fingerprint_groups",
-    "word_jaccard_near_dups",
-    "dup_groups_connected",
-    "decontamination_ngram_overlap",
-    "tfidf_top_terms",
-    "text_quality_features",
-    "lang_id_predictions",
-    "token_counts",
-    "chunk_documents_sliding",
-    "hll_mergeable_daily_users",
-    "lineitem_stat_moments",
-    "event_value_trends",
-    # ---- 50-slot window boundary (the 12 new round-5 queries above
-    # displaced 12 entries below this line; embedding_quantization_
-    # report was judge-re-verified green at sf0.01 in r4 and its code
-    # is untouched since; the r3-green tail likewise stands) ----
     "embedding_quantization_report",
-    # -- oldest-verdict tail (r3-green, code untouched r4+r5), by risk
-    "gopher_repetition_rules",
-    "heavy_hitter_tokens",
-    "approx_top_tokens_contract",
-    "semantic_dedup_flags",
-    "sql_returned_item_report",
-    "profile_orders_columns",
-    "fuzzy_part_name_matches",
-    "impute_event_values",
-    "interval_overlap_view_purchase",
-    "equi_depth_price_buckets",
-    "order_price_histogram",
-    # -- NEW in round 5 (queries/sqlsuite.py Q7-Q21 shapes,
-    # global ranking, containment dedup, snapshot diff): no driver
-    # verdict yet; each pre-verified vs its oracle at sf0.01 this
-    # round. Schedule these FIRST in round 6 (alongside any
-    # r6-edited queries):
     "sql_volume_shipping",
     "sql_national_market_share",
     "sql_nation_profit",
@@ -151,8 +77,17 @@ _PRIORITY = [
     "sql_important_parts",
     "sql_part_supplier_counts",
     "sql_cheapest_supplier_per_part",
-    # -- r3-green remainder (verdicts three rounds old by round 6 —
-    # rotate these FIRST next round):
+    "gopher_repetition_rules",
+    "heavy_hitter_tokens",
+    "approx_top_tokens_contract",
+    "semantic_dedup_flags",
+    "sql_returned_item_report",
+    "profile_orders_columns",
+    "fuzzy_part_name_matches",
+    "impute_event_values",
+    "interval_overlap_view_purchase",
+    "equi_depth_price_buckets",
+    "order_price_histogram",
     "set_intersect_orders",
     "set_except_orders",
     "distinct_user_event_types",
@@ -168,6 +103,7 @@ _PRIORITY = [
     "dedup_exact_keep_first",
     "embedding_cosine_pairs",
     "ann_topk_bruteforce",
+    # ---- 50-slot window boundary (round-7 plan in header) ----
     "binary_media_metadata",
     "streaming_stateful_user_totals",
     "approx_percentiles_contract",
@@ -179,7 +115,6 @@ _PRIORITY = [
     "embedding_label_centroids",
     "sql_balance_prospects",
     "union_evolved_event_slices",
-    # -- green in CORRECTNESS_r04 at HEAD (one round old):
     "window_trailing_1h_sum",
     "simhash_near_dups",
     "doc_fingerprint_matches",
@@ -229,6 +164,53 @@ _PRIORITY = [
     "window_rank_parts_by_price",
     "global_top_orders",
     "set_union_orders",
+    "sql_forecast_revenue",
+    "sql_shipmode_priority",
+    "bpe_pair_frequencies",
+    "domain_mix_weights",
+    "part_copurchase_pagerank",
+    "unigram_surprisal_scores",
+    "zipf_fit_tokens",
+    "kmv_audience_overlap",
+    "incremental_join_maintenance",
+    "daily_user_novelty_rate",
+    "minhash_lsh_near_dups",
+    "cms_heavy_tokens_contract",
+    "bloom_filter_semi_join",
+    "rare_token_doc_quality",
+    "funnel_stage_conversion",
+    "time_decay_user_value",
+    "events_gap_filled_daily",
+    "mad_outlier_report",
+    "user_retention_cohorts",
+    "per_source_document_quota",
+    "ann_filtered_topk",
+    "kmeans_cluster_contract",
+    "shared_span_dup_report",
+    "referential_integrity_audit",
+    "event_transition_matrix",
+    "throttled_event_stream",
+    "join_key_skew_report",
+    "seasonal_residual_anomalies",
+    "join_cardinality_preflight",
+    "unicode_nfc_report",
+    "segment_top_spenders_with_ties",
+    "revenue_pareto_curve",
+    "customer_rfm_segments",
+    "packing_utilization_report",
+    "dow_hour_activity_matrix",
+    "dedup_fingerprint_groups",
+    "word_jaccard_near_dups",
+    "dup_groups_connected",
+    "decontamination_ngram_overlap",
+    "tfidf_top_terms",
+    "text_quality_features",
+    "lang_id_predictions",
+    "token_counts",
+    "chunk_documents_sliding",
+    "hll_mergeable_daily_users",
+    "lineitem_stat_moments",
+    "event_value_trends",
 ]
 
 

@@ -93,6 +93,166 @@ def pagerank(
     return ranks
 
 
+def label_propagation(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over a
+    SYMMETRIC edge list — the cheap community-detection pass: every
+    node starts labeled with its own id, and each round adopts the most
+    frequent label among its neighbors, ties broken by smallest label.
+    Fully deterministic (unlike the async/random-order original), so
+    the result is reproducible cross-engine and cross-partitioning —
+    the property a differential oracle needs.
+
+    Returns ``(node, label)`` for every node with at least one edge.
+
+    Scale: per round, ONE shuffle to count neighbor labels keyed on
+    (node, label) and one node-partitioned window to take the argmax —
+    no global sort, no driver participation; lineage is cut per round
+    with ``localCheckpoint`` (the CC/PageRank discipline). The label
+    frame is O(nodes) while the join is edge-sized, so Catalyst/AQE
+    broadcast the labels when they fit and shuffle-join past that.
+    """
+    from pyspark.sql import Window
+
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    pick = Window.partitionBy("node").orderBy(
+        F.desc("n_votes"), F.asc("label")
+    )
+    for _ in range(iterations):
+        votes = (
+            e.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("n_votes"))
+        )
+        labels = (
+            votes.withColumn("__rk", F.row_number().over(pick))
+            .filter(F.col("__rk") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def triangle_stats(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact per-node triangle counts + local clustering coefficient
+    via the degree-oriented ("forward") algorithm — the shape that
+    survives skew: every undirected edge is oriented from its
+    lower-``(degree, id)`` endpoint to the higher one, so wedge
+    enumeration fans out on OUT-degree, which orientation caps at
+    O(√m) even for hub nodes (a hub's edges all point INTO it). The
+    naive adjacency self-join is quadratic in hub degree — the
+    difference between this plan and one that dies on a 100 TB
+    power-law graph.
+
+    Accepts a directed/symmetrized or already-ordered edge list;
+    self-loops dropped, edges deduped to one undirected row. Returns
+    ``(node, degree, n_triangles, clustering_coeff)`` for every node,
+    where ``clustering_coeff = 2·T / (deg·(deg−1))`` (0.0 for
+    degree < 2).
+
+    Three shuffles total: the degree count, the wedge self-join keyed
+    on the apex, and the closing-edge join — each keyed, none global.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("__da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("__db"))
+    a_first = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("s"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("t"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # annotate each oriented edge with its head's degree: wedge pairs
+    # are ordered by the same (deg, id) total order the orientation
+    # uses, so each triangle {x<y<z} is enumerated exactly once as the
+    # wedge (y, z) at apex x closed by the oriented edge y→z.
+    ot = oriented.join(
+        deg.select(F.col("node").alias("t"), F.col("deg").alias("__td")), "t"
+    )
+    w1 = ot.select(
+        F.col("s"), F.col("t").alias("u"), F.col("__td").alias("__ud")
+    ).alias("w1")
+    w2 = ot.select(
+        F.col("s"), F.col("t").alias("w"), F.col("__td").alias("__wd")
+    ).alias("w2")
+    wedges = w1.join(
+        w2,
+        on=[
+            F.col("w1.s") == F.col("w2.s"),
+            (F.col("w1.__ud") < F.col("w2.__wd"))
+            | (
+                (F.col("w1.__ud") == F.col("w2.__wd"))
+                & (F.col("w1.u") < F.col("w2.w"))
+            ),
+        ],
+    ).select(F.col("w1.s").alias("x"), F.col("w1.u").alias("y"), F.col("w2.w").alias("z"))
+    closing = oriented.select(
+        F.col("s").alias("y"), F.col("t").alias("z")
+    )
+    tri = wedges.join(closing, ["y", "z"])
+    tri_counts = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    d = F.col("deg").cast("double")
+    return (
+        deg.join(tri_counts, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                F.lit(2.0)
+                * F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double")
+                / (d * (d - F.lit(1.0))),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+    )
+
+
 def cooccurrence_edges(
     df: DataFrame, *, group_col: str, item_col: str
 ) -> DataFrame:

@@ -404,14 +404,18 @@ def nfc_normalize(col: Column | str) -> Column:
     return _nfc(F.col(col) if isinstance(col, str) else col)
 
 
-def adjacent_token_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
+def adjacent_token_pairs(
+    df: DataFrame, text_col: str = "text", keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Explode each document into its adjacent whitespace-token pairs —
     the count unit of one BPE merge round (Sennrich et al. 2016: the
     next merge is the most frequent adjacent pair; at corpus scale the
     pair-counting pass IS the expensive step of tokenizer training).
 
-    Emits columns ``tok_a``/``tok_b``, one row per adjacent pair. The
-    pair list is built array-side (transform over an index sequence —
+    Emits columns ``tok_a``/``tok_b`` (plus any ``keep`` columns — pass
+    the doc id for per-document consumers like the bigram-surprisal
+    scorer), one row per adjacent pair. The pair list is built
+    array-side (transform over an index sequence —
     whole-stage-codegen'd, no Python) and documents shorter than two
     tokens contribute nothing. Scale: pair explosion is partition-local
     (no shuffle); only the downstream count aggregates shuffle, keyed
@@ -419,15 +423,16 @@ def adjacent_token_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     toks = whitespace_tokens(text_col)
     return (
-        df.select(toks.alias("__t"))
+        df.select(*keep, toks.alias("__t"))
         .filter(F.size("__t") >= 2)
         .select(
+            *keep,
             F.explode(
                 F.expr(
                     "transform(sequence(1, size(__t) - 1),"
                     " i -> struct(__t[i-1] AS tok_a, __t[i] AS tok_b))"
                 )
-            ).alias("__p")
+            ).alias("__p"),
         )
-        .select("__p.tok_a", "__p.tok_b")
+        .select(*keep, "__p.tok_a", "__p.tok_b")
     )

@@ -1240,3 +1240,168 @@ def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(slope).alias("zipf_slope"),
         round4((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
     )
+
+
+# --------------------------------------- bigram LM & collocations ----
+
+def _bigram_surprisal_oracle() -> str:
+    from lab3_lakehouse_spark.queries._util import sql_round4
+
+    half = "CAST(0.5 AS DOUBLE)"
+    p = f"(bg.c_ab + {half}) / (ctx.c_a + {half} * v.vv)"
+    return rf"""
+    WITH pairs AS (
+        SELECT doc_id, z[1] AS tok_a, z[2] AS tok_b
+        FROM (
+            SELECT doc_id, unnest(list_zip(t[:len(t)-1], t[2:])) AS z
+            FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+                  FROM documents) q0
+        ) q
+    ),
+    bg AS (SELECT tok_a, tok_b, CAST(count(*) AS DOUBLE) AS c_ab
+           FROM pairs GROUP BY tok_a, tok_b),
+    ctx AS (SELECT tok_a, CAST(count(*) AS DOUBLE) AS c_a
+            FROM pairs GROUP BY tok_a),
+    v AS (SELECT CAST(count(DISTINCT tok_b) AS DOUBLE) AS vv FROM pairs)
+    SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+           {sql_round4(f'avg(-ln({p}) / {_LN2})')}
+               AS mean_bigram_surprisal_bits
+    FROM pairs p
+    JOIN bg ON bg.tok_a = p.tok_a AND bg.tok_b = p.tok_b
+    JOIN ctx ON ctx.tok_a = p.tok_a
+    CROSS JOIN v
+    GROUP BY p.doc_id
+    """
+
+
+@query("bigram_surprisal_scores", oracle=_bigram_surprisal_oracle())
+def bigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional LM quality proxy: per-document mean bigram surprisal
+    −log₂ P(wᵢ | wᵢ₋₁) under the corpus's own add-½-smoothed bigram
+    model — one rung up the n-gram ladder from unigram_surprisal_scores
+    (a doc of individually common but incoherently SEQUENCED tokens —
+    shuffled spam — scores high here while the unigram scorer passes
+    it; this is the cheap stand-in for KenLM-style perplexity
+    filtering, the standard corpus-quality gate). Smoothing uses the
+    right-context vocabulary size V: P = (c(ab)+½)/(c(a·)+½V), finite
+    on unseen contexts by construction.
+
+    Scale: pair explosion is partition-local
+    (operators/text.adjacent_token_pairs); then two pair/context-keyed
+    count shuffles, a pair-keyed join back, and one doc-keyed mean —
+    every shuffle keyed, nothing global. V and ln(2) ride along as
+    broadcast/pinned literals (ln(2) is a shared double literal — both
+    engines' ln(x) agree to ≤1 ulp but their own ln(2.0) need not)."""
+    from lab3_lakehouse_spark.queries._util import round4
+
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    pairs = text_ops.adjacent_token_pairs(docs, "text", keep=("doc_id",))
+    bg = pairs.groupBy("tok_a", "tok_b").agg(
+        F.count(F.lit(1)).cast("double").alias("c_ab")
+    )
+    ctx = pairs.groupBy("tok_a").agg(
+        F.count(F.lit(1)).cast("double").alias("c_a")
+    )
+    v = pairs.agg(F.countDistinct("tok_b").cast("double").alias("vv"))
+    ln2 = float(_LN2)
+    p = (F.col("c_ab") + F.lit(0.5)) / (F.col("c_a") + F.lit(0.5) * F.col("vv"))
+    return (
+        pairs.join(bg, ["tok_a", "tok_b"])
+        .join(ctx, "tok_a")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            round4(F.avg(-F.log(p) / F.lit(ln2))).alias(
+                "mean_bigram_surprisal_bits"
+            ),
+        )
+    )
+
+
+_PMI_MIN_COUNT, _PMI_TOPK = 5, 20
+
+
+def _pmi_oracle() -> str:
+    from lab3_lakehouse_spark.queries._util import sql_round4
+
+    ratio = "(bg.c_ab * n.np) / (la.c_a * rb.c_b)"
+    return rf"""
+    WITH pairs AS (
+        SELECT z[1] AS tok_a, z[2] AS tok_b
+        FROM (
+            SELECT unnest(list_zip(t[:len(t)-1], t[2:])) AS z
+            FROM (SELECT regexp_split_to_array(text, '\s+') AS t
+                  FROM documents) q0
+        ) q
+    ),
+    bg AS (SELECT tok_a, tok_b, CAST(count(*) AS DOUBLE) AS c_ab
+           FROM pairs GROUP BY tok_a, tok_b),
+    la AS (SELECT tok_a, CAST(count(*) AS DOUBLE) AS c_a
+           FROM pairs GROUP BY tok_a),
+    rb AS (SELECT tok_b, CAST(count(*) AS DOUBLE) AS c_b
+           FROM pairs GROUP BY tok_b),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS np FROM pairs)
+    SELECT bg.tok_a, bg.tok_b, CAST(bg.c_ab AS BIGINT) AS pair_count,
+           {sql_round4(f'ln({ratio})')} AS pmi
+    FROM bg
+    JOIN la ON la.tok_a = bg.tok_a
+    JOIN rb ON rb.tok_b = bg.tok_b
+    CROSS JOIN n
+    WHERE bg.c_ab >= {_PMI_MIN_COUNT}
+    ORDER BY {ratio} DESC, bg.tok_a, bg.tok_b
+    LIMIT {_PMI_TOPK}
+    """
+
+
+@query("token_pmi_collocations", oracle=_pmi_oracle())
+def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top adjacent token pairs by pointwise mutual
+    information, PMI = ln(p(ab) / (p(a)·p(b))) over the corpus bigram
+    distribution, with a min-count floor (c(ab) ≥ 5) screening the
+    unstable low-frequency tail — the classic phrase-detection /
+    multiword-expression pass (Church & Hanks 1990) a tokenizer or
+    n-gram-feature pipeline runs corpus-wide.
+
+    Cross-engine determinism at the top-k cut: rows are ORDERED by the
+    exact ratio (c_ab·N)/(c_a·c_b) — integer products ≤ 2⁵³ divided
+    once, bit-identical IEEE on both engines — rather than by ln(ratio),
+    whose ≤1-ulp libm divergence could flip near-ties at the boundary;
+    ln being monotone, the order is the same, and ln is applied only to
+    the emitted (rounded) column. Scale: partition-local pair
+    explosion, three keyed count shuffles, joins back on the pair, and
+    a TakeOrdered top-20 — no global sort."""
+    from lab3_lakehouse_spark.queries._util import round4
+
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    pairs = text_ops.adjacent_token_pairs(docs, "text")
+    bg = pairs.groupBy("tok_a", "tok_b").agg(
+        F.count(F.lit(1)).cast("double").alias("c_ab")
+    )
+    la = pairs.groupBy("tok_a").agg(
+        F.count(F.lit(1)).cast("double").alias("c_a")
+    )
+    rb = pairs.groupBy("tok_b").agg(
+        F.count(F.lit(1)).cast("double").alias("c_b")
+    )
+    n = pairs.agg(F.count(F.lit(1)).cast("double").alias("np"))
+    ratio = (F.col("c_ab") * F.col("np")) / (F.col("c_a") * F.col("c_b"))
+    return (
+        bg.filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+        .join(la, "tok_a")
+        .join(rb, "tok_b")
+        .crossJoin(F.broadcast(n))
+        .withColumn("__ratio", ratio)
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("c_ab").cast("long").alias("pair_count"),
+            round4(F.log("__ratio")).alias("pmi"),
+            "__ratio",
+        )
+        .orderBy(F.desc("__ratio"), "tok_a", "tok_b")
+        .limit(_PMI_TOPK)
+        .drop("__ratio")
+    )

@@ -1412,6 +1412,153 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lpa_oracle() -> str:
+    rounds = ",\n".join(
+        f"""
+    v{i} AS (
+        SELECT e.src AS node, l.label, count(*) AS n
+        FROM edges e JOIN l{i - 1} l ON l.node = e.dst
+        GROUP BY e.src, l.label
+    ),
+    l{i} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY n DESC, label) AS rk
+            FROM v{i}
+        ) q WHERE rk = 1
+    )"""
+        for i in (1, 2)
+    )
+    return f"""
+    WITH edges AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey <> b.l_partkey
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+    {rounds}
+    SELECT CAST(node AS BIGINT) AS part_key,
+           CAST(label AS BIGINT) AS community
+    FROM l2
+    """
+
+
+@query("part_copurchase_communities", oracle=_lpa_oracle())
+def part_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection with a FULL differential oracle: 2-round
+    synchronous label propagation (Raghavan et al. 2007) over the part
+    co-purchase graph, deterministic by construction (majority neighbor
+    label, ties to the smallest) — the oracle unrolls both rounds into
+    SQL CTEs and every node's final label must hash-match, the same
+    proof pattern as the PageRank query.
+
+    Scale (operators/graph.py label_propagation): per round one
+    (node, label)-keyed count shuffle + one node-partitioned window —
+    no global sort, no driver loop participation, lineage cut per round
+    with localCheckpoint. LPA is the linear-cost community pass you can
+    actually run on a 100 TB edge list — modularity methods (Louvain)
+    need mutable global state that doesn't shard."""
+    from lab3_lakehouse_spark.operators import graph as graph_ops
+
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = graph_ops.cooccurrence_edges(
+        li, group_col="l_orderkey", item_col="l_partkey"
+    )
+    out = graph_ops.label_propagation(edges, iterations=2)
+    return out.select(
+        F.col("node").cast("long").alias("part_key"),
+        F.col("label").cast("long").alias("community"),
+    )
+
+
+def _triangle_oracle() -> str:
+    coeff = (
+        "2.0 * CAST(coalesce(c.nt, 0) AS DOUBLE)"
+        " / (CAST(d.deg AS DOUBLE) * (CAST(d.deg AS DOUBLE) - 1.0))"
+    )
+    return f"""
+    WITH e AS (
+        SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+                        greatest(a.l_partkey, b.l_partkey) AS b
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (
+        SELECT node, count(*) AS deg FROM (
+            SELECT a AS node FROM e UNION ALL SELECT b FROM e
+        ) q GROUP BY node
+    ),
+    o AS (
+        SELECT CASE WHEN (da.deg < db.deg)
+                      OR (da.deg = db.deg AND e.a < e.b)
+                    THEN e.a ELSE e.b END AS s,
+               CASE WHEN (da.deg < db.deg)
+                      OR (da.deg = db.deg AND e.a < e.b)
+                    THEN e.b ELSE e.a END AS t
+        FROM e
+        JOIN deg da ON da.node = e.a
+        JOIN deg db ON db.node = e.b
+    ),
+    ot AS (SELECT o.s, o.t, d.deg AS td FROM o JOIN deg d ON d.node = o.t),
+    tri AS (
+        SELECT w1.s AS x, w1.t AS y, w2.t AS z
+        FROM ot w1
+        JOIN ot w2 ON w1.s = w2.s
+                  AND ((w1.td < w2.td) OR (w1.td = w2.td AND w1.t < w2.t))
+        JOIN o c ON c.s = w1.t AND c.t = w2.t
+    ),
+    cnt AS (
+        SELECT node, count(*) AS nt FROM (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        ) q GROUP BY node
+    )
+    SELECT CAST(d.node AS BIGINT) AS part_key,
+           CAST(d.deg AS BIGINT) AS degree,
+           CAST(coalesce(c.nt, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.deg >= 2 THEN {sql_round4(coeff)} ELSE 0.0 END
+               AS clustering_coeff
+    FROM deg d LEFT JOIN cnt c ON c.node = d.node
+    """
+
+
+@query("part_copurchase_triangles", oracle=_triangle_oracle())
+def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting + local clustering coefficient per part
+    over the co-purchase graph, degree-oriented ("forward" algorithm —
+    Schank & Wagner 2005): every undirected edge points from its
+    lower-(degree, id) endpoint to the higher one, wedges enumerate on
+    OUT-degree (which orientation caps at O(√m) even for hubs — a
+    hub's edges all point INTO it), and each triangle is produced
+    exactly once. The naive neighborhood self-join is quadratic in hub
+    degree; on a power-law 100 TB graph that is the difference between
+    a bounded wedge join and an exploding one. The oracle mirrors the
+    orientation, wedge and closing joins CTE-for-CTE — every node's
+    triangle count and coefficient hash-checked.
+
+    Three keyed shuffles (degree count, apex wedge join, closing-edge
+    join); output is O(nodes)."""
+    from lab3_lakehouse_spark.operators import graph as graph_ops
+
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = graph_ops.cooccurrence_edges(
+        li, group_col="l_orderkey", item_col="l_partkey"
+    )
+    out = graph_ops.triangle_stats(edges)
+    return out.select(
+        F.col("node").cast("long").alias("part_key"),
+        F.col("deg").cast("long").alias("degree"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        round4(F.col("clustering_coeff")).alias("clustering_coeff"),
+    )
+
+
 # ----------------------------------------------------- KMV set sketches ----
 
 _KMV_K, _KMV_SEED = 64, 11

@@ -626,3 +626,45 @@ def test_ivf_index_persists_and_reloads_identically(spark, clustered_vectors, tm
         ).collect()
     )
     assert reloaded == direct and len(direct) > 0
+
+
+def test_bigram_surprisal_flags_shuffled_sequences(spark, tmp_path):
+    """The conditional scorer's reason to exist: docs whose tokens are
+    individually common but incoherently SEQUENCED must out-score docs
+    made of the corpus's dominant bigrams — the case the unigram scorer
+    cannot see."""
+    from lab3_lakehouse_spark.queries import QUERIES
+
+    coherent = "the cat sat on the mat"
+    rows = [(i, coherent, "en", "s", len(coherent)) for i in range(1, 9)]
+    # doc 9: same unigrams as the corpus staple, novel adjacencies
+    rows.append((9, "mat the on sat cat the", "en", "s", 22))
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r.mean_bigram_surprisal_bits
+        for r in QUERIES["bigram_surprisal_scores"](spark, str(tmp_path)).collect()
+    }
+    assert out[9] > out[1] + 1.0, out
+
+
+def test_pmi_surfaces_planted_collocation(spark, tmp_path):
+    """A pair that ALWAYS co-occurs ('hong kong') must out-rank a pair
+    of independently frequent tokens."""
+    from lab3_lakehouse_spark.queries import QUERIES
+
+    filler = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, f"{filler} hong kong", "en", "s", 50) for i in range(1, 9)]
+    # 'alpha' and 'beta' are frequent but also appear apart:
+    rows += [(10 + i, "beta alpha " + filler.split()[i % 8], "en", "s", 20)
+             for i in range(8)]
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = QUERIES["token_pmi_collocations"](spark, str(tmp_path)).collect()
+    by_pair = {(r.tok_a, r.tok_b): r.pmi for r in out}
+    assert ("hong", "kong") in by_pair
+    assert by_pair[("hong", "kong")] >= max(
+        v for k, v in by_pair.items() if k != ("hong", "kong")
+    )

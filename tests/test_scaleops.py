@@ -624,3 +624,52 @@ def test_psi_clamps_negative_values_into_bucket_zero(spark):
     # the 10 negative rows per period are IN bucket 0 and in the totals
     assert by[0].n_ref == 10 and by[0].n_cur == 10
     assert sum(r.n_ref for r in out) == 20 and sum(r.n_cur for r in out) == 20
+
+
+def test_label_propagation_two_planted_cliques(spark):
+    """Two 4-cliques joined by a single bridge edge: 2-round LPA must
+    label each clique with its own minimum id, and the bridge must not
+    merge them (one vote never beats three)."""
+    from lab3_lakehouse_spark.operators import graph as graph_ops
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a != b]
+
+    edges = clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10), (10, 4)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r.node: r.label for r in graph_ops.label_propagation(e, iterations=2).collect()}
+    assert {out[i] for i in (1, 2, 3, 4)} == {1}
+    assert {out[i] for i in (10, 11, 12, 13)} == {10}
+
+
+def test_triangle_stats_planted_graph(spark):
+    """K4 plus a pendant: each K4 node sits on C(3,2)=3 triangles, the
+    pendant on none; clustering coefficient is exact."""
+    from lab3_lakehouse_spark.operators import graph as graph_ops
+
+    k4 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    edges = k4 + [(4, 5)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r.node: r for r in graph_ops.triangle_stats(e).collect()}
+    for n in (1, 2, 3):
+        assert out[n].n_triangles == 3 and out[n].deg == 3
+        assert abs(out[n].clustering_coeff - 1.0) < 1e-12
+    assert out[4].deg == 4 and out[4].n_triangles == 3
+    assert abs(out[4].clustering_coeff - 0.5) < 1e-12  # 2*3/(4*3)
+    assert out[5].n_triangles == 0 and out[5].clustering_coeff == 0.0
+    # total triangle count: K4 has exactly 4 triangles
+    assert sum(r.n_triangles for r in out.values()) == 3 * 4
+
+
+def test_triangle_stats_orientation_is_acyclic_and_symmetric_input_ok(spark):
+    """Symmetrized input (both directions) must not double-count, and a
+    triangle with a degree tie still counts exactly once."""
+    from pyspark.sql import functions as F
+
+    from lab3_lakehouse_spark.operators import graph as graph_ops
+
+    tri = [(1, 2), (2, 3), (1, 3)]
+    both = tri + [(b, a) for a, b in tri]
+    e = spark.createDataFrame(both, ["src", "dst"])
+    out = graph_ops.triangle_stats(e).collect()
+    assert all(r.n_triangles == 1 for r in out)
