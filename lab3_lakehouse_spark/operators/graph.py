@@ -111,14 +111,15 @@ def label_propagation(
     Returns ``(node, label)`` for every node with at least one edge.
 
     Scale: per round, ONE shuffle to count neighbor labels keyed on
-    (node, label) and one node-partitioned window to take the argmax —
-    no global sort, no driver participation; lineage is cut per round
-    with ``localCheckpoint`` (the CC/PageRank discipline). The label
-    frame is O(nodes) while the join is edge-sized, so Catalyst/AQE
-    broadcast the labels when they fit and shuffle-join past that.
+    (node, label), then an argmax folded into a second aggregation —
+    ``max_by(label, (n_votes, -label))`` — which partial-aggregates
+    map-side and needs no per-node sort (a windowed row_number would
+    sort every partition per round); no global sort, no driver
+    participation; lineage is cut per round with ``localCheckpoint``
+    (the CC/PageRank discipline). The label frame is O(nodes) while
+    the join is edge-sized, so Catalyst/AQE broadcast the labels when
+    they fit and shuffle-join past that.
     """
-    from pyspark.sql import Window
-
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).localCheckpoint(eager=True)
@@ -129,8 +130,11 @@ def label_propagation(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    pick = Window.partitionBy("node").orderBy(
-        F.desc("n_votes"), F.asc("label")
+    # struct comparison is lexicographic: max over (n_votes, -label)
+    # is "most votes, ties to the SMALLEST label" — the deterministic
+    # tie-break, without a sort.
+    argmax = F.max_by(
+        "label", F.struct(F.col("n_votes"), (-F.col("label")).alias("__nl"))
     )
     for _ in range(iterations):
         votes = (
@@ -139,9 +143,8 @@ def label_propagation(
             .agg(F.count(F.lit(1)).alias("n_votes"))
         )
         labels = (
-            votes.withColumn("__rk", F.row_number().over(pick))
-            .filter(F.col("__rk") == 1)
-            .select("node", "label")
+            votes.groupBy("node")
+            .agg(argmax.alias("label"))
             .localCheckpoint(eager=True)
         )
     return labels
