@@ -37,12 +37,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # store-probe self-pair exclusion touched the bipartite candidate
 # generator feeding incremental_near_dup_new_docs); 8 is
 # embedding_quantization_report (its r4 judge verdict is the oldest
-# standing signal in the registry); 9–24 the 16 r5-new sqlsuite/
-# containment/snapshot queries (pre-verified at sf0.01 in r5, no
-# driver verdict yet); 25–35 the oldest r3-green tail by risk; 36–50
-# fifteen of the 26-entry r3-green remainder. All 50 pre-verified
-# green through the exact driver gate (check_query at sf0.01) before
-# commit.
+# standing signal in the registry); 9–12 the second r6-new block (the
+# exact-KS drift test, Benford audit, entropy profile, CV-fold
+# balance); 13–28 the 16 r5-new sqlsuite/containment/snapshot queries
+# (pre-verified at sf0.01 in r5, no driver verdict yet); 29–39 the
+# oldest r3-green tail by risk; 40–50 eleven of the 26-entry r3-green
+# remainder (the last four moved just below the boundary to make room
+# for block 2 — a never-checked query outranks a three-round-old
+# green one). All 50 pre-verified green through the exact driver gate
+# (check_query at sf0.01) before commit.
 #
 # ROUND-7 ROTATION PLAN (for the next builder): lead with (1) any
 # query round 7 edits after its last check, (2) the 11 remaining
@@ -61,6 +64,11 @@ _PRIORITY = [
     "weighted_doc_sample",
     "incremental_near_dup_new_docs",
     "embedding_quantization_report",
+    # r6-new block 2 (KS drift, Benford audit, entropy, CV folds)
+    "distribution_drift_ks",
+    "benford_price_audit",
+    "categorical_entropy_report",
+    "crossval_fold_balance",
     "sql_volume_shipping",
     "sql_national_market_share",
     "sql_nation_profit",
@@ -99,11 +107,12 @@ _PRIORITY = [
     "scalar_math_funcs",
     "json_extract_props",
     "tumbling_window_hourly",
+    # ---- 50-slot window boundary (round-7 plan in header) ----
+    # r3-remainder displaced by the r6 block-2 queries: r7 front
     "session_window_per_user",
     "dedup_exact_keep_first",
     "embedding_cosine_pairs",
     "ann_topk_bruteforce",
-    # ---- 50-slot window boundary (round-7 plan in header) ----
     "binary_media_metadata",
     "streaming_stateful_user_totals",
     "approx_percentiles_contract",

@@ -115,6 +115,10 @@ HEADLINE = [
     "part_copurchase_triangles",    # degree-oriented triangle counting (r6)
     "bigram_surprisal_scores",      # add-half bigram LM quality scoring (r6)
     "token_pmi_collocations",       # PMI collocation mining, exact-ratio cut (r6)
+    "distribution_drift_ks",        # exact 2-sample KS, two-phase cumsum (r6)
+    "benford_price_audit",          # first-digit fraud screen, 9-key count (r6)
+    "categorical_entropy_report",   # per-column Shannon entropy profile (r6)
+    "crossval_fold_balance",        # deterministic hash k-fold audit (r6)
 ]
 
 

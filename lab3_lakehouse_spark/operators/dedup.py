@@ -323,6 +323,43 @@ def banded_signatures(
     return _banded(hashed, num_perm, bands, seed)
 
 
+def compact_signature_store(spark, store_root: str) -> dict:
+    """Offline maintenance for the persisted LSH signature store
+    (``{store_root}/bands`` + ``{store_root}/hashes``): the streaming
+    ingest's at-least-once appends accumulate duplicate rows on every
+    crash-replay (harmless for correctness — candidate generation is
+    distinct-ed and verify dedups per id — but they inflate every
+    future probe's scan), and thousands of small appended files erode
+    scan efficiency. Compaction rewrites both tables exactly-deduped,
+    with the band table REPARTITIONED ON ``band`` and sorted by
+    ``(band, bh)`` inside partitions so a probe's (band, bh) join reads
+    clustered row groups (min/max pruning actually bites).
+
+    Not crash-safe mid-rewrite (plain parquet overwrite, same class as
+    sources/medallion.compact_tier): run it offline, not concurrently
+    with ingest. Returns ``{"bands_before": n, "bands_after": n,
+    "hashes_before": n, "hashes_after": n}``.
+    """
+    stats: dict[str, int] = {}
+    for name, key_cols, layout in (
+        ("bands", ["__id", "band", "bh"], ("band",)),
+        ("hashes", ["__id"], None),
+    ):
+        path = f"{store_root}/{name}"
+        df = spark.read.parquet(path)
+        stats[f"{name}_before"] = df.count()
+        deduped = df.dropDuplicates(key_cols)
+        if layout:
+            deduped = deduped.repartition(*[F.col(c) for c in layout])
+            deduped = deduped.sortWithinPartitions("band", "bh")
+        # checkpoint BEFORE overwrite: the plan must not re-read the
+        # files it is replacing mid-write
+        deduped = deduped.localCheckpoint(eager=True)
+        deduped.write.mode("overwrite").parquet(path)
+        stats[f"{name}_after"] = spark.read.parquet(path).count()
+    return stats
+
+
 def minhash_candidates_vs_bands(
     probe_hashed: DataFrame,
     index_bands: DataFrame,

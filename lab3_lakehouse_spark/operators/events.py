@@ -271,6 +271,109 @@ def value_drift_psi(
     )
 
 
+def value_drift_ks(
+    ev: DataFrame,
+    *,
+    split_ts: str,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic of the
+    ``value_col`` distribution, reference period (before ``split_ts``)
+    vs current: sup over observed values of |F_ref(x) − F_cur(x)|.
+    The complement of :func:`value_drift_psi` — PSI is binned (blind
+    to within-bucket shifts) while KS is the exact strongest
+    single-point CDF gap, the standard nonparametric drift test.
+
+    One row out: ``(n_ref, n_cur, ks_stat, at_value)`` with
+    ``at_value`` the (smallest) value attaining the sup.
+
+    Scale: the naive form is a running sum over a GLOBAL value
+    ordering — the un-partitioned-window anti-pattern. This uses the
+    two-phase trick of ``operators/windows.global_row_number``: the
+    distinct-value frame is range-bucketed by one approx_percentile
+    pass (error only skews bucket SIZES, never correctness), cumsums
+    run per-bucket (partitioned window), and each bucket adds the
+    broadcast prefix total of its predecessors (≤ ``n_buckets`` rows).
+    The final sup is a TakeOrdered over the distinct-value frame. The
+    CDF doubles are bit-identical cross-engine: integer cumsums ≤ 2⁵³
+    through one correctly-rounded IEEE division each."""
+    from pyspark.sql import Window
+
+    counts = (
+        ev.filter(F.col(value_col).isNotNull())
+        .select(
+            (F.col(ts_col) < F.lit(split_ts).cast("timestamp")).alias("is_ref"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    probs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    cuts = counts.agg(
+        F.approx_percentile(F.col("v"), probs, F.lit(10000)).alias("__cuts")
+    )
+    bucketed = (
+        counts.crossJoin(F.broadcast(cuts))
+        .withColumn(
+            "__b",
+            F.aggregate(
+                F.col("__cuts"),
+                F.lit(0),
+                lambda acc, c: acc + F.when(F.col("v") > c, 1).otherwise(0),
+            ),
+        )
+        .drop("__cuts")
+    )
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        bucketed.groupBy("__b")
+        .agg(F.sum("n_ref").alias("__br"), F.sum("n_cur").alias("__bc"))
+        .select(
+            "__b",
+            F.coalesce(F.sum("__br").over(w_off), F.lit(0)).alias("__offr"),
+            F.coalesce(F.sum("__bc").over(w_off), F.lit(0)).alias("__offc"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("__b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = counts.agg(
+        F.sum("n_ref").cast("double").alias("__tr"),
+        F.sum("n_cur").cast("double").alias("__tc"),
+    )
+    cum = (
+        bucketed.join(F.broadcast(offsets), "__b")
+        .select(
+            "v",
+            (F.sum("n_ref").over(w_in) + F.col("__offr")).alias("__cr"),
+            (F.sum("n_cur").over(w_in) + F.col("__offc")).alias("__cc"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    diff = F.abs(
+        F.col("__cr").cast("double") / F.col("__tr")
+        - F.col("__cc").cast("double") / F.col("__tc")
+    )
+    return (
+        cum.select(
+            F.col("__tr").cast("long").alias("n_ref"),
+            F.col("__tc").cast("long").alias("n_cur"),
+            diff.alias("ks_stat"),
+            F.col("v").alias("at_value"),
+        )
+        .orderBy(F.desc("ks_stat"), F.asc("at_value"))
+        .limit(1)
+    )
+
+
 def daily_user_novelty(
     ev: DataFrame, *, user_col: str = "user_id", ts_col: str = "ts"
 ) -> DataFrame:

@@ -1405,3 +1405,83 @@ def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PMI_TOPK)
         .drop("__ratio")
     )
+
+
+_FOLD_K, _FOLD_SEED = 5, 13
+
+
+def _fold_oracle() -> str:
+    from lab3_lakehouse_spark.operators.sketches import sql_hash60
+    from lab3_lakehouse_spark.queries._util import sql_round4
+
+    fold = f"({sql_hash60('doc_id', _FOLD_SEED)}) % {_FOLD_K}"
+    return f"""
+    WITH assigned AS (
+        SELECT {fold} AS fold, source, n_chars FROM documents
+    ),
+    per AS (
+        SELECT fold, source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM assigned GROUP BY fold, source
+    ),
+    tot AS (
+        SELECT source, CAST(sum(n_docs) AS DOUBLE) AS src_docs
+        FROM per GROUP BY source
+    )
+    SELECT per.fold, per.source, per.n_docs, per.n_chars,
+           {sql_round4('CAST(per.n_docs AS DOUBLE) / tot.src_docs')}
+               AS share_of_source
+    FROM per JOIN tot ON tot.source = per.source
+    ORDER BY per.fold, per.source
+    """
+
+
+@query("crossval_fold_balance", oracle=_fold_oracle())
+def crossval_fold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment + balance audit: every document
+    lands in fold ``hash60(doc_id) % k`` — the md5-derived portable
+    hash, so the SAME split comes out on any rerun, any partitioning,
+    any engine (no stored split table, no rand(); the fold of a doc is
+    a pure function of its id — the property that keeps train/eval
+    splits stable across pipeline reruns and prevents eval
+    contamination by drift). Emits the fold × source grid with each
+    fold's share of its source, i.e. exactly the table you check
+    before trusting a cross-validation: hash folds are stratified in
+    expectation, and a source whose shares stray far from 1/k signals
+    id-structure correlated with the hash (or too few docs). One
+    grouped count over the corpus + a source-keyed total joined back;
+    scan is pruned to (doc_id, source, n_chars)."""
+    from lab3_lakehouse_spark.operators.sketches import portable_hash60
+    from lab3_lakehouse_spark.queries._util import round4
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = docs.select(
+        (
+            portable_hash60(F.col("doc_id").cast("string"), _FOLD_SEED)
+            % _FOLD_K
+        ).alias("fold"),
+        "source",
+        "n_chars",
+    )
+    per = assigned.groupBy("fold", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    tot = per.groupBy("source").agg(
+        F.sum("n_docs").cast("double").alias("src_docs")
+    )
+    return (
+        per.join(F.broadcast(tot), "source")
+        .select(
+            "fold",
+            "source",
+            "n_docs",
+            "n_chars",
+            round4(F.col("n_docs").cast("double") / F.col("src_docs")).alias(
+                "share_of_source"
+            ),
+        )
+        .orderBy("fold", "source")
+    )

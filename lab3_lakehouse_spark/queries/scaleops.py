@@ -1788,6 +1788,155 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: pinned double literals — both engines' ln(x) agree to ≤1 ulp on the
+#: same argument, but their own ln(10.0)/ln(2.0) calls need not.
+_LN10_LIT = "2.302585092994046"
+_LN2_LIT = "0.6931471805599453"
+
+
+def _benford_oracle() -> str:
+    # first significant digit via integer formatting, NOT log10: casting
+    # the floored price to BIGINT then VARCHAR is exact and identical on
+    # both engines, where floor(log10(p)) can lose an ulp at powers of 10.
+    # (NB: DuckDB CAST(DOUBLE AS BIGINT) rounds-to-nearest while Spark
+    # truncates — the explicit floor() makes both exact.)
+    digit = (
+        "CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),"
+        " 1, 1) AS BIGINT)"
+    )
+    p_exp = f"ln(1.0 + 1.0 / CAST(s.digit AS DOUBLE)) / {_LN10_LIT}"
+    chi = f"(c.n - t.nn * ({p_exp})) * (c.n - t.nn * ({p_exp})) / (t.nn * ({p_exp}))"
+    return f"""
+    WITH d AS (
+        SELECT {digit} AS digit FROM orders WHERE o_totalprice >= 1
+    ),
+    c0 AS (SELECT digit, CAST(count(*) AS DOUBLE) AS n FROM d GROUP BY digit),
+    s AS (SELECT CAST(range AS BIGINT) AS digit FROM range(1, 10)),
+    c AS (
+        SELECT s.digit, coalesce(c0.n, 0.0) AS n
+        FROM s LEFT JOIN c0 ON c0.digit = s.digit
+    ),
+    t AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM c)
+    SELECT s.digit,
+           CAST(c.n AS BIGINT) AS n_orders,
+           {sql_round4('c.n / t.nn')} AS observed_share,
+           {sql_round4(p_exp)} AS benford_share,
+           {sql_round4(chi)} AS chi2_term
+    FROM s JOIN c ON c.digit = s.digit CROSS JOIN t
+    ORDER BY s.digit
+    """
+
+
+@query("benford_price_audit", oracle=_benford_oracle())
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order prices — the classic
+    fabricated-data / unit-error screen a data-quality pipeline runs on
+    any monetary or count column (naturally-grown magnitudes follow
+    P(d) = log₁₀(1 + 1/d); synthetic, truncated, or unit-mixed data
+    does not — as the chi² terms here will happily show for TPC-H's
+    uniform prices). One scan-side digit extraction (integer
+    formatting, NOT floor(log₁₀) — exact and identical cross-engine
+    where log10 can lose an ulp at powers of ten), one 9-key count, a
+    broadcast total, and a 9-row spine so absent digits report 0.
+    Emits per-digit observed vs expected share and the Pearson chi²
+    contribution; consumers sum the last column against the χ²₈
+    critical value."""
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    ln10 = float(_LN10_LIT)
+    digit = (
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        ).cast("long")
+    )
+    c0 = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    spine = spark.range(1, 10).select(F.col("id").alias("digit"))
+    c = spine.join(c0, "digit", "left").select(
+        "digit", F.coalesce(F.col("n"), F.lit(0.0)).alias("n")
+    )
+    t = c.agg(F.sum("n").cast("double").alias("nn"))
+    p_exp = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")) / F.lit(
+        ln10
+    )
+    chi = (F.col("n") - F.col("nn") * p_exp) ** 2 / (F.col("nn") * p_exp)
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n_orders"),
+            round4(F.col("n") / F.col("nn")).alias("observed_share"),
+            round4(p_exp).alias("benford_share"),
+            round4(chi).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+_ENTROPY_COLS = (
+    ("events", "event_type"),
+    ("documents", "lang"),
+    ("documents", "source"),
+    ("orders", "o_orderstatus"),
+    ("orders", "o_orderpriority"),
+    ("customer", "c_mktsegment"),
+)
+
+
+def _entropy_oracle() -> str:
+    blocks = []
+    for tbl, col in _ENTROPY_COLS:
+        blocks.append(f"""
+    SELECT '{tbl}' AS table_name, '{col}' AS column_name,
+           CAST(any_value(t.nn) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           {sql_round4(f'-sum((c.cnt / t.nn) * ln(c.cnt / t.nn)) / {_LN2_LIT}')}
+               AS entropy_bits
+    FROM (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM {tbl}
+          WHERE {col} IS NOT NULL GROUP BY {col}) c
+    CROSS JOIN (SELECT CAST(count(*) AS DOUBLE) AS nn FROM {tbl}
+                WHERE {col} IS NOT NULL) t""")
+    return "\nUNION ALL\n".join(blocks) + "\nORDER BY table_name, column_name"
+
+
+@query("categorical_entropy_report", oracle=_entropy_oracle())
+def categorical_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of every low-cardinality categorical
+    column across the warehouse — the profiling signal that catches
+    collapsed upstream feeds (entropy → 0 when a column degrades to a
+    constant) and id-leaks (entropy ≈ log₂ n when a 'category' is
+    secretly unique). One grouped count per column with its total
+    riding along as a broadcast singleton; the per-table scans are
+    column-pruned to the single audited column. Six columns → six
+    tiny aggregation plans unioned; the whole report is O(distinct
+    values) rows of state per column, mergeable across partitions."""
+    tune_session(spark)
+    ln2 = float(_LN2_LIT)
+    parts = []
+    for tbl, col in _ENTROPY_COLS:
+        df = load_table(spark, sf_dir, tbl).filter(F.col(col).isNotNull())
+        c = df.groupBy(col).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+        t = c.agg(F.sum("cnt").alias("nn"))
+        p = F.col("cnt") / F.col("nn")
+        parts.append(
+            c.crossJoin(F.broadcast(t)).agg(
+                F.lit(tbl).alias("table_name"),
+                F.lit(col).alias("column_name"),
+                F.any_value(F.col("nn")).cast("long").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_distinct"),
+                round4(-F.sum(p * F.log(p)) / F.lit(ln2)).alias("entropy_bits"),
+            )
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out.orderBy("table_name", "column_name")
+
+
 # ------------------------------------------------- distribution drift ----
 
 _PSI_BUCKETS, _PSI_WIDTH = 10, 50.0
@@ -1861,6 +2010,68 @@ def distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(F.col("p_ref")).alias("p_ref"),
         round4(F.col("p_cur")).alias("p_cur"),
         round4(F.col("psi_term")).alias("psi_term"),
+    )
+
+
+def _ks_oracle() -> str:
+    return f"""
+    WITH ev AS (
+        SELECT CAST(value AS DOUBLE) AS v,
+               ts < TIMESTAMP '{_PSI_SPLIT}' AS is_ref
+        FROM events WHERE value IS NOT NULL
+    ),
+    c AS (
+        SELECT v,
+               sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+               sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+        FROM ev GROUP BY v
+    ),
+    tot AS (
+        SELECT CAST(sum(n_ref) AS DOUBLE) AS tr,
+               CAST(sum(n_cur) AS DOUBLE) AS tc
+        FROM c
+    ),
+    cum AS (
+        SELECT v,
+               CAST(sum(n_ref) OVER (ORDER BY v) AS DOUBLE) AS cr,
+               CAST(sum(n_cur) OVER (ORDER BY v) AS DOUBLE) AS cc
+        FROM c
+    )
+    SELECT CAST(tot.tr AS BIGINT) AS n_ref,
+           CAST(tot.tc AS BIGINT) AS n_cur,
+           {sql_round4('abs(cum.cr / tot.tr - cum.cc / tot.tc)')} AS ks_stat,
+           cum.v AS at_value
+    FROM cum CROSS JOIN tot
+    ORDER BY abs(cum.cr / tot.tr - cum.cc / tot.tc) DESC, cum.v
+    LIMIT 1
+    """
+
+
+@query("distribution_drift_ks", oracle=_ks_oracle())
+def distribution_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov drift statistic of the
+    event-value distribution, reference vs current period — the
+    nonparametric complement to distribution_drift_psi: PSI is binned
+    (blind to shifts inside a bucket), KS is the exact largest
+    single-point CDF gap. The scale problem is that a CDF is a running
+    sum over a GLOBAL value ordering — the un-partitioned-window
+    anti-pattern — so the operator (operators/events.value_drift_ks)
+    uses the two-phase ranking discipline of global_row_number:
+    approx_percentile range-buckets the distinct-value frame (sketch
+    error skews bucket sizes, never correctness), cumsums run inside
+    buckets under a PARTITIONED window, and the ≤64-row per-bucket
+    prefix totals broadcast back; the sup is a TakeOrdered. The DuckDB
+    oracle computes the same sup with a plain global window (fine at
+    oracle scale), and the CDF doubles compare bit-for-bit: integer
+    cumsums through one correctly-rounded IEEE division each."""
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    out = events_ops.value_drift_ks(ev, split_ts=_PSI_SPLIT)
+    return out.select(
+        "n_ref",
+        "n_cur",
+        round4(F.col("ks_stat")).alias("ks_stat"),
+        "at_value",
     )
 
 

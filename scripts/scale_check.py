@@ -162,6 +162,16 @@ def workloads():
         "part_copurchase_pagerank": QUERIES["part_copurchase_pagerank"],
         "bpe_pair_frequencies": QUERIES["bpe_pair_frequencies"],
         "unigram_surprisal_scores": QUERIES["unigram_surprisal_scores"],
+        # round-6 additions: LPA (per-round keyed count + map-side
+        # argmax over a 30×-disjoint edge set), degree-oriented
+        # triangles (wedge fan-out capped by orientation — the alpha
+        # here IS the orientation claim), and the bigram/PMI passes
+        # (pair domain grows linearly with the prefixed copies) —
+        # alpha ~ 1 expected for all four
+        "part_copurchase_communities": QUERIES["part_copurchase_communities"],
+        "part_copurchase_triangles": QUERIES["part_copurchase_triangles"],
+        "bigram_surprisal_scores": QUERIES["bigram_surprisal_scores"],
+        "token_pmi_collocations": QUERIES["token_pmi_collocations"],
         "corpus_pipeline": corpus_pipeline,
     }
 
@@ -294,6 +304,62 @@ def containment_experiment(spark, dirs: dict[int, str]) -> dict:
     return out
 
 
+def graph_experiment(spark, dirs: dict[int, str]) -> dict:
+    """The fact amplifier keeps dimension keys stable (l_partkey must
+    still join the un-amplified part table), so registry graph queries
+    on an x-m dir see the SAME ~20k part nodes with denser edge
+    multiplicity — a valid more-fact-rows measurement, but not a
+    bigger GRAPH. This experiment measures the bigger-graph claim
+    directly: part keys are shifted per copy (the copy index is
+    recoverable from the orderkey remap, ``l_orderkey % stride``),
+    yielding m disjoint copies of the x1 co-purchase graph — m× nodes,
+    m× edges, identical local structure. LPA and the degree-oriented
+    triangle count should both hold alpha ~ 1 (wedge work per copy is
+    constant; orientation keeps hub fan-out capped inside each copy)."""
+    from lab3_lakehouse_spark.operators import graph as graph_ops
+
+    out: dict[str, dict] = {"edge_build": {}, "lpa": {}, "triangles": {}}
+    for m, d in sorted(dirs.items()):
+        stride = 1
+        while stride < m:
+            stride *= 2
+        li = load_table(spark, d, "lineitem").select(
+            F.col("l_orderkey").alias("g"),
+            (F.col("l_partkey") * stride + F.col("l_orderkey") % stride).alias(
+                "item"
+            ),
+        )
+        _reset_session_state(spark)
+        t0 = time.perf_counter()
+        edges = graph_ops.cooccurrence_edges(
+            li, group_col="g", item_col="item"
+        ).localCheckpoint(eager=True)
+        n_edges = edges.count()
+        out["edge_build"][f"x{m}"] = {
+            "sec": round(time.perf_counter() - t0, 2), "edges": n_edges,
+        }
+        for name, fn in (
+            ("lpa", lambda e: graph_ops.label_propagation(e, iterations=2)),
+            ("triangles", lambda e: graph_ops.triangle_stats(e)),
+        ):
+            _reset_session_state(spark)
+            t0 = time.perf_counter()
+            n = fn(edges).count()
+            out[name][f"x{m}"] = {
+                "sec": round(time.perf_counter() - t0, 2), "rows": n,
+            }
+            print(f"x{m} graph/{name}: {out[name][f'x{m}']}",
+                  file=sys.stderr, flush=True)
+    top = max(dirs)
+    if top > 1:
+        for key in out:
+            t1, tm = out[key]["x1"]["sec"], out[key][f"x{top}"]["sec"]
+            out[key]["alpha"] = round(
+                math.log(max(tm, 0.01) / max(t1, 0.01)) / math.log(top), 2
+            )
+    return out
+
+
 def main() -> None:
     only: set[str] | None = None
     argv = list(sys.argv[1:])
@@ -301,9 +367,11 @@ def main() -> None:
         i = argv.index("--only")
         only = set(argv[i + 1].split(","))
         del argv[i : i + 2]
-    args = [a for a in argv if a not in ("--probe-only", "--containment-only")]
+    args = [a for a in argv
+            if a not in ("--probe-only", "--containment-only", "--graph-only")]
     probe_only = "--probe-only" in argv
     containment_only = "--containment-only" in argv
+    graph_only = "--graph-only" in argv
     multipliers = [int(a) for a in args] or [3, 10]
     spark = build_session(app_name="scale-check")
 
@@ -316,6 +384,17 @@ def main() -> None:
         res = containment_experiment(spark, dirs)
         print(json.dumps({"sf_base": SF_DIR, "multipliers": multipliers,
                           "containment": res}))
+        spark.stop()
+        return
+
+    if graph_only:
+        dirs = {1: SF_DIR}
+        for m in multipliers:
+            dirs[m] = build_scaled_dir(spark, m)
+        graph_experiment(spark, {1: WARMUP})  # plan-shape warm-up
+        res = graph_experiment(spark, dirs)
+        print(json.dumps({"sf_base": SF_DIR, "multipliers": multipliers,
+                          "graph": res}))
         spark.stop()
         return
 

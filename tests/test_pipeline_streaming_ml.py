@@ -876,3 +876,107 @@ def test_streaming_ingest_replay_after_partial_store_write(spark, tmpdir):
     # store re-append for doc 1 is the harmless duplicate case
     hashes = spark.read.parquet(f"{out}/store/hashes")
     assert {r["__id"] for r in hashes.collect()} == {1, 3}
+
+
+def test_stream_psi_monitor_alarms_on_planted_drift(spark, tmpdir):
+    """Streaming drift monitor (streaming/monitor.py): batch matching
+    the reference distribution stays quiet; a shifted batch alarms —
+    and the streamed PSI equals the batch-form PSI on the same rows."""
+    import datetime as _dt
+    import json as _json
+
+    from lab3_lakehouse_spark.streaming import monitor as st_mon
+
+    src = f"{tmpdir}/arrivals"
+    out = f"{tmpdir}/mon"
+    os.makedirs(src)
+
+    ref = spark.createDataFrame(
+        [(float(10 + (i % 5)),) for i in range(300)], ["value"]
+    )
+
+    def ev(i, v):
+        return {"event_id": i, "ts": "2024-02-01T00:00:00", "user_id": 1,
+                "event_type": "view", "value": v}
+
+    # batch 0: same distribution as the reference → quiet
+    with open(f"{src}/f0.json", "w") as f:
+        f.write("\n".join(_json.dumps(ev(i, float(10 + (i % 5))))
+                          for i in range(300)))
+    q = st_mon.stream_psi_monitor(spark, src, out, ref)
+    try:
+        q.processAllAvailable()
+        # batch 1: mass moved to the top bucket → alarm
+        with open(f"{src}/f1.json", "w") as f:
+            f.write("\n".join(_json.dumps(ev(1000 + i, float(460 + (i % 5))))
+                              for i in range(300)))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {r.batch_id: r for r in spark.read.parquet(f"{out}/psi").collect()}
+    assert not rows[0].alarm and abs(rows[0].psi) < 0.01
+    assert rows[1].alarm and rows[1].psi > 0.2
+    assert rows[0].n_ref == 300 and rows[0].n_cur == 300
+
+    # parity with the batch operator on the same rows
+    from lab3_lakehouse_spark.operators import events as events_ops
+
+    ref_day = _dt.datetime(2024, 1, 10)
+    cur_day = _dt.datetime(2024, 2, 1)
+    both = spark.createDataFrame(
+        [(ref_day, float(10 + (i % 5))) for i in range(300)]
+        + [(cur_day, float(460 + (i % 5))) for i in range(300)],
+        ["ts", "value"],
+    )
+    batch_psi = (
+        events_ops.value_drift_psi(both, split_ts="2024-01-16")
+        .agg(F.sum("psi_term"))
+        .first()[0]
+    )
+    assert abs(batch_psi - rows[1].psi) < 1e-9
+
+
+def test_compact_signature_store_dedupes_and_preserves_probes(spark, tmpdir):
+    """Replay-duplicated store rows must compact away without changing
+    any probe's candidate set."""
+    from lab3_lakehouse_spark.operators import dedup as dedup_ops
+
+    base = "spark shuffle broadcast join window aggregate scan filter " \
+           "partition codegen catalyst tungsten arrow pandas column row"
+    docs = spark.createDataFrame(
+        [(i, base.replace("arrow", f"tok{i}")) for i in range(10)],
+        ["doc_id", "text"],
+    )
+    hashed = docs.select(
+        F.col("doc_id").alias("__id"),
+        dedup_ops.shingle_hashes("text", 3).alias("__h"),
+    )
+    store = f"{tmpdir}/store"
+    bands = dedup_ops.banded_signatures(hashed)
+    # simulate two crash-replays: three identical appends
+    for _ in range(3):
+        bands.write.mode("append").parquet(f"{store}/bands")
+        hashed.write.mode("append").parquet(f"{store}/hashes")
+
+    probe = docs.filter("doc_id = 0").select(
+        F.col("doc_id").alias("__id"),
+        dedup_ops.shingle_hashes("text", 3).alias("__h"),
+    )
+    before = sorted(
+        (r.id_a, r.id_b)
+        for r in dedup_ops.minhash_candidates_vs_bands(
+            probe, spark.read.parquet(f"{store}/bands")
+        ).collect()
+    )
+    stats = dedup_ops.compact_signature_store(spark, store)
+    assert stats["bands_before"] == 3 * stats["bands_after"]
+    assert stats["hashes_before"] == 3 * stats["hashes_after"]
+    assert stats["hashes_after"] == 10
+    after = sorted(
+        (r.id_a, r.id_b)
+        for r in dedup_ops.minhash_candidates_vs_bands(
+            probe, spark.read.parquet(f"{store}/bands")
+        ).collect()
+    )
+    assert before == after

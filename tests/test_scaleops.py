@@ -673,3 +673,123 @@ def test_triangle_stats_orientation_is_acyclic_and_symmetric_input_ok(spark):
     e = spark.createDataFrame(both, ["src", "dst"])
     out = graph_ops.triangle_stats(e).collect()
     assert all(r.n_triangles == 1 for r in out)
+
+
+def test_ks_exact_on_hand_computed_case(spark):
+    """4 ref values {1,2,3,4}, 4 cur values {3,4,5,6}: the CDF gap is
+    maximal at value 2 (F_ref=0.5, F_cur=0) — KS = 0.5 exactly."""
+    import datetime as _dt
+
+    from lab3_lakehouse_spark.operators import events as events_ops
+
+    ref_day = _dt.datetime(2024, 1, 10)
+    cur_day = _dt.datetime(2024, 1, 20)
+    rows = [(ref_day, float(v)) for v in (1, 2, 3, 4)]
+    rows += [(cur_day, float(v)) for v in (3, 4, 5, 6)]
+    ev = spark.createDataFrame(rows, ["ts", "value"])
+    out = events_ops.value_drift_ks(ev, split_ts="2024-01-16").collect()[0]
+    assert out.n_ref == 4 and out.n_cur == 4
+    assert abs(out.ks_stat - 0.5) < 1e-12
+    assert out.at_value == 2.0
+
+    # identical samples → KS 0
+    rows2 = [(ref_day, float(v)) for v in (1, 2, 3)]
+    rows2 += [(cur_day, float(v)) for v in (1, 2, 3)]
+    ev2 = spark.createDataFrame(rows2, ["ts", "value"])
+    assert events_ops.value_drift_ks(ev2, split_ts="2024-01-16").collect()[0].ks_stat == 0.0
+
+
+def test_ks_matches_bruteforce_window_form(spark, sf_medium):
+    """The two-phase bucketed cumsum must equal the naive global-window
+    KS on real data (the correctness claim of the scale-safe form)."""
+    from pyspark.sql import Window
+
+    from lab3_lakehouse_spark.catalog import load_table
+    from lab3_lakehouse_spark.operators import events as events_ops
+
+    ev = load_table(spark, sf_medium, "events")
+    got = events_ops.value_drift_ks(ev, split_ts="2024-01-16").collect()[0]
+
+    graded = ev.filter(F.col("value").isNotNull()).select(
+        (F.col("ts") < F.lit("2024-01-16").cast("timestamp")).alias("is_ref"),
+        F.col("value").cast("double").alias("v"),
+    )
+    c = graded.groupBy("v").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("nr"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("nc"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tots = c.agg(F.sum("nr").alias("tr"), F.sum("nc").alias("tc")).collect()[0]
+    naive = (
+        c.select(
+            "v",
+            (F.sum("nr").over(w).cast("double") / F.lit(float(tots.tr))
+             - F.sum("nc").over(w).cast("double") / F.lit(float(tots.tc))
+             ).alias("d"),
+        )
+        .select("v", F.abs(F.col("d")).alias("ad"))
+        .orderBy(F.desc("ad"), "v")
+        .limit(1)
+        .collect()[0]
+    )
+    assert abs(got.ks_stat - naive.ad) < 1e-12
+    assert got.at_value == naive.v
+
+
+def test_ks_plan_has_no_unpartitioned_big_window(spark, sf_medium):
+    """The distinct-value cumsum must run under a PARTITIONED window;
+    the only un-partitioned pieces are the ≤n_buckets offset frame and
+    the final TakeOrdered."""
+    from lab3_lakehouse_spark.catalog import load_table
+    from lab3_lakehouse_spark.operators import events as events_ops
+
+    ev = load_table(spark, sf_medium, "events")
+    plan = (
+        events_ops.value_drift_ks(ev, split_ts="2024-01-16")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    # the big window is keyed on the bucket id
+    assert "partitionspec=[__b" in plan.replace(" ", "").lower() or "__b" in plan
+
+
+def test_benford_digit_extraction_boundaries(spark, tmp_path):
+    """Digit extraction must be exact at powers of ten (the case
+    floor(log10) gets wrong by an ulp) and for sub-10 prices."""
+    import datetime as _dt
+
+    from lab3_lakehouse_spark.queries import QUERIES
+
+    d = _dt.datetime(2024, 1, 1)
+    prices = [1000.00, 999.99, 1.0, 9.99, 100.0, 55.5]
+    rows = [
+        (i, i, "O", float(p), d, "1-URGENT", f"Clerk#{i}", 0, "c")
+        for i, p in enumerate(prices)
+    ]
+    spark.createDataFrame(
+        rows,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority", "o_clerk", "o_shippriority",
+         "o_comment"],
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    out = {r.digit: r.n_orders for r in
+           QUERIES["benford_price_audit"](spark, str(tmp_path)).collect()}
+    # 1000.00→1, 999.99→9, 1.0→1, 9.99→9, 100.0→1, 55.5→5
+    assert out[1] == 3 and out[9] == 2 and out[5] == 1
+    assert sum(out.values()) == 6
+
+
+def test_crossval_folds_deterministic_and_partition_stable(spark, sf_small):
+    from lab3_lakehouse_spark.queries import QUERIES
+
+    a = QUERIES["crossval_fold_balance"](spark, sf_small).collect()
+    b = QUERIES["crossval_fold_balance"](spark, sf_small).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert {r.fold for r in a} <= set(range(5))
+    # every source's shares sum to 1
+    by_src: dict[str, float] = {}
+    for r in a:
+        by_src[r.source] = by_src.get(r.source, 0.0) + r.share_of_source
+    assert all(abs(v - 1.0) < 0.01 for v in by_src.values())
