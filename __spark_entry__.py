@@ -39,13 +39,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # embedding_quantization_report (its r4 judge verdict is the oldest
 # standing signal in the registry); 9–12 the second r6-new block (the
 # exact-KS drift test, Benford audit, entropy profile, CV-fold
-# balance); 13–28 the 16 r5-new sqlsuite/containment/snapshot queries
-# (pre-verified at sf0.01 in r5, no driver verdict yet); 29–39 the
-# oldest r3-green tail by risk; 40–50 eleven of the 26-entry r3-green
-# remainder (the last four moved just below the boundary to make room
-# for block 2 — a never-checked query outranks a three-round-old
-# green one). All 50 pre-verified green through the exact driver gate
-# (check_query at sf0.01) before commit.
+# balance); 13–15 the third r6-new block (edge embeddedness, user
+# burstiness, rolling-KMV sliding distinct); 16–31 the 16 r5-new
+# sqlsuite/containment/snapshot queries (pre-verified at sf0.01 in
+# r5, no driver verdict yet); 32–42 the oldest r3-green tail by risk;
+# 43–50 eight of the 26-entry r3-green remainder (the last seven
+# moved just below the boundary to make room for blocks 2–3 — a
+# never-checked query outranks a three-round-old green one). All 50
+# pre-verified green through the exact driver gate (check_query at
+# sf0.01) before commit.
 #
 # ROUND-7 ROTATION PLAN (for the next builder): lead with (1) any
 # query round 7 edits after its last check, (2) the 11 remaining
@@ -69,6 +71,10 @@ _PRIORITY = [
     "benford_price_audit",
     "categorical_entropy_report",
     "crossval_fold_balance",
+    # r6-new block 3 (edge embeddedness, burstiness, rolling KMV)
+    "copurchase_edge_embeddedness",
+    "user_burstiness_profile",
+    "rolling_7d_distinct_users",
     "sql_volume_shipping",
     "sql_national_market_share",
     "sql_nation_profit",
@@ -104,11 +110,11 @@ _PRIORITY = [
     "cube_order_status_priority",
     "scalar_string_funcs",
     "scalar_date_funcs",
+    # ---- 50-slot window boundary (round-7 plan in header) ----
+    # r3-remainder displaced by the r6 block-2/3 queries: r7 front
     "scalar_math_funcs",
     "json_extract_props",
     "tumbling_window_hourly",
-    # ---- 50-slot window boundary (round-7 plan in header) ----
-    # r3-remainder displaced by the r6 block-2 queries: r7 front
     "session_window_per_user",
     "dedup_exact_keep_first",
     "embedding_cosine_pairs",

@@ -119,6 +119,9 @@ HEADLINE = [
     "benford_price_audit",          # first-digit fraud screen, 9-key count (r6)
     "categorical_entropy_report",   # per-column Shannon entropy profile (r6)
     "crossval_fold_balance",        # deterministic hash k-fold audit (r6)
+    "copurchase_edge_embeddedness", # per-edge triangle Jaccard, oriented (r6)
+    "user_burstiness_profile",      # Goh-Barabasi inter-event stats (r6)
+    "rolling_7d_distinct_users",    # sliding distinct via KMV cell merge (r6)
 ]
 
 

@@ -271,6 +271,65 @@ def value_drift_psi(
     )
 
 
+def inter_event_burstiness(
+    ev: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    min_events: int = 3,
+) -> DataFrame:
+    """Per-user inter-event-time statistics + the Goh–Barabási
+    burstiness coefficient B = (σ−μ)/(σ+μ) over the user's gap
+    distribution: B → −1 for a metronome (periodic polling / bots),
+    ≈ 0 for a Poisson process, → +1 for bursty human sessions — the
+    one-number separator of organic vs automated activity, and a
+    rate-model sanity check (μ is the MLE of the exponential mean).
+
+    Emits ``(user, n_events, mean_gap_s, std_gap_s, burstiness)`` for
+    users with ≥ ``min_events`` events (≥ 2 gaps, else σ is
+    degenerate); population σ (``stddev_pop``). B is guarded to 0.0
+    when σ+μ = 0 (all gaps zero).
+
+    Scale: gaps come from ONE user-partitioned lag window (the shuffle
+    key is the same user key the aggregation needs — one shuffle
+    total), stats are a grouped agg; nothing global, state is O(users).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user").orderBy("__ts")
+    # gaps via EXACT integer microseconds (unix_micros both engines):
+    # the int difference is exact, and µs/1e6 is one correctly-rounded
+    # IEEE division — bit-identical cross-engine, where subtracting two
+    # epoch doubles could differ in the low bits.
+    gaps = (
+        ev.select(F.col(user_col).alias("user"), F.col(ts_col).alias("__ts"))
+        .withColumn("__prev", F.lag("__ts").over(w))
+        .withColumn(
+            "gap_s",
+            (
+                F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__prev"))
+            ).cast("double")
+            / F.lit(1e6),
+        )
+    )
+    stats = gaps.groupBy("user").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.avg("gap_s").alias("mu"),
+        F.stddev_pop("gap_s").alias("sigma"),
+    )
+    b = F.when(
+        (F.col("sigma") + F.col("mu")) > 0,
+        (F.col("sigma") - F.col("mu")) / (F.col("sigma") + F.col("mu")),
+    ).otherwise(F.lit(0.0))
+    return stats.filter(F.col("n_events") >= min_events).select(
+        "user",
+        "n_events",
+        F.col("mu").alias("mean_gap_s"),
+        F.col("sigma").alias("std_gap_s"),
+        b.alias("burstiness"),
+    )
+
+
 def value_drift_ks(
     ev: DataFrame,
     *,

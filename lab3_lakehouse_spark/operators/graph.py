@@ -150,28 +150,11 @@ def label_propagation(
     return labels
 
 
-def triangle_stats(
-    edges: DataFrame, *, src: str = "src", dst: str = "dst"
-) -> DataFrame:
-    """Exact per-node triangle counts + local clustering coefficient
-    via the degree-oriented ("forward") algorithm — the shape that
-    survives skew: every undirected edge is oriented from its
-    lower-``(degree, id)`` endpoint to the higher one, so wedge
-    enumeration fans out on OUT-degree, which orientation caps at
-    O(√m) even for hub nodes (a hub's edges all point INTO it). The
-    naive adjacency self-join is quadratic in hub degree — the
-    difference between this plan and one that dies on a 100 TB
-    power-law graph.
-
-    Accepts a directed/symmetrized or already-ordered edge list;
-    self-loops dropped, edges deduped to one undirected row. Returns
-    ``(node, degree, n_triangles, clustering_coeff)`` for every node,
-    where ``clustering_coeff = 2·T / (deg·(deg−1))`` (0.0 for
-    degree < 2).
-
-    Three shuffles total: the degree count, the wedge self-join keyed
-    on the apex, and the closing-edge join — each keyed, none global.
-    """
+def _undirected_with_degrees(edges: DataFrame, src: str, dst: str):
+    """Normalize to one distinct undirected row per edge (``a < b``,
+    self-loops dropped) plus the degree table — the shared front of the
+    triangle/embeddedness computations. Both frames are materialized
+    (localCheckpoint): every consumer walks them multiple times."""
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -188,6 +171,15 @@ def triangle_stats(
         .agg(F.count(F.lit(1)).alias("deg"))
         .localCheckpoint(eager=True)
     )
+    return e, deg
+
+
+def _oriented_triangles(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """Enumerate each triangle exactly once as ``(x, y, z)`` in the
+    (degree, id) total order, via the degree-oriented forward
+    algorithm: orient every edge toward its higher-(deg, id) endpoint,
+    join out-neighbor wedges at the apex, close with an oriented edge.
+    Wedge fan-out is capped by orientation at O(√m) per node."""
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("__da"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("__db"))
     a_first = (F.col("__da") < F.col("__db")) | (
@@ -225,11 +217,37 @@ def triangle_stats(
                 & (F.col("w1.u") < F.col("w2.w"))
             ),
         ],
-    ).select(F.col("w1.s").alias("x"), F.col("w1.u").alias("y"), F.col("w2.w").alias("z"))
-    closing = oriented.select(
-        F.col("s").alias("y"), F.col("t").alias("z")
+    ).select(
+        F.col("w1.s").alias("x"), F.col("w1.u").alias("y"), F.col("w2.w").alias("z")
     )
-    tri = wedges.join(closing, ["y", "z"])
+    closing = oriented.select(F.col("s").alias("y"), F.col("t").alias("z"))
+    return wedges.join(closing, ["y", "z"])
+
+
+def triangle_stats(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact per-node triangle counts + local clustering coefficient
+    via the degree-oriented ("forward") algorithm — the shape that
+    survives skew: every undirected edge is oriented from its
+    lower-``(degree, id)`` endpoint to the higher one, so wedge
+    enumeration fans out on OUT-degree, which orientation caps at
+    O(√m) even for hub nodes (a hub's edges all point INTO it). The
+    naive adjacency self-join is quadratic in hub degree — the
+    difference between this plan and one that dies on a 100 TB
+    power-law graph.
+
+    Accepts a directed/symmetrized or already-ordered edge list;
+    self-loops dropped, edges deduped to one undirected row. Returns
+    ``(node, degree, n_triangles, clustering_coeff)`` for every node,
+    where ``clustering_coeff = 2·T / (deg·(deg−1))`` (0.0 for
+    degree < 2).
+
+    Three shuffles total: the degree count, the wedge self-join keyed
+    on the apex, and the closing-edge join — each keyed, none global.
+    """
+    e, deg = _undirected_with_degrees(edges, src, dst)
+    tri = _oriented_triangles(e, deg)
     tri_counts = (
         tri.select(F.col("x").alias("node"))
         .unionAll(tri.select(F.col("y").alias("node")))
@@ -252,6 +270,62 @@ def triangle_stats(
             )
             .otherwise(F.lit(0.0))
             .alias("clustering_coeff"),
+        )
+    )
+
+
+def edge_embeddedness(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-EDGE neighborhood overlap: for every undirected edge (a, b),
+    the number of common neighbors (= triangles through the edge) and
+    the neighborhood Jaccard ``c / ((deg_a−1) + (deg_b−1) − c)``
+    (endpoints excluded) — the embeddedness of Granovetter's
+    weak-tie theory and the standard "related items" score over a
+    co-occurrence graph: an edge with high embeddedness is inside a
+    community, an edge with zero is a local bridge.
+
+    Deliberately computed ONLY for pairs that are edges: common
+    neighbors of an adjacent pair are exactly the triangles through it,
+    so the degree-oriented triangle enumeration (wedge fan-out capped
+    at O(√m) per node) does all the work — where all-pairs common
+    neighbors would cost Σ deg² (hub-quadratic, the shape that dies on
+    a power-law graph).
+
+    Returns ``(a, b, deg_a, deg_b, n_common, jaccard)`` for every
+    edge, ``a < b``.
+    """
+    e, deg = _undirected_with_degrees(edges, src, dst)
+    tri = _oriented_triangles(e, deg)
+    # each triangle lies on its 3 edges; re-order each to (a < b) id form
+    pairs = None
+    for u, v in (("x", "y"), ("x", "z"), ("y", "z")):
+        p = tri.select(
+            F.least(F.col(u), F.col(v)).alias("a"),
+            F.greatest(F.col(u), F.col(v)).alias("b"),
+        )
+        pairs = p if pairs is None else pairs.unionAll(p)
+    common = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_common"))
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    c = F.coalesce(F.col("n_common"), F.lit(0))
+    denom = (F.col("deg_a") - F.lit(1)) + (F.col("deg_b") - F.lit(1)) - c
+    return (
+        e.join(common, ["a", "b"], "left")
+        .join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "deg_a",
+            "deg_b",
+            c.alias("n_common"),
+            F.when(denom > 0, c.cast("double") / denom.cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias("jaccard"),
         )
     )
 

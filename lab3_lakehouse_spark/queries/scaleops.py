@@ -1559,6 +1559,149 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embeddedness_oracle() -> str:
+    j = (
+        "CAST(coalesce(cm.n_common, 0) AS DOUBLE)"
+        " / CAST((da.deg - 1) + (db.deg - 1) - coalesce(cm.n_common, 0)"
+        " AS DOUBLE)"
+    )
+    return f"""
+    WITH e AS (
+        SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+                        greatest(a.l_partkey, b.l_partkey) AS b
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (
+        SELECT node, count(*) AS deg FROM (
+            SELECT a AS node FROM e UNION ALL SELECT b FROM e
+        ) q GROUP BY node
+    ),
+    o AS (
+        SELECT CASE WHEN (da.deg < db.deg)
+                      OR (da.deg = db.deg AND e.a < e.b)
+                    THEN e.a ELSE e.b END AS s,
+               CASE WHEN (da.deg < db.deg)
+                      OR (da.deg = db.deg AND e.a < e.b)
+                    THEN e.b ELSE e.a END AS t
+        FROM e
+        JOIN deg da ON da.node = e.a
+        JOIN deg db ON db.node = e.b
+    ),
+    ot AS (SELECT o.s, o.t, d.deg AS td FROM o JOIN deg d ON d.node = o.t),
+    tri AS (
+        SELECT w1.s AS x, w1.t AS y, w2.t AS z
+        FROM ot w1
+        JOIN ot w2 ON w1.s = w2.s
+                  AND ((w1.td < w2.td) OR (w1.td = w2.td AND w1.t < w2.t))
+        JOIN o c ON c.s = w1.t AND c.t = w2.t
+    ),
+    ep AS (
+        SELECT least(x, y) AS a, greatest(x, y) AS b FROM tri
+        UNION ALL SELECT least(x, z), greatest(x, z) FROM tri
+        UNION ALL SELECT least(y, z), greatest(y, z) FROM tri
+    ),
+    cm AS (SELECT a, b, count(*) AS n_common FROM ep GROUP BY a, b)
+    SELECT e.a AS part_a, e.b AS part_b,
+           CAST(da.deg AS BIGINT) AS deg_a,
+           CAST(db.deg AS BIGINT) AS deg_b,
+           CAST(coalesce(cm.n_common, 0) AS BIGINT) AS n_common,
+           {sql_round4(j)} AS jaccard
+    FROM e
+    LEFT JOIN cm ON cm.a = e.a AND cm.b = e.b
+    JOIN deg da ON da.node = e.a
+    JOIN deg db ON db.node = e.b
+    WHERE coalesce(cm.n_common, 0) >= 3
+    ORDER BY {j} DESC, e.a, e.b
+    LIMIT 20
+    """
+
+
+@query("copurchase_edge_embeddedness", oracle=_embeddedness_oracle())
+def copurchase_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge neighborhood overlap on the co-purchase graph
+    (operators/graph.edge_embeddedness): common-neighbor count and
+    neighborhood Jaccard for every adjacent part pair — Granovetter
+    embeddedness, i.e. the "related items" score (high = inside a
+    community, zero = local bridge). Computed ONLY for pairs that are
+    edges, which makes common neighbors exactly the triangles through
+    the edge — the degree-oriented enumeration does all the work where
+    all-pairs common-neighbor counting is Σ deg² (hub-quadratic, dead
+    on a power-law graph). Top-20 cut is ordered by the EXACT Jaccard
+    ratio (one IEEE division of ≤2⁵³ integers, bit-stable
+    cross-engine), ties on the id pair."""
+    from lab3_lakehouse_spark.operators import graph as graph_ops
+
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = graph_ops.cooccurrence_edges(
+        li, group_col="l_orderkey", item_col="l_partkey"
+    )
+    out = graph_ops.edge_embeddedness(edges)
+    return (
+        out.filter(F.col("n_common") >= 3)
+        .orderBy(F.desc("jaccard"), "a", "b")
+        .limit(20)
+        .select(
+            F.col("a").cast("long").alias("part_a"),
+            F.col("b").cast("long").alias("part_b"),
+            F.col("deg_a").cast("long").alias("deg_a"),
+            F.col("deg_b").cast("long").alias("deg_b"),
+            F.col("n_common").cast("long").alias("n_common"),
+            round4(F.col("jaccard")).alias("jaccard"),
+        )
+    )
+
+
+def _burstiness_oracle() -> str:
+    gap = "(epoch_us(g.ts) - epoch_us(g.prev)) / 1000000.0"
+    b = (
+        "CASE WHEN (stddev_pop({g}) + avg({g})) > 0 THEN"
+        " (stddev_pop({g}) - avg({g})) / (stddev_pop({g}) + avg({g}))"
+        " ELSE 0.0 END"
+    ).format(g=gap)
+    return f"""
+    WITH g AS (
+        SELECT user_id AS "user", ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events
+    ),
+    s AS (
+        SELECT "user",
+               CAST(count(*) AS BIGINT) AS n_events,
+               {sql_round4(f'avg({gap})')} AS mean_gap_s,
+               {sql_round4(f'stddev_pop({gap})')} AS std_gap_s,
+               {sql_round4(b)} AS burstiness
+        FROM g GROUP BY "user"
+    )
+    SELECT * FROM s WHERE n_events >= 3
+    """
+
+
+@query("user_burstiness_profile", oracle=_burstiness_oracle())
+def user_burstiness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event-time profile per user with the Goh–Barabási
+    burstiness coefficient B = (σ−μ)/(σ+μ): B → −1 flags metronomic
+    automation (polling bots), ≈ 0 Poisson arrivals, → +1 bursty
+    organic sessions — the behavioral bot-screen every event pipeline
+    wants, and a sanity check on any exponential rate model (μ is the
+    MLE mean). One user-partitioned lag window (same shuffle key as
+    the aggregation — one shuffle total); gaps are EXACT integer
+    microseconds through one IEEE division, so mean/σ agree
+    cross-engine to fold order, covered by round4."""
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    out = events_ops.inter_event_burstiness(ev, min_events=3)
+    return out.select(
+        "user",
+        "n_events",
+        round4(F.col("mean_gap_s")).alias("mean_gap_s"),
+        round4(F.col("std_gap_s")).alias("std_gap_s"),
+        round4(F.col("burstiness")).alias("burstiness"),
+    )
+
+
 # ----------------------------------------------------- KMV set sketches ----
 
 _KMV_K, _KMV_SEED = 64, 11
@@ -1720,6 +1863,122 @@ def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("rho").cast("double") / F.col("nc_u").cast("double")) * est_u
             ).alias("est_intersection"),
         )
+    )
+
+
+def _rolling_kmv_oracle() -> str:
+    h = sketches.sql_hash60("user_id", _KMV_SEED)
+    est = _KMV_EST_SQL("w.theta", "w.nc")
+    return f"""
+    WITH du AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                        user_id
+        FROM events
+    ),
+    cells AS (
+        SELECT day, h FROM (
+            SELECT day, h,
+                   row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+            FROM (SELECT DISTINCT day, {h} AS h FROM du) q0
+        ) q WHERE rn <= {_KMV_K}
+    ),
+    spine AS (SELECT DISTINCT day FROM du),
+    win_h AS (
+        SELECT s.day, c.h FROM spine s
+        JOIN cells c ON c.day <= s.day
+                    AND c.day >= s.day - INTERVAL 6 DAY
+        GROUP BY s.day, c.h
+    ),
+    w AS (
+        SELECT day, max(h) AS theta, count(*) AS nc FROM (
+            SELECT day, h,
+                   row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+            FROM win_h
+        ) q WHERE rn <= {_KMV_K}
+        GROUP BY day
+    ),
+    exact AS (
+        SELECT s.day, CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_exact
+        FROM spine s
+        JOIN du d ON d.day <= s.day AND d.day >= s.day - INTERVAL 6 DAY
+        GROUP BY s.day
+    )
+    SELECT w.day,
+           CAST(w.nc AS BIGINT) AS n_cells,
+           {sql_round4(est)} AS est_distinct_7d,
+           exact.n_exact AS exact_distinct_7d
+    FROM w JOIN exact ON exact.day = w.day
+    ORDER BY w.day
+    """
+
+
+@query("rolling_7d_distinct_users", oracle=_rolling_kmv_oracle())
+def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct counting via MERGEABLE KMV sketches: the
+    7-day rolling distinct-user series computed by unioning per-day
+    sketch cells and re-taking the k smallest — the sketch algebra that
+    makes rolling distinct feasible at 100 TB, where the exact form
+    must re-scan seven days of raw events per output day (distinct
+    does not decompose over windows; sketches do). Per day the state
+    is k=64 cells regardless of traffic; any window grain (7d, 30d,
+    month-to-date) reuses the SAME daily cells, which is the point.
+    The engine-portable md5 hash means the oracle rebuilds every CELL
+    identically — the sketch VALUES are differential-checked, not just
+    contracted. The exact 7-day count rides along as the honesty
+    column (cheap at oracle scale; the sketch path is the one that
+    scales)."""
+    from pyspark.sql import Window as W
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    du = (
+        ev.select(
+            F.date_trunc("day", F.col("ts")).cast("timestamp").alias("day"),
+            "user_id",
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cells = sketches.kmv_cells(
+        du, segment_col="day", key_col="user_id", k=_KMV_K, seed=_KMV_SEED
+    ).select(F.col("segment").alias("cday"), "h")
+    spine = du.select("day").distinct()
+    win_h = (
+        spine.join(
+            F.broadcast(cells),
+            (F.col("cday") <= F.col("day"))
+            & (F.col("cday") >= F.col("day") - F.expr("INTERVAL 6 DAY")),
+        )
+        .select("day", "h")
+        .distinct()
+    )
+    rn = F.row_number().over(W.partitionBy("day").orderBy("h"))
+    w = (
+        win_h.withColumn("rn", rn)
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("day")
+        .agg(F.max("h").alias("theta"), F.count(F.lit(1)).alias("nc"))
+    )
+    exact = (
+        spine.join(
+            du.select(F.col("day").alias("dday"), "user_id"),
+            (F.col("dday") <= F.col("day"))
+            & (F.col("dday") >= F.col("day") - F.expr("INTERVAL 6 DAY")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("exact_distinct_7d"))
+    )
+    return (
+        w.join(exact, "day")
+        .select(
+            "day",
+            F.col("nc").cast("long").alias("n_cells"),
+            round4(
+                sketches.kmv_estimate(F.col("theta"), F.col("nc"), _KMV_K)
+            ).alias("est_distinct_7d"),
+            "exact_distinct_7d",
+        )
+        .orderBy("day")
     )
 
 

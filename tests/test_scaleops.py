@@ -793,3 +793,66 @@ def test_crossval_folds_deterministic_and_partition_stable(spark, sf_small):
     for r in a:
         by_src[r.source] = by_src.get(r.source, 0.0) + r.share_of_source
     assert all(abs(v - 1.0) < 0.01 for v in by_src.values())
+
+
+def test_burstiness_periodic_vs_bursty(spark):
+    """A metronome (equal gaps) has sigma=0 → B = −1; a heavy-tailed
+    gap mix pushes B positive."""
+    import datetime as _dt
+
+    from lab3_lakehouse_spark.operators import events as events_ops
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [(1, t0 + _dt.timedelta(seconds=60 * i)) for i in range(10)]
+    # user 2: nine 1-second gaps then one 10-hour gap
+    rows += [(2, t0 + _dt.timedelta(seconds=i)) for i in range(10)]
+    rows += [(2, t0 + _dt.timedelta(hours=10))]
+    ev = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {r.user: r for r in events_ops.inter_event_burstiness(ev).collect()}
+    assert abs(out[1].burstiness - (-1.0)) < 1e-12
+    assert abs(out[1].mean_gap_s - 60.0) < 1e-9 and out[1].std_gap_s == 0.0
+    # one dominant outlier among 10 gaps bounds B at
+    # (√(n−1)−1)/(√(n−1)+1) = 0.5 — assert it approaches that bound
+    assert out[2].burstiness > 0.45
+
+
+def test_edge_embeddedness_k4_plus_pendant(spark):
+    """K4: every edge has exactly 2 common neighbors and Jaccard 1.0
+    (neighborhoods coincide after excluding endpoints); the pendant
+    edge has none."""
+    from lab3_lakehouse_spark.operators import graph as graph_ops
+
+    k4 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    e = spark.createDataFrame(k4 + [(4, 5)], ["src", "dst"])
+    out = {(r.a, r.b): r for r in graph_ops.edge_embeddedness(e).collect()}
+    for pair in [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]:
+        assert out[pair].n_common == 2, pair
+    assert abs(out[(1, 2)].jaccard - 1.0) < 1e-12  # 2 / (2+2-2)
+    # edge (3,4): deg_4 = 4 (pendant inflates) → J = 2/(2+3-2)
+    assert abs(out[(3, 4)].jaccard - 2.0 / 3.0) < 1e-12
+    assert out[(4, 5)].n_common == 0 and out[(4, 5)].jaccard == 0.0
+
+
+def test_rolling_kmv_exact_below_k(spark, tmp_path):
+    """With fewer than k distinct users in every window, the KMV
+    small-set rule makes the estimate EXACT."""
+    import datetime as _dt
+
+    from lab3_lakehouse_spark.queries import QUERIES
+
+    rows = []
+    eid = 0
+    d0 = _dt.datetime(2024, 3, 1)
+    for day in range(10):
+        for u in range(5 + day):  # growing distinct-user count
+            rows.append((eid, d0 + _dt.timedelta(days=day), u, "view", 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = QUERIES["rolling_7d_distinct_users"](spark, str(tmp_path)).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r.est_distinct_7d == float(r.exact_distinct_7d), r
+    # day 10's window covers days 4..10 → users 0..13 = 14 distinct
+    assert out[-1].exact_distinct_7d == 14
