@@ -123,6 +123,33 @@ SHOWCASE: dict[str, str] = {
         "partial_count before it, and the top-20 is TakeOrderedAndProject "
         "— never a global sort."
     ),
+    "part_copurchase_triangles": (
+        "Degree-oriented triangle counting: the wedge self-join and the "
+        "closing-edge join are both keyed SortMergeJoins over the oriented "
+        "edge table (checkpointed once — an ExistingRDD scan, not a "
+        "re-derivation), with orientation capping wedge fan-out at O(√m) "
+        "per node; no BroadcastNestedLoop anywhere."
+    ),
+    "copurchase_edge_embeddedness": (
+        "Per-edge embeddedness from the SAME triangle frame (lazy "
+        "localCheckpoint — the three corner projections scan one "
+        "materialized RDD instead of re-running the wedge joins), then a "
+        "pair-keyed count; min_common pruning means the full edge table is "
+        "never joined back, and the top-20 is TakeOrderedAndProject."
+    ),
+    "distribution_drift_ks": (
+        "Exact two-sample KS without a global sort: the distinct-value "
+        "cumsum runs under a window PARTITIONED on the percentile bucket "
+        "id, the ≤64-row offset frame broadcasts back, and the sup is a "
+        "TakeOrderedAndProject — the two-phase ranking discipline applied "
+        "to a CDF."
+    ),
+    "token_pmi_collocations": (
+        "PMI collocations: partition-local pair explosion (no shuffle "
+        "until the pair-keyed counts), the min-count filter prunes before "
+        "the joins back, the corpus total is a broadcast singleton, and "
+        "the top-20 cut is TakeOrderedAndProject on the exact ratio."
+    ),
     "weighted_doc_sample": (
         "Efraimidis–Spirakis weighted sampling: the md5 priority is "
         "computed scan-side and the plan is a single "
