@@ -15,7 +15,9 @@ composes the corpus side):
           retention         (retention_cohorts triangle)
           daily activity    (gap_filled_counts, zero-filled)
           anomalies         (hourly gap-fill → seasonal_residual_topk)
-          value drift       (value_drift_psi: PSI retrain gate)
+          value drift       (value_drift_psi: PSI retrain gate,
+                             value_drift_ks: exact-KS second opinion)
+          burstiness        (inter_event_burstiness: bot screen)
           novelty           (daily_user_novelty: new vs returning)
       → each report materialized as a gold tier table
 
@@ -78,6 +80,13 @@ def run_event_analytics(
         # the retrain alarm a training pipeline checks BEFORE consuming
         # this tier (sum(psi_term) >= 0.2 blocks the downstream job)
         "value_drift": events_ops.value_drift_psi(ev, split_ts="2024-01-16"),
+        # second opinion on the same gate: exact two-sample KS — PSI is
+        # binned (blind to within-bucket shifts), KS is the exact
+        # strongest CDF gap; alarm on EITHER
+        "value_drift_ks": events_ops.value_drift_ks(ev, split_ts="2024-01-16"),
+        # behavioral screen: metronomic users (B near -1) are bots the
+        # debounce alone cannot catch (they never fire inside the gap)
+        "burstiness": events_ops.inter_event_burstiness(ev),
         # audience composition: new-vs-returning decomposition per day
         "novelty": events_ops.daily_user_novelty(ev),
     }

@@ -68,6 +68,8 @@ def test_event_analytics_pipeline_end_to_end(spark, sf_small, tmpdir):
     assert c["daily_activity"] % 1 == 0 and c["daily_activity"] >= c["retention"]
     assert c["anomalies"] <= 5 * 5  # top-5 per series
     assert c["value_drift"] == 10  # one row per PSI bucket, spine-filled
+    assert c["value_drift_ks"] == 1  # the single sup-gap row
+    assert c["burstiness"] >= 1  # users with >= 3 debounced events
     assert c["novelty"] >= 1  # one row per active day
     # determinism: identical rerun counts
     c2 = run_event_analytics(spark, sf_small, str(tmpdir))
