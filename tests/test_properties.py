@@ -300,3 +300,110 @@ def test_pagerank_conserves_mass_on_symmetrized_graphs(spark, edges):
     assert abs(total - 1.0) < 1e-9
     floor = (1.0 - 0.85) / n
     assert all(floor - 1e-12 <= r.rank <= 1.0 for r in rows)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=18,
+    )
+)
+def test_triangle_stats_matches_bruteforce(spark, edges):
+    """Degree-oriented triangle counts equal itertools brute force on
+    arbitrary small graphs (any direction mix, duplicates included)."""
+    import itertools
+
+    from lab3_lakehouse_spark.operators import graph as graph_ops
+
+    und = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    nodes = sorted({n for e in und for n in e})
+    eset = set(und)
+    expected = {n: 0 for n in nodes}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if (x, y) in eset and (x, z) in eset and (y, z) in eset:
+            expected[x] += 1
+            expected[y] += 1
+            expected[z] += 1
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.n_triangles for r in graph_ops.triangle_stats(e).collect()}
+    assert got == expected
+    # per-edge embeddedness consistency: 3 * total triangles = sum of
+    # per-edge common-neighbor counts
+    emb = graph_ops.edge_embeddedness(e).collect()
+    assert sum(r.n_common for r in emb) == sum(expected.values())
+    for r in emb:
+        assert 0.0 <= r.jaccard <= 1.0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    sizes=st.lists(st.integers(3, 5), min_size=1, max_size=3),
+)
+def test_label_propagation_labels_disjoint_cliques(spark, sizes):
+    """On disjoint cliques (size >= 3 — synchronous LPA oscillates on
+    K2, the known bipartite case) every clique converges to its
+    minimum id within 2 rounds, and labels never cross components."""
+    from lab3_lakehouse_spark.operators import graph as graph_ops
+
+    edges, base = [], 0
+    comp = {}
+    for s in sizes:
+        ids = list(range(base, base + s))
+        for a in ids:
+            comp[a] = base
+            for b in ids:
+                if a != b:
+                    edges.append((a, b))
+        base += s + 3  # gap keeps id ranges disjoint
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r.node: r.label for r in
+           graph_ops.label_propagation(e, iterations=2).collect()}
+    for node, label in out.items():
+        assert label == comp[node], (node, label, comp[node])
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    gaps=st.lists(st.integers(1, 10_000), min_size=2, max_size=25),
+)
+def test_burstiness_bounded_and_mean_exact(spark, gaps):
+    """B ∈ [−1, 1) for positive gaps, and the mean gap is the exact
+    rational mean of the planted gaps."""
+    import datetime as _dt
+
+    from lab3_lakehouse_spark.operators import events as events_ops
+
+    t = _dt.datetime(2024, 1, 1)
+    rows = [(1, t)]
+    for g in gaps:
+        t = t + _dt.timedelta(seconds=g)
+        rows.append((1, t))
+    ev = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = events_ops.inter_event_burstiness(ev).collect()[0]
+    assert -1.0 <= out.burstiness < 1.0
+    assert abs(out.mean_gap_s - sum(gaps) / len(gaps)) < 1e-6
+    assert out.n_events == len(gaps) + 1
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    ref=st.lists(st.floats(0, 500, allow_nan=False), min_size=1, max_size=30),
+    cur=st.lists(st.floats(0, 500, allow_nan=False), min_size=1, max_size=30),
+)
+def test_ks_bounded_and_zero_iff_identical(spark, ref, cur):
+    """KS ∈ [0, 1] always; 0 when the two samples are identical."""
+    import datetime as _dt
+
+    from lab3_lakehouse_spark.operators import events as events_ops
+
+    r_day, c_day = _dt.datetime(2024, 1, 10), _dt.datetime(2024, 1, 20)
+    rows = [(r_day, float(v)) for v in ref] + [(c_day, float(v)) for v in cur]
+    ev = spark.createDataFrame(rows, ["ts", "value"])
+    out = events_ops.value_drift_ks(ev, split_ts="2024-01-16").collect()[0]
+    assert 0.0 <= out.ks_stat <= 1.0
+    if sorted(ref) == sorted(cur):
+        assert out.ks_stat == 0.0
