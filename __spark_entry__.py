@@ -40,11 +40,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # standing signal in the registry); 9–12 the second r6-new block (the
 # exact-KS drift test, Benford audit, entropy profile, CV-fold
 # balance); 13–15 the third r6-new block (edge embeddedness, user
-# burstiness, rolling-KMV sliding distinct); 16–31 the 16 r5-new
+# burstiness, rolling-KMV sliding distinct); 16–17 the fourth (JL
+# random projection, interval-union coverage); 18–33 the 16 r5-new
 # sqlsuite/containment/snapshot queries (pre-verified at sf0.01 in
-# r5, no driver verdict yet); 32–42 the oldest r3-green tail by risk;
-# 43–50 eight of the 26-entry r3-green remainder (the last seven
-# moved just below the boundary to make room for blocks 2–3 — a
+# r5, no driver verdict yet); 34–44 the oldest r3-green tail by risk;
+# 45–50 six of the 26-entry r3-green remainder (the other nine moved
+# just below the boundary to make room for blocks 2–4 — a
 # never-checked query outranks a three-round-old green one). All 50
 # pre-verified green through the exact driver gate (check_query at
 # sf0.01) before commit.
@@ -75,6 +76,9 @@ _PRIORITY = [
     "copurchase_edge_embeddedness",
     "user_burstiness_profile",
     "rolling_7d_distinct_users",
+    # r6-new block 4 (JL projection, interval-union coverage)
+    "embedding_random_projection",
+    "user_activity_coverage",
     "sql_volume_shipping",
     "sql_national_market_share",
     "sql_nation_profit",
@@ -108,10 +112,10 @@ _PRIORITY = [
     "distinct_user_count",
     "rollup_lineitem_status",
     "cube_order_status_priority",
+    # ---- 50-slot window boundary (round-7 plan in header) ----
+    # r3-remainder displaced by the r6 block-2/3/4 queries: r7 front
     "scalar_string_funcs",
     "scalar_date_funcs",
-    # ---- 50-slot window boundary (round-7 plan in header) ----
-    # r3-remainder displaced by the r6 block-2/3 queries: r7 front
     "scalar_math_funcs",
     "json_extract_props",
     "tumbling_window_hourly",

@@ -122,6 +122,8 @@ HEADLINE = [
     "copurchase_edge_embeddedness", # per-edge triangle Jaccard, oriented (r6)
     "user_burstiness_profile",      # Goh-Barabasi inter-event stats (r6)
     "rolling_7d_distinct_users",    # sliding distinct via KMV cell merge (r6)
+    "embedding_random_projection",  # JL sign-matrix reduce, pure scan-side (r6)
+    "user_activity_coverage",       # interval-union sweep, one shuffle (r6)
 ]
 
 

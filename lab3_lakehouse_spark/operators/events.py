@@ -271,6 +271,60 @@ def value_drift_psi(
     )
 
 
+def interval_coverage(
+    df: DataFrame,
+    *,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Per-key interval UNION: merge overlapping/touching intervals and
+    report ``(key, n_intervals, n_segments, covered_s)`` — total
+    covered seconds after de-overlapping. The complement of the
+    interval-overlap JOIN already in the kit: coverage answers "how
+    long was the user actually active / the device actually up",
+    where naively summing durations double-counts overlaps.
+
+    Classic sweep as two PARTITIONED windows (both keyed on ``key_col``
+    — one shuffle total): a running max of previous interval ends
+    marks each row that starts a new disjoint segment, the running sum
+    of those marks numbers the segments, and a grouped min/max per
+    segment yields exact merged spans. Endpoints are exact integer
+    microseconds (``unix_micros``) so lengths are integers until one
+    final division."""
+    from pyspark.sql import Window
+
+    s = F.unix_micros(F.col(start_col))
+    e = F.unix_micros(F.col(end_col))
+    w = Window.partitionBy("key").orderBy("__s", "__e")
+    prev_end = F.max("__e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    rows = (
+        df.select(F.col(key_col).alias("key"), s.alias("__s"), e.alias("__e"))
+        .withColumn(
+            "__new",
+            F.when(
+                prev_end.isNull() | (F.col("__s") > prev_end), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__seg",
+            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    segs = rows.groupBy("key", "__seg").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min("__s").alias("__ss"),
+        F.max("__e").alias("__se"),
+    )
+    return segs.groupBy("key").agg(
+        F.sum("__n").alias("n_intervals"),
+        F.count(F.lit(1)).alias("n_segments"),
+        (
+            F.sum(F.col("__se") - F.col("__ss")).cast("double") / F.lit(1e6)
+        ).alias("covered_s"),
+    )
+
+
 def inter_event_burstiness(
     ev: DataFrame,
     *,

@@ -1485,3 +1485,136 @@ def crossval_fold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold", "source")
     )
+
+
+# ------------------------------------------ JL random projection ----
+
+_JL_D_IN, _JL_D_OUT, _JL_SEED = 64, 16, 23
+
+
+def _jl_signs() -> list[list[float]]:
+    """±1 sign matrix derived from md5 — a COMPILE-TIME deterministic
+    constant, identical in the Spark expression and the oracle SQL (the
+    matrix is data both engines share, not per-engine randomness)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(
+                hashlib.md5(f"{_JL_SEED}|{j}|{i}".encode()).hexdigest()[:8], 16
+            )
+            % 2
+            == 0
+            else -1.0
+            for i in range(_JL_D_IN)
+        ]
+        for j in range(_JL_D_OUT)
+    ]
+
+
+def _jl_oracle() -> str:
+    from lab3_lakehouse_spark.queries._util import sql_round4
+
+    signs = _jl_signs()
+    scale = 1.0 / (_JL_D_OUT ** 0.5)
+
+    def p_sql(j: int) -> str:
+        terms = " + ".join(
+            f"({signs[j][i]} * CAST(embedding[{i + 1}] AS DOUBLE))"
+            for i in range(_JL_D_IN)
+        )
+        return f"(({terms}) * {scale!r})"
+
+    norm_in = " + ".join(
+        f"(CAST(embedding[{i + 1}] AS DOUBLE) * CAST(embedding[{i + 1}] AS DOUBLE))"
+        for i in range(_JL_D_IN)
+    )
+    norm_out = " + ".join(f"(p{j} * p{j})" for j in range(_JL_D_OUT))
+    p_cols = ", ".join(f"{p_sql(j)} AS p{j}" for j in range(_JL_D_OUT))
+    return f"""
+    WITH proj AS (
+        SELECT vec_id, {p_cols}, sqrt({norm_in}) AS norm_in
+        FROM embeddings
+    )
+    SELECT vec_id,
+           {sql_round4('p0')} AS p0,
+           {sql_round4('p1')} AS p1,
+           {sql_round4('p2')} AS p2,
+           {sql_round4('p3')} AS p3,
+           {sql_round4('norm_in')} AS norm_in,
+           {sql_round4(f'sqrt({norm_out})')} AS norm_out,
+           {sql_round4(f'sqrt({norm_out}) / norm_in')} AS norm_ratio
+    FROM proj
+    """
+
+
+@query("embedding_random_projection", oracle=_jl_oracle())
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction 64 → 16 via a ±1
+    sign matrix (Achlioptas 2001): the map-only preprocessing that cuts
+    every downstream ANN/cosine cost 4× while approximately preserving
+    norms and distances — at 100 TB you project ONCE at ingest and run
+    LSH/IVF in the reduced space. The sign matrix is an md5-derived
+    compile-time constant, so the projection is a pure scan-side
+    expression: NO shuffle, NO UDF, whole-stage-codegen'd arithmetic,
+    and the oracle evaluates the IDENTICAL left-associated sum chain —
+    doubles match bit-for-bit before round4. Emits the first four
+    projected coordinates plus input/output norms and their ratio (the
+    JL quality check: ratios concentrate around 1)."""
+    from lab3_lakehouse_spark.queries._util import round4
+
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    signs = _jl_signs()
+    scale = 1.0 / (_JL_D_OUT ** 0.5)
+
+    # higher-order functions, not unrolled chains: a 16×64 unrolled
+    # expression tree sent Catalyst analysis + codegen to ~7 s; the
+    # aggregate() lambda folds i ASCENDING — the same left-associated
+    # order as the oracle's explicit sum chain, so doubles still match
+    # bit-for-bit — with a constant-size plan.
+    signs_lit = F.array(
+        *[F.array(*[F.lit(s) for s in row]) for row in signs]
+    )
+    v = lambda i: F.element_at(F.col("embedding"), i + 1).cast("double")
+    proj = F.transform(
+        F.sequence(F.lit(1), F.lit(_JL_D_OUT)),
+        lambda j: F.aggregate(
+            F.sequence(F.lit(1), F.lit(_JL_D_IN)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.element_at(F.element_at(F.col("__S"), j), i)
+            * F.element_at(F.col("embedding"), i).cast("double"),
+        )
+        * F.lit(scale),
+    )
+    norm_in = F.sqrt(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(_JL_D_IN - 1)),
+            F.lit(0.0),
+            lambda acc, i: acc + v(i) * v(i),
+        )
+    )
+    cur = (
+        emb.withColumn("__S", signs_lit)
+        .withColumn("__p", proj)
+        .withColumn("norm_in", norm_in)
+        .withColumn(
+            "norm_out",
+            F.sqrt(
+                F.aggregate(
+                    F.col("__p"),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x * x,
+                )
+            ),
+        )
+    )
+    return cur.select(
+        "vec_id",
+        *[round4(F.col("__p")[j]).alias(f"p{j}") for j in range(4)],
+        round4(F.col("norm_in")).alias("norm_in"),
+        round4(F.col("norm_out")).alias("norm_out"),
+        round4(F.col("norm_out") / F.col("norm_in")).alias("norm_ratio"),
+    )

@@ -1653,6 +1653,82 @@ def copurchase_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COVER_WIDTH_MIN = 10  # each event opens a 10-minute activity interval
+
+
+def _coverage_oracle() -> str:
+    return f"""
+    WITH iv AS (
+        SELECT user_id AS key,
+               epoch_us(ts) AS s,
+               epoch_us(ts + INTERVAL {_COVER_WIDTH_MIN} MINUTE) AS e
+        FROM events
+    ),
+    marked AS (
+        SELECT key, s, e,
+               CASE WHEN max(e) OVER (
+                        PARTITION BY key ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                     OR s > max(e) OVER (
+                        PARTITION BY key ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_seg
+        FROM iv
+    ),
+    segged AS (
+        SELECT key, s, e,
+               sum(new_seg) OVER (
+                   PARTITION BY key ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS seg
+        FROM marked
+    ),
+    segs AS (
+        SELECT key, seg, count(*) AS n, min(s) AS ss, max(e) AS se
+        FROM segged GROUP BY key, seg
+    )
+    SELECT key AS user_id,
+           CAST(sum(n) AS BIGINT) AS n_intervals,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           {sql_round4('CAST(sum(se - ss) AS DOUBLE) / 1000000.0')}
+               AS covered_s
+    FROM segs GROUP BY key
+    """
+
+
+@query("user_activity_coverage", oracle=_coverage_oracle())
+def user_activity_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-UNION coverage per user: each event opens a 10-minute
+    activity interval; overlapping intervals merge and the total
+    covered (de-overlapped) time is reported — "how long was the user
+    actually active", where naively summing durations double-counts
+    bursts. The interval-union primitive complements the kit's
+    interval-overlap JOIN; it is the uptime/SLA/session-coverage
+    computation. Sweep = two PARTITIONED windows + two grouped aggs,
+    everything keyed on the user (ONE shuffle); endpoints are exact
+    integer microseconds, so segment lengths are integers until one
+    final division (bit-stable cross-engine)."""
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("ivs"),
+        (F.col("ts") + F.expr(f"INTERVAL {_COVER_WIDTH_MIN} MINUTE")).alias(
+            "ive"
+        ),
+    )
+    out = events_ops.interval_coverage(
+        iv, key_col="user_id", start_col="ivs", end_col="ive"
+    )
+    return out.select(
+        F.col("key").alias("user_id"),
+        F.col("n_intervals").cast("long").alias("n_intervals"),
+        F.col("n_segments").cast("long").alias("n_segments"),
+        round4(F.col("covered_s")).alias("covered_s"),
+    )
+
+
 def _burstiness_oracle() -> str:
     gap = "(epoch_us(g.ts) - epoch_us(g.prev)) / 1000000.0"
     b = (

@@ -856,3 +856,43 @@ def test_rolling_kmv_exact_below_k(spark, tmp_path):
         assert r.est_distinct_7d == float(r.exact_distinct_7d), r
     # day 10's window covers days 4..10 → users 0..13 = 14 distinct
     assert out[-1].exact_distinct_7d == 14
+
+
+def test_interval_coverage_hand_case(spark):
+    """[0,10] ∪ [5,15] ∪ [20,30] → two segments, 25 s covered; an
+    interval touching a segment end (start == prev end) merges."""
+    import datetime as _dt
+
+    from lab3_lakehouse_spark.operators import events as events_ops
+
+    t0 = _dt.datetime(2024, 1, 1)
+    iv = [(1, 0, 10), (1, 5, 15), (1, 20, 30), (2, 0, 5), (2, 5, 9)]
+    rows = [
+        (u, t0 + _dt.timedelta(seconds=s), t0 + _dt.timedelta(seconds=e))
+        for u, s, e in iv
+    ]
+    df = spark.createDataFrame(rows, ["u", "s", "e"])
+    out = {
+        r.key: r
+        for r in events_ops.interval_coverage(
+            df, key_col="u", start_col="s", end_col="e"
+        ).collect()
+    }
+    assert out[1].n_intervals == 3 and out[1].n_segments == 2
+    assert abs(out[1].covered_s - 25.0) < 1e-9
+    # user 2: [0,5] and [5,9] touch (start == prev end) → ONE segment
+    assert out[2].n_segments == 1 and abs(out[2].covered_s - 9.0) < 1e-9
+
+
+def test_jl_projection_preserves_norms(spark, sf_medium):
+    """JL with a ±1/√d matrix: norm ratios concentrate around 1 —
+    check every vector stays within a generous band and the corpus
+    mean is tight (E[ratio²] = 1 exactly for sign matrices)."""
+    from lab3_lakehouse_spark.queries import QUERIES
+
+    rows = QUERIES["embedding_random_projection"](spark, sf_medium).collect()
+    assert len(rows) > 0
+    ratios = [r.norm_ratio for r in rows]
+    assert all(0.4 < x < 1.8 for x in ratios), (min(ratios), max(ratios))
+    mean_sq = sum(x * x for x in ratios) / len(ratios)
+    assert 0.85 < mean_sq < 1.15, mean_sq
