@@ -172,6 +172,17 @@ def workloads():
         "part_copurchase_triangles": QUERIES["part_copurchase_triangles"],
         "bigram_surprisal_scores": QUERIES["bigram_surprisal_scores"],
         "token_pmi_collocations": QUERIES["token_pmi_collocations"],
+        # round-6 blocks 2-4: the two-phase KS cumsum (bucketed
+        # partitioned windows must hold as distinct values grow), the
+        # interval-union sweep and burstiness lag (both one user-keyed
+        # shuffle), the rolling KMV merge (state is k cells/day at any
+        # volume), and the scan-side JL projection — alpha ~ 1 or below
+        # expected throughout
+        "distribution_drift_ks": QUERIES["distribution_drift_ks"],
+        "user_activity_coverage": QUERIES["user_activity_coverage"],
+        "user_burstiness_profile": QUERIES["user_burstiness_profile"],
+        "rolling_7d_distinct_users": QUERIES["rolling_7d_distinct_users"],
+        "embedding_random_projection": QUERIES["embedding_random_projection"],
         "corpus_pipeline": corpus_pipeline,
     }
 
