@@ -41,11 +41,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # exact-KS drift test, Benford audit, entropy profile, CV-fold
 # balance); 13–15 the third r6-new block (edge embeddedness, user
 # burstiness, rolling-KMV sliding distinct); 16–17 the fourth (JL
-# random projection, interval-union coverage); 18–33 the 16 r5-new
+# random projection, interval-union coverage); 18–19 the fifth
+# (basket association rules, EWMA trend); 20–35 the 16 r5-new
 # sqlsuite/containment/snapshot queries (pre-verified at sf0.01 in
-# r5, no driver verdict yet); 34–44 the oldest r3-green tail by risk;
-# 45–50 six of the 26-entry r3-green remainder (the other nine moved
-# just below the boundary to make room for blocks 2–4 — a
+# r5, no driver verdict yet); 36–46 the oldest r3-green tail by risk;
+# 47–50 four of the 26-entry r3-green remainder (the other eleven
+# moved just below the boundary to make room for blocks 2–5 — a
 # never-checked query outranks a three-round-old green one). All 50
 # pre-verified green through the exact driver gate (check_query at
 # sf0.01) before commit.
@@ -79,6 +80,9 @@ _PRIORITY = [
     # r6-new block 4 (JL projection, interval-union coverage)
     "embedding_random_projection",
     "user_activity_coverage",
+    # r6-new block 5 (association rules, EWMA trend)
+    "basket_association_rules",
+    "daily_revenue_ewma",
     "sql_volume_shipping",
     "sql_national_market_share",
     "sql_nation_profit",
@@ -110,10 +114,10 @@ _PRIORITY = [
     "set_except_orders",
     "distinct_user_event_types",
     "distinct_user_count",
+    # ---- 50-slot window boundary (round-7 plan in header) ----
+    # r3-remainder displaced by the r6 block-2..5 queries: r7 front
     "rollup_lineitem_status",
     "cube_order_status_priority",
-    # ---- 50-slot window boundary (round-7 plan in header) ----
-    # r3-remainder displaced by the r6 block-2/3/4 queries: r7 front
     "scalar_string_funcs",
     "scalar_date_funcs",
     "scalar_math_funcs",

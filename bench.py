@@ -124,6 +124,8 @@ HEADLINE = [
     "rolling_7d_distinct_users",    # sliding distinct via KMV cell merge (r6)
     "embedding_random_projection",  # JL sign-matrix reduce, pure scan-side (r6)
     "user_activity_coverage",       # interval-union sweep, one shuffle (r6)
+    "basket_association_rules",     # Apriori-2 lift rules, exact-ratio cut (r6)
+    "daily_revenue_ewma",           # closed-form EWMA over the daily frame (r6)
 ]
 
 

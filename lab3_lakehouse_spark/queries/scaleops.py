@@ -1334,6 +1334,188 @@ def seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASSOC_MIN_COUNT, _ASSOC_TOPK = 3, 20
+
+
+def _assoc_oracle() -> str:
+    lift = (
+        "(CAST(p.c_ab AS DOUBLE) * n.no)"
+        " / (CAST(ia.c AS DOUBLE) * CAST(ib.c AS DOUBLE))"
+    )
+    return f"""
+    WITH oi AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS item FROM lineitem
+    ),
+    n AS (SELECT CAST(count(DISTINCT o) AS DOUBLE) AS no FROM oi),
+    ic AS (SELECT item, count(*) AS c FROM oi GROUP BY item),
+    p AS (
+        SELECT a.item AS ante, b.item AS cons, count(*) AS c_ab
+        FROM oi a JOIN oi b ON a.o = b.o AND a.item <> b.item
+        GROUP BY a.item, b.item
+        HAVING count(*) >= {_ASSOC_MIN_COUNT}
+    )
+    SELECT p.ante, p.cons,
+           CAST(p.c_ab AS BIGINT) AS n_both,
+           {sql_round4('CAST(p.c_ab AS DOUBLE) / n.no')} AS support,
+           {sql_round4('CAST(p.c_ab AS DOUBLE) / CAST(ia.c AS DOUBLE)')}
+               AS confidence,
+           {sql_round4(lift)} AS lift
+    FROM p
+    JOIN ic ia ON ia.item = p.ante
+    JOIN ic ib ON ib.item = p.cons
+    CROSS JOIN n
+    ORDER BY {lift} DESC, p.ante, p.cons
+    LIMIT {_ASSOC_TOPK}
+    """
+
+
+@query("basket_association_rules", oracle=_assoc_oracle())
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: directed
+    rules antecedent → consequent ranked by LIFT, with support and
+    confidence — the Apriori output for itemset size 2, which is the
+    production-relevant tier (larger itemsets explode combinatorially
+    for marginal value). Min-count floor screens the unstable tail.
+
+    Scale: basket self-join shuffles ONCE on the order key with
+    per-basket fan-out (the cooccurrence_edges discipline); item and
+    pair counts are keyed aggs; the basket total rides along as a
+    broadcast singleton. The top-k cut is ordered by the EXACT lift
+    ratio — integer products ≤ 2⁵³ through one IEEE division,
+    bit-stable cross-engine (the PMI trick) — and the ln-free lift is
+    emitted rounded."""
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    oi = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("item")
+    ).distinct().localCheckpoint(eager=False)
+    n = oi.agg(F.countDistinct("o").cast("double").alias("no"))
+    ic = oi.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    a = oi.select(F.col("o"), F.col("item").alias("ante"))
+    b = oi.select(F.col("o"), F.col("item").alias("cons"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= _ASSOC_MIN_COUNT)
+    )
+    ia = ic.select(F.col("item").alias("ante"), F.col("c").alias("c_a"))
+    ib = ic.select(F.col("item").alias("cons"), F.col("c").alias("c_b"))
+    lift = (F.col("c_ab").cast("double") * F.col("no")) / (
+        F.col("c_a").cast("double") * F.col("c_b").cast("double")
+    )
+    return (
+        pairs.join(ia, "ante")
+        .join(ib, "cons")
+        .crossJoin(F.broadcast(n))
+        .withColumn("__lift", lift)
+        .orderBy(F.desc("__lift"), "ante", "cons")
+        .limit(_ASSOC_TOPK)
+        .select(
+            "ante",
+            "cons",
+            F.col("c_ab").cast("long").alias("n_both"),
+            round4(F.col("c_ab").cast("double") / F.col("no")).alias("support"),
+            round4(
+                F.col("c_ab").cast("double") / F.col("c_a").cast("double")
+            ).alias("confidence"),
+            round4(F.col("__lift")).alias("lift"),
+        )
+    )
+
+
+_EWMA_ALPHA = 0.3
+
+
+def _ewma_oracle() -> str:
+    a = "CAST(0.3 AS DOUBLE)"
+    w = f"CASE WHEN k.d = 0 THEN power(1.0 - {a}, cur.rn - 1) ELSE {a} * power(1.0 - {a}, k.d - 1) END"
+    return f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+               CAST(sum(o_totalprice) AS DOUBLE) AS revenue
+        FROM orders GROUP BY day
+    ),
+    ranked AS (
+        SELECT day, revenue,
+               row_number() OVER (ORDER BY day) AS rn
+        FROM daily
+    ),
+    terms AS (
+        SELECT cur.day, cur.revenue AS cur_rev,
+               CASE WHEN prev.rn = 1 THEN power(1.0 - {a}, cur.rn - 1)
+                    ELSE {a} * power(1.0 - {a}, cur.rn - prev.rn) END
+                   * prev.revenue AS term
+        FROM ranked cur JOIN ranked prev ON prev.rn <= cur.rn
+    ),
+    e AS (
+        SELECT day, any_value(cur_rev) AS revenue, sum(term) AS ewma
+        FROM terms GROUP BY day
+    )
+    SELECT day,
+           {sql_round4('revenue')} AS revenue,
+           {sql_round4('ewma')} AS ewma,
+           {sql_round4('revenue - ewma')} AS residual
+    FROM e
+    """
+
+
+@query("daily_revenue_ewma", oracle=_ewma_oracle())
+def daily_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue with
+    residuals — the classic smoothed-trend / anomaly baseline
+    (complements the seasonal-naive detector: EWMA tracks level
+    shifts, the 24h-lag residual tracks seasonality breaks). The
+    recursion ewma_d = α·r_d + (1−α)·ewma_{d−1} (seeded ewma_1 = r_1)
+    is unrolled to its closed form — each day is a weighted sum of ALL
+    preceding days — and evaluated as a rank-conditioned self-join of
+    the DAILY AGGREGATE frame: O(days²) pairs on a frame that is
+    O(days) rows at ANY corpus size (the one heavy step, the daily
+    aggregation, is a single keyed shuffle; the quadratic part never
+    touches raw data). The day ranking reuses a single partitioned-
+    window-free ORDER BY over the tiny frame on both engines; weights
+    are power((1−α), k) — the same accepted libm class as ln()
+    throughout the registry, far inside round4 slack."""
+    from pyspark.sql import Window as W
+
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.date_trunc("day", F.col("o_orderdate")).cast("timestamp").alias("day")
+        )
+        .agg(F.sum("o_totalprice").cast("double").alias("revenue"))
+        .localCheckpoint(eager=False)
+    )
+    ranked = daily.withColumn(
+        "rn", F.row_number().over(W.orderBy("day"))
+    ).localCheckpoint(eager=False)
+    alpha = _EWMA_ALPHA
+    cur = ranked.select(
+        F.col("day"), F.col("revenue").alias("cur_rev"), F.col("rn").alias("crn")
+    )
+    prev = ranked.select(F.col("revenue").alias("prev_rev"), F.col("rn").alias("prn"))
+    weight = F.when(
+        F.col("prn") == 1, F.pow(F.lit(1.0 - alpha), F.col("crn") - 1)
+    ).otherwise(
+        F.lit(alpha) * F.pow(F.lit(1.0 - alpha), F.col("crn") - F.col("prn"))
+    )
+    terms = cur.join(prev, F.col("prn") <= F.col("crn")).select(
+        "day", "cur_rev", (weight * F.col("prev_rev")).alias("term")
+    )
+    e = terms.groupBy("day").agg(
+        F.any_value(F.col("cur_rev")).alias("revenue"),
+        F.sum("term").alias("ewma"),
+    )
+    return e.select(
+        "day",
+        round4(F.col("revenue")).alias("revenue"),
+        round4(F.col("ewma")).alias("ewma"),
+        round4(F.col("revenue") - F.col("ewma")).alias("residual"),
+    )
+
+
 # ------------------------------------------------------ graph analytics ----
 
 def _pagerank_oracle() -> str:

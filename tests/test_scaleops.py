@@ -896,3 +896,70 @@ def test_jl_projection_preserves_norms(spark, sf_medium):
     assert all(0.4 < x < 1.8 for x in ratios), (min(ratios), max(ratios))
     mean_sq = sum(x * x for x in ratios) / len(ratios)
     assert 0.85 < mean_sq < 1.15, mean_sq
+
+
+def test_association_rules_planted_lift(spark, tmp_path):
+    """A pair that always co-occurs must show lift ≫ 1 and confidence
+    1.0; independent frequent items hover near lift 1."""
+    import datetime as _dt
+
+    from lab3_lakehouse_spark.queries import QUERIES
+
+    rows = []
+    d = _dt.datetime(2024, 1, 1)
+    lk = 0
+    # 10 baskets {100, 200} (perfect pair) out of 40 total baskets;
+    # item 300 appears in every basket (independent of everything)
+    for o in range(40):
+        items = [300]
+        if o < 10:
+            items += [100, 200]
+        items.append(400 + o)  # unique noise item per basket
+        for it in items:
+            rows.append((o, it, lk, 1.0, 1.0, 0.0, 0.0, "N", "O", d, d, d,
+                         "x", "y", "z"))
+            lk += 1
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+            "l_linestatus", "l_shipdate", "l_commitdate", "l_receiptdate",
+            "l_shipinstruct", "l_shipmode", "l_comment"]
+    spark.createDataFrame(rows, cols).write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    out = {(r.ante, r.cons): r for r in
+           QUERIES["basket_association_rules"](spark, str(tmp_path)).collect()}
+    r = out[(100, 200)]
+    assert r.confidence == 1.0 and r.n_both == 10
+    assert abs(r.lift - 4.0) < 1e-9  # 10*40 / (10*10)
+    # the perfect pair outranks any rule involving the ubiquitous item
+    assert r.lift > max(
+        v.lift for k, v in out.items() if 300 in k
+    )
+
+
+def test_ewma_hand_computed(spark, tmp_path):
+    """Three days, alpha 0.3: ewma = [r1, .3r2+.7r1, .3r3+.21r2+.49r1]."""
+    import datetime as _dt
+
+    from lab3_lakehouse_spark.queries import QUERIES
+
+    days = [_dt.datetime(2024, 1, i + 1) for i in range(3)]
+    rev = [100.0, 200.0, 50.0]
+    rows = [
+        (i, i, "O", rev[i], days[i], "1-URGENT", "c", 0, "x")
+        for i in range(3)
+    ]
+    spark.createDataFrame(
+        rows,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority", "o_clerk", "o_shippriority",
+         "o_comment"],
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    out = sorted(
+        QUERIES["daily_revenue_ewma"](spark, str(tmp_path)).collect(),
+        key=lambda r: r.day,
+    )
+    expect = [100.0, 0.3 * 200 + 0.7 * 100, 0.3 * 50 + 0.21 * 200 + 0.49 * 100]
+    for r, e in zip(out, expect):
+        assert abs(r.ewma - e) < 1e-9, (r.day, r.ewma, e)
+        assert abs(r.residual - (r.revenue - e)) < 1e-9
