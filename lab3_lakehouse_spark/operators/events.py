@@ -475,6 +475,10 @@ def value_drift_ks(
         F.col("__cr").cast("double") / F.col("__tr")
         - F.col("__cc").cast("double") / F.col("__tc")
     )
+    # KS is undefined when either sample is empty (the CDF ratio is
+    # 0/0): emit NO row rather than a NaN that would sort above every
+    # real statistic under desc
+    cum = cum.filter((F.col("__tr") > 0) & (F.col("__tc") > 0))
     return (
         cum.select(
             F.col("__tr").cast("long").alias("n_ref"),

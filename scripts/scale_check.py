@@ -183,6 +183,12 @@ def workloads():
         "user_burstiness_profile": QUERIES["user_burstiness_profile"],
         "rolling_7d_distinct_users": QUERIES["rolling_7d_distinct_users"],
         "embedding_random_projection": QUERIES["embedding_random_projection"],
+        # round-6 block 5: the basket self-join pair counting (same
+        # order-keyed shuffle discipline as the co-purchase edges) and
+        # the closed-form EWMA (quadratic ONLY in the day count, which
+        # the calendar — not the corpus — bounds)
+        "basket_association_rules": QUERIES["basket_association_rules"],
+        "daily_revenue_ewma": QUERIES["daily_revenue_ewma"],
         "corpus_pipeline": corpus_pipeline,
     }
 

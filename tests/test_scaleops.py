@@ -963,3 +963,17 @@ def test_ewma_hand_computed(spark, tmp_path):
     for r, e in zip(out, expect):
         assert abs(r.ewma - e) < 1e-9, (r.day, r.ewma, e)
         assert abs(r.residual - (r.revenue - e)) < 1e-9
+
+
+def test_ks_empty_side_emits_no_row(spark):
+    """KS with an empty reference or current sample is undefined —
+    the operator must emit nothing, not a NaN that wins the sort."""
+    import datetime as _dt
+
+    from lab3_lakehouse_spark.operators import events as events_ops
+
+    cur_day = _dt.datetime(2024, 1, 20)
+    ev = spark.createDataFrame(
+        [(cur_day, float(v)) for v in (1, 2, 3)], ["ts", "value"]
+    )
+    assert events_ops.value_drift_ks(ev, split_ts="2024-01-16").count() == 0
