@@ -52,10 +52,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # sf0.01) before commit.
 #
 # ROUND-7 ROTATION PLAN (for the next builder): lead with (1) any
-# query round 7 edits after its last check, (2) the 11 remaining
-# r3-green-remainder entries directly below the boundary (their
-# verdicts will be FOUR rounds old), (3) the r4-green block (three
-# rounds old), then the r5/r6-green blocks.
+# query round 7 edits after its last check, (2) the 22 r3-green
+# remainder entries directly below the boundary (verdicts FOUR rounds
+# old by r7 — the 11 displaced by this round's blocks 2-5 first, then
+# the 11-entry block after them), (3) the r4-green block (three
+# rounds old), then the r5/r6-green blocks. 22 + a few edits already
+# fills half the window; the rest should be r4-green.
 # tests/test_engine.py::test_priority_rotation_names_all_registered
 # guards against typos silently shrinking the window.
 _PRIORITY = [
