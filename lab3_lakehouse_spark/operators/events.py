@@ -142,13 +142,27 @@ def gap_filled_counts(
     series_col: str = "event_type",
     ts_col: str = "ts",
     grain: str = "day",
+    max_buckets: int = 200_000,
 ) -> DataFrame:
     """Gap-filled resample (the hypertable ``time_bucket_gapfill``
-    pattern): a bucket spine generated from the observed bounds ×
-    distinct series keys, left-joined onto real per-bucket counts with
-    zero-fill. The spine grid is O(buckets × keys) — tiny by
-    construction — so it broadcasts; the only data-sized operation is
-    the one grouped count. ``grain`` is ``day`` or ``hour``."""
+    pattern): every series key gets the full global bucket spine
+    (observed min..max), left-joined onto real per-bucket counts with
+    zero-fill. ``grain`` is ``day`` or ``hour``.
+
+    Scale shape: the grid is O(buckets × keys) BY SEMANTICS — with a
+    high-cardinality series column (user_id) that is spine×users rows,
+    unavoidable for this output. What must not happen is materializing
+    it driver-side or through a broadcast nested-loop: the grid is
+    generated EXECUTOR-SIDE by exploding one global-bounds
+    ``sequence`` per distinct-series row (the distinct frame is
+    partitioned on the series key, so generation shards with it), then
+    joined to the grouped counts on (bucket, series) — a keyed shuffle
+    join, never a cartesian. ``max_buckets`` bounds the one genuinely
+    unbounded axis: a mis-parsed 1970 timestamp would otherwise ask
+    ``sequence`` for decades of hourly buckets on every row; the guard
+    fails fast at plan execution with the real bucket count in the
+    error instead of OOMing an executor.
+    """
     step = {"day": "INTERVAL 1 DAY", "hour": "INTERVAL 1 HOUR"}[grain]
     bucket = (
         F.to_date(ts_col).cast("timestamp")
@@ -159,19 +173,42 @@ def gap_filled_counts(
         F.date_trunc(grain, F.min(ts_col)).alias("b0"),
         F.date_trunc(grain, F.max(ts_col)).alias("b1"),
     )
-    spine = bounds.select(
-        F.explode(F.sequence("b0", "b1", F.expr(step))).alias("bucket")
+    per_grain_sec = {"day": 86400, "hour": 3600}[grain]
+    n_buckets = (
+        F.unix_timestamp("b1") - F.unix_timestamp("b0")
+    ) / F.lit(per_grain_sec) + F.lit(1)
+    # the guard is folded into b1 itself (not a side column a projection
+    # would prune away): sequence() can't evaluate without tripping it
+    guarded = bounds.select(
+        "b0",
+        F.when(n_buckets <= F.lit(max_buckets), F.col("b1"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"gap_filled_counts: spine would exceed max_buckets="
+                        f"{max_buckets} ({grain} buckets: "
+                    ),
+                    n_buckets.cast("long").cast("string"),
+                    F.lit("); check timestamp bounds or raise max_buckets"),
+                )
+            ).cast("timestamp")
+        )
+        .alias("b1"),
     )
     series = df.select(series_col).distinct()
+    # per-series explode of the (broadcast, 1-row) bounds: grid rows are
+    # born on the executors holding the series keys — no crossJoin, no
+    # driver materialization, shards with series cardinality
+    grid = series.join(F.broadcast(guarded), how="cross").select(
+        series_col,
+        F.explode(F.sequence("b0", "b1", F.expr(step))).alias("bucket"),
+    )
     counts = df.groupBy(bucket.alias("bucket"), series_col).agg(
         F.count(F.lit(1)).alias("__n")
     )
-    return (
-        spine.crossJoin(series)
-        .join(counts, ["bucket", series_col], "left")
-        .select(
-            "bucket", series_col, F.coalesce("__n", F.lit(0)).alias("n_events")
-        )
+    return grid.join(counts, ["bucket", series_col], "left").select(
+        "bucket", series_col, F.coalesce("__n", F.lit(0)).alias("n_events")
     )
 
 

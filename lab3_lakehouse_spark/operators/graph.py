@@ -99,6 +99,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     iterations: int = 2,
+    self_vote: bool = False,
 ) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007) over a
     SYMMETRIC edge list — the cheap community-detection pass: every
@@ -106,13 +107,25 @@ def label_propagation(
     frequent label among its neighbors, ties broken by smallest label.
     Fully deterministic (unlike the async/random-order original), so
     the result is reproducible cross-engine and cross-partitioning —
-    the property a differential oracle needs.
+    the property a differential oracle needs. Node/label ids may be any
+    orderable type (numeric or string): the tie-break compares labels
+    directly, only the vote COUNT is negated.
+
+    ``self_vote=True`` is the damped variant: each node's current label
+    counts as one extra vote. Pure synchronous LPA oscillates with
+    period 2 on bipartite structure (K2: the two nodes swap labels
+    forever); the self-vote turns every swap into a tie, and the
+    tie-to-smallest rule then collapses the pair deterministically —
+    the standard oscillation fix that keeps one-shuffle-per-round
+    semantics (vs. async/coloring schedules, which serialize rounds).
+    Defaults to False: the plain Raghavan semantic, as registered in
+    the differential oracle.
 
     Returns ``(node, label)`` for every node with at least one edge.
 
     Scale: per round, ONE shuffle to count neighbor labels keyed on
     (node, label), then an argmax folded into a second aggregation —
-    ``max_by(label, (n_votes, -label))`` — which partial-aggregates
+    ``min_by(label, (-n_votes, label))`` — which partial-aggregates
     map-side and needs no per-node sort (a windowed row_number would
     sort every partition per round); no global sort, no driver
     participation; lineage is cut per round with ``localCheckpoint``
@@ -130,17 +143,21 @@ def label_propagation(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    # struct comparison is lexicographic: max over (n_votes, -label)
-    # is "most votes, ties to the SMALLEST label" — the deterministic
-    # tie-break, without a sort.
-    argmax = F.max_by(
-        "label", F.struct(F.col("n_votes"), (-F.col("label")).alias("__nl"))
+    # struct comparison is lexicographic: min over (-n_votes, label)
+    # is "most votes, ties to the SMALLEST label" — deterministic,
+    # sort-free, and type-agnostic in the label (only the count,
+    # always a bigint, is negated).
+    argmax = F.min_by(
+        "label", F.struct((-F.col("n_votes")).alias("__nv"), F.col("label"))
     )
     for _ in range(iterations):
-        votes = (
-            e.join(labels.withColumnRenamed("node", "dst"), "dst")
-            .groupBy(F.col("src").alias("node"), "label")
-            .agg(F.count(F.lit(1)).alias("n_votes"))
+        ballots = e.join(labels.withColumnRenamed("node", "dst"), "dst").select(
+            F.col("src").alias("node"), "label"
+        )
+        if self_vote:
+            ballots = ballots.unionByName(labels)
+        votes = ballots.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("n_votes")
         )
         labels = (
             votes.groupBy("node")

@@ -1430,7 +1430,6 @@ _EWMA_ALPHA = 0.3
 
 def _ewma_oracle() -> str:
     a = "CAST(0.3 AS DOUBLE)"
-    w = f"CASE WHEN k.d = 0 THEN power(1.0 - {a}, cur.rn - 1) ELSE {a} * power(1.0 - {a}, k.d - 1) END"
     return f"""
     WITH daily AS (
         SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
@@ -2558,6 +2557,7 @@ def _ks_oracle() -> str:
            {sql_round4('abs(cum.cr / tot.tr - cum.cc / tot.tc)')} AS ks_stat,
            cum.v AS at_value
     FROM cum CROSS JOIN tot
+    WHERE tot.tr > 0 AND tot.tc > 0
     ORDER BY abs(cum.cr / tot.tr - cum.cc / tot.tc) DESC, cum.v
     LIMIT 1
     """

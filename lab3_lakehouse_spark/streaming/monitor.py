@@ -75,11 +75,20 @@ def bucket_counts(
     )
 
 
-def psi_between(ref_counts: DataFrame, cur_counts: DataFrame) -> DataFrame:
+def psi_between(
+    ref_counts: DataFrame,
+    cur_counts: DataFrame,
+    *,
+    n_buckets: int | None = None,
+) -> DataFrame:
     """Single-row PSI between two bucket-count frames (same spine):
     ``(n_ref, n_cur, psi)`` with the value_drift_psi smoothing, so a
-    zero-event side stays finite."""
-    n_buckets = ref_counts.count()  # spine is complete by construction
+    zero-event side stays finite. Callers that know the spine size
+    (the streaming monitor runs this per micro-batch) pass
+    ``n_buckets`` so the plan stays fully lazy — the fallback
+    ``count()`` is a driver-side action, fine once, wrong in a loop."""
+    if n_buckets is None:
+        n_buckets = ref_counts.count()  # spine is complete by construction
     smooth = 0.5 * n_buckets
     j = (
         ref_counts.withColumnRenamed("n", "n_ref")
@@ -142,7 +151,7 @@ def stream_psi_monitor(
             n_buckets=n_buckets,
             bucket_width=bucket_width,
         )
-        row = psi_between(ref_counts, cur).select(
+        row = psi_between(ref_counts, cur, n_buckets=n_buckets).select(
             F.lit(batch_id).cast("long").alias("batch_id"),
             "n_ref",
             "n_cur",

@@ -366,6 +366,43 @@ def test_label_propagation_labels_disjoint_cliques(spark, sizes):
         assert label == comp[node], (node, label, comp[node])
 
 
+def test_label_propagation_k2_sync_oscillates_self_vote_converges(spark):
+    """The K2 fixture: pure synchronous LPA swaps the two labels every
+    round (period-2 oscillation — the documented bipartite semantic),
+    while the damped ``self_vote`` variant turns each swap into a tie
+    and collapses the pair to the smaller id in one round, then stays
+    fixed."""
+    from lab3_lakehouse_spark.operators import graph as graph_ops
+
+    e = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+    # sync: odd iteration counts leave the labels swapped
+    swapped = {r.node: r.label for r in
+               graph_ops.label_propagation(e, iterations=1).collect()}
+    assert swapped == {1: 2, 2: 1}
+    back = {r.node: r.label for r in
+            graph_ops.label_propagation(e, iterations=2).collect()}
+    assert back == {1: 1, 2: 2}  # ... and even counts swap them back
+    # damped: converged to one community by round 1, stable at round 2
+    for its in (1, 2):
+        damped = {r.node: r.label for r in graph_ops.label_propagation(
+            e, iterations=its, self_vote=True).collect()}
+        assert damped == {1: 1, 2: 1}, (its, damped)
+
+
+def test_label_propagation_accepts_string_node_ids(spark):
+    """The tie-break negates the vote COUNT, not the label, so string
+    node ids work end-to-end (the rest of the graph module already
+    accepted them)."""
+    from lab3_lakehouse_spark.operators import graph as graph_ops
+
+    tri = [("a", "b"), ("b", "c"), ("a", "c")]
+    edges = tri + [(y, x) for x, y in tri]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r.node: r.label for r in
+           graph_ops.label_propagation(e, iterations=2).collect()}
+    assert out == {"a": "a", "b": "a", "c": "a"}
+
+
 @settings(max_examples=8, deadline=None)
 @given(
     gaps=st.lists(st.integers(1, 10_000), min_size=2, max_size=25),

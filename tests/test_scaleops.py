@@ -255,6 +255,52 @@ def test_gap_fill_emits_zero_rows_for_missing_days(spark, tmp_path):
     assert by_day[1] == 1 and by_day[2] == 0 and by_day[3] == 0 and by_day[4] == 1
 
 
+def test_gap_fill_spine_guard_trips_on_runaway_bounds(spark):
+    """A mis-parsed 1970 epoch next to a 2024 timestamp would demand a
+    ~473k-hour spine PER SERIES KEY; the max_buckets guard fails the
+    job at execution with the offending bucket count instead of
+    exploding the grid."""
+    import pyspark.sql.utils  # noqa: F401
+
+    from lab3_lakehouse_spark.operators import events as events_ops
+
+    rows = [
+        (dt.datetime(1970, 1, 1), "view"),
+        (dt.datetime(2024, 1, 1), "view"),
+    ]
+    df = spark.createDataFrame(rows, ["ts", "event_type"])
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="max_buckets"):
+        events_ops.gap_filled_counts(df, grain="hour").collect()
+    # and the same bounds pass when the caller raises the budget
+    ok = events_ops.gap_filled_counts(
+        df, grain="day", max_buckets=30_000
+    ).collect()
+    assert len(ok) == 19724  # days from 1970-01-01 through 2024-01-01
+
+
+def test_gap_fill_high_cardinality_series_stays_keyed(spark):
+    """With a high-cardinality series column (user_id) the grid is
+    spine×users BY SEMANTICS; the plan must generate it executor-side
+    (explode per series row) and close with a KEYED join — no
+    cartesian product against a multi-row frame."""
+    from lab3_lakehouse_spark.operators import events as events_ops
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (t0 + dt.timedelta(days=d), uid) for uid in range(200) for d in (0, 2)
+    ]
+    df = spark.createDataFrame(rows, ["ts", "user_id"])
+    out = events_ops.gap_filled_counts(df, series_col="user_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    rows_out = out.collect()
+    assert len(rows_out) == 3 * 200  # full 3-day spine for every user
+    zero_fill = [r for r in rows_out if r.n_events == 0]
+    assert len(zero_fill) == 200  # each user misses exactly one day
+
+
 # --------------------------------------------- round-4 batch 2 ----
 
 
