@@ -167,20 +167,29 @@ def label_propagation(
     return labels
 
 
-def _undirected_with_degrees(edges: DataFrame, src: str, dst: str):
+def _undirected_with_degrees(
+    edges: DataFrame, src: str, dst: str, normalized: bool = False
+):
     """Normalize to one distinct undirected row per edge (``a < b``,
     self-loops dropped) plus the degree table — the shared front of the
     triangle/embeddedness computations. Both frames are materialized
-    (localCheckpoint): every consumer walks them multiple times."""
-    e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
+    (localCheckpoint): every consumer walks them multiple times.
+
+    ``normalized=True`` asserts the input already IS one ``src < dst``
+    row per undirected edge (what ``cooccurrence_edges(symmetric=
+    False)`` emits, straight off its own distinct) and skips the
+    re-normalizing distinct — a full extra shuffle of the edge list
+    for inputs that are normalized by construction."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not normalized:
+        e = (
+            e.select(
+                F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
         )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = e.localCheckpoint(eager=True)
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
@@ -191,12 +200,38 @@ def _undirected_with_degrees(edges: DataFrame, src: str, dst: str):
     return e, deg
 
 
-def _oriented_triangles(e: DataFrame, deg: DataFrame) -> DataFrame:
-    """Enumerate each triangle exactly once as ``(x, y, z)`` in the
-    (degree, id) total order, via the degree-oriented forward
-    algorithm: orient every edge toward its higher-(deg, id) endpoint,
-    join out-neighbor wedges at the apex, close with an oriented edge.
-    Wedge fan-out is capped by orientation at O(√m) per node."""
+def _oriented_triangle_lists(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """Enumerate each triangle exactly once, grouped by its lowest
+    oriented edge: one row ``(x, y, __zs)`` per triangle-bearing edge,
+    where ``__zs`` is the array of closing vertices (so the triangles
+    are the rows of ``explode(__zs)``), in the (degree, id) total
+    order. Orient every edge toward its higher-(deg, id) endpoint;
+    out-neighbor fan-out is capped by orientation at O(√m) per node.
+
+    Algorithm choice (the round-7 9 s → ~4 s lesson): the textbook
+    lowering joins wedge pairs against closing edges, which
+    MATERIALIZES AND SHUFFLES every wedge — Σ outdeg² rows. On a dense
+    co-occurrence graph that is catastrophic: the sf0.1 co-purchase
+    graph has 1.2M edges over 20k nodes (avg degree 120) and 41M
+    wedges for only 1.9M triangles. This implementation is instead the
+    edge-iterator with adjacency intersection (compact-forward,
+    Latapy 2008): build each node's sorted OUT-neighbor array once
+    (orientation caps its length at O(√m), so a row is bounded even
+    for hubs), hang the arrays on both endpoints of every oriented
+    edge, and take ``array_intersect`` executor-side. Each triangle
+    {x<y<z} surfaces exactly once at its LOWEST oriented edge (x, y)
+    as the common out-neighbor z (x→y, x→z, y→z; neither other edge
+    of the triangle sees it: z's out-list excludes y, y's excludes x).
+    Shuffle volume is O(m) — one groupBy plus two keyed joins of the
+    edge list against the O(n) adjacency frame (broadcast when it
+    fits) — wedges never exist as rows; the per-row intersection work
+    is the same Σ-outdeg² term but as in-memory hash probes inside a
+    codegen stage, not shuffled+sorted rows.
+
+    Edges with a degree-1 endpoint lie on no triangle and are dropped
+    before orientation — the filter rides the join that fetches the
+    degrees.
+    """
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("__da"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("__db"))
     a_first = (F.col("__da") < F.col("__db")) | (
@@ -205,48 +240,52 @@ def _oriented_triangles(e: DataFrame, deg: DataFrame) -> DataFrame:
     oriented = (
         e.join(da, "a")
         .join(db, "b")
+        .filter((F.col("__da") >= 2) & (F.col("__db") >= 2))
         .select(
             F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("s"),
             F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("t"),
         )
         .localCheckpoint(eager=True)
     )
-    # annotate each oriented edge with its head's degree: wedge pairs
-    # are ordered by the same (deg, id) total order the orientation
-    # uses, so each triangle {x<y<z} is enumerated exactly once as the
-    # wedge (y, z) at apex x closed by the oriented edge y→z.
-    ot = oriented.join(
-        deg.select(F.col("node").alias("t"), F.col("deg").alias("__td")), "t"
+    adj = oriented.groupBy(F.col("s").alias("node")).agg(
+        F.array_sort(F.collect_list("t")).alias("__nbrs")
     )
-    w1 = ot.select(
-        F.col("s"), F.col("t").alias("u"), F.col("__td").alias("__ud")
-    ).alias("w1")
-    w2 = ot.select(
-        F.col("s"), F.col("t").alias("w"), F.col("__td").alias("__wd")
-    ).alias("w2")
-    wedges = w1.join(
-        w2,
-        on=[
-            F.col("w1.s") == F.col("w2.s"),
-            (F.col("w1.__ud") < F.col("w2.__wd"))
-            | (
-                (F.col("w1.__ud") == F.col("w2.__wd"))
-                & (F.col("w1.u") < F.col("w2.w"))
-            ),
-        ],
-    ).select(
-        F.col("w1.s").alias("x"), F.col("w1.u").alias("y"), F.col("w2.w").alias("z")
+    # a head with no out-edges has an empty out-list and closes no
+    # triangle — the inner join dropping it is the correct semantics
+    return (
+        oriented.join(
+            adj.select(F.col("node").alias("s"), F.col("__nbrs").alias("__ns")),
+            "s",
+        )
+        .join(
+            adj.select(F.col("node").alias("t"), F.col("__nbrs").alias("__nt")),
+            "t",
+        )
+        .select(
+            F.col("s").alias("x"),
+            F.col("t").alias("y"),
+            F.array_intersect("__ns", "__nt").alias("__zs"),
+        )
     )
-    closing = oriented.select(F.col("s").alias("y"), F.col("t").alias("z"))
-    # lazy checkpoint: every consumer projects the triangle frame THREE
-    # times (one per edge/corner) in a single union — without the
-    # checkpoint each branch re-runs the wedge+closing joins (~3× cost;
-    # measured 17 s → 6 s on the embeddedness query at sf0.1)
-    return wedges.join(closing, ["y", "z"]).localCheckpoint(eager=False)
+
+
+def _oriented_triangles(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """Exploded ``(x, y, z)`` triangle rows from the list form — for
+    consumers that want the enumeration itself. The stats/embeddedness
+    operators deliberately do NOT go through this: they fold their
+    attribution into one explode over the list form, so the triangle
+    set is consumed exactly once and never materialized."""
+    return _oriented_triangle_lists(e, deg).select(
+        "x", "y", F.explode("__zs").alias("z")
+    )
 
 
 def triangle_stats(
-    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    normalized: bool = False,
 ) -> DataFrame:
     """Exact per-node triangle counts + local clustering coefficient
     via the degree-oriented ("forward") algorithm — the shape that
@@ -264,17 +303,33 @@ def triangle_stats(
     where ``clustering_coeff = 2·T / (deg·(deg−1))`` (0.0 for
     degree < 2).
 
-    Three shuffles total: the degree count, the wedge self-join keyed
-    on the apex, and the closing-edge join — each keyed, none global.
+    The triangle set is consumed in ONE pass: each ``(x, y, __zs)``
+    list row explodes to per-node count structs — x and y credited
+    ``size(__zs)`` in bulk, each closing vertex credited 1 — feeding a
+    single keyed sum. No triangle materialization, no 3-projection
+    union re-reading the frame.
     """
-    e, deg = _undirected_with_degrees(edges, src, dst)
-    tri = _oriented_triangles(e, deg)
+    e, deg = _undirected_with_degrees(edges, src, dst, normalized)
+    tri = _oriented_triangle_lists(e, deg)
+    nsz = F.size("__zs").cast("long")
+    credit = F.explode(
+        F.concat(
+            F.array(
+                F.struct(F.col("x").alias("node"), nsz.alias("n")),
+                F.struct(F.col("y").alias("node"), nsz.alias("n")),
+            ),
+            F.transform(
+                "__zs",
+                lambda z: F.struct(
+                    z.alias("node"), F.lit(1).cast("long").alias("n")
+                ),
+            ),
+        )
+    )
     tri_counts = (
-        tri.select(F.col("x").alias("node"))
-        .unionAll(tri.select(F.col("y").alias("node")))
-        .unionAll(tri.select(F.col("z").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        tri.select(credit.alias("c"))
+        .groupBy(F.col("c.node").alias("node"))
+        .agg(F.sum("c.n").alias("n_triangles"))
     )
     d = F.col("deg").cast("double")
     return (
@@ -301,6 +356,7 @@ def edge_embeddedness(
     src: str = "src",
     dst: str = "dst",
     min_common: int = 0,
+    normalized: bool = False,
 ) -> DataFrame:
     """Per-EDGE neighborhood overlap: for every undirected edge (a, b),
     the number of common neighbors (= triangles through the edge) and
@@ -326,9 +382,14 @@ def edge_embeddedness(
     graph that join is 1.2M ⋈ 1.2M rows for information the counts
     frame already holds.
     """
-    e, deg = _undirected_with_degrees(edges, src, dst)
-    tri = _oriented_triangles(e, deg)
-    # each triangle lies on its 3 edges; re-order each to (a < b) id form
+    e, deg = _undirected_with_degrees(edges, src, dst, normalized)
+    # lazy checkpoint: the attribution walks the triangle frame three
+    # times (once per edge of each triangle) — without it each branch
+    # re-runs the adjacency-intersection joins (~3× cost)
+    tri = _oriented_triangles(e, deg).localCheckpoint(eager=False)
+    # each triangle lies on its 3 edges; re-order each to (a < b) id
+    # form (the orientation order is by DEGREE, so x<y<z does not
+    # imply id order)
     pairs = None
     for u, v in (("x", "y"), ("x", "z"), ("y", "z")):
         p = tri.select(

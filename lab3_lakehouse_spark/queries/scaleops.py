@@ -1731,7 +1731,7 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = graph_ops.cooccurrence_edges(
         li, group_col="l_orderkey", item_col="l_partkey", symmetric=False
     )
-    out = graph_ops.triangle_stats(edges)
+    out = graph_ops.triangle_stats(edges, normalized=True)
     return out.select(
         F.col("node").cast("long").alias("part_key"),
         F.col("deg").cast("long").alias("degree"),
@@ -1819,7 +1819,7 @@ def copurchase_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = graph_ops.cooccurrence_edges(
         li, group_col="l_orderkey", item_col="l_partkey", symmetric=False
     )
-    out = graph_ops.edge_embeddedness(edges, min_common=3)
+    out = graph_ops.edge_embeddedness(edges, min_common=3, normalized=True)
     return (
         out.orderBy(F.desc("jaccard"), "a", "b")
         .limit(20)
