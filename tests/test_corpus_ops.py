@@ -119,3 +119,36 @@ def test_quantize_int8_roundtrip_error_bound(spark):
     assert r["scale"] == pytest.approx(1.0 / 127.0)
     assert max(abs(c) for c in r["codes"]) == 127
     assert all(e <= r["scale"] / 2 + 1e-12 for e in r["err"])
+
+
+def test_corpus_quality_gate_one_pass_plan_and_attribution(spark):
+    """The composed gate reads the documents parquet at most TWICE
+    (scan-side signal pass + shared token pipeline) — per-rule
+    re-scanning would show >= 4 scans. Flags must agree with the
+    stand-alone per-rule computations on the same rows."""
+    from lab3_lakehouse_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    df = QUERIES["corpus_quality_gate"](spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_scans = plan.count("documents.parquet")
+    assert 1 <= n_scans <= 2, f"expected <=2 documents scans, saw {n_scans}"
+
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows  # non-degenerate
+    for r in rows.values():
+        assert r["keep"] == (
+            r["pass_repetition"] and r["pass_rare"]
+            and r["pass_surprisal"] and r["pass_lang"]
+        )
+    # spot-check one rule against its stand-alone catalog query
+    rep = {r["doc_id"]: r for r in
+           QUERIES["gopher_repetition_rules"](spark, sf).collect()}
+    for doc_id, r in rows.items():
+        g = rep[doc_id]
+        expect = (
+            g["top_token_ratio"] <= 0.2
+            and (g["dup_bigram_fraction"] is None or g["dup_bigram_fraction"] <= 0.1)
+            and (g["dup_trigram_fraction"] is None or g["dup_trigram_fraction"] <= 0.1)
+        )
+        assert r["pass_repetition"] == expect, doc_id
