@@ -127,6 +127,11 @@ HEADLINE = [
     "basket_association_rules",     # Apriori-2 lift rules, exact-ratio cut (r6)
     "daily_revenue_ewma",           # closed-form EWMA over the daily frame (r6)
     "corpus_quality_gate",          # composed 4-rule quality gate, 2 scans (r7)
+    "bootstrap_revenue_ci",         # one-pass Poisson bootstrap, B x parts shuffle (r7)
+    "revenue_theilsen_trend",       # robust trend on the bounded daily frame (r7)
+    "kcore_part_graph",             # 3-round k-core peel, keyed semi-joins (r7)
+    "event_type_trigram_paths",     # 3-step path mining, partitioned leads (r7)
+    "domain_temperature_mix",       # tau=2 source mixing weights, 1 pass (r7)
 ]
 
 

@@ -1,0 +1,478 @@
+"""Statistical-resampling and structural analytics (round 7): Poisson
+bootstrap uncertainty, robust Theil–Sen trend, k-core peeling, event
+path mining, and temperature-smoothed corpus mixing.
+
+Every query carries a FULL DuckDB oracle. Cross-engine determinism
+follows the engine conventions: portable md5-derived hashing for any
+randomness (operators/sketches.portable_hash60), pinned double
+literals for shared constants, exact integer/integer divisions where
+possible, ``round4`` on every emitted float that crosses a
+float-summation boundary.
+
+No counterpart in the reference (SURVEY §2.7 extension surface).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lab3_lakehouse_spark.catalog import load_table
+from lab3_lakehouse_spark.operators import graph as graph_ops
+from lab3_lakehouse_spark.operators.sketches import portable_hash60, sql_hash60
+from lab3_lakehouse_spark.queries._util import round4, sql_round4
+from lab3_lakehouse_spark.queries.registry import query
+from lab3_lakehouse_spark.session import tune_session
+
+# ------------------------------------------------- Poisson bootstrap ----
+
+_BOOT_B = 50          # bootstrap replicates
+_BOOT_SEED = 71       # portable-hash seed
+_BOOT_MAX_W = 7       # CDF tail cut: P(Poisson(1) > 6) ≈ 8.3e-5
+
+#: cumulative Poisson(1) CDF cut points P(X <= k), k = 0..5 — computed
+#: once in Python and injected into BOTH engines as the same double
+#: literal (repr round-trips exactly), so the inverse-CDF draw can
+#: never straddle an engine-specific libm difference.
+_BOOT_CDF = [
+    sum(math.exp(-1.0) / math.factorial(i) for i in range(k + 1))
+    for k in range(_BOOT_MAX_W - 1)
+]
+
+#: 2^60 as an exact double — the uniform draw is h / 2^60 with h the
+#: 60-bit portable hash, an exact IEEE division on both engines.
+_TWO60 = float(1 << 60)
+
+
+def _boot_weight_sql(u: str) -> str:
+    """Inverse-CDF Poisson(1) weight from a uniform expression."""
+    cases = " ".join(
+        f"WHEN {u} < CAST({c!r} AS DOUBLE) THEN {k}"
+        for k, c in enumerate(_BOOT_CDF)
+    )
+    return f"(CASE {cases} ELSE {_BOOT_MAX_W - 1} END)"
+
+
+def _bootstrap_oracle() -> str:
+    h = sql_hash60("CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)", _BOOT_SEED)
+    u = f"({h})::DOUBLE / CAST({_TWO60!r} AS DOUBLE)"
+    return f"""
+    WITH reps AS (
+        SELECT o.o_orderkey, o.o_totalprice, r.b,
+               {_boot_weight_sql(u)} AS w
+        FROM orders o
+        CROSS JOIN (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b) r
+    )
+    SELECT b AS replicate,
+           CAST(sum(w) AS BIGINT) AS n_eff,
+           {sql_round4('sum(w * o_totalprice) / sum(w)')} AS mean_revenue
+    FROM reps
+    GROUP BY b
+    """
+
+
+@query("bootstrap_revenue_ci", oracle=_bootstrap_oracle())
+def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass Poisson bootstrap of mean order revenue — the
+    uncertainty-quantification technique that actually works on massive
+    data (Chamandy et al. 2012, "Estimating Uncertainty for Massive
+    Data Streams"): instead of B full resamples (B passes, or a
+    driver-side sample), every row draws an independent Poisson(1)
+    weight per replicate from a hash of (row key, replicate id), and
+    the B weighted means come out of ONE grouped aggregation. The
+    replicate distribution is the sampling distribution of the mean;
+    consumers take its percentiles as the CI.
+
+    Scale shape: the ×B explode happens executor-side inside the scan
+    stage, and hash partial aggregation collapses each partition to B
+    rows before the exchange — shuffle volume is B × partitions rows,
+    INDEPENDENT of the fact-table size. The weight is inverse-CDF from
+    the md5-portable uniform with the cumulative-CDF cut points pinned
+    as shared double literals, so DuckDB redraws bit-identical weights
+    and the differential check covers the resampling itself, not just
+    the plumbing. round4 on the means (cross-partition float sum
+    order), exact BIGINT effective counts.
+    """
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    reps = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    u = (
+        portable_hash60(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("b").cast("string"),
+            ),
+            _BOOT_SEED,
+        ).cast("double")
+        / F.lit(_TWO60)
+    )
+    w = F.lit(_BOOT_MAX_W - 1)
+    for k in range(len(_BOOT_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_BOOT_CDF[k]), F.lit(k)).otherwise(w)
+    return (
+        reps.withColumn("w", w)
+        .groupBy(F.col("b").alias("replicate"))
+        .agg(
+            F.sum("w").cast("long").alias("n_eff"),
+            round4(
+                F.sum(F.col("w") * F.col("o_totalprice")) / F.sum("w")
+            ).alias("mean_revenue"),
+        )
+    )
+
+
+# --------------------------------------------------- Theil–Sen trend ----
+
+
+def _theilsen_oracle() -> str:
+    return f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+               {sql_round4('CAST(sum(o_totalprice) AS DOUBLE)')} AS rev
+        FROM orders GROUP BY day
+    ),
+    ranked AS (
+        SELECT day, rev, row_number() OVER (ORDER BY day) AS rn FROM daily
+    ),
+    slopes AS (
+        SELECT (b.rev - a.rev) / CAST(b.rn - a.rn AS DOUBLE) AS slope
+        FROM ranked a JOIN ranked b ON a.rn < b.rn
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               quantile_cont(slope, 0.5) AS med
+        FROM slopes
+    ),
+    ols AS (
+        SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+        FROM (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   sum(CAST(rn AS DOUBLE)) AS sx, sum(rev) AS sy,
+                   sum(rn * rev) AS sxy, sum(CAST(rn AS DOUBLE) * rn) AS sxx
+            FROM ranked
+        )
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM ranked) AS n_days,
+           s.n_pairs,
+           {sql_round4('s.med')} AS theilsen_slope,
+           {sql_round4('ols.slope')} AS ols_slope
+    FROM s CROSS JOIN ols
+    """
+
+
+@query("revenue_theilsen_trend", oracle=_theilsen_oracle())
+def revenue_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-revenue trend: the Theil–Sen estimator (median of
+    all pairwise day-to-day slopes) next to the OLS slope it
+    out-robusts — a handful of promo-spike days drags OLS but moves
+    the pairwise median not at all; the gap between the two columns IS
+    the outlier diagnostic.
+
+    Scale shape mirrors daily_revenue_ewma: the O(days²) pairwise join
+    runs on the DAILY AGGREGATE frame, which is O(days) rows at ANY
+    corpus size — the one data-sized operation is the daily groupBy.
+    The global row_number rides that same bounded frame (the ≤ few-
+    thousand-row spine exception, not the global-sort anti-pattern).
+    Daily revenues are round4-ed BEFORE the pairwise slopes so both
+    engines difference identical doubles; each slope is then one exact
+    IEEE division, and the median interpolation arithmetic agrees
+    bit-for-bit on identical inputs.
+    """
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(round4(F.sum("o_totalprice").cast("double")).alias("rev"))
+    ranked = daily.withColumn(
+        "rn", F.row_number().over(Window.orderBy("day"))
+    ).localCheckpoint(eager=False)
+    a = ranked.select(F.col("rn").alias("ri"), F.col("rev").alias("va"))
+    b = ranked.select(F.col("rn").alias("rj"), F.col("rev").alias("vb"))
+    slopes = (
+        a.join(b, F.col("ri") < F.col("rj"))
+        .select(
+            (
+                (F.col("vb") - F.col("va"))
+                / (F.col("rj") - F.col("ri")).cast("double")
+            ).alias("slope")
+        )
+    )
+    s = slopes.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.median("slope").alias("med"),
+    )
+    n = F.count(F.lit(1)).cast("double")
+    rn_d = F.col("rn").cast("double")
+    ols = ranked.agg(
+        n.alias("n"),
+        F.sum(rn_d).alias("sx"),
+        F.sum("rev").alias("sy"),
+        F.sum(rn_d * F.col("rev")).alias("sxy"),
+        F.sum(rn_d * rn_d).alias("sxx"),
+        F.count(F.lit(1)).alias("n_days"),
+    ).select(
+        "n_days",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("ols"),
+    )
+    return (
+        s.crossJoin(F.broadcast(ols))
+        .select(
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            round4(F.col("med")).alias("theilsen_slope"),
+            round4(F.col("ols")).alias("ols_slope"),
+        )
+    )
+
+
+# -------------------------------------------------------- k-core peel ----
+
+_KCORE_ROUNDS = 3     # fixed peeling rounds (deterministic, both engines)
+
+#: k is DATA-DERIVED — floor(0.8 × average degree) + 1 — so the peel
+#: bites but does not cascade to extinction at any scale factor (a
+#: fixed literal peels nothing at sf0.01 and everything at sf10; k at
+#: the full average collapses this quasi-random graph to an empty
+#: core within 3 rounds — no dense-core structure survives its own
+#: mean). floor of exact IEEE ops on two < 2^53 integers and a pinned
+#: 0.8 literal: identical in both engines.
+_KCORE_K_SQL = (
+    "floor(CAST(0.8 AS DOUBLE) * (count(*)::DOUBLE / count(DISTINCT u))) + 1"
+)
+
+
+def _kcore_oracle() -> str:
+    return f"""
+    WITH RECURSIVE e AS (
+        SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+                        greatest(a.l_partkey, b.l_partkey) AS b
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey <> b.l_partkey
+    ),
+    ue AS (
+        SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+    ),
+    kth AS (SELECT {_KCORE_K_SQL} AS kv FROM ue),
+    alive(r, nodes) AS (
+        SELECT 0, (SELECT list(DISTINCT u ORDER BY u) FROM ue)
+        UNION ALL
+        SELECT r + 1,
+               (SELECT coalesce(list(u ORDER BY u), CAST([] AS BIGINT[]))
+                FROM (
+                    SELECT ue.u
+                    FROM ue
+                    WHERE list_contains(alive.nodes, ue.u)
+                      AND list_contains(alive.nodes, ue.v)
+                    GROUP BY ue.u
+                    HAVING count(*) >= (SELECT kv FROM kth)
+                ))
+        FROM alive WHERE r < {_KCORE_ROUNDS}
+    ),
+    final AS (SELECT nodes FROM alive WHERE r = {_KCORE_ROUNDS})
+    SELECT CAST(ue.u AS BIGINT) AS node,
+           CAST(count(*) AS BIGINT) AS residual_deg
+    FROM ue, final
+    WHERE list_contains(final.nodes, ue.u)
+      AND list_contains(final.nodes, ue.v)
+    GROUP BY ue.u
+    """
+
+
+@query("kcore_part_graph", oracle=_kcore_oracle())
+def kcore_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling of the co-purchase graph: iteratively drop nodes
+    with fewer than k surviving neighbors — the standard dense-subgraph
+    / spam-cluster extractor and the preprocessing step that bounds
+    triangle and clique work on power-law graphs. k = floor(0.8 × mean
+    degree) + 1 (data-derived — see the module constant for why);
+    FIXED peel rounds (not run-to-fixpoint) so the Spark loop and the
+    DuckDB recursive CTE compute the identical intermediate by
+    construction; survivors are emitted with their residual degree
+    among survivors.
+
+    Scale: each round is two semi-joins of the edge list against the
+    O(alive) node frame (Catalyst broadcasts while it fits) plus one
+    degree count — the same keyed-only shuffle discipline as the
+    LPA/PageRank loops, lineage cut per round with localCheckpoint.
+    The threshold rides a broadcast 1-row frame: zero driver-side
+    actions besides the checkpoints; rounds are a constant.
+    """
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # the ordered edge list is consumed once (by the symmetrize) — lazy;
+    # the symmetric frame is the loop's working set — one materialization
+    e = graph_ops.cooccurrence_edges(
+        li, group_col="l_orderkey", item_col="l_partkey", symmetric=False
+    )
+    cur = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    kth = cur.agg(
+        (
+            F.floor(
+                F.lit(0.8)
+                * (
+                    F.count(F.lit(1)).cast("double")
+                    / F.count_distinct(F.col("src")).cast("double")
+                )
+            )
+            + F.lit(1)
+        )
+        .cast("long")
+        .alias("kv")
+    )
+
+    # peeling maintains the SURVIVING-EDGE frame, not an alive-node set
+    # probed against the full edge list: edges only shrink, so each
+    # round's scan is over the previous round's survivors
+    for _ in range(_KCORE_ROUNDS):
+        alive = (
+            cur.groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .crossJoin(F.broadcast(kth))
+            .filter(F.col("deg") >= F.col("kv"))
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        cur = (
+            cur.join(alive.select(F.col("node").alias("src")), "src", "left_semi")
+            .join(alive.select(F.col("node").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        cur.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("residual_deg"))
+        .select(F.col("node").cast("long").alias("node"), "residual_deg")
+    )
+
+
+# ----------------------------------------------------- trigram paths ----
+
+_PATHS_TOPK = 20
+
+
+def _trigram_paths_oracle() -> str:
+    return f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || e2 || '>' || e3 AS path,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq
+    WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY path
+    ORDER BY n DESC, path
+    LIMIT {_PATHS_TOPK}
+    """
+
+
+@query("event_type_trigram_paths", oracle=_trigram_paths_oracle())
+def event_type_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining one level up from the Markov transition matrix:
+    the top-k most frequent 3-step event-type paths per user stream —
+    the "how do users actually move" report (view>view>purchase vs
+    view>click>purchase is a product decision). Two leads over the
+    user-partitioned window (scale-fine: partitioned, never global),
+    one grouped count over the tiny path vocabulary (map-side partial
+    collapse — same shape as heavy_hitter_tokens), TakeOrdered top-k.
+    Ordering ties broken on (ts, event_id) — total and identical in
+    both engines."""
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(_PATHS_TOPK)
+    )
+
+
+# ------------------------------------------------- temperature mixing ----
+
+
+def _temperature_mix_oracle() -> str:
+    return f"""
+    WITH per AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS t FROM per),
+    q AS (
+        SELECT source, n_docs, n_tokens,
+               n_tokens::DOUBLE / tot.t AS p,
+               sqrt(n_tokens::DOUBLE / tot.t) AS qraw
+        FROM per CROSS JOIN tot
+    ),
+    z AS (SELECT sum(qraw) AS zq FROM q)
+    SELECT source, n_docs, n_tokens,
+           {sql_round4('p')} AS token_share,
+           {sql_round4('qraw / z.zq')} AS temp_weight,
+           {sql_round4('(qraw / z.zq) / p')} AS boost
+    FROM q CROSS JOIN z
+    """
+
+
+@query("domain_temperature_mix", oracle=_temperature_mix_oracle())
+def domain_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed source mixing (the multilingual/multi-domain
+    sampling rule of XLM-R / mT5, τ = 2 ⇒ weights ∝ share^(1/2)):
+    up-samples tail sources and down-samples the head relative to
+    natural token share; the emitted ``boost`` column is the
+    oversampling factor a sampler applies per source. One grouped pass
+    for per-source token totals, two broadcast singletons for the
+    normalizers. share^(1/2) is computed as ``sqrt`` — IEEE-exact and
+    bit-identical cross-engine, where a generic ``pow(x, 0.5)`` would
+    trust two libms; the final divisions cross a ≤ n_sources float sum,
+    hence round4."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", r"\s+"))).cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").cast("double").alias("t"))
+    q = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("t")).alias("p"),
+        F.sqrt(F.col("n_tokens").cast("double") / F.col("t")).alias("qraw"),
+    )
+    z = q.agg(F.sum("qraw").alias("zq"))
+    return q.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        round4(F.col("p")).alias("token_share"),
+        round4(F.col("qraw") / F.col("zq")).alias("temp_weight"),
+        round4((F.col("qraw") / F.col("zq")) / F.col("p")).alias("boost"),
+    )

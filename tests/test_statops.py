@@ -1,0 +1,109 @@
+"""Planted-fixture tests for the round-7 statistical/structural ops
+(queries/statops.py). The differential oracle gate runs separately in
+test_oracle_parity; these pin the SEMANTICS on constructed inputs."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from lab3_lakehouse_spark.queries import QUERIES
+
+
+def _write(spark, tmp_path, table, rows, cols):
+    spark.createDataFrame(rows, cols).write.parquet(
+        str(tmp_path / f"{table}.parquet")
+    )
+
+
+def test_bootstrap_replicates_cover_true_mean(spark, tmp_path):
+    """Poisson(1) weights: every replicate's effective count is a
+    near-n draw (binomial-ish concentration), the replicate means
+    scatter around the true mean, and the draw is deterministic
+    (same hash seed → identical frame on re-run)."""
+    n = 2000
+    rows = [(i, 100.0 + (i % 7)) for i in range(n)]
+    _write(spark, tmp_path, "orders", rows, ["o_orderkey", "o_totalprice"])
+    out = QUERIES["bootstrap_revenue_ci"](spark, str(tmp_path)).collect()
+    assert len(out) == 50
+    true_mean = sum(r[1] for r in rows) / n
+    for r in out:
+        assert abs(r["n_eff"] - n) < 5 * math.sqrt(n), r
+        assert abs(r["mean_revenue"] - true_mean) < 1.0, r
+    again = QUERIES["bootstrap_revenue_ci"](spark, str(tmp_path)).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_theilsen_ignores_spike_ols_does_not(spark, tmp_path):
+    """Linear revenue +10/day with one 10× spike day: the pairwise
+    median stays ~10, OLS is dragged visibly."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for d in range(30):
+        rev = 1000.0 + 10.0 * d
+        if d == 15:
+            rev *= 10
+        rows.append((d, rev, t0 + dt.timedelta(days=d)))
+    _write(spark, tmp_path, "orders", rows,
+           ["o_orderkey", "o_totalprice", "o_orderdate"])
+    r = QUERIES["revenue_theilsen_trend"](spark, str(tmp_path)).first()
+    assert r["n_days"] == 30 and r["n_pairs"] == 30 * 29 // 2
+    assert r["theilsen_slope"] == pytest.approx(10.0, abs=2.0)
+    assert abs(r["ols_slope"] - 10.0) > 5 * abs(r["theilsen_slope"] - 10.0)
+
+
+def test_kcore_keeps_clique_drops_fringe(spark, tmp_path):
+    """6-clique (degree 5 inside) + a pendant path: k = floor(0.8·avg
+    degree)+1 peels the fringe, the clique survives intact with its
+    full residual degree."""
+    clique = list(range(6))
+    edges = [(a, b) for a in clique for b in clique if a < b]
+    # pendant path 100-101-102 hanging off node 0
+    edges += [(0, 100), (100, 101), (101, 102)]
+    rows = []
+    for i, (a, b) in enumerate(edges):
+        rows += [(1000 + i, a), (1000 + i, b)]  # one 2-item order per edge
+    _write(spark, tmp_path, "lineitem", rows, ["l_orderkey", "l_partkey"])
+    out = {r["node"]: r["residual_deg"]
+           for r in QUERIES["kcore_part_graph"](spark, str(tmp_path)).collect()}
+    assert set(out) == set(clique)
+    assert out[0] == 5 and all(out[v] == 5 for v in clique)
+
+
+def test_trigram_paths_counts_planted_sequences(spark, tmp_path):
+    t0 = dt.datetime(2024, 5, 1)
+    seqs = {
+        1: ["view", "view", "purchase"],
+        2: ["view", "view", "purchase"],
+        3: ["view", "click", "purchase"],
+    }
+    rows = []
+    eid = 0
+    for uid, seq in seqs.items():
+        for j, et in enumerate(seq):
+            rows.append((eid, t0 + dt.timedelta(minutes=j), uid, et, 1.0, "{}"))
+            eid += 1
+    _write(spark, tmp_path, "events", rows,
+           ["event_id", "ts", "user_id", "event_type", "value", "props"])
+    out = {r["path"]: r["n"]
+           for r in QUERIES["event_type_trigram_paths"](spark, str(tmp_path)).collect()}
+    assert out == {"view>view>purchase": 2, "view>click>purchase": 1}
+
+
+def test_temperature_mix_upweights_tail_source(spark, tmp_path):
+    """1:4 token split → shares .2/.8; τ=2 weights ∝ sqrt(share) →
+    1/3 and 2/3; tail boost 5/3, head 5/6."""
+    rows = [(1, "a b c d e", "en", "tail", 9)]
+    rows += [(2 + i, "a b c d e", "en", "head", 9) for i in range(4)]
+    _write(spark, tmp_path, "documents", rows,
+           ["doc_id", "text", "lang", "source", "n_chars"])
+    out = {r["source"]: r
+           for r in QUERIES["domain_temperature_mix"](spark, str(tmp_path)).collect()}
+    assert out["tail"]["token_share"] == pytest.approx(0.2)
+    assert out["tail"]["temp_weight"] == pytest.approx(1 / 3, abs=1e-4)
+    assert out["head"]["temp_weight"] == pytest.approx(2 / 3, abs=1e-4)
+    assert out["tail"]["boost"] == pytest.approx(5 / 3, abs=1e-3)
+    assert out["head"]["boost"] == pytest.approx(5 / 6, abs=1e-3)
