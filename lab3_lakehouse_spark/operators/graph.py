@@ -383,10 +383,14 @@ def edge_embeddedness(
     frame already holds.
     """
     e, deg = _undirected_with_degrees(edges, src, dst, normalized)
-    # lazy checkpoint: the attribution walks the triangle frame three
-    # times (once per edge of each triangle) — without it each branch
-    # re-runs the adjacency-intersection joins (~3× cost)
-    tri = _oriented_triangles(e, deg).localCheckpoint(eager=False)
+    # persist, not localCheckpoint: the attribution walks the triangle
+    # frame three times (once per edge of each triangle) — without a
+    # reuse point each branch re-runs the adjacency-intersection joins
+    # (~3× cost). persist() goes through the SQL cache (columnar,
+    # compressed, disk-spilling); a lazy localCheckpoint stores the
+    # frame as DESERIALIZED row objects, which OOMed the x30 graph
+    # (56M triangle rows ≫ heap as objects, trivial as columns).
+    tri = _oriented_triangles(e, deg).persist()
     # each triangle lies on its 3 edges; re-order each to (a < b) id
     # form (the orientation order is by DEGREE, so x<y<z does not
     # imply id order)

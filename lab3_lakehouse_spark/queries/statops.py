@@ -476,3 +476,268 @@ def domain_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(F.col("qraw") / F.col("zq")).alias("temp_weight"),
         round4((F.col("qraw") / F.col("zq")) / F.col("p")).alias("boost"),
     )
+
+
+# ------------------------------------------- quality rank ensemble ----
+
+
+def _ensemble_oracle() -> str:
+    # ranking mirrors global_row_number exactly: row_number with the
+    # doc_id tie-break, percentile = (rank-1)/(n-1) — exact int ratios.
+    # Surprisal is round4-ed BEFORE ranking (raw float ranks could flip
+    # on a last-ulp libm difference; the rounded value is shared).
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+        FROM documents
+    ),
+    corpus AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM corpus),
+    tokstats AS (
+        SELECT doc_id,
+               count(CASE WHEN cnt <= 2 THEN 1 END)::DOUBLE / count(*) AS rare_frac,
+               {sql_round4(f"avg(-ln(cnt::DOUBLE / tot.t) / 0.6931471805599453)")}
+                   AS surprisal
+        FROM toks JOIN corpus USING (token) CROSS JOIN tot
+        GROUP BY doc_id
+    ),
+    per_tok AS (
+        SELECT doc_id, token, count(*) AS c FROM toks GROUP BY doc_id, token
+    ),
+    rep AS (
+        SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_token_ratio
+        FROM per_tok GROUP BY doc_id
+    ),
+    sig AS (
+        SELECT r.doc_id, r.top_token_ratio, ts.rare_frac, ts.surprisal
+        FROM rep r JOIN tokstats ts ON ts.doc_id = r.doc_id
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sig),
+    ranked AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY top_token_ratio ASC, doc_id) AS r_rep,
+               row_number() OVER (ORDER BY rare_frac ASC, doc_id)       AS r_rare,
+               row_number() OVER (ORDER BY surprisal DESC, doc_id)      AS r_surp
+        FROM sig
+    )
+    SELECT ranked.doc_id,
+           {sql_round4('(r_rep - 1)::DOUBLE / (n.n - 1)')}  AS pct_repetition,
+           {sql_round4('(r_rare - 1)::DOUBLE / (n.n - 1)')} AS pct_rare,
+           {sql_round4('(r_surp - 1)::DOUBLE / (n.n - 1)')} AS pct_surprisal,
+           {sql_round4('''((r_rep - 1)::DOUBLE / (n.n - 1)
+              + (r_rare - 1)::DOUBLE / (n.n - 1)
+              + (r_surp - 1)::DOUBLE / (n.n - 1)) / 3.0''')} AS quality_score
+    FROM ranked CROSS JOIN n
+    """
+
+
+@query("doc_quality_rank_ensemble", oracle=_ensemble_oracle())
+def doc_quality_rank_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-ensemble quality scoring — how production corpora actually
+    blend incommensurable quality signals (a repetition ratio, a
+    rare-token fraction and a surprisal live on different scales;
+    their PERCENTILES don't): each signal is converted to its global
+    percentile and the composite is the mean percentile, the score a
+    top-X% corpus cut is taken on.
+
+    The global percentile is the scale-safe two-phase ranking
+    (operators/windows.global_row_number — approx_percentile cut
+    points, PARTITIONED per-bucket row_number, broadcast offsets),
+    run once per signal over the doc-keyed frame: never a
+    single-partition global sort, which is the anti-pattern a naive
+    percent_rank() would lower to at a billion documents. Percentile =
+    (rank−1)/(n−1): exact integer ratio; the only float signal
+    (surprisal) is round4-ed BEFORE ranking so both engines rank
+    identical doubles; the better direction is pinned per signal
+    (repetition/rare ascending-good, surprisal descending-good).
+    """
+    from lab3_lakehouse_spark.catalog import fan_out
+    from lab3_lakehouse_spark.operators import text as text_ops
+    from lab3_lakehouse_spark.operators import windows as win_ops
+    from lab3_lakehouse_spark.operators.dedup import tokens
+
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    rep = text_ops.repetition_features(docs.select("doc_id", "text")).select(
+        "doc_id", "top_token_ratio"
+    )
+    toks = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    ).localCheckpoint(eager=False)
+    corpus = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = corpus.agg(F.sum("cnt").cast("double").alias("t"))
+    tokstats = (
+        toks.join(corpus, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.count(F.when(F.col("cnt") <= 2, 1)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("rare_frac"),
+            round4(
+                F.avg(
+                    -F.log(F.col("cnt").cast("double") / F.col("t"))
+                    / F.lit(0.6931471805599453)
+                )
+            ).alias("surprisal"),
+        )
+    )
+    sig = rep.join(tokstats, "doc_id").localCheckpoint(eager=False)
+    n = sig.agg(F.count(F.lit(1)).alias("n"))
+
+    ranked = win_ops.global_row_number(
+        sig, "top_token_ratio", ["doc_id"], rank_col="r_rep", ascending=True
+    )
+    ranked = win_ops.global_row_number(
+        ranked, "rare_frac", ["doc_id"], rank_col="r_rare", ascending=True
+    )
+    ranked = win_ops.global_row_number(
+        ranked, "surprisal", ["doc_id"], rank_col="r_surp", ascending=False
+    )
+    pct = lambda r: (F.col(r) - 1).cast("double") / (F.col("n") - 1)  # noqa: E731
+    return ranked.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        round4(pct("r_rep")).alias("pct_repetition"),
+        round4(pct("r_rare")).alias("pct_rare"),
+        round4(pct("r_surp")).alias("pct_surprisal"),
+        round4(
+            (pct("r_rep") + pct("r_rare") + pct("r_surp")) / F.lit(3.0)
+        ).alias("quality_score"),
+    )
+
+
+# ----------------------------------------------- CUSUM change point ----
+
+_CUSUM_K_FRAC = 0.02   # slack, as a fraction of mean daily revenue
+_CUSUM_H_FRAC = 0.15   # alarm threshold, as a fraction of mean
+
+
+def _cusum_oracle() -> str:
+    return f"""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+               {sql_round4('CAST(sum(o_totalprice) AS DOUBLE)')} AS rev
+        FROM orders GROUP BY day
+    ),
+    ranked AS (
+        SELECT day, rev, row_number() OVER (ORDER BY day) AS rn FROM daily
+    ),
+    p AS (
+        SELECT {sql_round4('avg(rev)')} AS mu FROM ranked
+    ),
+    cus(rn, day, rev, sp, sn) AS (
+        SELECT rn, day, rev,
+               greatest(CAST(0.0 AS DOUBLE),
+                        rev - p.mu - CAST({_CUSUM_K_FRAC} AS DOUBLE) * p.mu),
+               greatest(CAST(0.0 AS DOUBLE),
+                        p.mu - rev - CAST({_CUSUM_K_FRAC} AS DOUBLE) * p.mu)
+        FROM ranked CROSS JOIN p WHERE rn = 1
+        UNION ALL
+        SELECT r.rn, r.day, r.rev,
+               greatest(CAST(0.0 AS DOUBLE),
+                        cus.sp + r.rev - p.mu - CAST({_CUSUM_K_FRAC} AS DOUBLE) * p.mu),
+               greatest(CAST(0.0 AS DOUBLE),
+                        cus.sn + p.mu - r.rev - CAST({_CUSUM_K_FRAC} AS DOUBLE) * p.mu)
+        FROM cus JOIN ranked r ON r.rn = cus.rn + 1 CROSS JOIN p
+    )
+    SELECT cus.day, cus.rev,
+           {sql_round4('cus.sp')} AS cusum_pos,
+           {sql_round4('cus.sn')} AS cusum_neg,
+           (cus.sp > CAST({_CUSUM_H_FRAC} AS DOUBLE) * p.mu
+            OR cus.sn > CAST({_CUSUM_H_FRAC} AS DOUBLE) * p.mu) AS alarm
+    FROM cus CROSS JOIN p
+    """
+
+
+@query("revenue_cusum_changepoints", oracle=_cusum_oracle())
+def revenue_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change-point monitor on daily revenue (Page
+    1954): S⁺ accumulates upward deviations beyond a slack k, S⁻
+    downward; either crossing h flags a sustained level shift — the
+    drift detector that catches slow creep the EWMA residual and the
+    24h seasonal-naive both smooth over. k and h are pinned fractions
+    of mean daily revenue.
+
+    The recursion S_t = max(0, S_{t-1} + x_t − μ − k) is inherently
+    sequential, so it runs as ONE ordered array fold over the daily
+    aggregate frame — O(days) rows at any corpus size, the same
+    bounded-frame discipline as daily_revenue_ewma/theilsen (the data-
+    sized work is the daily groupBy; the fold is a single executor-side
+    pass over ≤ thousands of days). Daily revenues and μ are round4-ed
+    BEFORE the recursion so both engines fold identical doubles in
+    identical order (Spark folds the day-sorted array; DuckDB recurses
+    over rn) — the recursion then agrees bit-for-bit, and comparisons
+    against k·μ / h·μ cannot straddle an engine difference.
+    """
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(round4(F.sum("o_totalprice").cast("double")).alias("rev"))
+    mu = daily.agg(round4(F.avg("rev")).alias("mu"))
+
+    # one row: the day-sorted (day, rev) array + the fold
+    arr = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "rev"))).alias("xs")
+    ).crossJoin(F.broadcast(mu))
+    k = F.col("mu") * F.lit(_CUSUM_K_FRAC)
+    h = F.col("mu") * F.lit(_CUSUM_H_FRAC)
+    zero = F.lit(0.0).cast("double")
+    folded = arr.select(
+        F.aggregate(
+            F.col("xs"),
+            F.struct(
+                zero.alias("sp"),
+                zero.alias("sn"),
+                F.array().cast(
+                    "array<struct<day:timestamp,rev:double,"
+                    "cusum_pos:double,cusum_neg:double,alarm:boolean>>"
+                ).alias("out"),
+            ),
+            lambda acc, x: F.struct(
+                F.greatest(zero, acc["sp"] + x["rev"] - F.col("mu") - k).alias("sp"),
+                F.greatest(zero, acc["sn"] + F.col("mu") - x["rev"] - k).alias("sn"),
+                F.concat(
+                    acc["out"],
+                    F.array(
+                        F.struct(
+                            x["day"].alias("day"),
+                            x["rev"].alias("rev"),
+                            F.greatest(
+                                zero, acc["sp"] + x["rev"] - F.col("mu") - k
+                            ).alias("cusum_pos"),
+                            F.greatest(
+                                zero, acc["sn"] + F.col("mu") - x["rev"] - k
+                            ).alias("cusum_neg"),
+                            (
+                                (
+                                    F.greatest(
+                                        zero,
+                                        acc["sp"] + x["rev"] - F.col("mu") - k,
+                                    )
+                                    > h
+                                )
+                                | (
+                                    F.greatest(
+                                        zero,
+                                        acc["sn"] + F.col("mu") - x["rev"] - k,
+                                    )
+                                    > h
+                                )
+                            ).alias("alarm"),
+                        )
+                    ),
+                ).alias("out"),
+            ),
+            lambda acc: acc["out"],
+        ).alias("out")
+    )
+    row = folded.select(F.explode("out").alias("r"))
+    return row.select(
+        F.col("r.day").alias("day"),
+        F.col("r.rev").alias("rev"),
+        round4(F.col("r.cusum_pos")).alias("cusum_pos"),
+        round4(F.col("r.cusum_neg")).alias("cusum_neg"),
+        F.col("r.alarm").alias("alarm"),
+    )

@@ -332,10 +332,18 @@ def graph_experiment(spark, dirs: dict[int, str]) -> dict:
     yielding m disjoint copies of the x1 co-purchase graph — m× nodes,
     m× edges, identical local structure. LPA and the degree-oriented
     triangle count should both hold alpha ~ 1 (wedge work per copy is
-    constant; orientation keeps hub fan-out capped inside each copy)."""
+    constant; orientation keeps hub fan-out capped inside each copy);
+    edge embeddedness shares the triangle core plus one more keyed
+    aggregation, so the same bound applies (r7: the adjacency-
+    intersection rewrite must not re-introduce superlinear growth)."""
     from lab3_lakehouse_spark.operators import graph as graph_ops
 
-    out: dict[str, dict] = {"edge_build": {}, "lpa": {}, "triangles": {}}
+    out: dict[str, dict] = {
+        "edge_build": {},
+        "lpa": {},
+        "triangles": {},
+        "embeddedness": {},
+    }
     for m, d in sorted(dirs.items()):
         stride = 1
         while stride < m:
@@ -358,6 +366,10 @@ def graph_experiment(spark, dirs: dict[int, str]) -> dict:
         for name, fn in (
             ("lpa", lambda e: graph_ops.label_propagation(e, iterations=2)),
             ("triangles", lambda e: graph_ops.triangle_stats(e)),
+            (
+                "embeddedness",
+                lambda e: graph_ops.edge_embeddedness(e, min_common=3),
+            ),
         ):
             _reset_session_state(spark)
             t0 = time.perf_counter()

@@ -107,3 +107,50 @@ def test_temperature_mix_upweights_tail_source(spark, tmp_path):
     assert out["head"]["temp_weight"] == pytest.approx(2 / 3, abs=1e-4)
     assert out["tail"]["boost"] == pytest.approx(5 / 3, abs=1e-3)
     assert out["head"]["boost"] == pytest.approx(5 / 6, abs=1e-3)
+
+
+def test_rank_ensemble_percentiles_and_composite(spark, tmp_path):
+    """3 docs with strictly ordered signals → percentiles {0, .5, 1}
+    per signal, composite = their mean."""
+    rows = [
+        (1, "aaa aaa aaa unique1 unique2", "en", "s", 9),      # repetitive
+        (2, "plain words here nothing odd at all", "en", "s", 9),
+        (3, "zq1 zq2 zq3 zq4 zq5 zq6 zq7", "en", "s", 9),      # all-rare
+    ]
+    _write(spark, tmp_path, "documents", rows,
+           ["doc_id", "text", "lang", "source", "n_chars"])
+    out = {r["doc_id"]: r
+           for r in QUERIES["doc_quality_rank_ensemble"](spark, str(tmp_path)).collect()}
+    assert len(out) == 3
+    for r in out.values():
+        vals = [r["pct_repetition"], r["pct_rare"], r["pct_surprisal"]]
+        assert all(v in (0.0, 0.5, 1.0) for v in vals), r
+        assert r["quality_score"] == pytest.approx(sum(vals) / 3, abs=2e-4)
+    # doc 1 is the most repetitive → worst (highest) repetition pct
+    assert out[1]["pct_repetition"] == 1.0
+
+
+def test_cusum_two_sided_alarms_on_step_shift(spark, tmp_path):
+    """Step from 100 to 200 at day 10 (mu = 150): the negative CUSUM
+    alarms during the low half, the positive during the high half, and
+    the folded values match the hand recursion."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, 100.0, t0 + dt.timedelta(days=i)) for i in range(10)]
+    rows += [(10 + i, 200.0, t0 + dt.timedelta(days=10 + i)) for i in range(10)]
+    _write(spark, tmp_path, "orders", rows,
+           ["o_orderkey", "o_totalprice", "o_orderdate"])
+    out = sorted(
+        QUERIES["revenue_cusum_changepoints"](spark, str(tmp_path)).collect(),
+        key=lambda r: r["day"],
+    )
+    assert len(out) == 20
+    mu, k = 150.0, 3.0
+    sp = sn = 0.0
+    for i, r in enumerate(out):
+        x = 100.0 if i < 10 else 200.0
+        sp = max(0.0, sp + x - mu - k)
+        sn = max(0.0, sn + mu - x - k)
+        assert r["cusum_pos"] == pytest.approx(sp, abs=1e-4), i
+        assert r["cusum_neg"] == pytest.approx(sn, abs=1e-4), i
+    assert out[1]["alarm"] and out[1]["cusum_neg"] > 0     # low half: S- fires
+    assert out[11]["alarm"] and out[11]["cusum_pos"] > 0   # high half: S+ fires
