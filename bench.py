@@ -132,6 +132,8 @@ HEADLINE = [
     "kcore_part_graph",             # 3-round k-core peel, keyed semi-joins (r7)
     "event_type_trigram_paths",     # 3-step path mining, partitioned leads (r7)
     "domain_temperature_mix",       # tau=2 source mixing weights, 1 pass (r7)
+    "doc_quality_rank_ensemble",    # 3x two-phase percentile blend (r7)
+    "revenue_cusum_changepoints",   # Page CUSUM fold on the daily frame (r7)
 ]
 
 

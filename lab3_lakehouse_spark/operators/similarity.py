@@ -429,3 +429,171 @@ def grouped_centroids(
     return wide.selectExpr(
         group_col, f"stack({dim}, {stack}) AS (pos, centroid)"
     )
+
+
+# ------------------------------------------------ product quantization ----
+
+
+def _pq_fit_codebooks(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim: int,
+    m: int,
+    n_codes: int,
+    seed: int,
+    train_cap: int = 4096,
+    iters: int = 10,
+) -> np.ndarray:
+    """Fit the m per-subspace codebooks (Lloyd on a bounded, hash-
+    deterministic training sample) and return them as an
+    ``(m, n_codes, dim/m)`` array.
+
+    The sample is driver-side ON PURPOSE and bounded by construction:
+    PQ codebooks are trained on a few thousand vectors regardless of
+    corpus size (the faiss convention — k-means quality saturates long
+    before the corpus does), so collecting ≤ train_cap rows is the
+    same bounded-metadata pattern as IVF's clusterCenters. The hash
+    filter makes the sample a deterministic function of the ids, not
+    of partitioning."""
+    sub = dim // m
+    n = corpus.count()
+    mod = max(1, n // train_cap)
+    sample = (
+        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .filter(F.crc32(F.col("__id").cast("string")) % mod == 0)
+        .limit(train_cap)
+        .collect()
+    )
+    X = np.array([r["__v"] for r in sample], dtype=np.float64).reshape(
+        len(sample), m, sub
+    )
+    rng = np.random.RandomState(seed)
+    books = []
+    for s in range(m):
+        pts = X[:, s, :]
+        cent = pts[rng.choice(len(pts), size=n_codes, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((pts[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            a = d2.argmin(1)
+            for c in range(n_codes):
+                mask = a == c
+                if mask.any():
+                    cent[c] = pts[mask].mean(0)
+        books.append(cent)
+    return np.stack(books)
+
+
+def pq_build(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim: int = 64,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+) -> tuple[DataFrame, np.ndarray]:
+    """Product-quantization index (Jégou et al. 2011): split each
+    vector into m subvectors, vector-quantize each against its own
+    n_codes-entry codebook → the whole vector compresses to m small
+    codes (here 8 × 4 bits = 4 bytes per 64-float vector, a 64×
+    memory cut — the reason PQ is THE billion-vector ANN
+    representation).
+
+    Returns the persistable code frame ``(neighbor_id, __codes,
+    __cvec)`` plus the codebook array. Encoding is one Arrow-batched
+    pandas UDF pass (pure numpy argmin per subspace — exactly the
+    vectorized-math case where a UDF beats 128 unrolled Catalyst
+    expressions); the codebooks ride the UDF closure (kilobytes).
+    """
+    books = _pq_fit_codebooks(
+        corpus, id_col, vec_col, dim=dim, m=m, n_codes=n_codes, seed=seed
+    )
+    sub = dim // m
+
+    @F.pandas_udf("array<int>")
+    def encode(vs: pd.Series) -> pd.Series:
+        Xb = np.array(list(vs), dtype=np.float64).reshape(len(vs), m, sub)
+        codes = np.empty((len(vs), m), dtype=np.int32)
+        for s in range(m):
+            d2 = ((Xb[:, s, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+            codes[:, s] = d2.argmin(1)
+        return pd.Series(list(codes))
+
+    coded = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        encode(F.col(vec_col).cast("array<double>")).alias("__codes"),
+    )
+    return coded, books
+
+
+def pq_topk(
+    coded: DataFrame,
+    books: np.ndarray,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 5,
+    rerank: int = 50,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) search over a PQ code frame: per
+    query, a lookup table of query-subvector→codebook distances is
+    built once, every corpus vector scores as m table lookups (never
+    touching the original floats), the ADC top-``rerank`` candidates
+    are re-ranked by exact cosine, and the top-``k`` survive.
+
+    Scale shape: the scored frame is |queries| × |corpus| SHORT rows
+    (id + 4-byte codes — the point of PQ is that this scan fits where
+    the float scan wouldn't); the per-query candidate cut is a
+    partitioned window; only ``rerank`` rows per query touch the full
+    vectors for the exact pass."""
+    m, n_codes, sub = books.shape
+
+    @F.pandas_udf("double")
+    def adc(qvs: pd.Series, codes: pd.Series) -> pd.Series:
+        luts: dict[bytes, np.ndarray] = {}
+        out = np.empty(len(qvs), dtype=np.float64)
+        C = np.array(list(codes), dtype=np.int64)
+        Q = np.array(list(qvs), dtype=np.float64)
+        keys = [q.tobytes() for q in Q]
+        for i, key in enumerate(keys):
+            lut = luts.get(key)
+            if lut is None:
+                qs = Q[i].reshape(m, sub)
+                lut = ((qs[:, None, :] - books) ** 2).sum(-1)  # (m, n_codes)
+                luts[key] = lut
+            out[i] = lut[np.arange(m), C[i]].sum()
+        return pd.Series(out)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    scored = (
+        coded.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "__adc",
+            adc(F.col("__qvec").cast("array<double>"), F.col("__codes")),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").asc(), F.col("neighbor_id").asc()
+    )
+    cands = scored.withColumn("__ar", F.row_number().over(wa)).filter(
+        F.col("__ar") <= rerank
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.withColumn(
+            "cosine", cosine_similarity(F.col("__qvec"), F.col("__cvec"))
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long"))
+    )

@@ -570,6 +570,33 @@ def doc_fingerprint_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_pq_topk", oracle=_ANN_RECALL_ORACLE)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): each 64-float
+    vector compresses to 8 codes from per-subspace codebooks (m=8,
+    n_codes=32 → 5 bytes/vector vs 256 — the representation that makes
+    billion-vector search fit in memory at all); queries scan the CODE
+    frame with per-query distance lookup tables (ADC) and only the
+    ADC top-400 touch the original floats for the exact re-rank.
+    Codebooks are Lloyd-fit on a bounded hash-deterministic sample
+    (the faiss convention — codebook quality saturates thousands of
+    vectors before the corpus does). Emits recall vs the exact
+    brute-force top-k (floor 0.8; measured 1.0 at sf0.01/sf0.1 —
+    near-random embeddings need the deep re-rank, clustered real
+    embeddings get away with far less)."""
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    bf = sim_ops.brute_force_topk(emb, q, "vec_id", "embedding", k=5)
+    coded, books = sim_ops.pq_build(
+        emb, "vec_id", "embedding", dim=64, m=8, n_codes=32
+    )
+    pq = sim_ops.pq_topk(
+        coded, books, q, "vec_id", "embedding", k=5, rerank=400
+    )
+    return _ann_recall_stats(bf, pq, floor=0.8)
+
+
 @query("ann_lsh_topk", oracle=_ANN_RECALL_ORACLE)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN: bucket join + exact re-rank — the

@@ -154,3 +154,38 @@ def test_cusum_two_sided_alarms_on_step_shift(spark, tmp_path):
         assert r["cusum_neg"] == pytest.approx(sn, abs=1e-4), i
     assert out[1]["alarm"] and out[1]["cusum_neg"] > 0     # low half: S- fires
     assert out[11]["alarm"] and out[11]["cusum_pos"] > 0   # high half: S+ fires
+
+
+def test_pq_codes_compress_and_clustered_recall(spark):
+    """PQ on CLUSTERED vectors: 3 well-separated clusters in 8-d,
+    m=2 subspaces — codes within a cluster agree, ADC top-k finds
+    same-cluster neighbors with NO re-rank at all (rerank == k)."""
+    import numpy as np
+
+    from lab3_lakehouse_spark.operators import similarity as sim_ops
+
+    rng = np.random.RandomState(7)
+    centers = np.array([[5.0] * 8, [-5.0] * 8, [5.0] * 4 + [-5.0] * 4])
+    rows = []
+    for i in range(90):
+        c = i % 3
+        rows.append((i, (centers[c] + rng.normal(0, 0.1, 8)).tolist()))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    # each 4-d subspace has exactly TWO natural groups (+5s / −5s):
+    # n_codes=2 so Lloyd lands one centroid per group (more codes
+    # would legitimately split a group between two centroids)
+    coded, books = sim_ops.pq_build(
+        df, "vec_id", "embedding", dim=8, m=2, n_codes=2, seed=3
+    )
+    assert books.shape == (2, 2, 4)
+    codes = {r["neighbor_id"]: tuple(r["__codes"]) for r in coded.collect()}
+    for cl in range(3):
+        members = [codes[i] for i in range(90) if i % 3 == cl]
+        assert len(set(members)) == 1, f"cluster {cl} codes diverge"
+    q = df.filter(F.col("vec_id") < 3)
+    out = sim_ops.pq_topk(
+        coded, books, q, "vec_id", "embedding", k=5, rerank=5
+    ).collect()
+    assert len(out) == 15
+    for r in out:
+        assert r["neighbor_id"] % 3 == r["query_id"] % 3, r
