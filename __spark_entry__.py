@@ -28,96 +28,48 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Queries whose verdict would CHANGE this round come first (the driver
-# checks the first 50 registry entries per round). Round-6 rotation
-# (executes the written r5 plan): slots 1–4 are the queries NEW this
-# round (graph communities/triangles, bigram LM, PMI collocations —
-# no driver verdict exists); 5–7 the r6-EDITED queries (the ADVICE
-# fixes: PSI negative-bucket clamp touched distribution_drift_psi,
-# the non-positive-weight guard touched weighted_doc_sample, and the
-# store-probe self-pair exclusion touched the bipartite candidate
-# generator feeding incremental_near_dup_new_docs); 8 is
-# embedding_quantization_report (its r4 judge verdict is the oldest
-# standing signal in the registry); 9–12 the second r6-new block (the
-# exact-KS drift test, Benford audit, entropy profile, CV-fold
-# balance); 13–15 the third r6-new block (edge embeddedness, user
-# burstiness, rolling-KMV sliding distinct); 16–17 the fourth (JL
-# random projection, interval-union coverage); 18–19 the fifth
-# (basket association rules, EWMA trend); 20–35 the 16 r5-new
-# sqlsuite/containment/snapshot queries (pre-verified at sf0.01 in
-# r5, no driver verdict yet); 36–46 the oldest r3-green tail by risk;
-# 47–50 four of the 26-entry r3-green remainder (the other eleven
-# moved just below the boundary to make room for blocks 2–5 — a
-# never-checked query outranks a three-round-old green one). All 50
-# pre-verified green through the exact driver gate (check_query at
-# sf0.01) before commit.
+# checks the first 50 registry entries per round). Round-7 rotation
+# (executes the written r6 plan): slots 1-9 are the queries NEW this
+# round (composed quality gate, Poisson bootstrap, Theil-Sen, k-core,
+# trigram paths, temperature mix, rank ensemble, CUSUM, PQ ANN — no
+# driver verdict exists); 10-15 the r7-EDITED queries (the KS-oracle
+# empty-side guard touched distribution_drift_ks, the dead-local
+# cleanup touched daily_revenue_ewma's oracle, the executor-side grid
+# rewrite touched events_gap_filled_daily, and the LPA tie-break +
+# triangle-core rework touched communities/triangles/embeddedness);
+# 16-37 the 22-entry r3-green remainder whose verdicts are FOUR rounds
+# old (exactly the r6 plan's block); 38-50 the first 13 of the
+# r4-green block (three rounds old). All 50 pre-verified green through
+# the exact driver gate (check_query at sf0.01) before commit.
 #
-# ROUND-7 ROTATION PLAN (for the next builder): lead with (1) any
-# query round 7 edits after its last check, (2) the 22 r3-green
-# remainder entries directly below the boundary (verdicts FOUR rounds
-# old by r7 — the 11 displaced by this round's blocks 2-5 first, then
-# the 11-entry block after them), (3) the r4-green block (three
-# rounds old), then the r5/r6-green blocks. 22 + a few edits already
-# fills half the window; the rest should be r4-green.
+# ROUND-8 ROTATION PLAN (for the next builder): lead with (1) any
+# query round 8 edits after its last check, (2) the 5 r4-green
+# entries displaced from this window (scd2_customer_priority,
+# streaming_tumbling_hourly, sliding_window_counts,
+# streaming_session_windows, streaming_purchase_view_join) plus the
+# rest of the r4-green block directly below the boundary (their
+# verdicts will be FOUR rounds old by r8), then (3) the r5-green
+# block (pack_documents... and the 16 sqlsuite/containment entries),
+# then r6-green. The r3-remainder and r6-window blocks will have
+# fresh r7 verdicts and belong at the back.
 # tests/test_engine.py::test_priority_rotation_names_all_registered
 # guards against typos silently shrinking the window.
 _PRIORITY = [
-    # -- round-6 window (slots 1-50) --
+    "corpus_quality_gate",
+    "bootstrap_revenue_ci",
+    "revenue_theilsen_trend",
+    "kcore_part_graph",
+    "event_type_trigram_paths",
+    "domain_temperature_mix",
+    "doc_quality_rank_ensemble",
+    "revenue_cusum_changepoints",
+    "ann_pq_topk",
+    "distribution_drift_ks",
+    "daily_revenue_ewma",
+    "events_gap_filled_daily",
     "part_copurchase_communities",
     "part_copurchase_triangles",
-    "bigram_surprisal_scores",
-    "token_pmi_collocations",
-    "distribution_drift_psi",
-    "weighted_doc_sample",
-    "incremental_near_dup_new_docs",
-    "embedding_quantization_report",
-    # r6-new block 2 (KS drift, Benford audit, entropy, CV folds)
-    "distribution_drift_ks",
-    "benford_price_audit",
-    "categorical_entropy_report",
-    "crossval_fold_balance",
-    # r6-new block 3 (edge embeddedness, burstiness, rolling KMV)
     "copurchase_edge_embeddedness",
-    "user_burstiness_profile",
-    "rolling_7d_distinct_users",
-    # r6-new block 4 (JL projection, interval-union coverage)
-    "embedding_random_projection",
-    "user_activity_coverage",
-    # r6-new block 5 (association rules, EWMA trend)
-    "basket_association_rules",
-    "daily_revenue_ewma",
-    "sql_volume_shipping",
-    "sql_national_market_share",
-    "sql_nation_profit",
-    "sql_promo_revenue_share",
-    "sql_disjunctive_revenue",
-    "global_balance_ranks",
-    "sql_order_count_distribution",
-    "sql_waiting_suppliers",
-    "sql_part_promotion_suppliers",
-    "sql_top_revenue_supplier",
-    "containment_near_dups",
-    "containment_prefix_filtered",
-    "snapshot_diff_orders",
-    "sql_important_parts",
-    "sql_part_supplier_counts",
-    "sql_cheapest_supplier_per_part",
-    "gopher_repetition_rules",
-    "heavy_hitter_tokens",
-    "approx_top_tokens_contract",
-    "semantic_dedup_flags",
-    "sql_returned_item_report",
-    "profile_orders_columns",
-    "fuzzy_part_name_matches",
-    "impute_event_values",
-    "interval_overlap_view_purchase",
-    "equi_depth_price_buckets",
-    "order_price_histogram",
-    "set_intersect_orders",
-    "set_except_orders",
-    "distinct_user_event_types",
-    "distinct_user_count",
-    # ---- 50-slot window boundary (round-7 plan in header) ----
-    # r3-remainder displaced by the r6 block-2..5 queries: r7 front
     "rollup_lineitem_status",
     "cube_order_status_priority",
     "scalar_string_funcs",
@@ -153,6 +105,52 @@ _PRIORITY = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "merge_cdc_orders",
+    # ---- 50-slot window boundary ----
+    "bigram_surprisal_scores",
+    "token_pmi_collocations",
+    "distribution_drift_psi",
+    "weighted_doc_sample",
+    "incremental_near_dup_new_docs",
+    "embedding_quantization_report",
+    "benford_price_audit",
+    "categorical_entropy_report",
+    "crossval_fold_balance",
+    "user_burstiness_profile",
+    "rolling_7d_distinct_users",
+    "embedding_random_projection",
+    "user_activity_coverage",
+    "basket_association_rules",
+    "sql_volume_shipping",
+    "sql_national_market_share",
+    "sql_nation_profit",
+    "sql_promo_revenue_share",
+    "sql_disjunctive_revenue",
+    "global_balance_ranks",
+    "sql_order_count_distribution",
+    "sql_waiting_suppliers",
+    "sql_part_promotion_suppliers",
+    "sql_top_revenue_supplier",
+    "containment_near_dups",
+    "containment_prefix_filtered",
+    "snapshot_diff_orders",
+    "sql_important_parts",
+    "sql_part_supplier_counts",
+    "sql_cheapest_supplier_per_part",
+    "gopher_repetition_rules",
+    "heavy_hitter_tokens",
+    "approx_top_tokens_contract",
+    "semantic_dedup_flags",
+    "sql_returned_item_report",
+    "profile_orders_columns",
+    "fuzzy_part_name_matches",
+    "impute_event_values",
+    "interval_overlap_view_purchase",
+    "equi_depth_price_buckets",
+    "order_price_histogram",
+    "set_intersect_orders",
+    "set_except_orders",
+    "distinct_user_event_types",
+    "distinct_user_count",
     "scd2_customer_priority",
     "streaming_tumbling_hourly",
     "sliding_window_counts",
@@ -205,7 +203,6 @@ _PRIORITY = [
     "rare_token_doc_quality",
     "funnel_stage_conversion",
     "time_decay_user_value",
-    "events_gap_filled_daily",
     "mad_outlier_report",
     "user_retention_cohorts",
     "per_source_document_quota",

@@ -170,3 +170,95 @@ def stream_psi_monitor(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def stream_cusum_monitor(
+    spark: SparkSession,
+    src_dir: str,
+    out_root: str,
+    reference: DataFrame,
+    *,
+    value_col: str = "value",
+    k_frac: float = 0.02,
+    h_frac: float = 0.15,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming two-sided CUSUM over the per-batch mean — the stateful
+    complement to :func:`stream_psi_monitor`: PSI alarms on
+    distribution shape per batch, CUSUM accumulates small sustained
+    LEVEL shifts across batches (the drift PSI's binning smooths over).
+    μ is frozen from the reference frame once; slack k = k_frac·μ and
+    threshold h = h_frac·μ match the batch operator
+    (queries/statops.revenue_cusum_changepoints).
+
+    State (S⁺, S⁻) lives in the monitor tier itself: each batch reads
+    its PREDECESSOR row (the max batch_id below its own — one
+    driver-side lookup on a frame that is O(batches), the same bounded
+    -metadata class as the reference bucket counts) and appends its
+    updated row, so a restart resumes from the stored state with no
+    side channel. Replay contract: a re-run batch re-reads the same
+    predecessor and re-appends an IDENTICAL row — consumers keyed on
+    batch_id (latest wins) see idempotent values, matching the other
+    foreachBatch sinks' at-least-once semantics.
+    """
+    mu = float(
+        reference.filter(F.col(value_col).isNotNull())
+        .agg(F.round(F.avg(value_col), 4).alias("mu"))
+        .first()["mu"]
+    )
+    k, h = k_frac * mu, h_frac * mu
+    path = f"{out_root}/cusum"
+    checkpoint = f"{out_root}/_checkpoint"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        agg = (
+            batch_df.filter(F.col(value_col).isNotNull())
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.avg(value_col), 4).alias("x"),
+            )
+            .first()
+        )
+        sp = sn = 0.0
+        try:
+            prior = (
+                spark.read.parquet(path)
+                .filter(F.col("batch_id") < batch_id)
+                .orderBy(F.col("batch_id").desc())
+                .limit(1)
+                .collect()
+            )
+            if prior:
+                sp, sn = prior[0]["cusum_pos"], prior[0]["cusum_neg"]
+        except Exception:
+            pass  # first batch: no tier yet
+        if agg["n"]:
+            x = float(agg["x"])
+            sp = max(0.0, sp + x - mu - k)
+            sn = max(0.0, sn + mu - x - k)
+        row = spark.createDataFrame(
+            [
+                (
+                    int(batch_id),
+                    int(agg["n"] or 0),
+                    float(agg["x"]) if agg["n"] else None,
+                    round(sp, 4),
+                    round(sn, 4),
+                    bool(sp > h or sn > h),
+                )
+            ],
+            "batch_id long, n_events long, batch_mean double, "
+            "cusum_pos double, cusum_neg double, alarm boolean",
+        )
+        row.write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(src_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

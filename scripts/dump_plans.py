@@ -124,18 +124,21 @@ SHOWCASE: dict[str, str] = {
         "— never a global sort."
     ),
     "part_copurchase_triangles": (
-        "Degree-oriented triangle counting: the wedge self-join and the "
-        "closing-edge join are both keyed SortMergeJoins over the oriented "
-        "edge table (checkpointed once — an ExistingRDD scan, not a "
-        "re-derivation), with orientation capping wedge fan-out at O(√m) "
-        "per node; no BroadcastNestedLoop anywhere."
+        "Adjacency-intersection triangles (compact-forward): the sorted "
+        "out-neighbor arrays join onto both endpoints of the checkpointed "
+        "oriented edge scan and array_intersect closes triangles inside "
+        "the codegen stage — wedges NEVER exist as shuffled rows (the "
+        "textbook wedge join moved 41M rows for 1.9M triangles here); "
+        "per-node attribution is one explode of pre-counted structs into "
+        "a single keyed HashAggregate."
     ),
     "copurchase_edge_embeddedness": (
-        "Per-edge embeddedness from the SAME triangle frame (lazy "
-        "localCheckpoint — the three corner projections scan one "
-        "materialized RDD instead of re-running the wedge joins), then a "
-        "pair-keyed count; min_common pruning means the full edge table is "
-        "never joined back, and the top-20 is TakeOrderedAndProject."
+        "Per-edge embeddedness from the same intersection core; the "
+        "triangle frame is persisted through the COLUMNAR SQL cache "
+        "(InMemoryTableScan — deserialized-object checkpoints OOMed the "
+        "x30 graph) and the three corner projections scan it once each; "
+        "min_common pruning means the full edge table is never joined "
+        "back, and the top-20 is TakeOrderedAndProject."
     ),
     "distribution_drift_ks": (
         "Exact two-sample KS without a global sort: the distinct-value "
@@ -173,6 +176,38 @@ SHOWCASE: dict[str, str] = {
         "key with null-safe per-column comparison above it — the "
         "unchanged majority is dropped immediately, so the output is "
         "delta-sized while the inputs are snapshot-sized."
+    ),
+    "bootstrap_revenue_ci": (
+        "One-pass Poisson bootstrap: the ×50 replicate explode is a "
+        "Generate inside the scan stage and partial_sum collapses each "
+        "partition to 50 rows BEFORE the exchange — shuffle volume is "
+        "B × partitions regardless of fact size; no driver sampling, no "
+        "repeated passes."
+    ),
+    "corpus_quality_gate": (
+        "Composed 4-rule quality gate: exactly TWO document scans — one "
+        "computes every per-row signal fused (repetition + language "
+        "scores in one codegen stage), one feeds the shared token "
+        "explode serving BOTH corpus-frequency rules; the per-rule "
+        "alternative costs 5 scans and two independent token shuffles."
+    ),
+    "kcore_part_graph": (
+        "k-core peeling: each round is a degree HashAggregate plus two "
+        "semi-joins of the SHRINKING surviving-edge frame against the "
+        "O(alive) node set (broadcast while it fits), lineage cut per "
+        "round — no driver-side membership sets, no global structures."
+    ),
+    "doc_quality_rank_ensemble": (
+        "Rank-ensemble scoring: THREE two-phase global rankings (approx_"
+        "percentile cut points → per-bucket PARTITIONED row_number → "
+        "broadcast offsets) — no single-partition global sort anywhere, "
+        "which is what a naive percent_rank() would lower to."
+    ),
+    "ann_pq_topk": (
+        "PQ ANN: the ADC scan scores |queries| × |corpus| SHORT rows "
+        "(ids + 5-byte codes) via one Arrow-batched UDF, the candidate "
+        "cut is a partitioned window, and only the top-400 per query "
+        "touch the original float vectors for the exact re-rank."
     ),
 }
 

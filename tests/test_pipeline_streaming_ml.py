@@ -980,3 +980,46 @@ def test_compact_signature_store_dedupes_and_preserves_probes(spark, tmpdir):
         ).collect()
     )
     assert before == after
+
+
+def test_stream_cusum_monitor_accumulates_across_batches(spark, tmpdir):
+    """Streaming CUSUM (streaming/monitor.py): a batch at the reference
+    level stays quiet; a small sustained shift accumulates ACROSS
+    micro-batches until S+ crosses h — the cross-batch state the PSI
+    monitor deliberately doesn't carry."""
+    import json as _json
+
+    from lab3_lakehouse_spark.streaming import monitor as st_mon
+
+    src = f"{tmpdir}/arrivals"
+    out = f"{tmpdir}/mon"
+    os.makedirs(src)
+
+    # reference mean = 100; k = 2, h = 15
+    ref = spark.createDataFrame([(100.0,)] * 200, ["value"])
+
+    def ev(i, v):
+        return {"event_id": i, "ts": "2024-02-01T00:00:00", "user_id": 1,
+                "event_type": "view", "value": v}
+
+    def write_batch(name, base, v):
+        with open(f"{src}/{name}.json", "w") as f:
+            f.write("\n".join(_json.dumps(ev(base + i, v)) for i in range(50)))
+
+    q = st_mon.stream_cusum_monitor(spark, src, out, ref,
+                                    k_frac=0.02, h_frac=0.15)
+    try:
+        write_batch("f0", 0, 100.0)    # on-level → S+ = S- = 0
+        q.processAllAvailable()
+        write_batch("f1", 100, 110.0)  # +10: S+ = 8, below h
+        q.processAllAvailable()
+        write_batch("f2", 200, 110.0)  # S+ = 16 > 15 → alarm
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {r.batch_id: r for r in spark.read.parquet(f"{out}/cusum").collect()}
+    assert rows[0].cusum_pos == 0.0 and not rows[0].alarm
+    assert rows[1].cusum_pos == pytest.approx(8.0) and not rows[1].alarm
+    assert rows[2].cusum_pos == pytest.approx(16.0) and rows[2].alarm
+    assert rows[2].n_events == 50 and rows[2].batch_mean == pytest.approx(110.0)
