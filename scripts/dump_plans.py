@@ -197,12 +197,9 @@ SHOWCASE: dict[str, str] = {
         "O(alive) node set (broadcast while it fits), lineage cut per "
         "round — no driver-side membership sets, no global structures."
     ),
-    "doc_quality_rank_ensemble": (
-        "Rank-ensemble scoring: THREE two-phase global rankings (approx_"
-        "percentile cut points → per-bucket PARTITIONED row_number → "
-        "broadcast offsets) — no single-partition global sort anywhere, "
-        "which is what a naive percent_rank() would lower to."
-    ),
+    # doc_quality_rank_ensemble is deliberately NOT dumped: its plan is
+    # three chained two-phase rankings (~3k formatted lines — the shape
+    # is already showcased readably by global_balance_ranks).
     "ann_pq_topk": (
         "PQ ANN: the ADC scan scores |queries| × |corpus| SHORT rows "
         "(ids + 5-byte codes) via one Arrow-batched UDF, the candidate "
