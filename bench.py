@@ -8,9 +8,15 @@ ONE JSON line::
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed with a count-only sink (``df.count()``: full
-compute, no driver-side row materialization — the same way a cluster
-job would terminate in a write).
+Each query is executed with the NOOP WRITE sink
+(``df.write.format("noop")``: full evaluation of every output column,
+no driver-side row materialization — the same way a cluster job would
+terminate in a write). A ``count()`` sink is NOT full compute: under
+count, Catalyst prunes aggregate expressions (count of a groupBy needs
+only the distinct keys) and eliminates result-preserving sorts —
+measured on the Poisson bootstrap, count() skipped the 225M md5 draws
+entirely (0.8 s vs 20 s real). Round 7 caught this; earlier rounds'
+numbers carry the same (consistent) bias for agg-terminated queries.
 
 Isolation by construction (round 5, per the r4 verdict): every query
 runs in its OWN freshly-forked JVM (``--one <name>`` child process),
@@ -316,6 +322,13 @@ def _bench_medallion(spark, sf_dir: str | None = None) -> float:
 WARMUP_SF_DIR = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
 
 
+def run_full(df) -> None:
+    """Force FULL evaluation of every output column via the noop write
+    connector — the honest bench sink (see module docstring: count()
+    lets the optimizer skip aggregate expressions and sorts)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def run_single(name: str) -> float:
     """Warm up and time ONE query inside the current (fresh) process.
 
@@ -335,7 +348,7 @@ def run_single(name: str) -> float:
             _bench_medallion(spark, WARMUP_SF_DIR)
             return _bench_medallion(spark, SF_DIR)
         fn = _bench_overrides().get(name, QUERIES[name])
-        fn(spark, WARMUP_SF_DIR).count()
+        run_full(fn(spark, WARMUP_SF_DIR))
         # Two timed reps, report the min: the FIRST sf0.1 execution
         # still pays scale-dependent one-offs the tiny warm-up cannot
         # reach (AQE picks different physical plans at sf0.1 than at
@@ -345,7 +358,7 @@ def run_single(name: str) -> float:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            fn(spark, SF_DIR).count()
+            run_full(fn(spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
             spark.catalog.clearCache()
         return round(best, 3)

@@ -19,7 +19,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lab3_lakehouse_spark.catalog import load_table
+from lab3_lakehouse_spark.catalog import fan_out, load_table
 from lab3_lakehouse_spark.operators import graph as graph_ops
 from lab3_lakehouse_spark.operators.sketches import portable_hash60, sql_hash60
 from lab3_lakehouse_spark.queries._util import round4, sql_round4
@@ -96,8 +96,10 @@ def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     order), exact BIGINT effective counts.
     """
     tune_session(spark)
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice"
+    # fan_out: a low-SF orders table is ONE parquet split — without the
+    # spread, the x50 explode + 7.5M md5 draws run on a single core
+    orders = fan_out(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     )
     reps = orders.select(
         "o_orderkey",

@@ -189,6 +189,23 @@ def workloads():
         # the calendar — not the corpus — bounds)
         "basket_association_rules": QUERIES["basket_association_rules"],
         "daily_revenue_ewma": QUERIES["daily_revenue_ewma"],
+        # round-7 additions: the composed gate (2 scans + 1 token
+        # shuffle — alpha ~ 1), the Poisson bootstrap (shuffle is
+        # B × partitions rows at ANY size: alpha tracks the scan),
+        # k-core (fact amplifier keeps part keys stable → same nodes,
+        # denser edges; rounds stay keyed-only), PQ ANN (ADC scan is
+        # linear in corpus codes), trigram paths (partitioned leads —
+        # per-user partitions grow 30×), the rank ensemble (3 two-phase
+        # rankings over the doc frame), and CUSUM/Theil-Sen (quadratic
+        # ONLY in the calendar-bounded day count — alpha ~ 0)
+        "corpus_quality_gate": QUERIES["corpus_quality_gate"],
+        "bootstrap_revenue_ci": QUERIES["bootstrap_revenue_ci"],
+        "kcore_part_graph": QUERIES["kcore_part_graph"],
+        "ann_pq_topk": QUERIES["ann_pq_topk"],
+        "event_type_trigram_paths": QUERIES["event_type_trigram_paths"],
+        "doc_quality_rank_ensemble": QUERIES["doc_quality_rank_ensemble"],
+        "revenue_cusum_changepoints": QUERIES["revenue_cusum_changepoints"],
+        "revenue_theilsen_trend": QUERIES["revenue_theilsen_trend"],
         "corpus_pipeline": corpus_pipeline,
     }
 
@@ -459,9 +476,17 @@ def main() -> None:
             before = _ui_totals(spark)
             t0 = time.perf_counter()
             out = fn(spark, d)
-            n_rows = out if isinstance(out, int) else out.count()
+            if isinstance(out, int):
+                n_rows = out
+            else:
+                # noop write = FULL column evaluation (a count() sink
+                # lets the optimizer prune aggregate expressions — the
+                # r7 bootstrap measured 0.8 s for 20 s of real work)
+                out.write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 2)
             after = _ui_totals(spark)
+            if not isinstance(out, int):
+                n_rows = out.count()  # row count OUTSIDE the timed window
             results.setdefault(name, {})[f"x{m}"] = {
                 "sec": dt,
                 "rows": n_rows,
