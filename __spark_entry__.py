@@ -31,8 +31,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # checks the first 50 registry entries per round). Round-7 rotation
 # (executes the written r6 plan): slots 1-9 are the queries NEW this
 # round (composed quality gate, Poisson bootstrap, Theil-Sen, k-core,
-# trigram paths, temperature mix, rank ensemble, CUSUM, PQ ANN — no
-# driver verdict exists); 10-15 the r7-EDITED queries (the KS-oracle
+# trigram paths, temperature mix, rank ensemble, CUSUM, PQ ANN,
+# retrieval MRR eval, deadline funnel, k-anonymity — no driver verdict
+# exists); 10-15 the r7-EDITED queries (the KS-oracle
 # empty-side guard touched distribution_drift_ks, the dead-local
 # cleanup touched daily_revenue_ewma's oracle, the executor-side grid
 # rewrite touched events_gap_filled_daily, and the LPA tie-break +
@@ -64,6 +65,9 @@ _PRIORITY = [
     "doc_quality_rank_ensemble",
     "revenue_cusum_changepoints",
     "ann_pq_topk",
+    "retrieval_label_mrr",
+    "funnel_conversion_deadline",
+    "k_anonymity_audit",
     "distribution_drift_ks",
     "daily_revenue_ewma",
     "events_gap_filled_daily",
@@ -102,10 +106,10 @@ _PRIORITY = [
     "salted_agg_event_type",
     "sql_late_order_priority",
     "sql_small_qty_revenue",
+    # ---- 50-slot window boundary ----
     "ann_lsh_topk",
     "ann_ivf_topk",
     "merge_cdc_orders",
-    # ---- 50-slot window boundary ----
     "bigram_surprisal_scores",
     "token_pmi_collocations",
     "distribution_drift_psi",

@@ -140,6 +140,10 @@ HEADLINE = [
     "domain_temperature_mix",       # tau=2 source mixing weights, 1 pass (r7)
     "doc_quality_rank_ensemble",    # 3x two-phase percentile blend (r7)
     "revenue_cusum_changepoints",   # Page CUSUM fold on the daily frame (r7)
+    "ann_pq_topk",                  # PQ ADC scan + deep exact re-rank (r7)
+    "retrieval_label_mrr",          # MRR@100 retrieval eval, top-k window (r7)
+    "funnel_conversion_deadline",   # 7-day windowed funnel, 1 shuffle (r7)
+    "k_anonymity_audit",            # quasi-identifier group audit (r7)
 ]
 
 

@@ -810,3 +810,199 @@ def revenue_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(F.col("r.cusum_neg")).alias("cusum_neg"),
         F.col("r.alarm").alias("alarm"),
     )
+
+
+# ------------------------------------------------- retrieval eval ----
+
+_MRR_QUERIES = 16    # eval query set
+_MRR_DEPTH = 100     # ranking depth (MRR@100)
+
+
+def _mrr_oracle() -> str:
+    cos = "list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])"
+    return f"""
+    WITH ranked AS (
+        SELECT q.vec_id AS query_id, q.label AS q_label, c.label AS c_label,
+               CAST(row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {cos} DESC, c.vec_id) AS BIGINT) AS rank
+        FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < {_MRR_QUERIES}
+        QUALIFY rank <= {_MRR_DEPTH}
+    )
+    SELECT query_id,
+           any_value(q_label) AS label,
+           min(CASE WHEN c_label = q_label THEN rank END) AS first_rel_rank,
+           {sql_round4(f'''coalesce(1.0 / min(CASE WHEN c_label = q_label
+               THEN rank END), CAST(0.0 AS DOUBLE))''')} AS reciprocal_rank,
+           CAST(count(CASE WHEN c_label = q_label AND rank <= 10 THEN 1 END)
+               AS BIGINT) AS hits_at_10
+    FROM ranked
+    GROUP BY query_id
+    """
+
+
+@query("retrieval_label_mrr", oracle=_mrr_oracle())
+def retrieval_label_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation over the embedding corpus: treat
+    each query vector's LABEL as its relevance judgment (same label =
+    relevant — the standard proxy when explicit qrels don't exist) and
+    report, per query, the rank of the first relevant neighbor in the
+    exact cosine top-100, its reciprocal rank (mean over queries =
+    MRR@100, THE retrieval eval number), and hits@10. This is the eval
+    side of the ANN family: brute-force gives the attainable ceiling
+    that ann_{lsh,ivf,pq}_topk are recall-gated against.
+
+    Plan: the ranked frame is brute_force_topk's shape — broadcast
+    query set × one corpus scan, per-query top-k via a PARTITIONED
+    window — then one grouped pass folds ranks into the eval columns.
+    Cosines are the engine's left-fold HOFs, bit-identical to the
+    oracle's list_cosine_similarity (the ann_topk_bruteforce
+    precedent), so the rankings agree row-for-row."""
+    from lab3_lakehouse_spark.operators import similarity as sim_ops
+
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _MRR_QUERIES)
+    bf = sim_ops.brute_force_topk(
+        emb, q, "vec_id", "embedding", k=_MRR_DEPTH
+    )
+    labels = emb.select("vec_id", "label")
+    j = (
+        bf.join(
+            labels.select(
+                F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+            ),
+            "query_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("c_label"),
+            ),
+            "neighbor_id",
+        )
+    )
+    rel_rank = F.min(F.when(F.col("c_label") == F.col("q_label"), F.col("rank")))
+    return j.groupBy("query_id").agg(
+        F.first("q_label").alias("label"),
+        rel_rank.alias("first_rel_rank"),
+        round4(
+            F.coalesce(F.lit(1.0) / rel_rank, F.lit(0.0))
+        ).alias("reciprocal_rank"),
+        F.count(
+            F.when((F.col("c_label") == F.col("q_label")) & (F.col("rank") <= 10), 1)
+        ).alias("hits_at_10"),
+    )
+
+
+# ------------------------------------------- deadline-bounded funnel ----
+
+_FUNNEL_DEADLINE_DAYS = 7
+
+
+def _funnel_deadline_oracle() -> str:
+    dl = f"INTERVAL {_FUNNEL_DEADLINE_DAYS} DAY"
+    return f"""
+    WITH s AS (
+        SELECT user_id,
+               min(ts) FILTER (WHERE event_type = 'view')     AS t_view,
+               min(ts) FILTER (WHERE event_type = 'click')    AS t_click,
+               min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           count(t_view) AS n_view,
+           count(CASE WHEN t_click > t_view
+                       AND t_click <= t_view + {dl} THEN 1 END)
+               AS n_click_in_window,
+           count(CASE WHEN t_click > t_view AND t_click <= t_view + {dl}
+                       AND t_purchase > t_click
+                       AND t_purchase <= t_click + {dl} THEN 1 END)
+               AS n_purchase_in_window,
+           {sql_round4(f'''count(CASE WHEN t_click > t_view
+                AND t_click <= t_view + {dl} THEN 1 END)::DOUBLE
+                / count(t_view)''')} AS click_rate,
+           {sql_round4(f'''count(CASE WHEN t_click > t_view AND t_click <= t_view + {dl}
+                AND t_purchase > t_click AND t_purchase <= t_click + {dl}
+                THEN 1 END)::DOUBLE
+                / count(CASE WHEN t_click > t_view
+                             AND t_click <= t_view + {dl} THEN 1 END)''')}
+               AS purchase_rate
+    FROM s
+    """
+
+
+@query("funnel_conversion_deadline", oracle=_funnel_deadline_oracle())
+def funnel_conversion_deadline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch funnel with a CONVERSION DEADLINE: each step counts
+    only if it happens within 7 days of the previous step — the form
+    real attribution uses (an unbounded funnel credits a purchase
+    months after the view; rates become meaninglessly high). Same
+    single-shuffle shape as funnel_stage_conversion: one per-user
+    min-per-stage aggregation, then a scalar fold — the deadline is a
+    pure comparison on the already-aggregated timestamps, adding zero
+    data movement."""
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    dl = F.expr(f"INTERVAL {_FUNNEL_DEADLINE_DAYS} DAY")
+    click_ok = (F.col("t_click") > F.col("t_view")) & (
+        F.col("t_click") <= F.col("t_view") + dl
+    )
+    buy_ok = click_ok & (F.col("t_purchase") > F.col("t_click")) & (
+        F.col("t_purchase") <= F.col("t_click") + dl
+    )
+    n_click = F.count(F.when(click_ok, 1))
+    n_buy = F.count(F.when(buy_ok, 1))
+    return s.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        n_click.alias("n_click_in_window"),
+        n_buy.alias("n_purchase_in_window"),
+        round4(n_click.cast("double") / F.count("t_view")).alias("click_rate"),
+        round4(n_buy.cast("double") / n_click).alias("purchase_rate"),
+    )
+
+
+# --------------------------------------------------- k-anonymity ----
+
+_KANON_K = 6
+
+
+def _kanon_oracle() -> str:
+    return f"""
+    SELECT c_nationkey AS nationkey,
+           c_mktsegment AS mktsegment,
+           CAST(count(*) AS BIGINT) AS group_size,
+           count(*) < {_KANON_K} AS at_risk
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """
+
+
+@query("k_anonymity_audit", oracle=_kanon_oracle())
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer quasi-identifiers
+    (nationkey × market segment): any equivalence class smaller than k
+    re-identifies its members by those attributes alone — the
+    pre-release governance check run before a dataset (or its derived
+    training corpus) leaves the boundary. One grouped count with
+    map-side partial aggregation; the flag is a pure comparison. At
+    100 TB the quasi-identifier class count — not the row count —
+    bounds the output."""
+    tune_session(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    ).agg(
+        F.count(F.lit(1)).alias("group_size"),
+        (F.count(F.lit(1)) < F.lit(_KANON_K)).alias("at_risk"),
+    )

@@ -189,3 +189,78 @@ def test_pq_codes_compress_and_clustered_recall(spark):
     assert len(out) == 15
     for r in out:
         assert r["neighbor_id"] % 3 == r["query_id"] % 3, r
+
+
+def test_exact_median_matches_statistics_median(spark):
+    """_exact_median_1row == quantile_cont(0.5) (avg of the two middle
+    order statistics) on planted odd/even/tied/negative lists."""
+    import statistics
+
+    from lab3_lakehouse_spark.queries.statops import _exact_median_1row
+
+    cases = [
+        [1.0, 2.0, 3.0],
+        [4.0, 1.0, 3.0, 2.0],
+        [5.0] * 10,
+        [-3.0, -1.0, -2.0, 10.0, 7.0],
+        [float(x % 17) - 8.0 for x in range(1001)],
+        [float((x * 37) % 101) for x in range(2000)],
+    ]
+    for vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals], ["v"])
+        r = _exact_median_1row(df, "v").first()
+        assert r["n"] == len(vals)
+        assert r["med"] == pytest.approx(statistics.median(vals)), vals[:5]
+
+
+def test_retrieval_mrr_on_planted_clusters(spark, tmp_path):
+    """3 tight clusters (one per label): every query's nearest
+    neighbors share its label → first_rel_rank 1, rr 1.0, hits@10 = 10."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    centers = {lbl: rng.normal(0, 1, 64) * 5 for lbl in (0, 1, 2)}
+    rows = []
+    for i in range(60):
+        lbl = i % 3
+        rows.append((i, (centers[lbl] + rng.normal(0, 0.05, 64)).tolist(), lbl))
+    _write(spark, tmp_path, "embeddings", rows, ["vec_id", "embedding", "label"])
+    out = {r["query_id"]: r
+           for r in QUERIES["retrieval_label_mrr"](spark, str(tmp_path)).collect()}
+    assert len(out) == 16
+    for r in out.values():
+        assert r["first_rel_rank"] == 1 and r["reciprocal_rank"] == 1.0, r
+        assert r["hits_at_10"] == 10, r
+
+
+def test_funnel_deadline_excludes_late_conversions(spark, tmp_path):
+    """User A converts within the 7-day windows, user B clicks on day 8
+    (late), user C views only: exactly one windowed full funnel."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(days=2), 1, "click", 1.0, "{}"),
+        (3, t0 + dt.timedelta(days=5), 1, "purchase", 1.0, "{}"),
+        (4, t0, 2, "view", 1.0, "{}"),
+        (5, t0 + dt.timedelta(days=8), 2, "click", 1.0, "{}"),
+        (6, t0, 3, "view", 1.0, "{}"),
+    ]
+    _write(spark, tmp_path, "events", rows,
+           ["event_id", "ts", "user_id", "event_type", "value", "props"])
+    r = QUERIES["funnel_conversion_deadline"](spark, str(tmp_path)).first()
+    assert r["n_users"] == 3 and r["n_view"] == 3
+    assert r["n_click_in_window"] == 1      # user B's click is late
+    assert r["n_purchase_in_window"] == 1
+    assert r["purchase_rate"] == 1.0
+
+
+def test_k_anonymity_flags_small_groups(spark, tmp_path):
+    rows = [(i, 0, "BUILDING") for i in range(10)]       # big group: safe
+    rows += [(100 + i, 1, "MACHINERY") for i in range(3)]  # < 6: at risk
+    _write(spark, tmp_path, "customer", rows,
+           ["c_custkey", "c_nationkey", "c_mktsegment"])
+    out = {(r["nationkey"], r["mktsegment"]): r
+           for r in QUERIES["k_anonymity_audit"](spark, str(tmp_path)).collect()}
+    assert not out[(0, "BUILDING")]["at_risk"]
+    assert out[(1, "MACHINERY")]["at_risk"]
+    assert out[(1, "MACHINERY")]["group_size"] == 3
