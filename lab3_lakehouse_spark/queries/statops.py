@@ -1,6 +1,8 @@
 """Statistical-resampling and structural analytics (round 7): Poisson
-bootstrap uncertainty, robust Theil–Sen trend, k-core peeling, event
-path mining, and temperature-smoothed corpus mixing.
+bootstrap uncertainty, robust Theil–Sen trend, CUSUM change points,
+k-core peeling, event path mining, temperature-smoothed corpus mixing,
+rank-ensemble quality scoring, retrieval-MRR evaluation, deadline-
+bounded funnels, and k-anonymity auditing.
 
 Every query carries a FULL DuckDB oracle. Cross-engine determinism
 follows the engine conventions: portable md5-derived hashing for any
