@@ -444,3 +444,40 @@ def test_ks_bounded_and_zero_iff_identical(spark, ref, cur):
     assert 0.0 <= out.ks_stat <= 1.0
     if sorted(ref) == sorted(cur):
         assert out.ks_stat == 0.0
+
+
+def test_bootstrap_weights_follow_poisson_pmf(spark):
+    """The hash-drawn Poisson(1) weights' empirical frequencies over a
+    large key set match the pmf the pinned CDF cut points encode —
+    i.e. the inverse-CDF draw is calibrated, not merely deterministic.
+    20k (key, replicate=0) draws; tolerance 4σ per weight class."""
+    import math as _math
+
+    from pyspark.sql import functions as F
+
+    from lab3_lakehouse_spark.operators.sketches import portable_hash60
+    from lab3_lakehouse_spark.queries.statops import (
+        _BOOT_CDF,
+        _BOOT_MAX_W,
+        _BOOT_SEED,
+        _TWO60,
+    )
+
+    n = 20_000
+    df = spark.range(n).select(F.col("id").cast("string").alias("k"))
+    u = (
+        portable_hash60(
+            F.concat(F.col("k"), F.lit(":"), F.lit("0")), _BOOT_SEED
+        ).cast("double")
+        / F.lit(_TWO60)
+    )
+    w = F.lit(_BOOT_MAX_W - 1)
+    for k in range(len(_BOOT_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_BOOT_CDF[k]), F.lit(k)).otherwise(w)
+    counts = {r["w"]: r["c"] for r in
+              df.select(w.alias("w")).groupBy("w").agg(
+                  F.count(F.lit(1)).alias("c")).collect()}
+    pmf = [_math.exp(-1.0) / _math.factorial(k) for k in range(_BOOT_MAX_W - 1)]
+    for k, p in enumerate(pmf):
+        exp, sd = n * p, _math.sqrt(n * p * (1 - p))
+        assert abs(counts.get(k, 0) - exp) < 4 * sd + 1, (k, counts.get(k, 0), exp)
