@@ -178,10 +178,16 @@ def gap_filled_counts(
         F.unix_timestamp("b1") - F.unix_timestamp("b0")
     ) / F.lit(per_grain_sec) + F.lit(1)
     # the guard is folded into b1 itself (not a side column a projection
-    # would prune away): sequence() can't evaluate without tripping it
+    # would prune away): sequence() can't evaluate without tripping it.
+    # Null-safe on purpose: an EMPTY input has NULL min/max bounds, so
+    # the condition must pass them through (sequence(NULL, NULL) is NULL,
+    # explode(NULL) yields no rows → empty result) instead of falling
+    # into the raise_error branch with a NULL-concat message.
     guarded = bounds.select(
         "b0",
-        F.when(n_buckets <= F.lit(max_buckets), F.col("b1"))
+        F.when(
+            n_buckets.isNull() | (n_buckets <= F.lit(max_buckets)), F.col("b1")
+        )
         .otherwise(
             F.raise_error(
                 F.concat(

@@ -72,6 +72,30 @@ def count_nodes(df: DataFrame, node: str) -> int:
     )
 
 
+def exchange_inputs(df: DataFrame) -> list[tuple[str, list[str]]]:
+    """``(arguments, input column names)`` for every shuffle ``Exchange``
+    node (BroadcastExchange excluded — broadcasts are bounded by the
+    driver's broadcast limit, shuffles are the scale hazard). Lets a
+    test pin that a given exchange carries only the columns it should —
+    e.g. that an ANN rank shuffle ships ids + a score, not the float
+    vectors."""
+    plan = formatted_plan(df)
+    out: list[tuple[str, list[str]]] = []
+    for m in re.finditer(
+        r"^\(\d+\) Exchange\n((?:^(?!\(\d+\)).*\n?)*)", plan, re.M
+    ):
+        body = m.group(1)
+        inp = re.search(r"Input \[\d+\]: \[([^\]]*)\]", body)
+        args = re.search(r"Arguments: ([^\n]*)", body)
+        cols = []
+        if inp:
+            cols = [
+                c.strip().split("#")[0] for c in inp.group(1).split(",") if c.strip()
+            ]
+        out.append((args.group(1) if args else "", cols))
+    return out
+
+
 def codegen_stage_count(df: DataFrame, execute: bool = True) -> int:
     """Number of whole-stage-codegen stages (wider is not better per se,
     but ZERO on a scan-heavy plan means something blocked codegen).

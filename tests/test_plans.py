@@ -492,3 +492,32 @@ def test_kmv_pair_math_runs_on_sketch_frames(spark, sf):
     # the only cross products are the documented 5x5 segment-pair
     # builds (broadcast singletons of the segment list)
     assert pa.count_nodes(df, "CartesianProduct") == 0
+
+
+def test_pq_adc_rank_exchange_is_skinny(spark, sf):
+    """The PQ ADC scan is |queries|x|corpus| rows — the per-query rank
+    window's shuffle must carry (query_id, neighbor_id, __adc) ONLY.
+    The r7 plan shipped the 64-float __cvec/__qvec through it (~100x
+    wider than needed at a billion vectors); this pins the fix: no
+    shuffle Exchange anywhere in the pq_topk plan may carry the code
+    frame's float vectors, the query vectors, or the raw embedding."""
+    from pyspark.sql import functions as F
+
+    from lab3_lakehouse_spark.operators import similarity as sim_ops
+
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4)
+    coded, books = sim_ops.pq_build(
+        emb, "vec_id", "embedding", dim=64, m=8, n_codes=16
+    )
+    df = sim_ops.pq_topk(coded, books, q, "vec_id", "embedding", k=5, rerank=50)
+    exchanges = pa.exchange_inputs(df)
+    ranked = [
+        (args, cols)
+        for args, cols in exchanges
+        if "hashpartitioning(query_id" in args
+    ]
+    assert ranked, exchanges  # the rank windows must still shuffle on query_id
+    forbidden = {"__cvec", "__qvec", "embedding"}
+    for args, cols in exchanges:
+        assert not (set(cols) & forbidden), (args, cols)

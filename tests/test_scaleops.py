@@ -280,6 +280,26 @@ def test_gap_fill_spine_guard_trips_on_runaway_bounds(spark):
     assert len(ok) == 19724  # days from 1970-01-01 through 2024-01-01
 
 
+def test_gap_fill_empty_input_yields_empty_frame(spark):
+    """EMPTY input: min/max bounds are NULL, so the max_buckets guard
+    must pass the NULL through (sequence(NULL,NULL) → explode yields no
+    rows) instead of tripping raise_error while building the 1-row
+    bounds frame (the r7 regression: the guard condition evaluated NULL
+    and fell into the error branch)."""
+    import pyspark.sql.types as T
+
+    from lab3_lakehouse_spark.operators import events as events_ops
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame([], schema)
+    assert events_ops.gap_filled_counts(df, grain="hour").collect() == []
+
+
 def test_gap_fill_high_cardinality_series_stays_keyed(spark):
     """With a high-cardinality series column (user_id) the grid is
     spine×users BY SEMANTICS; the plan must generate it executor-side

@@ -191,6 +191,44 @@ def test_pq_codes_compress_and_clustered_recall(spark):
         assert r["neighbor_id"] % 3 == r["query_id"] % 3, r
 
 
+def test_pq_build_tiny_corpus_and_deterministic_sample(spark):
+    """(a) A corpus smaller than n_codes must still build a full-shape
+    codebook (seeding with replacement) instead of raising in
+    rng.choice; (b) the training sample is the train_cap smallest
+    (crc32(id), id) rows — a pure function of the id set — so two
+    builds over DIFFERENT partitionings yield bit-identical codebooks
+    (the r7 sample was scan-order dependent)."""
+    import numpy as np
+
+    from lab3_lakehouse_spark.operators import similarity as sim_ops
+
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.normal(0, 1, 8).tolist()) for i in range(10)]
+    tiny = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    coded, books = sim_ops.pq_build(
+        tiny, "vec_id", "embedding", dim=8, m=2, n_codes=16, seed=5
+    )
+    assert books.shape == (2, 16, 4)
+    assert coded.count() == 10
+
+    rows2 = [(i, rng.normal(0, 1, 8).tolist()) for i in range(300)]
+    base = spark.createDataFrame(rows2, ["vec_id", "embedding"])
+    _, b1 = sim_ops.pq_build(
+        base.repartition(1), "vec_id", "embedding", dim=8, m=2, n_codes=4
+    )
+    _, b2 = sim_ops.pq_build(
+        base.repartition(13, "vec_id").sortWithinPartitions(
+            F.col("vec_id").desc()
+        ),
+        "vec_id",
+        "embedding",
+        dim=8,
+        m=2,
+        n_codes=4,
+    )
+    assert np.array_equal(b1, b2)
+
+
 def test_exact_median_matches_statistics_median(spark):
     """_exact_median_1row == quantile_cont(0.5) (avg of the two middle
     order statistics) on planted odd/even/tied/negative lists."""
