@@ -269,17 +269,6 @@ def _oriented_triangle_lists(e: DataFrame, deg: DataFrame) -> DataFrame:
     )
 
 
-def _oriented_triangles(e: DataFrame, deg: DataFrame) -> DataFrame:
-    """Exploded ``(x, y, z)`` triangle rows from the list form — for
-    consumers that want the enumeration itself. The stats/embeddedness
-    operators deliberately do NOT go through this: they fold their
-    attribution into one explode over the list form, so the triangle
-    set is consumed exactly once and never materialized."""
-    return _oriented_triangle_lists(e, deg).select(
-        "x", "y", F.explode("__zs").alias("z")
-    )
-
-
 def triangle_stats(
     edges: DataFrame,
     *,
@@ -383,25 +372,46 @@ def edge_embeddedness(
     frame already holds.
     """
     e, deg = _undirected_with_degrees(edges, src, dst, normalized)
-    # persist, not localCheckpoint: the attribution walks the triangle
-    # frame three times (once per edge of each triangle) — without a
-    # reuse point each branch re-runs the adjacency-intersection joins
-    # (~3× cost). persist() goes through the SQL cache (columnar,
-    # compressed, disk-spilling); a lazy localCheckpoint stores the
-    # frame as DESERIALIZED row objects, which OOMed the x30 graph
-    # (56M triangle rows ≫ heap as objects, trivial as columns).
-    tri = _oriented_triangles(e, deg).persist()
-    # each triangle lies on its 3 edges; re-order each to (a < b) id
-    # form (the orientation order is by DEGREE, so x<y<z does not
-    # imply id order)
-    pairs = None
-    for u, v in (("x", "y"), ("x", "z"), ("y", "z")):
-        p = tri.select(
-            F.least(F.col(u), F.col(v)).alias("a"),
-            F.greatest(F.col(u), F.col(v)).alias("b"),
+    # each triangle lies on its 3 edges — but the attribution consumes
+    # the triangle set in ONE pass over the LIST form (the same shape
+    # triangle_stats uses): a (x, y, __zs) row explodes to per-edge
+    # credit structs — the lowest oriented edge (x, y) credited
+    # size(__zs) in bulk, each closing vertex contributing 1 to (x, z)
+    # and (y, z) — feeding a single keyed sum. The r7 version instead
+    # unioned three projections of the exploded triangle frame, which
+    # re-ran the adjacency-intersection joins 3× unless the frame was
+    # persist()ed — a cache a library caller had to remember to clear
+    # (and a lazy localCheckpoint stores DESERIALIZED row objects,
+    # which OOMed the x30 graph). Single-consumption needs no reuse
+    # point at all. Edges are re-ordered to (a < b) id form (the
+    # orientation order is by DEGREE, so x<y<z does not imply id order).
+    tri = _oriented_triangle_lists(e, deg)
+    nsz = F.size("__zs").cast("long")
+
+    def _pair(u, v, n):
+        return F.struct(
+            F.least(u, v).alias("a"), F.greatest(u, v).alias("b"), n.alias("n")
         )
-        pairs = p if pairs is None else pairs.unionAll(p)
-    common = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_common"))
+
+    credit = F.explode(
+        F.concat(
+            F.array(_pair(F.col("x"), F.col("y"), nsz)),
+            F.flatten(
+                F.transform(
+                    "__zs",
+                    lambda z: F.array(
+                        _pair(F.col("x"), z, F.lit(1).cast("long")),
+                        _pair(F.col("y"), z, F.lit(1).cast("long")),
+                    ),
+                )
+            ),
+        )
+    )
+    common = (
+        tri.select(credit.alias("c"))
+        .groupBy(F.col("c.a").alias("a"), F.col("c.b").alias("b"))
+        .agg(F.sum("c.n").alias("n_common"))
+    )
     if min_common >= 1:
         base = common.filter(F.col("n_common") >= min_common)
     else:
