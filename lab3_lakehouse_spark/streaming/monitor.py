@@ -192,14 +192,20 @@ def stream_cusum_monitor(
     (queries/statops.revenue_cusum_changepoints).
 
     State (S⁺, S⁻) lives in the monitor tier itself: each batch reads
-    its PREDECESSOR row (the max batch_id below its own — one
-    driver-side lookup on a frame that is O(batches), the same bounded
-    -metadata class as the reference bucket counts) and appends its
-    updated row, so a restart resumes from the stored state with no
-    side channel. Replay contract: a re-run batch re-reads the same
-    predecessor and re-appends an IDENTICAL row — consumers keyed on
-    batch_id (latest wins) see idempotent values, matching the other
-    foreachBatch sinks' at-least-once semantics.
+    its PREDECESSOR row and appends its updated row, so a restart
+    resumes from the stored state with no side channel. The common-path
+    predecessor read is a one-row LATEST-ROW SIDECAR
+    (``{out_root}/cusum_latest``, overwritten every batch) — O(1) per
+    batch regardless of stream age. A full scan of the append-only tier
+    (which grows one row per batch, so listing it is O(batches)) runs
+    ONLY on the rare paths where the sidecar can't answer: first batch,
+    a REPLAYED batch (the sidecar already holds this batch's own row —
+    its predecessor must be re-read from history so the re-appended row
+    is identical), or a corrupt/in-flight sidecar. Replay contract: a
+    re-run batch re-reads the same predecessor and re-appends an
+    IDENTICAL row — consumers keyed on batch_id (latest wins) see
+    idempotent values, matching the other foreachBatch sinks'
+    at-least-once semantics.
     """
     mu = float(
         reference.filter(F.col(value_col).isNotNull())
@@ -208,7 +214,27 @@ def stream_cusum_monitor(
     )
     k, h = k_frac * mu, h_frac * mu
     path = f"{out_root}/cusum"
+    latest_path = f"{out_root}/cusum_latest"
     checkpoint = f"{out_root}/_checkpoint"
+
+    def _predecessor(batch_id: int):
+        try:
+            side = spark.read.parquet(latest_path).collect()
+            if len(side) == 1 and side[0]["batch_id"] < batch_id:
+                return side[0]
+        except Exception:
+            pass  # no sidecar yet (first batch) or mid-write — fall back
+        try:  # replay/restart fallback: scan the tier for the true prior
+            prior = (
+                spark.read.parquet(path)
+                .filter(F.col("batch_id") < batch_id)
+                .orderBy(F.col("batch_id").desc())
+                .limit(1)
+                .collect()
+            )
+            return prior[0] if prior else None
+        except Exception:
+            return None  # first batch: no tier yet
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         agg = (
@@ -220,18 +246,9 @@ def stream_cusum_monitor(
             .first()
         )
         sp = sn = 0.0
-        try:
-            prior = (
-                spark.read.parquet(path)
-                .filter(F.col("batch_id") < batch_id)
-                .orderBy(F.col("batch_id").desc())
-                .limit(1)
-                .collect()
-            )
-            if prior:
-                sp, sn = prior[0]["cusum_pos"], prior[0]["cusum_neg"]
-        except Exception:
-            pass  # first batch: no tier yet
+        prior = _predecessor(batch_id)
+        if prior is not None:
+            sp, sn = prior["cusum_pos"], prior["cusum_neg"]
         if agg["n"]:
             x = float(agg["x"])
             sp = max(0.0, sp + x - mu - k)
@@ -251,6 +268,9 @@ def stream_cusum_monitor(
             "cusum_pos double, cusum_neg double, alarm boolean",
         )
         row.write.mode("append").parquet(path)
+        # refresh the O(1) sidecar AFTER the tier append: if the
+        # overwrite is interrupted, the fallback scan still recovers
+        row.write.mode("overwrite").parquet(latest_path)
 
     stream = (
         spark.readStream.schema(EVENT_STREAM_SCHEMA)

@@ -1023,3 +1023,41 @@ def test_stream_cusum_monitor_accumulates_across_batches(spark, tmpdir):
     assert rows[1].cusum_pos == pytest.approx(8.0) and not rows[1].alarm
     assert rows[2].cusum_pos == pytest.approx(16.0) and rows[2].alarm
     assert rows[2].n_events == 50 and rows[2].batch_mean == pytest.approx(110.0)
+
+    # the O(1) latest-row sidecar holds exactly the newest tier row
+    side = spark.read.parquet(f"{out}/cusum_latest").collect()
+    assert len(side) == 1 and side[0].batch_id == 2
+    assert side[0].cusum_pos == pytest.approx(16.0)
+
+    row_schema = (
+        "batch_id long, n_events long, batch_mean double, "
+        "cusum_pos double, cusum_neg double, alarm boolean"
+    )
+
+    def restart_with(tampered_row, fname, base):
+        """Plant a sidecar, restart on the SAME checkpoint, feed one
+        batch, return the appended row — proves which predecessor path
+        the batch actually took."""
+        spark.createDataFrame([tampered_row], row_schema).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/cusum_latest")
+        write_batch(fname, base, 110.0)
+        q2 = st_mon.stream_cusum_monitor(spark, src, out, ref,
+                                         k_frac=0.02, h_frac=0.15)
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        return {r.batch_id: r for r in
+                spark.read.parquet(f"{out}/cusum").collect()}
+
+    # common path: a VALID sidecar (batch_id < current) is the state
+    # source — plant divergent values and watch them propagate
+    r3 = restart_with((2, 50, 110.0, 100.0, 0.0, True), "f3", 300)
+    assert r3[3].cusum_pos == pytest.approx(108.0)  # 100 + (110-100-2)
+
+    # replay/restart fallback: a sidecar at/above the current batch_id
+    # (its own row from a prior attempt) must be IGNORED and the true
+    # predecessor re-read from the tier — bogus values never propagate
+    r4 = restart_with((99, 50, 110.0, 999.0, 999.0, True), "f4", 400)
+    assert r4[4].cusum_pos == pytest.approx(116.0)  # 108 + 8, not 1007
