@@ -144,6 +144,8 @@ HEADLINE = [
     "retrieval_label_mrr",          # MRR@100 retrieval eval, top-k window (r7)
     "funnel_conversion_deadline",   # 7-day windowed funnel, 1 shuffle (r7)
     "k_anonymity_audit",            # quasi-identifier group audit (r7)
+    "semantic_dedup_clustered",     # SemDeDup: k-means cells + in-cell prune (r8)
+    "temperature_mix_materialized", # mixture APPLIED: hash-drawn copies (r8)
 ]
 
 

@@ -163,6 +163,67 @@ def weighted_sample_topn(
     )
 
 
+def materialize_rate_mix(
+    df: DataFrame,
+    rates: DataFrame,
+    *,
+    id_col: str,
+    source_col: str,
+    rate_col: str = "boost",
+    seed: int = 31,
+    copy_col: str = "copy",
+) -> DataFrame:
+    """APPLY a per-source sampling rate to the corpus — the step that
+    turns mixture *weights* (domain_temperature_mix / source_mix_weights
+    emit them) into an actual materialized mixture. Each row of ``df``
+    appears ``floor(rate)`` times unconditionally plus one more time iff
+    its deterministic uniform ``u = (hash60(id)+1)/2^60`` falls below
+    the fractional part — so rates below 1 hash-subsample, rates above 1
+    oversample by whole copies + a hashed fractional copy, and the
+    expected per-source token mass is exactly ``rate × natural mass``.
+    Emits every input column plus ``copy`` (0-based repeat index), so
+    downstream packing/shuffling can distinguish repeats.
+
+    Determinism is the contract: the draw is a pure function of the id
+    (portable md5-derived hash, identical in ANSI SQL), so the mixture
+    is reproducible across reruns, partition layouts, and engines —
+    corpus-lineage auditing can re-verify exactly which documents a
+    training mix contains. The int→double cast of the 60-bit hash is
+    the same IEEE round-to-nearest on both engines, so the ``u ≤ frac``
+    comparison can never diverge; callers must pin ``rate`` to 4
+    decimals (round4) BEFORE passing it in, so ``frac`` is cross-engine
+    identical too.
+
+    Scale shape: ``rates`` is ≤ n_sources rows → broadcast join; one
+    corpus scan, per-row explode bounded by ``ceil(rate)``; no shuffle
+    of the corpus at all (``array_repeat`` + ``posexplode`` stay in the
+    scan stage).
+    """
+    from lab3_lakehouse_spark.operators.sketches import portable_hash60
+
+    rate = F.col(rate_col)
+    u = (
+        (portable_hash60(F.col(id_col).cast("string"), seed) + F.lit(1)).cast(
+            "double"
+        )
+        / F.lit(_HASH60_RANGE)
+    )
+    n_copies = (
+        F.floor(rate).cast("int")
+        + (u <= (rate - F.floor(rate))).cast("int")
+    )
+    joined = df.join(
+        F.broadcast(rates.select(source_col, rate_col)), source_col
+    )
+    exploded = joined.select(
+        *df.columns,
+        F.posexplode(F.array_repeat(F.lit(True), n_copies)).alias(
+            copy_col, "__one"
+        ),
+    )
+    return exploded.drop("__one")
+
+
 def source_mix_weights(
     df: DataFrame,
     *,

@@ -404,6 +404,85 @@ def semantic_dedup(
     )
 
 
+def kmeans_assign_portable(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim: int,
+    k: int = 8,
+    round4=None,
+) -> DataFrame:
+    """Deterministic, ENGINE-PORTABLE mini k-means assignment: seeds are
+    the vectors of the ``k`` smallest ids, one distributed Lloyd update
+    (per-cluster per-dimension mean, 4-decimal-pinned), one final
+    assignment. Returns ``df`` with an added BIGINT ``cluster`` column.
+
+    Portability is the design goal (it is what upgrades SemDeDup from a
+    rows-only check to a full differential oracle): every step is a
+    pure function of the id-ordered data — seed choice is an id sort,
+    L2² distances are the same left-folded ``(v[i]-c[i])²`` chain both
+    engines evaluate in the same order, argmin ties break toward the
+    smaller cluster id (struct/tuple ordering), and the updated
+    centroids are 4-decimal-pinned so cross-engine aggregation-order
+    noise in the mean's low bits cannot flip a later comparison. A SQL
+    oracle can therefore replay the exact clustering.
+
+    Scale shape: each assignment pass is a map-side scan — the k·dim
+    centroid literals ride the plan (fine through k·dim ≈ 10⁴; beyond
+    that use the IVF path, which broadcasts fitted centers instead) —
+    and the Lloyd update is one partial-aggregating groupBy on k keys
+    collecting k bounded rows. No shuffle ever carries the vectors.
+    """
+    import functools
+    import operator as _op
+
+    if round4 is None:
+        from lab3_lakehouse_spark.queries._util import round4
+
+    dims = list(range(dim))
+
+    def d2(cent: list[float]) -> Column:
+        v = F.col(vec_col)
+        terms = [
+            (v[i].cast("double") - F.lit(float(cent[i])))
+            * (v[i].cast("double") - F.lit(float(cent[i])))
+            for i in dims
+        ]
+        return functools.reduce(_op.add, terms)
+
+    def assign(cents: list[tuple[int, list[float]]]) -> Column:
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        d2(c).alias("d"), F.lit(cid).cast("bigint").alias("c")
+                    )
+                    for cid, c in cents
+                ]
+            )
+        )["c"]
+
+    seed_rows = (
+        df.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    seeds = [(cid, list(r["__v"])) for cid, r in enumerate(seed_rows)]
+    first = df.withColumn("cluster", assign(seeds))
+    upd = [
+        round4(F.avg(F.col(vec_col)[i].cast("double"))).alias(f"c{i}")
+        for i in dims
+    ]
+    cent_rows = first.groupBy("cluster").agg(*upd).collect()  # ≤ k rows
+    cents = sorted(
+        (int(r["cluster"]), [float(r[f"c{i}"]) for i in dims])
+        for r in cent_rows
+    )
+    return df.withColumn("cluster", assign(cents))
+
+
 def grouped_centroids(
     df: DataFrame,
     group_col: str,

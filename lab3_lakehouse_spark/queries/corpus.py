@@ -219,6 +219,89 @@ def semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semdedup_d2_chain(dim: int) -> str:
+    """Oracle twin of kmeans_assign_portable's L2² chain: the SAME
+    left-associated sum of per-dimension squared diffs (term order IS
+    the cross-engine contract — float addition doesn't reassociate)."""
+    return " + ".join(
+        f"(e.embedding[{i}]::DOUBLE - s.c[{i}]) * "
+        f"(e.embedding[{i}]::DOUBLE - s.c[{i}])"
+        for i in range(1, dim + 1)
+    )
+
+
+_SEMDEDUP_K, _SEMDEDUP_DIM, _SEMDEDUP_TAU = 8, 64, 0.35
+
+_SEMDEDUP_ORACLE = f"""
+    WITH seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+             embedding::DOUBLE[] AS c
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_SEMDEDUP_K})
+    ),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, s.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_semdedup_d2_chain(_SEMDEDUP_DIM)}, s.cid) AS rn
+        FROM embeddings e CROSS JOIN seeds s) WHERE rn = 1
+    ),
+    cent AS (
+      SELECT cid, pos, {sql_round4('avg(v)')} AS cv FROM (
+        SELECT a1.cid, unnest(e.embedding::DOUBLE[]) AS v,
+               unnest(generate_series(1, {_SEMDEDUP_DIM})) AS pos
+        FROM embeddings e JOIN a1 USING (vec_id))
+      GROUP BY cid, pos
+    ),
+    cent_l AS (SELECT cid, list(cv ORDER BY pos) AS c FROM cent GROUP BY cid),
+    a2 AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, s.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_semdedup_d2_chain(_SEMDEDUP_DIM)}, s.cid) AS rn
+        FROM embeddings e CROSS JOIN cent_l s) WHERE rn = 1
+    ),
+    dups AS (
+      SELECT b.vec_id AS dup_id, min(a.vec_id) AS dup_of
+      FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+                                   eb.embedding::DOUBLE[])
+            >= CAST({_SEMDEDUP_TAU} AS DOUBLE)
+      GROUP BY b.vec_id
+    )
+    SELECT a2.cid AS cluster, a2.vec_id, d.dup_of,
+           d.dup_of IS NOT NULL AS is_dup
+    FROM a2 LEFT JOIN dups d ON d.dup_id = a2.vec_id
+"""
+
+
+@query("semantic_dedup_clustered", oracle=_SEMDEDUP_ORACLE)
+def semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup proper (Abbas et al. 2023, re-derived): k-means-cluster
+    the embedding corpus, then flag near-duplicates ONLY within
+    clusters — the variant that runs at corpus scale because the
+    quadratic pair term is bounded per cell (grow k with n and cell
+    size stays constant) and because no label column is required (the
+    LSH-bucketed `semantic_dedup_flags` blocks on labels; real corpora
+    rarely have them). Clustering is
+    operators/similarity.kmeans_assign_portable — seeds = k lowest-id
+    vectors, one 4-decimal-pinned Lloyd update, argmin ties toward the
+    lower cluster id — deliberately a pure function of the id-ordered
+    data so the DuckDB oracle replays the IDENTICAL clustering and the
+    flagged set is fully differential-checked (not a rows-only
+    contract). Keep-lowest-id inside a cell, exact JVM-fold cosine
+    (bit-identical to list_cosine_similarity) for the τ comparison."""
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = sim_ops.kmeans_assign_portable(
+        emb, "vec_id", "embedding", dim=_SEMDEDUP_DIM, k=_SEMDEDUP_K
+    )
+    return sim_ops.semantic_dedup(
+        assigned, "vec_id", "embedding", "cluster", threshold=_SEMDEDUP_TAU
+    )
+
+
 @query(
     "embedding_quantization_report",
     oracle=f"""

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from lab3_lakehouse_spark.catalog import fan_out, load_table
 from lab3_lakehouse_spark.operators import graph as graph_ops
+from lab3_lakehouse_spark.operators import sampling as sampling_ops
 from lab3_lakehouse_spark.operators.sketches import portable_hash60, sql_hash60
 from lab3_lakehouse_spark.queries._util import round4, sql_round4
 from lab3_lakehouse_spark.queries.registry import query
@@ -546,6 +547,122 @@ def domain_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(F.col("p")).alias("token_share"),
         round4(F.col("qraw") / F.col("zq")).alias("temp_weight"),
         round4((F.col("qraw") / F.col("zq")) / F.col("p")).alias("boost"),
+    )
+
+
+def _mix_materialized_oracle() -> str:
+    # rates = the _temperature_mix_oracle math (round4-pinned boost —
+    # the pin is what makes the fractional part cross-engine identical);
+    # draws = floor(boost) whole copies + a hashed fractional copy,
+    # u = (hash60(doc_id)+1)/2^60 exactly as operators/sampling.
+    # materialize_rate_mix computes it (seed 31).
+    u = f"({sql_hash60('d.doc_id', 31)} + 1)::DOUBLE / 1152921504606846976.0"
+    return f"""
+    WITH per AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS t FROM per),
+    q AS (
+        SELECT source, n_docs, n_tokens,
+               n_tokens::DOUBLE / tot.t AS p,
+               sqrt(n_tokens::DOUBLE / tot.t) AS qraw
+        FROM per CROSS JOIN tot
+    ),
+    z AS (SELECT sum(qraw) AS zq FROM q),
+    rates AS (
+        SELECT source, n_docs,
+               {sql_round4('qraw / z.zq')} AS temp_weight,
+               {sql_round4('(qraw / z.zq) / p')} AS boost
+        FROM q CROSS JOIN z
+    ),
+    docs_t AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS toks
+        FROM documents
+    ),
+    draws AS (
+        SELECT d.source, d.toks,
+               CAST(floor(r.boost) AS BIGINT)
+                 + CASE WHEN {u} <= r.boost - floor(r.boost)
+                        THEN 1 ELSE 0 END AS n_copies
+        FROM docs_t d JOIN rates r USING (source)
+    ),
+    mix AS (
+        SELECT source,
+               CAST(sum(n_copies) AS BIGINT) AS achieved_docs,
+               CAST(sum(n_copies * toks) AS BIGINT) AS achieved_tokens
+        FROM draws GROUP BY source
+    ),
+    mtot AS (SELECT CAST(sum(achieved_tokens) AS DOUBLE) AS mt FROM mix)
+    SELECT r.source,
+           r.n_docs AS n_docs_natural,
+           r.boost AS target_boost,
+           r.temp_weight AS target_share,
+           COALESCE(m.achieved_docs, 0) AS achieved_docs,
+           COALESCE(m.achieved_tokens, 0) AS achieved_tokens,
+           {sql_round4('COALESCE(m.achieved_tokens, 0)::DOUBLE / mtot.mt')}
+               AS achieved_share
+    FROM rates r LEFT JOIN mix m USING (source) CROSS JOIN mtot
+    """
+
+
+@query("temperature_mix_materialized", oracle=_mix_materialized_oracle())
+def temperature_mix_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixing loop CLOSED: domain_temperature_mix computes per-source
+    target weights; this query APPLIES them
+    (operators/sampling.materialize_rate_mix — floor(boost) whole copies
+    per doc + a hash-drawn fractional copy, deterministic in doc_id) and
+    emits the per-source achieved-vs-target accounting a curator signs
+    off on: achieved doc/token counts of the materialized mixture and
+    the achieved token share next to the temperature target share.
+    Everything is exactly reproducible in both engines — boost is
+    round4-pinned BEFORE sampling, the draw is portable_hash60 — so the
+    oracle replays the identical mixture, not just its expectation.
+    Plan: one grouped pass for rates (broadcast back), one corpus scan
+    exploded ≤ ceil(boost)× for the mixture, one grouped pass for the
+    accounting; the corpus is never shuffled."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    # the ≤ n_sources rate frame feeds BOTH the mixture broadcast and
+    # the final accounting join — localCheckpoint it once so its
+    # corpus-scanning lineage isn't re-run per consumer (lazy: 20 rows)
+    rates = (
+        domain_temperature_mix(spark, sf_dir)
+        .select("source", "n_docs", "temp_weight", "boost")
+        .localCheckpoint(eager=False)
+    )
+    docs_t = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", r"\s+")).cast("long").alias("__toks"),
+    )
+    mix = sampling_ops.materialize_rate_mix(
+        docs_t, rates, id_col="doc_id", source_col="source", seed=31
+    )
+    acct = mix.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("achieved_docs"),
+        F.sum("__toks").cast("long").alias("achieved_tokens"),
+    )
+    mtot = acct.agg(F.sum("achieved_tokens").cast("double").alias("mt"))
+    return (
+        rates.join(F.broadcast(acct), "source", "left")
+        .crossJoin(F.broadcast(mtot))
+        .select(
+            "source",
+            F.col("n_docs").alias("n_docs_natural"),
+            F.col("boost").alias("target_boost"),
+            F.col("temp_weight").alias("target_share"),
+            F.coalesce("achieved_docs", F.lit(0)).alias("achieved_docs"),
+            F.coalesce("achieved_tokens", F.lit(0)).alias("achieved_tokens"),
+            round4(
+                F.coalesce("achieved_tokens", F.lit(0)).cast("double")
+                / F.col("mt")
+            ).alias("achieved_share"),
+        )
     )
 
 

@@ -206,6 +206,12 @@ def workloads():
         "doc_quality_rank_ensemble": QUERIES["doc_quality_rank_ensemble"],
         "revenue_cusum_changepoints": QUERIES["revenue_cusum_changepoints"],
         "revenue_theilsen_trend": QUERIES["revenue_theilsen_trend"],
+        # round-8 addition: the mixture materializer (rates broadcast,
+        # one corpus scan + explode + one grouped pass — alpha ~ 1; the
+        # SemDeDup scale row comes from the dedicated embeddings
+        # experiment, --semdedup-only, because the fact amplifier
+        # carries embeddings unchanged)
+        "temperature_mix_materialized": QUERIES["temperature_mix_materialized"],
         "corpus_pipeline": corpus_pipeline,
     }
 
@@ -406,6 +412,70 @@ def graph_experiment(spark, dirs: dict[int, str]) -> dict:
     return out
 
 
+def semdedup_embeddings_experiment(spark, multipliers: list[int]) -> dict:
+    """SemDeDup at corpus scale (r8): the registry query pins k=8 cells
+    and the literal-expression portable assigner — that is the ORACLE
+    PARITY device, not the scale path. At scale SemDeDup grows the cell
+    count with the corpus (k = n/250 here) so per-cell pair work stays
+    bounded, and assigns cells via the IVF k-means machinery (fitted
+    centers broadcast; spark.ml handles k in the hundreds where the
+    literal expression cannot). The fact amplifier carries embeddings
+    unchanged, so this amplifies the EMBEDDINGS table itself (disjoint
+    vec_id copies — m× vectors, same local geometry per copy) and
+    times cluster-fit + assignment + in-cell pairwise prune under the
+    noop sink. Expected alpha ≈ 1: cells grow with n, cell size is
+    constant, so pair work is linear (the all-pairs failure mode would
+    be alpha → 2)."""
+    from lab3_lakehouse_spark.operators import similarity as sim_ops
+
+    base = load_table(spark, SF_DIR, "embeddings")
+    out: dict[str, dict] = {}
+    for m in [1] + multipliers:
+        stride = 1
+        while stride < m:
+            stride *= 2
+        amp = base
+        if m > 1:
+            copies = [
+                base.withColumn(
+                    "vec_id", F.col("vec_id") * stride + F.lit(i)
+                )
+                for i in range(m)
+            ]
+            amp = copies[0]
+            for c in copies[1:]:
+                amp = amp.unionByName(c)
+        amp = amp.localCheckpoint(eager=True)
+        n = amp.count()
+        k = max(8, n // 250)
+        _reset_session_state(spark)
+        t0 = time.perf_counter()
+        assigned, _ = sim_ops.ivf_build(
+            amp, "vec_id", "embedding", n_centroids=k, max_iter=4
+        )
+        flags = sim_ops.semantic_dedup(
+            assigned, "neighbor_id", "__cvec", "__cell", threshold=0.35
+        )
+        flags.write.format("noop").mode("overwrite").save()
+        dt = round(time.perf_counter() - t0, 2)
+        n_dups = flags.filter(F.col("is_dup")).count()
+        out[f"x{m}"] = {"sec": dt, "corpus": n, "cells": k, "n_dups": n_dups}
+        print(f"x{m} semdedup: {out[f'x{m}']}", file=sys.stderr, flush=True)
+        amp.unpersist()
+    top = max(multipliers)
+    t1, tm = out["x1"]["sec"], out[f"x{top}"]["sec"]
+    out["alpha"] = round(
+        math.log(max(tm, 0.01) / max(t1, 0.01)) / math.log(top), 2
+    )
+    out["note"] = (
+        "dedicated embeddings amplification (the fact amplifier carries "
+        "embeddings unchanged); scale path = IVF k-means cells with "
+        "k = n/250 + in-cell prune, vs the registry query's k=8 "
+        "portable-assigner oracle-parity variant"
+    )
+    return out
+
+
 def main() -> None:
     only: set[str] | None = None
     argv = list(sys.argv[1:])
@@ -414,12 +484,21 @@ def main() -> None:
         only = set(argv[i + 1].split(","))
         del argv[i : i + 2]
     args = [a for a in argv
-            if a not in ("--probe-only", "--containment-only", "--graph-only")]
+            if a not in ("--probe-only", "--containment-only", "--graph-only",
+                         "--semdedup-only")]
     probe_only = "--probe-only" in argv
     containment_only = "--containment-only" in argv
     graph_only = "--graph-only" in argv
+    semdedup_only = "--semdedup-only" in argv
     multipliers = [int(a) for a in args] or [3, 10]
     spark = build_session(app_name="scale-check")
+
+    if semdedup_only:
+        res = semdedup_embeddings_experiment(spark, multipliers)
+        print(json.dumps({"sf_base": SF_DIR, "multipliers": multipliers,
+                          "semdedup_embeddings_growth": res}))
+        spark.stop()
+        return
 
     if containment_only:
         dirs = {1: SF_DIR}

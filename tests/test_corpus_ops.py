@@ -103,6 +103,73 @@ def test_semantic_dedup_flags_lowest_id_keeper(spark):
     assert not rows[10]["is_dup"] and not rows[12]["is_dup"] and not rows[13]["is_dup"]
 
 
+def test_kmeans_assign_portable_recovers_planted_clusters(spark):
+    """Two tight planted clusters in 4-d: the portable assigner must
+    (a) put every point with its own group, (b) label clusters by
+    seed order (seeds = lowest ids), and (c) be invariant to
+    partitioning/scan order — the property the SQL oracle relies on."""
+    import numpy as np
+
+    from lab3_lakehouse_spark.operators.similarity import (
+        kmeans_assign_portable,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(40):
+        base = [5.0] * 4 if i % 2 == 0 else [-5.0] * 4
+        rows.append((i, (np.array(base) + rng.normal(0, 0.1, 4)).tolist()))
+    df = spark.createDataFrame(rows, ["id", "vec"])
+    out = {
+        r["id"]: r["cluster"]
+        for r in kmeans_assign_portable(df, "id", "vec", dim=4, k=2).collect()
+    }
+    # id 0 (even → +5 group) seeds cluster 0, id 1 seeds cluster 1
+    assert all(out[i] == i % 2 for i in range(40)), out
+    shuffled = df.repartition(7, "vec").sortWithinPartitions(F.col("id").desc())
+    out2 = {
+        r["id"]: r["cluster"]
+        for r in kmeans_assign_portable(
+            shuffled, "id", "vec", dim=4, k=2
+        ).collect()
+    }
+    assert out == out2
+
+
+def test_semantic_dedup_clustered_flags_within_cluster_only(spark):
+    """SemDeDup end-to-end on planted data: near-identical vectors in
+    the same k-means cell are flagged against the lowest-id keeper;
+    an equally-near pair SPLIT across cells is not (the documented
+    recall trade the cluster pruning makes)."""
+    import numpy as np
+
+    from lab3_lakehouse_spark.operators.similarity import (
+        kmeans_assign_portable,
+        semantic_dedup,
+    )
+
+    rng = np.random.RandomState(9)
+    rows = []
+    for i in range(30):
+        base = [8.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 8.0, 0.0, 0.0]
+        rows.append((i, (np.array(base) + rng.normal(0, 0.05, 4)).tolist()))
+    df = spark.createDataFrame(rows, ["id", "vec"])
+    assigned = kmeans_assign_portable(df, "id", "vec", dim=4, k=2)
+    out = {
+        r["id"]: r
+        for r in semantic_dedup(
+            assigned, "id", "vec", "cluster", threshold=0.99
+        ).collect()
+    }
+    assert len(out) == 30
+    # every even id > 0 dups onto keeper 0; every odd id > 1 onto 1
+    assert not out[0]["is_dup"] and not out[1]["is_dup"]
+    for i in range(2, 30):
+        assert out[i]["is_dup"] and out[i]["dup_of"] == i % 2, out[i]
+    # cross-cluster pairs were never compared: clusters differ
+    assert out[0]["cluster"] != out[1]["cluster"]
+
+
 def test_quantize_int8_roundtrip_error_bound(spark):
     from lab3_lakehouse_spark.functions.vector import dequantize, quantize_int8
 

@@ -536,6 +536,43 @@ def test_weighted_sample_topn_deterministic_and_weight_monotone(spark):
     assert len(out) == 30 and all(r.priority <= 0 for r in out)
 
 
+def test_materialize_rate_mix_copies_and_determinism(spark):
+    """Rate semantics: boost 2.0 → exactly 2 copies of every doc;
+    boost 0.0 → none; fractional boosts subsample/oversample by the
+    deterministic per-doc hash draw (partition-layout independent);
+    the copy index distinguishes repeats."""
+    from lab3_lakehouse_spark.operators import sampling as sample_ops
+
+    rows = [(i, ["lo", "hi", "whole"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    rates = spark.createDataFrame(
+        [("lo", 0.3), ("hi", 1.7), ("whole", 2.0)], ["source", "boost"]
+    )
+    mix = sample_ops.materialize_rate_mix(
+        df, rates, id_col="doc_id", source_col="source"
+    )
+    out = mix.collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.source, {}).setdefault(r.doc_id, []).append(r.copy)
+    # whole: every doc exactly twice, copies 0 and 1
+    assert set(per["whole"]) == {i for i in range(300) if i % 3 == 2}
+    assert all(sorted(c) == [0, 1] for c in per["whole"].values())
+    # hi: every doc at least once, ~70% twice
+    assert set(per["hi"]) == {i for i in range(300) if i % 3 == 1}
+    n_twice = sum(len(c) == 2 for c in per["hi"].values())
+    assert 50 <= n_twice <= 90, n_twice  # 100 docs at p=0.7
+    # lo: strict subset, ~30% kept, all copy 0
+    assert 15 <= len(per["lo"]) <= 45, len(per["lo"])
+    assert all(c == [0] for c in per["lo"].values())
+    # determinism under repartitioning
+    key = lambda rs: sorted((r.doc_id, r.copy) for r in rs)
+    again = sample_ops.materialize_rate_mix(
+        df.repartition(17), rates, id_col="doc_id", source_col="source"
+    ).collect()
+    assert key(again) == key(out)
+
+
 def test_weighted_sample_excludes_non_positive_weights(spark):
     """ADVICE r5: w=0 gives -Inf/NaN priorities (NaN sorts ABOVE all
     doubles under desc) and w<0 flips the sign — such rows must be

@@ -248,6 +248,32 @@ def test_semantic_dedup_blocked_equi_join(spark, sf):
     assert pa.count_nodes(df, "CartesianProduct") == 0
 
 
+def test_semantic_dedup_clustered_equi_join_no_vector_shuffle_blowup(spark, sf):
+    """SemDeDup's pair stage must hash-join on the cluster key (never
+    BNLJ/cartesian), and the k-means assignment passes must be map-side
+    (centroid literals in the plan) — the only exchanges allowed are
+    the k-key Lloyd update aggregation and the pair join's cluster
+    hashing."""
+    df = QUERIES["semantic_dedup_clustered"](spark, sf)
+    assert pa.count_nodes(df, "BroadcastNestedLoopJoin") == 0
+    assert pa.count_nodes(df, "CartesianProduct") == 0
+
+
+def test_mixture_materializer_broadcasts_rates_never_shuffles_corpus(spark, sf):
+    """materialize_rate_mix joins the ≤ n_sources rate frame onto the
+    corpus — that join must be broadcast-hash (no sort-merge: a corpus
+    shuffle on source would be the skewed-key worst case). The only
+    nested-loop nodes allowed are the documented 1-row-singleton
+    crossJoins (tot / z / mtot normalizers), which this query caps at
+    one appearance each because the rate frame is checkpointed instead
+    of re-derived per consumer."""
+    df = QUERIES["temperature_mix_materialized"](spark, sf)
+    assert pa.count_nodes(df, "SortMergeJoin") == 0
+    assert pa.count_nodes(df, "CartesianProduct") == 0
+    assert pa.count_nodes(df, "BroadcastHashJoin") >= 1  # rates→corpus
+    assert pa.count_nodes(df, "BroadcastNestedLoopJoin") <= 3
+
+
 def test_quantization_is_scan_pipeline(spark, sf):
     """Int8 quantization audit is pure per-row math: zero shuffles,
     fused into the parquet scan."""
