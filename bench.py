@@ -148,6 +148,8 @@ HEADLINE = [
     "temperature_mix_materialized", # mixture APPLIED: hash-drawn copies (r8)
     "dsir_target_selection",        # DSIR hashed-ngram importance top-n (r8)
     "ann_ivfpq_topk",               # IVF-PQ composed ANN (cells x codes) (r8)
+    "retrieval_label_ndcg",         # nDCG@10 eval, pinned gain tables (r8)
+    "matryoshka_truncation_audit",  # prefix-dim overlap@5 + norm audit (r8)
 ]
 
 

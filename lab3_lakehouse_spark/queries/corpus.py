@@ -303,6 +303,117 @@ def semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MATRYOSHKA_QUERIES, _MATRYOSHKA_K = 8, 5
+
+
+def _matryoshka_ranked(dims: int | None) -> str:
+    sl = f"[1:{dims}]" if dims else ""
+    cos = (
+        f"list_cosine_similarity(q.embedding{sl}::DOUBLE[], "
+        f"c.embedding{sl}::DOUBLE[])"
+    )
+    return f"""
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {cos} DESC, c.vec_id) AS BIGINT) AS rank
+        FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < {_MATRYOSHKA_QUERIES}
+        QUALIFY rank <= {_MATRYOSHKA_K}
+    """
+
+
+def _sq_norm(expr: str) -> str:
+    # left fold, same bracketing as Spark's F.aggregate(…, 0.0, +)
+    return (
+        f"list_reduce(list_transform(({expr})::DOUBLE[], x -> x * x), "
+        f"(a, b) -> a + b)"
+    )
+
+
+_MATRYOSHKA_ORACLE = f"""
+    WITH full_rank AS ({_matryoshka_ranked(None)}),
+    r16 AS ({_matryoshka_ranked(16)}),
+    r32 AS ({_matryoshka_ranked(32)}),
+    ov AS (
+        SELECT f.query_id,
+               CAST(count(r16.neighbor_id) AS BIGINT) AS overlap_16,
+               CAST(count(r32.neighbor_id) AS BIGINT) AS overlap_32
+        FROM full_rank f
+        LEFT JOIN r16 USING (query_id, neighbor_id)
+        LEFT JOIN r32 USING (query_id, neighbor_id)
+        GROUP BY f.query_id
+    )
+    SELECT ov.query_id, ov.overlap_16, ov.overlap_32,
+           {sql_round4(_sq_norm('e.embedding[1:16]') + ' / '
+                       + _sq_norm('e.embedding'))} AS norm_frac_16,
+           {sql_round4(_sq_norm('e.embedding[1:32]') + ' / '
+                       + _sq_norm('e.embedding'))} AS norm_frac_32
+    FROM ov JOIN embeddings e ON e.vec_id = ov.query_id
+"""
+
+
+@query("matryoshka_truncation_audit", oracle=_MATRYOSHKA_ORACLE)
+def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit (Kusupati et al. 2022,
+    re-derived): can the 64-dim embedding column be served at 16/32
+    dims? Per query: how many of the exact top-5 neighbors survive
+    when BOTH sides are truncated (overlap@5 under prefix-sliced
+    cosine), plus the query's retained squared-norm fraction at each
+    width — the two numbers that decide a cheap-retrieval rollout.
+    Rankings use the engine's left-fold HOF cosine over F.slice
+    prefixes (bit-identical to the oracle's sliced
+    list_cosine_similarity); norm fractions are left-fold sums of
+    squares, round4-pinned. Plan: three broadcast-queries × one-scan
+    ranked frames, two broadcast-size overlap joins — the corpus is
+    scanned, never shuffled."""
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _MATRYOSHKA_QUERIES)
+
+    def topk(dims: int | None) -> DataFrame:
+        if dims is None:
+            e2, q2 = emb, q
+        else:
+            sl = F.slice(F.col("embedding"), 1, dims).alias("embedding")
+            e2 = emb.select("vec_id", sl)
+            q2 = q.select("vec_id", sl)
+        return sim_ops.brute_force_topk(
+            e2, q2, "vec_id", "embedding", k=_MATRYOSHKA_K
+        ).select("query_id", "neighbor_id")
+
+    full = topk(None)
+    ov = (
+        full.join(
+            topk(16).withColumn("__h16", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .join(
+            topk(32).withColumn("__h32", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("__h16").alias("overlap_16"),
+            F.count("__h32").alias("overlap_32"),
+        )
+    )
+    sq = lambda c: F.aggregate(
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, b: a + b
+    )
+    v = F.col("embedding").cast("array<double>")
+    norms = q.select(
+        F.col("vec_id").alias("query_id"),
+        round4(sq(F.slice(v, 1, 16)) / sq(v)).alias("norm_frac_16"),
+        round4(sq(F.slice(v, 1, 32)) / sq(v)).alias("norm_frac_32"),
+    )
+    return ov.join(F.broadcast(norms), "query_id").select(
+        "query_id", "overlap_16", "overlap_32", "norm_frac_16", "norm_frac_32"
+    )
+
+
 #: DSIR pseudo-target domain: a fixed source slice standing in for
 #: "the high-quality corpus" (Wikipedia/books in the paper).
 _DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3")

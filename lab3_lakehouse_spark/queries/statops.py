@@ -1015,6 +1015,120 @@ def retrieval_label_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- nDCG@10 eval ----
+
+#: Pinned gain/ideal tables (the bootstrap-CDF "repr-pinned literals"
+#: convention): both engines consume the SAME Python-computed doubles,
+#: so no libm log is ever taken at query time. gain[r] = 1/log2(r+1);
+#: idcg[j] = sum of the first j gains (idcg[0] = 0 → NULL-free index).
+_NDCG_DEPTH = 10
+_NDCG_GAINS = [
+    1.0 / (math.log(r + 1) / math.log(2.0)) for r in range(1, _NDCG_DEPTH + 1)
+]
+_NDCG_IDCG = [0.0]
+for _g in _NDCG_GAINS:
+    _NDCG_IDCG.append(_NDCG_IDCG[-1] + _g)
+
+
+def _ndcg_oracle() -> str:
+    cos = "list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])"
+    gains = ", ".join(repr(g) for g in _NDCG_GAINS)
+    idcg = ", ".join(repr(v) for v in _NDCG_IDCG)
+    return f"""
+    WITH ranked AS (
+        SELECT q.vec_id AS query_id, q.label AS q_label, c.label AS c_label,
+               CAST(row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {cos} DESC, c.vec_id) AS BIGINT) AS rank
+        FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < {_MRR_QUERIES}
+        QUALIFY rank <= {_NDCG_DEPTH}
+    ),
+    nrel AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS n_label FROM embeddings
+        GROUP BY label
+    ),
+    per AS (
+        SELECT query_id, any_value(q_label) AS label,
+               sum(CASE WHEN c_label = q_label
+                        THEN ([{gains}])[rank] ELSE 0.0 END) AS dcg
+        FROM ranked GROUP BY query_id
+    )
+    SELECT per.query_id, per.label,
+           nrel.n_label - 1 AS n_relevant,
+           {sql_round4('per.dcg')} AS dcg_at_10,
+           {sql_round4(
+               f'per.dcg / ([{idcg}])[least(nrel.n_label - 1, '
+               f'{_NDCG_DEPTH}) + 1]'
+           )} AS ndcg_at_10
+    FROM per JOIN nrel ON nrel.label = per.label
+    """
+
+
+@query("retrieval_label_ndcg", oracle=_ndcg_oracle())
+def retrieval_label_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 retrieval eval — the graded companion to
+    retrieval_label_mrr (MRR sees only the FIRST relevant hit; nDCG
+    credits every relevant hit, discounted by rank): per query, DCG@10
+    with binary label relevance and the ideal-DCG normalizer from the
+    query label's corpus frequency. The 1/log2(rank+1) gains and the
+    ideal partial sums are repr-pinned Python literals consumed by
+    BOTH engines (the bootstrap-CDF convention) — no query-time libm
+    log anywhere, so the only cross-engine float noise is the ≤10-term
+    per-group sum order, absorbed by round4. Plan: brute_force_topk's
+    broadcast-queries × one-corpus-scan ranked frame, one grouped
+    fold, broadcast label-frequency dim."""
+    from lab3_lakehouse_spark.operators import similarity as sim_ops
+
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _MRR_QUERIES)
+    bf = sim_ops.brute_force_topk(emb, q, "vec_id", "embedding", k=_NDCG_DEPTH)
+    labels = emb.select("vec_id", "label")
+    gains = F.array(*[F.lit(g) for g in _NDCG_GAINS])
+    idcg = F.array(*[F.lit(v) for v in _NDCG_IDCG])
+    nrel = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_label"))
+    j = (
+        bf.join(
+            labels.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("q_label"),
+            ),
+            "query_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("c_label"),
+            ),
+            "neighbor_id",
+        )
+    )
+    per = j.groupBy("query_id").agg(
+        F.first("q_label").alias("label"),
+        F.sum(
+            F.when(
+                F.col("c_label") == F.col("q_label"),
+                F.element_at(gains, F.col("rank").cast("int")),
+            ).otherwise(F.lit(0.0))
+        ).alias("__dcg"),
+    )
+    n_rel = F.col("n_label") - F.lit(1)
+    return per.join(F.broadcast(nrel), "label").select(
+        "query_id",
+        "label",
+        n_rel.cast("long").alias("n_relevant"),
+        round4(F.col("__dcg")).alias("dcg_at_10"),
+        round4(
+            F.col("__dcg")
+            / F.element_at(
+                idcg,
+                (F.least(n_rel, F.lit(_NDCG_DEPTH)) + F.lit(1)).cast("int"),
+            )
+        ).alias("ndcg_at_10"),
+    )
+
+
 # ------------------------------------------- deadline-bounded funnel ----
 
 _FUNNEL_DEADLINE_DAYS = 7
