@@ -150,6 +150,7 @@ HEADLINE = [
     "ann_ivfpq_topk",               # IVF-PQ composed ANN (cells x codes) (r8)
     "retrieval_label_ndcg",         # nDCG@10 eval, pinned gain tables (r8)
     "matryoshka_truncation_audit",  # prefix-dim overlap@5 + norm audit (r8)
+    "incremental_agg_retractions",  # signed-delta IVM, batch-cost path (r8)
 ]
 
 

@@ -252,3 +252,96 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(F.col("old_o_totalprice")).alias("old_o_totalprice"),
         round4(F.col("new_o_totalprice")).alias("new_o_totalprice"),
     )
+
+_RETRACTION_ORACLE = f"""
+    WITH upserts AS (
+        SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 100 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey % 1000 = 0
+    ),
+    touched AS (
+        SELECT o_orderkey FROM upserts
+        UNION ALL
+        SELECT o_orderkey FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    final AS (
+        SELECT o_custkey, o_totalprice FROM upserts
+        UNION ALL
+        SELECT t.o_custkey, t.o_totalprice
+        FROM orders t ANTI JOIN touched s ON t.o_orderkey = s.o_orderkey
+    )
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {sql_round4('sum(o_totalprice)')} AS total_spend
+    FROM final GROUP BY o_custkey
+"""
+
+
+@query("incremental_agg_retractions", oracle=_RETRACTION_ORACLE)
+def incremental_agg_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction-based incremental aggregate maintenance — the
+    differential-dataflow shape every streaming SQL engine uses for
+    UPDATE/DELETE under a grouped view: the stored per-customer
+    (count, sum) view absorbs a CDC batch as SIGNED DELTAS instead of
+    recomputing. Deletes retract (−1, −old); updates retract the old
+    row and add the new one (net 0, Δprice); inserts add (+1, new);
+    groups whose maintained count hits 0 disappear — exactly the
+    retraction stream a changelog consumer emits. The oracle recomputes
+    the view from the post-CDC table: maintenance must equal recompute.
+
+    Plan shape: the view-update path touches the BATCH, not the fact
+    table — old values come from ONE broadcast-batch semi-lookup
+    against the snapshot (batch keys broadcast; the snapshot is
+    scanned, never shuffled), deltas aggregate partially map-side, and
+    the maintained view updates via one keyed outer join on the
+    ≤ |view| delta frame. The base view build here stands in for the
+    already-materialized view of a real deployment (same stand-in as
+    incremental_join_maintenance). Uses the SAME deterministic CDC
+    batch as merge_cdc_orders (key-modulus slices)."""
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    base_view = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("total_spend"),
+    )
+    batch = _orders_cdc_batch(orders)
+    # old rows for every touched key that EXISTS in the snapshot — the
+    # batch key set is broadcast, the snapshot is never shuffled
+    old_rows = orders.join(
+        F.broadcast(batch.select("o_orderkey").distinct()), "o_orderkey"
+    )
+    retract = old_rows.select(
+        "o_custkey",
+        F.lit(-1).cast("long").alias("__dn"),
+        (-F.col("o_totalprice")).alias("__ds"),
+    )
+    add = batch.filter(F.col("__op") == merge_ops.OP_UPSERT).select(
+        "o_custkey",
+        F.lit(1).cast("long").alias("__dn"),
+        F.col("o_totalprice").alias("__ds"),
+    )
+    delta = (
+        retract.unionByName(add)
+        .groupBy("o_custkey")
+        .agg(F.sum("__dn").alias("__dn"), F.sum("__ds").alias("__ds"))
+    )
+    zero_l = F.lit(0).cast("long")
+    maintained = (
+        base_view.join(delta, "o_custkey", "full_outer")
+        .select(
+            "o_custkey",
+            (
+                F.coalesce("n_orders", zero_l) + F.coalesce("__dn", zero_l)
+            ).alias("n_orders"),
+            (
+                F.coalesce("total_spend", F.lit(0.0))
+                + F.coalesce("__ds", F.lit(0.0))
+            ).alias("total_spend"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    return maintained.select(
+        "o_custkey", "n_orders", round4(F.col("total_spend")).alias("total_spend")
+    )
