@@ -17,6 +17,9 @@ only the distinct keys) and eliminates result-preserving sorts —
 measured on the Poisson bootstrap, count() skipped the 225M md5 draws
 entirely (0.8 s vs 20 s real). Round 7 caught this; earlier rounds'
 numbers carry the same (consistent) bias for agg-terminated queries.
+RULE: ``count()`` is FORBIDDEN as a timed sink in this file and in
+scripts/scale_check.py — time through the noop write, take row counts
+outside the timed window.
 
 Isolation by construction (round 5, per the r4 verdict): every query
 runs in its OWN freshly-forked JVM (``--one <name>`` child process),
