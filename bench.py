@@ -154,6 +154,7 @@ HEADLINE = [
     "retrieval_label_ndcg",         # nDCG@10 eval, pinned gain tables (r8)
     "matryoshka_truncation_audit",  # prefix-dim overlap@5 + norm audit (r8)
     "incremental_agg_retractions",  # signed-delta IVM, batch-cost path (r8)
+    "l_diversity_audit",            # homogeneity-attack governance check (r8)
 ]
 
 

@@ -1220,6 +1220,49 @@ def _kanon_oracle() -> str:
     """
 
 
+_LDIV_L = 3
+_LDIV_BAND = 2000.0
+
+
+def _ldiv_oracle() -> str:
+    return f"""
+    SELECT c_nationkey AS nationkey,
+           c_mktsegment AS mktsegment,
+           CAST(count(*) AS BIGINT) AS group_size,
+           CAST(count(DISTINCT floor(c_acctbal / {_LDIV_BAND})) AS BIGINT)
+               AS n_sensitive_values,
+           count(DISTINCT floor(c_acctbal / {_LDIV_BAND})) >= {_LDIV_L}
+               AS l_diverse
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """
+
+
+@query("l_diversity_audit", oracle=_ldiv_oracle())
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007, re-derived) —
+    the governance check k-anonymity misses: a class can be large yet
+    leak the sensitive attribute if every member SHARES it (the
+    homogeneity attack). Same quasi-identifier classes as
+    k_anonymity_audit; the sensitive attribute is the account-balance
+    band (floor(bal/2000) — a categorical proxy, exact int both
+    engines); a class is l-diverse iff it spans ≥ l distinct bands.
+    One grouped count-distinct with partial aggregation; output
+    bounded by the class count, not rows."""
+    tune_session(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / F.lit(_LDIV_BAND))
+    nd = F.countDistinct(band)
+    return cust.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    ).agg(
+        F.count(F.lit(1)).alias("group_size"),
+        nd.alias("n_sensitive_values"),
+        (nd >= F.lit(_LDIV_L)).alias("l_diverse"),
+    )
+
+
 @query("k_anonymity_audit", oracle=_kanon_oracle())
 def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit over the customer quasi-identifiers
