@@ -30,20 +30,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # Queries whose verdict would CHANGE this round come first (the driver
 # checks the first 50 registry entries per round). Round-8 rotation
 # (executes the written r7 plan, generalized to "oldest verdict
-# first"): slots 1-8 are the queries NEW this round (SemDeDup
+# first"): slots 1-9 are the queries NEW this round (SemDeDup
 # cluster-pruned dedup, temperature-mix materializer, DSIR importance
 # selection, IVF-PQ composed ANN, nDCG@10 retrieval eval, matryoshka
-# truncation audit, retraction-based IVM, l-diversity audit — no
-# driver verdict exists); 9-11 the
+# truncation audit, retraction-based IVM, l-diversity audit, Holt
+# trend — no driver verdict exists); 10-12 the
 # r8-EDITED queries (the PQ skinny-shuffle + deterministic-codebook
 # rework touched ann_pq_topk, the single-pass triangle attribution
 # touched copurchase_edge_embeddedness, and the null-safe spine guard
-# touched events_gap_filled_daily); 12-50 the ENTIRE 39-entry r4-green
-# block — every remaining verdict that would be four rounds old by
-# r8, including ann_lsh_topk (r4 verdict + the 1.78x bench drift r7
-# flagged) and the 5 streaming/SCD entries the r7 window displaced.
-# All 50 pre-verified green through the exact driver gate
-# (check_query at sf0.01) before commit.
+# touched events_gap_filled_daily); 13-50 a 38-entry slice of the
+# 39-entry r4-green block — incl. ann_lsh_topk (r4 verdict + the
+# 1.78x bench drift r7 flagged) and the 5 streaming/SCD entries the
+# r7 window displaced; window_top_orders_per_customer is the ONE
+# r4-green entry the new queries pushed below the boundary — it MUST
+# lead the r9 window (its verdict is four rounds old there). All 50
+# pre-verified green through the exact driver gate (check_query at
+# sf0.01) before commit.
 #
 # ROUND-9 ROTATION PLAN (for the next builder): lead with (1) any
 # query round 9 edits after its last check, (2) the 40-entry
@@ -61,6 +63,7 @@ _PRIORITY = [
     "matryoshka_truncation_audit",
     "incremental_agg_retractions",
     "l_diversity_audit",
+    "revenue_holt_trend",
     "ann_pq_topk",
     "copurchase_edge_embeddedness",
     "events_gap_filled_daily",
@@ -102,8 +105,8 @@ _PRIORITY = [
     "window_lag_lead_events",
     "window_rank_parts_by_price",
     "window_running_spend",
-    "window_top_orders_per_customer",
     # ---- 50-slot window boundary ----
+    "window_top_orders_per_customer",
     "part_copurchase_pagerank",
     "minhash_lsh_near_dups",
     "shared_span_dup_report",

@@ -155,6 +155,7 @@ HEADLINE = [
     "matryoshka_truncation_audit",  # prefix-dim overlap@5 + norm audit (r8)
     "incremental_agg_retractions",  # signed-delta IVM, batch-cost path (r8)
     "l_diversity_audit",            # homogeneity-attack governance check (r8)
+    "revenue_holt_trend",           # Holt level+trend fold, CTE twin (r8)
 ]
 
 

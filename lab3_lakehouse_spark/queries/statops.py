@@ -931,6 +931,125 @@ def revenue_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------- Holt linear trend ----
+
+#: Holt smoothing constants, written as PAIRED pinned literals (α and
+#: 1−α both hardcoded) so neither engine ever computes a complement.
+_HOLT_A, _HOLT_A1 = 0.3, 0.7
+_HOLT_B, _HOLT_B1 = 0.2, 0.8
+
+
+def _holt_oracle() -> str:
+    a, a1 = f"CAST({_HOLT_A} AS DOUBLE)", f"CAST({_HOLT_A1} AS DOUBLE)"
+    b, b1 = f"CAST({_HOLT_B} AS DOUBLE)", f"CAST({_HOLT_B1} AS DOUBLE)"
+    lnew = f"{a} * r.rev + {a1} * (h.l + h.b)"
+    return f"""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+               {sql_round4('CAST(sum(o_totalprice) AS DOUBLE)')} AS rev
+        FROM orders GROUP BY day
+    ),
+    ranked AS (
+        SELECT day, rev, row_number() OVER (ORDER BY day) AS rn FROM daily
+    ),
+    holt(rn, day, rev, l, b) AS (
+        SELECT rn, day, rev, rev, CAST(0.0 AS DOUBLE)
+        FROM ranked WHERE rn = 1
+        UNION ALL
+        SELECT r.rn, r.day, r.rev,
+               {lnew},
+               {b} * (({lnew}) - h.l) + {b1} * h.b
+        FROM holt h JOIN ranked r ON r.rn = h.rn + 1
+    )
+    SELECT day, rev,
+           {sql_round4('l')} AS level,
+           {sql_round4('b')} AS trend,
+           {sql_round4('l + b')} AS forecast_next
+    FROM holt
+    """
+
+
+@query("revenue_holt_trend", oracle=_holt_oracle())
+def revenue_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing on daily revenue (level +
+    trend — the forecasting step up from the plain EWMA, which has no
+    trend state and lags every ramp): l_t = α·x_t + (1−α)(l_{t−1} +
+    b_{t−1}), b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}, with the one-step
+    forecast l+b per day. Init l₁ = x₁, b₁ = 0 (documented choice —
+    both engines identical by construction).
+
+    Same discipline as revenue_cusum_changepoints: the recursion is
+    inherently sequential, so it runs as ONE ordered array fold over
+    the round4-pinned daily frame (O(days) at any corpus size; the
+    data-sized work is the daily groupBy). α/1−α and β/1−β are PAIRED
+    pinned literals so neither engine computes a complement, and the
+    update expression trees match the oracle's recursive CTE exactly —
+    the recursion agrees bit-for-bit before the output round4."""
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(round4(F.sum("o_totalprice").cast("double")).alias("rev"))
+    arr = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "rev"))).alias("xs")
+    )
+    a, a1 = F.lit(_HOLT_A), F.lit(_HOLT_A1)
+    b, b1 = F.lit(_HOLT_B), F.lit(_HOLT_B1)
+    zero = F.lit(0.0).cast("double")
+
+    def l_new(acc, x):
+        return F.when(
+            acc["n"] > 0, a * x["rev"] + a1 * (acc["l"] + acc["b"])
+        ).otherwise(x["rev"])
+
+    def b_new(acc, x):
+        return F.when(
+            acc["n"] > 0, b * (l_new(acc, x) - acc["l"]) + b1 * acc["b"]
+        ).otherwise(zero)
+
+    folded = arr.select(
+        F.aggregate(
+            F.col("xs"),
+            F.struct(
+                zero.alias("l"),
+                zero.alias("b"),
+                F.lit(0).cast("int").alias("n"),
+                F.array()
+                .cast(
+                    "array<struct<day:timestamp,rev:double,"
+                    "level:double,trend:double>>"
+                )
+                .alias("out"),
+            ),
+            lambda acc, x: F.struct(
+                l_new(acc, x).alias("l"),
+                b_new(acc, x).alias("b"),
+                (acc["n"] + F.lit(1)).alias("n"),
+                F.concat(
+                    acc["out"],
+                    F.array(
+                        F.struct(
+                            x["day"].alias("day"),
+                            x["rev"].alias("rev"),
+                            l_new(acc, x).alias("level"),
+                            b_new(acc, x).alias("trend"),
+                        )
+                    ),
+                ).alias("out"),
+            ),
+            lambda acc: acc["out"],
+        ).alias("out")
+    )
+    r = folded.select(F.explode("out").alias("r"))
+    return r.select(
+        F.col("r.day").alias("day"),
+        F.col("r.rev").alias("rev"),
+        round4(F.col("r.level")).alias("level"),
+        round4(F.col("r.trend")).alias("trend"),
+        round4(F.col("r.level") + F.col("r.trend")).alias("forecast_next"),
+    )
+
+
 # ------------------------------------------------- retrieval eval ----
 
 _MRR_QUERIES = 16    # eval query set
