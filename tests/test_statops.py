@@ -156,6 +156,68 @@ def test_cusum_two_sided_alarms_on_step_shift(spark, tmp_path):
     assert out[11]["alarm"] and out[11]["cusum_pos"] > 0   # high half: S+ fires
 
 
+def test_holt_trend_matches_hand_recursion_on_ramp(spark, tmp_path):
+    """Linear ramp 100, 110, 120, …: the folded (level, trend) match
+    the hand recursion day by day, and the trend converges toward the
+    true slope (10/day) — the property the trendless EWMA cannot
+    have."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, 100.0 + 10.0 * i, t0 + dt.timedelta(days=i)) for i in range(15)
+    ]
+    _write(spark, tmp_path, "orders", rows,
+           ["o_orderkey", "o_totalprice", "o_orderdate"])
+    out = sorted(
+        QUERIES["revenue_holt_trend"](spark, str(tmp_path)).collect(),
+        key=lambda r: r["day"],
+    )
+    assert len(out) == 15
+    lvl, tr = 100.0, 0.0
+    for i, r in enumerate(out):
+        x = 100.0 + 10.0 * i
+        if i > 0:
+            lnew = 0.3 * x + 0.7 * (lvl + tr)
+            tr = 0.2 * (lnew - lvl) + 0.8 * tr
+            lvl = lnew
+        assert r["level"] == pytest.approx(lvl, abs=1e-4), i
+        assert r["trend"] == pytest.approx(tr, abs=1e-4), i
+        assert r["forecast_next"] == pytest.approx(lvl + tr, abs=2e-4), i
+    # trend approaches the true slope (10/day) — with b1=0 init it
+    # overshoots before settling (classic Holt transient), so bound
+    # loosely around the slope rather than from below only
+    assert 8.0 < out[-1]["trend"] < 12.0
+    assert abs(out[-1]["trend"] - 10.0) < abs(out[2]["trend"] - 10.0)
+
+
+def test_retraction_ivm_equals_recompute_and_drops_empty_groups(spark, tmp_path):
+    """Planted CDC: customer 1 keeps orders (one updated ×1.1),
+    customer 2's only order is deleted (group must DISAPPEAR),
+    customer 3 untouched. Maintained view == recompute by hand."""
+    t0 = dt.datetime(2024, 1, 1)
+    # keys: 10 = update (%10==0, not %100), 100 = delete (%100==0),
+    # 7/13 untouched; 1000 = insert source (new key 10001000)
+    rows = [
+        (10, 1, "O", 100.0, "P1", t0),
+        (7, 1, "O", 50.0, "P1", t0),
+        (100, 2, "O", 30.0, "P1", t0),
+        (13, 3, "O", 20.0, "P1", t0),
+        (1000, 3, "O", 40.0, "P1", t0),
+    ]
+    _write(spark, tmp_path, "orders", rows,
+           ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority", "o_orderdate"])
+    out = {r["o_custkey"]: r
+           for r in QUERIES["incremental_agg_retractions"](
+               spark, str(tmp_path)).collect()}
+    # cust 2: sole order deleted → no row at all
+    assert set(out) == {1, 3}
+    # key 1000 is BOTH deleted (%100==0) and re-inserted as 10001000
+    assert out[1]["n_orders"] == 2
+    assert out[1]["total_spend"] == pytest.approx(100.0 * 1.1 + 50.0, abs=1e-4)
+    assert out[3]["n_orders"] == 2  # 13 untouched + re-inserted copy of 1000
+    assert out[3]["total_spend"] == pytest.approx(20.0 + 40.0, abs=1e-4)
+
+
 def test_pq_codes_compress_and_clustered_recall(spark):
     """PQ on CLUSTERED vectors: 3 well-separated clusters in 8-d,
     m=2 subspaces — codes within a cluster agree, ADC top-k finds
