@@ -434,22 +434,22 @@ def kmeans_assign_portable(
     and the Lloyd update is one partial-aggregating groupBy on k keys
     collecting k bounded rows. No shuffle ever carries the vectors.
     """
-    import functools
-    import operator as _op
-
     if round4 is None:
         from lab3_lakehouse_spark.queries._util import round4
 
     dims = list(range(dim))
 
+    # L2² as a zip_with + left-fold HOF over the broadcast-literal
+    # centroid array: ((0 + t₁) + t₂)… is the SAME bracketing as the
+    # oracle's explicit term chain (0 + t₁ == t₁ in IEEE), so the
+    # values are bit-identical — but the plan stays k small HOF nodes
+    # instead of k·dim inlined expressions (the first cut of this
+    # operator inlined 512 terms per assignment, and Janino spent ~18 s
+    # compiling 2000 rows' worth of generated code).
     def d2(cent: list[float]) -> Column:
-        v = F.col(vec_col)
-        terms = [
-            (v[i].cast("double") - F.lit(float(cent[i])))
-            * (v[i].cast("double") - F.lit(float(cent[i])))
-            for i in dims
-        ]
-        return functools.reduce(_op.add, terms)
+        c = F.array(*[F.lit(float(x)) for x in cent])
+        diff2 = F.zip_with(F.col("__vd"), c, lambda x, y: (x - y) * (x - y))
+        return F.aggregate(diff2, F.lit(0.0), lambda a, x: a + x)
 
     def assign(cents: list[tuple[int, list[float]]]) -> Column:
         return F.array_min(
@@ -463,6 +463,7 @@ def kmeans_assign_portable(
             )
         )["c"]
 
+    with_vd = df.withColumn("__vd", F.col(vec_col).cast("array<double>"))
     seed_rows = (
         df.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
         .orderBy(id_col)
@@ -470,17 +471,16 @@ def kmeans_assign_portable(
         .collect()
     )
     seeds = [(cid, list(r["__v"])) for cid, r in enumerate(seed_rows)]
-    first = df.withColumn("cluster", assign(seeds))
+    first = with_vd.withColumn("cluster", assign(seeds))
     upd = [
-        round4(F.avg(F.col(vec_col)[i].cast("double"))).alias(f"c{i}")
-        for i in dims
+        round4(F.avg(F.col("__vd")[i])).alias(f"c{i}") for i in dims
     ]
     cent_rows = first.groupBy("cluster").agg(*upd).collect()  # ≤ k rows
     cents = sorted(
         (int(r["cluster"]), [float(r[f"c{i}"]) for i in dims])
         for r in cent_rows
     )
-    return df.withColumn("cluster", assign(cents))
+    return with_vd.withColumn("cluster", assign(cents)).drop("__vd")
 
 
 def grouped_centroids(

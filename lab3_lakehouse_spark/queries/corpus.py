@@ -295,9 +295,14 @@ def semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bit-identical to list_cosine_similarity) for the τ comparison."""
     tune_session(spark)
     emb = load_table(spark, sf_dir, "embeddings")
+    # the pair stage consumes the assignment THREE times (both join
+    # sides + the flag join-back); checkpoint it once — this is the
+    # query-sized stand-in for materializing the cell assignment next
+    # to the corpus tier, which is what a real SemDeDup deployment does
+    # (ivf_build docstring) before the pairwise prune
     assigned = sim_ops.kmeans_assign_portable(
         emb, "vec_id", "embedding", dim=_SEMDEDUP_DIM, k=_SEMDEDUP_K
-    )
+    ).localCheckpoint(eager=False)
     return sim_ops.semantic_dedup(
         assigned, "vec_id", "embedding", "cluster", threshold=_SEMDEDUP_TAU
     )
