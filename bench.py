@@ -156,6 +156,7 @@ HEADLINE = [
     "incremental_agg_retractions",  # signed-delta IVM, batch-cost path (r8)
     "l_diversity_audit",            # homogeneity-attack governance check (r8)
     "revenue_holt_trend",           # Holt level+trend fold, CTE twin (r8)
+    "categorical_drift_chi2",       # chi-square event-type mix drift (r8)
 ]
 
 

@@ -2591,6 +2591,68 @@ def distribution_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _chi2_oracle() -> str:
+    e = "(c.n_ref + 0.5) * (tot.tc / tot.tr)"
+    return f"""
+    WITH ev AS (
+        SELECT event_type, ts < TIMESTAMP '{_PSI_SPLIT}' AS is_ref FROM events
+    ),
+    c AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+               CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+        FROM ev GROUP BY event_type
+    ),
+    tot AS (
+        SELECT CAST(sum(n_ref) AS DOUBLE) AS tr,
+               CAST(sum(n_cur) AS DOUBLE) AS tc
+        FROM c
+    )
+    SELECT c.event_type, c.n_ref, c.n_cur,
+           {sql_round4(e)} AS expected_cur,
+           {sql_round4(f"(c.n_cur - ({e})) * (c.n_cur - ({e})) / ({e})")}
+               AS chi2_term
+    FROM c CROSS JOIN tot
+    """
+
+
+@query("categorical_drift_chi2", oracle=_chi2_oracle())
+def categorical_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square categorical drift — the CATEGORICAL complement to the
+    drift pair (PSI is binned-continuous, KS exact-continuous): did the
+    event-TYPE mix shift between the reference and current periods?
+    Per category, the expected current count under reference
+    proportions (half-count smoothed, the PSI convention — keeps the
+    ratio finite for categories absent from the reference) and its
+    χ² term (n_cur − e)²/e; consumers sum the terms against the
+    χ²(k−1) critical value. Same period split as PSI/KS. One grouped
+    pass over the fact table (map-side partial agg on the category
+    key), totals as a broadcast singleton — output bounded by category
+    count, not rows."""
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type", (F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp")).alias("__r")
+    ).groupBy("event_type").agg(
+        F.sum(F.when(F.col("__r"), 1).otherwise(0)).cast("long").alias("n_ref"),
+        F.sum(F.when(F.col("__r"), 0).otherwise(1)).cast("long").alias("n_cur"),
+    )
+    tot = c.agg(
+        F.sum("n_ref").cast("double").alias("tr"),
+        F.sum("n_cur").cast("double").alias("tc"),
+    )
+    e = (F.col("n_ref") + F.lit(0.5)) * (F.col("tc") / F.col("tr"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        round4(e).alias("expected_cur"),
+        round4((F.col("n_cur") - e) * (F.col("n_cur") - e) / e).alias(
+            "chi2_term"
+        ),
+    )
+
+
 # ----------------------------------------------------- novelty rate ----
 
 def _novelty_oracle() -> str:
