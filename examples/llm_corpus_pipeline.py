@@ -53,6 +53,7 @@ def run_corpus_pipeline(
     contamination_threshold: float = 0.5,
     max_docs_per_source: int | None = None,
     max_band_bucket: int = 1000,
+    apply_temperature_mix: bool = False,
 ) -> dict[str, int]:
     """Build a packed, deduplicated, decontaminated corpus tier.
     Returns per-stage surviving row counts (monotonically
@@ -132,13 +133,40 @@ def run_corpus_pipeline(
     # 5a'. mixture diagnostics on the capped corpus: per-source token
     #      share vs a uniform target and the capped resample weight a
     #      mixing pass would apply (operators/sampling.
-    #      source_mix_weights). Reported, not applied: the synthetic
-    #      corpus is near-uniform, and applying weights is a training-
-    #      loader decision — the pipeline's job is to compute them from
-    #      the data that actually survived cleaning.
+    #      source_mix_weights). Reported always; APPLIED when
+    #      ``apply_temperature_mix`` is set (r8: the materializer
+    #      exists) — τ=2 temperature boosts, round4-pinned, turned into
+    #      floor(boost) whole copies + a hash-drawn fractional copy per
+    #      doc (operators/sampling.materialize_rate_mix), so the
+    #      published corpus IS the mixture, reproducibly.
     mix = sampling_ops.source_mix_weights(
         capped, source_col="source", weight=text_ops.token_count("text")
     )
+    mixed = capped
+    if apply_temperature_mix:
+        from lab3_lakehouse_spark.queries._util import round4
+
+        per = capped.groupBy("source").agg(
+            F.sum(text_ops.token_count("text")).cast("double").alias("__nt")
+        )
+        tot = per.agg(F.sum("__nt").alias("__t"))
+        q = per.crossJoin(F.broadcast(tot)).select(
+            "source", F.sqrt(F.col("__nt") / F.col("__t")).alias("__q"),
+            (F.col("__nt") / F.col("__t")).alias("__p"),
+        )
+        z = q.agg(F.sum("__q").alias("__z"))
+        rates = q.crossJoin(F.broadcast(z)).select(
+            "source",
+            round4((F.col("__q") / F.col("__z")) / F.col("__p")).alias("boost"),
+        )
+        mixed = sampling_ops.materialize_rate_mix(
+            capped, rates, id_col="doc_id", source_col="source"
+        ).withColumn(
+            # repeats must not collide downstream: the copy index joins
+            # the id so exact-dedup/packing order stay deterministic
+            "doc_id",
+            F.col("doc_id") * F.lit(16) + F.col("copy"),
+        ).drop("copy")
 
     # 5b. PII scrub before publication — row-preserving; audit counts
     #     ride along as metadata (zero on a synthetic PII-free corpus,
@@ -147,7 +175,7 @@ def run_corpus_pipeline(
     #     packing, the published tier) must see only redacted text, and
     #     n_tokens is recomputed because redaction rewrites the text.
     scrubbed = (
-        text_ops.redact_pii(capped, "text")
+        text_ops.redact_pii(mixed, "text")
         .withColumn("text", F.col("text_redacted"))
         .drop("text_redacted")
         .withColumn("n_tokens", text_ops.token_count("text"))
@@ -203,6 +231,8 @@ def run_corpus_pipeline(
     counts["mix_n_sources"] = int(mix_row["n_sources"] or 0)
     counts["mix_weight_max"] = round(float(mix_row["mx"] or 0.0), 4)
     counts["mix_weight_min"] = round(float(mix_row["mn"] or 0.0), 4)
+    if apply_temperature_mix:
+        counts["mixture_docs"] = mixed.count()
     final = vt.read_version(spark, f"{out_root}/corpus")
     counts["packed_rows"] = final.count()
     counts["n_packs"] = final.select("shard", "pack_id").distinct().count()

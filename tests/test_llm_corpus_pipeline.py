@@ -56,6 +56,27 @@ def test_corpus_pipeline_source_quota_cap(spark, sf_small, tmpdir):
     assert c2["source_capped"] == c["source_capped"]
 
 
+def test_corpus_pipeline_applies_temperature_mix(spark, sf_small, tmpdir):
+    """With apply_temperature_mix the published corpus IS the mixture:
+    the materialized doc count tracks the sqrt-temperature boosts
+    (≈ source_capped on a near-uniform corpus, never wildly off), the
+    packed tier counts mixture rows, and the draw is deterministic
+    across reruns (hash copies, not rand())."""
+    from llm_corpus_pipeline import run_corpus_pipeline
+
+    c = run_corpus_pipeline(
+        spark, sf_small, str(tmpdir), seq_len=128, apply_temperature_mix=True
+    )
+    assert "mixture_docs" in c
+    # near-uniform synthetic corpus → boosts ≈ 1 → mixture ≈ input size
+    assert 0.5 * c["source_capped"] <= c["mixture_docs"] <= 2 * c["source_capped"]
+    assert c["packed_rows"] == c["mixture_docs"]
+    c2 = run_corpus_pipeline(
+        spark, sf_small, str(tmpdir), seq_len=128, apply_temperature_mix=True
+    )
+    assert c2["mixture_docs"] == c["mixture_docs"]
+
+
 def test_event_analytics_pipeline_end_to_end(spark, sf_small, tmpdir):
     from event_analytics_pipeline import run_event_analytics
 
