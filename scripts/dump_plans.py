@@ -133,10 +133,11 @@ SHOWCASE: dict[str, str] = {
         "a single keyed HashAggregate."
     ),
     "copurchase_edge_embeddedness": (
-        "Per-edge embeddedness from the same intersection core; the "
-        "triangle frame is persisted through the COLUMNAR SQL cache "
-        "(InMemoryTableScan — deserialized-object checkpoints OOMed the "
-        "x30 graph) and the three corner projections scan it once each; "
+        "Per-edge embeddedness from the same intersection core, consumed "
+        "in ONE pass (r8): each (x, y, zs) list row explodes to per-edge "
+        "credit structs — the lowest edge credited size(zs) in bulk — "
+        "into a single keyed HashAggregate, so the adjacency-intersection "
+        "joins appear once and NO cache/persist node exists anywhere; "
         "min_common pruning means the full edge table is never joined "
         "back, and the top-20 is TakeOrderedAndProject."
     ),
@@ -201,10 +202,52 @@ SHOWCASE: dict[str, str] = {
     # three chained two-phase rankings (~3k formatted lines — the shape
     # is already showcased readably by global_balance_ranks).
     "ann_pq_topk": (
-        "PQ ANN: the ADC scan scores |queries| × |corpus| SHORT rows "
-        "(ids + 5-byte codes) via one Arrow-batched UDF, the candidate "
-        "cut is a partitioned window, and only the top-400 per query "
-        "touch the original float vectors for the exact re-rank."
+        "PQ ANN (r8 skinny-exchange rework): the ADC scan scores "
+        "|queries| × |corpus| rows via one Arrow-batched UDF and is "
+        "projected to (query_id, neighbor_id, __adc) BEFORE the rank "
+        "window — the only corpus-sized exchange carries ~20 bytes/row, "
+        "never the float vectors; the rerank-bounded candidate set "
+        "broadcasts back onto the code frame for the exact pass "
+        "(a second SCAN, zero corpus shuffle). Pinned by "
+        "test_pq_adc_rank_exchange_is_skinny."
+    ),
+    "ann_ivfpq_topk": (
+        "IVF-PQ (faiss IVFADC layout): the bounded routing window picks "
+        "n_probe cells per query, the broadcast routed table hash-joins "
+        "the code frame on the cell id — only n_probe/n_centroids of the "
+        "codes are ADC-scored — and the same skinny rank exchange / "
+        "broadcast re-rank tail as pq_topk follows. Cell ids ride the "
+        "encode scan (no build-time corpus join)."
+    ),
+    "semantic_dedup_clustered": (
+        "SemDeDup: both k-means assignment passes are map-side HOF folds "
+        "against broadcast-literal centroids (the inlined-512-term "
+        "variant spent ~18 s in Janino — compile-time, not run-time, "
+        "cost), the Lloyd update is one k-key partial-aggregating "
+        "groupBy, the checkpointed assignment feeds the pair stage, and "
+        "the pair join is equi on the cell id — never a cartesian."
+    ),
+    "temperature_mix_materialized": (
+        "Mixture materializer: the ≤ n_sources rate frame broadcasts "
+        "onto the corpus scan (BroadcastHashJoin), copies explode "
+        "scan-side (Generate), and the accounting is one grouped pass — "
+        "the corpus is never shuffled; the only BNLJ nodes are the "
+        "documented 1-row normalizer singletons, capped at one "
+        "appearance each by the checkpointed rate frame."
+    ),
+    "dsir_target_selection": (
+        "DSIR: bigram explosion and bucket hashing are scan-side, the "
+        "ONE data-sized exchange is the (doc, bucket) count aggregate, "
+        "the ≤1024-row ratio table broadcasts onto it, and the top-100 "
+        "cut is TakeOrderedAndProject on the round4-pinned weight — no "
+        "global sort, no shuffle of the bigram stream."
+    ),
+    "incremental_agg_retractions": (
+        "Retraction IVM: the snapshot is scanned (never shuffled) with "
+        "the broadcast batch-key lookup riding the scan, signed deltas "
+        "aggregate partial→final on the group key, and the maintained "
+        "view updates through one keyed outer join — the fact table "
+        "appears in NO join build side."
     ),
 }
 
