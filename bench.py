@@ -217,6 +217,24 @@ def _bench_overrides() -> dict:
             k=5, n_centroids=16, n_probe=8,
         )
 
+    def ann_pq(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        coded, books = sim_ops.pq_build(
+            emb, "vec_id", "embedding", dim=64, m=8, n_codes=32
+        )
+        return sim_ops.pq_topk(
+            coded, books, emb.filter(F.col("vec_id") < 8),
+            "vec_id", "embedding", k=5, rerank=400,
+        )
+
+    def ann_ivfpq(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        return sim_ops.ivfpq_topk(
+            emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding",
+            k=5, n_centroids=16, n_probe=8, dim=64, m=8, n_codes=32,
+            rerank=400,
+        )
+
     def dup_groups(spark, sf_dir):
         # production composition: banded-LSH verified pairs → connected
         # components (the catalog entry's word-Jaccard pair tier is the
@@ -288,6 +306,8 @@ def _bench_overrides() -> dict:
         "doc_fingerprint_matches": fingerprints,
         "ann_lsh_topk": ann_lsh,
         "ann_ivf_topk": ann_ivf,
+        "ann_pq_topk": ann_pq,
+        "ann_ivfpq_topk": ann_ivfpq,
         "dup_groups_connected": dup_groups,
         "kmv_audience_overlap": kmv_overlap,
     }
