@@ -481,3 +481,77 @@ def test_bootstrap_weights_follow_poisson_pmf(spark):
     for k, p in enumerate(pmf):
         exp, sd = n * p, _math.sqrt(n * p * (1 - p))
         assert abs(counts.get(k, 0) - exp) < 4 * sd + 1, (k, counts.get(k, 0), exp)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.floats(min_value=0.0, max_value=3.0, allow_nan=False, width=64),
+        ),
+        min_size=1,
+        max_size=3,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_materialize_rate_mix_copy_counts_exact(spark, rate_rows):
+    """For EVERY doc, the emitted copy count is exactly
+    floor(rate) + [u <= frac] with u = (hash60(id)+1)/2^60 — verified
+    against a Python replay of the identical md5 hash; copies are
+    0..n-1 with no gaps. Hypothesis drives the rates across whole,
+    fractional, zero and >2 values."""
+    import hashlib
+
+    from lab3_lakehouse_spark.operators import sampling as sample_ops
+
+    sources = [s for s, _ in rate_rows]
+    docs = [(i, sources[i % len(sources)]) for i in range(60)]
+    df = spark.createDataFrame(docs, ["doc_id", "source"])
+    rates = spark.createDataFrame(rate_rows, ["source", "boost"])
+    out = sample_ops.materialize_rate_mix(
+        df, rates, id_col="doc_id", source_col="source", seed=31
+    ).collect()
+    got: dict[int, list[int]] = {}
+    for r in out:
+        got.setdefault(r.doc_id, []).append(r.copy)
+    rate_of = dict(rate_rows)
+    import math as m
+
+    for doc_id, source in docs:
+        rate = rate_of[source]
+        h = int(hashlib.md5(f"31|{doc_id}".encode()).hexdigest()[:15], 16)
+        u = (h + 1) / float(1 << 60)
+        expect = int(m.floor(rate)) + (1 if u <= rate - m.floor(rate) else 0)
+        copies = sorted(got.get(doc_id, []))
+        assert copies == list(range(expect)), (doc_id, rate, u, copies)
+
+
+def test_dsir_weights_favor_target_lookalike_docs(spark):
+    """Planted separation: target docs use vocabulary X, raw-only docs
+    vocabulary Y, probe docs are pure-X / pure-Y / mixed. The DSIR log
+    weight must rank pure-X > mixed > pure-Y — the ordering property
+    the importance ratio exists for (exact values are covered by the
+    oracle gate)."""
+    from pyspark.sql import Row
+
+    from lab3_lakehouse_spark.operators import text as text_ops
+
+    x_text = "alpha beta gamma delta " * 6
+    y_text = "omega sigma theta kappa " * 6
+    rows = [Row(doc_id=i, text=x_text, grp="target") for i in range(10)]
+    rows += [Row(doc_id=100 + i, text=y_text, grp="raw") for i in range(10)]
+    rows += [
+        Row(doc_id=200, text=x_text, grp="probe"),
+        Row(doc_id=201, text=(x_text + y_text), grp="probe"),
+        Row(doc_id=202, text=y_text, grp="probe"),
+    ]
+    df = spark.createDataFrame(rows)
+    w = {
+        r["doc_id"]: r["log_weight"]
+        for r in text_ops.dsir_log_weights(
+            df, "doc_id", "text", F.col("grp") == "target", buckets=256
+        ).collect()
+    }
+    assert w[200] > w[201] > w[202], w
+    assert w[200] > 0 > w[202]
