@@ -190,3 +190,53 @@ def stream_ingest_with_dedup(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def stream_rate_mix(
+    spark: SparkSession,
+    src_dir: str,
+    out_root: str,
+    rates: DataFrame,
+    *,
+    rate_col: str = "boost",
+    max_files_per_trigger: int = 1,
+):
+    """Streaming mixture materialization — the continuous lid on
+    operators/sampling.materialize_rate_mix: documents arrive as files,
+    every micro-batch joins the broadcast per-source rate frame
+    (``rates``: round4-pinned boosts, fitted offline by
+    domain_temperature_mix / source_mix_weights) and appends
+    ``floor(boost)`` copies + the hash-drawn fractional copy per doc to
+    the mixture tier. Because the draw is a PURE FUNCTION of doc_id
+    (portable md5), the streamed mixture over any set of arrivals is
+    row-identical to the batch operator over the same rows — pinned by
+    test — and a replayed batch re-appends IDENTICAL rows, so
+    latest-wins/distinct consumers see idempotent output (the standard
+    foreachBatch at-least-once contract, same class as to_tier).
+
+    Scale shape per batch: rates broadcast, one scan of the BATCH with
+    a scan-side explode — cost tracks the batch, never the corpus or
+    the stream age.
+    """
+    from lab3_lakehouse_spark.operators import sampling as sampling_ops
+
+    mix_path = f"{out_root}/mixture"
+    checkpoint = f"{out_root}/_checkpoint"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        mixed = sampling_ops.materialize_rate_mix(
+            batch_df, rates, id_col="doc_id", source_col="source",
+            rate_col=rate_col,
+        )
+        mixed.write.mode("append").parquet(mix_path)
+
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(src_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

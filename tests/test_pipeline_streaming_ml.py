@@ -1061,3 +1061,50 @@ def test_stream_cusum_monitor_accumulates_across_batches(spark, tmpdir):
     # predecessor re-read from the tier — bogus values never propagate
     r4 = restart_with((99, 50, 110.0, 999.0, 999.0, True), "f4", 400)
     assert r4[4].cusum_pos == pytest.approx(116.0)  # 108 + 8, not 1007
+
+
+def test_stream_rate_mix_equals_batch_materializer(spark, tmpdir):
+    """Streaming mixture == batch materialize_rate_mix over the same
+    rows (the draw is a pure function of doc_id), across two arrival
+    files with whole, fractional and zero rates."""
+    import json as _json
+
+    from lab3_lakehouse_spark.operators import sampling as sample_ops
+    from lab3_lakehouse_spark.streaming import ingest as st_ingest
+
+    src, out = f"{tmpdir}/arrivals", f"{tmpdir}/mix"
+    os.makedirs(src)
+    rows = [
+        {"doc_id": i, "text": f"doc {i}", "source": ["lo", "hi", "no"][i % 3]}
+        for i in range(90)
+    ]
+    for half, name in ((rows[:45], "f0"), (rows[45:], "f1")):
+        with open(f"{src}/{name}.json", "w") as f:
+            f.write("\n".join(_json.dumps(r) for r in half))
+    rates = spark.createDataFrame(
+        [("lo", 0.4), ("hi", 1.6), ("no", 0.0)], ["source", "boost"]
+    )
+    q = st_ingest.stream_rate_mix(spark, src, out, rates)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = sorted(
+        (r.doc_id, r.copy)
+        for r in spark.read.parquet(f"{out}/mixture").collect()
+    )
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["text"], r["source"]) for r in rows],
+        ["doc_id", "text", "source"],
+    )
+    expected = sorted(
+        (r.doc_id, r.copy)
+        for r in sample_ops.materialize_rate_mix(
+            batch, rates, id_col="doc_id", source_col="source"
+        ).collect()
+    )
+    assert streamed == expected
+    # rate 0.0 sources emit nothing; rate 1.6 always at least one copy
+    assert all(d % 3 != 2 for d, _ in streamed)
+    hi = {d for d, _ in streamed if d % 3 == 1}
+    assert hi == {i for i in range(90) if i % 3 == 1}
