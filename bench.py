@@ -157,6 +157,7 @@ HEADLINE = [
     "l_diversity_audit",            # homogeneity-attack governance check (r8)
     "revenue_holt_trend",           # Holt level+trend fold, CTE twin (r8)
     "categorical_drift_chi2",       # chi-square event-type mix drift (r8)
+    "media_phash_dup_partners",     # perceptual-hash media dedup, banded (r8)
 ]
 
 

@@ -173,3 +173,76 @@ def sample_frames(
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_sha256": hashes})
 
     return df.select(id_col, binary_col).mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def perceptual_hash_images(
+    df: DataFrame, id_col: str = "doc_id", binary_col: str = "content"
+) -> DataFrame:
+    """64-bit average-hash (the aHash member of the pHash family):
+    decode, pool the pixel grid to 8×8 block means, threshold each
+    block at the grid mean → one bit per block. Identical payloads
+    hash identically; a re-encode/resize of the same picture moves few
+    blocks across the mean (the property perceptual dedup relies on —
+    exercised against a real codec, not the deterministic FakeCodec).
+    Arrow-batched mapInPandas, same plumbing contract as
+    decode_and_featurize_images; the hash lands in a BIGINT so the
+    downstream Hamming machinery is the SimHash one: bit_count(a ^ b)
+    JVM-side, banded candidate generation, no Python in the join."""
+
+    def phash_one(payload: bytes) -> int:
+        _w, _h, px = FakeCodec.decode_image(payload)
+        rows = np.array_split(px.astype(np.float64), 8, axis=0)
+        grid = np.array(
+            [[b.mean() for b in np.array_split(r, 8, axis=1)] for r in rows]
+        )
+        bits = (grid > grid.mean()).flatten()
+        val = 0
+        for bit in bits:
+            val = (val << 1) | int(bit)
+        if val >= 1 << 63:  # two's-complement into Spark's signed long
+            val -= 1 << 64
+        return val
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "phash": [phash_one(p) for p in pdf[binary_col]],
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(run, PHASH_SCHEMA)
+
+
+def media_phash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    binary_col: str = "content",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-duplicate media pairs by perceptual hash: one Arrow decode
+    pass computes the 64-bit aHash, then the SimHash banded-Hamming
+    join (operators/dedup.simhash_pairs_from_sims) generates candidates
+    from 16-bit chunks and filters by exact bit_count distance —
+    identical plumbing at 10⁹ images, where all-pairs is impossible and
+    the banded join moves only (chunk, value)-keyed rows."""
+    from lab3_lakehouse_spark.operators import dedup as dedup_ops
+
+    # the banded candidate stage SELF-JOINS the hash frame — checkpoint
+    # it so the Arrow decode pass runs once, not once per join side
+    # (decode is the expensive leg; the hashes are 16 bytes/row)
+    sims = (
+        perceptual_hash_images(df, id_col, binary_col)
+        .select(F.col("doc_id").alias("__id"), F.col("phash").alias("simhash"))
+        .localCheckpoint(eager=False)
+    )
+    return dedup_ops.simhash_pairs_from_sims(sims, max_hamming=max_hamming)

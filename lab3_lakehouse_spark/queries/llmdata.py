@@ -773,6 +773,41 @@ def binary_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "media_phash_dup_partners",
+    oracle="""
+    SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_dup_partners
+    FROM documents a JOIN documents b
+      ON a.source = b.source AND a.doc_id != b.doc_id
+    GROUP BY a.doc_id
+    """,
+)
+def media_phash_dup_partners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash media dedup end-to-end: per document, how many
+    other documents carry a near-identical image (Hamming ≤ 6 on the
+    64-bit aHash). The payload stand-in is the SOURCE name's bytes — a
+    per-site banner image, so same-source docs share a picture — which
+    gives the differential check teeth: identical payloads MUST meet at
+    Hamming 0 through the banded join (the oracle is the same-source
+    pair count), and the ~2⁻³⁴ chance that two DIFFERENT FakeCodec
+    pixel fields land within 6 bits makes false pairs impossible in
+    practice. The full path is production-shaped: one Arrow decode
+    pass (mapInPandas), 16-bit-chunk banding, JVM bit_count — no
+    all-pairs stage anywhere (operators/multimodal.media_phash_pairs)."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    with_bin = mm_ops.text_as_binary(docs, "source", "content")
+    pairs = mm_ops.media_phash_pairs(
+        with_bin, id_col="doc_id", binary_col="content", max_hamming=6
+    )
+    sym = pairs.select(F.col("id_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    )
+    return sym.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_partners")
+    )
+
+
+@query(
     "media_decode_features",
     oracle="""
     SELECT doc_id,
