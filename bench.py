@@ -158,6 +158,7 @@ HEADLINE = [
     "revenue_holt_trend",           # Holt level+trend fold, CTE twin (r8)
     "categorical_drift_chi2",       # chi-square event-type mix drift (r8)
     "media_phash_dup_partners",     # perceptual-hash media dedup, banded (r8)
+    "bm25_lexical_topk",            # BM25 sparse retrieval baseline (r8)
 ]
 
 

@@ -527,3 +527,96 @@ def dsir_log_weights(
         )
         .select(F.col("__id").alias(id_col), "n_grams", "log_weight")
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 lexical retrieval (Robertson–Spärck Jones, the Lucene/ES
+    default scorer) — the sparse complement to the ANN family: given a
+    ``(query_id, term, qtf)`` query frame, score every document
+
+        Σ_t qtf · idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
+
+    with the Lucene idf ``ln(1 + (N − df + ½)/(df + ½))`` and return
+    the top-``k`` docs per query (round4-before-rank, doc_id
+    tie-break — the catalog float-rank rule).
+
+    Cross-engine determinism: tf/df/dl/N are exact integers; avgdl is
+    round4-PINNED before use so the saturation denominator is identical
+    in both engines; k1+1 and 1−b ride as paired pinned literals; the
+    only libm call is the idf ln over an exact-ratio argument (≤1 ulp,
+    absorbed by the output round4).
+
+    Scale shape: ONE corpus scan builds the postings (doc length rides
+    the grouping key — no doc-keyed join-back); document frequencies
+    join onto the ≤|terms| query frame, so idf math happens on a tiny
+    frame; the postings then broadcast-join that frame on the term —
+    effectively a semi-join that drops every non-query term before any
+    aggregation — and the per-(query, doc) sum is one partial-agg
+    shuffle. Top-k is a per-query window. Nothing corpus-sized is ever
+    shuffled on anything but the (query, doc) score key.
+    """
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    posts = (
+        df.select(
+            F.col(id_col).alias("__doc"),
+            F.size(toks).cast("long").alias("__dl"),
+            F.explode(toks).alias("__term"),
+        )
+        .groupBy("__doc", "__dl", "__term")
+        .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
+    )
+    dfreq = posts.groupBy("__term").agg(
+        F.countDistinct("__doc").cast("long").alias("__df")
+    )
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    from lab3_lakehouse_spark.queries._util import round4 as _r4
+
+    avgdl = posts.groupBy("__doc").agg(F.first("__dl").alias("__dl")).agg(
+        _r4(F.avg("__dl")).alias("__avgdl")
+    )
+    qterms = (
+        queries.select("query_id", F.col("term").alias("__term"), "qtf")
+        .join(dfreq, "__term", "left")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "query_id",
+            "__term",
+            "qtf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n") - F.coalesce("__df", F.lit(0)) + F.lit(0.5))
+                / (F.coalesce("__df", F.lit(0)) + F.lit(0.5))
+            ).alias("__idf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    k1p1, one_b = F.lit(float(k1 + 1.0)), F.lit(float(1.0 - b))
+    sat = (F.col("__tf") * k1p1) / (
+        F.col("__tf")
+        + F.lit(float(k1))
+        * (one_b + F.lit(float(b)) * F.col("__dl") / F.col("__avgdl"))
+    )
+    scored = (
+        posts.join(F.broadcast(qterms), "__term")
+        .crossJoin(F.broadcast(avgdl))
+        .groupBy("query_id", F.col("__doc").alias(id_col))
+        .agg(_r4(F.sum(F.col("qtf") * F.col("__idf") * sat)).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )

@@ -31,6 +31,7 @@ from lab3_lakehouse_spark.operators import dedup as dedup_ops
 from lab3_lakehouse_spark.operators import multimodal as mm_ops
 from lab3_lakehouse_spark.operators import similarity as sim_ops
 from lab3_lakehouse_spark.operators import text as text_ops
+from lab3_lakehouse_spark.queries._util import sql_round4
 from lab3_lakehouse_spark.queries.registry import query
 from lab3_lakehouse_spark.session import tune_session
 
@@ -274,6 +275,88 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     return text_ops.linear_tfidf_top_terms(docs, "doc_id", "text", top_k=3)
+
+
+_BM25_QUERIES, _BM25_K = 8, 10
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+_BM25_ORACLE = f"""
+    WITH posts AS (
+        SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM (
+            SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+            FROM documents)
+    ),
+    tf AS (
+        SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        FROM posts GROUP BY doc_id, dl, term
+    ),
+    dfreq AS (
+        SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    avgdl AS (
+        SELECT {sql_round4('avg(dl)')} AS avgdl
+        FROM (SELECT DISTINCT doc_id, dl FROM tf)
+    ),
+    q AS (
+        SELECT doc_id AS query_id, term, CAST(count(*) AS BIGINT) AS qtf
+        FROM (
+            SELECT doc_id, unnest(
+                regexp_split_to_array(lower(text), '\\s+')[1:4]) AS term
+            FROM documents WHERE doc_id < {_BM25_QUERIES})
+        GROUP BY doc_id, term
+    ),
+    qterms AS (
+        SELECT q.query_id, q.term, q.qtf,
+               ln(1.0 + (n.n - COALESCE(d.df, 0) + 0.5)
+                      / (COALESCE(d.df, 0) + 0.5)) AS idf
+        FROM q LEFT JOIN dfreq d USING (term) CROSS JOIN n
+    ),
+    scored AS (
+        SELECT qt.query_id, tf.doc_id,
+               {sql_round4(
+                   'sum(qt.qtf * qt.idf * (tf.tf * 2.2) '
+                   '/ (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / a.avgdl)))'
+               )} AS score
+        FROM tf JOIN qterms qt USING (term) CROSS JOIN avgdl a
+        GROUP BY qt.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, score,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= {_BM25_K}
+"""
+
+
+@query("bm25_lexical_topk", oracle=_BM25_ORACLE)
+def bm25_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (operators/text.bm25_topk) — the sparse
+    baseline next to the dense ANN family: 8 queries (the first 4
+    tokens of docs 0–7, duplicates kept as qtf) ranked over the corpus
+    with Lucene-form idf, k1 = 1.2, b = 0.75 (k1+1 and 1−b ride as
+    paired pinned literals; avgdl is round4-pinned before use). One
+    corpus scan builds the postings with the doc length riding the
+    grouping key; the ≤32-term query frame broadcasts onto them, so
+    non-query terms never reach an aggregation. Top-10 per query,
+    round4-before-rank with the doc_id tie-break."""
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    q = (
+        docs.filter(F.col("doc_id") < _BM25_QUERIES)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice(toks, 1, 4)).alias("term"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("qtf"))
+    )
+    return text_ops.bm25_topk(
+        docs, q, id_col="doc_id", text_col="text",
+        k=_BM25_K, k1=_BM25_K1, b=_BM25_B,
+    )
 
 
 @query(
