@@ -159,6 +159,7 @@ HEADLINE = [
     "categorical_drift_chi2",       # chi-square event-type mix drift (r8)
     "media_phash_dup_partners",     # perceptual-hash media dedup, banded (r8)
     "bm25_lexical_topk",            # BM25 sparse retrieval baseline (r8)
+    "hybrid_rrf_retrieval",         # RRF hybrid of BM25 + dense top-k (r8)
 ]
 
 

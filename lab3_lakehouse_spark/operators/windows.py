@@ -153,3 +153,53 @@ def global_row_number(
         )
         .drop("__b", "__off")
     )
+
+
+def reciprocal_rank_fusion(
+    ranked: list[DataFrame],
+    *,
+    id_col: str,
+    query_col: str = "query_id",
+    rank_col: str = "rank",
+    rrf_k: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) — THE
+    standard combiner for hybrid retrieval (sparse BM25 + dense ANN):
+    every input ranking contributes ``1/(rrf_k + rank)`` for each
+    (query, candidate) it surfaced, candidates absent from a system
+    contribute nothing there, and the fused top-``topk`` is cut on the
+    summed score. Scores never need calibrating across systems — only
+    ranks flow in, which is why RRF is the default hybrid in every
+    production search stack.
+
+    Determinism: ranks are exact integers, each contribution is one
+    IEEE division (identical both engines), and the per-candidate sum
+    has ≤ len(ranked) terms — two-term sums are order-insensitive
+    bitwise, and callers round4 the fused score before the final rank
+    anyway (doc-id tie-break). Inputs are top-k frames (bounded), so
+    everything here is broadcast-scale; the heavy lifting happened in
+    the upstream rankers.
+    """
+    contribs = None
+    for r in ranked:
+        c = r.select(
+            query_col,
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(rank_col))).alias(
+                "__rrf"
+            ),
+        )
+        contribs = c if contribs is None else contribs.unionByName(c)
+    fused = contribs.groupBy(query_col, id_col).agg(
+        F.sum("__rrf").alias("__score"),
+        F.count(F.lit(1)).cast("long").alias("n_systems"),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("__score").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topk)
+        .select(query_col, id_col, "__score", "n_systems", "rank")
+    )

@@ -280,7 +280,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_QUERIES, _BM25_K = 8, 10
 _BM25_K1, _BM25_B = 1.2, 0.75
 
-_BM25_ORACLE = f"""
+def _bm25_oracle(k: int) -> str:
+    return f"""
     WITH posts AS (
         SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM (
             SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
@@ -326,11 +327,11 @@ _BM25_ORACLE = f"""
            CAST(row_number() OVER (PARTITION BY query_id
                 ORDER BY score DESC, doc_id) AS BIGINT) AS rank
     FROM scored
-    QUALIFY rank <= {_BM25_K}
+    QUALIFY rank <= {k}
 """
 
 
-@query("bm25_lexical_topk", oracle=_BM25_ORACLE)
+@query("bm25_lexical_topk", oracle=_bm25_oracle(_BM25_K))
 def bm25_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 lexical retrieval (operators/text.bm25_topk) — the sparse
     baseline next to the dense ANN family: 8 queries (the first 4
@@ -356,6 +357,100 @@ def bm25_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.bm25_topk(
         docs, q, id_col="doc_id", text_col="text",
         k=_BM25_K, k1=_BM25_K1, b=_BM25_B,
+    )
+
+
+_RRF_DEPTH, _RRF_K, _RRF_TOPK = 20, 60, 10
+
+
+def _hybrid_rrf_oracle() -> str:
+    cos = "list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])"
+    return f"""
+    WITH bm AS ({_bm25_oracle(_RRF_DEPTH)}),
+    dense AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {cos} DESC, c.vec_id) AS BIGINT) AS rank
+        FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < {_BM25_QUERIES}
+        QUALIFY rank <= {_RRF_DEPTH}
+    ),
+    contribs AS (
+        SELECT query_id, doc_id, 1.0 / ({_RRF_K}.0 + rank) AS rrf FROM bm
+        UNION ALL
+        SELECT query_id, doc_id, 1.0 / ({_RRF_K}.0 + rank) AS rrf FROM dense
+    ),
+    fused AS (
+        SELECT query_id, doc_id,
+               {sql_round4('sum(rrf)')} AS rrf_score,
+               CAST(count(*) AS BIGINT) AS n_systems
+        FROM contribs GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, rrf_score, n_systems,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
+    FROM fused
+    QUALIFY rank <= {_RRF_TOPK}
+    """
+
+
+@query("hybrid_rrf_retrieval", oracle=_hybrid_rrf_oracle())
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion — the production
+    search-stack default: fuse the BM25 lexical top-20 (over document
+    text) with the exact dense cosine top-20 (over the documents'
+    embeddings; vec_id is the doc id in this corpus) by summed
+    1/(60+rank), no cross-system score calibration needed
+    (operators/windows.reciprocal_rank_fusion). n_systems exposes
+    whether a hit came from one ranker or both — the debugging column
+    hybrid rollouts live on. Both upstream rankers are the engine's own
+    bounded top-k frames, so the fusion itself is broadcast-scale."""
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    q = (
+        docs.filter(F.col("doc_id") < _BM25_QUERIES)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice(toks, 1, 4)).alias("term"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("qtf"))
+    )
+    bm = text_ops.bm25_topk(
+        docs, q, id_col="doc_id", text_col="text",
+        k=_RRF_DEPTH, k1=_BM25_K1, b=_BM25_B,
+    ).select("query_id", "doc_id", "rank")
+    dense = sim_ops.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < _BM25_QUERIES),
+        "vec_id", "embedding", k=_RRF_DEPTH,
+    ).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    from lab3_lakehouse_spark.operators import windows as win_ops
+    from lab3_lakehouse_spark.queries._util import round4 as _r4
+
+    # keep EVERY candidate through the fusion (≤ 2·depth per query) and
+    # cut only on the rounded rank below — cutting on the raw score
+    # first could drop a candidate the oracle's rounded-score tie-break
+    # keeps
+    fused = win_ops.reciprocal_rank_fusion(
+        [bm, dense], id_col="doc_id", rrf_k=_RRF_K, topk=2 * _RRF_DEPTH
+    )
+    # round4 BEFORE the final rank is the catalog rule — re-rank on the
+    # rounded score so both engines cut the same boundary
+    rounded = fused.select(
+        "query_id", "doc_id",
+        _r4(F.col("__score")).alias("rrf_score"), "n_systems",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        rounded.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _RRF_TOPK)
     )
 
 
