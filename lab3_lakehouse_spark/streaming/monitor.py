@@ -282,3 +282,78 @@ def stream_cusum_monitor(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def stream_chi2_monitor(
+    spark: SparkSession,
+    src_dir: str,
+    out_root: str,
+    reference: DataFrame,
+    *,
+    category_col: str = "event_type",
+    alarm_threshold: float = 9.488,  # chi2 critical, df=4, p=0.05
+    max_files_per_trigger: int = 1,
+):
+    """Streaming chi-square mix monitor — the CATEGORICAL member of the
+    drift trio (PSI watches the value distribution's shape, CUSUM the
+    level, this the event-TYPE mix): the reference category shares are
+    frozen once (half-count smoothed, the batch operator's convention —
+    queries/scaleops.categorical_drift_chi2); every micro-batch's
+    counts are tested against expected = n_batch · share_ref and the
+    summed χ² statistic lands in ``{out_root}/chi2`` as
+    ``(batch_id, n_events, chi2, alarm)``. Default threshold is the
+    df=4 / p=0.05 critical value (5 event types in this corpus) —
+    callers with other category counts pass their own.
+
+    Per-batch cost: one grouped count of the BATCH joined against the
+    ≤-categories broadcast reference — independent of stream age and
+    corpus size; stateless across batches (each batch is its own test),
+    so replay is trivially idempotent."""
+    ref = (
+        reference.groupBy(F.col(category_col).alias("cat"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ref"))
+        .localCheckpoint(eager=True)
+    )
+    chi_path = f"{out_root}/chi2"
+    checkpoint = f"{out_root}/_checkpoint"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cur = batch_df.groupBy(F.col(category_col).alias("cat")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_cur")
+        )
+        joined = ref.join(cur, "cat", "full_outer").select(
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+        tot = joined.agg(
+            F.sum("n_ref").cast("double").alias("tr"),
+            F.sum("n_cur").cast("double").alias("tc"),
+        )
+        e = (F.col("n_ref") + F.lit(0.5)) * (F.col("tc") / F.col("tr"))
+        row = (
+            joined.crossJoin(F.broadcast(tot))
+            .agg(
+                F.sum("n_cur").cast("long").alias("n_events"),
+                F.round(
+                    F.sum((F.col("n_cur") - e) * (F.col("n_cur") - e) / e), 4
+                ).alias("chi2"),
+            )
+            .select(
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                "n_events",
+                "chi2",
+                (F.col("chi2") > F.lit(alarm_threshold)).alias("alarm"),
+            )
+        )
+        row.write.mode("append").parquet(chi_path)
+
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(src_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

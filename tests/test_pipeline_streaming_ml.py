@@ -1108,3 +1108,42 @@ def test_stream_rate_mix_equals_batch_materializer(spark, tmpdir):
     assert all(d % 3 != 2 for d, _ in streamed)
     hi = {d for d, _ in streamed if d % 3 == 1}
     assert hi == {i for i in range(90) if i % 3 == 1}
+
+
+def test_stream_chi2_monitor_alarms_on_mix_shift(spark, tmpdir):
+    """Streaming chi-square mix monitor: a batch matching the reference
+    category mix stays quiet; a batch with the mix inverted alarms.
+    Stateless per batch → row values depend only on that batch."""
+    import json as _json
+
+    from lab3_lakehouse_spark.streaming import monitor as st_mon
+
+    src, out = f"{tmpdir}/arrivals", f"{tmpdir}/mon"
+    os.makedirs(src)
+    # reference: 80% view / 20% purchase
+    ref = spark.createDataFrame(
+        [("view",)] * 160 + [("purchase",)] * 40, ["event_type"]
+    )
+
+    def ev(i, et):
+        return {"event_id": i, "ts": "2024-02-01T00:00:00", "user_id": 1,
+                "event_type": et, "value": 1.0}
+
+    def write_batch(name, base, types):
+        with open(f"{src}/{name}.json", "w") as f:
+            f.write("\n".join(
+                _json.dumps(ev(base + i, t)) for i, t in enumerate(types)))
+
+    q = st_mon.stream_chi2_monitor(spark, src, out, ref,
+                                   alarm_threshold=3.841)  # df=1, p=0.05
+    try:
+        write_batch("f0", 0, ["view"] * 80 + ["purchase"] * 20)   # matches
+        q.processAllAvailable()
+        write_batch("f1", 100, ["view"] * 20 + ["purchase"] * 80)  # inverted
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r.batch_id: r for r in spark.read.parquet(f"{out}/chi2").collect()}
+    assert rows[0].n_events == 100 and not rows[0].alarm
+    assert rows[1].n_events == 100 and rows[1].alarm
+    assert rows[1].chi2 > 10 * max(rows[0].chi2, 0.01)
