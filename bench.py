@@ -160,6 +160,7 @@ HEADLINE = [
     "media_phash_dup_partners",     # perceptual-hash media dedup, banded (r8)
     "bm25_lexical_topk",            # BM25 sparse retrieval baseline (r8)
     "hybrid_rrf_retrieval",         # RRF hybrid of BM25 + dense top-k (r8)
+    "trimmed_mean_event_values",    # robust grouped location estimate (r8)
 ]
 
 

@@ -373,6 +373,67 @@ def events_gap_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trimmed_mean_oracle(q_frac: float) -> str:
+    return f"""
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(2 * floor({q_frac} * max(n)) AS BIGINT) AS n_trimmed,
+           {sql_round4('avg(value)')} AS raw_mean,
+           {sql_round4(f'''avg(value) FILTER (
+               WHERE rn > floor({q_frac} * n)
+                 AND rn <= n - floor({q_frac} * n))''')} AS trimmed_mean
+    FROM ranked GROUP BY event_type
+    """
+
+
+_TRIM_Q = 0.1
+
+
+@query("trimmed_mean_event_values", oracle=_trimmed_mean_oracle(_TRIM_Q))
+def trimmed_mean_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group 10% two-sided trimmed mean — the robust location
+    estimator between the mean (outlier-hostage) and the median
+    (discards 98% of the data): drop the lowest and highest
+    floor(q·n) values per group, average the rest. EXACT and
+    order-free: the trim boundary is a rank cut, and when TIES straddle
+    it the mean is unaffected (equal values either side), so the
+    event_id tie-break only pins the rank order, never the estimate —
+    both engines trim the identical multiset.
+
+    Scale shape: one per-group window (rank + count over the group
+    key — the standard partitioned-window discipline; no global sort)
+    and one grouped conditional average. Output bounded by group
+    count."""
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wc).alias("__n"),
+    )
+    k = F.floor(F.lit(_TRIM_Q) * F.col("__n"))
+    keep = (F.col("__rn") > k) & (F.col("__rn") <= F.col("__n") - k)
+    return ranked.groupBy("event_type").agg(
+        F.max("__n").cast("long").alias("n"),
+        (F.lit(2) * F.floor(F.lit(_TRIM_Q) * F.max("__n"))).cast("long").alias(
+            "n_trimmed"
+        ),
+        round4(F.avg("value")).alias("raw_mean"),
+        round4(F.avg(F.when(keep, F.col("value")))).alias("trimmed_mean"),
+    )
+
+
+
 @query(
     "mad_outlier_report",
     oracle=f"""
