@@ -30,25 +30,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # Queries whose verdict would CHANGE this round come first (the driver
 # checks the first 50 registry entries per round). Round-8 rotation
 # (executes the written r7 plan, generalized to "oldest verdict
-# first"): slots 1-14 are the queries NEW this round (SemDeDup
+# first"): slots 1-15 are the queries NEW this round (SemDeDup
 # cluster-pruned dedup, temperature-mix materializer, DSIR importance
 # selection, IVF-PQ composed ANN, nDCG@10 retrieval eval, matryoshka
 # truncation audit, retraction-based IVM, l-diversity audit, Holt
 # trend, chi-square categorical drift, perceptual-hash media dedup,
-# BM25 lexical retrieval, hybrid RRF, grouped trimmed mean — no
-# driver verdict exists); 15-17 the
+# BM25 lexical retrieval, hybrid RRF, grouped trimmed mean,
+# categorical mutual information — no driver verdict exists);
+# 16-18 the
 # r8-EDITED queries (the PQ skinny-shuffle + deterministic-codebook
 # rework touched ann_pq_topk, the single-pass triangle attribution
 # touched copurchase_edge_embeddedness, and the null-safe spine guard
-# touched events_gap_filled_daily); 18-50 a 33-entry slice of the
+# touched events_gap_filled_daily); 19-50 a 32-entry slice of the
 # 39-entry r4-green block — incl. ann_lsh_topk (r4 verdict + the
 # 1.78x bench drift r7 flagged; single-bench r8: 1.20 s, the drift
 # was env variance) and the 5 streaming/SCD entries the r7 window
-# displaced. The SIX r4-green entries the new queries pushed below
+# displaced. The SEVEN r4-green entries the new queries pushed below
 # the boundary (window_top_orders_per_customer, window_running_spend,
 # window_rank_parts_by_price, window_lag_lead_events,
-# value_percentiles, unpivot_order_amounts) MUST lead the r9 window —
-# their verdicts are four rounds old there. All 50 pre-verified green through the exact
+# value_percentiles, unpivot_order_amounts, top_building_orders) MUST
+# lead the r9 window — their verdicts are four rounds old there. All 50 pre-verified green through the exact
 # driver gate (check_query at sf0.01) before commit.
 #
 # ROUND-9 ROTATION PLAN (for the next builder): lead with (1) any
@@ -73,6 +74,7 @@ _PRIORITY = [
     "bm25_lexical_topk",
     "hybrid_rrf_retrieval",
     "trimmed_mean_event_values",
+    "priority_status_mutual_info",
     "ann_pq_topk",
     "copurchase_edge_embeddedness",
     "events_gap_filled_daily",
@@ -108,8 +110,8 @@ _PRIORITY = [
     "streaming_purchase_view_join",
     "streaming_session_windows",
     "streaming_tumbling_hourly",
-    "top_building_orders",
     # ---- 50-slot window boundary ----
+    "top_building_orders",
     "unpivot_order_amounts",
     "value_percentiles",
     "window_lag_lead_events",

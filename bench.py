@@ -161,6 +161,7 @@ HEADLINE = [
     "bm25_lexical_topk",            # BM25 sparse retrieval baseline (r8)
     "hybrid_rrf_retrieval",         # RRF hybrid of BM25 + dense top-k (r8)
     "trimmed_mean_event_values",    # robust grouped location estimate (r8)
+    "priority_status_mutual_info",  # categorical dependence profile (r8)
 ]
 
 

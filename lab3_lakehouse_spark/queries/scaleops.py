@@ -373,6 +373,80 @@ def events_gap_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MI_ORACLE = f"""
+    WITH joint AS (
+        SELECT o_orderpriority AS x, o_orderstatus AS y,
+               CAST(count(*) AS BIGINT) AS nxy
+        FROM orders GROUP BY x, y
+    ),
+    mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM joint GROUP BY x),
+    my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM joint GROUP BY y),
+    n AS (SELECT CAST(sum(nxy) AS DOUBLE) AS n FROM joint)
+    SELECT CAST(max(n.n) AS BIGINT) AS n_rows,
+           {sql_round4('''sum(-(mx.nx / n.n) * ln(mx.nx / n.n))
+               FILTER (WHERE my.y = (SELECT min(y) FROM my))''')} AS h_priority,
+           {sql_round4('''sum(-(my.ny / n.n) * ln(my.ny / n.n))
+               FILTER (WHERE mx.x = (SELECT min(x) FROM mx))''')} AS h_status,
+           {sql_round4('''sum((joint.nxy / n.n)
+               * ln(joint.nxy * n.n / (mx.nx * CAST(my.ny AS DOUBLE))))''')}
+               AS mutual_info
+    FROM joint JOIN mx USING (x) JOIN my USING (y) CROSS JOIN n
+"""
+
+
+@query("priority_status_mutual_info", oracle=_MI_ORACLE)
+def priority_status_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categorical columns (order
+    priority × order status) — the dependence profile a single-column
+    entropy report (categorical_entropy_report) can't see: MI ≈ 0 says
+    the columns are independent (safe to model separately / drop one
+    from a quasi-identifier set), MI near min(H_x, H_y) says one
+    determines the other. Computed from the ≤ |X|·|Y| joint-count cell
+    frame: one grouped pass over the fact table, marginals re-derived
+    from the cells (no second scan), entropies and MI as exact-ratio
+    sums over the tiny cell grid (each marginal entropy summed once via
+    an anchor-cell filter so no cell is double-counted). ln over exact
+    ratios, round4 output — the established libm policy."""
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    joint = orders.groupBy(
+        F.col("o_orderpriority").alias("x"), F.col("o_orderstatus").alias("y")
+    ).agg(F.count(F.lit(1)).cast("long").alias("nxy"))
+    joint = joint.localCheckpoint(eager=False)  # tiny; feeds 4 consumers
+    mx = joint.groupBy("x").agg(F.sum("nxy").cast("long").alias("nx"))
+    my = joint.groupBy("y").agg(F.sum("nxy").cast("long").alias("ny"))
+    n = joint.agg(F.sum("nxy").cast("double").alias("n"))
+    y0 = my.agg(F.min("y").alias("y0"))
+    x0 = mx.agg(F.min("x").alias("x0"))
+    cells = (
+        joint.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(y0))
+        .crossJoin(F.broadcast(x0))
+    )
+    px = F.col("nx") / F.col("n")
+    py = F.col("ny") / F.col("n")
+    return cells.agg(
+        F.max("n").cast("long").alias("n_rows"),
+        round4(
+            F.sum(F.when(F.col("y") == F.col("y0"), -px * F.log(px)))
+        ).alias("h_priority"),
+        round4(
+            F.sum(F.when(F.col("x") == F.col("x0"), -py * F.log(py)))
+        ).alias("h_status"),
+        round4(
+            F.sum(
+                (F.col("nxy") / F.col("n"))
+                * F.log(
+                    F.col("nxy") * F.col("n")
+                    / (F.col("nx") * F.col("ny").cast("double"))
+                )
+            )
+        ).alias("mutual_info"),
+    )
+
+
 def _trimmed_mean_oracle(q_frac: float) -> str:
     return f"""
     WITH ranked AS (
