@@ -159,13 +159,26 @@ def run_corpus_pipeline(
             "source",
             round4((F.col("__q") / F.col("__z")) / F.col("__p")).alias("boost"),
         )
+        # repeats must not collide downstream: the copy index joins the
+        # id so exact-dedup/packing order stay deterministic. The remap
+        # base must exceed the LARGEST copy index any source can emit —
+        # boost ∝ 1/sqrt(share), so a sufficiently tiny source can push
+        # ceil(boost) past any hardcoded constant; derive it from the
+        # actual rate frame (≤ n_sources rows — bounded metadata read).
+        max_copies = max(
+            int(
+                rates.agg(
+                    F.max(F.ceil(F.col("boost"))).alias("m")
+                ).first()["m"]
+                or 1
+            ),
+            1,
+        )
         mixed = sampling_ops.materialize_rate_mix(
             capped, rates, id_col="doc_id", source_col="source"
         ).withColumn(
-            # repeats must not collide downstream: the copy index joins
-            # the id so exact-dedup/packing order stay deterministic
             "doc_id",
-            F.col("doc_id") * F.lit(16) + F.col("copy"),
+            F.col("doc_id") * F.lit(max_copies) + F.col("copy"),
         ).drop("copy")
 
     # 5b. PII scrub before publication — row-preserving; audit counts

@@ -292,7 +292,14 @@ def semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     data so the DuckDB oracle replays the IDENTICAL clustering and the
     flagged set is fully differential-checked (not a rows-only
     contract). Keep-lowest-id inside a cell, exact JVM-fold cosine
-    (bit-identical to list_cosine_similarity) for the τ comparison."""
+    (bit-identical to list_cosine_similarity) for the τ comparison.
+
+    Scale-vs-oracle pairing: the fixed k=8 (_SEMDEDUP_K) here is the
+    ORACLE-REPLAY twin (DuckDB must reproduce the clustering exactly);
+    in production k grows with n (k = n/250, bounded ~250-vector cells,
+    in-cell pairs constant per cell) — that configuration lives in the
+    same operator and is what scripts/scale_check.py --semdedup-only
+    measures (x30 α 0.31). Same pattern as the ANN recall contracts."""
     tune_session(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     # the pair stage consumes the assignment THREE times (both join

@@ -405,7 +405,14 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/windows.reciprocal_rank_fusion). n_systems exposes
     whether a hit came from one ranker or both — the debugging column
     hybrid rollouts live on. Both upstream rankers are the engine's own
-    bounded top-k frames, so the fusion itself is broadcast-scale."""
+    bounded top-k frames, so the fusion itself is broadcast-scale.
+
+    Scale-vs-oracle pairing: the dense leg here is exact brute-force
+    top-20 — the ORACLE-PARITY twin (the differential gate needs the
+    exact ranking); at corpus scale the dense leg swaps to the ANN path
+    (`ann_ivfpq_topk` — IVF routing + PQ ADC with the skinny rank
+    exchange) and the fusion operator is unchanged. The composition
+    point under test is the fusion, not the leg."""
     tune_session(spark)
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     emb = load_table(spark, sf_dir, "embeddings")

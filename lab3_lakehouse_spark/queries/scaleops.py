@@ -381,16 +381,19 @@ _MI_ORACLE = f"""
     ),
     mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM joint GROUP BY x),
     my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM joint GROUP BY y),
-    n AS (SELECT CAST(sum(nxy) AS DOUBLE) AS n FROM joint)
+    n AS (SELECT CAST(sum(nxy) AS DOUBLE) AS n FROM joint),
+    hx AS (SELECT sum(-(mx.nx / n.n) * ln(mx.nx / n.n)) AS h
+           FROM mx CROSS JOIN n),
+    hy AS (SELECT sum(-(my.ny / n.n) * ln(my.ny / n.n)) AS h
+           FROM my CROSS JOIN n)
     SELECT CAST(max(n.n) AS BIGINT) AS n_rows,
-           {sql_round4('''sum(-(mx.nx / n.n) * ln(mx.nx / n.n))
-               FILTER (WHERE my.y = (SELECT min(y) FROM my))''')} AS h_priority,
-           {sql_round4('''sum(-(my.ny / n.n) * ln(my.ny / n.n))
-               FILTER (WHERE mx.x = (SELECT min(x) FROM mx))''')} AS h_status,
+           {sql_round4('max(hx.h)')} AS h_priority,
+           {sql_round4('max(hy.h)')} AS h_status,
            {sql_round4('''sum((joint.nxy / n.n)
                * ln(joint.nxy * n.n / (mx.nx * CAST(my.ny AS DOUBLE))))''')}
                AS mutual_info
-    FROM joint JOIN mx USING (x) JOIN my USING (y) CROSS JOIN n
+    FROM joint JOIN mx USING (x) JOIN my USING (y)
+    CROSS JOIN n CROSS JOIN hx CROSS JOIN hy
 """
 
 
@@ -404,9 +407,12 @@ def priority_status_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     determines the other. Computed from the ≤ |X|·|Y| joint-count cell
     frame: one grouped pass over the fact table, marginals re-derived
     from the cells (no second scan), entropies and MI as exact-ratio
-    sums over the tiny cell grid (each marginal entropy summed once via
-    an anchor-cell filter so no cell is double-counted). ln over exact
-    ratios, round4 output — the established libm policy."""
+    sums. Each marginal entropy is summed DIRECTLY over its own tiny
+    marginal frame (mx / my cross-joined with the 1-row total) — never
+    via an anchor-cell filter over the joint grid, which would silently
+    drop the -p·ln(p) term of any category that does not co-occur with
+    the anchor value on a sparse joint support. ln over exact ratios,
+    round4 output — the established libm policy."""
     tune_session(spark)
     orders = load_table(spark, sf_dir, "orders")
     joint = orders.groupBy(
@@ -416,25 +422,25 @@ def priority_status_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = joint.groupBy("x").agg(F.sum("nxy").cast("long").alias("nx"))
     my = joint.groupBy("y").agg(F.sum("nxy").cast("long").alias("ny"))
     n = joint.agg(F.sum("nxy").cast("double").alias("n"))
-    y0 = my.agg(F.min("y").alias("y0"))
-    x0 = mx.agg(F.min("x").alias("x0"))
+    px = F.col("nx") / F.col("n")
+    py = F.col("ny") / F.col("n")
+    hx = mx.crossJoin(F.broadcast(n)).agg(
+        F.sum(-px * F.log(px)).alias("hx")
+    )
+    hy = my.crossJoin(F.broadcast(n)).agg(
+        F.sum(-py * F.log(py)).alias("hy")
+    )
     cells = (
         joint.join(F.broadcast(mx), "x")
         .join(F.broadcast(my), "y")
         .crossJoin(F.broadcast(n))
-        .crossJoin(F.broadcast(y0))
-        .crossJoin(F.broadcast(x0))
+        .crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
     )
-    px = F.col("nx") / F.col("n")
-    py = F.col("ny") / F.col("n")
     return cells.agg(
         F.max("n").cast("long").alias("n_rows"),
-        round4(
-            F.sum(F.when(F.col("y") == F.col("y0"), -px * F.log(px)))
-        ).alias("h_priority"),
-        round4(
-            F.sum(F.when(F.col("x") == F.col("x0"), -py * F.log(py)))
-        ).alias("h_status"),
+        round4(F.max("hx")).alias("h_priority"),
+        round4(F.max("hy")).alias("h_status"),
         round4(
             F.sum(
                 (F.col("nxy") / F.col("n"))

@@ -643,9 +643,17 @@ def temperature_mix_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix = sampling_ops.materialize_rate_mix(
         docs_t, rates, id_col="doc_id", source_col="source", seed=31
     )
-    acct = mix.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("achieved_docs"),
-        F.sum("__toks").cast("long").alias("achieved_tokens"),
+    # acct feeds TWO consumers (the accounting join and the mtot total);
+    # without a reuse point the corpus explode + grouped aggregation
+    # lineage would execute twice — same treatment as rates above
+    # (lazy localCheckpoint: ≤ n_sources rows)
+    acct = (
+        mix.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("achieved_docs"),
+            F.sum("__toks").cast("long").alias("achieved_tokens"),
+        )
+        .localCheckpoint(eager=False)
     )
     mtot = acct.agg(F.sum("achieved_tokens").cast("double").alias("mt"))
     return (
@@ -1181,6 +1189,7 @@ def _ndcg_oracle() -> str:
                f'{_NDCG_DEPTH}) + 1]'
            )} AS ndcg_at_10
     FROM per JOIN nrel ON nrel.label = per.label
+    WHERE nrel.n_label > 1
     """
 
 
@@ -1233,7 +1242,11 @@ def retrieval_label_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("__dcg"),
     )
     n_rel = F.col("n_label") - F.lit(1)
-    return per.join(F.broadcast(nrel), "label").select(
+    # A query whose label is unique in the corpus has n_relevant = 0 and
+    # idcg = 0: dividing would give NULL here but NaN in DuckDB (IEEE
+    # 0.0/0.0) — a latent cross-engine divergence on a meaningless row.
+    # Both engines exclude such queries instead.
+    return per.join(F.broadcast(nrel), "label").filter(n_rel >= 1).select(
         "query_id",
         "label",
         n_rel.cast("long").alias("n_relevant"),
