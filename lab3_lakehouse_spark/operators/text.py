@@ -620,3 +620,162 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "score", "rank")
     )
+
+
+def bm25_build_postings(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(term, doc_id, tf, dl)`` postings from ONE corpus scan — the
+    persistable BM25 index (the lexical twin of the MinHash band store,
+    operators/dedup.banded_signatures). The doc length rides the
+    grouping key, so no doc-keyed join-back is ever needed; every
+    statistic BM25 scoring wants (tf, df, dl, N, Σdl) is derivable
+    from this table plus a per-batch meta row without re-reading text.
+    """
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(toks).cast("long").alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .select("term", "doc_id", "tf", "dl")
+    )
+
+
+def bm25_append_batch(
+    store_root: str,
+    batch: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 32,
+) -> None:
+    """Append one document batch to a persisted BM25 postings store —
+    cost proportional to the BATCH, never the corpus: the existing
+    store is NOT read (append-only parquet), so daily ingestion against
+    a 100 TB index costs one scan of the day's crawl.
+
+    Layout: ``{root}/postings`` is repartitioned on a term-hash bucket
+    and sorted by term inside partitions, so the probe's ``term IN
+    (…)`` predicate prunes row groups via parquet min/max — the probe
+    reads index slivers, not the index. ``{root}/meta`` gets ONE
+    ``(n_docs, dl_sum)`` row per appended batch; the probe aggregates
+    this batches-sized sidecar for N and avgdl instead of scanning
+    postings (the cusum_latest sidecar pattern).
+
+    Contract (same as the signature store): doc ids are globally
+    unique across batches — re-appending a document double-counts its
+    df/tf. Use ``compact``-style offline maintenance if replays can
+    happen.
+    """
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    posts = bm25_build_postings(batch, id_col=id_col, text_col=text_col)
+    posts = posts.repartition(
+        buckets, F.pmod(F.xxhash64("term"), F.lit(buckets))
+    ).sortWithinPartitions("term")
+    posts.write.mode("append").parquet(f"{store_root}/postings")
+    meta = batch.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(toks)).cast("long").alias("dl_sum"),
+    )
+    meta.coalesce(1).write.mode("append").parquet(f"{store_root}/meta")
+
+
+def _bm25_pruned_postings(spark, store_root: str, terms: list) -> DataFrame:
+    """The probe's index read: query vocabulary pushed as a ``term IN``
+    parquet filter onto the clustered store — row groups of non-query
+    terms are never read (pinned by
+    tests/test_llmdata.py::test_bm25_store_probe_prunes_to_query_terms
+    on THIS frame; the caller's localCheckpoint would hide the scan
+    from the executed plan)."""
+    return spark.read.parquet(f"{store_root}/postings").filter(
+        F.col("term").isin(terms)
+    )
+
+
+def bm25_topk_from_store(
+    spark,
+    store_root: str,
+    queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k against a PERSISTED postings store (built by
+    :func:`bm25_append_batch`) — retrieval cost at 100 TB is an
+    index PROBE, not a corpus scan: the ≤|terms| query vocabulary is
+    collected (bounded metadata — query frames are human-sized) and
+    pushed as a ``term IN (…)`` parquet filter, so only the matching
+    terms' row groups are read from the clustered store; N and avgdl
+    come from the batches-sized meta sidecar.
+
+    Bit-identical to :func:`bm25_topk` over the same corpus: tf/df/dl
+    are the same exact integers whichever path produced them; avgdl =
+    round4(Σdl / N) equals round4(avg(dl)) because both are one IEEE
+    division of exactly-represented integer sums; the scoring
+    expression is shared literal-for-literal (k1+1 / 1−b pinned
+    pairs, Lucene idf, round4-before-rank, id tie-break).
+    """
+    from lab3_lakehouse_spark.queries._util import round4 as _r4
+
+    terms = [
+        r["term"]
+        for r in queries.select("term").distinct().collect()
+    ]
+    # feeds df-count AND scoring → one reuse point over the pruned scan
+    posts = _bm25_pruned_postings(spark, store_root, terms).localCheckpoint(
+        eager=False
+    )
+    meta = spark.read.parquet(f"{store_root}/meta")
+    stats = meta.agg(
+        F.sum("n_docs").cast("double").alias("__n"),
+        _r4(
+            F.sum("dl_sum").cast("double")
+            / F.sum("n_docs").cast("double")
+        ).alias("__avgdl"),
+    )
+    dfreq = posts.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("__df")
+    )
+    qterms = (
+        queries.select("query_id", "term", "qtf")
+        .join(F.broadcast(dfreq), "term", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "term",
+            "qtf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n") - F.coalesce("__df", F.lit(0)) + F.lit(0.5))
+                / (F.coalesce("__df", F.lit(0)) + F.lit(0.5))
+            ).alias("__idf"),
+            F.col("__avgdl"),
+        )
+    )
+    from pyspark.sql import Window
+
+    k1p1, one_b = F.lit(float(k1 + 1.0)), F.lit(float(1.0 - b))
+    sat = (F.col("tf") * k1p1) / (
+        F.col("tf")
+        + F.lit(float(k1))
+        * (one_b + F.lit(float(b)) * F.col("dl") / F.col("__avgdl"))
+    )
+    scored = (
+        posts.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", F.col("doc_id").alias(id_col))
+        .agg(_r4(F.sum(F.col("qtf") * F.col("__idf") * sat)).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )

@@ -360,6 +360,55 @@ def bm25_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("bm25_postings_topk", oracle=_bm25_oracle(_BM25_K))
+def bm25_postings_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 against a PERSISTED postings index — the retrieval shape
+    that survives 100 TB: bm25_lexical_topk rebuilds postings per call
+    (fine for a one-shot audit, corpus-scan cost per query batch);
+    here the index is built ONCE to a tier (operators/text.
+    bm25_append_batch — term-hash-clustered parquet + a per-batch
+    (n_docs, dl_sum) meta sidecar) and the query probes it
+    (bm25_topk_from_store): the ≤32-term query vocabulary pushes down
+    as a ``term IN`` parquet filter onto the clustered store, so the
+    probe reads index slivers while N/avgdl come from the sidecar.
+    The store is populated in TWO appends (doc_id parity split — the
+    daily-ingestion shape; append cost ∝ batch, existing store never
+    read), and the probe must equal the one-shot scorer — the oracle
+    is bm25_lexical_topk's, verbatim: same idf/saturation literals,
+    same round4-before-rank, same tie-break."""
+    import shutil
+    import tempfile
+
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    q = (
+        docs.filter(F.col("doc_id") < _BM25_QUERIES)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice(toks, 1, 4)).alias("term"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("qtf"))
+    )
+    tmp = tempfile.mkdtemp(prefix="bm25_store_")
+    try:
+        for residue in (0, 1):
+            text_ops.bm25_append_batch(
+                tmp, docs.filter(F.pmod("doc_id", F.lit(2)) == residue),
+                id_col="doc_id", text_col="text",
+            )
+        out = text_ops.bm25_topk_from_store(
+            spark, tmp, q, id_col="doc_id",
+            k=_BM25_K, k1=_BM25_K1, b=_BM25_B,
+        )
+        # pin the result in executor block storage so the temp tier can
+        # be deleted (the incremental_rollup_hourly pattern)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _RRF_DEPTH, _RRF_K, _RRF_TOPK = 20, 60, 10
 
 

@@ -705,3 +705,84 @@ def test_pmi_surfaces_planted_collocation(spark, tmp_path):
     assert by_pair[("hong", "kong")] >= max(
         v for k, v in by_pair.items() if k != ("hong", "kong")
     )
+
+
+# ---------------------------------------------- BM25 postings store ----
+
+
+def test_bm25_store_two_appends_equal_one_shot(spark, tmp_path):
+    """Store probe == one-shot scorer, and the second append is
+    delta-proportional: it only ADDS parquet files — every file the
+    first append wrote is still byte-identical afterwards (the store
+    is never read or rewritten by an append)."""
+    import glob
+    import os
+
+    from lab3_lakehouse_spark.operators import text as text_ops
+
+    rng = np.random.RandomState(11)
+    rows = [(i, _doc(rng, n=30)) for i in range(60)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    q = (
+        docs.filter(F.col("doc_id") < 4)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice(toks, 1, 4)).alias("term"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("qtf"))
+    )
+    root = str(tmp_path / "bm25")
+    text_ops.bm25_append_batch(root, docs.filter(F.col("doc_id") % 2 == 0))
+
+    def snapshot():
+        return {
+            p: (os.path.getsize(p), os.path.getmtime(p))
+            for p in glob.glob(f"{root}/**/*.parquet", recursive=True)
+        }
+
+    before = snapshot()
+    text_ops.bm25_append_batch(root, docs.filter(F.col("doc_id") % 2 == 1))
+    after = snapshot()
+    # append-only: batch-1 files untouched, new files added
+    for path, sig in before.items():
+        assert after[path] == sig, f"append rewrote existing file {path}"
+    assert len(after) > len(before)
+
+    got = (
+        text_ops.bm25_topk_from_store(spark, root, q, k=5)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    want = (
+        text_ops.bm25_topk(docs, q, k=5)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_bm25_store_probe_prunes_to_query_terms(spark, tmp_path):
+    """The probe plan pushes the query vocabulary down as a parquet
+    ``In(term, …)`` filter — the index-probe contract: row groups of
+    non-query terms are never read."""
+    from lab3_lakehouse_spark.operators import text as text_ops
+
+    rng = np.random.RandomState(13)
+    docs = spark.createDataFrame(
+        [(i, _doc(rng, n=20)) for i in range(30)], ["doc_id", "text"]
+    )
+    root = str(tmp_path / "bm25")
+    text_ops.bm25_append_batch(root, docs)
+    q = spark.createDataFrame(
+        [(0, "w1", 1), (0, "w2", 1)], ["query_id", "term", "qtf"]
+    )
+    # the probe path must still produce correct output…
+    out = text_ops.bm25_topk_from_store(spark, root, q, k=3)
+    assert out.count() > 0
+    # …and its index read (the frame the operator checkpoints) must
+    # carry the pushed In(term, …) filter
+    pruned = text_ops._bm25_pruned_postings(spark, root, ["w1", "w2"])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(term" in plan, plan
