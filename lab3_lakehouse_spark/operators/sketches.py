@@ -208,3 +208,185 @@ def kmv_estimate(theta: Column, n_cells: Column, k: int) -> Column:
     return F.when(
         n_cells < F.lit(k), n_cells.cast("double")
     ).otherwise(F.lit(float(k - 1)) * F.lit(KMV_RANGE) / theta.cast("double"))
+
+
+# --------------------------------------------------------------------------
+# KLL-style deterministic mergeable quantile sketch
+# --------------------------------------------------------------------------
+#
+# The quantile member of the mergeable-sketch family (HLL = distinct,
+# CMS = frequency, KMV = distinct-θ, this = rank): per-shard sketches
+# built in ONE pass over the data, merged to any grain WITHOUT
+# rescanning — the store-sketches-not-numbers design continuous
+# aggregates need at 100 TB. The compactor is the KLL/MRL scheme
+# (Karnin-Lang-Liberty 2016 / Munro-Paterson, re-derived from the
+# published algorithms) with one deliberate change: compaction keeps
+# alternating-offset items DETERMINISTICALLY (per-level parity flip)
+# instead of coin-flipping, so a rebuild over the same shard contents
+# yields the identical sketch — replayable pipelines beat the ~2×
+# tighter randomized constant. Rank error stays O(log²(n/k)/k)·n
+# (the classic deterministic bound); the registry contract measures
+# the achieved error against the real data, so the guarantee is
+# checked end-to-end, not assumed.
+
+
+def _kll_insert(levels: list, values, k: int) -> None:
+    """Bulk-insert values into level 0, compacting full levels upward.
+    ``levels`` is a list of (items list, parity int) pairs mutated in
+    place; level i items carry weight 2^i."""
+    levels[0][0].extend(values)
+    i = 0
+    while i < len(levels):
+        items, parity = levels[i]
+        if len(items) <= k:
+            i += 1
+            continue
+        items.sort()
+        keep = items[parity::2]
+        levels[i] = ([], parity ^ 1)
+        if i + 1 == len(levels):
+            levels.append(([], 0))
+        levels[i + 1][0].extend(keep)
+        i += 1
+
+
+def _kll_merge(levels_a: list, levels_b: list, k: int) -> list:
+    """Merge two level lists: concatenate per level, then re-compact."""
+    out = []
+    for i in range(max(len(levels_a), len(levels_b))):
+        items: list = []
+        parity = 0
+        if i < len(levels_a):
+            items.extend(levels_a[i][0])
+            parity = levels_a[i][1]
+        if i < len(levels_b):
+            items.extend(levels_b[i][0])
+        out.append((items, parity))
+    # normalize into mutable pairs and compact any overfull level
+    out = [[list(it), p] for it, p in out]
+    i = 0
+    while i < len(out):
+        items, parity = out[i]
+        if len(items) <= k:
+            i += 1
+            continue
+        items.sort()
+        keep = items[parity::2]
+        out[i] = [[], parity ^ 1]
+        if i + 1 == len(out):
+            out.append([[], 0])
+        out[i + 1][0].extend(keep)
+        i += 1
+    return out
+
+
+def _kll_quantiles(levels: list, qs: list[float]) -> list[float]:
+    """Weighted-rank quantile estimates from a level list."""
+    import numpy as np
+
+    vals, wts = [], []
+    for i, (items, _parity) in enumerate(levels):
+        vals.extend(items)
+        wts.extend([1 << i] * len(items))
+    if not vals:
+        return [float("nan")] * len(qs)
+    v = np.asarray(vals, dtype="float64")
+    w = np.asarray(wts, dtype="float64")
+    order = np.argsort(v, kind="mergesort")
+    v, w = v[order], w[order]
+    cw = np.cumsum(w)
+    total = cw[-1]
+    out = []
+    for q in qs:
+        target = q * total
+        idx = int(np.searchsorted(cw, target, side="left"))
+        out.append(float(v[min(idx, len(v) - 1)]))
+    return out
+
+
+def kll_sketch_rollup(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    *,
+    k: int = 256,
+    shards: int = 8,
+) -> DataFrame:
+    """Per-(keys × shard) partial KLL sketches, serialized as
+    ``(keys…, shard, level, items array<double>)`` rows — the
+    persistable quantile store. One ``applyInPandas`` pass; a group is
+    a SHARD of a key (spark_partition_id-derived), never a whole key,
+    so no executor ever holds a key's full data — the merge to
+    key grain (:func:`kll_merge_quantiles`) touches only sketch rows
+    (k·log(n/k) values per shard)."""
+    import pandas as pd
+
+    gcols = [*keys, "__shard"]
+    schema = ", ".join(
+        [f"`{c}` string" for c in keys]
+        + ["__shard int", "level int", "items array<double>"]
+    )
+
+    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        levels = [[[], 0]]
+        _kll_insert(levels, pdf[value_col].dropna().tolist(), k)
+        head = {c: pdf[c].iloc[0] for c in gcols}
+        rows = [
+            {**head, "level": i, "items": items}
+            for i, (items, _p) in enumerate(levels)
+            if items
+        ]
+        return pd.DataFrame(
+            rows, columns=[*gcols, "level", "items"]
+        )
+
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn(
+            "__shard", F.pmod(F.spark_partition_id(), F.lit(shards))
+        )
+        .groupBy(*gcols)
+        .applyInPandas(build, schema)
+    )
+
+
+def kll_merge_quantiles(
+    sketches: DataFrame,
+    keys: list[str],
+    qs: list[float],
+    *,
+    k: int = 256,
+) -> DataFrame:
+    """Merge per-shard KLL sketches to key grain and estimate the
+    ``qs`` quantiles → ``(keys…, q, est)``. Input per group is sketch
+    rows only (shards · k · levels values), so the merge is
+    metadata-sized regardless of corpus size."""
+    import pandas as pd
+
+    schema = ", ".join(
+        [f"`{c}` string" for c in keys] + ["q double", "est double"]
+    )
+
+    def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        merged: list = [[[], 0]]
+        for (_s,), grp in pdf.groupby(["__shard"], sort=True):
+            levels = [
+                [list(r["items"]), 0]
+                for _, r in grp.sort_values("level").iterrows()
+            ]
+            # re-inflate implicit empty levels (levels with no items
+            # were dropped at build time)
+            dense: list = []
+            lv = {int(r["level"]): list(r["items"]) for _, r in grp.iterrows()}
+            for i in range(max(lv) + 1):
+                dense.append([lv.get(i, []), 0])
+            levels = dense
+            merged = _kll_merge(merged, levels, k)
+        ests = _kll_quantiles(merged, qs)
+        head = {c: pdf[c].iloc[0] for c in keys}
+        return pd.DataFrame(
+            [{**head, "q": q, "est": e} for q, e in zip(qs, ests)],
+            columns=[*keys, "q", "est"],
+        )
+
+    return sketches.groupBy(*keys).applyInPandas(merge, schema)

@@ -94,6 +94,71 @@ def approx_percentiles_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KLL_QS = [0.1, 0.5, 0.9]
+_KLL_K, _KLL_SHARDS, _KLL_EPS = 256, 8, 0.015
+
+
+@query(
+    "kll_quantile_contract",
+    oracle=f"""
+    SELECT event_type, q, CAST(count(*) AS BIGINT) AS n,
+           true AS rank_within_eps
+    FROM events
+    CROSS JOIN (SELECT unnest([{', '.join(repr(q) for q in _KLL_QS)}]) AS q) qs
+    WHERE value IS NOT NULL
+    GROUP BY event_type, q
+    """,
+)
+def kll_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile sketch (KLL/MRL compactors, deterministic
+    alternating-parity variant — operators/sketches.py) — the rank
+    member of the mergeable family next to HLL (distinct), CMS
+    (frequency) and KMV (θ): per-(event_type × shard) partial sketches
+    built in one ``applyInPandas`` pass, merged to key grain on sketch
+    ROWS only (k·log(n/k) values per shard — metadata-sized at any
+    corpus size), quantiles estimated from the merged compactors. This
+    is what ``percentile_approx`` (approx_percentiles_contract) can't
+    do across SEPARATELY-STORED aggregates: a persisted per-day KLL
+    tier rolls up to week/month grain without rescanning raw events.
+
+    Assert-style oracle (the HLL pattern): estimates are
+    sketch-internal, so the query measures each estimate's EXACT rank
+    against the real data in a second pass and emits booleans pinning
+    the achieved rank error within ε = 0.015 (empirical deterministic
+    bound ~5× tighter at k=256) — the driver verifies the sketch's
+    accuracy contract end-to-end."""
+    from lab3_lakehouse_spark.operators import sketches
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    sk = sketches.kll_sketch_rollup(
+        ev, ["event_type"], "value", k=_KLL_K, shards=_KLL_SHARDS
+    )
+    ests = sketches.kll_merge_quantiles(
+        sk, ["event_type"], _KLL_QS, k=_KLL_K
+    )
+    ranked = (
+        ev.join(F.broadcast(ests), "event_type")
+        .groupBy("event_type", "q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("value") <= F.col("est")).cast("long")).alias("__r"),
+        )
+    )
+    n = F.col("n").cast("double")
+    bound = F.lit(_KLL_EPS) * n + F.lit(1.0)
+    return ranked.select(
+        "event_type",
+        "q",
+        "n",
+        (F.abs(F.col("__r").cast("double") - F.col("q") * n) <= bound).alias(
+            "rank_within_eps"
+        ),
+    )
+
+
 @query(
     "salted_agg_event_type",
     oracle=f"""

@@ -1043,3 +1043,76 @@ def test_ks_empty_side_emits_no_row(spark):
         [(cur_day, float(v)) for v in (1, 2, 3)], ["ts", "value"]
     )
     assert events_ops.value_drift_ks(ev, split_ts="2024-01-16").count() == 0
+
+
+# ------------------------------------------------------------- KLL ----
+
+
+def test_kll_kernel_merge_equals_bulk_and_bounds_error():
+    """Sharded-build-then-merge must estimate as well as a single bulk
+    build (mergeability), and both must hit the deterministic rank
+    bound the registry contract asserts (ε = 0.015 with slack +1)."""
+    import numpy as np
+
+    from lab3_lakehouse_spark.operators.sketches import (
+        _kll_insert,
+        _kll_merge,
+        _kll_quantiles,
+    )
+
+    rng = np.random.RandomState(3)
+    data = rng.lognormal(2.0, 1.5, size=200_000)
+    k = 256
+    merged = [[[], 0]]
+    for shard in np.array_split(data, 8):
+        lv = [[[], 0]]
+        _kll_insert(lv, shard.tolist(), k)
+        merged = _kll_merge(merged, lv, k)
+    srt = np.sort(data)
+    for q, est in zip([0.1, 0.5, 0.9], _kll_quantiles(merged, [0.1, 0.5, 0.9])):
+        rank = np.searchsorted(srt, est, side="right")
+        assert abs(rank - q * len(data)) <= 0.015 * len(data) + 1
+
+
+def test_kll_kernel_is_deterministic():
+    """Two builds over the same shard contents give identical level
+    structure — the replayability the alternating-parity compactor
+    buys over coin-flip KLL."""
+    import numpy as np
+
+    from lab3_lakehouse_spark.operators.sketches import _kll_insert
+
+    rng = np.random.RandomState(5)
+    data = rng.normal(size=50_000).tolist()
+    builds = []
+    for _ in range(2):
+        lv = [[[], 0]]
+        _kll_insert(lv, data, 128)
+        builds.append([(sorted(items), p) for items, p in lv])
+    assert builds[0] == builds[1]
+
+
+def test_kll_spark_rollup_merges_across_shards(spark):
+    """The Spark rollup path: per-shard sketch rows exist, merge to key
+    grain returns one estimate per (key, q), and the estimate's exact
+    rank respects the contract bound on a skewed planted column."""
+    import numpy as np
+
+    rows = []
+    rng = np.random.RandomState(9)
+    for g, scale in (("a", 1.0), ("b", 50.0)):
+        for v in rng.exponential(scale, size=4000):
+            rows.append((g, float(v)))
+    df = spark.createDataFrame(rows, ["g", "v"]).repartition(8)
+    sk = sketches.kll_sketch_rollup(df, ["g"], "v", k=128, shards=4)
+    assert sk.filter(F.col("items").isNull()).count() == 0
+    ests = sketches.kll_merge_quantiles(sk, ["g"], [0.5, 0.9], k=128)
+    got = {(r["g"], r["q"]): r["est"] for r in ests.collect()}
+    assert len(got) == 4
+    by_g = {"a": [], "b": []}
+    for g, v in rows:
+        by_g[g].append(v)
+    for (g, q), est in got.items():
+        srt = np.sort(by_g[g])
+        rank = np.searchsorted(srt, est, side="right")
+        assert abs(rank - q * len(srt)) <= 0.015 * len(srt) + 1, (g, q)
