@@ -68,6 +68,25 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     )
 
 
+def positional_word_shingles(text: Column | str, n: int = 10) -> Column:
+    """n-word shingles WITH their 1-based token position, as an array
+    of ``struct(pos, span)`` — the positional variant of
+    :func:`word_shingles` (which distinct-s) that maximal-run span
+    coalescing needs: consecutive shared windows merge into one maximal
+    duplicated segment only if their positions are known. Same slice
+    formulation as word_shingles (the corpus' docs are short; for
+    long-document corpora use the shifted-zip trick of
+    shingle_hashes_from_token_hashes to stay O(len) per doc)."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("pos"), F.concat_ws(" ", F.slice(toks, i, n)).alias("span")
+        ),
+    )
+
+
 def token_hashes(text: Column | str) -> Column:
     """xxhash64 of each whitespace token, in order (array<long>) — the
     shared base every shingle width derives from. Compute it once per

@@ -510,6 +510,93 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RERANK_ORACLE = f"""
+    WITH fused AS ({_hybrid_rrf_oracle()}),
+    qt AS (
+        SELECT doc_id AS query_id,
+               list_distinct(
+                   regexp_split_to_array(lower(text), '\\s+')[1:4]) AS qterms
+        FROM documents WHERE doc_id < {_BM25_QUERIES}
+    ),
+    dt AS (
+        SELECT doc_id,
+               list_distinct(regexp_split_to_array(lower(text), '\\s+'))
+                   AS dtoks
+        FROM documents
+    ),
+    scored AS (
+        SELECT f.query_id, f.doc_id,
+               f.rank AS rrf_rank,
+               {sql_round4('''len(list_intersect(qt.qterms, dt.dtoks))::DOUBLE
+                   / len(qt.qterms)''')} AS coverage
+        FROM fused f JOIN qt USING (query_id) JOIN dt USING (doc_id)
+    )
+    SELECT query_id, doc_id, rrf_rank, coverage,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY coverage DESC, rrf_rank, doc_id) AS BIGINT)
+               AS rerank
+    FROM scored
+"""
+
+
+@query("rerank_fused_candidates", oracle=_RERANK_ORACLE)
+def rerank_fused_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-encoder-STYLE second-stage rerank over the hybrid RRF
+    list — the two-tower production shape: cheap retrieval
+    (BM25 + dense, fused) proposes a BOUNDED candidate set (top-10 ×
+    8 queries), and only those ≤ 80 (query, doc) PAIRS are re-scored
+    with a pairwise interaction model reading both texts — the
+    expensive scorer never sees the corpus, which is the entire
+    economics of rerankers at 100 TB. The interaction scorer here is
+    deterministic query-term coverage (|qterms ∩ dtoks| / |qterms|,
+    round4-before-rank, RRF-rank then doc-id tie-break) — the
+    SQL-replayable stand-in for a neural cross-encoder (no torch in
+    this environment: the documented FakeCodec-class boundary); a real
+    deployment swaps the coverage expression for an Arrow-batched
+    pandas UDF over the same bounded pair frame, every other plan node
+    unchanged.
+
+    Plan: the fused frame broadcasts onto the corpus scan to fetch
+    candidate texts (the ONLY corpus touch), scoring + rerank run on
+    the candidate frame."""
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    from lab3_lakehouse_spark.queries._util import round4 as _r4
+
+    fused = hybrid_rrf_retrieval(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("rrf_rank")
+    )
+    toks = F.array_distinct(F.split(F.lower(F.col("text")), r"\s+"))
+    qt = docs.filter(F.col("doc_id") < _BM25_QUERIES).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_distinct(
+            F.slice(F.split(F.lower(F.col("text")), r"\s+"), 1, 4)
+        ).alias("__qterms"),
+    )
+    dt = docs.select("doc_id", toks.alias("__dtoks"))
+    scored = (
+        dt.join(F.broadcast(fused), "doc_id")
+        .join(F.broadcast(qt), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            "rrf_rank",
+            _r4(
+                F.size(F.array_intersect("__qterms", "__dtoks")).cast(
+                    "double"
+                )
+                / F.size("__qterms")
+            ).alias("coverage"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("coverage").desc(), F.col("rrf_rank").asc(), F.col("doc_id").asc()
+    )
+    return scored.withColumn(
+        "rerank", F.row_number().over(w).cast("long")
+    )
+
+
 @query(
     "minhash_lsh_near_dups",
     oracle="""

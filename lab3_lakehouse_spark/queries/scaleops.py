@@ -782,11 +782,94 @@ def shared_span_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "max_dup_span_segments",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+        FROM documents
+    ), wins AS (
+        SELECT doc_id, pos,
+               md5(array_to_string(w[pos:pos+9], ' ')) AS fp
+        FROM (SELECT doc_id, w,
+                     unnest(generate_series(1, greatest(len(w) - 9, 1)))
+                         AS pos
+              FROM w)
+    ), shared AS (
+        SELECT fp FROM wins GROUP BY fp
+        HAVING count(DISTINCT doc_id) >= 2
+    ), sh AS (
+        SELECT doc_id, pos FROM wins JOIN shared USING (fp)
+    ), isl AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS grp
+        FROM sh
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(max(pos) - min(pos) + 10 AS BIGINT) AS span_len_tokens
+    FROM isl GROUP BY doc_id, grp
+    """,
+)
+def max_dup_span_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL cross-document duplicated segments — the suffix-array
+    result of "Deduplicating Training Data Makes Language Models
+    Better" (Lee et al. 2022) WITHOUT the suffix array:
+    shared_span_dup_report flags fixed 10-token windows; here
+    consecutive shared windows COALESCE into maximal runs
+    (gaps-and-islands on window position), so a 500-token verbatim
+    license block reports as ONE segment of span_len_tokens ≈ 500,
+    not 491 anonymous windows — exactly what the cut-the-span-out
+    repair step needs, at arbitrary span length, with no global
+    suffix structure.
+
+    Scale shape: one corpus scan explodes positional windows; the
+    shuffle ships (fp, doc, pos) fixed-width keys — never span text;
+    shared fingerprints come from one grouped distinct-count; the
+    coalescing window partitions by doc_id (the standard partitioned-
+    window discipline, no global sort). Everything is linear in corpus
+    tokens — the suffix array's O(n log n) global sort is replaced by
+    a hash shuffle, which is the trade a 1000-executor cluster wants.
+    """
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    wins = docs.select(
+        "doc_id",
+        F.explode(dedup_ops.positional_word_shingles("text", n=10)).alias(
+            "__w"
+        ),
+    ).select(
+        "doc_id",
+        F.col("__w.pos").alias("pos"),
+        F.md5(F.col("__w.span")).alias("fp"),
+    )
+    wins = wins.localCheckpoint(eager=False)  # feeds shared + join-back
+    shared = (
+        wins.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("fp")
+    )
+    sh = wins.join(shared, "fp").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = sh.withColumn("__grp", F.col("pos") - F.row_number().over(w))
+    return isl.groupBy("doc_id", "__grp").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        (F.max("pos") - F.min("pos") + F.lit(10)).cast("long").alias(
+            "span_len_tokens"
+        ),
+    ).drop("__grp")
+
+
 # --------------------------------------------------- data quality ----
 
 
 @query(
     "referential_integrity_audit",
+
     oracle="""
     SELECT 'orders->customer' AS relation,
            (SELECT count(*) FROM orders) AS n_child,
