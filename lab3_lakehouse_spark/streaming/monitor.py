@@ -357,3 +357,95 @@ def stream_chi2_monitor(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def stream_mix_monitor(
+    spark: SparkSession,
+    src_dir: str,
+    out_root: str,
+    targets: DataFrame,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    share_col: str = "target_share",
+    drift_threshold: float = 0.05,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming temperature-mix drift monitor — the lid on the
+    mixture MATERIALIZER (streaming/ingest.stream_rate_mix): the
+    offline-fitted per-source target token shares (round4-pinned,
+    domain_temperature_mix's output) are the contract a mixing stream
+    is supposed to deliver; every micro-batch's ACHIEVED token share
+    per source is measured against it and the worst absolute drift
+    lands in ``{out_root}/mixshare`` as ``(batch_id, n_docs, n_tokens,
+    max_share_drift, worst_source, alarm)``. A drifting mixture is the
+    silent way a curated pretraining corpus rots — a source whose
+    crawler stalls under-delivers its share and nothing else fails —
+    so this belongs next to PSI (values), CUSUM (level) and χ² (event
+    mix) in the drift quartet.
+
+    Sources ABSENT from the batch still count (full-outer join against
+    the broadcast target frame → achieved share 0 vs their target),
+    and unexpected sources drift against a 0 target. Stateless per
+    batch (each batch is its own audit; replay re-appends the identical
+    row — the standard at-least-once/idempotent-read contract), and
+    per-batch cost is one grouped count of the BATCH against a
+    ≤ n_sources broadcast frame — independent of stream age."""
+    tgt = targets.select(
+        F.col(source_col).alias("src"),
+        F.col(share_col).cast("double").alias("t_share"),
+    ).localCheckpoint(eager=True)
+    share_path = f"{out_root}/mixshare"
+    checkpoint = f"{out_root}/_checkpoint"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        toks = F.size(F.split(F.lower(F.col(text_col)), r"\s+"))
+        cur = batch_df.groupBy(F.col(source_col).alias("src")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(toks).cast("long").alias("n_tok"),
+        )
+        joined = tgt.join(cur, "src", "full_outer").select(
+            "src",
+            F.coalesce("t_share", F.lit(0.0)).alias("t_share"),
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            F.coalesce("n_tok", F.lit(0)).alias("n_tok"),
+        )
+        tot = joined.agg(F.sum("n_tok").cast("double").alias("tt"))
+        drift = F.abs(
+            F.col("n_tok").cast("double")
+            / F.greatest(F.col("tt"), F.lit(1.0))
+            - F.col("t_share")
+        )
+        row = (
+            joined.crossJoin(F.broadcast(tot))
+            .agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("n_tok").cast("long").alias("n_tokens"),
+                F.round(F.max(drift), 4).alias("max_share_drift"),
+                F.max(F.struct(drift.alias("d"), F.col("src"))).alias("__w"),
+            )
+            .select(
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                "n_docs",
+                "n_tokens",
+                "max_share_drift",
+                F.col("__w.src").alias("worst_source"),
+                (F.col("max_share_drift") > F.lit(drift_threshold)).alias(
+                    "alarm"
+                ),
+            )
+        )
+        row.write.mode("append").parquet(share_path)
+
+    from lab3_lakehouse_spark.streaming.ingest import DOC_STREAM_SCHEMA
+
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(src_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

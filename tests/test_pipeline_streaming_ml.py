@@ -1147,3 +1147,70 @@ def test_stream_chi2_monitor_alarms_on_mix_shift(spark, tmpdir):
     assert rows[0].n_events == 100 and not rows[0].alarm
     assert rows[1].n_events == 100 and rows[1].alarm
     assert rows[1].chi2 > 10 * max(rows[0].chi2, 0.01)
+
+
+def test_stream_mix_monitor_alarms_on_share_drift(spark, tmpdir):
+    """Streaming mixture-share monitor: a batch delivering the target
+    per-source token shares stays quiet; a batch where one source
+    under-delivers (and one over-delivers) alarms, and the worst
+    offender is named. Stateless per batch."""
+    import json as _json
+
+    from lab3_lakehouse_spark.streaming import monitor as st_mon
+
+    src, out = f"{tmpdir}/docs", f"{tmpdir}/mixmon"
+    os.makedirs(src)
+    # targets: web 0.75, books 0.25 (by tokens; every doc = 4 tokens)
+    targets = spark.createDataFrame(
+        [("web", 0.75), ("books", 0.25)], ["source", "target_share"]
+    )
+
+    def doc(i, source):
+        return {"doc_id": i, "text": "a b c d", "source": source}
+
+    def write_batch(name, base, sources):
+        with open(f"{src}/{name}.json", "w") as f:
+            f.write("\n".join(
+                _json.dumps(doc(base + i, s)) for i, s in enumerate(sources)))
+
+    q = st_mon.stream_mix_monitor(spark, src, out, targets,
+                                  drift_threshold=0.05)
+    try:
+        write_batch("f0", 0, ["web"] * 75 + ["books"] * 25)    # on target
+        q.processAllAvailable()
+        write_batch("f1", 100, ["web"] * 95 + ["books"] * 5)   # web over
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r.batch_id: r for r in
+            spark.read.parquet(f"{out}/mixshare").collect()}
+    assert rows[0].n_docs == 100 and rows[0].n_tokens == 400
+    assert rows[0].max_share_drift == 0.0 and not rows[0].alarm
+    assert rows[1].alarm and rows[1].max_share_drift == 0.2
+    assert rows[1].worst_source in ("web", "books")
+
+
+def test_stream_mix_monitor_counts_absent_source(spark, tmpdir):
+    """A source that stops arriving entirely must still drift against
+    its target (achieved share 0), not vanish from the audit."""
+    import json as _json
+
+    from lab3_lakehouse_spark.streaming import monitor as st_mon
+
+    src, out = f"{tmpdir}/docs", f"{tmpdir}/mixmon"
+    os.makedirs(src)
+    targets = spark.createDataFrame(
+        [("web", 0.5), ("books", 0.5)], ["source", "target_share"]
+    )
+    with open(f"{src}/f0.json", "w") as f:
+        f.write("\n".join(
+            _json.dumps({"doc_id": i, "text": "x y", "source": "web"})
+            for i in range(10)))
+    q = st_mon.stream_mix_monitor(spark, src, out, targets,
+                                  drift_threshold=0.4)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    row = spark.read.parquet(f"{out}/mixshare").collect()[0]
+    assert row.max_share_drift == 0.5 and row.alarm
