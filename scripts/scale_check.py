@@ -221,6 +221,33 @@ def workloads():
         "incremental_agg_retractions": QUERIES["incremental_agg_retractions"],
         "categorical_drift_chi2": QUERIES["categorical_drift_chi2"],
         "revenue_holt_trend": QUERIES["revenue_holt_trend"],
+        # round-8 late block (VERDICT r8 task #3 — these five had no
+        # scale rows): BM25 (postings build is token-linear, query
+        # frame fixed — alpha ~ 1), hybrid RRF (dense leg is the
+        # brute-force oracle twin: alpha tracks the corpus scan; the
+        # scale path swaps in IVF-PQ), perceptual-hash dedup (one Arrow
+        # decode pass + banded Hamming join — prefixed copies share no
+        # payloads so bands stay disjoint), mutual information (one
+        # grouped pass to a ≤|X|·|Y| cell grid — alpha ~ 1 scan-bound),
+        # trimmed mean (one partitioned window + grouped conditional
+        # average — alpha ~ 1)
+        "bm25_lexical_topk": QUERIES["bm25_lexical_topk"],
+        "hybrid_rrf_retrieval": QUERIES["hybrid_rrf_retrieval"],
+        "media_phash_dup_partners": QUERIES["media_phash_dup_partners"],
+        "priority_status_mutual_info": QUERIES["priority_status_mutual_info"],
+        "trimmed_mean_event_values": QUERIES["trimmed_mean_event_values"],
+        # round-9 additions: persisted-postings BM25 (index build ∝
+        # corpus, probe ∝ query terms — the whole point; timed together
+        # here so alpha reflects the build), KLL rollup (one
+        # applyInPandas pass + metadata-sized merge — alpha ~ 1),
+        # second-stage rerank (bounded candidate pairs; alpha tracks
+        # the upstream fused legs), maximal dup spans (positional
+        # window explode + md5-keyed shuffle + per-doc islands window —
+        # alpha ~ 1, the suffix-array-free claim)
+        "bm25_postings_topk": QUERIES["bm25_postings_topk"],
+        "kll_quantile_contract": QUERIES["kll_quantile_contract"],
+        "rerank_fused_candidates": QUERIES["rerank_fused_candidates"],
+        "max_dup_span_segments": QUERIES["max_dup_span_segments"],
         "corpus_pipeline": corpus_pipeline,
     }
 
