@@ -162,6 +162,10 @@ HEADLINE = [
     "hybrid_rrf_retrieval",         # RRF hybrid of BM25 + dense top-k (r8)
     "trimmed_mean_event_values",    # robust grouped location estimate (r8)
     "priority_status_mutual_info",  # categorical dependence profile (r8)
+    "bm25_postings_topk",           # persisted-postings BM25 index probe (r9)
+    "kll_quantile_contract",        # mergeable KLL quantile sketch rollup (r9)
+    "rerank_fused_candidates",      # bounded second-stage rerank over RRF (r9)
+    "max_dup_span_segments",        # maximal dup-span coalescing, islands (r9)
 ]
 
 
