@@ -864,6 +864,149 @@ def max_dup_span_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("__grp")
 
 
+@query(
+    "dup_span_repair_report",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+        FROM documents
+    ), wins AS (
+        SELECT doc_id, pos,
+               md5(array_to_string(w[pos:pos+9], ' ')) AS fp
+        FROM (SELECT doc_id, w,
+                     unnest(generate_series(1, greatest(len(w) - 9, 1)))
+                         AS pos
+              FROM w)
+    ), shared AS (
+        SELECT fp FROM wins GROUP BY fp
+        HAVING count(DISTINCT doc_id) >= 2
+    ), sh AS (
+        SELECT doc_id, pos FROM wins JOIN shared USING (fp)
+    ), isl AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS grp
+        FROM sh
+    ), iv AS (
+        SELECT doc_id, min(pos) AS s, max(pos) + 9 AS e
+        FROM isl GROUP BY doc_id, grp
+    ), marked AS (
+        SELECT doc_id, s, e,
+               CASE WHEN s <= coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1)
+                    THEN 0 ELSE 1 END AS new_grp
+        FROM iv
+    ), grouped AS (
+        SELECT doc_id, s, e,
+               sum(new_grp) OVER (PARTITION BY doc_id ORDER BY s
+                                  ROWS UNBOUNDED PRECEDING) AS g2
+        FROM marked
+    ), cover AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_dup_spans,
+               CAST(sum(cov) AS BIGINT) AS dup_tokens
+        FROM (SELECT doc_id, max(e) - min(s) + 1 AS cov,
+                     count(*) AS n_iv
+              FROM grouped GROUP BY doc_id, g2)
+        GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CAST(len(w.w) AS BIGINT) AS n_tokens,
+           c.n_dup_spans, c.dup_tokens,
+           CAST(floor((c.dup_tokens::DOUBLE / len(w.w)) * 10000.0 + 0.5)
+                AS DOUBLE) / 10000.0 AS dup_frac
+    FROM cover c JOIN w USING (doc_id)
+    """,
+)
+def dup_span_repair_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repair-side accounting for max_dup_span_segments — what a
+    curator reads before cutting: per affected document, how many
+    TOKENS sit inside cross-document duplicated spans and what fraction
+    of the document that is (Lee et al.'s headline "what % of the
+    corpus is verbatim duplicate" statistic, at doc grain). Islands of
+    shared windows can overlap in TOKEN space even when their window
+    positions are disjoint (a 1-window gap still shares 9 tokens), so
+    the count is an exact interval UNION: a second gaps-and-islands
+    pass merges overlapping [start, end] token intervals (an interval
+    opening at s joins the group when s ≤ running max(e) of its
+    predecessors — contiguity of the merged cover is guaranteed
+    because every member overlapped the running max).
+
+    Scale shape: everything up to the islands is max_dup_span_segments
+    (linear, fixed-width shuffles); both coalescing windows partition
+    by doc_id; per-doc interval counts are bounded by doc length.
+    Output is one row per AFFECTED document."""
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    wins = docs.select(
+        "doc_id",
+        F.explode(dedup_ops.positional_word_shingles("text", n=10)).alias(
+            "__w"
+        ),
+    ).select(
+        "doc_id",
+        F.col("__w.pos").alias("pos"),
+        F.md5(F.col("__w.span")).alias("fp"),
+    )
+    wins = wins.localCheckpoint(eager=False)
+    shared = (
+        wins.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("fp")
+    )
+    sh = wins.join(shared, "fp").select("doc_id", "pos")
+    w1 = Window.partitionBy("doc_id").orderBy("pos")
+    iv = (
+        sh.withColumn("__grp", F.col("pos") - F.row_number().over(w1))
+        .groupBy("doc_id", "__grp")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + F.lit(9)).alias("e"),
+        )
+        .drop("__grp")
+    )
+    w2 = Window.partitionBy("doc_id").orderBy("s")
+    prev_max = F.max("e").over(
+        w2.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.withColumn(
+        "__new",
+        F.when(F.col("s") <= F.coalesce(prev_max, F.lit(-1)), F.lit(0))
+        .otherwise(F.lit(1)),
+    )
+    grouped = marked.withColumn(
+        "__g2",
+        F.sum("__new").over(w2.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    cover = (
+        grouped.groupBy("doc_id", "__g2")
+        .agg((F.max("e") - F.min("s") + F.lit(1)).alias("__cov"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+            F.sum("__cov").cast("long").alias("dup_tokens"),
+        )
+    )
+    ntok = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return cover.join(ntok, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_dup_spans",
+        "dup_tokens",
+        round4(F.col("dup_tokens").cast("double") / F.col("n_tokens")).alias(
+            "dup_frac"
+        ),
+    )
+
+
 # --------------------------------------------------- data quality ----
 
 
