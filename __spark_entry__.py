@@ -37,7 +37,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # (bm25_postings_topk persisted-index probe, kll_quantile_contract
 # mergeable quantile sketch, rerank_fused_candidates second-stage
 # rerank, max_dup_span_segments maximal-run substring dedup,
-# dup_span_repair_report interval-union repair accounting).
+# dup_span_repair_report interval-union repair accounting,
+# dup_group_size_histogram dedup-impact rollup, ivf_cell_balance_report
+# ANN index-health occupancy).
 # Slots 10-19: the remaining r8-new queries — they have NEVER had a
 # driver stamp (r8 artifact was empty). Then ALL 6 streaming entries
 # (VERDICT r8 task #2 — streaming_stateful_user_totals showed one
@@ -50,9 +52,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # gate (check_query at sf0.01) before commit.
 #
 # ROUND-10 ROTATION PLAN (for the next builder): lead with (1) any
-# query round 10 edits, (2) the FIFTEEN r4-stamped entries this
-# window could not fit (six rounds old by r10): grouping_sets_orders,
-# ann_ivf_topk,
+# query round 10 edits, (2) the SEVENTEEN r4-stamped entries this
+# window could not fit (six rounds old by r10): set_union_orders,
+# approx_distinct_users, grouping_sets_orders, ann_ivf_topk,
 # ann_lsh_topk, media_decode_features, media_frame_sample,
 # pack_documents_concat_chop, stratified_sample_documents,
 # sliding_window_counts, ml_feature_table, ml_rf_metrics,
@@ -75,6 +77,8 @@ _PRIORITY = [
     "rerank_fused_candidates",
     "max_dup_span_segments",
     "dup_span_repair_report",
+    "dup_group_size_histogram",
+    "ivf_cell_balance_report",
     "bm25_lexical_topk",
     "ann_ivfpq_topk",
     "media_phash_dup_partners",
@@ -113,9 +117,9 @@ _PRIORITY = [
     "join_anti_customers_without_urgent_orders",
     "regional_revenue",
     "global_top_orders",
+    # ---- 50-slot window boundary ----
     "set_union_orders",
     "approx_distinct_users",
-    # ---- 50-slot window boundary ----
     "grouping_sets_orders",
     "ann_ivf_topk",
     "ann_lsh_topk",

@@ -166,6 +166,9 @@ HEADLINE = [
     "kll_quantile_contract",        # mergeable KLL quantile sketch rollup (r9)
     "rerank_fused_candidates",      # bounded second-stage rerank over RRF (r9)
     "max_dup_span_segments",        # maximal dup-span coalescing, islands (r9)
+    "dup_span_repair_report",       # dup-token interval union per doc (r9)
+    "dup_group_size_histogram",     # dedup impact histogram over CC (r9)
+    "ivf_cell_balance_report",      # ANN index-health cell occupancy (r9)
 ]
 
 

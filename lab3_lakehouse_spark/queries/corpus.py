@@ -233,6 +233,38 @@ def _semdedup_d2_chain(dim: int) -> str:
 
 _SEMDEDUP_K, _SEMDEDUP_DIM, _SEMDEDUP_TAU = 8, 64, 0.35
 
+# Shared oracle CTE chain replaying kmeans_assign_portable exactly
+# (seeds = k lowest ids, one round4-pinned Lloyd update, argmin ties →
+# lower cid) — consumed by the SemDeDup oracle below AND the IVF
+# cell-balance oracle (ivf_cell_balance_report).
+_KMEANS_A2_CTES = f"""seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+             embedding::DOUBLE[] AS c
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_SEMDEDUP_K})
+    ),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, s.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_semdedup_d2_chain(_SEMDEDUP_DIM)}, s.cid) AS rn
+        FROM embeddings e CROSS JOIN seeds s) WHERE rn = 1
+    ),
+    cent AS (
+      SELECT cid, pos, {sql_round4('avg(v)')} AS cv FROM (
+        SELECT a1.cid, unnest(e.embedding::DOUBLE[]) AS v,
+               unnest(generate_series(1, {_SEMDEDUP_DIM})) AS pos
+        FROM embeddings e JOIN a1 USING (vec_id))
+      GROUP BY cid, pos
+    ),
+    cent_l AS (SELECT cid, list(cv ORDER BY pos) AS c FROM cent GROUP BY cid),
+    a2 AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, s.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_semdedup_d2_chain(_SEMDEDUP_DIM)}, s.cid) AS rn
+        FROM embeddings e CROSS JOIN cent_l s) WHERE rn = 1
+    )"""
+
 _SEMDEDUP_ORACLE = f"""
     WITH seeds AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
@@ -312,6 +344,58 @@ def semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     return sim_ops.semantic_dedup(
         assigned, "vec_id", "embedding", "cluster", threshold=_SEMDEDUP_TAU
+    )
+
+
+_IVF_BALANCE_ORACLE = f"""
+    WITH {_KMEANS_A2_CTES},
+    sizes AS (
+        SELECT cid AS cell, CAST(count(*) AS BIGINT) AS n_vectors
+        FROM a2 GROUP BY cid
+    ),
+    tot AS (SELECT CAST(sum(n_vectors) AS DOUBLE) AS n FROM sizes)
+    SELECT cell, n_vectors,
+           {sql_round4('n_vectors / tot.n')} AS share,
+           {sql_round4(f'n_vectors * {_SEMDEDUP_K}.0 / tot.n')}
+               AS load_factor
+    FROM sizes CROSS JOIN tot
+"""
+
+
+@query("ivf_cell_balance_report", oracle=_IVF_BALANCE_ORACLE)
+def ivf_cell_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index HEALTH check: per-cell occupancy of the IVF routing
+    clusters (the same portable k-means assignment the SemDeDup and
+    IVF/IVF-PQ paths route through), with each cell's corpus share and
+    its load factor vs the uniform ideal (n_vectors·k/N — 1.0 means
+    perfectly balanced). The IVF probe's cost model assumes cells hold
+    ~N/k vectors; a hot cell (load_factor ≫ 1) makes every query that
+    routes there scan a corpus-sized candidate list — the ANN
+    equivalent of join-key skew, and exactly what an operator watches
+    before deciding to re-train or split cells. Same oracle-replay twin
+    pattern as semantic_dedup_clustered (k=8 pinned so DuckDB
+    reproduces the identical clustering; production re-checks balance
+    at its own k = n/250).
+
+    Plan: the assignment is map-side (centroid literals ride the scan
+    as HOF folds), then ONE grouped count to a ≤ k-row frame — the
+    report costs one corpus scan at any size."""
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = sim_ops.kmeans_assign_portable(
+        emb, "vec_id", "embedding", dim=_SEMDEDUP_DIM, k=_SEMDEDUP_K
+    )
+    sizes = assigned.groupBy(F.col("cluster").alias("cell")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    tot = sizes.agg(F.sum("n_vectors").cast("double").alias("__n"))
+    return sizes.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n_vectors",
+        round4(F.col("n_vectors") / F.col("__n")).alias("share"),
+        round4(
+            F.col("n_vectors") * F.lit(float(_SEMDEDUP_K)) / F.col("__n")
+        ).alias("load_factor"),
     )
 
 

@@ -177,6 +177,66 @@ def dup_groups_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dup_group_size_histogram",
+    oracle="""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, lang,
+               list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS w
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.w, b.w))::DOUBLE
+              / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach(u, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.u
+    ), comp AS (
+        SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u
+    ), sizes AS (
+        SELECT component, CAST(count(*) AS BIGINT) AS group_size
+        FROM comp GROUP BY component
+    )
+    SELECT group_size,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(count(*) * (group_size - 1) AS BIGINT) AS docs_removable
+    FROM sizes GROUP BY group_size
+    """,
+)
+def dup_group_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group SIZE distribution — the one-page impact summary
+    a curator reads before running dedup: how many near-dup groups
+    exist at each size, and how many documents keep-one-per-group
+    dedup would remove (Σ n_groups·(size−1)). A fat tail here (one
+    10k-member group) is the mass-duplication signature that should be
+    routed to the exact-dedup tier instead of pairwise verification —
+    the same hot-spot the LSH bucket caps guard against, now visible
+    as data. Rolls up dup_groups_connected's component frame
+    (lang-blocked exact word-Jaccard ≥ 0.8 pairs → hash-min connected
+    components) with two tiny grouped passes; the oracle resolves the
+    identical components via DuckDB's recursive closure, so the
+    histogram is differential-checked end-to-end."""
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    pairs = _word_jaccard_pairs(docs)
+    cc = dedup_ops.connected_components(pairs, "id_a", "id_b")
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size")
+    )
+    return sizes.groupBy("group_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        (F.count(F.lit(1)) * (F.col("group_size") - F.lit(1)))
+        .cast("long")
+        .alias("docs_removable"),
+    )
+
+
+@query(
     "decontamination_ngram_overlap",
     oracle="""
     WITH w AS (
