@@ -262,6 +262,22 @@ def _bench_overrides() -> dict:
         verified = dedup_ops.minhash_verify_hashed(cands, hashed, threshold=0.8)
         return dedup_ops.connected_components(verified, "id_a", "id_b")
 
+    def dup_group_histogram(spark, sf_dir):
+        # same LSH-pair substitution as dup_groups (the catalog entry's
+        # exact word-Jaccard pair tier is the oracle-replay contract;
+        # at scale the pair source is banded LSH), plus the two tiny
+        # grouped rollups that ARE this query's own workload
+        cc = dup_groups(spark, sf_dir)
+        sizes = cc.groupBy("component").agg(
+            F.count(F.lit(1)).cast("long").alias("group_size")
+        )
+        return sizes.groupBy("group_size").agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            (F.count(F.lit(1)) * (F.col("group_size") - F.lit(1)))
+            .cast("long")
+            .alias("docs_removable"),
+        )
+
     def kmv_overlap(spark, sf_dir):
         # production sketch path alone: per-segment KMV cells + pair
         # merge estimates. The catalog entry ALSO computes the exact
@@ -321,6 +337,7 @@ def _bench_overrides() -> dict:
         "ann_pq_topk": ann_pq,
         "ann_ivfpq_topk": ann_ivfpq,
         "dup_groups_connected": dup_groups,
+        "dup_group_size_histogram": dup_group_histogram,
         "kmv_audience_overlap": kmv_overlap,
     }
 
