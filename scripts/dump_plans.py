@@ -249,7 +249,68 @@ SHOWCASE: dict[str, str] = {
         "view updates through one keyed outer join — the fact table "
         "appears in NO join build side."
     ),
+    "bm25_postings_topk": (
+        "Persisted-index probe: the store scan carries PushedFilters "
+        "In(term, …) — only the query vocabulary's row groups are read "
+        "from the term-clustered postings; N/avgdl come from the "
+        "batches-sized meta sidecar; the per-(query, doc) sum is the "
+        "only data-sized aggregate and the top-k is a bounded window."
+    ),
+    "max_dup_span_segments": (
+        "Suffix-array-free maximal spans: the positional window explode "
+        "stays in the scan stage, the ONLY corpus-sized exchange ships "
+        "fixed-width (fp, doc, pos) keys — never span text — and the "
+        "coalescing window partitions by doc_id (no global sort "
+        "anywhere)."
+    ),
+    "rerank_fused_candidates": (
+        "Second-stage rerank economics: both retrieval legs end in "
+        "bounded top-k frames, the fused candidate set BROADCASTS onto "
+        "the single corpus scan that fetches texts, and the interaction "
+        "scoring + rerank window run on the ≤ queries×k pair frame — "
+        "the expensive scorer never sees the corpus."
+    ),
+    "ivf_cell_balance_report": (
+        "Index health at scan cost: the k-means assignment rides the "
+        "embedding scan map-side (centroid literals as HOF folds), and "
+        "everything after is one partial→final count to a ≤ k-row "
+        "frame with a broadcast total — no corpus-sized exchange."
+    ),
 }
+
+
+def _bm25_store_probe_frame(spark):
+    """The registry query eager-localCheckpoints its result so the temp
+    store can be deleted — which collapses the dumped plan to a bare
+    RDD scan. Rebuild the store and return the UNcheckpointed probe so
+    PLANS.md shows the real index-probe shape (the In(term) pushdown,
+    the sidecar aggregate, the bounded top-k window)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lab3_lakehouse_spark.catalog import fan_out, load_table
+    from lab3_lakehouse_spark.operators import text as text_ops
+
+    docs = fan_out(load_table(spark, SF_DIR, "documents"))
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    q = (
+        docs.filter(F.col("doc_id") < 8)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice(toks, 1, 4)).alias("term"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("qtf"))
+    )
+    tmp = tempfile.mkdtemp(prefix="plans_bm25_store_")
+    text_ops.bm25_append_batch(tmp, docs)
+    return text_ops.bm25_topk_from_store(spark, tmp, q, k=10)
+
+
+#: plan built by a custom callable instead of QUERIES[name] (when the
+#: catalog body checkpoints away the interesting plan).
+CUSTOM_FRAME = {"bm25_postings_topk": _bm25_store_probe_frame}
 
 
 def main() -> None:
@@ -264,7 +325,11 @@ def main() -> None:
         "",
     ]
     for name, why in SHOWCASE.items():
-        plan = formatted_plan(QUERIES[name](spark, SF_DIR))
+        if name in CUSTOM_FRAME:
+            frame = CUSTOM_FRAME[name](spark)
+        else:
+            frame = QUERIES[name](spark, SF_DIR)
+        plan = formatted_plan(frame)
         # strip the volatile codegen/stage ids so reruns diff cleanly
         plan = re.sub(r"\[codegen id : \d+\]", "[codegen]", plan)
         plan = re.sub(r"file:[^\s,\]]+", "<path>", plan)
