@@ -705,6 +705,7 @@ def bm25_topk_from_store(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    reuse: bool = True,
 ) -> DataFrame:
     """BM25 top-k against a PERSISTED postings store (built by
     :func:`bm25_append_batch`) — retrieval cost at 100 TB is an
@@ -728,9 +729,11 @@ def bm25_topk_from_store(
         for r in queries.select("term").distinct().collect()
     ]
     # feeds df-count AND scoring → one reuse point over the pruned scan
-    posts = _bm25_pruned_postings(spark, store_root, terms).localCheckpoint(
-        eager=False
-    )
+    # (``reuse=False`` skips the checkpoint so plan dumps/tests can see
+    # the pushed In(term) scan; the pruned sliver then scans twice)
+    posts = _bm25_pruned_postings(spark, store_root, terms)
+    if reuse:
+        posts = posts.localCheckpoint(eager=False)
     meta = spark.read.parquet(f"{store_root}/meta")
     stats = meta.agg(
         F.sum("n_docs").cast("double").alias("__n"),

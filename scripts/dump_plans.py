@@ -305,7 +305,7 @@ def _bm25_store_probe_frame(spark):
     )
     tmp = tempfile.mkdtemp(prefix="plans_bm25_store_")
     text_ops.bm25_append_batch(tmp, docs)
-    return text_ops.bm25_topk_from_store(spark, tmp, q, k=10)
+    return text_ops.bm25_topk_from_store(spark, tmp, q, k=10, reuse=False)
 
 
 #: plan built by a custom callable instead of QUERIES[name] (when the
