@@ -248,6 +248,15 @@ def workloads():
         "kll_quantile_contract": QUERIES["kll_quantile_contract"],
         "rerank_fused_candidates": QUERIES["rerank_fused_candidates"],
         "max_dup_span_segments": QUERIES["max_dup_span_segments"],
+        # round-9 late block: repair accounting (max-span + a second
+        # doc-partitioned islands window — alpha ~ the span pass),
+        # dedup-impact histogram (LSH-pair CC + two ≤-groups rollups —
+        # the bench-override composition, since the catalog's exact
+        # pair tier is the oracle twin), IVF balance (one map-side
+        # assignment scan + a ≤ k-row count — alpha ~ scan)
+        "dup_span_repair_report": QUERIES["dup_span_repair_report"],
+        "dup_group_size_histogram_lsh_cc": ov["dup_group_size_histogram"],
+        "ivf_cell_balance_report": QUERIES["ivf_cell_balance_report"],
         "corpus_pipeline": corpus_pipeline,
     }
 
