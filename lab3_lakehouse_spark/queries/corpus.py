@@ -427,6 +427,71 @@ def _sq_norm(expr: str) -> str:
     )
 
 
+_NORM_AUDIT_ORACLE = f"""
+    WITH norms AS (
+        SELECT vec_id,
+               {sql_round4(f'sqrt({_sq_norm("embedding")})')} AS l2_norm
+        FROM embeddings
+    ),
+    stats AS (
+        SELECT avg(l2_norm) AS mu, stddev_pop(l2_norm) AS sigma FROM norms
+    )
+    SELECT n.vec_id, n.l2_norm,
+           {sql_round4('''CASE WHEN s.sigma = 0 THEN 0.0
+                ELSE (n.l2_norm - s.mu) / s.sigma END''')} AS z_score,
+           CASE WHEN s.sigma = 0 THEN false
+                ELSE abs((n.l2_norm - s.mu) / s.sigma) > 3.0 END
+               AS is_anomalous,
+           n.l2_norm < 1e-6 AS is_degenerate
+    FROM norms n CROSS JOIN stats s
+"""
+
+
+@query("embedding_norm_audit", oracle=_NORM_AUDIT_ORACLE)
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-tier data quality gate: per-vector L2 norm with
+    population z-score and anomaly/degeneracy flags — the audit that
+    runs BEFORE any cosine-based operator ships, because near-zero
+    vectors make cosine undefined (silent NaN ranks) and extreme norms
+    usually mean a failed embedding batch or un-normalized mixed
+    checkpoints. Norm = sqrt of the exact JVM left-fold of squares
+    (bit-identical to the oracle's list_reduce chain), round4-PINNED
+    before the stats so both engines z-score the identical values
+    (the round4-before-rank discipline applied to a threshold).
+
+    Plan: one embedding scan computes norms map-side; mean/stddev are
+    a 1-row aggregate broadcast back — no corpus-sized exchange
+    beyond the scan's own aggregate."""
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    arr = F.col("embedding").cast("array<double>")
+    sq = F.aggregate(
+        F.transform(arr, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    norms = emb.select(
+        "vec_id", round4(F.sqrt(sq)).alias("l2_norm")
+    ).localCheckpoint(eager=False)  # feeds stats AND the output join
+    stats = norms.agg(
+        F.avg("l2_norm").alias("__mu"),
+        F.stddev_pop("l2_norm").alias("__sigma"),
+    )
+    # σ = 0 (a perfectly normalized tier — the healthy case) must not
+    # divide: z-score 0, nothing anomalous, in BOTH engines
+    zero_sigma = F.col("__sigma") == F.lit(0.0)
+    z = F.when(zero_sigma, F.lit(0.0)).otherwise(
+        (F.col("l2_norm") - F.col("__mu")) / F.col("__sigma")
+    )
+    return norms.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        "l2_norm",
+        round4(z).alias("z_score"),
+        F.when(zero_sigma, F.lit(False))
+        .otherwise(F.abs(z) > F.lit(3.0))
+        .alias("is_anomalous"),
+        (F.col("l2_norm") < F.lit(1e-6)).alias("is_degenerate"),
+    )
+
+
 _MATRYOSHKA_ORACLE = f"""
     WITH full_rank AS ({_matryoshka_ranked(None)}),
     r16 AS ({_matryoshka_ranked(16)}),

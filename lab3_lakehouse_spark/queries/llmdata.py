@@ -31,7 +31,7 @@ from lab3_lakehouse_spark.operators import dedup as dedup_ops
 from lab3_lakehouse_spark.operators import multimodal as mm_ops
 from lab3_lakehouse_spark.operators import similarity as sim_ops
 from lab3_lakehouse_spark.operators import text as text_ops
-from lab3_lakehouse_spark.queries._util import sql_round4
+from lab3_lakehouse_spark.queries._util import round4, sql_round4
 from lab3_lakehouse_spark.queries.registry import query
 from lab3_lakehouse_spark.session import tune_session
 
@@ -173,6 +173,74 @@ def dup_groups_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1))
         .over(Window.partitionBy("component"))
         .alias("group_size"),
+    )
+
+
+@query(
+    "cross_source_dup_matrix",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, source,
+               list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS w
+        FROM documents
+    ), pairs AS (
+        SELECT least(a.source, b.source) AS source_a,
+               greatest(a.source, b.source) AS source_b
+        FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.w, b.w))::DOUBLE
+              / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8
+    )
+    SELECT source_a, source_b,
+           CAST(count(*) AS BIGINT) AS n_dup_pairs,
+           source_a = source_b AS within_source
+    FROM pairs GROUP BY source_a, source_b
+    """,
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE duplication comes from: near-dup pairs rolled up to an
+    unordered (source, source) matrix — within-source counts are
+    boilerplate/re-crawl signatures (fix the crawler), cross-source
+    counts are syndication/mirroring (pick ONE canonical source in the
+    mix, or the mixture weights double-count the shared mass). The
+    pair tier is the lang-blocked exact word-Jaccard contract (the
+    oracle-replay twin — at scale the pair source swaps to banded LSH,
+    the dup_groups_connected substitution); the matrix itself is one
+    broadcast source-lookup join on the bounded pair frame and one
+    grouped count to a ≤ sources² grid."""
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    pairs = _word_jaccard_pairs(docs)
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(
+            F.broadcast(
+                src.select(
+                    F.col("doc_id").alias("id_a"),
+                    F.col("source").alias("__sa"),
+                )
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                src.select(
+                    F.col("doc_id").alias("id_b"),
+                    F.col("source").alias("__sb"),
+                )
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+    )
+    return (
+        j.groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
+        .withColumn(
+            "within_source", F.col("source_a") == F.col("source_b")
+        )
     )
 
 
@@ -1124,6 +1192,60 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_ops.token_count("text").alias("n_ws_tokens"),
         text_ops.bpe_ish_token_count("text").alias("n_bpe_ish_tokens"),
         F.length("text").cast("long").alias("n_chars_measured"),
+    )
+
+
+_BPE_SQL = (
+    "len(regexp_extract_all(text, '" + text_ops.BPE_ISH_PATTERN + "'))"
+)
+_WORDS_SQL = "len(regexp_split_to_array(text, '\\s+'))"
+_BYTES_SQL = "octet_length(encode(text))"
+
+_FERTILITY_ORACLE = f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum({_BPE_SQL}) AS BIGINT) AS n_bpe_ish,
+           CAST(sum({_WORDS_SQL}) AS BIGINT) AS n_words,
+           CAST(sum({_BYTES_SQL}) AS BIGINT) AS n_bytes,
+           {sql_round4(f'sum({_BPE_SQL})::DOUBLE / sum({_WORDS_SQL})')}
+               AS fertility,
+           {sql_round4(f'sum({_BYTES_SQL})::DOUBLE / sum({_BPE_SQL})')}
+               AS bytes_per_token
+    FROM documents GROUP BY source
+"""
+
+@query(
+    "tokenizer_fertility_by_source",
+    oracle=_FERTILITY_ORACLE,
+)
+def tokenizer_fertility_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer FERTILITY per source — subword tokens per word, plus
+    bytes per subword token: the compression diagnostic that decides
+    token budgets and flags sources a tokenizer handles badly (high
+    fertility = the vocabulary fragments that domain — code, non-Latin
+    scripts, URLs — so its token share silently exceeds its byte
+    share in the training mix). Pure scan-side Catalyst counting
+    (BPE-ish regex pre-tokenizer, whitespace words, UTF-8 bytes) into
+    ONE grouped pass keyed on the ≤ n_sources source column — at
+    100 TB this costs the scan it is fused into."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = text_ops.bpe_ish_token_count("text")
+    words = text_ops.token_count("text")
+    nbytes = F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("long")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(bpe).cast("long").alias("n_bpe_ish"),
+        F.sum(words).cast("long").alias("n_words"),
+        F.sum(nbytes).cast("long").alias("n_bytes"),
+        round4(
+            F.sum(bpe).cast("double") / F.sum(words).cast("double")
+        ).alias("fertility"),
+        round4(
+            F.sum(nbytes).cast("double") / F.sum(bpe).cast("double")
+        ).alias("bytes_per_token"),
     )
 
 

@@ -449,3 +449,84 @@ def stream_mix_monitor(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def stream_kll_quantiles(
+    spark: SparkSession,
+    src_dir: str,
+    out_root: str,
+    *,
+    value_col: str = "value",
+    k: int = 128,
+    shards: int = 4,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming KLL quantile tier — the store-sketches-not-numbers
+    design over TIME: every micro-batch reduces to its own deterministic
+    KLL compactor rows (operators/sketches.kll_sketch_rollup, batch
+    cost ∝ batch) appended to ``{out_root}/kll`` tagged with batch_id;
+    :func:`kll_store_quantiles` then merges ALL stored sketch rows —
+    metadata-sized work at any stream age — into up-to-now quantile
+    estimates. This is what a number can't do (a stored p99 can't
+    absorb tomorrow's data) and the reason the quantile tier stores
+    compactors: any time-grain rollup (day→week→all-time) is a merge,
+    never a rescan. At-least-once replay appends IDENTICAL rows (the
+    compactor is deterministic in the batch contents); consumers dedup
+    on (batch_id, shard, level) — the standard foreachBatch contract."""
+    from lab3_lakehouse_spark.operators import sketches
+
+    kll_path = f"{out_root}/kll"
+    checkpoint = f"{out_root}/_checkpoint"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sk = sketches.kll_sketch_rollup(
+            batch_df, [], value_col, k=k, shards=shards
+        )
+        sk.select(
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            "__shard",
+            "level",
+            "items",
+        ).write.mode("append").parquet(kll_path)
+
+    from lab3_lakehouse_spark.streaming.ingest import DOC_STREAM_SCHEMA
+
+    schema = (
+        EVENT_STREAM_SCHEMA if value_col == "value" else DOC_STREAM_SCHEMA
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(src_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def kll_store_quantiles(
+    spark: SparkSession,
+    store_root: str,
+    qs: list[float],
+    *,
+    k: int = 128,
+    shards: int = 4,
+) -> DataFrame:
+    """Merge every sketch row in a streaming KLL tier into up-to-now
+    quantile estimates ``(q, est)``. Each (batch, shard) pair becomes
+    one mergeable compactor; total input is batches·shards·k·levels
+    VALUES — metadata, regardless of how much data the stream has
+    absorbed. Deterministic: the same store contents always merge to
+    the same estimates (shard order is pinned by the composite id)."""
+    from lab3_lakehouse_spark.operators import sketches
+
+    sk = spark.read.parquet(f"{store_root}/kll").select(
+        (F.col("batch_id") * F.lit(shards) + F.col("__shard")).alias(
+            "__shard"
+        ),
+        "level",
+        "items",
+    )
+    return sketches.kll_merge_quantiles(sk, [], qs, k=k)

@@ -1214,3 +1214,50 @@ def test_stream_mix_monitor_counts_absent_source(spark, tmpdir):
         q.stop()
     row = spark.read.parquet(f"{out}/mixshare").collect()[0]
     assert row.max_share_drift == 0.5 and row.alarm
+
+
+def test_stream_kll_store_merges_to_bounded_rank_error(spark, tmpdir):
+    """Streaming KLL tier: two micro-batches append their compactor
+    rows; the store merge must estimate quantiles of EVERYTHING seen
+    so far within the contract rank bound, and re-merging the same
+    store must be deterministic."""
+    import json as _json
+
+    import numpy as np
+
+    from lab3_lakehouse_spark.streaming import monitor as st_mon
+
+    src, out = f"{tmpdir}/events", f"{tmpdir}/kllmon"
+    os.makedirs(src)
+    rng = np.random.RandomState(21)
+    all_vals = []
+
+    def write_batch(name, base, vals):
+        all_vals.extend(vals)
+        with open(f"{src}/{name}.json", "w") as f:
+            f.write("\n".join(_json.dumps(
+                {"event_id": base + i, "ts": "2024-02-01T00:00:00",
+                 "user_id": 1, "event_type": "view", "value": float(v)})
+                for i, v in enumerate(vals)))
+
+    q = st_mon.stream_kll_quantiles(spark, src, out, k=128, shards=4)
+    try:
+        write_batch("f0", 0, rng.exponential(10.0, size=3000))
+        q.processAllAvailable()
+        write_batch("f1", 10000, rng.exponential(50.0, size=3000))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["q"]: r["est"]
+           for r in st_mon.kll_store_quantiles(
+               spark, out, [0.1, 0.5, 0.9], k=128, shards=4).collect()}
+    assert len(got) == 3
+    srt = np.sort(np.asarray(all_vals))
+    n = len(srt)
+    for qv, est in got.items():
+        rank = np.searchsorted(srt, est, side="right")
+        assert abs(rank - qv * n) <= 0.015 * n + 1, (qv, est)
+    again = {r["q"]: r["est"]
+             for r in st_mon.kll_store_quantiles(
+                 spark, out, [0.1, 0.5, 0.9], k=128, shards=4).collect()}
+    assert again == got
