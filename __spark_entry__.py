@@ -52,8 +52,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # gate (check_query at sf0.01) before commit.
 #
 # ROUND-10 ROTATION PLAN (for the next builder): lead with (1) any
-# query round 10 edits, (2) the SEVENTEEN r4-stamped entries this
-# window could not fit (six rounds old by r10): set_union_orders,
+# query round 10 edits, (2) the TWENTY r4-stamped entries this
+# window could not fit (six rounds old by r10):
+# join_anti_customers_without_urgent_orders, regional_revenue,
+# global_top_orders, set_union_orders,
 # approx_distinct_users, grouping_sets_orders, ann_ivf_topk,
 # ann_lsh_topk, media_decode_features, media_frame_sample,
 # pack_documents_concat_chop, stratified_sample_documents,
@@ -79,6 +81,9 @@ _PRIORITY = [
     "dup_span_repair_report",
     "dup_group_size_histogram",
     "ivf_cell_balance_report",
+    "tokenizer_fertility_by_source",
+    "embedding_norm_audit",
+    "cross_source_dup_matrix",
     "bm25_lexical_topk",
     "ann_ivfpq_topk",
     "media_phash_dup_partners",
@@ -114,10 +119,10 @@ _PRIORITY = [
     "join_customer_orders",
     "join_left_order_stats",
     "join_semi_customers_with_urgent_orders",
+    # ---- 50-slot window boundary ----
     "join_anti_customers_without_urgent_orders",
     "regional_revenue",
     "global_top_orders",
-    # ---- 50-slot window boundary ----
     "set_union_orders",
     "approx_distinct_users",
     "grouping_sets_orders",
