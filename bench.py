@@ -169,6 +169,9 @@ HEADLINE = [
     "dup_span_repair_report",       # dup-token interval union per doc (r9)
     "dup_group_size_histogram",     # dedup impact histogram over CC (r9)
     "ivf_cell_balance_report",      # ANN index-health cell occupancy (r9)
+    "tokenizer_fertility_by_source",  # bytes/token compression diagnostic (r9)
+    "embedding_norm_audit",         # vector-tier norm/z-score gate (r9)
+    "cross_source_dup_matrix",      # syndication attribution matrix (r9)
 ]
 
 
@@ -262,6 +265,42 @@ def _bench_overrides() -> dict:
         verified = dedup_ops.minhash_verify_hashed(cands, hashed, threshold=0.8)
         return dedup_ops.connected_components(verified, "id_a", "id_b")
 
+    def cross_source_matrix(spark, sf_dir):
+        # LSH pair source (the catalog's exact word-Jaccard pair tier is
+        # the oracle-replay twin), then the same bounded source rollup
+        docs = fan_out(load_table(spark, sf_dir, "documents"))
+        hashed = docs.select(
+            F.col("doc_id").alias("__id"),
+            dedup_ops.shingle_hashes("text", 3).alias("__h"),
+        ).localCheckpoint(eager=False)
+        cands = dedup_ops.minhash_lsh_candidates_from_hashes(
+            hashed, num_perm=64, bands=16
+        )
+        pairs = dedup_ops.minhash_verify_hashed(cands, hashed, threshold=0.8)
+        src = docs.select("doc_id", "source")
+        j = (
+            pairs.join(
+                F.broadcast(src.select(F.col("doc_id").alias("id_a"),
+                                       F.col("source").alias("__sa"))),
+                "id_a",
+            )
+            .join(
+                F.broadcast(src.select(F.col("doc_id").alias("id_b"),
+                                       F.col("source").alias("__sb"))),
+                "id_b",
+            )
+            .select(
+                F.least("__sa", "__sb").alias("source_a"),
+                F.greatest("__sa", "__sb").alias("source_b"),
+            )
+        )
+        return (
+            j.groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
+            .withColumn("within_source",
+                        F.col("source_a") == F.col("source_b"))
+        )
+
     def dup_group_histogram(spark, sf_dir):
         # same LSH-pair substitution as dup_groups (the catalog entry's
         # exact word-Jaccard pair tier is the oracle-replay contract;
@@ -338,6 +377,7 @@ def _bench_overrides() -> dict:
         "ann_ivfpq_topk": ann_ivfpq,
         "dup_groups_connected": dup_groups,
         "dup_group_size_histogram": dup_group_histogram,
+        "cross_source_dup_matrix": cross_source_matrix,
         "kmv_audience_overlap": kmv_overlap,
     }
 
