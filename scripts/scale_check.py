@@ -257,6 +257,16 @@ def workloads():
         "dup_span_repair_report": QUERIES["dup_span_repair_report"],
         "dup_group_size_histogram_lsh_cc": ov["dup_group_size_histogram"],
         "ivf_cell_balance_report": QUERIES["ivf_cell_balance_report"],
+        # r9 final block: fertility (pure scan-side counting into a
+        # ≤ sources grouped pass — alpha ~ scan), norm audit (embedding
+        # scan + 1-row stats broadcast; the fact amplifier carries
+        # embeddings unchanged so this row pins per-run overhead — the
+        # amplified-embeddings assignment path is the SemDeDup/IVF-PQ
+        # experiments), cross-source matrix (LSH pair source + bounded
+        # source rollup — the bench-override composition)
+        "tokenizer_fertility_by_source": QUERIES["tokenizer_fertility_by_source"],
+        "embedding_norm_audit": QUERIES["embedding_norm_audit"],
+        "cross_source_dup_matrix_lsh": ov["cross_source_dup_matrix"],
         "corpus_pipeline": corpus_pipeline,
     }
 
