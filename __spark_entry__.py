@@ -52,8 +52,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # gate (check_query at sf0.01) before commit.
 #
 # ROUND-10 ROTATION PLAN (for the next builder): lead with (1) any
-# query round 10 edits, (2) the TWENTY r4-stamped entries this
-# window could not fit (six rounds old by r10):
+# query round 10 edits, (2) the TWENTY-TWO r4-stamped entries this
+# window could not fit (six rounds old by r10): join_left_order_stats,
+# join_semi_customers_with_urgent_orders,
 # join_anti_customers_without_urgent_orders, regional_revenue,
 # global_top_orders, set_union_orders,
 # approx_distinct_users, grouping_sets_orders, ann_ivf_topk,
@@ -84,6 +85,8 @@ _PRIORITY = [
     "tokenizer_fertility_by_source",
     "embedding_norm_audit",
     "cross_source_dup_matrix",
+    "winsorized_mean_event_values",
+    "region_revenue_ols",
     "bm25_lexical_topk",
     "ann_ivfpq_topk",
     "media_phash_dup_partners",
@@ -117,9 +120,9 @@ _PRIORITY = [
     "derived_metrics",
     "pricing_summary",
     "join_customer_orders",
+    # ---- 50-slot window boundary ----
     "join_left_order_stats",
     "join_semi_customers_with_urgent_orders",
-    # ---- 50-slot window boundary ----
     "join_anti_customers_without_urgent_orders",
     "regional_revenue",
     "global_top_orders",

@@ -172,6 +172,8 @@ HEADLINE = [
     "tokenizer_fertility_by_source",  # bytes/token compression diagnostic (r9)
     "embedding_norm_audit",         # vector-tier norm/z-score gate (r9)
     "cross_source_dup_matrix",      # syndication attribution matrix (r9)
+    "winsorized_mean_event_values", # clamped robust location estimate (r9)
+    "region_revenue_ols",           # grouped closed-form OLS trend (r9)
 ]
 
 

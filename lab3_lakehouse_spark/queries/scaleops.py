@@ -514,6 +514,83 @@ def trimmed_mean_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _winsorized_oracle(q_frac: float) -> str:
+    return f"""
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events WHERE value IS NOT NULL
+    ),
+    cuts AS (
+        SELECT event_type,
+               CAST(max(n) AS BIGINT) AS n,
+               CAST(floor({q_frac} * max(n)) AS BIGINT) AS k,
+               max(CASE WHEN rn = CAST(floor({q_frac} * n) AS BIGINT) + 1
+                        THEN value END) AS lo,
+               max(CASE WHEN rn = n - CAST(floor({q_frac} * n) AS BIGINT)
+                        THEN value END) AS hi
+        FROM ranked GROUP BY event_type
+    )
+    SELECT r.event_type, c.n, c.k,
+           {sql_round4('avg(r.value)')} AS raw_mean,
+           {sql_round4('avg(least(greatest(r.value, c.lo), c.hi))')}
+               AS winsorized_mean
+    FROM ranked r JOIN cuts c USING (event_type)
+    GROUP BY r.event_type, c.n, c.k
+    """
+
+
+@query("winsorized_mean_event_values", oracle=_winsorized_oracle(_TRIM_Q))
+def winsorized_mean_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group 10% two-sided WINSORIZED mean — the robust companion
+    to trimmed_mean_event_values that keeps sample size (outliers are
+    CLAMPED to the boundary order statistics, not dropped — the
+    estimator of choice when group sizes are small enough that
+    discarding 20% hurts). Exact and order-free like the trim: the
+    clamp bounds are the rank-(k+1) and rank-(n−k) values, and when
+    ties straddle a cut the clamped copies already equal the boundary
+    value, so the id tie-break pins rank order but never the estimate.
+
+    Plan: one per-group ranking window, one grouped pass extracting
+    the two boundary order statistics (conditional max — no second
+    sort), broadcast back, one clamped average. Output bounded by
+    group count."""
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wc).alias("__n"),
+    ).localCheckpoint(eager=False)  # feeds cuts AND the clamped average
+    k = F.floor(F.lit(_TRIM_Q) * F.col("__n")).cast("long")
+    cuts = ranked.groupBy("event_type").agg(
+        F.max("__n").cast("long").alias("n"),
+        F.floor(F.lit(_TRIM_Q) * F.max("__n")).cast("long").alias("k"),
+        F.max(F.when(F.col("__rn") == k + F.lit(1), F.col("value"))).alias(
+            "__lo"
+        ),
+        F.max(
+            F.when(F.col("__rn") == F.col("__n") - k, F.col("value"))
+        ).alias("__hi"),
+    )
+    clamped = F.least(
+        F.greatest(F.col("value"), F.col("__lo")), F.col("__hi")
+    )
+    return (
+        ranked.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type", "n", "k")
+        .agg(
+            round4(F.avg("value")).alias("raw_mean"),
+            round4(F.avg(clamped)).alias("winsorized_mean"),
+        )
+    )
+
+
 @query(
     "mad_outlier_report",
     oracle=f"""

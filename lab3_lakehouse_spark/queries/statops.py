@@ -227,6 +227,97 @@ def _theilsen_oracle() -> str:
     """
 
 
+_REGION_OLS_ORACLE = f"""
+    WITH daily AS (
+        SELECT r.r_name AS region,
+               CAST(date_trunc('day', o.o_orderdate) AS TIMESTAMP) AS day,
+               {sql_round4('CAST(sum(o.o_totalprice) AS DOUBLE)')} AS rev
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY region, day
+    ),
+    ranked AS (
+        SELECT region, rev,
+               row_number() OVER (PARTITION BY region ORDER BY day) AS rn
+        FROM daily
+    ),
+    sums AS (
+        SELECT region,
+               CAST(count(*) AS DOUBLE) AS n,
+               sum(CAST(rn AS DOUBLE)) AS sx, sum(rev) AS sy,
+               sum(rn * rev) AS sxy, sum(CAST(rn AS DOUBLE) * rn) AS sxx
+        FROM ranked GROUP BY region
+    )
+    SELECT region,
+           CAST(n AS BIGINT) AS n_days,
+           {sql_round4('(n * sxy - sx * sy) / (n * sxx - sx * sx)')}
+               AS ols_slope,
+           {sql_round4('sy / n')} AS mean_daily_rev
+    FROM sums
+"""
+
+
+@query("region_revenue_ols", oracle=_REGION_OLS_ORACLE)
+def region_revenue_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED least-squares trend: per-region daily-revenue OLS slope
+    — the segment-level growth decomposition a single global trend
+    (revenue_theilsen_trend) can't show: a flat total can hide one
+    region growing while another shrinks. Same closed-form sums as the
+    global OLS (slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)) with the day
+    RANK inside each region as x (exact integers — the denominator is
+    exact) and the round4-PINNED daily revenue as y, so both engines
+    fold identical values and the division is the only libm-free float
+    op. Plan: one star join (broadcast dims) + grouped daily pass, one
+    per-region ranking window on the days-sized frame, one grouped sum
+    pass — the fact table is scanned once."""
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    daily = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.date_trunc("day", "o_orderdate").alias("day"),
+        )
+        .agg(round4(F.sum("o_totalprice").cast("double")).alias("rev"))
+    )
+    w = Window.partitionBy("region").orderBy("day")
+    ranked = daily.select(
+        "region", "rev", F.row_number().over(w).alias("__rn")
+    )
+    x = F.col("__rn").cast("double")
+    sums = ranked.groupBy("region").agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum("rev").alias("__sy"),
+        F.sum(F.col("__rn") * F.col("rev")).alias("__sxy"),
+        F.sum(x * F.col("__rn")).alias("__sxx"),
+    )
+    n, sx, sy = F.col("__n"), F.col("__sx"), F.col("__sy")
+    sxy, sxx = F.col("__sxy"), F.col("__sxx")
+    return sums.select(
+        "region",
+        n.cast("long").alias("n_days"),
+        round4((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("ols_slope"),
+        round4(sy / n).alias("mean_daily_rev"),
+    )
+
+
 @query("revenue_theilsen_trend", oracle=_theilsen_oracle())
 def revenue_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust daily-revenue trend: the Theil–Sen estimator (median of
