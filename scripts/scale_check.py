@@ -267,6 +267,11 @@ def workloads():
         "tokenizer_fertility_by_source": QUERIES["tokenizer_fertility_by_source"],
         "embedding_norm_audit": QUERIES["embedding_norm_audit"],
         "cross_source_dup_matrix_lsh": ov["cross_source_dup_matrix"],
+        # winsorized mean (one ranking window + boundary-statistic pass
+        # + clamped average — the trimmed-mean cost class) and grouped
+        # OLS (star join + daily pass + tiny sum pass — alpha ~ scan)
+        "winsorized_mean_event_values": QUERIES["winsorized_mean_event_values"],
+        "region_revenue_ols": QUERIES["region_revenue_ols"],
         "corpus_pipeline": corpus_pipeline,
     }
 
