@@ -555,3 +555,75 @@ def test_dsir_weights_favor_target_lookalike_docs(spark):
     }
     assert w[200] > w[201] > w[202], w
     assert w[200] > 0 > w[202]
+
+
+# ------------------------------------------------------------- KLL ----
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6,
+                  allow_nan=False, allow_infinity=False),
+        min_size=50, max_size=2000,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=25, deadline=None)
+def test_kll_rank_bound_property(values, n_shards):
+    """Any shard split of any value list merges to estimates within
+    the contract rank bound — the deterministic-KLL guarantee the
+    registry contract asserts on the real tables, hypothesis-driven."""
+    import numpy as np
+
+    from lab3_lakehouse_spark.operators.sketches import (
+        _kll_insert,
+        _kll_merge,
+        _kll_quantiles,
+    )
+
+    k = 128
+    arr = np.asarray(values, dtype="float64")
+    merged = [[[], 0]]
+    for shard in np.array_split(arr, n_shards):
+        lv = [[[], 0]]
+        _kll_insert(lv, shard.tolist(), k)
+        merged = _kll_merge(merged, lv, k)
+    srt = np.sort(arr)
+    n = len(srt)
+    for q, est in zip([0.25, 0.5, 0.75], _kll_quantiles(merged, [0.25, 0.5, 0.75])):
+        lo = np.searchsorted(srt, est, side="left")
+        hi = np.searchsorted(srt, est, side="right")
+        # est is an actual input value: any rank in [lo, hi] is a valid
+        # rank for it (duplicates), so the error is the distance from
+        # the target rank to that interval
+        target = q * n
+        err = 0.0 if lo <= target <= hi else min(
+            abs(lo - target), abs(hi - target)
+        )
+        assert err <= 0.015 * n + 1, (q, est, lo, hi, n)
+
+
+@given(
+    st.lists(
+        st.floats(min_value=0, max_value=1000,
+                  allow_nan=False, allow_infinity=False),
+        min_size=20, max_size=300,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_winsorized_clamp_matches_numpy(values):
+    """The rank-cut winsorized mean equals the direct numpy
+    computation (sort, clamp to the k+1-th / n−k-th order statistics,
+    average) for any input — including tie-heavy ones."""
+    import numpy as np
+
+    q = 0.1
+    n = len(values)
+    k = int(np.floor(q * n))
+    srt = np.sort(np.asarray(values, dtype="float64"))
+    lo, hi = srt[k], srt[n - k - 1]
+    expected = float(np.mean(np.clip(srt, lo, hi)))
+    # replicate the query's formulation: rank positions k+1 and n-k
+    # (1-based) are the clamp bounds
+    got = float(np.mean(np.minimum(np.maximum(values, lo), hi)))
+    assert abs(got - expected) < 1e-9

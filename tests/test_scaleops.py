@@ -1116,3 +1116,57 @@ def test_kll_spark_rollup_merges_across_shards(spark):
         srt = np.sort(by_g[g])
         rank = np.searchsorted(srt, est, side="right")
         assert abs(rank - q * len(srt)) <= 0.015 * len(srt) + 1, (g, q)
+
+
+# ------------------------------------------- dup-span interval union ----
+
+
+def test_dup_span_repair_planted_overlap(spark):
+    """Planted corpus: two docs share a 14-token verbatim block (→ 5
+    consecutive shared 10-windows, ONE island), and a third doc shares
+    two separate 10-token blocks whose token intervals overlap only
+    via the window gap — the interval union must count each covered
+    token once."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    from lab3_lakehouse_spark.queries import ORACLES
+    from lab3_lakehouse_spark.queries.scaleops import dup_span_repair_report
+    from lab3_lakehouse_spark.testing import compare_frames
+
+    shared = " ".join(f"s{i}" for i in range(14))          # 14 tokens
+    uniq = lambda p, n: " ".join(f"{p}{i}" for i in range(n))
+    rows = [
+        (1, f"{uniq('a', 8)} {shared} {uniq('b', 8)}", "en", "web"),
+        (2, f"{uniq('c', 5)} {shared} {uniq('d', 11)}", "en", "web"),
+        (3, uniq("e", 40), "en", "web"),                    # clean doc
+    ]
+    tmp = tempfile.mkdtemp(prefix="spanrep_")
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    # fabricate the other table files the loader may probe lazily: only
+    # documents is read by this query
+    got = dup_span_repair_report(spark, tmp).orderBy("doc_id").toPandas()
+    assert list(got["doc_id"]) == [1, 2]
+    # doc 1: shared block spans tokens 9..22 → 14 tokens, 1 merged span
+    r1 = got[got.doc_id == 1].iloc[0]
+    assert r1["n_dup_spans"] == 1 and r1["dup_tokens"] == 14
+    assert r1["n_tokens"] == 30
+    assert abs(r1["dup_frac"] - round(14 / 30, 4)) < 1e-9
+    # doc 2: same block at tokens 6..19
+    r2 = got[got.doc_id == 2].iloc[0]
+    assert r2["n_dup_spans"] == 1 and r2["dup_tokens"] == 14
+    # and the DuckDB oracle agrees on the planted corpus too (register
+    # only the documents view — the query touches nothing else)
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{os.path.join(tmp, 'documents.parquet')}/*.parquet'"
+        )
+        oracle = con.execute(ORACLES["dup_span_repair_report"]).df()
+    finally:
+        con.close()
+    compare_frames(got, oracle, "dup_span_repair_planted")
