@@ -786,3 +786,30 @@ def test_bm25_store_probe_prunes_to_query_terms(spark, tmp_path):
     pruned = text_ops._bm25_pruned_postings(spark, root, ["w1", "w2"])
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "In(term" in plan, plan
+
+
+def test_bm25_store_probe_handles_unknown_terms(spark, tmp_path):
+    """Query terms absent from the corpus must score with df=0 idf
+    (not drop the query), matching the one-shot scorer exactly."""
+    from lab3_lakehouse_spark.operators import text as text_ops
+
+    rng = np.random.RandomState(17)
+    docs = spark.createDataFrame(
+        [(i, _doc(rng, n=25)) for i in range(40)], ["doc_id", "text"]
+    )
+    root = str(tmp_path / "bm25")
+    text_ops.bm25_append_batch(root, docs)
+    q = spark.createDataFrame(
+        [(0, "w1", 1), (0, "zzz_not_in_corpus", 2), (1, "w2", 1)],
+        ["query_id", "term", "qtf"],
+    )
+    got = (
+        text_ops.bm25_topk_from_store(spark, root, q, k=5)
+        .orderBy("query_id", "rank").collect()
+    )
+    want = (
+        text_ops.bm25_topk(docs, q, k=5)
+        .orderBy("query_id", "rank").collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert {r["query_id"] for r in got} == {0, 1}
