@@ -52,8 +52,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # gate (check_query at sf0.01) before commit.
 #
 # ROUND-10 ROTATION PLAN (for the next builder): lead with (1) any
-# query round 10 edits, (2) the TWENTY-TWO r4-stamped entries this
-# window could not fit (six rounds old by r10): join_left_order_stats,
+# query round 10 edits, (2) the TWENTY-FOUR r4-stamped entries this
+# window could not fit (six rounds old by r10): pricing_summary,
+# join_customer_orders, join_left_order_stats,
 # join_semi_customers_with_urgent_orders,
 # join_anti_customers_without_urgent_orders, regional_revenue,
 # global_top_orders, set_union_orders,
@@ -87,6 +88,8 @@ _PRIORITY = [
     "cross_source_dup_matrix",
     "winsorized_mean_event_values",
     "region_revenue_ols",
+    "dup_component_density_audit",
+    "length_stratified_sample",
     "bm25_lexical_topk",
     "ann_ivfpq_topk",
     "media_phash_dup_partners",
@@ -118,9 +121,9 @@ _PRIORITY = [
     "quality_filter",
     "reject_report",
     "derived_metrics",
+    # ---- 50-slot window boundary ----
     "pricing_summary",
     "join_customer_orders",
-    # ---- 50-slot window boundary ----
     "join_left_order_stats",
     "join_semi_customers_with_urgent_orders",
     "join_anti_customers_without_urgent_orders",

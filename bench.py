@@ -174,6 +174,8 @@ HEADLINE = [
     "cross_source_dup_matrix",      # syndication attribution matrix (r9)
     "winsorized_mean_event_values", # clamped robust location estimate (r9)
     "region_revenue_ols",           # grouped closed-form OLS trend (r9)
+    "dup_component_density_audit",  # near-dup transitivity/clique audit (r9)
+    "length_stratified_sample",     # per-decile curriculum draw (r9)
 ]
 
 
@@ -303,6 +305,45 @@ def _bench_overrides() -> dict:
                         F.col("source_a") == F.col("source_b"))
         )
 
+    def dup_component_density(spark, sf_dir):
+        # LSH pair source (exact word-Jaccard tier = oracle twin), then
+        # the audit's own two grouped counts
+        docs = fan_out(load_table(spark, sf_dir, "documents"))
+        hashed = docs.select(
+            F.col("doc_id").alias("__id"),
+            dedup_ops.shingle_hashes("text", 3).alias("__h"),
+        ).localCheckpoint(eager=False)
+        cands = dedup_ops.minhash_lsh_candidates_from_hashes(
+            hashed, num_perm=64, bands=16
+        )
+        pairs = dedup_ops.minhash_verify_hashed(
+            cands, hashed, threshold=0.8
+        ).localCheckpoint(eager=False)
+        cc = dedup_ops.connected_components(pairs, "id_a", "id_b")
+        comp = cc.select(F.col("vertex").alias("doc_id"), "component")
+        sizes = comp.groupBy("component").agg(
+            F.count(F.lit(1)).cast("long").alias("n_members")
+        )
+        pc = (
+            pairs.join(
+                F.broadcast(comp.select(F.col("doc_id").alias("id_a"),
+                                        "component")),
+                "id_a",
+            )
+            .groupBy("component")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        )
+        from lab3_lakehouse_spark.queries._util import round4 as _r4
+
+        m = F.col("n_members")
+        return sizes.join(pc, "component").select(
+            "component", "n_members", "n_pairs",
+            _r4(F.lit(2.0) * F.col("n_pairs") / (m * (m - F.lit(1)))
+                ).alias("density"),
+            (F.col("n_pairs") == (m * (m - F.lit(1))) / F.lit(2)
+             ).alias("is_clique"),
+        )
+
     def dup_group_histogram(spark, sf_dir):
         # same LSH-pair substitution as dup_groups (the catalog entry's
         # exact word-Jaccard pair tier is the oracle-replay contract;
@@ -380,6 +421,7 @@ def _bench_overrides() -> dict:
         "dup_groups_connected": dup_groups,
         "dup_group_size_histogram": dup_group_histogram,
         "cross_source_dup_matrix": cross_source_matrix,
+        "dup_component_density_audit": dup_component_density,
         "kmv_audience_overlap": kmv_overlap,
     }
 

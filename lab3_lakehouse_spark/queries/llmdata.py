@@ -305,6 +305,90 @@ def dup_group_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dup_component_density_audit",
+    oracle="""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, lang,
+               list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS w
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.w, b.w))::DOUBLE
+              / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach(u, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.u
+    ), comp AS (
+        SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u
+    ), sizes AS (
+        SELECT component, CAST(count(*) AS BIGINT) AS n_members
+        FROM comp GROUP BY component
+    ), pair_counts AS (
+        SELECT c.component, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pairs p JOIN comp c ON c.doc_id = p.id_a
+        GROUP BY c.component
+    )
+    SELECT s.component, s.n_members, pc.n_pairs,
+           CAST(floor((2.0 * pc.n_pairs
+                / (s.n_members * (s.n_members - 1))) * 10000.0 + 0.5)
+                AS DOUBLE) / 10000.0 AS density,
+           pc.n_pairs = s.n_members * (s.n_members - 1) / 2 AS is_clique
+    FROM sizes s JOIN pair_counts pc USING (component)
+    """,
+)
+def dup_component_density_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitivity audit of the near-dup graph: per duplicate
+    component, how many of the possible pairs actually verified —
+    density 1.0 (clique) means every member is pairwise-similar (a true
+    duplicate cluster: keep-one is safe); low density means the
+    component is a CHAIN glued by transitive hops (A≈B≈C but A≉C — the
+    classic over-merge failure of union-find dedup at a loose
+    threshold, where keep-one silently deletes documents that are NOT
+    duplicates of the keeper). This is the diagnostic that tunes τ:
+    falling clique rates say the threshold is too loose. Pairs and
+    components are the engine's own frames (lang-blocked exact
+    word-Jaccard → hash-min CC — the oracle-replay twin; LSH at scale);
+    the audit itself is two grouped counts joined on the ≤-components
+    frame."""
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    pairs = _word_jaccard_pairs(docs).localCheckpoint(
+        eager=False
+    )  # feeds CC AND the per-component pair count
+    cc = dedup_ops.connected_components(pairs, "id_a", "id_b")
+    comp = cc.select(F.col("vertex").alias("doc_id"), "component")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    pc = (
+        pairs.join(
+            F.broadcast(comp.select(F.col("doc_id").alias("id_a"), "component")),
+            "id_a",
+        )
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    m = F.col("n_members")
+    return sizes.join(pc, "component").select(
+        "component",
+        "n_members",
+        "n_pairs",
+        round4(
+            F.lit(2.0) * F.col("n_pairs") / (m * (m - F.lit(1)))
+        ).alias("density"),
+        (F.col("n_pairs") == (m * (m - F.lit(1))) / F.lit(2)).alias(
+            "is_clique"
+        ),
+    )
+
+
+@query(
     "decontamination_ngram_overlap",
     oracle="""
     WITH w AS (

@@ -704,6 +704,87 @@ def per_source_document_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped.select("doc_id", "source", "pick_rank")
 
 
+_CURRICULUM_BUCKETS, _CURRICULUM_K = 10, 8
+
+
+@query(
+    "length_stratified_sample",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source, n_tokens,
+               row_number() OVER (ORDER BY n_tokens, doc_id) AS rn,
+               count(*) OVER () AS n
+        FROM toks
+    ),
+    bucketed AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(floor((rn - 1) * {_CURRICULUM_BUCKETS} / n) AS BIGINT)
+                   AS bucket
+        FROM ranked
+    )
+    SELECT doc_id, source, n_tokens, bucket,
+           CAST(row_number() OVER (
+               PARTITION BY bucket
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+               AS pick_rank
+    FROM bucketed
+    QUALIFY pick_rank <= {_CURRICULUM_K}
+    """,
+)
+def length_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-STRATIFIED corpus sample — the curriculum/eval-set draw
+    that a plain uniform sample gets wrong (token length is heavy-
+    tailed, so uniform draws are dominated by short documents and a
+    "representative" eval set never sees the long tail): exact global
+    length deciles, then an equal per-decile quota chosen by the
+    engine's deterministic md5 draw (cap_per_key — reproducible on any
+    engine/run, unlike rand()). Deciles come from EXACT global ranks
+    via the two-phase ranking operator (operators/windows.
+    global_row_number: broadcast percentile cuts bucket scan-side, the
+    data-sized window partitions on the bucket id, offsets broadcast
+    back — no single-partition sort at any corpus size; the oracle's
+    one-window form is its semantic twin). Output: the sampled docs
+    with their decile and pick rank."""
+    from lab3_lakehouse_spark.operators import windows as win_ops
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", r"\s+")).cast("long").alias("n_tokens"),
+    )
+    ranked = win_ops.global_row_number(
+        toks, "n_tokens", ["doc_id"], rank_col="__rn", ascending=True
+    )
+    n = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    bucketed = ranked.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(
+            (F.col("__rn") - F.lit(1))
+            * F.lit(_CURRICULUM_BUCKETS)
+            / F.col("__n")
+        )
+        .cast("long")
+        .alias("bucket"),
+    )
+    return sampling_ops.cap_per_key(
+        bucketed,
+        key_col="bucket",
+        k=_CURRICULUM_K,
+        id_col="doc_id",
+        rank_col="pick_rank",
+    ).select("doc_id", "source", "n_tokens", "bucket", "pick_rank")
+
+
 # ------------------------------------------------- vector search ----
 
 
