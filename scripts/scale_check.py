@@ -272,6 +272,11 @@ def workloads():
         # OLS (star join + daily pass + tiny sum pass — alpha ~ scan)
         "winsorized_mean_event_values": QUERIES["winsorized_mean_event_values"],
         "region_revenue_ols": QUERIES["region_revenue_ols"],
+        # density audit rides the LSH pipeline (bench-override
+        # composition) + two bounded grouped counts; curriculum sample
+        # = two-phase global ranking + per-decile md5 window
+        "dup_component_density_lsh": ov["dup_component_density_audit"],
+        "length_stratified_sample": QUERIES["length_stratified_sample"],
         "corpus_pipeline": corpus_pipeline,
     }
 
