@@ -52,8 +52,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # gate (check_query at sf0.01) before commit.
 #
 # ROUND-10 ROTATION PLAN (for the next builder): lead with (1) any
-# query round 10 edits, (2) the TWENTY-FOUR r4-stamped entries this
-# window could not fit (six rounds old by r10): pricing_summary,
+# query round 10 edits, (2) the TWENTY-FIVE r4-stamped entries this
+# window could not fit (six rounds old by r10): derived_metrics,
+# pricing_summary,
 # join_customer_orders, join_left_order_stats,
 # join_semi_customers_with_urgent_orders,
 # join_anti_customers_without_urgent_orders, regional_revenue,
@@ -90,6 +91,7 @@ _PRIORITY = [
     "region_revenue_ols",
     "dup_component_density_audit",
     "length_stratified_sample",
+    "sql_shipping_priority",
     "bm25_lexical_topk",
     "ann_ivfpq_topk",
     "media_phash_dup_partners",
@@ -120,8 +122,8 @@ _PRIORITY = [
     "hourly_demand",
     "quality_filter",
     "reject_report",
-    "derived_metrics",
     # ---- 50-slot window boundary ----
+    "derived_metrics",
     "pricing_summary",
     "join_customer_orders",
     "join_left_order_stats",

@@ -176,6 +176,7 @@ HEADLINE = [
     "region_revenue_ols",           # grouped closed-form OLS trend (r9)
     "dup_component_density_audit",  # near-dup transitivity/clique audit (r9)
     "length_stratified_sample",     # per-decile curriculum draw (r9)
+    "sql_shipping_priority",        # Q3 shape: dual pushed date filters (r9)
 ]
 
 

@@ -476,3 +476,37 @@ def sql_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFram
     tune_session(spark)
     register_views(spark, sf_dir, ("part", "lineitem", "supplier"))
     return spark.sql(_CHEAPEST_SUPPLIER_SQL)
+
+
+_SHIPPING_PRIORITY_SQL = f"""
+    SELECT l.l_orderkey,
+           {sql_round4("sum(l.l_extendedprice * (1 - l.l_discount))")}
+               AS revenue,
+           CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-03-15'
+      AND l.l_shipdate > TIMESTAMP '1997-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+"""
+
+
+@query("sql_shipping_priority", oracle=_SHIPPING_PRIORITY_SQL)
+def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (the one Q-shape the suite was missing): top-10
+    unshipped BUILDING-segment orders by outstanding revenue as of a
+    cutoff date. Both date predicates are PushedFilters on their own
+    scans (orders by order date, lineitem by ship date) BEFORE the
+    fact-fact join, the customer segment filter broadcasts, and the
+    top-10 plans as TakeOrderedAndProject over the grouped frame — no
+    global sort. Revenue is round4-pinned BEFORE the rank cut
+    (the catalog float-rank rule) with the order-key tie-break, so
+    both engines cut the identical boundary."""
+    tune_session(spark)
+    register_views(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql(_SHIPPING_PRIORITY_SQL)
