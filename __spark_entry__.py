@@ -52,8 +52,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # gate (check_query at sf0.01) before commit.
 #
 # ROUND-10 ROTATION PLAN (for the next builder): lead with (1) any
-# query round 10 edits, (2) the TWENTY-FIVE r4-stamped entries this
-# window could not fit (six rounds old by r10): derived_metrics,
+# query round 10 edits, (2) the TWENTY-SIX r4-stamped entries this
+# window could not fit (six rounds old by r10): reject_report,
+# derived_metrics,
 # pricing_summary,
 # join_customer_orders, join_left_order_stats,
 # join_semi_customers_with_urgent_orders,
@@ -92,6 +93,7 @@ _PRIORITY = [
     "dup_component_density_audit",
     "length_stratified_sample",
     "sql_shipping_priority",
+    "asof_view_next_purchase",
     "bm25_lexical_topk",
     "ann_ivfpq_topk",
     "media_phash_dup_partners",
@@ -121,8 +123,8 @@ _PRIORITY = [
     "daily_revenue",
     "hourly_demand",
     "quality_filter",
-    "reject_report",
     # ---- 50-slot window boundary ----
+    "reject_report",
     "derived_metrics",
     "pricing_summary",
     "join_customer_orders",

@@ -177,6 +177,7 @@ HEADLINE = [
     "dup_component_density_audit",  # near-dup transitivity/clique audit (r9)
     "length_stratified_sample",     # per-decile curriculum draw (r9)
     "sql_shipping_priority",        # Q3 shape: dual pushed date filters (r9)
+    "asof_view_next_purchase",      # forward as-of: time-to-convert (r9)
 ]
 
 

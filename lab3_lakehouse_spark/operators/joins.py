@@ -287,3 +287,88 @@ def interval_overlap_join(
         *[F.col(f"a.{c}") for c in a.columns if c not in keys],
         *[F.col(f"b.{c}") for c in b.columns if c not in keys],
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] = (),
+    suffix: str = "_next",
+    right_order: str | None = None,
+) -> DataFrame:
+    """FORWARD as-of join: for each left row, attach the EARLIEST right
+    row with ``right_ts >= left_ts`` for the same key (left join —
+    unmatched rows keep NULLs). The time-to-next-event shape
+    (time-to-convert, next maintenance window, next price revision)
+    that the backward :func:`asof_join` can't express.
+
+    Same union + carry pattern, mirrored: one shuffle on the key,
+    ``first(ignorenulls=True)`` over a window running from the current
+    row to the partition END, ordered ``(ts, side)`` with LEFT rows
+    before RIGHT rows at equal ts — ties are inclusive (a right row AT
+    the left timestamp matches), the mirror of the backward operator's
+    ``<=``. Pass ``right_order`` (a right-side column, e.g. its id) to
+    pin which of several right rows at the SAME timestamp wins — the
+    backward operator inherits the analogous ambiguity; forward callers
+    that need oracle-exact output should always pin it."""
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    right_cols = list(right_cols) or [
+        c for c in right.columns if c not in (key, right_ts)
+    ]
+    r_struct_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in right_cols]
+        + [T.StructField("__rts", right.schema[right_ts].dataType)]
+    )
+    tb_type = (
+        right.schema[right_order].dataType if right_order else T.IntegerType()
+    )
+    lhs = left.select(
+        F.col(key),
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(tb_type).alias("__tb"),
+        *[F.col(c) for c in left.columns if c not in (key, left_ts)],
+        F.col(left_ts),
+        F.lit(None).cast(r_struct_type).alias("__r"),
+    )
+    rhs = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        (F.col(right_order) if right_order else F.lit(None)).cast(
+            tb_type
+        ).alias("__tb"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in (key, left_ts)
+        ],
+        F.lit(None).cast(left.schema[left_ts].dataType).alias(left_ts),
+        F.struct(
+            *[F.col(c).alias(c) for c in right_cols],
+            F.col(right_ts).alias("__rts"),
+        ).alias("__r"),
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(
+            F.col("__ts").asc(), F.col("__side").asc(), F.col("__tb").asc()
+        )
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = lhs.unionByName(rhs).withColumn(
+        "__rc", F.first("__r", ignorenulls=True).over(w)
+    )
+    keep = (
+        [key]
+        + [c for c in left.columns if c not in (key, left_ts)]
+        + [left_ts]
+        + [F.col(f"__rc.{c}").alias(f"{c}{suffix}") for c in right_cols]
+        + [F.col("__rc.__rts").alias(f"{right_ts}{suffix}")]
+    )
+    return carried.filter(F.col("__side") == 0).select(*keep)

@@ -61,6 +61,65 @@ def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_view_next_purchase",
+    oracle="""
+    WITH v AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    ), p AS (
+        SELECT user_id, ts, value, event_id AS p_eid
+        FROM events WHERE event_type = 'purchase'
+    ), m AS (
+        SELECT v.event_id, v.user_id, v.ts,
+               p.ts AS p_ts, p.value AS p_value,
+               row_number() OVER (PARTITION BY v.event_id
+                                  ORDER BY p.ts, p.p_eid) AS rn
+        FROM v LEFT JOIN p ON p.user_id = v.user_id AND p.ts >= v.ts
+    )
+    SELECT event_id, user_id, ts AS view_ts,
+           p_ts AS next_purchase_ts,
+           p_value AS next_purchase_value,
+           CAST(date_diff('second', ts, p_ts) AS BIGINT)
+               AS seconds_to_convert
+    FROM m WHERE rn = 1
+    """,
+)
+def asof_view_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (operators/joins.asof_join_forward): each
+    view gets the EARLIEST subsequent purchase by the same user — the
+    time-to-convert attribution that the backward as-of
+    (asof_purchase_last_view) can't express. Same union +
+    carry pattern mirrored to ``first(ignorenulls) over (current →
+    partition end)``: ONE shuffle on user_id, zero join fan-out (the
+    oracle's inequality join + row_number is the semantic twin; at
+    scale it would explode to |views|·|purchases| per user before the
+    rank cut). Equal-timestamp purchases are pinned by event_id
+    (``right_order``) so both engines pick the identical row."""
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", F.col("event_id").alias("p_eid")
+    )
+    out = join_ops.asof_join_forward(
+        views, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["value"], suffix="_next", right_order="p_eid",
+    )
+    secs = (
+        F.unix_timestamp("ts_next") - F.unix_timestamp("ts")
+    ).cast("long")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("ts_next").alias("next_purchase_ts"),
+        F.col("value_next").alias("next_purchase_value"),
+        secs.alias("seconds_to_convert"),
+    )
+
+
+@query(
     "window_trailing_1h_sum",
     oracle=f"""
     SELECT user_id, event_id, ts,
