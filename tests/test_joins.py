@@ -119,3 +119,45 @@ def test_salt_source_skips_map_columns(spark):
         df, spark.createDataFrame([(1, 9)], ["k", "w"]), "k", salt_buckets=4
     )
     assert out.count() == 1
+
+
+def test_asof_forward_basics_and_tiebreak(spark):
+    """Forward as-of: earliest right row with ts >= left ts; inclusive
+    at equal timestamps; unmatched lefts keep NULLs; equal-ts right
+    rows resolved by the right_order pin."""
+    import datetime as dt
+
+    from lab3_lakehouse_spark.operators import joins as join_ops
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, t(10), "a"), (1, t(25), "b"), (2, t(5), "c")],
+        ["k", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t(10), 100, 1),   # equal ts → inclusive match for "a"
+            (1, t(12), 200, 3),
+            (1, t(12), 150, 2),   # same ts as above → lower rid wins
+            (1, t(30), 300, 4),
+        ],
+        ["k", "ts", "val", "rid"],
+    )
+    out = {
+        r["tag"]: r
+        for r in join_ops.asof_join_forward(
+            left, right, key="k", right_cols=["val"],
+            suffix="_next", right_order="rid",
+        ).collect()
+    }
+    assert out["a"]["val_next"] == 100          # inclusive >= at t=10
+    assert out["b"]["val_next"] == 300          # next after t=25
+    assert out["c"]["val_next"] is None         # key 2: no right rows
+    assert out["c"]["ts_next"] is None
+    # tie-break check: a left row at t=11 must pick rid=2 (150), not 3
+    left2 = spark.createDataFrame([(1, t(11), "x")], ["k", "ts", "tag"])
+    row = join_ops.asof_join_forward(
+        left2, right, key="k", right_cols=["val"],
+        suffix="_next", right_order="rid",
+    ).collect()[0]
+    assert row["val_next"] == 150

@@ -559,3 +559,16 @@ def test_pq_adc_rank_exchange_is_skinny(spark, sf):
             # |queries| x n_centroids frame and may carry __qvec
             if "neighbor_id" in cols:
                 assert not (set(cols) & forbidden), (args, cols)
+
+
+def test_q3_pushdown_and_takeordered(spark, sf):
+    """TPC-H Q3 shape: both date predicates reach their own fact scans
+    as PushedFilters (orders by order date, lineitem by ship date) and
+    the top-10 plans as TakeOrderedAndProject — never a global sort of
+    the grouped frame."""
+    df = QUERIES["sql_shipping_priority"](spark, sf)
+    assert pa.has_pushed_filter(df, "o_orderdate"), pa.formatted_plan(df)
+    assert pa.has_pushed_filter(df, "l_shipdate"), pa.formatted_plan(df)
+    assert pa.count_nodes(df, "TakeOrderedAndProject") >= 1, (
+        pa.formatted_plan(df)
+    )
