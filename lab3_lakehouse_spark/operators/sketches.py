@@ -311,14 +311,26 @@ def kll_sketch_rollup(
     *,
     k: int = 256,
     shards: int = 8,
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Per-(keys × shard) partial KLL sketches, serialized as
     ``(keys…, shard, level, items array<double>)`` rows — the
     persistable quantile store. One ``applyInPandas`` pass; a group is
-    a SHARD of a key (spark_partition_id-derived), never a whole key,
-    so no executor ever holds a key's full data — the merge to
-    key grain (:func:`kll_merge_quantiles`) touches only sketch rows
-    (k·log(n/k) values per shard)."""
+    a SHARD of a key, never a whole key, so no executor ever holds a
+    key's full data — the merge to key grain
+    (:func:`kll_merge_quantiles`) touches only sketch rows
+    (k·log(n/k) values per shard).
+
+    The shard is derived from the DATA — ``pmod(xxhash64(shard_col or
+    value_col), shards)`` — never from ``spark_partition_id()``: a
+    replay with different file splits or executor count must reassign
+    every row to the SAME shard, or at-least-once re-appends of a
+    persisted sketch tier would not be recognizable as duplicates
+    (the streaming/monitor.stream_kll_quantiles replay contract).
+    Pass ``shard_col`` (a high-cardinality stable id) when the value
+    column itself is heavily repeated — equal values always land in
+    one shard, which skews shard sizes (never correctness: shards are
+    merged before any estimate is read)."""
     import pandas as pd
 
     gcols = [*keys, "__shard"]
@@ -343,7 +355,10 @@ def kll_sketch_rollup(
     return (
         df.filter(F.col(value_col).isNotNull())
         .withColumn(
-            "__shard", F.pmod(F.spark_partition_id(), F.lit(shards))
+            "__shard",
+            F.pmod(
+                F.xxhash64(F.col(shard_col or value_col)), F.lit(shards)
+            ).cast("int"),
         )
         .groupBy(*gcols)
         .applyInPandas(build, schema)
@@ -369,18 +384,14 @@ def kll_merge_quantiles(
 
     def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
         merged: list = [[[], 0]]
-        for (_s,), grp in pdf.groupby(["__shard"], sort=True):
-            levels = [
-                [list(r["items"]), 0]
-                for _, r in grp.sort_values("level").iterrows()
-            ]
+        # scalar grouper (not a 1-list): a single-key list grouper
+        # yields scalar keys on pandas < 3.0, so a tuple unpack here
+        # would TypeError on anything but the pinned pandas version
+        for _s, grp in pdf.groupby("__shard", sort=True):
             # re-inflate implicit empty levels (levels with no items
             # were dropped at build time)
-            dense: list = []
             lv = {int(r["level"]): list(r["items"]) for _, r in grp.iterrows()}
-            for i in range(max(lv) + 1):
-                dense.append([lv.get(i, []), 0])
-            levels = dense
+            levels = [[lv.get(i, []), 0] for i in range(max(lv) + 1)]
             merged = _kll_merge(merged, levels, k)
         ests = _kll_quantiles(merged, qs)
         head = {c: pdf[c].iloc[0] for c in keys}

@@ -670,7 +670,16 @@ def bm25_append_batch(
     unique across batches — re-appending a document double-counts its
     df/tf. Use ``compact``-style offline maintenance if replays can
     happen.
+
+    NULL-text docs are dropped from BOTH the postings and the meta
+    row — the one-shot scorer's avgdl averages only over docs that
+    produced postings (explode of NULL emits nothing), so counting
+    NULL docs in ``n_docs`` while their (NULL) dl is skipped by the
+    sum would silently shift avgdl's denominator and break the
+    bit-identical-to-:func:`bm25_topk` guarantee on corpora with
+    NULL text.
     """
+    batch = batch.filter(F.col(text_col).isNotNull())
     toks = whitespace_tokens(F.lower(F.col(text_col)))
     posts = bm25_build_postings(batch, id_col=id_col, text_col=text_col)
     posts = posts.repartition(
@@ -720,7 +729,10 @@ def bm25_topk_from_store(
     round4(Σdl / N) equals round4(avg(dl)) because both are one IEEE
     division of exactly-represented integer sums; the scoring
     expression is shared literal-for-literal (k1+1 / 1−b pinned
-    pairs, Lucene idf, round4-before-rank, id tie-break).
+    pairs, Lucene idf, round4-before-rank, id tie-break). NULL-text
+    docs are excluded by BOTH paths (the one-shot scorer's explode
+    emits nothing for them; the append drops them from postings AND
+    the meta row), so the equality holds on corpora with NULLs too.
     """
     from lab3_lakehouse_spark.queries._util import round4 as _r4
 

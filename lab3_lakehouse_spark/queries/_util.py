@@ -32,3 +32,27 @@ def sql_round4(expr: str) -> str:
     integer by 10000.0 in IEEE double → bit-identical.
     """
     return f"CAST(floor(({expr}) * 10000.0 + 0.5) AS DOUBLE) / 10000.0"
+
+
+def scratch_dir(prefix: str) -> str:
+    """Scratch root for registry queries that materialize a persisted
+    index tier (BM25 postings, IVF-PQ codes, media signatures) before
+    probing it. Honors ``$SPARK_GRAFT_SCRATCH`` when set; otherwise a
+    driver-local tempdir.
+
+    LOCAL-MODE ASSUMPTION (documented, deliberate): the default
+    tempdir is only readable by executors because local[*] runs them
+    in the driver's process — the sandbox this catalog is verified in.
+    On a real cluster, point ``SPARK_GRAFT_SCRATCH`` at shared storage
+    (HDFS / s3a / NFS) so the executors that write and later probe the
+    tier can all reach it; in production the store would live
+    permanently next to the corpus tier and the build would not run
+    inside the query at all (the in-query build is what makes these
+    registry entries self-contained for the differential gate)."""
+    import os
+    import tempfile
+
+    root = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if root:
+        os.makedirs(root, exist_ok=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=root or None)

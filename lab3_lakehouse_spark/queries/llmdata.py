@@ -587,9 +587,18 @@ def bm25_postings_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily-ingestion shape; append cost ∝ batch, existing store never
     read), and the probe must equal the one-shot scorer — the oracle
     is bm25_lexical_topk's, verbatim: same idf/saturation literals,
-    same round4-before-rank, same tie-break."""
+    same round4-before-rank, same tie-break.
+
+    Unlike the rest of the catalog this entry is eager by necessity —
+    a store probe needs the store to EXIST, so the build writes run at
+    call time. The store root comes from ``_util.scratch_dir`` ($SPARK_
+    GRAFT_SCRATCH on a real cluster, driver-local temp in local mode —
+    see that helper's documented local-mode assumption); in production
+    the index is a permanent tier built by ingestion, and only
+    bm25_topk_from_store runs per query batch."""
     import shutil
-    import tempfile
+
+    from lab3_lakehouse_spark.queries._util import scratch_dir
 
     tune_session(spark)
     docs = fan_out(load_table(spark, sf_dir, "documents"))
@@ -603,7 +612,7 @@ def bm25_postings_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("qtf"))
     )
-    tmp = tempfile.mkdtemp(prefix="bm25_store_")
+    tmp = scratch_dir("bm25_store_")
     try:
         for residue in (0, 1):
             text_ops.bm25_append_batch(

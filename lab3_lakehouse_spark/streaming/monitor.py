@@ -470,9 +470,13 @@ def stream_kll_quantiles(
     estimates. This is what a number can't do (a stored p99 can't
     absorb tomorrow's data) and the reason the quantile tier stores
     compactors: any time-grain rollup (day→week→all-time) is a merge,
-    never a rescan. At-least-once replay appends IDENTICAL rows (the
-    compactor is deterministic in the batch contents); consumers dedup
-    on (batch_id, shard, level) — the standard foreachBatch contract."""
+    never a rescan. At-least-once replay appends IDENTICAL rows:
+    the shard is a data hash (pmod(xxhash64(value), shards) — NOT
+    spark_partition_id, which would reassign shards under different
+    file splits or executor counts) and the compactor is deterministic
+    in the shard contents, so a replayed batch reproduces its rows
+    byte-for-byte and consumers dedup on (batch_id, shard, level) —
+    the standard foreachBatch contract."""
     from lab3_lakehouse_spark.operators import sketches
 
     kll_path = f"{out_root}/kll"
