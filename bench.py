@@ -178,6 +178,7 @@ HEADLINE = [
     "length_stratified_sample",     # per-decile curriculum draw (r9)
     "sql_shipping_priority",        # Q3 shape: dual pushed date filters (r9)
     "asof_view_next_purchase",      # forward as-of: time-to-convert (r9)
+    "ann_store_ivfpq_topk",         # persisted IVF-PQ index: append+probe (r10)
 ]
 
 
@@ -543,18 +544,16 @@ def _prior_bench() -> dict[str, float]:
     import glob
 
     root = os.path.dirname(os.path.abspath(__file__))
-    # BENCH_LOCAL.json is this script's own full artifact (written per
-    # run, committed per round); the driver's BENCH_r{N}.json records
-    # only a stdout TAIL (r5 lesson) — its 'queries' dict may be
-    # truncated mid-JSON, so per-query pairs are regex-recovered.
-    local = os.path.join(root, "BENCH_LOCAL.json")
-    try:
-        with open(local) as f:
-            prior = json.load(f).get("queries", {})
-        if prior:
-            return prior
-    except (OSError, ValueError):
-        pass
+    # Prefer the highest committed BENCH_r{N}.json — the DRIVER's own
+    # prior run, measured on the same host under the same per-round
+    # conditions as the next driver run, so prev_ratio is a
+    # driver-to-driver comparison (the r9 verdict flagged that a
+    # builder-local BENCH_LOCAL prior conflates host variance with code
+    # drift). BENCH_r files record a stdout TAIL (r5 lesson) — the
+    # 'queries' dict may be truncated mid-JSON, so per-query pairs are
+    # regex-recovered. BENCH_LOCAL.json (this script's own full
+    # artifact) is only the fallback for a tree with no driver
+    # artifacts yet.
     paths = sorted(
         glob.glob(os.path.join(root, "BENCH_r*.json")),
         key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
@@ -576,7 +575,12 @@ def _prior_bench() -> dict[str, float]:
         }
         if prior:
             return prior
-    return {}
+    local = os.path.join(root, "BENCH_LOCAL.json")
+    try:
+        with open(local) as f:
+            return json.load(f).get("queries", {})
+    except (OSError, ValueError):
+        return {}
 
 
 def main() -> None:

@@ -1036,6 +1036,98 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_stats(bf, ivfpq, floor=0.7)
 
 
+_ANN_STORE_ORACLE = """
+    SELECT CAST(count(*) AS BIGINT)     AS n_queries,
+           CAST(5 * count(*) AS BIGINT) AS n_bf_pairs,
+           true                         AS recall_ok,
+           true                         AS store_matches_memory
+    FROM embeddings WHERE vec_id < 8
+"""
+
+
+@query("ann_store_ivfpq_topk", oracle=_ANN_STORE_ORACLE)
+def ann_store_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN against a PERSISTED IVF-PQ index — the retrieval-side gap
+    the BM25 postings store closed for lexical, closed for dense:
+    ann_ivfpq_topk re-fits and re-encodes per call (fine for a
+    one-shot audit); here the index LIVES as parquet tiers
+    (operators/similarity.ivfpq_store_init — centroids + codebooks
+    metadata, kilobytes; ivfpq_store_append — cell-clustered code
+    rows, append cost ∝ batch, existing codes NEVER read), and the
+    query probes it (ivfpq_store_topk): the routed ≤16 cell ids push
+    down as a ``__cell IN`` parquet filter so the probe reads
+    n_probe/n_centroids of the code tier, and the exact re-rank
+    fetches its bounded float vectors from the CORPUS tier, not the
+    index. The store is populated in TWO appends (vec_id parity — the
+    daily-ingestion shape), exactly like the BM25 store entry.
+
+    Differential contract: (a) recall vs the exact brute-force top-k
+    (floor 0.7, the ann_ivfpq_topk bound), and (b)
+    ``store_matches_memory`` — the store probe must EQUAL, triple for
+    triple, an in-memory probe of the same fitted index (same stored
+    centroids/codebooks, same assignment and encode expressions), so
+    the parquet round-trip + pushdown + append-path encode are pinned
+    against the known-good in-memory path. Eager by necessity (store
+    build at call time; root via _util.scratch_dir — see its
+    documented local-mode assumption)."""
+    import shutil
+
+    from lab3_lakehouse_spark.queries._util import scratch_dir
+
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    bf = sim_ops.brute_force_topk(emb, q, "vec_id", "embedding", k=5)
+    root = scratch_dir("ivfpq_store_")
+    try:
+        sim_ops.ivfpq_store_init(
+            root, emb, "vec_id", "embedding",
+            n_centroids=16, dim=64, m=8, n_codes=32,
+        )
+        for residue in (0, 1):
+            sim_ops.ivfpq_store_append(
+                spark, root,
+                emb.filter(F.pmod("vec_id", F.lit(2)) == residue),
+                "vec_id", "embedding",
+            )
+        # the bounded (≤ |q|·k rows) probe result feeds recall stats AND
+        # both exceptAll legs — checkpoint so the probe pipeline (store
+        # read + ADC + re-rank) runs once, not three times
+        store = sim_ops.ivfpq_store_topk(
+            spark, root, emb, q, "vec_id", "embedding",
+            k=5, n_probe=8, rerank=400,
+        ).localCheckpoint(eager=False)
+        # in-memory twin SHARING the stored fit: same centroids, same
+        # codebooks, same assignment/encode expressions — the only
+        # difference is whether the code rows round-tripped parquet
+        cents, books = sim_ops.ivfpq_load_meta(spark, root)
+        mem_index = sim_ops.pq_encode(
+            sim_ops.assign_cells_literal(emb, "vec_id", "embedding", cents),
+            "neighbor_id", "__cvec", books, keep=("__cell",),
+        ).select("neighbor_id", "__cell", "__codes")
+        rerank_vecs = emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("__cvec"),
+        )
+        mem = sim_ops.ivfpq_probe_index(
+            mem_index, books, cents, q, "vec_id", "embedding",
+            rerank_vecs, k=5, n_probe=8, rerank=400,
+        ).localCheckpoint(eager=False)  # feeds both exceptAll legs
+        s_t = store.select("query_id", "neighbor_id", "rank")
+        m_t = mem.select("query_id", "neighbor_id", "rank")
+        match = (
+            s_t.exceptAll(m_t)
+            .unionByName(m_t.exceptAll(s_t))
+            .agg((F.count(F.lit(1)) == 0).alias("store_matches_memory"))
+        )
+        out = _ann_recall_stats(bf, store, floor=0.7).crossJoin(match)
+        # pin the 1-row result in executor block storage so the temp
+        # tier can be deleted (the bm25_postings_topk pattern)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @query(
     "doc_fingerprint_matches",
     oracle="""

@@ -813,3 +813,104 @@ def test_bm25_store_probe_handles_unknown_terms(spark, tmp_path):
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert {r["query_id"] for r in got} == {0, 1}
+
+
+# ------------------------------------------------ IVF-PQ index store ----
+
+
+def test_ivfpq_store_append_only_and_probe_equals_memory(
+    spark, clustered_vectors, tmp_path
+):
+    """The persisted-index lifecycle contract: (a) an append only ADDS
+    parquet files to the codes tier — every file the first append wrote
+    is byte-identical afterwards (the store is never read or rewritten
+    by an append); (b) the store probe equals, triple for triple, an
+    in-memory probe of the same fitted index (parquet round-trip +
+    ``__cell IN`` pushdown change nothing); (c) recall vs brute force
+    holds on clustered geometry."""
+    import glob
+    import os
+
+    emb = clustered_vectors
+    root = str(tmp_path / "ivfpq")
+    sim_ops.ivfpq_store_init(
+        root, emb, "vec_id", "embedding",
+        n_centroids=8, dim=32, m=8, n_codes=16,
+    )
+    sim_ops.ivfpq_store_append(
+        spark, root, emb.filter(F.col("vec_id") % 2 == 0),
+        "vec_id", "embedding",
+    )
+
+    def snapshot():
+        return {
+            p: (os.path.getsize(p), os.path.getmtime(p))
+            for p in glob.glob(f"{root}/codes/**/*.parquet", recursive=True)
+        }
+
+    before = snapshot()
+    sim_ops.ivfpq_store_append(
+        spark, root, emb.filter(F.col("vec_id") % 2 == 1),
+        "vec_id", "embedding",
+    )
+    after = snapshot()
+    for path, sig in before.items():
+        assert after[path] == sig, f"append rewrote existing file {path}"
+    assert len(after) > len(before)
+
+    queries = emb.filter(F.col("vec_id") % 30 == 0)
+    store = sim_ops.ivfpq_store_topk(
+        spark, root, emb, queries, "vec_id", "embedding",
+        k=5, n_probe=4, rerank=60,
+    )
+    cents, books = sim_ops.ivfpq_load_meta(spark, root)
+    mem_index = sim_ops.pq_encode(
+        sim_ops.assign_cells_literal(emb, "vec_id", "embedding", cents),
+        "neighbor_id", "__cvec", books, keep=("__cell",),
+    ).select("neighbor_id", "__cell", "__codes")
+    rerank_vecs = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__cvec"),
+    )
+    mem = sim_ops.ivfpq_probe_index(
+        mem_index, books, cents, queries, "vec_id", "embedding",
+        rerank_vecs, k=5, n_probe=4, rerank=60,
+    )
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rank) for r in store.collect()
+    )
+    want = sorted(
+        (r.query_id, r.neighbor_id, r.rank) for r in mem.collect()
+    )
+    assert got == want
+
+    bf = sim_ops.brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    bf_pairs = {(r.query_id, r.neighbor_id) for r in bf.collect()}
+    st_pairs = set((q, n) for q, n, _ in got)
+    recall = len(bf_pairs & st_pairs) / len(bf_pairs)
+    assert recall >= 0.8, f"store-probe recall {recall} below floor"
+
+
+def test_ivfpq_store_probe_prunes_to_routed_cells(
+    spark, clustered_vectors, tmp_path
+):
+    """The probe plan pushes the routed cell ids down as a parquet
+    ``In(__cell, …)`` filter — the index-probe contract: row groups of
+    unrouted cells are never read (the _bm25_pruned_postings pin)."""
+    emb = clustered_vectors
+    root = str(tmp_path / "ivfpq")
+    sim_ops.ivfpq_store_init(
+        root, emb, "vec_id", "embedding",
+        n_centroids=8, dim=32, m=8, n_codes=16,
+    )
+    sim_ops.ivfpq_store_append(spark, root, emb, "vec_id", "embedding")
+    pruned = sim_ops._ivfpq_pruned_codes(spark, root, [0, 3])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(__cell" in plan, plan
+    # and the probe itself produces rows through that path
+    queries = emb.filter(F.col("vec_id") < 2)
+    out = sim_ops.ivfpq_store_topk(
+        spark, root, emb, queries, "vec_id", "embedding",
+        k=3, n_probe=2, rerank=30,
+    )
+    assert out.count() == 6
