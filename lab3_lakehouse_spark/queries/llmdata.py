@@ -1496,6 +1496,57 @@ def media_phash_dup_partners(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "media_phash_store_partners",
+    oracle="""
+    SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_dup_partners
+    FROM documents a JOIN documents b
+      ON a.source = b.source AND a.doc_id != b.doc_id
+    GROUP BY a.doc_id
+    """,
+)
+def media_phash_store_partners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """media_phash_dup_partners against a PERSISTED signature tier —
+    the store member of the media-dedup family: the expensive Arrow
+    decode runs ONCE at ingestion (operators/multimodal.
+    phash_store_append — two doc_id-parity appends here, the
+    daily-crawl shape; an append never reads the store), and the dedup
+    probe (phash_pairs_from_store) reads 16-byte ``(doc_id, phash)``
+    rows — at 10⁹ images the probe touches GBs of signatures, never
+    the media. Banded-Hamming machinery, partner rollup, and the
+    same-source differential oracle are shared verbatim with the
+    decode-per-call twin, so the driver pins that the store round-trip
+    changes nothing. Eager by necessity (store build at call time;
+    root via _util.scratch_dir — see its local-mode note)."""
+    import shutil
+
+    from lab3_lakehouse_spark.queries._util import scratch_dir
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    with_bin = mm_ops.text_as_binary(docs, "source", "content")
+    root = scratch_dir("phash_store_")
+    try:
+        for residue in (0, 1):
+            mm_ops.phash_store_append(
+                root,
+                with_bin.filter(F.pmod("doc_id", F.lit(2)) == residue),
+                id_col="doc_id",
+                binary_col="content",
+            )
+        pairs = mm_ops.phash_pairs_from_store(spark, root, max_hamming=6)
+        sym = pairs.select(F.col("id_a").alias("doc_id")).unionAll(
+            pairs.select(F.col("id_b").alias("doc_id"))
+        )
+        out = sym.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_partners")
+        )
+        # pin past the temp tier's deletion (the store-entry pattern)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "media_decode_features",
     oracle="""
     SELECT doc_id,

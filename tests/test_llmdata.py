@@ -914,3 +914,55 @@ def test_ivfpq_store_probe_prunes_to_routed_cells(
         k=3, n_probe=2, rerank=30,
     )
     assert out.count() == 6
+
+
+# ---------------------------------------------- media signature store ----
+
+
+def test_phash_store_append_only_and_probe_equals_direct(spark, tmp_path):
+    """Signature-tier lifecycle: an append only ADDS parquet files
+    (decode-once contract — the store is never read or rewritten by an
+    append), and the store probe's pair set equals the decode-per-call
+    path's exactly."""
+    import glob
+    import os
+
+    docs = spark.createDataFrame(
+        [(i, f"site{i % 5}") for i in range(30)], ["doc_id", "source"]
+    )
+    with_bin = mm_ops.text_as_binary(docs, "source", "content")
+    root = str(tmp_path / "phash")
+    mm_ops.phash_store_append(
+        root, with_bin.filter(F.col("doc_id") % 2 == 0)
+    )
+
+    def snapshot():
+        return {
+            p: (os.path.getsize(p), os.path.getmtime(p))
+            for p in glob.glob(
+                f"{root}/signatures/**/*.parquet", recursive=True
+            )
+        }
+
+    before = snapshot()
+    mm_ops.phash_store_append(
+        root, with_bin.filter(F.col("doc_id") % 2 == 1)
+    )
+    after = snapshot()
+    for path, sig in before.items():
+        assert after[path] == sig, f"append rewrote existing file {path}"
+    assert len(after) > len(before)
+
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in mm_ops.phash_pairs_from_store(
+            spark, root, max_hamming=6
+        ).collect()
+    )
+    want = sorted(
+        (r.id_a, r.id_b)
+        for r in mm_ops.media_phash_pairs(
+            with_bin, id_col="doc_id", binary_col="content", max_hamming=6
+        ).collect()
+    )
+    assert got == want and len(got) > 0
