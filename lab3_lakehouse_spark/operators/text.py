@@ -794,3 +794,66 @@ def bm25_topk_from_store(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "score", "rank")
     )
+
+
+def coverage_crossencoder_udf(row_counter=None):
+    """Deterministic stand-in for a neural cross-encoder, as a REAL
+    Arrow-batched pandas UDF over (query_text, doc_text) pairs: scores
+    query-term coverage (|qtokens ∩ dtokens| / |qtokens|, lowercase
+    whitespace tokens) with numpy/pandas — the exact seam a
+    torch/onnx reranker drops into (same signature, same batch shape;
+    no model runtime ships in this environment — the documented
+    FakeCodec-class boundary). ``row_counter`` (a Spark accumulator)
+    counts rows the UDF actually scores, so tests can PIN that the
+    expensive stage only ever sees the bounded candidate pair frame,
+    never the corpus — the entire economics of rerankers at 100 TB."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def score(qt, dt):
+        if row_counter is not None:
+            row_counter.add(len(qt))
+        out = []
+        for q, d in zip(qt, dt):
+            qtok = set(str(q).lower().split())
+            dtok = set(str(d).lower().split())
+            out.append(len(qtok & dtok) / len(qtok) if qtok else 0.0)
+        return pd.Series(out, dtype="float64")
+
+    return score
+
+
+def crossencoder_rerank(
+    cands: DataFrame,
+    *,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    qtext_col: str = "__qtext",
+    dtext_col: str = "__dtext",
+    scorer=None,
+    tie_cols: tuple[str, ...] = ("rrf_rank",),
+) -> DataFrame:
+    """Second-stage rerank of a BOUNDED candidate frame with a pairwise
+    pandas-UDF scorer — the production slot rerank_fused_candidates
+    documents: first-stage retrieval proposes ≤ |queries|·depth pairs,
+    both texts are fetched onto that frame via broadcast joins (done by
+    the CALLER — this operator never touches the corpus), and only
+    those rows pass through the scorer. Ranking: score desc, then
+    ``tie_cols`` asc (first-stage rank), then id — the
+    rerank_fused_candidates tie policy. Swap ``scorer`` for a
+    model-backed pandas UDF to deploy a real cross-encoder; every
+    other plan node is unchanged."""
+    from pyspark.sql import Window
+
+    if scorer is None:
+        scorer = coverage_crossencoder_udf()
+    scored = cands.withColumn(
+        "ce_score", scorer(F.col(qtext_col), F.col(dtext_col))
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("ce_score").desc(),
+        *[F.col(c).asc() for c in tie_cols],
+        F.col(id_col).asc(),
+    )
+    return scored.withColumn("rerank", F.row_number().over(w).cast("long"))

@@ -772,10 +772,14 @@ def rerank_fused_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic query-term coverage (|qterms ∩ dtoks| / |qterms|,
     round4-before-rank, RRF-rank then doc-id tie-break) — the
     SQL-replayable stand-in for a neural cross-encoder (no torch in
-    this environment: the documented FakeCodec-class boundary); a real
-    deployment swaps the coverage expression for an Arrow-batched
-    pandas UDF over the same bounded pair frame, every other plan node
-    unchanged.
+    this environment: the documented FakeCodec-class boundary); the
+    pandas-UDF slot is REAL and tested — operators/text.
+    crossencoder_rerank runs an Arrow-batched scorer over the same
+    bounded pair frame (tests/test_llmdata.py pins, via an
+    accumulator, that the UDF sees exactly the candidate pairs and
+    never the corpus), so a model-backed UDF swaps in with every
+    other plan node unchanged. This oracle entry stays on the
+    SQL-replayable expression twin.
 
     Plan: the fused frame broadcasts onto the corpus scan to fetch
     candidate texts (the ONLY corpus touch), scoring + rerank run on

@@ -966,3 +966,69 @@ def test_phash_store_append_only_and_probe_equals_direct(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+# ------------------------------------------- cross-encoder rerank UDF ----
+
+
+def test_crossencoder_udf_sees_only_bounded_pair_frame(spark):
+    """The pandas-UDF rerank slot (the seam a neural cross-encoder
+    drops into, rerank_fused_candidates docstring): the scorer must see
+    EXACTLY the bounded candidate pairs — never the corpus — and its
+    ranking must equal the JVM coverage-expression twin on the same
+    frame."""
+    from lab3_lakehouse_spark.operators import text as text_ops
+
+    rng = np.random.RandomState(23)
+    corpus = spark.createDataFrame(
+        [(i, _doc(rng, n=12)) for i in range(120)], ["doc_id", "text"]
+    )
+    # first-stage candidates: 4 queries x 10 docs (any first-stage
+    # ranker produces this shape; boundedness is the property under
+    # test, not candidate quality)
+    cands = spark.createDataFrame(
+        [
+            (q, q * 13 + 3 * r + 1, r + 1)
+            for q in range(4)
+            for r in range(10)
+        ],
+        ["query_id", "doc_id", "rrf_rank"],
+    )
+    qtexts = corpus.select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("__qtext")
+    )
+    dtexts = corpus.select("doc_id", F.col("text").alias("__dtext"))
+    paired = cands.join(F.broadcast(qtexts), "query_id").join(
+        F.broadcast(dtexts), "doc_id"
+    )
+
+    counter = spark.sparkContext.accumulator(0)
+    out = text_ops.crossencoder_rerank(
+        paired, scorer=text_ops.coverage_crossencoder_udf(counter)
+    )
+    got = {
+        (r.query_id, r.doc_id): (r.rerank, r.ce_score) for r in out.collect()
+    }
+    assert counter.value == 40, (
+        f"scorer saw {counter.value} rows — must see exactly the 40 "
+        "candidate pairs, never the 120-doc corpus"
+    )
+
+    # expression twin on the same frame: set-coverage via array_distinct
+    qset = F.array_distinct(F.split(F.lower(F.col("__qtext")), r"\s+"))
+    dset = F.array_distinct(F.split(F.lower(F.col("__dtext")), r"\s+"))
+    cov = F.size(F.array_intersect(qset, dset)).cast("double") / F.size(
+        qset
+    ).cast("double")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ce_score").desc(), F.col("rrf_rank").asc(), F.col("doc_id").asc()
+    )
+    want = {
+        (r.query_id, r.doc_id): (r.rerank, r.ce_score)
+        for r in paired.withColumn("ce_score", cov)
+        .withColumn("rerank", F.row_number().over(w).cast("long"))
+        .collect()
+    }
+    assert got == want
