@@ -180,6 +180,8 @@ HEADLINE = [
     "asof_view_next_purchase",      # forward as-of: time-to-convert (r9)
     "ann_store_ivfpq_topk",         # persisted IVF-PQ index: append+probe (r10)
     "media_phash_store_partners",   # signature-tier probe, decode amortized (r10)
+    "kll_tier_compaction",          # quantile-store GC, bit-identical reads (r10)
+    "cross_source_containment",     # directional syndication matrix (r10)
 ]
 
 

@@ -343,8 +343,14 @@ def kll_sketch_rollup(
         levels = [[[], 0]]
         _kll_insert(levels, pdf[value_col].dropna().tolist(), k)
         head = {c: pdf[c].iloc[0] for c in gcols}
+        # emit items SORTED: per-(shard, level) content is a pure
+        # function of the shard multiset (bulk insert + sorted
+        # compaction), but the uncompacted level-0 residue keeps pdf
+        # arrival order — sorting makes the stored ROW byte-identical
+        # under any partition layout (the replay contract), and every
+        # consumer (merge, quantile read) sorts anyway
         rows = [
-            {**head, "level": i, "items": items}
+            {**head, "level": i, "items": sorted(items)}
             for i, (items, _p) in enumerate(levels)
             if items
         ]
@@ -401,3 +407,49 @@ def kll_merge_quantiles(
         )
 
     return sketches.groupBy(*keys).applyInPandas(merge, schema)
+
+
+def kll_sketch_compact(
+    sketches: DataFrame,
+    keys: list[str],
+    *,
+    k: int = 256,
+) -> DataFrame:
+    """Store GC for a persisted KLL quantile tier: fold every sketch
+    row of a key into ONE compactor (``__shard = 0``) — same output
+    schema as :func:`kll_sketch_rollup`, so compacted and raw tiers
+    interleave freely. A long-lived tier accumulates batches·shards
+    rows forever (stream_kll_quantiles appends per micro-batch);
+    compaction collapses a key to ≤ k·log(n/k) values WITHOUT
+    rescanning any raw data, and — because the fold is the SAME
+    deterministic shard-ordered merge :func:`kll_merge_quantiles`
+    runs — every quantile estimate read from the compacted tier is
+    BIT-IDENTICAL to the estimate the uncompacted tier produced
+    (pinned by the kll_tier_compaction registry entry). Run it on the
+    usual offline maintenance cadence; input per group is sketch rows
+    only, so cost is metadata-sized at any corpus age."""
+    import pandas as pd
+
+    gcols = [*keys, "__shard"]
+    schema = ", ".join(
+        [f"`{c}` string" for c in keys]
+        + ["__shard int", "level int", "items array<double>"]
+    )
+
+    def compact(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        merged: list = [[[], 0]]
+        for _s, grp in pdf.groupby("__shard", sort=True):
+            lv = {
+                int(r["level"]): list(r["items"]) for _, r in grp.iterrows()
+            }
+            levels = [[lv.get(i, []), 0] for i in range(max(lv) + 1)]
+            merged = _kll_merge(merged, levels, k)
+        head = {c: pdf[c].iloc[0] for c in keys}
+        rows = [
+            {**head, "__shard": 0, "level": i, "items": sorted(items)}
+            for i, (items, _p) in enumerate(merged)
+            if items
+        ]
+        return pd.DataFrame(rows, columns=[*gcols, "level", "items"])
+
+    return sketches.groupBy(*keys).applyInPandas(compact, schema)

@@ -160,6 +160,87 @@ def kll_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kll_tier_compaction",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           true AS compaction_shrinks,
+           true AS estimates_identical
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def kll_tier_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-tier GC (operators/sketches.kll_sketch_compact): a
+    long-lived KLL store accumulates batches·shards sketch rows
+    forever (the streaming tier appends per micro-batch); compaction
+    folds each key to ONE compactor without touching raw data — and
+    because the fold is the same deterministic shard-ordered merge the
+    reader runs, every quantile estimate from the compacted tier is
+    BIT-IDENTICAL to the uncompacted tier's. The entry pins both
+    properties per key: the compacted tier is no larger (row count),
+    and the three contract quantiles (q ∈ {{0.1, 0.5, 0.9}}) are exactly
+    equal before/after — the invariant that makes compaction safe to
+    run on any maintenance cadence. The cross-engine numeric is the
+    per-key value count (the KLL accuracy contract itself is
+    driver-checked by kll_quantile_contract)."""
+    from lab3_lakehouse_spark.operators import sketches
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    sk = sketches.kll_sketch_rollup(
+        ev, ["event_type"], "value", k=_KLL_K, shards=_KLL_SHARDS
+    ).localCheckpoint(eager=False)  # feeds compaction AND both readers
+    compacted = sketches.kll_sketch_compact(
+        sk, ["event_type"], k=_KLL_K
+    ).localCheckpoint(eager=False)  # read for rows AND estimates
+    est_pre = sketches.kll_merge_quantiles(
+        sk, ["event_type"], _KLL_QS, k=_KLL_K
+    )
+    est_post = sketches.kll_merge_quantiles(
+        compacted, ["event_type"], _KLL_QS, k=_KLL_K
+    )
+    rows_pre = sk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("__rows_pre")
+    )
+    rows_post = compacted.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("__rows_post")
+    )
+    eq = (
+        est_pre.withColumnRenamed("est", "__e_pre")
+        .join(
+            est_post.withColumnRenamed("est", "__e_post"),
+            ["event_type", "q"],
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min(F.col("__e_pre") == F.col("__e_post")).alias(
+                "estimates_identical"
+            )
+        )
+    )
+    n_by_key = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        n_by_key.join(rows_pre, "event_type")
+        .join(rows_post, "event_type")
+        .join(eq, "event_type")
+        .select(
+            "event_type",
+            "n",
+            (F.col("__rows_post") <= F.col("__rows_pre")).alias(
+                "compaction_shrinks"
+            ),
+            "estimates_identical",
+        )
+    )
+
+
+@query(
     "salted_agg_event_type",
     oracle=f"""
     SELECT event_type,

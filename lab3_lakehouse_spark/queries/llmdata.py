@@ -630,6 +630,54 @@ def bm25_postings_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@query("streaming_bm25_index", oracle=_bm25_oracle(_BM25_K))
+def streaming_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25 postings store fed by a STREAM — the continuous lid on
+    bm25_postings_topk: documents arrive as a file stream (4 JSON
+    slices, maxFilesPerTrigger=2 → multiple real micro-batches), every
+    micro-batch appends its postings + meta row through
+    streaming/ingest.stream_bm25_append (append cost ∝ batch; the
+    store is never read by the writer), and after the stream drains
+    the SAME probe as the batch entry must equal the one-shot scorer —
+    the oracle is bm25_lexical_topk's, verbatim. This is the shape a
+    crawl pipeline runs: the index is always probe-ready, at any
+    stream age, without ever rescanning the corpus."""
+    import shutil
+
+    from lab3_lakehouse_spark.queries._util import scratch_dir
+    from lab3_lakehouse_spark.streaming.ingest import stream_bm25_append
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    q = (
+        docs.filter(F.col("doc_id") < _BM25_QUERIES)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice(toks, 1, 4)).alias("term"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("qtf"))
+    )
+    src = scratch_dir("bm25_stream_src_")
+    store = scratch_dir("bm25_stream_store_")
+    try:
+        docs.select("doc_id", "text", "source").repartition(4).write.mode(
+            "overwrite"
+        ).json(src)
+        sq = stream_bm25_append(spark, src, store, max_files_per_trigger=2)
+        sq.processAllAvailable()
+        sq.stop()
+        out = text_ops.bm25_topk_from_store(
+            spark, store, q, id_col="doc_id",
+            k=_BM25_K, k1=_BM25_K1, b=_BM25_B,
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(store, ignore_errors=True)
+
+
 _RRF_DEPTH, _RRF_K, _RRF_TOPK = 20, 60, 10
 
 
@@ -1749,6 +1797,85 @@ def containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             nb.cast("long").alias("n_big"),
         )
         .filter(F.col("containment") >= 0.9)
+    )
+
+
+@query(
+    "cross_source_containment",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, source,
+               list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS w
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.source AS source_small, b.source AS source_big,
+               len(list_intersect(a.w, b.w))::DOUBLE / len(a.w) AS c
+        FROM t a JOIN t b
+          ON a.lang = b.lang
+         AND (len(a.w) < len(b.w)
+              OR (len(a.w) = len(b.w) AND a.doc_id < b.doc_id))
+        WHERE len(a.w) >= 20
+          AND len(list_intersect(a.w, b.w))::DOUBLE / len(a.w) >= 0.9
+    )
+    SELECT source_small, source_big,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN c >= 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_full,
+           {sql_round4('avg(c)')} AS mean_containment,
+           source_small = source_big AS within_source
+    FROM pairs
+    GROUP BY source_small, source_big
+    """,
+)
+def cross_source_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syndication DIRECTION attribution: the containment pair tier
+    (containment_near_dups — the asymmetric doc-in-doc class symmetric
+    Jaccard misses) rolled up to (source-of-contained,
+    source-of-container) — which feeds which. cross_source_dup_matrix
+    answers "who shares near-identical docs with whom" (symmetric, so
+    its matrix is triangular); containment is ORIENTED, so this matrix
+    is directional: a high (A→B) count with a low (B→A) count reads
+    "B republishes A wrapped in boilerplate" — the dedup-policy input
+    for choosing which source's copies to keep. n_full counts exact
+    subset pairs (containment = 1.0). Scale shape: the pair tier is
+    the exact lang-blocked verify stage (LSH banding on the small
+    side's shingles generates candidates at 100 TB); the rollup adds
+    two broadcast id→source lookups and one grouped agg bounded by
+    |sources|²."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = containment_near_dups(spark, sf_dir)
+    src = docs.select("doc_id", "source")
+    joined = pairs.join(
+        F.broadcast(
+            src.select(
+                F.col("doc_id").alias("id_small"),
+                F.col("source").alias("source_small"),
+            )
+        ),
+        "id_small",
+    ).join(
+        F.broadcast(
+            src.select(
+                F.col("doc_id").alias("id_big"),
+                F.col("source").alias("source_big"),
+            )
+        ),
+        "id_big",
+    )
+    return (
+        joined.groupBy("source_small", "source_big")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(
+                (F.col("containment") >= F.lit(1.0)).cast("long")
+            ).alias("n_full"),
+            round4(F.avg("containment")).alias("mean_containment"),
+        )
+        .withColumn(
+            "within_source", F.col("source_small") == F.col("source_big")
+        )
     )
 
 

@@ -240,3 +240,47 @@ def stream_rate_mix(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def stream_bm25_append(
+    spark: SparkSession,
+    src_dir: str,
+    store_root: str,
+    *,
+    max_files_per_trigger: int = 1,
+):
+    """Continuous BM25 index ingestion: every micro-batch of arriving
+    documents appends its postings (term-hash-clustered parquet) and
+    one ``(n_docs, dl_sum)`` meta row to the persisted store via
+    operators/text.bm25_append_batch — which NEVER reads the store, so
+    per-batch cost is ∝ the batch at any index size: the property that
+    makes a 100 TB lexical index maintainable from a stream at all.
+    Probes (bm25_topk_from_store) see every fully-committed batch and
+    need no coordination with the writer — postings and the meta row
+    land per batch, and a probe's N/avgdl/df are consistent once the
+    batch's files are visible.
+
+    At-least-once note: exactly-once here comes from the streaming
+    CHECKPOINT (a committed batch is never re-delivered); a manual
+    replay without the checkpoint re-appends postings and double-counts
+    df/tf — the documented bm25_append_batch contract. Returns the
+    started StreamingQuery (caller owns stop/awaitTermination)."""
+    from lab3_lakehouse_spark.operators import text as text_ops
+
+    checkpoint = f"{store_root}/_checkpoint"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        text_ops.bm25_append_batch(
+            store_root, batch_df, id_col="doc_id", text_col="text"
+        )
+
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(src_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -1261,3 +1261,69 @@ def test_stream_kll_store_merges_to_bounded_rank_error(spark, tmpdir):
              for r in st_mon.kll_store_quantiles(
                  spark, out, [0.1, 0.5, 0.9], k=128, shards=4).collect()}
     assert again == got
+
+
+def test_stream_bm25_append_equals_one_shot(spark, tmpdir):
+    """The streamed BM25 index (one append per micro-batch) must score
+    identically to the one-shot scorer over the same corpus — the
+    unified-API parity claim applied to the postings STORE."""
+    import json as _json
+
+    import numpy as np
+
+    from lab3_lakehouse_spark.operators import text as text_ops
+    from lab3_lakehouse_spark.streaming import ingest as st_ingest
+
+    src = f"{tmpdir}/bm25_arrivals"
+    store = f"{tmpdir}/bm25_store"
+    os.makedirs(src)
+    rng = np.random.RandomState(31)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = [
+        {
+            "doc_id": i,
+            "text": " ".join(rng.choice(vocab, size=25)),
+            "source": "s",
+        }
+        for i in range(30)
+    ]
+    for chunk in range(3):
+        with open(f"{src}/f{chunk}.json", "w") as f:
+            f.write(
+                "\n".join(
+                    _json.dumps(d) for d in docs[chunk * 10 : chunk * 10 + 10]
+                )
+            )
+
+    q = st_ingest.stream_bm25_append(spark, src, store,
+                                     max_files_per_trigger=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # three micro-batches → three meta rows (one per append)
+    assert spark.read.parquet(f"{store}/meta").count() == 3
+
+    docs_df = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in docs], ["doc_id", "text"]
+    )
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    queries = (
+        docs_df.filter(F.col("doc_id") < 3)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice(toks, 1, 4)).alias("term"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("qtf"))
+    )
+    got = (
+        text_ops.bm25_topk_from_store(spark, store, queries, k=5)
+        .orderBy("query_id", "rank").collect()
+    )
+    want = (
+        text_ops.bm25_topk(docs_df, queries, k=5)
+        .orderBy("query_id", "rank").collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]

@@ -649,3 +649,62 @@ def test_winsorized_query_matches_numpy(spark, values, rnd):
         assert abs(row[0]["raw_mean"] - expected_raw) <= 1e-4 + 1e-9
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_kll_sketch_rows_invariant_to_partitioning(spark):
+    """The r10 replay contract (ADVICE r9): sketch rows are a pure
+    function of the DATA — shard ids derive from xxhash64(value), not
+    spark_partition_id, and the bulk-insert compactor is a pure
+    function of the shard multiset — so the same rows produce
+    byte-identical sketch rows under ANY file split / partition
+    layout. This is what lets at-least-once replays of the streaming
+    quantile tier be deduped on (batch_id, shard, level)."""
+    import numpy as np
+
+    from lab3_lakehouse_spark.operators import sketches
+
+    rng = np.random.RandomState(7)
+    rows = [("g" + str(i % 3), float(v)) for i, v in enumerate(rng.normal(size=400))]
+    df = spark.createDataFrame(rows, ["k", "value"])
+
+    def rows_of(parts):
+        sk = sketches.kll_sketch_rollup(
+            df.repartition(parts), ["k"], "value", k=64, shards=4
+        )
+        return sorted(
+            (r["k"], r["__shard"], r["level"], tuple(r["items"]))
+            for r in sk.collect()
+        )
+
+    a, b = rows_of(2), rows_of(11)
+    assert a == b
+
+
+def test_kll_compaction_preserves_estimates_exactly(spark):
+    """kll_sketch_compact folds a key's shard rows into one compactor
+    with the SAME deterministic merge the reader runs — quantile
+    estimates from the compacted tier must be bit-identical, and the
+    compacted tier must be no larger."""
+    import numpy as np
+
+    from lab3_lakehouse_spark.operators import sketches
+
+    rng = np.random.RandomState(13)
+    rows = [("g" + str(i % 2), float(v)) for i, v in enumerate(rng.exponential(size=600))]
+    df = spark.createDataFrame(rows, ["k", "value"])
+    sk = sketches.kll_sketch_rollup(df, ["k"], "value", k=64, shards=4)
+    sk = sk.localCheckpoint(eager=False)
+    compacted = sketches.kll_sketch_compact(sk, ["k"], k=64)
+    qs = [0.1, 0.5, 0.9]
+    pre = {
+        (r["k"], r["q"]): r["est"]
+        for r in sketches.kll_merge_quantiles(sk, ["k"], qs, k=64).collect()
+    }
+    post = {
+        (r["k"], r["q"]): r["est"]
+        for r in sketches.kll_merge_quantiles(
+            compacted, ["k"], qs, k=64
+        ).collect()
+    }
+    assert pre == post  # bit-identical, no tolerance
+    assert compacted.count() <= sk.count()
