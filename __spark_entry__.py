@@ -28,102 +28,54 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Queries whose verdict would CHANGE this round come first (the driver
-# checks the first 50 registry entries per round). ROUND-9 rotation:
-# the driver's r8 correctness stamp came back EMPTY ({}), so NO verdict
-# advanced in r8 — the window is rebuilt from DRIVER-stamped ages
-# (VERDICT r8 task #1). Slots 1-9: the queries r9 edited (MI marginal
-# entropies, nDCG zero-relevant guard, mix accounting reuse point,
-# SemDeDup/RRF pairing docstrings) and the 4 NEW r9 queries
-# (bm25_postings_topk persisted-index probe, kll_quantile_contract
-# mergeable quantile sketch, rerank_fused_candidates second-stage
-# rerank, max_dup_span_segments maximal-run substring dedup,
-# dup_span_repair_report interval-union repair accounting,
-# dup_group_size_histogram dedup-impact rollup, ivf_cell_balance_report
-# ANN index-health occupancy).
-# Slots 10-19: the remaining r8-new queries — they have NEVER had a
-# driver stamp (r8 artifact was empty). Then ALL 6 streaming entries
-# (VERDICT r8 task #2 — streaming_stateful_user_totals showed one
-# load-flake in the judge run; an early in-window stamp proves it is
-# load, not code), the 3 r8-EDITED queries whose r7 stamps predate
-# their edits (ann_pq_topk skinny exchange, copurchase_edge_
-# embeddedness single-pass rework, events_gap_filled_daily null
-# guard), the 7 r4-green entries displaced from the r8 window, and
-# r4-green fill. All 50 pre-verified green through the exact driver
-# gate (check_query at sf0.01) before commit.
+# checks the first 50 registry entries per round). ROUND-10 rotation
+# (VERDICT r9 task #1 — the r9 stamp landed 50/50, so rotation works
+# again; ages below are DRIVER-stamped ages):
+#   slots 1-5   the five NEW r10 entries (ann_store_ivfpq_topk /
+#               media_phash_store_partners / streaming_bm25_index /
+#               kll_tier_compaction / cross_source_containment — the
+#               persisted-index tier family + its streaming lid).
+#   slots 6-11  queries r10 EDITED: kll_quantile_contract (data-hash
+#               shards + sorted sketch rows change sketch contents),
+#               bm25_postings_topk (scratch-root + NULL-text append
+#               fix), ann_ivfpq_topk / ann_pq_topk (pq_encode split out
+#               of pq_build), rerank_fused_candidates (UDF-slot
+#               wiring), winsorized_mean_event_values (now also
+#               exercised by the rewritten property test).
+#   slot 12     media_phash_dup_partners — the r9 watch item (1.43x
+#               driver-to-driver); unchanged code, fresh driver number
+#               wanted early in the round.
+#   slots 13-38 ALL twenty-six r4-stamped entries (six rounds old) —
+#               the r9 verdict's top priority, now fitting in one
+#               window.
+#   slots 39-50 the oldest twelve r5-green entries.
+# All 50 pre-verified green through the exact driver gate (check_query
+# at sf0.01) before commit — CORRECTNESS_r10_pre.json.
 #
-# ROUND-10 ROTATION PLAN (for the next builder): lead with (1) any
-# query round 10 edits, (2) the TWENTY-SIX r4-stamped entries this
-# window could not fit (six rounds old by r10): reject_report,
-# derived_metrics,
-# pricing_summary,
-# join_customer_orders, join_left_order_stats,
-# join_semi_customers_with_urgent_orders,
-# join_anti_customers_without_urgent_orders, regional_revenue,
-# global_top_orders, set_union_orders,
-# approx_distinct_users, grouping_sets_orders, ann_ivf_topk,
-# ann_lsh_topk, media_decode_features, media_frame_sample,
-# pack_documents_concat_chop, stratified_sample_documents,
-# sliding_window_counts, ml_feature_table, ml_rf_metrics,
-# pivot_user_event_counts, explode_embedding_positions,
-# latest_event_per_user, merge_cdc_orders, scd2_customer_priority;
-# then (3) the r5-green block (46 entries), then r6-green. If
-# CORRECTNESS_r09 comes back empty AGAIN, commit a driver-side
-# diagnosis note (import __spark_entry__ → run one check_query) so
-# the failure is attributable.
+# ROUND-11 ROTATION PLAN (for the next builder): lead with (1) any
+# query round 11 edits, (2) the remaining r5-green block in registry
+# order starting at zipf_fit_tokens (the 12 oldest were stamped this
+# round), then (3) r6-greens. With the r4 block stamped in r10, the
+# oldest remaining stamps are r5.
 # tests/test_engine.py::test_priority_rotation_names_all_registered
 # guards against typos silently shrinking the window.
 _PRIORITY = [
-    "priority_status_mutual_info",
-    "retrieval_label_ndcg",
-    "temperature_mix_materialized",
-    "semantic_dedup_clustered",
-    "hybrid_rrf_retrieval",
-    "bm25_postings_topk",
+    # ---- r10 new ----
+    "ann_store_ivfpq_topk",
+    "media_phash_store_partners",
+    "streaming_bm25_index",
+    "kll_tier_compaction",
+    "cross_source_containment",
+    # ---- r10 edited ----
     "kll_quantile_contract",
-    "rerank_fused_candidates",
-    "max_dup_span_segments",
-    "dup_span_repair_report",
-    "dup_group_size_histogram",
-    "ivf_cell_balance_report",
-    "tokenizer_fertility_by_source",
-    "embedding_norm_audit",
-    "cross_source_dup_matrix",
-    "winsorized_mean_event_values",
-    "region_revenue_ols",
-    "dup_component_density_audit",
-    "length_stratified_sample",
-    "sql_shipping_priority",
-    "asof_view_next_purchase",
-    "bm25_lexical_topk",
+    "bm25_postings_topk",
     "ann_ivfpq_topk",
-    "media_phash_dup_partners",
-    "incremental_agg_retractions",
-    "matryoshka_truncation_audit",
-    "dsir_target_selection",
-    "trimmed_mean_event_values",
-    "categorical_drift_chi2",
-    "revenue_holt_trend",
-    "l_diversity_audit",
-    "streaming_tumbling_hourly",
-    "streaming_session_windows",
-    "streaming_dedup_users",
-    "streaming_static_enrichment",
-    "streaming_purchase_view_join",
-    "streaming_stateful_user_totals",
     "ann_pq_topk",
-    "copurchase_edge_embeddedness",
-    "events_gap_filled_daily",
-    "window_top_orders_per_customer",
-    "window_running_spend",
-    "window_rank_parts_by_price",
-    "window_lag_lead_events",
-    "value_percentiles",
-    "unpivot_order_amounts",
-    "top_building_orders",
-    "daily_revenue",
-    "hourly_demand",
-    "quality_filter",
-    # ---- 50-slot window boundary ----
+    "rerank_fused_candidates",
+    "winsorized_mean_event_values",
+    # ---- r9 watch item ----
+    "media_phash_dup_partners",
+    # ---- r4-stamped block (VERDICT r9 task #1) ----
     "reject_report",
     "derived_metrics",
     "pricing_summary",
@@ -150,6 +102,7 @@ _PRIORITY = [
     "latest_event_per_user",
     "merge_cdc_orders",
     "scd2_customer_priority",
+    # ---- r5-green fill ----
     "dedup_fingerprint_groups",
     "word_jaccard_near_dups",
     "dup_groups_connected",
@@ -162,6 +115,50 @@ _PRIORITY = [
     "bpe_pair_frequencies",
     "domain_mix_weights",
     "unigram_surprisal_scores",
+    # ---- 50-slot window boundary ----
+    "priority_status_mutual_info",
+    "retrieval_label_ndcg",
+    "temperature_mix_materialized",
+    "semantic_dedup_clustered",
+    "hybrid_rrf_retrieval",
+    "max_dup_span_segments",
+    "dup_span_repair_report",
+    "dup_group_size_histogram",
+    "ivf_cell_balance_report",
+    "tokenizer_fertility_by_source",
+    "embedding_norm_audit",
+    "cross_source_dup_matrix",
+    "region_revenue_ols",
+    "dup_component_density_audit",
+    "length_stratified_sample",
+    "sql_shipping_priority",
+    "asof_view_next_purchase",
+    "bm25_lexical_topk",
+    "incremental_agg_retractions",
+    "matryoshka_truncation_audit",
+    "dsir_target_selection",
+    "trimmed_mean_event_values",
+    "categorical_drift_chi2",
+    "revenue_holt_trend",
+    "l_diversity_audit",
+    "streaming_tumbling_hourly",
+    "streaming_session_windows",
+    "streaming_dedup_users",
+    "streaming_static_enrichment",
+    "streaming_purchase_view_join",
+    "streaming_stateful_user_totals",
+    "copurchase_edge_embeddedness",
+    "events_gap_filled_daily",
+    "window_top_orders_per_customer",
+    "window_running_spend",
+    "window_rank_parts_by_price",
+    "window_lag_lead_events",
+    "value_percentiles",
+    "unpivot_order_amounts",
+    "top_building_orders",
+    "daily_revenue",
+    "hourly_demand",
+    "quality_filter",
     "zipf_fit_tokens",
     "hll_mergeable_daily_users",
     "lineitem_stat_moments",

@@ -137,6 +137,44 @@ def corpus_pipeline(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def cross_source_containment_prefix(spark, sf_dir):
+    """cross_source_containment's scale composition: the pair tier is
+    the LOSSLESS prefix-filtered path (operators/dedup.
+    prefix_filtered_containment — same answer as the blocked exact
+    tier, which stays the oracle twin), then the query's own bounded
+    source rollup."""
+    from lab3_lakehouse_spark.catalog import fan_out
+    from lab3_lakehouse_spark.operators import dedup as dedup_ops
+    from lab3_lakehouse_spark.queries._util import round4 as _r4
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    pairs = dedup_ops.prefix_filtered_containment(
+        docs, id_col="doc_id", text_col="text", block_col="lang",
+        threshold=0.9, min_small=20,
+    )
+    src = docs.select("doc_id", "source")
+    joined = pairs.join(
+        F.broadcast(src.select(F.col("doc_id").alias("id_small"),
+                               F.col("source").alias("source_small"))),
+        "id_small",
+    ).join(
+        F.broadcast(src.select(F.col("doc_id").alias("id_big"),
+                               F.col("source").alias("source_big"))),
+        "id_big",
+    )
+    return (
+        joined.groupBy("source_small", "source_big")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum((F.col("containment") >= F.lit(1.0)).cast("long")
+                  ).alias("n_full"),
+            _r4(F.avg("containment")).alias("mean_containment"),
+        )
+        .withColumn("within_source",
+                    F.col("source_small") == F.col("source_big"))
+    )
+
+
 def workloads():
     from bench import _bench_overrides
 
@@ -277,6 +315,23 @@ def workloads():
         # = two-phase global ranking + per-decile md5 window
         "dup_component_density_lsh": ov["dup_component_density_audit"],
         "length_stratified_sample": QUERIES["length_stratified_sample"],
+        # round-10 additions: the persisted IVF-PQ store entry (the
+        # fact amplifier carries embeddings unchanged, so this row pins
+        # the fixed cost of init + two appends + store probe + memory
+        # twin — alpha ~ 0, the norm-audit class; corpus growth of the
+        # codes tier is covered by the ivfpq embeddings experiment and
+        # the pruned-probe plan pin), the media signature store (decode
+        # ∝ corpus at build + banded probe over 16-byte rows — the
+        # phash cost class, alpha ~ 1), quantile-store GC (rollup scan
+        # ∝ corpus, compaction + both readers metadata-sized — alpha ~
+        # scan), and the directional containment matrix over the
+        # LOSSLESS prefix-filtered pair tier (the catalog's exact
+        # blocked tier is the oracle twin; prefix postings prune
+        # cross-copy pairs, so candidates grow linearly)
+        "ann_store_ivfpq_topk": QUERIES["ann_store_ivfpq_topk"],
+        "media_phash_store_partners": QUERIES["media_phash_store_partners"],
+        "kll_tier_compaction": QUERIES["kll_tier_compaction"],
+        "cross_source_containment_prefix": cross_source_containment_prefix,
         "corpus_pipeline": corpus_pipeline,
     }
 
