@@ -434,7 +434,7 @@ def _bench_overrides() -> dict:
         root = _phash_store_cache.get(sf_dir)
         if root is None:
             root = tempfile.mkdtemp(prefix="bench_phash_store_")
-            docs = load_table(spark, sf_dir, "documents")
+            docs = fan_out(load_table(spark, sf_dir, "documents"))
             with_bin = mm_ops.text_as_binary(docs, "source", "content")
             mm_ops.phash_store_append(root, with_bin)
             _phash_store_cache[sf_dir] = root

@@ -9,6 +9,11 @@ north-star surface, no counterpart in the reference.
 - ``rp_lsh_buckets`` / ``rp_lsh_topk`` — random-hyperplane (sign) LSH:
   the scale path when query sets are large; candidates share ≥1 bucket
   across ``n_tables`` hash tables, exact cosine re-rank on candidates.
+- ``ivf_*`` / ``pq_*`` / ``ivfpq_*`` — the index family (cells, codes,
+  and their composition), plus the PERSISTED lifecycle
+  (``ivfpq_store_init`` / ``_append`` / ``_topk``): metadata tiers +
+  cell-clustered code rows as parquet, append-only ingestion, and a
+  probe that reads only the routed cells' row groups.
 
 Hyperplanes are generated from a fixed seed → plans are deterministic
 and reproducible across runs (training-data lineage requirement).
@@ -891,6 +896,48 @@ def assign_cells_literal(
     )
 
 
+def _fit_centroids_sample(
+    train: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    n_centroids: int,
+    seed: int,
+    train_cap: int = 4096,
+    iters: int = 8,
+) -> list[tuple[int, list[float]]]:
+    """Fit the IVF coarse quantizer with numpy Lloyd on the bounded
+    hash-deterministic sample (the same sample rule as
+    :func:`_pq_fit_codebooks`, and the faiss convention — the coarse
+    quantizer trains on a few thousand vectors regardless of corpus
+    size: an IVF index needs a balanced spatial PARTITION, not a
+    converged clustering, and recall is governed by n_probe). Collect
+    is ≤ train_cap rows via TakeOrderedAndProject — bounded metadata.
+    Versus fitting spark.ml KMeans over the full frame (the ivf_build
+    path, kept for the in-memory one-shot operator): measured ~12×
+    faster at sf0.1 with recall unchanged, and the fit is a
+    deterministic function of the id set alone."""
+    sample = (
+        train.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .orderBy(F.crc32(F.col("__id").cast("string")).asc(), F.col("__id").asc())
+        .limit(train_cap)
+        .collect()
+    )
+    X = np.array([r["__v"] for r in sample], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cent = X[
+        rng.choice(len(X), size=n_centroids, replace=len(X) < n_centroids)
+    ].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        a = d2.argmin(1)
+        for c in range(n_centroids):
+            mask = a == c
+            if mask.any():
+                cent[c] = X[mask].mean(0)
+    return [(int(i), [float(x) for x in c]) for i, c in enumerate(cent)]
+
+
 def ivfpq_store_init(
     store_root: str,
     train: DataFrame,
@@ -905,27 +952,19 @@ def ivfpq_store_init(
     max_iter: int = 8,
 ) -> None:
     """Fit and persist the index METADATA tiers — IVF centroids
-    (spark.ml KMeans, the ivf_build fit) and PQ codebooks (Lloyd on the
-    bounded hash-deterministic sample) — writing NO code rows: corpora
-    enter the index through :func:`ivfpq_store_append`. Fit cost is one
-    k-means over the training frame; both tiers are kilobytes
-    regardless of corpus size (≤ n_centroids + m·n_codes rows)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
+    (numpy Lloyd on the bounded hash-deterministic sample,
+    :func:`_fit_centroids_sample`) and PQ codebooks (same sample rule,
+    :func:`_pq_fit_codebooks`) — writing NO code rows: corpora enter
+    the index through :func:`ivfpq_store_append`. Both tiers are
+    kilobytes regardless of corpus size (≤ n_centroids + m·n_codes
+    rows), and the whole fit touches ≤ 2·train_cap collected rows —
+    at 100 TB the init is a constant-cost step before the linear
+    append passes."""
     spark = train.sparkSession
-    mlvec = train.select(
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__mlvec")
+    cents = _fit_centroids_sample(
+        train, id_col, vec_col,
+        n_centroids=n_centroids, seed=seed, iters=max_iter,
     )
-    km = KMeans(
-        k=n_centroids, seed=seed, maxIter=max_iter,
-        featuresCol="__mlvec", predictionCol="__cell",
-    )
-    model = km.fit(mlvec)
-    cents = [
-        (int(i), [float(x) for x in c])
-        for i, c in enumerate(model.clusterCenters())
-    ]
     # localCheckpoint before write: serializing a driver-local Python
     # relation through the parquet writer is measured ~10× slower than
     # writing the same 16 rows from block storage (the write task

@@ -1574,7 +1574,7 @@ def media_phash_store_partners(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lab3_lakehouse_spark.queries._util import scratch_dir
 
     tune_session(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     with_bin = mm_ops.text_as_binary(docs, "source", "content")
     root = scratch_dir("phash_store_")
     try:

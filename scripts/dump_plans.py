@@ -276,6 +276,21 @@ SHOWCASE: dict[str, str] = {
         "everything after is one partial→final count to a ≤ k-row "
         "frame with a broadcast total — no corpus-sized exchange."
     ),
+    "ann_store_ivfpq_topk": (
+        "Persisted ANN-index probe: the codes scan carries PushedFilters "
+        "In(__cell, …) — only the routed cells' row groups are read from "
+        "the cell-clustered tier; the ADC exchange ships (query_id, "
+        "neighbor_id, __adc) only; the exact re-rank fetches its bounded "
+        "float vectors from the CORPUS scan via broadcast, never from "
+        "the index."
+    ),
+    "media_phash_store_partners": (
+        "Signature-tier probe: candidate pairs generate from stored "
+        "16-byte (doc_id, phash) rows via banded chunk keys + JVM "
+        "bit_count — NO decode appears anywhere in the probe plan; the "
+        "one Arrow decode pass ran at append time and is amortized over "
+        "every later dedup run."
+    ),
 }
 
 
@@ -308,9 +323,62 @@ def _bm25_store_probe_frame(spark):
     return text_ops.bm25_topk_from_store(spark, tmp, q, k=10, reuse=False)
 
 
+def _ivfpq_store_probe_frame(spark):
+    """Same checkpoint-hides-the-plan issue as the BM25 store entry:
+    rebuild the index tiers and return the UNcheckpointed probe so
+    PLANS.md shows the In(__cell) pushdown, the skinny ADC exchange and
+    the broadcast re-rank fetch."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lab3_lakehouse_spark.catalog import load_table
+    from lab3_lakehouse_spark.operators import similarity as sim_ops
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    tmp = tempfile.mkdtemp(prefix="plans_ivfpq_store_")
+    sim_ops.ivfpq_store_init(
+        tmp, emb, "vec_id", "embedding", n_centroids=16, dim=64, m=8,
+        n_codes=32,
+    )
+    sim_ops.ivfpq_store_append(spark, tmp, emb, "vec_id", "embedding")
+    return sim_ops.ivfpq_store_topk(
+        spark, tmp, emb, q, "vec_id", "embedding", k=5, n_probe=8,
+        rerank=400,
+    )
+
+
+def _phash_store_probe_frame(spark):
+    """Rebuild the signature tier and return the UNcheckpointed probe +
+    partner rollup, so PLANS.md shows a decode-free plan."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lab3_lakehouse_spark.catalog import load_table
+    from lab3_lakehouse_spark.operators import multimodal as mm_ops
+
+    docs = load_table(spark, SF_DIR, "documents")
+    with_bin = mm_ops.text_as_binary(docs, "source", "content")
+    tmp = tempfile.mkdtemp(prefix="plans_phash_store_")
+    mm_ops.phash_store_append(tmp, with_bin)
+    pairs = mm_ops.phash_pairs_from_store(spark, tmp, max_hamming=6)
+    sym = pairs.select(F.col("id_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    )
+    return sym.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_partners")
+    )
+
+
 #: plan built by a custom callable instead of QUERIES[name] (when the
 #: catalog body checkpoints away the interesting plan).
-CUSTOM_FRAME = {"bm25_postings_topk": _bm25_store_probe_frame}
+CUSTOM_FRAME = {
+    "bm25_postings_topk": _bm25_store_probe_frame,
+    "ann_store_ivfpq_topk": _ivfpq_store_probe_frame,
+    "media_phash_store_partners": _phash_store_probe_frame,
+}
 
 
 def main() -> None:
