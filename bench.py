@@ -182,6 +182,7 @@ HEADLINE = [
     "media_phash_store_partners",   # signature-tier probe, decode amortized (r10)
     "kll_tier_compaction",          # quantile-store GC, bit-identical reads (r10)
     "cross_source_containment",     # directional syndication matrix (r10)
+    "bm25_store_compaction",        # postings-store GC, identical probe (r10)
 ]
 
 

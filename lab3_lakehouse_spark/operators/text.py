@@ -857,3 +857,38 @@ def crossencoder_rerank(
         F.col(id_col).asc(),
     )
     return scored.withColumn("rerank", F.row_number().over(w).cast("long"))
+
+
+def bm25_compact_store(
+    spark,
+    src_root: str,
+    dst_root: str,
+    *,
+    buckets: int = 32,
+) -> None:
+    """Offline maintenance for a BM25 postings store: every append
+    clusters its OWN batch by term, so a store fed per-micro-batch
+    (stream_bm25_append) fragments — a probe's ``term IN`` pushdown
+    must open every batch's files even though each contributes a
+    sliver. Compaction re-clusters the whole postings tier on the term
+    hash (one read + one shuffle + one write — the read is allowed
+    here: compaction IS the offline pass, unlike appends, which never
+    read) and folds the per-batch meta sidecar into one row. Scoring
+    from the compacted store is IDENTICAL — postings rows are unique
+    per (term, doc) across batches (globally-unique doc-id contract),
+    so compaction moves rows, never merges or drops them.
+
+    Writes to ``dst_root`` (a NEW tier): swap-in is the caller's
+    atomic-rename/catalog-repoint step, so probes against ``src_root``
+    are never disturbed mid-compaction."""
+    posts = spark.read.parquet(f"{src_root}/postings")
+    posts.repartition(
+        buckets, F.pmod(F.xxhash64("term"), F.lit(buckets))
+    ).sortWithinPartitions("term").write.mode("error").parquet(
+        f"{dst_root}/postings"
+    )
+    meta = spark.read.parquet(f"{src_root}/meta").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("dl_sum").cast("long").alias("dl_sum"),
+    )
+    meta.coalesce(1).write.mode("error").parquet(f"{dst_root}/meta")

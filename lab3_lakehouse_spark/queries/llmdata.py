@@ -678,6 +678,56 @@ def streaming_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(store, ignore_errors=True)
 
 
+@query("bm25_store_compaction", oracle=_bm25_oracle(_BM25_K))
+def bm25_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-store GC (operators/text.bm25_compact_store) — the
+    maintenance pass a per-batch-append store needs: four small
+    appends (doc_id mod 4 — the fragmented shape a micro-batch stream
+    leaves behind) are re-clustered into one term-hash-bucketed tier
+    plus a single folded meta row, written to a NEW root so live
+    probes are never disturbed. Scoring from the compacted store must
+    equal the one-shot scorer exactly (the verbatim bm25_lexical_topk
+    oracle): compaction moves postings rows, never merges or drops
+    them, and Σ n_docs / Σ dl_sum are the same integers however many
+    meta rows they were split across. The KLL twin is
+    kll_tier_compaction; together they pin the tier-GC discipline for
+    both store families."""
+    import shutil
+
+    from lab3_lakehouse_spark.queries._util import scratch_dir
+
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    q = (
+        docs.filter(F.col("doc_id") < _BM25_QUERIES)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice(toks, 1, 4)).alias("term"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("qtf"))
+    )
+    src_root = scratch_dir("bm25_frag_")
+    dst_root = scratch_dir("bm25_compacted_")
+    try:
+        for residue in range(4):
+            text_ops.bm25_append_batch(
+                src_root,
+                docs.filter(F.pmod("doc_id", F.lit(4)) == residue),
+                id_col="doc_id", text_col="text",
+            )
+        text_ops.bm25_compact_store(spark, src_root, dst_root)
+        out = text_ops.bm25_topk_from_store(
+            spark, dst_root, q, id_col="doc_id",
+            k=_BM25_K, k1=_BM25_K1, b=_BM25_B,
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src_root, ignore_errors=True)
+        shutil.rmtree(dst_root, ignore_errors=True)
+
+
 _RRF_DEPTH, _RRF_K, _RRF_TOPK = 20, 60, 10
 
 

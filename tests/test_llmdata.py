@@ -1032,3 +1032,45 @@ def test_crossencoder_udf_sees_only_bounded_pair_frame(spark):
         .collect()
     }
     assert got == want
+
+
+def test_bm25_compact_store_probe_identical_and_defragmented(spark, tmp_path):
+    """Compaction contract: probe scores from the compacted tier are
+    identical to the fragmented store's, the meta sidecar folds to one
+    row, and the postings tier has fewer files (the point of the GC)."""
+    import glob
+
+    from lab3_lakehouse_spark.operators import text as text_ops
+
+    rng = np.random.RandomState(41)
+    docs = spark.createDataFrame(
+        [(i, _doc(rng, n=25)) for i in range(40)], ["doc_id", "text"]
+    )
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compacted")
+    for residue in range(4):
+        text_ops.bm25_append_batch(src, docs.filter(F.col("doc_id") % 4 == residue))
+    text_ops.bm25_compact_store(spark, src, dst, buckets=4)
+
+    n_src = len(glob.glob(f"{src}/postings/**/*.parquet", recursive=True))
+    n_dst = len(glob.glob(f"{dst}/postings/**/*.parquet", recursive=True))
+    assert n_dst < n_src, (n_src, n_dst)
+    assert spark.read.parquet(f"{dst}/meta").count() == 1
+
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    q = (
+        docs.filter(F.col("doc_id") < 3)
+        .select(F.col("doc_id").alias("query_id"),
+                F.explode(F.slice(toks, 1, 4)).alias("term"))
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("qtf"))
+    )
+    got = (
+        text_ops.bm25_topk_from_store(spark, dst, q, k=5)
+        .orderBy("query_id", "rank").collect()
+    )
+    want = (
+        text_ops.bm25_topk_from_store(spark, src, q, k=5)
+        .orderBy("query_id", "rank").collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
