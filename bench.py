@@ -578,16 +578,26 @@ def _prior_bench() -> dict[str, float]:
     import glob
 
     root = os.path.dirname(os.path.abspath(__file__))
-    # Prefer the highest committed BENCH_r{N}.json — the DRIVER's own
-    # prior run, measured on the same host under the same per-round
-    # conditions as the next driver run, so prev_ratio is a
-    # driver-to-driver comparison (the r9 verdict flagged that a
-    # builder-local BENCH_LOCAL prior conflates host variance with code
-    # drift). BENCH_r files record a stdout TAIL (r5 lesson) — the
-    # 'queries' dict may be truncated mid-JSON, so per-query pairs are
-    # regex-recovered. BENCH_LOCAL.json (this script's own full
-    # artifact) is only the fallback for a tree with no driver
-    # artifacts yet.
+    # BENCH_LOCAL.json is the only artifact carrying the FULL per-query
+    # dict: the driver's BENCH_r{N} records a 2000-char stdout TAIL
+    # that, at 130+ queries, truncates into the prev_ratio dict — an
+    # r10 attempt to prefer BENCH_r{N} recovered RATIOS as "seconds"
+    # and produced nonsense drift lines. Per round the driver's own
+    # bench run overwrites and commits BENCH_LOCAL, so at round start
+    # the prior IS the driver's last run on this host; a builder's
+    # mid-round run then compares against that same denominator (the
+    # r9 verdict's attributability ask).
+    local = os.path.join(root, "BENCH_LOCAL.json")
+    try:
+        with open(local) as f:
+            prior = json.load(f).get("queries", {})
+        if prior:
+            return prior
+    except (OSError, ValueError):
+        pass
+    # fallback: a BENCH_r file whose tail still contains the START of
+    # the queries dict — recover only pairs inside that segment, never
+    # the prev_ratio block
     paths = sorted(
         glob.glob(os.path.join(root, "BENCH_r*.json")),
         key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
@@ -600,8 +610,12 @@ def _prior_bench() -> dict[str, float]:
             continue
         if isinstance(obj.get("queries"), dict):
             return obj["queries"]
-        tail = obj.get("tail", "")
-        pairs = re.findall(r'"([a-z0-9_]+)":([0-9]+\.[0-9]+)', tail)
+        seg = obj.get("tail", "").split('"queries":{', 1)
+        if len(seg) != 2:
+            continue
+        pairs = re.findall(
+            r'"([a-z0-9_]+)":([0-9]+\.[0-9]+)', seg[1].split("}", 1)[0]
+        )
         prior = {
             n: float(v)
             for n, v in pairs
@@ -609,12 +623,7 @@ def _prior_bench() -> dict[str, float]:
         }
         if prior:
             return prior
-    local = os.path.join(root, "BENCH_LOCAL.json")
-    try:
-        with open(local) as f:
-            return json.load(f).get("queries", {})
-    except (OSError, ValueError):
-        return {}
+    return {}
 
 
 def main() -> None:
