@@ -183,6 +183,7 @@ HEADLINE = [
     "kll_tier_compaction",          # quantile-store GC, bit-identical reads (r10)
     "cross_source_containment",     # directional syndication matrix (r10)
     "bm25_store_compaction",        # postings-store GC, identical probe (r10)
+    "t_closeness_audit",            # ordered-EMD privacy-trio completion (r10)
 ]
 
 

@@ -1486,6 +1486,127 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TCLOSE_T = 0.15
+
+
+def _tclose_oracle() -> str:
+    return f"""
+    WITH b AS (
+        SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+               CAST(floor(c_acctbal / {_LDIV_BAND}) AS BIGINT) AS band
+        FROM customer
+    ),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(count(DISTINCT band) AS DOUBLE) AS m FROM b),
+    gband AS (SELECT band, CAST(count(*) AS DOUBLE) AS gcnt FROM b
+              GROUP BY band),
+    grp AS (SELECT nationkey, mktsegment,
+                   CAST(count(*) AS DOUBLE) AS n_g
+            FROM b GROUP BY nationkey, mktsegment),
+    gb AS (SELECT nationkey, mktsegment, band,
+                  CAST(count(*) AS DOUBLE) AS cnt
+           FROM b GROUP BY nationkey, mktsegment, band),
+    terms AS (
+        SELECT grp.nationkey, grp.mktsegment, grp.n_g, gband.band,
+               coalesce(gb.cnt, 0.0) / grp.n_g - gband.gcnt / tot.n AS d,
+               tot.m AS m
+        FROM grp CROSS JOIN gband CROSS JOIN tot
+        LEFT JOIN gb USING (nationkey, mktsegment, band)
+    ),
+    cs AS (
+        SELECT nationkey, mktsegment, n_g, m,
+               sum(d) OVER (PARTITION BY nationkey, mktsegment
+                            ORDER BY band
+                            ROWS UNBOUNDED PRECEDING) AS c
+        FROM terms
+    )
+    SELECT nationkey, mktsegment,
+           CAST(max(n_g) AS BIGINT) AS group_size,
+           {sql_round4('sum(abs(c)) / (max(m) - 1.0)')} AS emd,
+           {sql_round4('sum(abs(c)) / (max(m) - 1.0)')} <= {_TCLOSE_T}
+               AS t_close
+    FROM cs
+    GROUP BY nationkey, mktsegment
+    """
+
+
+@query("t_closeness_audit", oracle=_tclose_oracle())
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007, re-derived
+    from the published definition) — the third member of the privacy
+    trio: a class can be large (k-anonymous) AND span many sensitive
+    values (l-diverse) yet still leak if its sensitive DISTRIBUTION
+    differs from the table's (a skew attack: 90% of one band inside a
+    class is a disclosure even with l distinct bands present). Same
+    quasi-identifier classes and account-balance bands as the k-anon /
+    l-div entries; the distance is the ordered-attribute Earth-Mover's
+    Distance — (1/(m−1))·Σᵢ |Σⱼ≤ᵢ (pⱼ − qⱼ)| over the m globally-
+    observed bands, the closed form the paper gives for totally-
+    ordered domains.
+
+    Cross-engine exactness: p and q are exact integer/integer double
+    divisions; the cumulative sum folds in band order (a total order
+    per class) so both engines add the same doubles in the same
+    sequence; only the final Σ|·| over m≈6 bands is aggregation-order
+    sensitive, and the comparison happens on the round4-pinned value
+    in BOTH engines. Plan shape: two grouped counts + one ≤6-row
+    broadcast grid join + one partitioned cumsum window — output and
+    every intermediate after the scans are bounded by |classes| × m,
+    never rows."""
+    from pyspark.sql import Window
+
+    tune_session(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    b = cust.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.floor(F.col("c_acctbal") / F.lit(_LDIV_BAND))
+        .cast("long")
+        .alias("band"),
+    ).localCheckpoint(eager=False)  # feeds 3 grouped passes + totals
+    tot = b.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.countDistinct("band").cast("double").alias("__m"),
+    )
+    glob = b.groupBy("band").agg(
+        F.count(F.lit(1)).cast("double").alias("__gcnt")
+    )
+    grp = b.groupBy("nationkey", "mktsegment").agg(
+        F.count(F.lit(1)).cast("double").alias("__ng")
+    )
+    gb = b.groupBy("nationkey", "mktsegment", "band").agg(
+        F.count(F.lit(1)).cast("double").alias("__cnt")
+    )
+    grid = (
+        grp.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(gb), ["nationkey", "mktsegment", "band"], "left")
+        .select(
+            "nationkey",
+            "mktsegment",
+            "__ng",
+            "__m",
+            "band",
+            (
+                F.coalesce(F.col("__cnt"), F.lit(0.0)) / F.col("__ng")
+                - F.col("__gcnt") / F.col("__n")
+            ).alias("__d"),
+        )
+    )
+    w = (
+        Window.partitionBy("nationkey", "mktsegment")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cs = grid.withColumn("__c", F.sum("__d").over(w))
+    emd = round4(F.sum(F.abs(F.col("__c"))) / (F.max("__m") - F.lit(1.0)))
+    return cs.groupBy("nationkey", "mktsegment").agg(
+        F.max("__ng").cast("long").alias("group_size"),
+        emd.alias("emd"),
+        (emd <= F.lit(_TCLOSE_T)).alias("t_close"),
+    )
+
+
 @query("k_anonymity_audit", oracle=_kanon_oracle())
 def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit over the customer quasi-identifiers

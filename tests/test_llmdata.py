@@ -1074,3 +1074,33 @@ def test_bm25_compact_store_probe_identical_and_defragmented(spark, tmp_path):
         .orderBy("query_id", "rank").collect()
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_phash_store_probe_plan_is_decode_free(spark, tmp_path):
+    """The signature-tier economics, pinned in the PLAN: the store
+    probe must contain NO Python evaluation node (the Arrow decode ran
+    once at append time), while the decode-per-call twin's plan does —
+    the positive control that the pin actually detects decode."""
+    docs = spark.createDataFrame(
+        [(i, f"site{i % 3}") for i in range(12)], ["doc_id", "source"]
+    )
+    with_bin = mm_ops.text_as_binary(docs, "source", "content")
+    root = str(tmp_path / "phash")
+    mm_ops.phash_store_append(root, with_bin)
+
+    python_nodes = ("MapInPandas", "ArrowEvalPython", "BatchEvalPython",
+                    "mapInPandas", "PythonUDF")
+
+    probe = mm_ops.phash_pairs_from_store(spark, root, max_hamming=6)
+    probe_plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert not any(n in probe_plan for n in python_nodes), probe_plan
+
+    # positive control on the UNcheckpointed hash frame
+    # (media_phash_pairs localCheckpoints sims, which hides the decode
+    # node from executedPlan — the r9 plan-pin lesson)
+    direct = mm_ops.perceptual_hash_images(with_bin)
+    direct_plan = direct._jdf.queryExecution().executedPlan().toString()
+    assert any(n in direct_plan for n in python_nodes), (
+        "positive control failed: the decode plan shows no Python "
+        "node — the pin would be vacuous"
+    )
