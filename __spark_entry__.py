@@ -31,32 +31,33 @@ def entry(spark: SparkSession) -> DataFrame:
 # checks the first 50 registry entries per round). ROUND-10 rotation
 # (VERDICT r9 task #1 — the r9 stamp landed 50/50, so rotation works
 # again; ages below are DRIVER-stamped ages):
-#   slots 1-7   the seven NEW r10 entries (ann_store_ivfpq_topk /
+#   slots 1-8   the eight NEW r10 entries (ann_store_ivfpq_topk /
 #               media_phash_store_partners / streaming_bm25_index /
 #               kll_tier_compaction / cross_source_containment /
-#               bm25_store_compaction / t_closeness_audit — the
-#               persisted-index tier family, its streaming lid, its
-#               GC, and the privacy-trio completion).
-#   slots 8-13  queries r10 EDITED: kll_quantile_contract (data-hash
+#               bm25_store_compaction / t_closeness_audit /
+#               functional_dependency_audit — the persisted-index
+#               tier family, its streaming lid, its GC, the
+#               privacy-trio completion, and FD validation).
+#   slots 9-14  queries r10 EDITED: kll_quantile_contract (data-hash
 #               shards + sorted sketch rows change sketch contents),
 #               bm25_postings_topk (scratch-root + NULL-text append
 #               fix), ann_ivfpq_topk / ann_pq_topk (pq_encode split out
 #               of pq_build), rerank_fused_candidates (UDF-slot
 #               wiring), winsorized_mean_event_values (now also
 #               exercised by the rewritten property test).
-#   slot 14     media_phash_dup_partners — the r9 watch item (1.43x
+#   slot 15     media_phash_dup_partners — the r9 watch item (1.43x
 #               driver-to-driver); unchanged code, fresh driver number
 #               wanted early in the round.
-#   slots 15-40 ALL twenty-six r4-stamped entries (six rounds old) —
+#   slots 16-41 ALL twenty-six r4-stamped entries (six rounds old) —
 #               the r9 verdict's top priority, now fitting in one
 #               window.
-#   slots 41-50 the oldest ten r5-green entries.
+#   slots 42-50 the oldest nine r5-green entries.
 # All 50 pre-verified green through the exact driver gate (check_query
 # at sf0.01) before commit — CORRECTNESS_r10_pre.json.
 #
 # ROUND-11 ROTATION PLAN (for the next builder): lead with (1) any
 # query round 11 edits, (2) the remaining r5-green block in registry
-# order starting at domain_mix_weights (the 10 oldest were stamped this
+# order starting at bpe_pair_frequencies (the 9 oldest were stamped this
 # round), then (3) r6-greens. With the r4 block stamped in r10, the
 # oldest remaining stamps are r5.
 # tests/test_engine.py::test_priority_rotation_names_all_registered
@@ -70,6 +71,7 @@ _PRIORITY = [
     "cross_source_containment",
     "bm25_store_compaction",
     "t_closeness_audit",
+    "functional_dependency_audit",
     # ---- r10 edited ----
     "kll_quantile_contract",
     "bm25_postings_topk",
@@ -116,8 +118,8 @@ _PRIORITY = [
     "text_quality_features",
     "lang_id_predictions",
     "token_counts",
-    "bpe_pair_frequencies",
     # ---- 50-slot window boundary ----
+    "bpe_pair_frequencies",
     "domain_mix_weights",
     "unigram_surprisal_scores",
     "priority_status_mutual_info",

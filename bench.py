@@ -184,6 +184,7 @@ HEADLINE = [
     "cross_source_containment",     # directional syndication matrix (r10)
     "bm25_store_compaction",        # postings-store GC, identical probe (r10)
     "t_closeness_audit",            # ordered-EMD privacy-trio completion (r10)
+    "functional_dependency_audit",  # candidate-FD validation sweep (r10)
 ]
 
 

@@ -73,3 +73,30 @@ def profile_columns(
     # inline(array(struct...)): the unpivot runs on the ONE aggregated
     # row — uniform field names make the row structs stack-compatible
     return wide.select(F.inline(F.array(*[row(c) for c in cols])))
+
+
+def fd_violation_stats(
+    df: DataFrame, lhs: list[str], rhs: str
+) -> DataFrame:
+    """Check one candidate functional dependency ``lhs → rhs``
+    (the Metanome/data-quality FD-validation primitive, re-derived):
+    one row ``(fd, n_lhs, n_violating, fd_holds)`` where
+    ``n_violating`` counts LHS values determining MORE than one
+    distinct RHS — zero iff the dependency holds exactly.
+
+    Scale shape: one grouped ``countDistinct`` on the LHS key (partial
+    aggregation map-side) folded to a single row — per-FD cost is one
+    keyed shuffle of (lhs, rhs) pairs regardless of how many FDs a
+    profiling sweep validates, and candidate FDs are validated
+    independently so a sweep parallelizes trivially."""
+    name = f"{','.join(lhs)}->{rhs}"
+    per_lhs = df.groupBy(*[F.col(c) for c in lhs]).agg(
+        F.countDistinct(rhs).alias("__nd")
+    )
+    viol = F.sum((F.col("__nd") > 1).cast("long"))
+    return per_lhs.agg(
+        F.lit(name).alias("fd"),
+        F.count(F.lit(1)).cast("long").alias("n_lhs"),
+        viol.cast("long").alias("n_violating"),
+        (viol == 0).alias("fd_holds"),
+    )

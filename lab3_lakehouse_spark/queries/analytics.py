@@ -590,6 +590,60 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(orders)
 
 
+def _fd_oracle_leg(table: str, lhs: list[str], rhs: str) -> str:
+    name = f"{','.join(lhs)}->{rhs}"
+    keys = ", ".join(lhs)
+    return f"""SELECT '{name}' AS fd,
+           CAST(count(*) AS BIGINT) AS n_lhs,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+           sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds
+    FROM (SELECT {keys}, count(DISTINCT {rhs}) AS nd
+          FROM {table} GROUP BY {keys})"""
+
+
+_FD_CANDIDATES = [
+    ("orders", ["o_orderkey"], "o_custkey"),       # key FD — must hold
+    ("orders", ["o_custkey"], "o_orderpriority"),  # expected violated
+    ("orders", ["o_orderdate"], "o_orderstatus"),  # expected violated
+    ("lineitem", ["l_orderkey"], "l_shipdate"),    # expected violated
+    ("lineitem", ["l_orderkey", "l_linenumber"], "l_shipdate"),  # key FD
+]
+
+_FD_ORACLE = "\nUNION ALL\n".join(
+    _fd_oracle_leg(t, lhs, rhs) for t, lhs, rhs in _FD_CANDIDATES
+)
+
+
+@query("functional_dependency_audit", oracle=_FD_ORACLE)
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-FD validation (the data-quality primitive behind FD
+    discovery à la Metanome, re-derived): for each declared candidate
+    ``lhs → rhs``, count LHS values that determine more than one
+    distinct RHS — zero violations iff the dependency holds. The
+    candidate list mixes key FDs that MUST hold (o_orderkey →
+    o_custkey; (l_orderkey, l_linenumber) → l_shipdate) with
+    plausible-but-false ones, so the audit's both verdicts are
+    exercised. This is the schema-contract check run before relying on
+    a column as a join key or a dedup grain.
+
+    Scale: one grouped countDistinct per candidate (map-side partial
+    agg, one keyed shuffle each), candidates independent — a sweep of
+    hundreds of FDs parallelizes trivially and each output is one
+    row."""
+    from lab3_lakehouse_spark.operators.profiling import fd_violation_stats
+
+    tune_session(spark)
+    frames = []
+    for table, lhs, rhs in _FD_CANDIDATES:
+        df = load_table(spark, sf_dir, table)
+        frames.append(fd_violation_stats(df, lhs, rhs))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 @query(
     "hll_mergeable_daily_users",
     oracle="""
