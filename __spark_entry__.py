@@ -51,7 +51,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #   slots 16-41 ALL twenty-six r4-stamped entries (six rounds old) —
 #               the r9 verdict's top priority, now fitting in one
 #               window.
-#   slots 42-50 the oldest nine r5-green entries.
+#   slots 42-48 the SEVEN r10-continuation ops (advstats.py: skyline,
+#               Kaplan–Meier, Welch t, Spearman, Gini, ACF,
+#               assortativity) — never stamped, so they outrank
+#               re-stamping green fill.
+#   slots 49-50 the oldest r5-green entries (the other seven r5 fills
+#               were displaced by the new block).
 # All 50 pre-verified green through the exact driver gate (check_query
 # at sf0.01) before commit — CORRECTNESS_r10_pre.json.
 #
@@ -108,9 +113,18 @@ _PRIORITY = [
     "latest_event_per_user",
     "merge_cdc_orders",
     "scd2_customer_priority",
-    # ---- r5-green fill ----
+    # ---- r10 continuation: 7 NEW inferential/frontier ops (advstats) ----
+    "part_price_size_skyline",
+    "kaplan_meier_conversion",
+    "welch_ttest_purchase_click",
+    "spearman_value_hour",
+    "gini_segment_spend",
+    "acf_daily_revenue",
+    "copurchase_degree_assortativity",
+    # ---- r5-green fill (7 displaced by the new block; still green) ----
     "dedup_fingerprint_groups",
     "word_jaccard_near_dups",
+    # ---- 50-slot window boundary ----
     "dup_groups_connected",
     "decontamination_ngram_overlap",
     "tfidf_top_terms",
@@ -118,7 +132,6 @@ _PRIORITY = [
     "text_quality_features",
     "lang_id_predictions",
     "token_counts",
-    # ---- 50-slot window boundary ----
     "bpe_pair_frequencies",
     "domain_mix_weights",
     "unigram_surprisal_scores",

@@ -23,3 +23,4 @@ from lab3_lakehouse_spark.queries import corpus  # noqa: F401, E402
 from lab3_lakehouse_spark.queries import scaleops  # noqa: F401, E402
 from lab3_lakehouse_spark.queries import sqlsuite  # noqa: F401, E402
 from lab3_lakehouse_spark.queries import statops  # noqa: F401, E402
+from lab3_lakehouse_spark.queries import advstats  # noqa: F401, E402
