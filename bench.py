@@ -185,6 +185,13 @@ HEADLINE = [
     "bm25_store_compaction",        # postings-store GC, identical probe (r10)
     "t_closeness_audit",            # ordered-EMD privacy-trio completion (r10)
     "functional_dependency_audit",  # candidate-FD validation sweep (r10)
+    "part_price_size_skyline",      # two-phase Pareto frontier, local prune (r10)
+    "kaplan_meier_conversion",      # survival curve, hour-bounded life table (r10)
+    "welch_ttest_purchase_click",   # one-pass unequal-variance t-test (r10)
+    "spearman_value_hour",          # tie-corrected rank correlation (r10)
+    "gini_segment_spend",           # Lorenz concentration per segment (r10)
+    "acf_daily_revenue",            # lag-1..7 autocorrelation, daily frame (r10)
+    "copurchase_degree_assortativity",  # degree-mixing coefficient (r10)
 ]
 
 

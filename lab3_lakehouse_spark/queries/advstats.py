@@ -38,7 +38,8 @@ _SKYLINE_ORACLE = """
            p.p_retailprice AS retail_price,
            CAST(p.p_size AS BIGINT) AS size
     FROM part p
-    WHERE NOT EXISTS (
+    WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
+      AND NOT EXISTS (
         SELECT 1 FROM part q
         WHERE q.p_retailprice <= p.p_retailprice
           AND q.p_size >= p.p_size
@@ -90,11 +91,21 @@ def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic — bit-stable cross-engine."""
     tune_session(spark)
     part = fan_out(
-        load_table(spark, sf_dir, "part").select(
-            "p_partkey", "p_retailprice", "p_size"
+        load_table(spark, sf_dir, "part")
+        .select("p_partkey", "p_retailprice", "p_size")
+        # NULL dimensions are excluded from the dominance order in BOTH
+        # engines (the oracle filters identically) — without the pin,
+        # DuckDB's NOT EXISTS would keep a NULL-price row that Spark's
+        # inner join drops
+        .filter(
+            F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
         )
     )
+    # one prune pass feeds BOTH consumers (the candidate probe side and
+    # the per-price frontier build) — without the checkpoint the
+    # mapInPandas sort runs twice over the full table
     cand = part.mapInPandas(_local_skyline, schema=_SKYLINE_SCHEMA)
+    cand = cand.localCheckpoint(eager=False)
     by_price = cand.groupBy("p_retailprice").agg(
         F.max("p_size").alias("__mx")
     )

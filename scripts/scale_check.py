@@ -332,6 +332,27 @@ def workloads():
         "media_phash_store_partners": QUERIES["media_phash_store_partners"],
         "kll_tier_compaction": QUERIES["kll_tier_compaction"],
         "cross_source_containment_prefix": cross_source_containment_prefix,
+        # round-10 continuation (advstats): the two-phase skyline (the
+        # mapInPandas local prune must keep the exact finish bounded —
+        # alpha ~ scan; note the fact amplifier carries `part`
+        # unchanged, so this row pins fixed cost and the prune claim is
+        # the dedicated unit property), Kaplan–Meier (two user-keyed
+        # aggs + hour-bounded curve windows — alpha ~ scan), Welch
+        # (single conditional-agg pass, 1-row shuffle — alpha ~ scan),
+        # Spearman (per-event-type ranking windows: per-key sorts grow
+        # m× — the exact-rank claim measured), Gini (customer-keyed agg
+        # + per-segment ranking window — same class), ACF
+        # (calendar-bounded daily frame — alpha ~ 0), assortativity
+        # (edge build + broadcast degree joins — the co-purchase cost
+        # class)
+        "part_price_size_skyline": QUERIES["part_price_size_skyline"],
+        "kaplan_meier_conversion": QUERIES["kaplan_meier_conversion"],
+        "welch_ttest_purchase_click": QUERIES["welch_ttest_purchase_click"],
+        "spearman_value_hour": QUERIES["spearman_value_hour"],
+        "gini_segment_spend": QUERIES["gini_segment_spend"],
+        "acf_daily_revenue": QUERIES["acf_daily_revenue"],
+        "copurchase_degree_assortativity":
+            QUERIES["copurchase_degree_assortativity"],
         "corpus_pipeline": corpus_pipeline,
     }
 
