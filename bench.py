@@ -192,6 +192,11 @@ HEADLINE = [
     "gini_segment_spend",           # Lorenz concentration per segment (r10)
     "acf_daily_revenue",            # lag-1..7 autocorrelation, daily frame (r10)
     "copurchase_degree_assortativity",  # degree-mixing coefficient (r10)
+    "fold_target_encoding",         # leakage-safe OOF categorical encoding (r10)
+    "embedding_feature_covariance", # distributed Gram-matrix dim audit (r10)
+    "mannwhitney_value_shift",      # tie-corrected rank-sum test (r10)
+    "conversion_rate_ztest",        # pooled two-proportion first-touch z (r10)
+    "holt_winters_weekly",          # triple smoothing, weekly season fold (r10)
 ]
 
 

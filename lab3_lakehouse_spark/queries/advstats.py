@@ -780,3 +780,611 @@ def copurchase_degree_assortativity(
             ).alias("assortativity"),
         )
     )
+
+
+# --------------------------------------- out-of-fold target encoding ----
+
+_TE_K = 5
+_TE_SEED = 83
+
+
+def _target_encoding_oracle() -> str:
+    from lab3_lakehouse_spark.operators.sketches import sql_hash60
+
+    h = sql_hash60("o_orderkey", _TE_SEED)
+    return f"""
+    WITH assigned AS (
+        SELECT o_orderpriority AS category,
+               CAST({h} % {_TE_K} AS INT) AS fold,
+               o_totalprice AS y
+        FROM orders
+    ),
+    per AS (
+        SELECT category, fold,
+               CAST(count(*) AS DOUBLE) AS n_f, sum(y) AS s_f
+        FROM assigned GROUP BY category, fold
+    ),
+    tot AS (
+        SELECT category,
+               CAST(sum(n_f) AS DOUBLE) AS n_c, sum(s_f) AS s_c
+        FROM per GROUP BY category
+    )
+    SELECT p.category, p.fold,
+           CAST(p.n_f AS BIGINT) AS n_rows,
+           {sql_round4('(t.s_c - p.s_f) / (t.n_c - p.n_f)')} AS oof_mean,
+           {sql_round4('t.s_c / t.n_c')} AS full_mean,
+           {sql_round4('t.s_c / t.n_c - (t.s_c - p.s_f) / (t.n_c - p.n_f)')}
+               AS leak_delta
+    FROM per p JOIN tot t ON t.category = p.category
+    """
+
+
+@query("fold_target_encoding", oracle=_target_encoding_oracle())
+def fold_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding — the leakage-SAFE version of the
+    most effective categorical feature there is (category → mean of
+    the target): each row's encoding is the category mean computed
+    WITHOUT its own fold, so the feature never contains the row's own
+    label (in-fold encoding leaks the target and inflates validation
+    scores — the classic silent ML bug). Folds are the engine's
+    portable-hash convention (`crossval_fold_balance`): fold(row) =
+    hash60(order key) % k, deterministic across engines, reruns and
+    partitionings. OOF mean falls out of ONE grouped pass via the
+    subtraction identity (Σ_cat − Σ_fold)/(n_cat − n_fold) — no k-way
+    re-scan. `leak_delta` (full-mean minus OOF-mean) is the audit
+    column: large values = folds too small for the cardinality.
+
+    Scale shape: one grouped agg keyed on (category, fold), one
+    O(categories) rollup joined back — the fact table is scanned once;
+    output is categories × k rows."""
+    from lab3_lakehouse_spark.operators.sketches import portable_hash60
+
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    assigned = orders.select(
+        F.col("o_orderpriority").alias("category"),
+        (portable_hash60(F.col("o_orderkey").cast("string"), _TE_SEED)
+         % _TE_K).cast("int").alias("fold"),
+        F.col("o_totalprice").alias("y"),
+    )
+    per = assigned.groupBy("category", "fold").agg(
+        F.count(F.lit(1)).cast("double").alias("n_f"),
+        F.sum("y").alias("s_f"),
+    )
+    tot = per.groupBy("category").agg(
+        F.sum("n_f").alias("n_c"), F.sum("s_f").alias("s_c")
+    )
+    j = per.join(F.broadcast(tot), "category")
+    oof = (F.col("s_c") - F.col("s_f")) / (F.col("n_c") - F.col("n_f"))
+    full = F.col("s_c") / F.col("n_c")
+    return j.select(
+        "category",
+        "fold",
+        F.col("n_f").cast("long").alias("n_rows"),
+        round4(oof).alias("oof_mean"),
+        round4(full).alias("full_mean"),
+        round4(full - oof).alias("leak_delta"),
+    )
+
+
+# ------------------------------------- embedding feature covariance ----
+
+_COV_DIM = 64
+
+_COV_PARTIAL_SCHEMA = (
+    "i int, j int, sxy double, sxi double, sxj double, cnt long"
+)
+
+
+def _gram_partials(batches: Iterator) -> Iterator:
+    """Per-Arrow-batch partial Gram matrix: one numpy X^T X on the
+    batch (float64 — float32 accumulation would diverge from the
+    oracle's DOUBLE sums) plus the per-dimension sums, emitted as
+    upper-triangle cell rows. Each batch collapses to d(d+1)/2 rows
+    no matter how many vectors it holds — the distributed covariance
+    pattern that never shuffles vectors, only d×d cells."""
+    import numpy as np
+    import pandas as pd
+
+    iu, ju = np.triu_indices(_COV_DIM)
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        g = x.T @ x
+        s = x.sum(axis=0)
+        yield pd.DataFrame(
+            {
+                "i": iu.astype(np.int32),
+                "j": ju.astype(np.int32),
+                "sxy": g[iu, ju],
+                "sxi": s[iu],
+                "sxj": s[ju],
+                "cnt": np.full(len(iu), len(x), dtype=np.int64),
+            }
+        )
+
+
+def _covariance_oracle() -> str:
+    cov = "sxy / n - (sxi / n) * (sxj / n)"
+    return f"""
+    WITH u AS (
+        SELECT vec_id, i.i AS i, CAST(embedding[i.i] AS DOUBLE) AS v
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(generate_series(1, {_COV_DIM})) AS i) i
+    ),
+    cells AS (
+        SELECT a.i - 1 AS i, b.i - 1 AS j,
+               sum(a.v * b.v) AS sxy,
+               sum(a.v) AS sxi, sum(b.v) AS sxj,
+               CAST(count(*) AS DOUBLE) AS n
+        FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY 1, 2
+    ),
+    covs AS (SELECT i, j, n, {cov} AS cov FROM cells),
+    diag AS (SELECT i, cov AS var FROM covs WHERE i = j)
+    SELECT c.i, c.j,
+           CAST(c.n AS BIGINT) AS n_vectors,
+           {sql_round4('c.cov')} AS cov,
+           {sql_round4('c.cov / sqrt(di.var * dj.var)')} AS corr
+    FROM covs c
+    JOIN diag di ON di.i = c.i
+    JOIN diag dj ON dj.i = c.j
+    """
+
+
+@query("embedding_feature_covariance", oracle=_covariance_oracle())
+def embedding_feature_covariance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Feature covariance / correlation audit of the embedding tier —
+    the vector-quality diagnostic norm checks can't see: highly
+    correlated dimensions mean the effective rank is far below d
+    (wasted capacity, a collapsed or badly-whitened encoder), and it
+    is the input to any PCA/whitening decision. Computed as a
+    distributed Gram matrix: mapInPandas emits per-batch d(d+1)/2
+    partial cells (one numpy X^T X per Arrow batch — vectors NEVER
+    shuffle, only the fixed-size cell grid does), then one grouped sum
+    finishes cov = E[xy] − E[x]E[y]. The oracle recomputes the same
+    sums by exploding the array — quadratic per-row work that is the
+    reason the engine side does the fold in numpy.
+
+    Output is the d(d+1)/2 upper triangle with Pearson correlation
+    (diag joins broadcast — the frame is O(d²), corpus-independent)."""
+    tune_session(spark)
+    emb = fan_out(
+        load_table(spark, sf_dir, "embeddings").select("embedding")
+    )
+    partials = emb.mapInPandas(_gram_partials, schema=_COV_PARTIAL_SCHEMA)
+    cells = partials.groupBy("i", "j").agg(
+        F.sum("sxy").alias("sxy"),
+        F.sum("sxi").alias("sxi"),
+        F.sum("sxj").alias("sxj"),
+        F.sum("cnt").cast("double").alias("n"),
+    )
+    n = F.col("n")
+    cov = F.col("sxy") / n - (F.col("sxi") / n) * (F.col("sxj") / n)
+    covs = cells.select("i", "j", n.alias("n"), cov.alias("cov"))
+    diag = covs.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("d"), F.col("cov").alias("var")
+    )
+    return (
+        covs.join(F.broadcast(diag), covs["i"] == diag["d"])
+        .drop("d")
+        .withColumnRenamed("var", "vi")
+        .join(F.broadcast(diag), covs["j"] == diag["d"])
+        .drop("d")
+        .withColumnRenamed("var", "vj")
+        .select(
+            "i",
+            "j",
+            F.col("n").cast("long").alias("n_vectors"),
+            round4(F.col("cov")).alias("cov"),
+            round4(F.col("cov") / F.sqrt(F.col("vi") * F.col("vj"))).alias(
+                "corr"
+            ),
+        )
+    )
+
+
+# ------------------------------------------------- Mann–Whitney U ----
+
+_MW_A = "purchase"
+_MW_B = "click"
+
+
+def _mannwhitney_oracle() -> str:
+    z = "(u_a - mu_u) / sqrt((na * nb / 12.0) * ((nn + 1.0) - tie_t / (nn * (nn - 1.0))))"
+    return f"""
+    WITH base AS (
+        SELECT event_type, value FROM events
+        WHERE event_type IN ('{_MW_A}', '{_MW_B}') AND value IS NOT NULL
+    ),
+    vals AS (
+        SELECT value,
+               CAST(count(*) AS DOUBLE) AS t,
+               CAST(count(*) FILTER (WHERE event_type = '{_MW_A}')
+                    AS DOUBLE) AS t_a
+        FROM base GROUP BY value
+    ),
+    ranked AS (
+        SELECT t, t_a,
+               coalesce(sum(t) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + (t + 1.0) / 2.0 AS rank_avg
+        FROM vals
+    ),
+    sums AS (
+        SELECT sum(t_a) AS na, sum(t - t_a) AS nb, sum(t) AS nn,
+               sum(t_a * rank_avg) AS r_a,
+               sum(t * t * t - t) AS tie_t
+        FROM ranked
+    ),
+    stats AS (
+        SELECT na, nb, nn,
+               r_a - na * (na + 1.0) / 2.0 AS u_a,
+               na * nb / 2.0 AS mu_u,
+               tie_t
+        FROM sums
+    )
+    SELECT CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           u_a AS u_stat,
+           {sql_round4(z)} AS z_score
+    FROM stats
+    """
+
+
+@query("mannwhitney_value_shift", oracle=_mannwhitney_oracle())
+def mannwhitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test between purchase and click values —
+    the NONPARAMETRIC two-sample location test (Welch's t answers "are
+    the means different?" assuming CLT on the means; U answers "does
+    one arm stochastically dominate?" with no distributional assumption
+    — the robust choice for skewed engagement values). Tie-corrected
+    normal approximation: U = R_a − n_a(n_a+1)/2 with AVERAGE ranks,
+    σ²_U = (n_a·n_b/12)·((N+1) − Σ(t³−t)/(N(N−1))).
+
+    Scale shape — the reason this formulation and not a global window:
+    ranking collapses to ONE groupBy(value) (distinct values, not
+    rows), a running-count window over that bounded distinct frame,
+    and one closing agg. No global sort of the fact table, no
+    unpartitioned window over rows. Every rank is an exact half-integer
+    and every sum an exact product below 2^53, so U and the z-score
+    are bit-stable cross-engine (IEEE sqrt correctly rounded);
+    round4 only on the emitted z."""
+    tune_session(spark)
+    base = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_MW_A, _MW_B) & F.col("value").isNotNull()
+    )
+    vals = base.groupBy("value").agg(
+        F.count(F.lit(1)).cast("double").alias("t"),
+        F.count(F.when(F.col("event_type") == _MW_A, 1))
+        .cast("double")
+        .alias("t_a"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.select(
+        "t",
+        "t_a",
+        (
+            F.coalesce(F.sum("t").over(w), F.lit(0.0))
+            + (F.col("t") + 1.0) / 2.0
+        ).alias("rank_avg"),
+    )
+    sums = ranked.agg(
+        F.sum("t_a").alias("na"),
+        F.sum(F.col("t") - F.col("t_a")).alias("nb"),
+        F.sum("t").alias("nn"),
+        F.sum(F.col("t_a") * F.col("rank_avg")).alias("r_a"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias(
+            "tie_t"
+        ),
+    )
+    na, nb, nn = F.col("na"), F.col("nb"), F.col("nn")
+    u_a = F.col("r_a") - na * (na + 1.0) / 2.0
+    mu_u = na * nb / 2.0
+    var_u = (na * nb / 12.0) * (
+        (nn + 1.0) - F.col("tie_t") / (nn * (nn - 1.0))
+    )
+    return sums.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        u_a.alias("u_stat"),
+        round4((u_a - mu_u) / F.sqrt(var_u)).alias("z_score"),
+    )
+
+
+# --------------------------------------- two-proportion conversion z ----
+
+
+def _conversion_ztest_oracle() -> str:
+    z = (
+        "CASE WHEN (c_a + c_b) > 0 AND (c_a + c_b) < (n_a + n_b) THEN "
+        + sql_round4(
+            "(c_a / n_a - c_b / n_b)"
+            " / sqrt((c_a + c_b) / (n_a + n_b)"
+            " * (1.0 - (c_a + c_b) / (n_a + n_b))"
+            " * (1.0 / n_a + 1.0 / n_b))"
+        )
+        + " ELSE NULL END"
+    )
+    return f"""
+    WITH firsts AS (
+        SELECT user_id, event_type AS arm FROM (
+            SELECT user_id, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events
+        ) q WHERE rn = 1
+    ),
+    conv AS (
+        SELECT user_id, 1 AS converted FROM events
+        WHERE event_type = 'purchase' AND value >= {_KM_VALUE_MIN!r}
+        GROUP BY user_id
+    ),
+    arms AS (
+        SELECT f.arm,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(count(c.user_id) AS DOUBLE) AS c
+        FROM firsts f LEFT JOIN conv c USING (user_id)
+        WHERE f.arm IN ('view', 'click')
+        GROUP BY f.arm
+    ),
+    wide AS (
+        SELECT max(CASE WHEN arm = 'view' THEN n END) AS n_a,
+               max(CASE WHEN arm = 'view' THEN c END) AS c_a,
+               max(CASE WHEN arm = 'click' THEN n END) AS n_b,
+               max(CASE WHEN arm = 'click' THEN c END) AS c_b
+        FROM arms
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_view,
+           CAST(c_a AS BIGINT) AS conv_view,
+           CAST(n_b AS BIGINT) AS n_click,
+           CAST(c_b AS BIGINT) AS conv_click,
+           {sql_round4('c_a / n_a')} AS rate_view,
+           {sql_round4('c_b / n_b')} AS rate_click,
+           {z} AS z_score
+    FROM wide
+    """
+
+
+@query("conversion_rate_ztest", oracle=_conversion_ztest_oracle())
+def conversion_rate_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on user conversion by FIRST-TOUCH arm:
+    users whose first event is a view vs a click, converted = ever made
+    a HIGH-VALUE purchase (value >= 130, the Kaplan–Meier contract's
+    terminal event — plain "ever purchased" saturates at rate 1.0 on
+    this corpus and the pooled variance degenerates to 0). The
+    pooled-proportion z — the proportions counterpart to the Welch
+    (means) and Mann–Whitney (ranks) tests, completing the A/B
+    toolkit. First touch is min_by over the exact (ts, event_id) pair,
+    so equal-timestamp firsts are pinned identically in both engines;
+    an all-converted/none-converted pool (variance 0) short-circuits
+    to NULL z rather than an ANSI divide-by-zero. All inputs are exact
+    counts — one user-keyed grouped pass + a conversion join — so the
+    z is closed-form IEEE arithmetic on exact integers; round4 on the
+    emitted rates and z. Output is one row; shuffle is keyed on
+    user_id throughout."""
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min_by("event_type", F.struct("ts", "event_id")).alias("arm")
+    )
+    conv = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("value") >= F.lit(_KM_VALUE_MIN))
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    arms = (
+        firsts.join(conv, "user_id", "left")
+        .filter(F.col("arm").isin("view", "click"))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.count("converted").cast("double").alias("c"),
+        )
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "view", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "view", F.col("c"))).alias("c_a"),
+        F.max(F.when(F.col("arm") == "click", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == "click", F.col("c"))).alias("c_b"),
+    )
+    n_a, c_a = F.col("n_a"), F.col("c_a")
+    n_b, c_b = F.col("n_b"), F.col("c_b")
+    pool = (c_a + c_b) / (n_a + n_b)
+    z = F.when(
+        ((c_a + c_b) > 0) & ((c_a + c_b) < (n_a + n_b)),
+        round4(
+            (c_a / n_a - c_b / n_b)
+            / F.sqrt(pool * (1.0 - pool) * (1.0 / n_a + 1.0 / n_b))
+        ),
+    )
+    return wide.select(
+        n_a.cast("long").alias("n_view"),
+        c_a.cast("long").alias("conv_view"),
+        n_b.cast("long").alias("n_click"),
+        c_b.cast("long").alias("conv_click"),
+        round4(c_a / n_a).alias("rate_view"),
+        round4(c_b / n_b).alias("rate_click"),
+        z.alias("z_score"),
+    )
+
+
+# --------------------------------------- Holt–Winters (weekly, add.) ----
+
+#: smoothing constants as PAIRED pinned literals (the Holt convention:
+#: neither engine ever computes a complement)
+_HW_A, _HW_A1 = 0.3, 0.7     # level
+_HW_B, _HW_B1 = 0.1, 0.9     # trend
+_HW_G, _HW_G1 = 0.2, 0.8     # seasonal
+_HW_P = 7                    # weekly period
+
+
+def _holt_winters_oracle() -> str:
+    a, a1 = f"CAST({_HW_A} AS DOUBLE)", f"CAST({_HW_A1} AS DOUBLE)"
+    b, b1 = f"CAST({_HW_B} AS DOUBLE)", f"CAST({_HW_B1} AS DOUBLE)"
+    g, g1 = f"CAST({_HW_G} AS DOUBLE)", f"CAST({_HW_G1} AS DOUBLE)"
+    lnew = f"({a} * (r.rev - h.s[1]) + {a1} * (h.l + h.b))"
+    bnew = f"({b} * ({lnew} - h.l) + {b1} * h.b)"
+    snew = f"({g} * (r.rev - {lnew}) + {g1} * h.s[1])"
+    return f"""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+               {sql_round4('CAST(sum(o_totalprice) AS DOUBLE)')} AS rev
+        FROM orders GROUP BY day
+    ),
+    ranked AS (
+        SELECT day, rev, row_number() OVER (ORDER BY day) AS rn FROM daily
+    ),
+    init AS (
+        SELECT {sql_round4(f'sum(rev) / {_HW_P}.0')} AS l0
+        FROM ranked WHERE rn <= {_HW_P}
+    ),
+    seed AS (
+        SELECT CAST({_HW_P} AS BIGINT) AS rn,
+               i.l0 AS l, CAST(0.0 AS DOUBLE) AS b,
+               list(r.rev - i.l0 ORDER BY r.rn) AS s
+        FROM ranked r CROSS JOIN init i WHERE r.rn <= {_HW_P}
+        GROUP BY i.l0
+    ),
+    hw(rn, day, rev, fc, l, b, s) AS (
+        SELECT rn, CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE), l, b, s
+        FROM seed
+        UNION ALL
+        SELECT r.rn, r.day, r.rev,
+               h.l + h.b + h.s[1],
+               {lnew}, {bnew},
+               h.s[2:{_HW_P}] || [{snew}]
+        FROM hw h JOIN ranked r ON r.rn = h.rn + 1
+    )
+    SELECT day, rev,
+           {sql_round4('fc')} AS forecast,
+           {sql_round4('rev - fc')} AS residual,
+           {sql_round4('l')} AS level,
+           {sql_round4('b')} AS trend
+    FROM hw WHERE rn > {_HW_P}
+    """
+
+
+@query("holt_winters_weekly", oracle=_holt_winters_oracle())
+def holt_winters_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt–Winters TRIPLE exponential smoothing on daily revenue —
+    additive weekly seasonality on top of the kit's level (EWMA) and
+    level+trend (Holt) stages: l_t = α(x_t − s_{t−7}) + (1−α)(l+b),
+    b_t = β(l_t − l) + (1−β)b, s_t = γ(x_t − l_t) + (1−γ)s_{t−7}. The
+    in-sample one-step forecast (l + b + s_{t−7}, made BEFORE
+    observing day t) and its residual are the output — the residual
+    stream is what anomaly alarms should watch once a weekly cycle
+    exists (a plain Holt flags every Saturday). Init: l₇ = round4-
+    pinned mean of the first week, b₇ = 0, s_i = x_i − l₇ (documented
+    choice, identical by construction in both engines); output starts
+    at day 8.
+
+    Same scale discipline as Holt/CUSUM: the recursion is inherently
+    sequential, so it runs as ONE ordered array fold over the
+    round4-pinned O(days) daily frame — the data-sized work is the
+    daily groupBy; the fold is calendar-bounded at any corpus size.
+    The seasonal state rides the fold as a 7-slot array rotated each
+    step (slice + append — what the oracle's list slicing mirrors
+    CTE-for-CTE), and every update mixes pinned inputs with prior
+    state in pure IEEE arithmetic, so the recursion agrees
+    bit-for-bit before the output round4."""
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(round4(F.sum("o_totalprice").cast("double")).alias("rev"))
+    arr = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "rev"))).alias("xs")
+    )
+    a, a1 = F.lit(_HW_A), F.lit(_HW_A1)
+    b, b1 = F.lit(_HW_B), F.lit(_HW_B1)
+    g, g1 = F.lit(_HW_G), F.lit(_HW_G1)
+    zero = F.lit(0.0).cast("double")
+    p = _HW_P
+
+    out_t = (
+        "array<struct<day:timestamp,rev:double,forecast:double,"
+        "level:double,trend:double>>"
+    )
+
+    def fold(acc, x):
+        n = acc["n"]
+        # warm-up: collect the first week's revs
+        warm = n < F.lit(p - 1)
+        # week complete: pin l0, derive the seasonal vector
+        pre_full = F.concat(acc["pre"], F.array(x["rev"]))
+        l0 = round4(
+            F.aggregate(pre_full, zero, lambda s, v: s + v) / F.lit(float(p))
+        )
+        s_init = F.transform(pre_full, lambda v: v - l0)
+        # steady state: the HW update
+        s1 = F.element_at(acc["s"], 1)
+        lnew = a * (x["rev"] - s1) + a1 * (acc["l"] + acc["b"])
+        bnew = b * (lnew - acc["l"]) + b1 * acc["b"]
+        snew = g * (x["rev"] - lnew) + g1 * s1
+        fc = acc["l"] + acc["b"] + s1
+        return F.struct(
+            F.when(warm, acc["l"])
+            .when(n == F.lit(p - 1), l0)
+            .otherwise(lnew)
+            .alias("l"),
+            F.when(n < F.lit(p), zero).otherwise(bnew).alias("b"),
+            F.when(warm, acc["s"])
+            .when(n == F.lit(p - 1), s_init)
+            .otherwise(
+                F.concat(F.slice(acc["s"], 2, p - 1), F.array(snew))
+            )
+            .alias("s"),
+            F.when(n < F.lit(p), pre_full).otherwise(acc["pre"]).alias("pre"),
+            (n + F.lit(1)).alias("n"),
+            F.when(
+                n >= F.lit(p),
+                F.concat(
+                    acc["out"],
+                    F.array(
+                        F.struct(
+                            x["day"].alias("day"),
+                            x["rev"].alias("rev"),
+                            fc.alias("forecast"),
+                            lnew.alias("level"),
+                            bnew.alias("trend"),
+                        )
+                    ),
+                ),
+            )
+            .otherwise(acc["out"])
+            .alias("out"),
+        )
+
+    folded = arr.select(
+        F.aggregate(
+            F.col("xs"),
+            F.struct(
+                zero.alias("l"),
+                zero.alias("b"),
+                F.array().cast("array<double>").alias("s"),
+                F.array().cast("array<double>").alias("pre"),
+                F.lit(0).cast("int").alias("n"),
+                F.array().cast(out_t).alias("out"),
+            ),
+            fold,
+            lambda acc: acc["out"],
+        ).alias("out")
+    )
+    r = folded.select(F.explode("out").alias("r"))
+    return r.select(
+        F.col("r.day").alias("day"),
+        F.col("r.rev").alias("rev"),
+        round4(F.col("r.forecast")).alias("forecast"),
+        round4(F.col("r.rev") - F.col("r.forecast")).alias("residual"),
+        round4(F.col("r.level")).alias("level"),
+        round4(F.col("r.trend")).alias("trend"),
+    )

@@ -353,6 +353,20 @@ def workloads():
         "acf_daily_revenue": QUERIES["acf_daily_revenue"],
         "copurchase_degree_assortativity":
             QUERIES["copurchase_degree_assortativity"],
+        # continuation batch 2: OOF encoding (one grouped pass +
+        # O(categories) rollup — alpha ~ scan), the Gram-matrix audit
+        # (cells are d² per batch regardless of rows — alpha ~ scan;
+        # embeddings ride the amplifier unchanged so this row pins
+        # fixed cost), Mann–Whitney (groupBy(value) + bounded
+        # distinct-frame window — never a global row sort), conversion
+        # z (two user-keyed passes), Holt–Winters (calendar-bounded
+        # fold — alpha ~ 0)
+        "fold_target_encoding": QUERIES["fold_target_encoding"],
+        "embedding_feature_covariance":
+            QUERIES["embedding_feature_covariance"],
+        "mannwhitney_value_shift": QUERIES["mannwhitney_value_shift"],
+        "conversion_rate_ztest": QUERIES["conversion_rate_ztest"],
+        "holt_winters_weekly": QUERIES["holt_winters_weekly"],
         "corpus_pipeline": corpus_pipeline,
     }
 

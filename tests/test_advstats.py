@@ -338,3 +338,195 @@ def test_assortativity_matches_numpy(spark, sf_small):
     r = np.corrcoef(x, y)[0, 1]
     assert out["n_edges"] == len(e)
     assert out["assortativity"] == pytest.approx(r, abs=2e-4)
+
+
+# ---------------------------------------------- OOF target encoding ----
+
+
+def test_target_encoding_oof_excludes_own_fold(spark, tmp_path):
+    """Recompute every fold's OOF mean in pandas using the engine's own
+    fold assignment (recovered from n_rows + the OOF identity) and
+    check each row's encoding equals the mean of the OTHER folds."""
+    from lab3_lakehouse_spark.queries.advstats import _TE_K
+
+    rows = [(i, "HIGH", float(100 + i)) for i in range(200)]
+    _write(spark, tmp_path, "orders", rows,
+           ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    out = QUERIES["fold_target_encoding"](spark, str(tmp_path)).toPandas()
+    assert set(out.fold) == set(range(_TE_K))
+    assert out.n_rows.sum() == 200
+    total = sum(100.0 + i for i in range(200))
+    full = total / 200.0
+    pdf = out.set_index("fold")
+    for f in range(_TE_K):
+        assert pdf.loc[f, "full_mean"] == pytest.approx(full, abs=1e-4)
+        assert pdf.loc[f, "leak_delta"] == pytest.approx(
+            full - pdf.loc[f, "oof_mean"], abs=2e-4
+        )
+    # recover each fold's sum from the OOF identity; the fold sums must
+    # reassemble the exact total (the subtraction identity is lossless)
+    s_fs = [
+        total - pdf.loc[f, "oof_mean"] * (200 - pdf.loc[f, "n_rows"])
+        for f in range(_TE_K)
+    ]
+    assert sum(s_fs) == pytest.approx(total, rel=1e-4)
+    # and no two folds share the same encoding on this asymmetric data
+    assert len(set(out.oof_mean.round(4))) == _TE_K
+
+
+# ------------------------------------------- embedding covariance ----
+
+
+def test_embedding_covariance_planted_duplicate_dim(spark, tmp_path):
+    """dim1 duplicates dim0 -> corr exactly 1 and cov(0,1)=var(0);
+    diag corr is exactly 1 everywhere."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n, d = 300, 64
+    x = rng.normal(0, 1, (n, d)).astype(np.float32)
+    x[:, 1] = x[:, 0]
+    rows = [(i, x[i].tolist(), int(i % 3)) for i in range(n)]
+    _write(spark, tmp_path, "embeddings", rows,
+           ["vec_id", "embedding", "label"])
+    out = QUERIES["embedding_feature_covariance"](
+        spark, str(tmp_path)
+    ).toPandas()
+    assert len(out) == d * (d + 1) // 2
+    cell = out.set_index(["i", "j"])
+    assert cell.loc[(0, 1), "corr"] == pytest.approx(1.0, abs=1e-4)
+    assert cell.loc[(0, 1), "cov"] == pytest.approx(
+        cell.loc[(0, 0), "cov"], abs=1e-3
+    )
+    diag = out[out.i == out.j]
+    assert (diag["corr"] - 1.0).abs().max() < 1e-9
+    # cross-check one off-diagonal cell against numpy population cov
+    x64 = x.astype(np.float64)
+    c = np.cov(x64[:, 2], x64[:, 3], ddof=0)[0, 1]
+    assert cell.loc[(2, 3), "cov"] == pytest.approx(c, abs=1e-3)
+
+
+# ---------------------------------------------------- Mann-Whitney ----
+
+
+def test_mannwhitney_matches_numpy(spark, sf_small):
+    import numpy as np
+
+    out = QUERIES["mannwhitney_value_shift"](spark, sf_small).first()
+    ev = pd.read_parquet(f"{sf_small}/events.parquet")
+    a = ev[(ev.event_type == "purchase") & ev.value.notna()].value.to_numpy()
+    b = ev[(ev.event_type == "click") & ev.value.notna()].value.to_numpy()
+    allv = np.concatenate([a, b])
+    ranks = _avg_ranks(allv)
+    r_a = ranks[: len(a)].sum()
+    na, nb, nn = len(a), len(b), len(allv)
+    u = r_a - na * (na + 1) / 2.0
+    _, t = np.unique(allv, return_counts=True)
+    tie = (t ** 3 - t).sum()
+    var = (na * nb / 12.0) * ((nn + 1) - tie / (nn * (nn - 1)))
+    z = (u - na * nb / 2.0) / math.sqrt(var)
+    assert out["n_a"] == na and out["n_b"] == nb
+    assert out["u_stat"] == pytest.approx(u, abs=1e-6)
+    assert out["z_score"] == pytest.approx(z, abs=2e-4)
+
+
+def test_mannwhitney_total_separation(spark, tmp_path):
+    """All purchase values above all click values -> U = na*nb."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(f"p{i}", t0, "u", "purchase", 100.0 + i) for i in range(10)]
+    rows += [(f"c{i}", t0, "u", "click", float(i)) for i in range(20)]
+    _write(spark, tmp_path, "events", rows,
+           ["event_id", "ts", "user_id", "event_type", "value"])
+    out = QUERIES["mannwhitney_value_shift"](spark, str(tmp_path)).first()
+    assert out["u_stat"] == 200.0
+    assert out["z_score"] > 4.0
+
+
+# ---------------------------------------------- conversion z-test ----
+
+
+def test_conversion_ztest_hand_computed(spark, tmp_path):
+    """view-first users convert 3/4, click-first 1/4 -> z from the
+    pooled formula by hand."""
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = []
+    for i, u in enumerate(["v1", "v2", "v3", "v4"]):
+        rows.append((f"f{u}", t0 + i * m, u, "view", 1.0))
+    for i, u in enumerate(["c1", "c2", "c3", "c4"]):
+        rows.append((f"f{u}", t0 + i * m, u, "click", 1.0))
+    for u in ["v1", "v2", "v3", "c1"]:
+        rows.append((f"p{u}", t0 + dt.timedelta(hours=1), u, "purchase", 200.0))
+    _write(spark, tmp_path, "events", rows,
+           ["event_id", "ts", "user_id", "event_type", "value"])
+    out = QUERIES["conversion_rate_ztest"](spark, str(tmp_path)).first()
+    assert (out["n_view"], out["conv_view"]) == (4, 3)
+    assert (out["n_click"], out["conv_click"]) == (4, 1)
+    p = 4 / 8
+    z = (0.75 - 0.25) / math.sqrt(p * (1 - p) * (1 / 4 + 1 / 4))
+    assert out["z_score"] == pytest.approx(z, abs=1e-4)
+
+
+def test_conversion_ztest_degenerate_pool_is_null(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("f1", t0, "a", "view", 1.0),
+        ("f2", t0, "b", "click", 1.0),
+        ("p1", t0 + dt.timedelta(hours=1), "a", "purchase", 999.0),
+        ("p2", t0 + dt.timedelta(hours=1), "b", "purchase", 999.0),
+    ]
+    _write(spark, tmp_path, "events", rows,
+           ["event_id", "ts", "user_id", "event_type", "value"])
+    out = QUERIES["conversion_rate_ztest"](spark, str(tmp_path)).first()
+    assert out["rate_view"] == 1.0 and out["rate_click"] == 1.0
+    assert out["z_score"] is None
+
+
+# ------------------------------------------------- Holt-Winters ----
+
+
+def test_holt_winters_perfect_weekly_pattern_zero_residual(spark, tmp_path):
+    """A pure period-7 series: the first-week init captures the season
+    exactly, level stays at the mean, trend at 0 -> every in-sample
+    forecast is exact (residual 0 for all post-warm-up days)."""
+    base = dt.datetime(2024, 1, 1)
+    pattern = [100.0, 220.0, 340.0, 400.0, 340.0, 220.0, 100.0]
+    rows = [(i, base + dt.timedelta(days=i), pattern[i % 7])
+            for i in range(35)]
+    _write(spark, tmp_path, "orders", rows,
+           ["o_orderkey", "o_orderdate", "o_totalprice"])
+    out = QUERIES["holt_winters_weekly"](spark, str(tmp_path)).toPandas()
+    assert len(out) == 28
+    assert (out.residual.abs() < 1e-6).all()
+    assert (out.trend.abs() < 1e-6).all()
+
+
+def test_holt_winters_matches_numpy_recursion(spark, sf_small):
+    import numpy as np
+
+    from lab3_lakehouse_spark.queries.advstats import (
+        _HW_A, _HW_A1, _HW_B, _HW_B1, _HW_G, _HW_G1, _HW_P,
+    )
+
+    out = QUERIES["holt_winters_weekly"](spark, sf_small).toPandas()
+    orders = pd.read_parquet(f"{sf_small}/orders.parquet")
+    daily = (
+        orders.assign(day=orders.o_orderdate.dt.floor("D"))
+        .groupby("day")["o_totalprice"].sum().sort_index().to_numpy()
+    )
+    daily = np.floor(daily * 1e4 + 0.5) / 1e4
+    l = math.floor(daily[:_HW_P].sum() / _HW_P * 1e4 + 0.5) / 1e4
+    b = 0.0
+    s = list(daily[:_HW_P] - l)
+    fcs = []
+    for t in range(_HW_P, len(daily)):
+        x = daily[t]
+        fcs.append(l + b + s[0])
+        lnew = _HW_A * (x - s[0]) + _HW_A1 * (l + b)
+        bnew = _HW_B * (lnew - l) + _HW_B1 * b
+        snew = _HW_G * (x - lnew) + _HW_G1 * s[0]
+        l, b = lnew, bnew
+        s = s[1:] + [snew]
+    assert len(out) == len(fcs)
+    got = out.sort_values("day").forecast.to_numpy()
+    assert np.allclose(got, np.array(fcs), atol=2e-4)
