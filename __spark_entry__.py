@@ -38,37 +38,41 @@ def entry(spark: SparkSession) -> DataFrame:
 #               functional_dependency_audit — the persisted-index
 #               tier family, its streaming lid, its GC, the
 #               privacy-trio completion, and FD validation).
-#   slots 9-20  the TWELVE r10-continuation ops (advstats.py), never
+#   slots 9-23  the FIFTEEN r10-continuation ops (advstats.py), never
 #               stamped so they outrank everything re-stampable:
 #               skyline, Kaplan–Meier, Welch t, Spearman, Gini, ACF,
 #               assortativity, OOF target encoding, embedding feature
 #               covariance, Mann–Whitney U, conversion z-test,
-#               Holt–Winters weekly.
-#   slots 21-23 queries whose r10 edits CHANGE results:
-#               kll_quantile_contract (data-hash shards + sorted
-#               sketch rows change sketch contents),
-#               bm25_postings_topk (scratch-root + NULL-text append
-#               fix), ann_ivfpq_topk (pq_encode split out of
-#               pq_build).
-#   slot 24     rerank_fused_candidates (UDF-slot wiring touched the
-#               query body).
+#               Holt–Winters weekly, decontamination Bloom store,
+#               Heaps' vocabulary growth, hard-negative mining.
+#   slot 24     kll_quantile_contract — the ONE r10 edit whose results
+#               change on the gate data itself (data-hash shards +
+#               sorted sketch rows change the emitted sketch contents).
 #   slots 25-50 ALL twenty-six r4-stamped entries (six rounds old) —
 #               the r9 verdict's top priority, still fitting in one
 #               window.
-# DISPLACED to make room for the 12 never-stamped continuation ops
-# (all previously driver-stamped green, and their r10 state does not
-# change results): ann_pq_topk / winsorized_mean_event_values (pure
-# refactor / test-only edits), media_phash_dup_partners (the r9 watch
-# item is about BENCH time, which BENCH_r10 measures regardless of the
-# correctness window), and the two remaining r5-fill slots.
+# DISPLACED to make room for the 15 never-stamped continuation ops
+# (all previously driver-stamped green; every displaced entry is
+# covered by the full-registry pre-verification at HEAD):
+# bm25_postings_topk (NULL-text append fix changes results only on
+# NULL-text corpora — the gate corpus has none), ann_ivfpq_topk /
+# ann_pq_topk (pq_encode split is pure code motion),
+# rerank_fused_candidates (UDF-slot wiring; catalog oracle path
+# unchanged), winsorized_mean_event_values (test-only),
+# media_phash_dup_partners (the r9 watch item is about BENCH time,
+# which BENCH_r10 measures regardless of the correctness window), and
+# the r5-fill slots.
 # All 50 pre-verified green through the exact driver gate (check_query
 # at sf0.01) before commit — CORRECTNESS_r10_pre.json.
 #
 # ROUND-11 ROTATION PLAN (for the next builder): lead with (1) any
-# query round 11 edits, (2) the two dropped edited-in-r10 entries
-# (ann_pq_topk, winsorized_mean_event_values), then (3) the r5-green
-# block in registry order starting at dedup_fingerprint_groups, then
-# (4) r6-greens. With the r4 block stamped in r10, the oldest
+# query round 11 edits, (2) the two never-stamped r10 ops just past
+# this round's boundary (streaming_bloom_decontamination,
+# multi_touch_attribution), (3) the displaced edited-in-r10 entries
+# (bm25_postings_topk, ann_ivfpq_topk, ann_pq_topk,
+# rerank_fused_candidates, winsorized_mean_event_values), then (4) the
+# r5-green block in registry order starting at dedup_fingerprint_groups,
+# then (5) r6-greens. With the r4 block stamped in r10, the oldest
 # remaining stamps are r5.
 # tests/test_engine.py::test_priority_rotation_names_all_registered
 # guards against typos silently shrinking the window.
@@ -95,11 +99,11 @@ _PRIORITY = [
     "mannwhitney_value_shift",
     "conversion_rate_ztest",
     "holt_winters_weekly",
-    # ---- r10 edits that CHANGE results ----
+    "decontamination_bloom_store",
+    "heaps_vocabulary_growth",
+    "hard_negative_mining",
+    # ---- the one r10 edit whose results change on the gate data ----
     "kll_quantile_contract",
-    "bm25_postings_topk",
-    "ann_ivfpq_topk",
-    "rerank_fused_candidates",
     # ---- r4-stamped block (VERDICT r9 task #1) ----
     "reject_report",
     "derived_metrics",
@@ -128,8 +132,18 @@ _PRIORITY = [
     "merge_cdc_orders",
     "scd2_customer_priority",
     # ---- 50-slot window boundary ----
-    # displaced (previously stamped green; r10 edits result-neutral):
+    # the two LAST-built r10 ops land just past the boundary (the
+    # window was already full with never-stamped + r4 entries); both
+    # are individually gate-verified and covered by the full-registry
+    # pre-verification at HEAD — round 11 should lead with them:
+    "streaming_bloom_decontamination",
+    "multi_touch_attribution",
+    # displaced (previously stamped green; r10 edits result-neutral
+    # on the gate data — see header):
+    "bm25_postings_topk",
+    "ann_ivfpq_topk",
     "ann_pq_topk",
+    "rerank_fused_candidates",
     "winsorized_mean_event_values",
     "media_phash_dup_partners",
     # r5-green fill:

@@ -197,6 +197,11 @@ HEADLINE = [
     "mannwhitney_value_shift",      # tie-corrected rank-sum test (r10)
     "conversion_rate_ztest",        # pooled two-proportion first-touch z (r10)
     "holt_winters_weekly",          # triple smoothing, weekly season fold (r10)
+    "decontamination_bloom_store",  # persisted Bloom tier, set-membership (r10)
+    "heaps_vocabulary_growth",      # vocabulary-growth log-log fit (r10)
+    "hard_negative_mining",         # contrastive negatives, filter-then-score (r10)
+    "streaming_bloom_decontamination",  # stream-fed Bloom tier + probe (r10)
+    "multi_touch_attribution",      # U-shaped revenue credit, user-keyed (r10)
 ]
 
 

@@ -156,6 +156,39 @@ def bloom_probe(
     return out.withColumn(flag, cond).drop(*markers)
 
 
+def bloom_store_append(
+    store_root: str,
+    keys: DataFrame,
+    col: Column | str,
+    *,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 3,
+) -> None:
+    """Append one key batch to a PERSISTED Bloom tier — the membership
+    counterpart of the BM25 postings / media-signature stores
+    (operators/text.bm25_append_batch): cost proportional to the
+    BATCH, the existing store is never read (append-only parquet), and
+    disjoint appends compose because a Bloom filter's bit set is a
+    union. Layout: ``{root}/bits`` accumulates set-bit rows (the
+    reader de-duplicates — ≤ n_bits rows survive no matter how many
+    batches appended); ``{root}/meta`` gets one ``(n_keys)`` row per
+    batch so FP-rate accounting can estimate saturation without
+    touching the keys again. n_bits/n_hashes must match across appends
+    and probes (store them in the path or a config sidecar in
+    production)."""
+    bits = bloom_build(keys, col, n_bits, n_hashes)
+    bits.write.mode("append").parquet(f"{store_root}/bits")
+    meta = keys.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    meta.coalesce(1).write.mode("append").parquet(f"{store_root}/meta")
+
+
+def bloom_store_bits(spark, store_root: str) -> DataFrame:
+    """Read the merged bit set of a persisted Bloom tier: union of all
+    appended batches, de-duplicated — ≤ n_bits rows, broadcastable
+    into any probe scan at any store age."""
+    return spark.read.parquet(f"{store_root}/bits").distinct()
+
+
 # ---------------------------------------------------------------- KMV ----
 
 def kmv_cells(

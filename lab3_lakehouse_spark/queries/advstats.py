@@ -1388,3 +1388,550 @@ def holt_winters_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(F.col("r.level")).alias("level"),
         round4(F.col("r.trend")).alias("trend"),
     )
+
+
+# ----------------------------------- persisted decontamination tier ----
+
+_DECON_BITS = 1 << 16
+_DECON_K = 3
+_DECON_THRESH = 0.5
+#: bloom hash seed base (operators/sketches._BLOOM_SEED0) — pinned here
+#: for the oracle twin
+_DECON_SEED0 = 100
+
+
+def _decon_bloom_oracle() -> str:
+    from lab3_lakehouse_spark.operators.sketches import sql_hash60
+
+    pos = [
+        f"({sql_hash60('sh', _DECON_SEED0 + s)} % {_DECON_BITS})"
+        for s in range(_DECON_K)
+    ]
+    member = " AND ".join(
+        f"(SELECT count(*) FROM bits b WHERE b.bit = {p}) > 0" for p in pos
+    )
+    return f"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id,
+               list_distinct(
+                 list_transform(generate_series(1, greatest(len(w)-2, 1)),
+                                i -> array_to_string(w[i:i+2], ' '))
+               ) AS s
+        FROM w
+    ),
+    bench_sh AS (
+        SELECT DISTINCT unnest(s) AS sh FROM t WHERE doc_id % 10 = 0
+    ),
+    bits AS (
+        SELECT DISTINCT ({sql_hash60('sh', _DECON_SEED0)} % {_DECON_BITS})
+            AS bit FROM bench_sh
+        UNION
+        SELECT DISTINCT ({sql_hash60('sh', _DECON_SEED0 + 1)} % {_DECON_BITS})
+            FROM bench_sh
+        UNION
+        SELECT DISTINCT ({sql_hash60('sh', _DECON_SEED0 + 2)} % {_DECON_BITS})
+            FROM bench_sh
+    ),
+    corp AS (
+        SELECT doc_id, unnest(s) AS sh FROM t WHERE doc_id % 10 <> 0
+    ),
+    probed AS (
+        SELECT c.doc_id, c.sh,
+               ({member}) AS bloom_pass,
+               exists(SELECT 1 FROM bench_sh b WHERE b.sh = c.sh)
+                   AS exact_hit
+        FROM corp c
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(count(CASE WHEN bloom_pass THEN 1 END) AS BIGINT)
+                   AS n_pass,
+               CAST(count(CASE WHEN exact_hit THEN 1 END) AS BIGINT)
+                   AS n_exact
+        FROM probed GROUP BY doc_id
+    )
+    SELECT doc_id, n_shingles,
+           {sql_round4('n_pass::DOUBLE / n_shingles')} AS bloom_frac,
+           {sql_round4('n_exact::DOUBLE / n_shingles')} AS exact_frac,
+           (n_pass >= n_exact) AS no_false_negatives
+    FROM per_doc
+    WHERE n_pass::DOUBLE / n_shingles >= {_DECON_THRESH}
+    """
+
+
+@query("decontamination_bloom_store", oracle=_decon_bloom_oracle())
+def decontamination_bloom_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination through a PERSISTED Bloom tier — the
+    store pattern (BM25 postings / media signatures / IVF-PQ codes)
+    applied to the contamination check: benchmark shingles are folded
+    into an append-only set-bit table ONCE (two append batches here —
+    appends never read the store, and batches compose because Bloom
+    bits are a union), and every corpus refresh then probes its
+    shingles against the ≤ 2^16-row bit table broadcast into the scan —
+    membership-in-ANY-benchmark (the C4/Dolma-style set test, distinct
+    from `decontamination_ngram_overlap`'s best-single-benchmark-doc
+    match), with NO join against benchmark text at probe time. The
+    probe emits the exact-join fraction next to the Bloom fraction:
+    bloom >= exact on every row (no false negatives — a hard guarantee
+    the output carries as a checked column), and the gap is the
+    measured FP inflation (~ (1-e^(-kn/m))^k).
+
+    Scale shape: append cost ∝ batch; the bit table is fixed-size
+    (benchmarks don't grow with the corpus), so probe cost is one
+    corpus scan with 3 broadcast joins and a doc-keyed agg — no
+    corpus-sized shuffle. Hashes are the portable md5 family, so the
+    oracle rebuilds the very same bits bit-for-bit."""
+    from lab3_lakehouse_spark.operators import dedup as dedup_ops
+    from lab3_lakehouse_spark.operators import sketches
+    from lab3_lakehouse_spark.queries._util import scratch_dir
+
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    shingled = docs.select(
+        "doc_id", F.explode(dedup_ops.word_shingles("text", 3)).alias("sh")
+    )
+    root = scratch_dir("bloomstore_")
+    # two disjoint benchmark batches -> two appends (the store contract)
+    for m in (0, 10):
+        batch = shingled.filter(F.col("doc_id") % 20 == m).select(
+            "sh"
+        ).distinct()
+        sketches.bloom_store_append(
+            root, batch, "sh", n_bits=_DECON_BITS, n_hashes=_DECON_K
+        )
+    bits = sketches.bloom_store_bits(spark, root)
+    return _decon_probe_report(shingled, bits)
+
+
+def _decon_probe_report(shingled: DataFrame, bits: DataFrame) -> DataFrame:
+    """Shared probe tail of the batch and streaming Bloom-tier entries:
+    corpus shingles through the stored bit set (3 broadcast joins,
+    never a corpus shuffle), exact-join truth column alongside, per-doc
+    rollup, contamination cut."""
+    from lab3_lakehouse_spark.operators import sketches
+
+    corp = shingled.filter(F.col("doc_id") % 10 != 0)
+    probed = sketches.bloom_probe(
+        corp, F.col("sh"), bits, _DECON_BITS, _DECON_K
+    )
+    bench_sh = (
+        shingled.filter(F.col("doc_id") % 10 == 0).select("sh").distinct()
+    )
+    probed = probed.join(
+        F.broadcast(bench_sh.withColumn("__hit", F.lit(1))), "sh", "left"
+    )
+    per_doc = probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.count(F.when(F.col("bloom_pass"), 1)).cast("long").alias("n_pass"),
+        F.count(F.when(F.col("__hit").isNotNull(), 1))
+        .cast("long")
+        .alias("n_exact"),
+    )
+    return per_doc.filter(
+        F.col("n_pass").cast("double") / F.col("n_shingles")
+        >= F.lit(_DECON_THRESH)
+    ).select(
+        "doc_id",
+        "n_shingles",
+        round4(F.col("n_pass").cast("double") / F.col("n_shingles")).alias(
+            "bloom_frac"
+        ),
+        round4(F.col("n_exact").cast("double") / F.col("n_shingles")).alias(
+            "exact_frac"
+        ),
+        (F.col("n_pass") >= F.col("n_exact")).alias("no_false_negatives"),
+    )
+
+
+@query("streaming_bloom_decontamination", oracle=_decon_bloom_oracle())
+def streaming_bloom_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Bloom decontamination tier fed by a STREAM — the continuous
+    lid on `decontamination_bloom_store`, completing the store-family
+    symmetry (BM25 got its streaming writer in `streaming_bm25_index`;
+    the membership tier gets the same here): benchmark documents
+    arrive as a file stream (4 JSON slices, maxFilesPerTrigger=2 →
+    multiple real micro-batches), every micro-batch folds its shingles
+    into the persisted bit table via streaming/ingest.
+    stream_bloom_append, and after the stream drains the SAME corpus
+    probe as the batch entry must produce the identical contamination
+    report — the oracle is the batch entry's, verbatim. Replay is
+    fully idempotent for this store (re-appended bits de-duplicate —
+    no df/tf double-count analog), the best-behaved member of the
+    store family. Per-batch cost ∝ batch; probe cost is one corpus
+    scan + 3 broadcast joins at any stream age."""
+    import shutil
+
+    from lab3_lakehouse_spark.operators import dedup as dedup_ops
+    from lab3_lakehouse_spark.operators import sketches
+    from lab3_lakehouse_spark.queries._util import scratch_dir
+    from lab3_lakehouse_spark.streaming.ingest import stream_bloom_append
+
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    shingled = docs.select(
+        "doc_id", F.explode(dedup_ops.word_shingles("text", 3)).alias("sh")
+    )
+    src = scratch_dir("bloom_stream_src_")
+    store = scratch_dir("bloom_stream_store_")
+    try:
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            "doc_id", "text", "source"
+        ).repartition(4).write.mode("overwrite").json(src)
+        sq = stream_bloom_append(
+            spark, src, store,
+            n_bits=_DECON_BITS, n_hashes=_DECON_K, max_files_per_trigger=2,
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        bits = sketches.bloom_store_bits(spark, store)
+        return _decon_probe_report(shingled, bits).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(store, ignore_errors=True)
+
+
+# ------------------------------------------ Heaps' vocabulary growth ----
+
+_HEAPS_CKPTS = 32
+
+
+def _heaps_oracle() -> str:
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+'))
+            AS token
+        FROM documents
+    ),
+    bounds AS (
+        SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents
+    ),
+    ckpts AS (
+        SELECT k.k,
+               b.lo + ((b.hi - b.lo) * k.k) // {_HEAPS_CKPTS} AS c
+        FROM (SELECT unnest(generate_series(1, {_HEAPS_CKPTS})) AS k) k
+        CROSS JOIN bounds b
+    ),
+    firsts AS (
+        SELECT token, min(doc_id) AS first_doc FROM tok GROUP BY token
+    ),
+    vocab AS (
+        SELECT c.k, CAST(count(f.token) AS BIGINT) AS v
+        FROM ckpts c LEFT JOIN firsts f ON f.first_doc <= c.c
+        GROUP BY c.k
+    ),
+    toksz AS (
+        SELECT c.k, CAST(count(t.token) AS BIGINT) AS n
+        FROM ckpts c LEFT JOIN tok t ON t.doc_id <= c.c
+        GROUP BY c.k
+    ),
+    pts AS (
+        SELECT v.k, v.v, s.n, ln(CAST(s.n AS DOUBLE)) AS lx,
+               ln(CAST(v.v AS DOUBLE)) AS ly
+        FROM vocab v JOIN toksz s ON s.k = v.k
+        WHERE v.v > 0 AND s.n > 0
+    ),
+    fit AS (
+        SELECT (cnt * sxy - sx * sy) / (cnt * sxx - sx * sx) AS beta,
+               (sy - (cnt * sxy - sx * sy) / (cnt * sxx - sx * sx) * sx)
+                   / cnt AS logk
+        FROM (
+            SELECT CAST(count(*) AS DOUBLE) AS cnt,
+                   sum(lx) AS sx, sum(ly) AS sy, sum(lx * ly) AS sxy,
+                   sum(lx * lx) AS sxx
+            FROM pts
+        )
+    )
+    SELECT p.k AS ckpt, p.n AS n_tokens, p.v AS vocab,
+           {sql_round4('f.beta')} AS heaps_beta,
+           {sql_round4('f.logk')} AS heaps_logk
+    FROM pts p CROSS JOIN fit f
+    """
+
+
+@query("heaps_vocabulary_growth", oracle=_heaps_oracle())
+def heaps_vocabulary_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: V(n) ≈ K·n^β measured at 32
+    checkpoints along ingestion order (doc_id), with β from a log-log
+    OLS — the corpus-health twin of the Zipf rank fit (`zipf_fit_tokens`
+    checks the frequency DISTRIBUTION; this checks vocabulary GROWTH —
+    β far above the corpus baseline = OCR noise / unmerged near-dup
+    sources injecting junk types; β collapsing toward 0 = a corpus
+    that has stopped contributing new diversity, the data-curation
+    signal for when more crawl stops paying).
+
+    Exact at scale without a cumulative global sort: each TOKEN
+    contributes through its FIRST occurrence (one grouped min over the
+    token stream), each checkpoint's vocabulary is then a bounded
+    32-row histogram rollup — never a running-distinct over rows.
+    Checkpoints are exact integer arithmetic on the doc-id range;
+    counts are exact; the only floats are the two ln()s into the
+    closed-form OLS (libm-on-identical-ints, round4-absorbed)."""
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
+    )
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    ckpts = (
+        spark.range(1, _HEAPS_CKPTS + 1)
+        .withColumnRenamed("id", "k")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "k",
+            F.expr(f"lo + ((hi - lo) * k) DIV {_HEAPS_CKPTS}").alias("c"),
+        )
+    )
+    firsts = tok.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    vocab = (
+        F.broadcast(ckpts)
+        .join(firsts, F.col("first_doc") <= F.col("c"), "left")
+        .groupBy("k")
+        .agg(F.count("token").cast("long").alias("v"))
+    )
+    toksz = (
+        F.broadcast(ckpts)
+        .join(tok, F.col("doc_id") <= F.col("c"), "left")
+        .groupBy("k")
+        .agg(F.count("token").cast("long").alias("n"))
+    )
+    pts = (
+        vocab.join(toksz, "k")
+        .filter((F.col("v") > 0) & (F.col("n") > 0))
+        .select(
+            "k",
+            "v",
+            "n",
+            F.log(F.col("n").cast("double")).alias("lx"),
+            F.log(F.col("v").cast("double")).alias("ly"),
+        )
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("cnt"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+    )
+    cnt, sx, sy = F.col("cnt"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    beta = (cnt * sxy - sx * sy) / (cnt * sxx - sx * sx)
+    fit = sums.select(
+        round4(beta).alias("heaps_beta"),
+        round4((sy - beta * sx) / cnt).alias("heaps_logk"),
+    )
+    return pts.crossJoin(F.broadcast(fit)).select(
+        F.col("k").cast("long").alias("ckpt"),
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("vocab"),
+        "heaps_beta",
+        "heaps_logk",
+    )
+
+
+# ------------------------------------------------ hard-negative mining ----
+
+_HN_ANCHOR_MOD = 31   # anchors: vec_id % 31 == 0 (~16 of 500 at sf0.01)
+_HN_K = 5
+
+
+def _hard_negative_oracle() -> str:
+    cos = "list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[])"
+    return f"""
+    WITH ranked AS (
+        SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+               c.vec_id AS negative_id, c.label AS negative_label,
+               {cos} AS cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {cos} DESC, c.vec_id) AS BIGINT) AS rank
+        FROM embeddings a
+        JOIN embeddings c ON c.label <> a.label
+        WHERE a.vec_id % {_HN_ANCHOR_MOD} = 0
+        QUALIFY rank <= {_HN_K}
+    )
+    SELECT anchor_id, anchor_label, negative_id, negative_label, rank,
+           {sql_round4('cosine')} AS cosine
+    FROM ranked
+    """
+
+
+@query("hard_negative_mining", oracle=_hard_negative_oracle())
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for a
+    deterministic anchor sample, the top-k most-similar vectors with a
+    DIFFERENT label — the pairs that actually move a contrastive loss
+    (random negatives are trivially separable a few epochs in; hard
+    negatives close to the decision boundary are what improves the
+    encoder — the curation step of every dense-retrieval recipe).
+    Filter-then-score: the label-mismatch predicate lands BEFORE any
+    cosine is computed, so no same-label similarity is ever scored.
+
+    Scale shape is the brute-force eval class (`retrieval_label_mrr`):
+    the bounded anchor set broadcasts into one corpus scan (JVM-side
+    left-fold cosine, no Python round-trip), one anchor-keyed top-k
+    window on the scored frame. At production corpus sizes the scan
+    leg swaps for the persisted IVF-PQ store probe
+    (`ann_store_ivfpq_topk`) with k oversampled before the label
+    filter — same output contract."""
+    from lab3_lakehouse_spark.functions.vector import cosine_similarity
+
+    tune_session(spark)
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    anchors = emb.filter(F.col("vec_id") % _HN_ANCHOR_MOD == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("__avec"),
+    )
+    scored = (
+        emb.join(
+            F.broadcast(anchors),
+            F.col("label") != F.col("anchor_label"),
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            cosine_similarity(F.col("__avec"), F.col("embedding")).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _HN_K)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            "rank",
+            round4(F.col("cosine")).alias("cosine"),
+        )
+    )
+
+
+# -------------------------------------------- multi-touch attribution ----
+
+_ATTR_WINDOW_DAYS = 7
+_ATTR_POS_FIRST = 0.4   # U-shaped (position-based) credit: 40/20/40
+_ATTR_POS_LAST = 0.4
+
+
+def _attribution_oracle() -> str:
+    w_us = _ATTR_WINDOW_DAYS * 86_400_000_000
+    credit = f"""
+        CASE WHEN k = 1 THEN 1.0
+             WHEN k = 2 THEN 0.5
+             WHEN rn = 1 THEN CAST({_ATTR_POS_FIRST} AS DOUBLE)
+             WHEN rn = k THEN CAST({_ATTR_POS_LAST} AS DOUBLE)
+             ELSE CAST(0.2 AS DOUBLE) / (k - 2)
+        END
+    """
+    return f"""
+    WITH purch AS (
+        SELECT event_id AS conv_id, user_id, epoch_us(ts) AS t_p, value
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    touch AS (
+        SELECT user_id, event_id AS touch_id, event_type AS channel,
+               epoch_us(ts) AS t_t
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    joined AS (
+        SELECT p.conv_id, p.value, t.touch_id, t.channel, t.t_t,
+               row_number() OVER (
+                   PARTITION BY p.conv_id ORDER BY t.t_t, t.touch_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY p.conv_id) AS k
+        FROM purch p
+        JOIN touch t ON t.user_id = p.user_id
+                    AND t.t_t < p.t_p AND t.t_t >= p.t_p - {w_us}
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+           {sql_round4(f'sum(({credit}) * value)')} AS credited_revenue,
+           {sql_round4(f'sum({credit})')} AS credited_conversions
+    FROM joined
+    GROUP BY channel
+    """
+
+
+@query("multi_touch_attribution", oracle=_attribution_oracle())
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch revenue attribution: every
+    purchase distributes its value over the view/click touches of the
+    SAME user in the preceding 7 days — first touch 40%, last touch
+    40%, middle touches split 20% (k=1 → 100%, k=2 → 50/50; the
+    standard position-based rule) — answering "which channel earns the
+    revenue" where last-touch over-credits closers and first-touch
+    over-credits prospectors. Credits per conversion sum to exactly 1
+    by construction, so Σ credited_revenue over channels equals total
+    touched revenue (the books balance — a tested invariant).
+
+    Scale shape: the touch join is keyed on user_id (ONE shuffle; the
+    time-window predicate prunes inside the per-user join group — the
+    as-of/interval family's discipline, never a time-range cross
+    join); per-conversion position/count come from one window over the
+    joined frame partitioned by conversion id; one grouped rollup
+    ends it. Credit weights are exact rationals of small ints; the
+    only order-dependent float sums are the final credited sums
+    (round4-absorbed)."""
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id"),
+        F.unix_micros("ts").alias("t_p"),
+        "value",
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id"),
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("channel"),
+        F.unix_micros("ts").alias("t_t"),
+    )
+    w_us = _ATTR_WINDOW_DAYS * 86_400_000_000
+    joined = purch.join(touch, "user_id").filter(
+        (F.col("t_t") < F.col("t_p")) & (F.col("t_t") >= F.col("t_p") - w_us)
+    )
+    w = Window.partitionBy("conv_id").orderBy("t_t", "touch_id")
+    wk = Window.partitionBy("conv_id")
+    pos = joined.select(
+        "conv_id",
+        "value",
+        "channel",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wk).alias("k"),
+    )
+    credit = (
+        F.when(F.col("k") == 1, F.lit(1.0))
+        .when(F.col("k") == 2, F.lit(0.5))
+        .when(F.col("rn") == 1, F.lit(_ATTR_POS_FIRST))
+        .when(F.col("rn") == F.col("k"), F.lit(_ATTR_POS_LAST))
+        .otherwise(F.lit(0.2) / (F.col("k") - 2))
+    )
+    return pos.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.countDistinct("conv_id").cast("long").alias("n_conversions"),
+        round4(F.sum(credit * F.col("value"))).alias("credited_revenue"),
+        round4(F.sum(credit)).alias("credited_conversions"),
+    )

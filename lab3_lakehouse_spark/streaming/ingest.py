@@ -242,6 +242,52 @@ def stream_rate_mix(
     )
 
 
+def stream_bloom_append(
+    spark: SparkSession,
+    src_dir: str,
+    store_root: str,
+    *,
+    shingle_n: int = 3,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 3,
+    max_files_per_trigger: int = 1,
+):
+    """Continuous decontamination-tier ingestion: every micro-batch of
+    arriving BENCHMARK documents folds its distinct shingles into the
+    persisted Bloom tier via operators/sketches.bloom_store_append —
+    which never reads the store (bit sets union), so per-batch cost is
+    ∝ the batch at any store age. Probes see every committed batch'
+    bits immediately (the reader distinct-s the union).
+
+    Replay semantics are the BEST case of the store family: a replayed
+    batch re-appends the IDENTICAL bit rows, and since the reader
+    de-duplicates bits, replay is fully idempotent — no df/tf
+    double-count analog exists for a Bloom filter. Returns the started
+    StreamingQuery (caller owns stop/awaitTermination)."""
+    from lab3_lakehouse_spark.operators import sketches
+
+    checkpoint = f"{store_root}/_checkpoint"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        keys = batch_df.select(
+            F.explode(dedup_ops.word_shingles("text", shingle_n)).alias("sh")
+        ).distinct()
+        sketches.bloom_store_append(
+            store_root, keys, "sh", n_bits=n_bits, n_hashes=n_hashes
+        )
+
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(src_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def stream_bm25_append(
     spark: SparkSession,
     src_dir: str,

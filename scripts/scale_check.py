@@ -367,6 +367,22 @@ def workloads():
         "mannwhitney_value_shift": QUERIES["mannwhitney_value_shift"],
         "conversion_rate_ztest": QUERIES["conversion_rate_ztest"],
         "holt_winters_weekly": QUERIES["holt_winters_weekly"],
+        # continuation batch 3: the Bloom decontamination tier (append
+        # cost ∝ benchmark batch; probe = corpus scan + 3 broadcast
+        # joins + doc-keyed agg — alpha ~ 1 in corpus shingles, the
+        # md5-per-shingle cost class), Heaps (token-linear first-
+        # occurrence pass + bounded 32-row rollup — alpha ~ scan;
+        # amplified copies' prefixed tokens grow the vocab linearly,
+        # exactly the open-vocabulary regime the fit measures),
+        # hard negatives (bounded anchors broadcast into one corpus
+        # scan — the brute-eval class; embeddings ride the amplifier
+        # unchanged so this row pins fixed cost)
+        "decontamination_bloom_store": QUERIES["decontamination_bloom_store"],
+        "heaps_vocabulary_growth": QUERIES["heaps_vocabulary_growth"],
+        "hard_negative_mining": QUERIES["hard_negative_mining"],
+        # batch 4: attribution (user-keyed join + conv-keyed window —
+        # per-user fan-out bounded by activity windows, alpha ~ 1)
+        "multi_touch_attribution": QUERIES["multi_touch_attribution"],
         "corpus_pipeline": corpus_pipeline,
     }
 

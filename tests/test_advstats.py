@@ -530,3 +530,249 @@ def test_holt_winters_matches_numpy_recursion(spark, sf_small):
     assert len(out) == len(fcs)
     got = out.sort_values("day").forecast.to_numpy()
     assert np.allclose(got, np.array(fcs), atol=2e-4)
+
+
+# ------------------------------------- decontamination Bloom store ----
+
+
+def test_bloom_store_append_only_and_union_semantics(spark, tmp_path):
+    """Second append only ADDS parquet files (batch-1 files stay
+    byte-identical — the store is never read by an append), and the
+    merged bit set equals the one-shot build over the union of keys."""
+    import glob
+    import os
+
+    from lab3_lakehouse_spark.operators import sketches
+
+    keys = spark.createDataFrame(
+        [(f"key{i}",) for i in range(200)], ["sh"]
+    )
+    root = str(tmp_path / "bloom")
+    sketches.bloom_store_append(
+        root, keys.filter("sh < 'key1'"), "sh", n_bits=4096, n_hashes=3
+    )
+
+    def snapshot():
+        return {
+            p: (os.path.getsize(p), os.path.getmtime(p))
+            for p in glob.glob(f"{root}/**/*.parquet", recursive=True)
+        }
+
+    before = snapshot()
+    sketches.bloom_store_append(
+        root, keys.filter("sh >= 'key1'"), "sh", n_bits=4096, n_hashes=3
+    )
+    after = snapshot()
+    for path, sig in before.items():
+        assert after[path] == sig, f"append rewrote existing file {path}"
+    assert len(after) > len(before)
+    merged = {
+        r["bit"] for r in sketches.bloom_store_bits(spark, root).collect()
+    }
+    oneshot = {
+        r["bit"]
+        for r in sketches.bloom_build(keys, "sh", 4096, 3).collect()
+    }
+    assert merged == oneshot
+
+
+def test_decon_bloom_flags_planted_copy_no_false_negatives(spark, tmp_path):
+    """doc 1 copies benchmark doc 10 verbatim -> flagged with
+    exact_frac 1.0; a disjoint-vocabulary doc is absent; bloom_frac >=
+    exact_frac on every emitted row."""
+    bench_text = " ".join(f"tok{i}" for i in range(40))
+    clean_text = " ".join(f"other{i}" for i in range(40))
+    rows = [
+        (10, bench_text, "en", "web", 1),       # benchmark (10 % 10 == 0)
+        (20, clean_text, "en", "web", 1),       # benchmark 2 (disjoint)
+        (1, bench_text, "en", "web", 1),        # contaminated corpus doc
+        (3, " ".join(f"x{i}" for i in range(40)), "en", "web", 1),  # clean
+    ]
+    _write(spark, tmp_path, "documents", rows,
+           ["doc_id", "text", "lang", "source", "n_chars"])
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["decontamination_bloom_store"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert 1 in out and 3 not in out
+    assert out[1]["exact_frac"] == pytest.approx(1.0, abs=1e-4)
+    for r in out.values():
+        assert r["no_false_negatives"]
+        assert r["bloom_frac"] >= r["exact_frac"] - 1e-9
+
+
+# ------------------------------------------------------- Heaps' law ----
+
+
+def test_heaps_beta_one_for_all_unique_tokens(spark, tmp_path):
+    """Every token globally unique -> V(n) = n -> beta ~ 1."""
+    rows = [
+        (i, " ".join(f"u{i}_{j}" for j in range(20)), "en", "web", 1)
+        for i in range(64)
+    ]
+    _write(spark, tmp_path, "documents", rows,
+           ["doc_id", "text", "lang", "source", "n_chars"])
+    out = QUERIES["heaps_vocabulary_growth"](spark, str(tmp_path)).first()
+    assert out["heaps_beta"] == pytest.approx(1.0, abs=1e-3)
+
+
+def test_heaps_beta_zero_for_closed_vocabulary(spark, tmp_path):
+    """Identical docs -> vocabulary saturates at doc 1 -> beta ~ 0."""
+    text = " ".join(f"w{j}" for j in range(20))
+    rows = [(i, text, "en", "web", 1) for i in range(64)]
+    _write(spark, tmp_path, "documents", rows,
+           ["doc_id", "text", "lang", "source", "n_chars"])
+    out = QUERIES["heaps_vocabulary_growth"](spark, str(tmp_path)).toPandas()
+    assert (out.vocab == 20).all()
+    assert abs(out.heaps_beta.iloc[0]) < 1e-6
+
+
+# ------------------------------------------------ hard negatives ----
+
+
+def test_hard_negatives_exclude_same_label_and_rank_planted(spark, tmp_path):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    d = 16
+    base = rng.normal(0, 1, d)
+    rows = []
+    # anchor: vec_id 0 (0 % 31 == 0), label 0
+    rows.append((0, base.tolist(), 0))
+    # same-label twin (cos ~1) must NEVER appear as a negative
+    rows.append((1, (base + rng.normal(0, 0.001, d)).tolist(), 0))
+    # different-label near-twin -> must be rank 1
+    rows.append((2, (base + rng.normal(0, 0.01, d)).tolist(), 1))
+    # far different-label vectors
+    for i in range(3, 30):
+        rows.append((i, rng.normal(0, 1, d).tolist(), 1 + i % 2))
+    _write(spark, tmp_path, "embeddings", rows,
+           ["vec_id", "embedding", "label"])
+    out = QUERIES["hard_negative_mining"](spark, str(tmp_path)).toPandas()
+    a0 = out[out.anchor_id == 0].sort_values("rank")
+    assert len(a0) == 5
+    assert (a0.negative_label != 0).all()
+    assert 1 not in set(a0.negative_id)
+    assert a0.iloc[0].negative_id == 2
+    assert a0.iloc[0].cosine > 0.99
+
+
+def test_hard_negatives_match_numpy_on_real_data(spark, sf_small):
+    import numpy as np
+
+    out = QUERIES["hard_negative_mining"](spark, sf_small).toPandas()
+    emb = pd.read_parquet(f"{sf_small}/embeddings.parquet")
+    x = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    ids = emb.vec_id.to_numpy()
+    labels = emb.label.to_numpy()
+    from lab3_lakehouse_spark.queries.advstats import _HN_ANCHOR_MOD, _HN_K
+    for a in np.where(ids % _HN_ANCHOR_MOD == 0)[0]:
+        sims = xn @ xn[a]
+        mask = labels != labels[a]
+        order = sorted(
+            [(float(-sims[i]), int(ids[i])) for i in np.where(mask)[0]]
+        )[:_HN_K]
+        want = [v for _, v in order]
+        got = (
+            out[out.anchor_id == ids[a]]
+            .sort_values("rank")
+            .negative_id.tolist()
+        )
+        assert got == want, ids[a]
+
+
+# --------------------------------------- streaming Bloom ingestion ----
+
+
+def test_streaming_bloom_equals_batch_store(spark, sf_small):
+    """The stream-fed Bloom tier must yield the IDENTICAL contamination
+    report as the batch-built store (same bits -> same probe)."""
+    batch = sorted(
+        tuple(r)
+        for r in QUERIES["decontamination_bloom_store"](
+            spark, sf_small
+        ).collect()
+    )
+    stream = sorted(
+        tuple(r)
+        for r in QUERIES["streaming_bloom_decontamination"](
+            spark, sf_small
+        ).collect()
+    )
+    assert stream == batch
+    assert len(stream) > 0
+
+
+# ------------------------------------------ multi-touch attribution ----
+
+
+def test_attribution_position_weights_hand_computed(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 10)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # user a: view, click, view -> purchase 100 (40/20/40)
+        ("t1", t0 + 1 * h, "a", "view", 1.0),
+        ("t2", t0 + 2 * h, "a", "click", 1.0),
+        ("t3", t0 + 3 * h, "a", "view", 1.0),
+        ("p1", t0 + 4 * h, "a", "purchase", 100.0),
+        # user b: single click -> purchase 50 (100%)
+        ("t4", t0 + 1 * h, "b", "click", 1.0),
+        ("p2", t0 + 2 * h, "b", "purchase", 50.0),
+        # user c: view then click -> purchase 80 (50/50)
+        ("t5", t0 + 1 * h, "c", "view", 1.0),
+        ("t6", t0 + 2 * h, "c", "click", 1.0),
+        ("p3", t0 + 3 * h, "c", "purchase", 80.0),
+        # user d: touch OUTSIDE the 7-day window -> no attribution rows
+        ("t7", t0 - dt.timedelta(days=8), "d", "view", 1.0),
+        ("p4", t0, "d", "purchase", 999.0),
+    ]
+    _write(spark, tmp_path, "events", rows,
+           ["event_id", "ts", "user_id", "event_type", "value"])
+    out = {
+        r["channel"]: r
+        for r in QUERIES["multi_touch_attribution"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # view: p1 first (40) + p1 last (40) + p3 first of two (50% of 80)
+    assert out["view"]["credited_revenue"] == pytest.approx(
+        0.4 * 100 + 0.4 * 100 + 0.5 * 80, abs=1e-4
+    )
+    # click: p1 middle (20) + p2 solo (100%) + p3 last of two (40)
+    assert out["click"]["credited_revenue"] == pytest.approx(
+        0.2 * 100 + 1.0 * 50 + 0.5 * 80, abs=1e-4
+    )
+    assert out["view"]["n_touches"] == 3
+    assert out["click"]["n_touches"] == 3
+    # books balance: total credit = total touched revenue (d excluded)
+    total = sum(r["credited_revenue"] for r in out.values())
+    assert total == pytest.approx(230.0, abs=1e-3)
+    # credited conversions sum to the number of touched conversions
+    convs = sum(r["credited_conversions"] for r in out.values())
+    assert convs == pytest.approx(3.0, abs=1e-6)
+
+
+def test_attribution_books_balance_on_real_data(spark, sf_small):
+    out = QUERIES["multi_touch_attribution"](spark, sf_small).toPandas()
+    ev = pd.read_parquet(f"{sf_small}/events.parquet")
+    ev = ev.sort_values("ts")
+    purch = ev[(ev.event_type == "purchase") & ev.value.notna()]
+    touch = ev[ev.event_type.isin(["view", "click"])]
+    w = pd.Timedelta(days=7)
+    touched_total = 0.0
+    n_touched = 0
+    for p in purch.itertuples():
+        t = touch[(touch.user_id == p.user_id)
+                  & (touch.ts < p.ts) & (touch.ts >= p.ts - w)]
+        if len(t):
+            touched_total += p.value
+            n_touched += 1
+    assert out.credited_revenue.sum() == pytest.approx(
+        touched_total, rel=1e-4
+    )
+    assert out.credited_conversions.sum() == pytest.approx(
+        n_touched, rel=1e-6
+    )
