@@ -572,3 +572,66 @@ def test_q3_pushdown_and_takeordered(spark, sf):
     assert pa.count_nodes(df, "TakeOrderedAndProject") >= 1, (
         pa.formatted_plan(df)
     )
+
+
+# ------------------------------------------- round-10 continuation ----
+
+
+def test_skyline_broadcast_frontier_no_smj(spark, sf):
+    """The exact dominance finish joins the tiny per-price frontier
+    BROADCAST — a sort-merge join here would shuffle the candidate
+    frame for no reason."""
+    df = QUERIES["part_price_size_skyline"](spark, sf)
+    assert pa.count_nodes(df, "BroadcastHashJoin") >= 1, pa.formatted_plan(df)
+    assert pa.count_nodes(df, "SortMergeJoin") == 0
+
+
+def test_hard_negatives_codegen_cosine_no_python(spark, sf):
+    """The cosine scan must stay JVM-side (HOF fold, no Python worker)
+    and the bounded anchor set must broadcast into the corpus scan;
+    ranking exchanges carry scores, never embedding vectors."""
+    df = QUERIES["hard_negative_mining"](spark, sf)
+    plan = pa.formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert pa.count_nodes(df, "BroadcastNestedLoopJoin") >= 1, plan
+    assert pa.count_nodes(df, "SortMergeJoin") == 0
+    # fan_out's RoundRobin spread is a deliberate low-SF no-op-at-scale;
+    # the pin is about KEYED shuffles (ranking / aggregation exchanges)
+    for args, cols in pa.exchange_inputs(df):
+        if "RoundRobinPartitioning" in args:
+            continue
+        assert "embedding" not in cols and "__avec" not in cols, (args, cols)
+
+
+def test_attribution_shuffles_on_analysis_keys_only(spark, sf):
+    """The touch join is an equi-join on user_id (never a time-range
+    nested loop) and every exchange hashes on user_id or conv_id."""
+    df = QUERIES["multi_touch_attribution"](spark, sf)
+    assert pa.count_nodes(df, "BroadcastNestedLoopJoin") == 0, (
+        pa.formatted_plan(df)
+    )
+    for args, cols in pa.exchange_inputs(df):
+        if "hashpartitioning" in args:
+            assert ("user_id" in args) or ("conv_id" in args) or (
+                "channel" in args
+            ), (args, cols)
+
+
+def test_bloom_probe_is_broadcast_only(spark, sf):
+    """The decontamination probe's bit-table joins (3 hash functions)
+    and the exact-truth join are all broadcast — the corpus shingle
+    frame is never shuffled before its doc-keyed rollup."""
+    df = QUERIES["decontamination_bloom_store"](spark, sf)
+    assert pa.count_nodes(df, "BroadcastHashJoin") >= 4, pa.formatted_plan(df)
+    assert pa.count_nodes(df, "SortMergeJoin") == 0
+
+
+def test_gram_matrix_exchanges_never_carry_vectors(spark, sf):
+    """The covariance audit's whole point: only the fixed d(d+1)/2 cell
+    grid crosses an exchange — never an embedding array."""
+    df = QUERIES["embedding_feature_covariance"](spark, sf)
+    assert pa.count_nodes(df, "SortMergeJoin") == 0
+    for args, cols in pa.exchange_inputs(df):
+        if "RoundRobinPartitioning" in args:  # fan_out's low-SF spread
+            continue
+        assert "embedding" not in cols, (args, cols)
