@@ -66,9 +66,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # at sf0.01) before commit — CORRECTNESS_r10_pre.json.
 #
 # ROUND-11 ROTATION PLAN (for the next builder): lead with (1) any
-# query round 11 edits, (2) the two never-stamped r10 ops just past
+# query round 11 edits, (2) the three never-stamped r10 ops just past
 # this round's boundary (streaming_bloom_decontamination,
-# multi_touch_attribution), (3) the displaced edited-in-r10 entries
+# multi_touch_attribution, hard_negative_store_mining), (3) the
+# displaced edited-in-r10 entries
 # (bm25_postings_topk, ann_ivfpq_topk, ann_pq_topk,
 # rerank_fused_candidates, winsorized_mean_event_values), then (4) the
 # r5-green block in registry order starting at dedup_fingerprint_groups,
@@ -132,12 +133,13 @@ _PRIORITY = [
     "merge_cdc_orders",
     "scd2_customer_priority",
     # ---- 50-slot window boundary ----
-    # the two LAST-built r10 ops land just past the boundary (the
-    # window was already full with never-stamped + r4 entries); both
+    # the three LAST-built r10 ops land just past the boundary (the
+    # window was already full with never-stamped + r4 entries); all
     # are individually gate-verified and covered by the full-registry
     # pre-verification at HEAD — round 11 should lead with them:
     "streaming_bloom_decontamination",
     "multi_touch_attribution",
+    "hard_negative_store_mining",
     # displaced (previously stamped green; r10 edits result-neutral
     # on the gate data — see header):
     "bm25_postings_topk",

@@ -202,6 +202,7 @@ HEADLINE = [
     "hard_negative_mining",         # contrastive negatives, filter-then-score (r10)
     "streaming_bloom_decontamination",  # stream-fed Bloom tier + probe (r10)
     "multi_touch_attribution",      # U-shaped revenue credit, user-keyed (r10)
+    "hard_negative_store_mining",   # negatives via persisted IVF-PQ probe (r10)
 ]
 
 

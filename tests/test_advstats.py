@@ -776,3 +776,15 @@ def test_attribution_books_balance_on_real_data(spark, sf_small):
     assert out.credited_conversions.sum() == pytest.approx(
         n_touched, rel=1e-6
     )
+
+
+# ------------------------------------ hard negatives via ANN store ----
+
+
+def test_hard_negative_store_recall_contract(spark, sf_medium):
+    """The store-probe leg must recover >= the floor of the exact hard
+    negatives (IVF routing bound; the label filter must not break the
+    contract), and the counts must be exactly anchors x k."""
+    out = QUERIES["hard_negative_store_mining"](spark, sf_medium).first()
+    assert out["recall_ok"]
+    assert out["n_exact_pairs"] == out["n_anchors"] * 5
