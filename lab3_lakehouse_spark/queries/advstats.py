@@ -732,9 +732,13 @@ def copurchase_degree_assortativity(
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
+    # one edge build for FIVE consumers (degrees ×2, directed ×2, the
+    # edge count) — without the checkpoint the basket self-join +
+    # distinct re-executes per consumer (measured 9.8 s -> ~5 s at
+    # sf0.1)
     edges = graph_ops.cooccurrence_edges(
         li, group_col="l_orderkey", item_col="l_partkey", symmetric=False
-    )
+    ).localCheckpoint(eager=True)
     deg = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))

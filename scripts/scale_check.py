@@ -381,8 +381,12 @@ def workloads():
         "heaps_vocabulary_growth": QUERIES["heaps_vocabulary_growth"],
         "hard_negative_mining": QUERIES["hard_negative_mining"],
         # batch 4: attribution (user-keyed join + conv-keyed window —
-        # per-user fan-out bounded by activity windows, alpha ~ 1)
+        # per-user fan-out bounded by activity windows, alpha ~ 1);
+        # store-probed hard negatives (init + appends + sliver probe +
+        # the exact verification leg — alpha pins the fixed store cost,
+        # the ann_store class)
         "multi_touch_attribution": QUERIES["multi_touch_attribution"],
+        "hard_negative_store_mining": QUERIES["hard_negative_store_mining"],
         "corpus_pipeline": corpus_pipeline,
     }
 
