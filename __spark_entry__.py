@@ -140,6 +140,7 @@ _PRIORITY = [
     "streaming_bloom_decontamination",
     "multi_touch_attribution",
     "hard_negative_store_mining",
+    "code_switch_langmix",
     # displaced (previously stamped green; r10 edits result-neutral
     # on the gate data — see header):
     "bm25_postings_topk",

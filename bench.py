@@ -203,6 +203,7 @@ HEADLINE = [
     "streaming_bloom_decontamination",  # stream-fed Bloom tier + probe (r10)
     "multi_touch_attribution",      # U-shaped revenue credit, user-keyed (r10)
     "hard_negative_store_mining",   # negatives via persisted IVF-PQ probe (r10)
+    "code_switch_langmix",          # per-chunk language-mix audit (r10)
 ]
 
 

@@ -331,7 +331,24 @@ def lang_id_heuristic(text: Column | str) -> Column:
     """Language guess by marker-word hit count. Ties break in table
     order; 'und' when no marker matches. (greatest + first-match CASE —
     the same shape the SQL oracle uses.)"""
-    scores = {lang: marker_score(text, m) for lang, m in LANG_MARKERS.items()}
+    toks = whitespace_tokens(
+        F.lower(F.col(text) if isinstance(text, str) else text)
+    )
+    return lang_id_from_tokens(toks)
+
+
+def lang_id_from_tokens(toks: Column) -> Column:
+    """:func:`lang_id_heuristic` over an ALREADY-tokenized (lowercase)
+    array — for chunk-level callers that hold token slices and should
+    not pay a rejoin + re-split per window (code_switch_langmix)."""
+    def _count(markers: tuple[str, ...]) -> Column:
+        # NB: a `lambda w, m=m` default-arg closure would give the
+        # lambda TWO parameters, which Spark's filter() interprets as
+        # the (element, index) form — a real closure keeps it unary
+        arr = F.array(*[F.lit(x) for x in markers])
+        return F.size(F.filter(toks, lambda w: F.array_contains(arr, w)))
+
+    scores = {lang: _count(m) for lang, m in LANG_MARKERS.items()}
     top = F.greatest(*scores.values())
     out = F.lit("und")
     for lang in reversed(list(scores)):  # earlier langs win ties

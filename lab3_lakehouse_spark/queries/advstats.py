@@ -2045,3 +2045,165 @@ def hard_negative_store_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ------------------------------------------ code-switch lang-mix audit ----
+
+_CS_WIN = 32   # tokens per chunk (non-overlapping: stride == window)
+
+
+def _code_switch_oracle() -> str:
+    from lab3_lakehouse_spark.operators.text import LANG_MARKERS
+
+    score = {
+        lang: (
+            "len(list_filter(c, w -> list_contains(['"
+            + "','".join(m)
+            + "'], w)))"
+        )
+        for lang, m in LANG_MARKERS.items()
+    }
+    greatest = "greatest(" + ", ".join(f"s_{x}" for x in score) + ")"
+    case = (
+        f"CASE WHEN {greatest} = 0 THEN 'und' "
+        + " ".join(f"WHEN s_{x} = {greatest} THEN '{x}'" for x in score)
+        + " END"
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, w,
+               unnest(generate_series(0,
+                   greatest(CAST(ceil((len(w) - {_CS_WIN}) / {_CS_WIN}.0)
+                            AS BIGINT), 0))) AS i
+        FROM toks
+    ),
+    chunks AS (
+        SELECT doc_id, i,
+               w[i * {_CS_WIN} + 1 : i * {_CS_WIN} + {_CS_WIN}] AS c
+        FROM starts
+    ),
+    scored AS (
+        SELECT doc_id, i,
+               {", ".join(f"{sql} AS s_{x}" for x, sql in score.items())}
+        FROM chunks
+    ),
+    pred AS (SELECT doc_id, i, {case} AS p FROM scored),
+    perlang AS (
+        SELECT doc_id, p, CAST(count(*) AS BIGINT) AS c
+        FROM pred WHERE p <> 'und' GROUP BY doc_id, p
+    ),
+    major AS (
+        SELECT doc_id, p AS majority_lang, c AS major_cnt
+        FROM perlang
+        QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY c DESC, p) = 1
+    ),
+    perdoc AS (
+        SELECT d.doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(count(CASE WHEN p <> 'und' THEN 1 END) AS BIGINT)
+                   AS n_lang_chunks,
+               CAST(count(DISTINCT CASE WHEN p <> 'und' THEN p END)
+                   AS BIGINT) AS n_langs
+        FROM pred d GROUP BY d.doc_id
+    )
+    SELECT p.doc_id, p.n_chunks, p.n_langs,
+           m.majority_lang,
+           CASE WHEN p.n_lang_chunks > 0
+                THEN m.major_cnt::DOUBLE / p.n_lang_chunks END
+               AS majority_share,
+           (p.n_langs >= 2) AS is_code_switched
+    FROM perdoc p LEFT JOIN major m USING (doc_id)
+    WHERE p.n_chunks >= 2
+    """
+
+
+@query("code_switch_langmix", oracle=_code_switch_oracle())
+def code_switch_langmix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-CHUNK language-mix audit (code-switching detection): each
+    document is cut into non-overlapping 32-token windows
+    (operators/text.chunk_token_windows — the same chunker the
+    embedding pipeline uses), each window is language-ID'd with the
+    marker heuristic, and the per-doc rollup reports how many distinct
+    languages appear and how dominant the majority is. Doc-level
+    lang-ID (`lang_id_predictions`) calls a 50/50 en/es document
+    "en" and moves on; for an LLM corpus, mixed-language documents
+    need flagging BEFORE tokenizer/mix decisions (they wreck per-lang
+    quotas and curriculum buckets). majority_share is an exact
+    int/int division; the majority tie breaks on (count desc, lang) in
+    both engines.
+
+    Scale shape: the chunk explode is scan-side with ~len/32 bounded
+    fan-out, scoring is pure Catalyst array filtering, and everything
+    aggregates on doc_id — one shuffle key; output is O(docs)."""
+    from lab3_lakehouse_spark.operators import text as text_ops
+
+    tune_session(spark)
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    # score the token SLICE directly (lang_id_from_tokens) — routing
+    # through chunk_token_windows' rejoined chunk string would pay an
+    # array_join + re-split per window for nothing (measured ~1.5x)
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    last_start = F.greatest(
+        F.ceil((F.size(toks) - F.lit(_CS_WIN)) / F.lit(_CS_WIN)).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    chunks = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), last_start)).alias("i"),
+        toks.alias("__toks"),
+    ).select(
+        "doc_id",
+        text_ops.lang_id_from_tokens(
+            F.slice(
+                F.col("__toks"), (F.col("i") * _CS_WIN + 1).cast("int"),
+                _CS_WIN,
+            )
+        ).alias("p"),
+    )
+    perdoc = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.count(F.when(F.col("p") != "und", 1))
+        .cast("long")
+        .alias("n_lang_chunks"),
+        F.countDistinct(F.when(F.col("p") != "und", F.col("p")))
+        .cast("long")
+        .alias("n_langs"),
+    )
+    perlang = (
+        chunks.filter(F.col("p") != "und")
+        .groupBy("doc_id", "p")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wm = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("p"))
+    major = (
+        perlang.withColumn("__r", F.row_number().over(wm))
+        .filter(F.col("__r") == 1)
+        .select(
+            "doc_id",
+            F.col("p").alias("majority_lang"),
+            F.col("c").alias("major_cnt"),
+        )
+    )
+    return (
+        perdoc.join(major, "doc_id", "left")
+        .filter(F.col("n_chunks") >= 2)
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_langs",
+            "majority_lang",
+            F.when(
+                F.col("n_lang_chunks") > 0,
+                F.col("major_cnt").cast("double")
+                / F.col("n_lang_chunks").cast("double"),
+            ).alias("majority_share"),
+            (F.col("n_langs") >= 2).alias("is_code_switched"),
+        )
+    )

@@ -291,6 +291,39 @@ SHOWCASE: dict[str, str] = {
         "one Arrow decode pass ran at append time and is amortized over "
         "every later dedup run."
     ),
+    "part_price_size_skyline": (
+        "Two-phase distributed skyline: the mapInPandas local prune runs "
+        "once (checkpoint-pinned) and feeds both the probe side and the "
+        "per-price frontier aggregate; the exact dominance finish is one "
+        "BroadcastHashJoin of the tiny frontier — the all-pairs NOT "
+        "EXISTS never appears."
+    ),
+    "embedding_feature_covariance": (
+        "Distributed Gram matrix: vectors never cross an Exchange — "
+        "mapInPandas collapses each Arrow batch to d(d+1)/2 partial "
+        "cells, the only keyed shuffle carries (i, j, sums), and the "
+        "diag joins are broadcast."
+    ),
+    "decontamination_bloom_store": (
+        "Persisted membership tier: the corpus shingle frame flows "
+        "through three BroadcastHashJoins against the ≤ 2^16-row stored "
+        "bit table plus one broadcast exact-truth join, then straight "
+        "into the doc-keyed rollup — the probe never shuffles the "
+        "corpus and never touches benchmark text."
+    ),
+    "multi_touch_attribution": (
+        "U-shaped credit: the touch join is an equi-join on user_id "
+        "(the 7-day window predicate prunes inside the join group — no "
+        "time-range nested loop), position/count come from one "
+        "conv_id-partitioned window, one grouped rollup ends it."
+    ),
+    "hard_negative_mining": (
+        "Contrastive negative mining: the bounded anchor set broadcasts "
+        "into a single corpus scan (BroadcastNestedLoopJoin on the "
+        "label-mismatch predicate), cosine is a codegen HOF fold — no "
+        "Python worker in the plan; ranking exchanges carry scores, "
+        "never vectors."
+    ),
 }
 
 

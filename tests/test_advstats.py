@@ -788,3 +788,29 @@ def test_hard_negative_store_recall_contract(spark, sf_medium):
     out = QUERIES["hard_negative_store_mining"](spark, sf_medium).first()
     assert out["recall_ok"]
     assert out["n_exact_pairs"] == out["n_anchors"] * 5
+
+
+# ------------------------------------------------ code-switch audit ----
+
+
+def test_code_switch_flags_planted_mixed_doc(spark, tmp_path):
+    """Doc 1: first 32-token window English markers, second window
+    Spanish markers -> 2 langs, flagged; doc 2: pure English across 2
+    windows -> majority share 1.0, not flagged."""
+    en = ("the cat and the dog of the house " * 4).strip()     # 32 tokens
+    es = ("el gato la casa los perros el sol " * 4).strip()    # 32 tokens
+    rows = [
+        (1, en + " " + es, "en", "web", 1),
+        (2, en + " " + en, "en", "web", 1),
+    ]
+    _write(spark, tmp_path, "documents", rows,
+           ["doc_id", "text", "lang", "source", "n_chars"])
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["code_switch_langmix"](spark, str(tmp_path)).collect()
+    }
+    assert out[1]["is_code_switched"] and out[1]["n_langs"] == 2
+    assert out[1]["majority_share"] == pytest.approx(0.5, abs=1e-9)
+    assert not out[2]["is_code_switched"]
+    assert out[2]["majority_lang"] == "en"
+    assert out[2]["majority_share"] == 1.0
