@@ -141,6 +141,8 @@ _PRIORITY = [
     "multi_touch_attribution",
     "hard_negative_store_mining",
     "code_switch_langmix",
+    "source_length_calibration",
+    "dup_canonical_selection",
     # displaced (previously stamped green; r10 edits result-neutral
     # on the gate data — see header):
     "bm25_postings_topk",

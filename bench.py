@@ -204,6 +204,8 @@ HEADLINE = [
     "multi_touch_attribution",      # U-shaped revenue credit, user-keyed (r10)
     "hard_negative_store_mining",   # negatives via persisted IVF-PQ probe (r10)
     "code_switch_langmix",          # per-chunk language-mix audit (r10)
+    "source_length_calibration",    # cross-source quantile normalization (r10)
+    "dup_canonical_selection",      # keep-one election per dup group (r10)
 ]
 
 
@@ -296,6 +298,42 @@ def _bench_overrides() -> dict:
         )
         verified = dedup_ops.minhash_verify_hashed(cands, hashed, threshold=0.8)
         return dedup_ops.connected_components(verified, "id_a", "id_b")
+
+    def dup_canonical(spark, sf_dir):
+        # LSH pair source (catalog's exact word-Jaccard tier is the
+        # oracle-replay twin), then the catalog query's own downstream:
+        # hash-min components + longest-text canonical election
+        from pyspark.sql import Window
+
+        docs = fan_out(load_table(spark, sf_dir, "documents"))
+        hashed = docs.select(
+            F.col("doc_id").alias("__id"),
+            dedup_ops.shingle_hashes("text", 3).alias("__h"),
+        ).localCheckpoint(eager=False)
+        cands = dedup_ops.minhash_lsh_candidates_from_hashes(
+            hashed, num_perm=64, bands=16
+        )
+        pairs = dedup_ops.minhash_verify_hashed(cands, hashed, threshold=0.8)
+        cc = dedup_ops.connected_components(pairs, "id_a", "id_b")
+        members = cc.select(
+            F.col("vertex").alias("doc_id"), "component"
+        ).join(docs.select("doc_id", "n_chars"), "doc_id")
+        wc = Window.partitionBy("component").orderBy(
+            F.col("n_chars").desc(), F.col("doc_id")
+        )
+        canon = (
+            members.withColumn("__r", F.row_number().over(wc))
+            .filter(F.col("__r") == 1)
+            .select("component", F.col("doc_id").alias("canonical_id"),
+                    F.col("n_chars").alias("canonical_chars"))
+        )
+        return members.join(F.broadcast(canon), "component").select(
+            "doc_id", "component", "canonical_id",
+            (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+            F.count(F.lit(1)).over(Window.partitionBy("component"))
+            .cast("long").alias("n_members"),
+            F.col("canonical_chars").cast("long").alias("canonical_chars"),
+        )
 
     def cross_source_matrix(spark, sf_dir):
         # LSH pair source (the catalog's exact word-Jaccard pair tier is
@@ -476,6 +514,7 @@ def _bench_overrides() -> dict:
         "ann_pq_topk": ann_pq,
         "ann_ivfpq_topk": ann_ivfpq,
         "dup_groups_connected": dup_groups,
+        "dup_canonical_selection": dup_canonical,
         "dup_group_size_histogram": dup_group_histogram,
         "cross_source_dup_matrix": cross_source_matrix,
         "dup_component_density_audit": dup_component_density,

@@ -2207,3 +2207,234 @@ def code_switch_langmix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_langs") >= 2).alias("is_code_switched"),
         )
     )
+
+
+# --------------------------------------- cross-source calibration ----
+
+
+def _calibration_oracle() -> str:
+    pr = (
+        "CASE WHEN n_s > 1 THEN (rs - 1.0) / (n_s - 1.0) ELSE 0.5 END"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, source, n_chars FROM documents),
+    per AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY n_chars, doc_id) AS rs,
+               count(*) OVER (PARTITION BY source) AS n_s
+        FROM t
+    ),
+    granks AS (
+        SELECT n_chars AS g_val,
+               row_number() OVER (ORDER BY n_chars, doc_id) AS rg
+        FROM t
+    ),
+    total AS (SELECT count(*) AS n FROM t),
+    mapped AS (
+        SELECT p.doc_id, p.source, p.n_chars,
+               {pr} AS pr,
+               CAST(floor(({pr}) * (tt.n - 1) + 0.5) AS BIGINT) + 1 AS g
+        FROM per p CROSS JOIN total tt
+    )
+    SELECT m.doc_id, m.source,
+           CAST(m.n_chars AS BIGINT) AS n_chars,
+           {sql_round4('m.pr')} AS source_quantile,
+           CAST(g.g_val AS BIGINT) AS calibrated_n_chars
+    FROM mapped m JOIN granks g ON g.rg = m.g
+    """
+
+
+@query("source_length_calibration", oracle=_calibration_oracle())
+def source_length_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile calibration (quantile normalization): each
+    document's length maps to the GLOBAL length at its within-source
+    quantile — the remedy when per-source scores aren't comparable
+    (every corpus-mixing pipeline hits this: source A's '90th
+    percentile' and source B's are different absolute scales, so a
+    single global threshold over- or under-selects per source; mapping
+    through ranks puts every source on the pooled scale). n_chars
+    stands in for the per-source quality-classifier score — the
+    operator contract (value in, calibrated value out) is scale-free.
+
+    Scale shape: the within-source quantile is a per-key ranking
+    window; the global side uses the engine's TWO-PHASE global ranking
+    (operators/windows.global_row_number — approx-percentile buckets +
+    per-bucket row_number + offsets, never a single-partition sort;
+    rank exactness independent of cut accuracy), and the rank→value
+    lookup is an equi-join on the rank. Quantiles are exact rationals
+    of exact ints; the floor(x+0.5) target-rank round is the engines'
+    shared IEEE expression. Ties pin on doc_id in both engines."""
+    from lab3_lakehouse_spark.operators import windows as win_ops
+
+    tune_session(spark)
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    per = t.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(ws).alias("rs"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n_s"),
+    )
+    glob = win_ops.global_row_number(
+        t.select(F.col("n_chars").alias("g_val"), "doc_id"),
+        "g_val",
+        ["doc_id"],
+        rank_col="rg",
+        ascending=True,
+    ).select("g_val", "rg")
+    total = t.agg(F.count(F.lit(1)).alias("n"))
+    pr = F.when(
+        F.col("n_s") > 1,
+        (F.col("rs") - 1.0) / (F.col("n_s") - 1.0),
+    ).otherwise(F.lit(0.5))
+    mapped = per.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        pr.alias("pr"),
+        (
+            F.floor(pr * (F.col("n") - 1) + F.lit(0.5)).cast("long")
+            + F.lit(1)
+        ).alias("g"),
+    )
+    return mapped.join(glob, mapped["g"] == glob["rg"]).select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        round4(F.col("pr")).alias("source_quantile"),
+        F.col("g_val").cast("long").alias("calibrated_n_chars"),
+    )
+
+
+# --------------------------------------- canonical dup selection ----
+
+
+def _canonical_oracle() -> str:
+    return """
+    WITH RECURSIVE t AS (
+        SELECT doc_id, lang, n_chars,
+               list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS w
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.w, b.w))::DOUBLE
+              / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach(u, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.u
+    ), comp AS (
+        SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u
+    ), members AS (
+        SELECT c.doc_id, c.component, d.n_chars
+        FROM comp c JOIN t d ON d.doc_id = c.doc_id
+    ), canon AS (
+        SELECT component, doc_id AS canonical_id,
+               n_chars AS canonical_chars
+        FROM members
+        QUALIFY row_number() OVER (
+            PARTITION BY component ORDER BY n_chars DESC, doc_id) = 1
+    )
+    SELECT m.doc_id, m.component,
+           c.canonical_id,
+           (m.doc_id = c.canonical_id) AS is_canonical,
+           CAST(count(*) OVER (PARTITION BY m.component) AS BIGINT)
+               AS n_members,
+           CAST(c.canonical_chars AS BIGINT) AS canonical_chars
+    FROM members m JOIN canon c ON c.component = m.component
+    """
+
+
+@query("dup_canonical_selection", oracle=_canonical_oracle())
+def dup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEEP-ONE materialization for near-dup groups — the step every
+    dedup pipeline actually ends with: each connected component of
+    near-dup pairs elects a CANONICAL document (longest text, doc_id
+    tiebreak — 'keep the most complete copy', not keep-smallest-id
+    which throws away content on truncated mirrors) and every member
+    maps to it. The output IS the rewrite table: join it to the corpus
+    and keep is_canonical (or redirect references through
+    canonical_id). Same pair tier + hash-min components as
+    dup_groups_connected (recursive-closure oracle, exact cross-engine
+    agreement on the graph op); the election adds one component-keyed
+    window over the members frame — O(dup docs), not O(corpus)."""
+    from lab3_lakehouse_spark.operators import dedup as dedup_ops
+
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    pairs = _word_jaccard_pairs_adv(docs)
+    cc = dedup_ops.connected_components(pairs, "id_a", "id_b")
+    members = cc.select(F.col("vertex").alias("doc_id"), "component").join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    wc = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    canon = (
+        members.withColumn("__r", F.row_number().over(wc))
+        .filter(F.col("__r") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("canonical_id"),
+            F.col("n_chars").alias("canonical_chars"),
+        )
+    )
+    return (
+        members.join(F.broadcast(canon), "component")
+        .select(
+            "doc_id",
+            "component",
+            "canonical_id",
+            (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("component"))
+            .cast("long")
+            .alias("n_members"),
+            F.col("canonical_chars").cast("long").alias("canonical_chars"),
+        )
+    )
+
+
+def _word_jaccard_pairs_adv(docs: DataFrame, threshold: float = 0.8):
+    """Lang-blocked exact word-Jaccard pair tier (the SQL-replayable
+    twin of the banded LSH source) — shared with
+    queries/llmdata._word_jaccard_pairs; re-declared here to keep the
+    module import-acyclic."""
+    from lab3_lakehouse_spark.operators import dedup as dedup_ops
+
+    t = docs.select(
+        "doc_id", "lang",
+        F.array_distinct(dedup_ops.tokens("text")).alias("w"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.w"), F.col("b.w"))).cast(
+        "double"
+    )
+    union = (
+        F.size(F.col("a.w")) + F.size(F.col("b.w"))
+    ).cast("double") - inter
+    jac = inter / union
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.lang") == F.col("b.lang"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

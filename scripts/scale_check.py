@@ -387,6 +387,15 @@ def workloads():
         # the ann_store class)
         "multi_touch_attribution": QUERIES["multi_touch_attribution"],
         "hard_negative_store_mining": QUERIES["hard_negative_store_mining"],
+        # batch 5: chunk-level lang-mix (scan-side explode + doc-keyed
+        # rollup — alpha ~ 1 in corpus tokens), cross-source calibration
+        # (per-source windows + two-phase global ranking — the
+        # global_row_number cost class), canonical election over the
+        # LSH pair source (the dup_groups composition + one
+        # component-keyed window)
+        "code_switch_langmix": QUERIES["code_switch_langmix"],
+        "source_length_calibration": QUERIES["source_length_calibration"],
+        "dup_canonical_selection_lsh": ov["dup_canonical_selection"],
         "corpus_pipeline": corpus_pipeline,
     }
 

@@ -814,3 +814,61 @@ def test_code_switch_flags_planted_mixed_doc(spark, tmp_path):
     assert not out[2]["is_code_switched"]
     assert out[2]["majority_lang"] == "en"
     assert out[2]["majority_share"] == 1.0
+
+
+# -------------------------------------------- quantile calibration ----
+
+
+def test_calibration_maps_source_extremes_to_global_extremes(spark, tmp_path):
+    """Two sources on disjoint scales: each source's min/max must map
+    to the GLOBAL min/max, and mid-ranks map monotonically — the
+    cross-source comparability property."""
+    rows = [(i, "x", "en", "A", 10 + i) for i in range(10)]        # 10..19
+    rows += [(100 + i, "x", "en", "B", 1000 + i) for i in range(10)]
+    _write(spark, tmp_path, "documents", rows,
+           ["doc_id", "text", "lang", "source", "n_chars"])
+    out = QUERIES["source_length_calibration"](
+        spark, str(tmp_path)
+    ).toPandas().set_index("doc_id")
+    # A's max (19) sits at source quantile 1.0 -> global max (1009)
+    assert out.loc[9, "calibrated_n_chars"] == 1009
+    # B's min (1000) sits at source quantile 0.0 -> global min (10)
+    assert out.loc[100, "calibrated_n_chars"] == 10
+    # both sources' medians map to the same neighborhood of the pooled
+    # scale (rank-based comparability)
+    a_mid = out.loc[4, "calibrated_n_chars"]
+    b_mid = out.loc[104, "calibrated_n_chars"]
+    assert a_mid == b_mid
+    # monotone within source
+    a = out[out.source == "A"].sort_values("n_chars")
+    assert a.calibrated_n_chars.is_monotonic_increasing
+
+
+def test_calibration_identity_on_single_source(spark, tmp_path):
+    """One source: the calibration must be the identity mapping."""
+    rows = [(i, "x", "en", "A", 100 + 7 * i) for i in range(20)]
+    _write(spark, tmp_path, "documents", rows,
+           ["doc_id", "text", "lang", "source", "n_chars"])
+    out = QUERIES["source_length_calibration"](spark, str(tmp_path)).toPandas()
+    assert (out.calibrated_n_chars == out.n_chars).all()
+
+
+# ---------------------------------------------- canonical selection ----
+
+
+def test_canonical_selection_keeps_longest(spark, tmp_path):
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 5
+    rows = [
+        (1, base.strip(), "en", "web", len(base)),
+        (2, (base + "iota").strip(), "en", "web", len(base) + 5),   # longest
+        (3, base.strip(), "en", "web", len(base)),
+        (9, "totally different words entirely here now", "en", "web", 40),
+    ]
+    _write(spark, tmp_path, "documents", rows,
+           ["doc_id", "text", "lang", "source", "n_chars"])
+    out = QUERIES["dup_canonical_selection"](spark, str(tmp_path)).toPandas()
+    assert set(out.doc_id) == {1, 2, 3}          # singleton 9 absent
+    assert (out.canonical_id == 2).all()          # longest wins
+    assert (out.n_members == 3).all()
+    assert out.set_index("doc_id").loc[2, "is_canonical"]
+    assert not out.set_index("doc_id").loc[1, "is_canonical"]
