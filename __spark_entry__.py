@@ -143,6 +143,8 @@ _PRIORITY = [
     "code_switch_langmix",
     "source_length_calibration",
     "dup_canonical_selection",
+    "neyman_stratified_sample",
+    "dp_noisy_counts",
     # displaced (previously stamped green; r10 edits result-neutral
     # on the gate data — see header):
     "bm25_postings_topk",

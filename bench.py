@@ -206,6 +206,8 @@ HEADLINE = [
     "code_switch_langmix",          # per-chunk language-mix audit (r10)
     "source_length_calibration",    # cross-source quantile normalization (r10)
     "dup_canonical_selection",      # keep-one election per dup group (r10)
+    "neyman_stratified_sample",     # variance-optimal budget allocation (r10)
+    "dp_noisy_counts",              # Laplace-mechanism DP count release (r10)
 ]
 
 

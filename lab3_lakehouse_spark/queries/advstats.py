@@ -2438,3 +2438,200 @@ def _word_jaccard_pairs_adv(docs: DataFrame, threshold: float = 0.8):
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# ---------------------------------------- Neyman-allocated sampling ----
+
+_NEY_BUDGET = 200
+_NEY_SEED = 97
+
+
+def _neyman_oracle() -> str:
+    from lab3_lakehouse_spark.operators.sketches import sql_hash60
+
+    sigma = sql_round4("sqrt((s2 - s1 * s1 / nh) / nh)")
+    h = sql_hash60("doc_id", _NEY_SEED)
+    return f"""
+    WITH strat AS (
+        SELECT source,
+               CAST(count(*) AS DOUBLE) AS nh,
+               sum(CAST(n_chars AS DOUBLE)) AS s1,
+               sum(CAST(n_chars AS DOUBLE) * n_chars) AS s2
+        FROM documents GROUP BY source
+    ),
+    pinned AS (
+        SELECT source, nh, {sql_round4('nh')} * {sigma} AS wgt, {sigma} AS sigma
+        FROM strat
+    ),
+    tot AS (SELECT sum(wgt) AS wsum FROM pinned),
+    alloc AS (
+        SELECT p.source, p.nh, p.sigma,
+               least(CAST(p.nh AS BIGINT),
+                     greatest(CAST(1 AS BIGINT),
+                              CAST(floor({_NEY_BUDGET} * p.wgt / t.wsum + 0.5)
+                                   AS BIGINT))) AS n_alloc
+        FROM pinned p CROSS JOIN tot t
+    ),
+    ranked AS (
+        SELECT d.doc_id, d.source, d.n_chars,
+               row_number() OVER (
+                   PARTITION BY d.source ORDER BY {h}, d.doc_id) AS rn
+        FROM documents d
+    )
+    SELECT r.doc_id, r.source,
+           CAST(r.n_chars AS BIGINT) AS n_chars,
+           a.n_alloc,
+           CAST(a.nh AS BIGINT) AS stratum_size,
+           {sql_round4('a.sigma')} AS stratum_sigma
+    FROM ranked r JOIN alloc a ON a.source = r.source
+    WHERE r.rn <= a.n_alloc
+    """
+
+
+@query("neyman_stratified_sample", oracle=_neyman_oracle())
+def neyman_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-ALLOCATED stratified sample: the 200-doc budget is split
+    across sources ∝ N_h·σ_h (stratum size × within-stratum std of
+    n_chars) — the survey-sampling optimum that proportional
+    allocation isn't: a small but wildly-variable source gets MORE
+    slots than its share, a large homogeneous one fewer, minimizing
+    the pooled estimator's variance for a fixed budget (the eval-set
+    construction rule when annotation budget is the constraint). The
+    draw inside each stratum is the engine's deterministic md5-rank
+    convention (same split on any rerun, any engine). σ_h and the
+    allocation weights are round4-PINNED before the floor(·+0.5)
+    rounding so both engines allocate identical integers.
+
+    Scale shape: one grouped-moments pass (map-side combinable),
+    a ≤-sources allocation broadcast, one per-stratum hash-rank
+    window — all shuffles keyed on source."""
+    from lab3_lakehouse_spark.operators.sketches import portable_hash60
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    x = F.col("n_chars").cast("double")
+    strat = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("nh"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+    )
+    sigma = round4(
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("nh"))
+            / F.col("nh")
+        )
+    )
+    pinned = strat.select(
+        "source",
+        "nh",
+        (round4(F.col("nh")) * sigma).alias("wgt"),
+        sigma.alias("sigma"),
+    )
+    tot = pinned.agg(F.sum("wgt").alias("wsum"))
+    alloc = pinned.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "nh",
+        "sigma",
+        F.least(
+            F.col("nh").cast("long"),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.floor(
+                    _NEY_BUDGET * F.col("wgt") / F.col("wsum") + F.lit(0.5)
+                ).cast("long"),
+            ),
+        ).alias("n_alloc"),
+    )
+    wr = Window.partitionBy("source").orderBy(
+        portable_hash60(F.col("doc_id").cast("string"), _NEY_SEED), "doc_id"
+    )
+    ranked = docs.select(
+        "doc_id", "source", "n_chars", F.row_number().over(wr).alias("rn")
+    )
+    return (
+        ranked.join(F.broadcast(alloc), "source")
+        .filter(F.col("rn") <= F.col("n_alloc"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            "n_alloc",
+            F.col("nh").cast("long").alias("stratum_size"),
+            round4(F.col("sigma")).alias("stratum_sigma"),
+        )
+    )
+
+
+# ------------------------------------------- DP Laplace count release ----
+
+_DP_EPS = 1.0
+_DP_SEED = 103
+_TWO60_ADV = float(1 << 60)
+
+
+def _dp_counts_oracle() -> str:
+    from lab3_lakehouse_spark.operators.sketches import sql_hash60
+
+    h = sql_hash60("category", _DP_SEED)
+    u = f"(({h})::DOUBLE / CAST({_TWO60_ADV!r} AS DOUBLE))"
+    noise = (
+        f"CASE WHEN abs({u} - 0.5) < 1e-15 THEN 0.0 "
+        f"ELSE -(1.0 / {_DP_EPS}) * CASE WHEN {u} > 0.5 THEN 1.0 ELSE -1.0 END"
+        f" * ln(1.0 - 2.0 * abs({u} - 0.5)) END"
+    )
+    return f"""
+    WITH counts AS (
+        SELECT o_orderpriority AS category, count(*) AS n
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT category,
+           CAST({_DP_EPS} AS DOUBLE) AS epsilon,
+           {sql_round4(f'n + ({noise})')} AS n_noisy
+    FROM counts
+    """
+
+
+@query("dp_noisy_counts", oracle=_dp_counts_oracle())
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private count release (Laplace mechanism,
+    Dwork et al. 2006): per-category order counts + Laplace(Δf/ε)
+    noise with sensitivity Δf = 1 (one order moves one count) —
+    completing the governance family next to the k-anonymity /
+    l-diversity / t-closeness AUDITS: those measure re-identification
+    risk of data you keep; this is the mechanism for the statistics
+    you RELEASE. The noise draw is the engine's portable-hash
+    convention (inverse-CDF Laplace from the md5 uniform — the
+    bootstrap's Poisson-draw pattern), so the 'randomness' is a pure
+    function of (category, seed): both engines redraw bit-identical
+    noise and the differential check covers the mechanism, not just
+    the counts. In production the seed is drawn fresh per release and
+    never persisted — determinism here is the test harness's property,
+    not a DP property (a fixed public seed would leak; documented, not
+    hidden). True counts are NOT emitted.
+
+    Scale: one grouped count (map-side combinable) + scalar noise
+    expressions; output is O(categories)."""
+    from lab3_lakehouse_spark.operators.sketches import portable_hash60
+
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy(
+        F.col("o_orderpriority").alias("category")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    u = (
+        portable_hash60(F.col("category"), _DP_SEED).cast("double")
+        / F.lit(_TWO60_ADV)
+    )
+    centered = u - F.lit(0.5)
+    noise = F.when(F.abs(centered) < F.lit(1e-15), F.lit(0.0)).otherwise(
+        -F.lit(1.0 / _DP_EPS)
+        * F.when(centered > 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return counts.select(
+        "category",
+        F.lit(float(_DP_EPS)).alias("epsilon"),
+        round4(F.col("n") + noise).alias("n_noisy"),
+    )

@@ -872,3 +872,66 @@ def test_canonical_selection_keeps_longest(spark, tmp_path):
     assert (out.n_members == 3).all()
     assert out.set_index("doc_id").loc[2, "is_canonical"]
     assert not out.set_index("doc_id").loc[1, "is_canonical"]
+
+
+# ---------------------------------------------- Neyman allocation ----
+
+
+def test_neyman_allocates_by_variance_not_size(spark, tmp_path):
+    """Stratum A: 100 docs, constant length (sigma 0) -> floor
+    allocation of 1 despite being the bigger stratum. Stratum B: 50
+    docs, high variance -> gets the budget (clipped at N_h)."""
+    rows = [(i, "x", "en", "A", 500) for i in range(100)]
+    rows += [(1000 + i, "x", "en", "B", 10 + 97 * i) for i in range(50)]
+    _write(spark, tmp_path, "documents", rows,
+           ["doc_id", "text", "lang", "source", "n_chars"])
+    out = QUERIES["neyman_stratified_sample"](spark, str(tmp_path)).toPandas()
+    by_src = out.groupby("source").size()
+    assert by_src["A"] == 1          # sigma 0 -> min allocation
+    assert by_src["B"] == 50         # clipped at stratum size
+    # deterministic draw: rerun produces the identical sample
+    again = QUERIES["neyman_stratified_sample"](spark, str(tmp_path)).toPandas()
+    assert sorted(out.doc_id) == sorted(again.doc_id)
+
+
+def test_neyman_total_near_budget_on_real_data(spark, sf_small):
+    from lab3_lakehouse_spark.queries.advstats import _NEY_BUDGET
+
+    out = QUERIES["neyman_stratified_sample"](spark, sf_small).toPandas()
+    # rounding per stratum can move the total a few slots either way
+    assert abs(len(out) - _NEY_BUDGET) <= 5
+    # per-stratum draws never exceed their allocation
+    g = out.groupby("source")
+    assert (g.size() == g.n_alloc.first()).all()
+
+
+# ------------------------------------------------ DP noisy counts ----
+
+
+def test_dp_noise_matches_inverse_cdf_replay(spark, tmp_path):
+    """The Laplace draw is a pure function of (category, seed) — replay
+    it in Python and check the released value to the round4 contract;
+    true counts are never emitted."""
+    import hashlib
+
+    from lab3_lakehouse_spark.queries.advstats import _DP_EPS, _DP_SEED
+
+    rows = [(i, 100 + i, "URGENT" if i % 3 else "LOW", 10.0)
+            for i in range(90)]
+    _write(spark, tmp_path, "orders", rows,
+           ["o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"])
+    out = {r["category"]: r for r in
+           QUERIES["dp_noisy_counts"](spark, str(tmp_path)).collect()}
+    truth = {"URGENT": 60, "LOW": 30}
+    for cat, n in truth.items():
+        h = int(hashlib.md5(f"{_DP_SEED}|{cat}".encode()).hexdigest()[:15], 16)
+        u = h / float(1 << 60)
+        c = u - 0.5
+        noise = 0.0 if abs(c) < 1e-15 else (
+            -(1.0 / _DP_EPS) * (1.0 if c > 0 else -1.0)
+            * math.log(1.0 - 2.0 * abs(c))
+        )
+        want = math.floor((n + noise) * 1e4 + 0.5) / 1e4
+        assert out[cat]["n_noisy"] == pytest.approx(want, abs=1e-9)
+        assert out[cat]["epsilon"] == 1.0
+        assert set(out[cat].asDict()) == {"category", "epsilon", "n_noisy"}
