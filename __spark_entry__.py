@@ -145,6 +145,7 @@ _PRIORITY = [
     "dup_canonical_selection",
     "neyman_stratified_sample",
     "dp_noisy_counts",
+    "jaro_winkler_name_matches",
     # displaced (previously stamped green; r10 edits result-neutral
     # on the gate data — see header):
     "bm25_postings_topk",

@@ -208,6 +208,7 @@ HEADLINE = [
     "dup_canonical_selection",      # keep-one election per dup group (r10)
     "neyman_stratified_sample",     # variance-optimal budget allocation (r10)
     "dp_noisy_counts",              # Laplace-mechanism DP count release (r10)
+    "jaro_winkler_name_matches",    # blocked JW record linkage, Arrow UDF (r10)
 ]
 
 

@@ -2635,3 +2635,74 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(float(_DP_EPS)).alias("epsilon"),
         round4(F.col("n") + noise).alias("n_noisy"),
     )
+
+
+# ------------------------------------------ Jaro-Winkler record linkage ----
+
+_JW_THRESH = 0.9
+
+_JW_ORACLE = f"""
+    WITH p AS (
+        SELECT p_partkey, p_brand, lower(p_name) AS nm,
+               split_part(lower(p_name), ' ', 1) AS tok1
+        FROM part
+    )
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           {{r4}} AS jw
+    FROM p a
+    JOIN p b ON a.p_brand = b.p_brand AND a.tok1 = b.tok1
+            AND a.p_partkey < b.p_partkey
+    WHERE jaro_winkler_similarity(a.nm, b.nm) >= {_JW_THRESH}
+""".format(r4=sql_round4("jaro_winkler_similarity(a.nm, b.nm)"))
+
+
+@query("jaro_winkler_name_matches", oracle=_JW_ORACLE)
+def jaro_winkler_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage by Jaro–Winkler similarity — the name-matching
+    metric built for human-entered strings (rewards shared prefixes,
+    tolerates transpositions) where Levenshtein
+    (`fuzzy_part_name_matches`) counts raw edits. Spark has no JW
+    builtin, so this is the documented Arrow-batched pandas-UDF slot
+    for string metrics the JVM lacks (operators/dedup.jaro_winkler_udf
+    — verified equal to DuckDB's builtin on transposition / prefix /
+    empty / disjoint cases, which is what lets the oracle replay it
+    with `jaro_winkler_similarity`). The UDF only ever sees the
+    BLOCKED pair frame — (brand, first-token) equi-join keys cut the
+    2000-part corpus to ~10k candidate pairs — never an n² cross
+    product: Python off the hot path, blocking on it.
+
+    Scale shape: one blocking self-join keyed on (brand, tok1), the
+    bounded pair frame through the Arrow UDF, a pushed filter on the
+    score. At 100 TB the blocking keys are the whole ballgame
+    (documented: add phonetic/sorted-neighborhood keys as blocks skew)."""
+    from lab3_lakehouse_spark.operators import dedup as dedup_ops
+
+    tune_session(spark)
+    part = fan_out(load_table(spark, sf_dir, "part"))
+    p = part.select(
+        "p_partkey",
+        "p_brand",
+        F.lower(F.col("p_name")).alias("nm"),
+        F.split(F.lower(F.col("p_name")), " ").getItem(0).alias("tok1"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pairs = a.join(
+        b,
+        on=[
+            F.col("a.p_brand") == F.col("b.p_brand"),
+            F.col("a.tok1") == F.col("b.tok1"),
+            F.col("a.p_partkey") < F.col("b.p_partkey"),
+        ],
+    ).select(
+        F.col("a.p_partkey").alias("id_a"),
+        F.col("b.p_partkey").alias("id_b"),
+        F.col("a.nm").alias("__na"),
+        F.col("b.nm").alias("__nb"),
+    )
+    jw = dedup_ops.jaro_winkler_udf()
+    scored = pairs.select(
+        "id_a", "id_b", jw(F.col("__na"), F.col("__nb")).alias("__jw")
+    )
+    return scored.filter(F.col("__jw") >= F.lit(_JW_THRESH)).select(
+        "id_a", "id_b", round4(F.col("__jw")).alias("jw")
+    )

@@ -935,3 +935,45 @@ def test_dp_noise_matches_inverse_cdf_replay(spark, tmp_path):
         assert out[cat]["n_noisy"] == pytest.approx(want, abs=1e-9)
         assert out[cat]["epsilon"] == 1.0
         assert set(out[cat].asDict()) == {"category", "epsilon", "n_noisy"}
+
+
+# -------------------------------------------- Jaro-Winkler linkage ----
+
+
+def test_jaro_winkler_udf_matches_duckdb_builtin(spark):
+    """The pandas-UDF must equal DuckDB's jaro_winkler_similarity on
+    the classic cases (this equality is what licenses the oracle)."""
+    import duckdb
+
+    from lab3_lakehouse_spark.operators.dedup import jaro_winkler_udf
+
+    cases = [
+        ("martha", "marhta"), ("dixon", "dicksonx"), ("dwayne", "duane"),
+        ("jellyfish", "smellyfish"), ("abc", "abc"), ("abc", "xyz"),
+        ("a", ""), ("ab", "ba"), ("prefix match long", "prefix match lonh"),
+    ]
+    df = spark.createDataFrame(cases, ["a", "b"])
+    jw = jaro_winkler_udf()
+    got = {(r["a"], r["b"]): r["jw"]
+           for r in df.select("a", "b", jw("a", "b").alias("jw")).collect()}
+    for a, b in cases:
+        want = duckdb.sql(
+            f"select jaro_winkler_similarity('{a}', '{b}')").fetchone()[0]
+        assert got[(a, b)] == pytest.approx(want, abs=1e-12), (a, b)
+
+
+def test_jaro_winkler_matches_planted_transposition(spark, tmp_path):
+    rows = [
+        (1, "navy mint rose powder", "B1", "t", 5, 1.0),
+        (2, "navy mint rose podwer", "B1", "t", 5, 1.0),   # transposed
+        (3, "navy completely other thing", "B1", "t", 5, 1.0),
+        (4, "navy mint rose powder", "B2", "t", 5, 1.0),   # other brand block
+    ]
+    _write(spark, tmp_path, "part", rows,
+           ["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+            "p_retailprice"])
+    out = QUERIES["jaro_winkler_name_matches"](spark, str(tmp_path)).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1, 2) in got            # transposition matched
+    assert (1, 4) not in got        # blocking respected (brands differ)
+    assert all(r["jw"] >= 0.9 for r in out)
