@@ -396,6 +396,14 @@ def workloads():
         "code_switch_langmix": QUERIES["code_switch_langmix"],
         "source_length_calibration": QUERIES["source_length_calibration"],
         "dup_canonical_selection_lsh": ov["dup_canonical_selection"],
+        # waves 7-8: Neyman allocation (one grouped-moments pass +
+        # per-stratum hash-rank window — alpha ~ scan in docs), DP
+        # release (grouped count + scalar noise — alpha ~ scan in
+        # orders), JW linkage (the amplifier carries `part` unchanged,
+        # so this row pins the fixed blocked-pair + Arrow-UDF cost)
+        "neyman_stratified_sample": QUERIES["neyman_stratified_sample"],
+        "dp_noisy_counts": QUERIES["dp_noisy_counts"],
+        "jaro_winkler_name_matches": QUERIES["jaro_winkler_name_matches"],
         "corpus_pipeline": corpus_pipeline,
     }
 
