@@ -708,3 +708,196 @@ def test_kll_compaction_preserves_estimates_exactly(spark):
     }
     assert pre == post  # bit-identical, no tolerance
     assert compacted.count() <= sk.count()
+
+
+# ---------------------------------------- round-10 continuation ops ----
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            # integer grid: distinct values stay distinct under
+            # exp(v/200) (adjacent grid points differ by ~0.5% —
+            # far beyond float eps), so the transform preserves the
+            # TIE STRUCTURE exactly; free floats can collide post-
+            # transform and legitimately change average ranks
+            st.integers(min_value=1, max_value=500).map(float),
+            st.booleans(),
+        ),
+        min_size=4,
+        max_size=60,
+    )
+)
+def test_mannwhitney_invariant_under_monotone_transform(spark, tmp_path_factory, rows):
+    """U and z depend only on RANKS: applying exp(x/200) (strictly
+    monotone) to every value must leave the statistic unchanged — the
+    defining nonparametric property, and a direct check that the
+    grouped-distinct rank formulation is rank-correct."""
+    import datetime as dt
+    import math
+
+    from lab3_lakehouse_spark.queries import QUERIES
+
+    # need both arms represented
+    if not any(b for _, b in rows) or not all(b for _, b in rows):
+        rows = rows + [(1.0, True), (2.0, False)]
+    t0 = dt.datetime(2024, 1, 1)
+
+    def run(transform):
+        d = tmp_path_factory.mktemp("mw")
+        data = [
+            (f"e{i}", t0, "u", "purchase" if is_a else "click",
+             transform(v))
+            for i, (v, is_a) in enumerate(rows)
+        ]
+        spark.createDataFrame(
+            data, ["event_id", "ts", "user_id", "event_type", "value"]
+        ).write.parquet(str(d / "events.parquet"))
+        return QUERIES["mannwhitney_value_shift"](spark, str(d)).first()
+
+    base = run(lambda v: v)
+    warped = run(lambda v: math.exp(v / 200.0))
+    assert base["u_stat"] == warped["u_stat"]
+    assert base["z_score"] == warped["z_score"]
+    assert base["n_a"] == warped["n_a"] and base["n_b"] == warped["n_b"]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),   # first-event offset h
+            st.one_of(st.none(), st.integers(min_value=0, max_value=400)),
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_kaplan_meier_curve_is_valid_survival_function(spark, tmp_path_factory, subjects):
+    """On arbitrary censored data the KM curve must be non-increasing,
+    within [0, 1], and the at-risk counts non-increasing over time —
+    the defining survival-function invariants."""
+    import datetime as dt
+
+    from lab3_lakehouse_spark.queries import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for u, (start_h, conv_delta) in enumerate(subjects):
+        uid = f"u{u}"
+        rows.append((f"s{uid}", t0 + dt.timedelta(hours=start_h), uid,
+                     "click", 1.0))
+        if conv_delta is not None:
+            rows.append(
+                (f"p{uid}",
+                 t0 + dt.timedelta(hours=start_h + conv_delta),
+                 uid, "purchase", 200.0)
+            )
+    d = tmp_path_factory.mktemp("km")
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    ).write.parquet(str(d / "events.parquet"))
+    out = (
+        QUERIES["kaplan_meier_conversion"](spark, str(d))
+        .orderBy("dur_hours")
+        .collect()
+    )
+    prev_s, prev_risk = 1.0 + 1e-9, None
+    for r in out:
+        assert 0.0 <= r["survival"] <= 1.0
+        assert r["survival"] <= prev_s + 1e-9, "survival must not increase"
+        assert r["n_events"] >= 1 and r["n_at_risk"] >= r["n_events"]
+        if prev_risk is not None:
+            assert r["n_at_risk"] <= prev_risk, "risk set must shrink"
+        prev_s, prev_risk = r["survival"], r["n_at_risk"]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=1.0, max_value=200.0, allow_nan=False,
+                      width=64),
+            st.integers(min_value=1, max_value=60),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_skyline_equals_bruteforce_on_random_frames(spark, tmp_path_factory, parts):
+    """Distributed two-phase skyline == the quadratic dominance
+    definition, on arbitrary (price, size) clouds incl. ties."""
+    from lab3_lakehouse_spark.queries import QUERIES
+
+    d = tmp_path_factory.mktemp("sky")
+    rows = [(i, float(p), s) for i, (p, s) in enumerate(parts)]
+    spark.createDataFrame(
+        rows, ["p_partkey", "p_retailprice", "p_size"]
+    ).write.parquet(str(d / "part.parquet"))
+    got = {
+        r["part_key"]
+        for r in QUERIES["part_price_size_skyline"](spark, str(d)).collect()
+    }
+    want = set()
+    for i, (p, s) in enumerate(parts):
+        dominated = any(
+            (q <= p and t >= s and (q < p or t > s))
+            for j, (q, t) in enumerate(parts)
+            if j != i
+        )
+        if not dominated:
+            want.add(i)
+    assert got == want
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),      # user
+            st.integers(min_value=0, max_value=500),    # minute offset
+            st.sampled_from(["view", "click", "purchase"]),
+            st.floats(min_value=1.0, max_value=300.0, allow_nan=False,
+                      width=64),
+        ),
+        min_size=3,
+        max_size=60,
+    )
+)
+def test_attribution_books_balance_property(spark, tmp_path_factory, events):
+    """On arbitrary event streams, the credited revenue summed over
+    channels equals the total value of TOUCHED purchases, and credited
+    conversions equal their count — the credit rule sums to exactly 1
+    per conversion by construction."""
+    import datetime as dt
+
+    from lab3_lakehouse_spark.queries import QUERIES
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (f"e{i}", t0 + dt.timedelta(minutes=m), f"u{u}", et, v)
+        for i, (u, m, et, v) in enumerate(events)
+    ]
+    d = tmp_path_factory.mktemp("attr")
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    ).write.parquet(str(d / "events.parquet"))
+    out = QUERIES["multi_touch_attribution"](spark, str(d)).collect()
+    # reference: touched purchases (any same-user earlier touch in 7d)
+    touched_total, n_touched = 0.0, 0
+    for i, (u, m, et, v) in enumerate(events):
+        if et != "purchase":
+            continue
+        has_touch = any(
+            u2 == u and et2 in ("view", "click") and m2 < m
+            and m2 >= m - 7 * 24 * 60
+            for (u2, m2, et2, _v2) in events
+        )
+        if has_touch:
+            touched_total += v
+            n_touched += 1
+    got_rev = sum(r["credited_revenue"] for r in out)
+    got_conv = sum(r["credited_conversions"] for r in out)
+    assert got_rev == pytest.approx(touched_total, abs=1e-2)
+    assert got_conv == pytest.approx(n_touched, abs=1e-6)
