@@ -186,3 +186,22 @@ def test_hot_bucket_cap_engages_and_preserves_genuine_dedup(spark, tmpdir):
     extra_kept = capped["near_dedup"] - uncapped["near_dedup"]
     assert 0 <= extra_kept <= 39  # only hot-cluster members differ
     assert capped["packed_rows"] == capped["decontaminated"]
+
+
+def test_ab_analysis_pipeline_end_to_end(spark, sf_small, tmpdir):
+    from ab_analysis_pipeline import run_ab_analysis
+
+    c = run_ab_analysis(spark, sf_small, str(tmpdir))
+    # the three effect lenses are single-row contracts
+    assert c["effect_means"] == 1
+    assert c["effect_ranks"] == 1
+    assert c["effect_conversion"] == 1
+    # survival curve: one row per hour bucket with >= 1 conversion
+    assert c["time_to_convert"] >= 1
+    # attribution: at most one row per touch channel
+    assert 1 <= c["attribution"] <= 2
+    # seasonality guards: one rho per event type, one acf per lag
+    assert c["hour_drift"] == 5
+    assert c["weekly_cycle"] == 7
+    # determinism: identical rerun counts
+    assert run_ab_analysis(spark, sf_small, str(tmpdir)) == c
