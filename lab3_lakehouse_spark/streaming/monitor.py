@@ -359,6 +359,98 @@ def stream_chi2_monitor(
     )
 
 
+def stream_conversion_monitor(
+    spark: SparkSession,
+    src_dir: str,
+    out_root: str,
+    reference: DataFrame,
+    *,
+    value_min: float = 130.0,
+    alarm_z: float = 1.96,   # two-sided p=0.05
+    max_files_per_trigger: int = 1,
+):
+    """Streaming CONVERSION-RATE monitor — the proportions leg of the
+    drift family (PSI: value shape, CUSUM: level, χ²: category mix,
+    mix-share: mixture; this: the decision metric most experiments
+    ship). The reference conversion rate (high-value purchases / all
+    events, value >= ``value_min`` — the engine's conversion contract,
+    `conversion_rate_ztest`) is frozen once; every micro-batch is
+    tested against it with the pooled two-proportion z and the sidecar
+    row ``(batch_id, n_events, n_conv, rate, z, alarm)`` lands in
+    ``{out_root}/conversion``. A degenerate pool (all or none
+    converted in reference+batch) emits NULL z, no alarm — the batch
+    operator's guard.
+
+    Per-batch cost: one filtered count of the BATCH against two frozen
+    scalars — independent of stream age; stateless across batches, so
+    replay is trivially idempotent."""
+    ref_row = (
+        reference.agg(
+            F.count(F.lit(1)).cast("double").alias("n_ref"),
+            F.count(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= F.lit(value_min)),
+                    1,
+                )
+            )
+            .cast("double")
+            .alias("c_ref"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    conv_path = f"{out_root}/conversion"
+    checkpoint = f"{out_root}/_checkpoint"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cur = batch_df.agg(
+            F.count(F.lit(1)).cast("double").alias("n_cur"),
+            F.count(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= F.lit(value_min)),
+                    1,
+                )
+            )
+            .cast("double")
+            .alias("c_cur"),
+        )
+        j = cur.crossJoin(F.broadcast(ref_row))
+        n_r, c_r = F.col("n_ref"), F.col("c_ref")
+        n_c, c_c = F.col("n_cur"), F.col("c_cur")
+        pool = (c_r + c_c) / (n_r + n_c)
+        z = F.when(
+            ((c_r + c_c) > 0) & ((c_r + c_c) < (n_r + n_c)) & (n_c > 0),
+            F.round(
+                (c_c / n_c - c_r / n_r)
+                / F.sqrt(pool * (1.0 - pool) * (1.0 / n_r + 1.0 / n_c)),
+                4,
+            ),
+        )
+        row = j.select(
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            n_c.cast("long").alias("n_events"),
+            c_c.cast("long").alias("n_conv"),
+            F.when(n_c > 0, F.round(c_c / n_c, 4)).alias("rate"),
+            z.alias("z"),
+            F.coalesce(F.abs(z) > F.lit(alarm_z), F.lit(False)).alias(
+                "alarm"
+            ),
+        )
+        row.write.mode("append").parquet(conv_path)
+
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(src_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def stream_mix_monitor(
     spark: SparkSession,
     src_dir: str,

@@ -1327,3 +1327,53 @@ def test_stream_bm25_append_equals_one_shot(spark, tmpdir):
         .orderBy("query_id", "rank").collect()
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_stream_conversion_monitor_alarms_on_rate_shift(spark, tmpdir):
+    """Streaming conversion-rate monitor: a batch at the reference rate
+    stays quiet; a batch with the rate tripled alarms with z > 0.
+    Stateless per batch; degenerate pools emit NULL z, no alarm."""
+    import json as _json
+
+    from lab3_lakehouse_spark.streaming import monitor as st_mon
+
+    src, out = f"{tmpdir}/arrivals", f"{tmpdir}/mon"
+    os.makedirs(src)
+    # reference: 10% high-value-purchase rate over 400 events
+    ref_rows = [("purchase", 200.0)] * 40 + [("click", 1.0)] * 360
+    ref = spark.createDataFrame(ref_rows, ["event_type", "value"])
+
+    def ev(i, et, v):
+        return {"event_id": i, "ts": "2024-02-01T00:00:00", "user_id": 1,
+                "event_type": et, "value": v}
+
+    def write_batch(name, base, pairs):
+        with open(f"{src}/{name}.json", "w") as f:
+            f.write("\n".join(
+                _json.dumps(ev(base + i, et, v))
+                for i, (et, v) in enumerate(pairs)))
+
+    q = st_mon.stream_conversion_monitor(spark, src, out, ref)
+    try:
+        # batch 0: matches the 10% rate
+        write_batch("f0", 0, [("purchase", 200.0)] * 20
+                    + [("click", 1.0)] * 180)
+        q.processAllAvailable()
+        # batch 1: rate tripled to 30%
+        write_batch("f1", 1000, [("purchase", 200.0)] * 60
+                    + [("click", 1.0)] * 140)
+        q.processAllAvailable()
+        # batch 2: low-value purchases only -> conversions 0, rate 0
+        write_batch("f2", 2000, [("purchase", 50.0)] * 100)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r.batch_id: r for r in
+            spark.read.parquet(f"{out}/conversion").collect()}
+    assert rows[0].n_events == 200 and rows[0].n_conv == 20
+    assert not rows[0].alarm
+    assert rows[1].n_conv == 60 and rows[1].alarm and rows[1].z > 1.96
+    assert rows[2].n_conv == 0 and rows[2].rate == 0.0
+    # a zero-conversion batch against a nonzero reference is a genuine
+    # (negative) shift — pooled z is defined and strongly negative
+    assert rows[2].z < -1.96 and rows[2].alarm
