@@ -87,7 +87,7 @@ _PRIORITY = [
     "bm25_store_compaction",
     "t_closeness_audit",
     "functional_dependency_audit",
-    # ---- r10 continuation: 12 NEW ops (advstats.py), never stamped ----
+    # ---- r10 continuation: 15 NEW ops (advstats.py), never stamped ----
     "part_price_size_skyline",
     "kaplan_meier_conversion",
     "welch_ttest_purchase_click",

@@ -163,6 +163,7 @@ def bloom_store_append(
     *,
     n_bits: int = 1 << 16,
     n_hashes: int = 3,
+    batch_id: int | None = None,
 ) -> None:
     """Append one key batch to a PERSISTED Bloom tier — the membership
     counterpart of the BM25 postings / media-signature stores
@@ -175,10 +176,18 @@ def bloom_store_append(
     batch so FP-rate accounting can estimate saturation without
     touching the keys again. n_bits/n_hashes must match across appends
     and probes (store them in the path or a config sidecar in
-    production)."""
+    production).
+
+    Replay accounting: the BIT side is idempotent by construction (a
+    replayed batch re-appends identical bit rows and the reader
+    de-duplicates), but a replayed meta row would over-count keys —
+    callers with a replay source (streaming foreachBatch) pass
+    ``batch_id`` so ``bloom_store_meta`` can collapse duplicates;
+    one-shot batch appends may leave it None."""
     bits = bloom_build(keys, col, n_bits, n_hashes)
     bits.write.mode("append").parquet(f"{store_root}/bits")
     meta = keys.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    meta = meta.withColumn("batch_id", F.lit(batch_id).cast("long"))
     meta.coalesce(1).write.mode("append").parquet(f"{store_root}/meta")
 
 
@@ -187,6 +196,19 @@ def bloom_store_bits(spark, store_root: str) -> DataFrame:
     appended batches, de-duplicated — ≤ n_bits rows, broadcastable
     into any probe scan at any store age."""
     return spark.read.parquet(f"{store_root}/bits").distinct()
+
+
+def bloom_store_meta(spark, store_root: str) -> DataFrame:
+    """Replay-safe key accounting for a persisted Bloom tier: one
+    ``(n_keys, batch_id)`` row per DISTINCT tagged batch (a checkpoint
+    replay re-appends the same batch_id, which collapses here — the
+    bit side was already idempotent), plus every untagged
+    (NULL batch_id) one-shot append verbatim."""
+    meta = spark.read.parquet(f"{store_root}/meta")
+    tagged = meta.filter(F.col("batch_id").isNotNull()).dropDuplicates(
+        ["batch_id"]
+    )
+    return tagged.unionByName(meta.filter(F.col("batch_id").isNull()))
 
 
 # ---------------------------------------------------------------- KMV ----

@@ -815,10 +815,15 @@ def _target_encoding_oracle() -> str:
     )
     SELECT p.category, p.fold,
            CAST(p.n_f AS BIGINT) AS n_rows,
-           {sql_round4('(t.s_c - p.s_f) / (t.n_c - p.n_f)')} AS oof_mean,
+           CASE WHEN t.n_c > p.n_f THEN
+               {sql_round4('(t.s_c - p.s_f) / (t.n_c - p.n_f)')}
+           END AS oof_mean,
            {sql_round4('t.s_c / t.n_c')} AS full_mean,
-           {sql_round4('t.s_c / t.n_c - (t.s_c - p.s_f) / (t.n_c - p.n_f)')}
-               AS leak_delta
+           CASE WHEN t.n_c > p.n_f THEN
+               {sql_round4(
+                   't.s_c / t.n_c - (t.s_c - p.s_f) / (t.n_c - p.n_f)'
+               )}
+           END AS leak_delta
     FROM per p JOIN tot t ON t.category = p.category
     """
 
@@ -859,7 +864,13 @@ def fold_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_f").alias("n_c"), F.sum("s_f").alias("s_c")
     )
     j = per.join(F.broadcast(tot), "category")
-    oof = (F.col("s_c") - F.col("s_f")) / (F.col("n_c") - F.col("n_f"))
+    # degenerate-fold guard: a category whose rows all hash into ONE
+    # fold has n_c == n_f, where 0/0 is NULL in Spark but NaN under
+    # DuckDB's IEEE division — make both engines emit NULL explicitly
+    oof = F.when(
+        F.col("n_c") > F.col("n_f"),
+        (F.col("s_c") - F.col("s_f")) / (F.col("n_c") - F.col("n_f")),
+    )
     full = F.col("s_c") / F.col("n_c")
     return j.select(
         "category",
@@ -1499,17 +1510,29 @@ def decontamination_bloom_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = docs.select(
         "doc_id", F.explode(dedup_ops.word_shingles("text", 3)).alias("sh")
     )
+    import shutil
+
     root = scratch_dir("bloomstore_")
-    # two disjoint benchmark batches -> two appends (the store contract)
-    for m in (0, 10):
-        batch = shingled.filter(F.col("doc_id") % 20 == m).select(
-            "sh"
-        ).distinct()
-        sketches.bloom_store_append(
-            root, batch, "sh", n_bits=_DECON_BITS, n_hashes=_DECON_K
+    try:
+        # two disjoint benchmark batches -> two appends (the store
+        # contract)
+        for m in (0, 10):
+            batch = shingled.filter(F.col("doc_id") % 20 == m).select(
+                "sh"
+            ).distinct()
+            sketches.bloom_store_append(
+                root, batch, "sh", n_bits=_DECON_BITS, n_hashes=_DECON_K
+            )
+        bits = sketches.bloom_store_bits(spark, root)
+        # pin before the scratch store is removed: the returned frame
+        # must stay re-evaluable after the finally below (the same
+        # try/finally + eager-checkpoint convention every other
+        # persisted-store registry entry follows)
+        return _decon_probe_report(shingled, bits).localCheckpoint(
+            eager=True
         )
-    bits = sketches.bloom_store_bits(spark, root)
-    return _decon_probe_report(shingled, bits)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _decon_probe_report(shingled: DataFrame, bits: DataFrame) -> DataFrame:

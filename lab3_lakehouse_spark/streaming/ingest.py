@@ -261,9 +261,13 @@ def stream_bloom_append(
 
     Replay semantics are the BEST case of the store family: a replayed
     batch re-appends the IDENTICAL bit rows, and since the reader
-    de-duplicates bits, replay is fully idempotent — no df/tf
-    double-count analog exists for a Bloom filter. Returns the started
-    StreamingQuery (caller owns stop/awaitTermination)."""
+    de-duplicates bits, the BIT table is fully idempotent — no df/tf
+    double-count analog exists for a Bloom filter. The meta side
+    (per-batch key counts for FP-saturation accounting) is made
+    replay-safe by stamping the streaming batch_id into each meta row
+    so sketches.bloom_store_meta collapses re-delivered duplicates.
+    Returns the started StreamingQuery (caller owns
+    stop/awaitTermination)."""
     from lab3_lakehouse_spark.operators import sketches
 
     checkpoint = f"{store_root}/_checkpoint"
@@ -273,7 +277,12 @@ def stream_bloom_append(
             F.explode(dedup_ops.word_shingles("text", shingle_n)).alias("sh")
         ).distinct()
         sketches.bloom_store_append(
-            store_root, keys, "sh", n_bits=n_bits, n_hashes=n_hashes
+            store_root,
+            keys,
+            "sh",
+            n_bits=n_bits,
+            n_hashes=n_hashes,
+            batch_id=batch_id,
         )
 
     stream = (

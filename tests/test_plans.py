@@ -617,11 +617,38 @@ def test_attribution_shuffles_on_analysis_keys_only(spark, sf):
             ), (args, cols)
 
 
-def test_bloom_probe_is_broadcast_only(spark, sf):
+def test_bloom_probe_is_broadcast_only(spark, sf, tmp_path):
     """The decontamination probe's bit-table joins (3 hash functions)
     and the exact-truth join are all broadcast — the corpus shingle
-    frame is never shuffled before its doc-keyed rollup."""
-    df = QUERIES["decontamination_bloom_store"](spark, sf)
+    frame is never shuffled before its doc-keyed rollup. Built through
+    the same store-append + shared-probe path the registry entry uses
+    (the registry frame itself is eagerly checkpointed for scratch-dir
+    hygiene, which hides the probe plan)."""
+    from pyspark.sql import functions as F
+
+    from lab3_lakehouse_spark.operators import dedup as dedup_ops
+    from lab3_lakehouse_spark.operators import sketches
+    from lab3_lakehouse_spark.queries.advstats import (
+        _DECON_BITS,
+        _DECON_K,
+        _decon_probe_report,
+    )
+    from lab3_lakehouse_spark.catalog import load_table
+
+    docs = load_table(spark, sf, "documents")
+    shingled = docs.select(
+        "doc_id", F.explode(dedup_ops.word_shingles("text", 3)).alias("sh")
+    )
+    root = str(tmp_path / "bloomstore")
+    sketches.bloom_store_append(
+        root,
+        shingled.filter(F.col("doc_id") % 20 == 0).select("sh").distinct(),
+        "sh",
+        n_bits=_DECON_BITS,
+        n_hashes=_DECON_K,
+    )
+    bits = sketches.bloom_store_bits(spark, root)
+    df = _decon_probe_report(shingled, bits)
     assert pa.count_nodes(df, "BroadcastHashJoin") >= 4, pa.formatted_plan(df)
     assert pa.count_nodes(df, "SortMergeJoin") == 0
 
