@@ -274,10 +274,10 @@ def phash_store_append(
     collapsing a corpus-sized append to a few files would strangle the
     probe's first stage, whose parallelism is the tier's file count
     (measured 2.6× slower end-to-end at x30 with a 4-file tier)."""
+    from lab3_lakehouse_spark import stores
+
     sims = perceptual_hash_images(df, id_col, binary_col)
-    if buckets is not None:
-        sims = sims.repartition(buckets)
-    sims.write.mode("append").parquet(f"{store_root}/signatures")
+    stores.append_rows(sims, store_root, "signatures", buckets=buckets)
 
 
 def phash_pairs_from_store(
@@ -292,7 +292,9 @@ def phash_pairs_from_store(
     banding, same filter — only the signature SOURCE differs)."""
     from lab3_lakehouse_spark.operators import dedup as dedup_ops
 
-    sims = spark.read.parquet(f"{store_root}/signatures").select(
+    from lab3_lakehouse_spark import stores
+
+    sims = stores.read_tier(spark, store_root, "signatures").select(
         F.col("doc_id").alias("__id"), F.col("phash").alias("simhash")
     )
     return dedup_ops.simhash_pairs_from_sims(sims, max_hamming=max_hamming)

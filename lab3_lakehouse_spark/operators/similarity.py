@@ -960,19 +960,18 @@ def ivfpq_store_init(
     rows), and the whole fit touches ≤ 2·train_cap collected rows —
     at 100 TB the init is a constant-cost step before the linear
     append passes."""
+    from lab3_lakehouse_spark import stores
+
     spark = train.sparkSession
     cents = _fit_centroids_sample(
         train, id_col, vec_col,
         n_centroids=n_centroids, seed=seed, iters=max_iter,
     )
-    # localCheckpoint before write: serializing a driver-local Python
-    # relation through the parquet writer is measured ~10× slower than
-    # writing the same 16 rows from block storage (the write task
-    # re-ships the embedded local relation); eager checkpoint turns it
-    # into a trivial scan
-    spark.createDataFrame(cents, ["__cell", "__centroid"]).localCheckpoint(
-        eager=True
-    ).coalesce(1).write.mode("overwrite").parquet(f"{store_root}/centroids")
+    stores.overwrite_meta_tier(
+        spark.createDataFrame(cents, ["__cell", "__centroid"]),
+        store_root,
+        "centroids",
+    )
     books = _pq_fit_codebooks(
         train, id_col, vec_col, dim=dim, m=m, n_codes=n_codes, seed=seed
     )
@@ -981,9 +980,11 @@ def ivfpq_store_init(
         for s in range(books.shape[0])
         for c in range(books.shape[1])
     ]
-    spark.createDataFrame(rows, ["subspace", "code", "center"]).localCheckpoint(
-        eager=True
-    ).coalesce(1).write.mode("overwrite").parquet(f"{store_root}/codebooks")
+    stores.overwrite_meta_tier(
+        spark.createDataFrame(rows, ["subspace", "code", "center"]),
+        store_root,
+        "codebooks",
+    )
 
 
 def ivfpq_load_meta(
@@ -992,11 +993,13 @@ def ivfpq_load_meta(
     """Load the two metadata tiers back into driver objects — bounded
     collects by construction (≤ n_centroids and m·n_codes rows: the
     same bounded-metadata class as k-means clusterCenters)."""
+    from lab3_lakehouse_spark import stores
+
     cents = sorted(
         (int(r["__cell"]), list(r["__centroid"]))
-        for r in spark.read.parquet(f"{store_root}/centroids").collect()
+        for r in stores.read_tier(spark, store_root, "centroids").collect()
     )
-    brows = spark.read.parquet(f"{store_root}/codebooks").collect()
+    brows = stores.read_tier(spark, store_root, "codebooks").collect()
     m = 1 + max(int(r["subspace"]) for r in brows)
     n_codes = 1 + max(int(r["code"]) for r in brows)
     sub = len(brows[0]["center"])
@@ -1027,14 +1030,21 @@ def ivfpq_store_append(
     Contract (same as the BM25/signature stores): ids are globally
     unique across batches — re-appending a vector double-counts it.
     """
+    from lab3_lakehouse_spark import stores
+
     cents, books = ivfpq_load_meta(spark, store_root)
     assigned = assign_cells_literal(batch, id_col, vec_col, cents)
     coded = pq_encode(
         assigned, "neighbor_id", "__cvec", books, keep=("__cell",)
     ).select("neighbor_id", "__cell", "__codes")
-    coded.repartition(buckets, F.col("__cell")).sortWithinPartitions(
-        "__cell"
-    ).write.mode("append").parquet(f"{store_root}/codes")
+    stores.append_rows(
+        coded,
+        store_root,
+        "codes",
+        cluster_expr=F.col("__cell"),
+        buckets=buckets,
+        sort_cols=("__cell",),
+    )
 
 
 def _ivfpq_pruned_codes(spark, store_root: str, cells: list[int]) -> DataFrame:
@@ -1042,8 +1052,10 @@ def _ivfpq_pruned_codes(spark, store_root: str, cells: list[int]) -> DataFrame:
     IN (…)`` parquet filter onto the clustered codes tier — row groups
     of unrouted cells are never read (plan-pinned on THIS frame, the
     _bm25_pruned_postings pattern)."""
-    return spark.read.parquet(f"{store_root}/codes").filter(
-        F.col("__cell").isin([int(c) for c in cells])
+    from lab3_lakehouse_spark import stores
+
+    return stores.pruned_read(
+        spark, store_root, "codes", "__cell", [int(c) for c in cells]
     )
 
 

@@ -184,18 +184,22 @@ def bloom_store_append(
     callers with a replay source (streaming foreachBatch) pass
     ``batch_id`` so ``bloom_store_meta`` can collapse duplicates;
     one-shot batch appends may leave it None."""
+    from lab3_lakehouse_spark import stores
+
     bits = bloom_build(keys, col, n_bits, n_hashes)
-    bits.write.mode("append").parquet(f"{store_root}/bits")
+    stores.append_rows(bits, store_root, "bits")
     meta = keys.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
     meta = meta.withColumn("batch_id", F.lit(batch_id).cast("long"))
-    meta.coalesce(1).write.mode("append").parquet(f"{store_root}/meta")
+    stores.append_sidecar(meta, store_root)
 
 
 def bloom_store_bits(spark, store_root: str) -> DataFrame:
     """Read the merged bit set of a persisted Bloom tier: union of all
     appended batches, de-duplicated — ≤ n_bits rows, broadcastable
     into any probe scan at any store age."""
-    return spark.read.parquet(f"{store_root}/bits").distinct()
+    from lab3_lakehouse_spark import stores
+
+    return stores.read_tier(spark, store_root, "bits").distinct()
 
 
 def bloom_store_meta(spark, store_root: str) -> DataFrame:
@@ -204,7 +208,9 @@ def bloom_store_meta(spark, store_root: str) -> DataFrame:
     replay re-appends the same batch_id, which collapses here — the
     bit side was already idempotent), plus every untagged
     (NULL batch_id) one-shot append verbatim."""
-    meta = spark.read.parquet(f"{store_root}/meta")
+    from lab3_lakehouse_spark import stores
+
+    meta = stores.read_tier(spark, store_root, "meta")
     tagged = meta.filter(F.col("batch_id").isNotNull()).dropDuplicates(
         ["batch_id"]
     )

@@ -696,18 +696,24 @@ def bm25_append_batch(
     bit-identical-to-:func:`bm25_topk` guarantee on corpora with
     NULL text.
     """
+    from lab3_lakehouse_spark import stores
+
     batch = batch.filter(F.col(text_col).isNotNull())
     toks = whitespace_tokens(F.lower(F.col(text_col)))
     posts = bm25_build_postings(batch, id_col=id_col, text_col=text_col)
-    posts = posts.repartition(
-        buckets, F.pmod(F.xxhash64("term"), F.lit(buckets))
-    ).sortWithinPartitions("term")
-    posts.write.mode("append").parquet(f"{store_root}/postings")
+    stores.append_rows(
+        posts,
+        store_root,
+        "postings",
+        cluster_expr=F.pmod(F.xxhash64("term"), F.lit(buckets)),
+        buckets=buckets,
+        sort_cols=("term",),
+    )
     meta = batch.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.size(toks)).cast("long").alias("dl_sum"),
     )
-    meta.coalesce(1).write.mode("append").parquet(f"{store_root}/meta")
+    stores.append_sidecar(meta, store_root)
 
 
 def _bm25_pruned_postings(spark, store_root: str, terms: list) -> DataFrame:
@@ -717,9 +723,9 @@ def _bm25_pruned_postings(spark, store_root: str, terms: list) -> DataFrame:
     tests/test_llmdata.py::test_bm25_store_probe_prunes_to_query_terms
     on THIS frame; the caller's localCheckpoint would hide the scan
     from the executed plan)."""
-    return spark.read.parquet(f"{store_root}/postings").filter(
-        F.col("term").isin(terms)
-    )
+    from lab3_lakehouse_spark import stores
+
+    return stores.pruned_read(spark, store_root, "postings", "term", terms)
 
 
 def bm25_topk_from_store(
@@ -763,7 +769,9 @@ def bm25_topk_from_store(
     posts = _bm25_pruned_postings(spark, store_root, terms)
     if reuse:
         posts = posts.localCheckpoint(eager=False)
-    meta = spark.read.parquet(f"{store_root}/meta")
+    from lab3_lakehouse_spark import stores
+
+    meta = stores.read_tier(spark, store_root, "meta")
     stats = meta.agg(
         F.sum("n_docs").cast("double").alias("__n"),
         _r4(
@@ -898,14 +906,18 @@ def bm25_compact_store(
     Writes to ``dst_root`` (a NEW tier): swap-in is the caller's
     atomic-rename/catalog-repoint step, so probes against ``src_root``
     are never disturbed mid-compaction."""
-    posts = spark.read.parquet(f"{src_root}/postings")
-    posts.repartition(
-        buckets, F.pmod(F.xxhash64("term"), F.lit(buckets))
-    ).sortWithinPartitions("term").write.mode("error").parquet(
-        f"{dst_root}/postings"
+    from lab3_lakehouse_spark import stores
+
+    stores.gc_write(
+        stores.read_tier(spark, src_root, "postings"),
+        dst_root,
+        "postings",
+        cluster_expr=F.pmod(F.xxhash64("term"), F.lit(buckets)),
+        buckets=buckets,
+        sort_cols=("term",),
     )
-    meta = spark.read.parquet(f"{src_root}/meta").agg(
+    meta = stores.read_tier(spark, src_root, "meta").agg(
         F.sum("n_docs").cast("long").alias("n_docs"),
         F.sum("dl_sum").cast("long").alias("dl_sum"),
     )
-    meta.coalesce(1).write.mode("error").parquet(f"{dst_root}/meta")
+    stores.gc_write(meta, dst_root, "meta", coalesce=1)

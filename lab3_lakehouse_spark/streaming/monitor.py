@@ -569,21 +569,13 @@ def stream_kll_quantiles(
     in the shard contents, so a replayed batch reproduces its rows
     byte-for-byte and consumers dedup on (batch_id, shard, level) —
     the standard foreachBatch contract."""
-    from lab3_lakehouse_spark.operators import sketches
-
-    kll_path = f"{out_root}/kll"
     checkpoint = f"{out_root}/_checkpoint"
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        sk = sketches.kll_sketch_rollup(
-            batch_df, [], value_col, k=k, shards=shards
+        kll_append_batch(
+            out_root, batch_df, batch_id,
+            value_col=value_col, k=k, shards=shards,
         )
-        sk.select(
-            F.lit(batch_id).cast("long").alias("batch_id"),
-            "__shard",
-            "level",
-            "items",
-        ).write.mode("append").parquet(kll_path)
 
     from lab3_lakehouse_spark.streaming.ingest import DOC_STREAM_SCHEMA
 
@@ -602,6 +594,39 @@ def stream_kll_quantiles(
     )
 
 
+def kll_append_batch(
+    store_root: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    value_col: str = "value",
+    k: int = 128,
+    shards: int = 4,
+) -> None:
+    """Append one batch's KLL compactor rows to a persisted quantile
+    tier — the per-micro-batch body of :func:`stream_kll_quantiles`,
+    shared with batch callers and the lifecycle tests: batch cost ∝
+    the batch (one rollup pass), the existing tier is never read
+    (stores.append_rows), and the emitted rows are a deterministic
+    function of (batch contents, batch_id) — the replay contract."""
+    from lab3_lakehouse_spark import stores
+    from lab3_lakehouse_spark.operators import sketches
+
+    sk = sketches.kll_sketch_rollup(
+        batch_df, [], value_col, k=k, shards=shards
+    )
+    stores.append_rows(
+        sk.select(
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            "__shard",
+            "level",
+            "items",
+        ),
+        store_root,
+        "kll",
+    )
+
+
 def kll_store_quantiles(
     spark: SparkSession,
     store_root: str,
@@ -616,9 +641,10 @@ def kll_store_quantiles(
     VALUES — metadata, regardless of how much data the stream has
     absorbed. Deterministic: the same store contents always merge to
     the same estimates (shard order is pinned by the composite id)."""
+    from lab3_lakehouse_spark import stores
     from lab3_lakehouse_spark.operators import sketches
 
-    sk = spark.read.parquet(f"{store_root}/kll").select(
+    sk = stores.read_tier(spark, store_root, "kll").select(
         (F.col("batch_id") * F.lit(shards) + F.col("__shard")).alias(
             "__shard"
         ),
@@ -626,3 +652,40 @@ def kll_store_quantiles(
         "items",
     )
     return sketches.kll_merge_quantiles(sk, [], qs, k=k)
+
+
+def kll_compact_store(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    *,
+    k: int = 128,
+    shards: int = 4,
+) -> None:
+    """Disk-level GC for a streaming KLL quantile tier: fold the
+    batches·shards compactor rows that per-micro-batch appends
+    accumulate into ONE compactor row-set (operators/sketches.
+    kll_sketch_compact — the same deterministic shard-ordered merge
+    every reader runs, so estimates from the compacted tier are
+    BIT-IDENTICAL), written to a NEW root per the stores.gc_write
+    contract: the live tier is never mutated, swap-in is the caller's
+    atomic step. Compaction touches only sketch rows — metadata-sized
+    work at any stream age — and the result reads back through
+    :func:`kll_store_quantiles` unchanged (batch_id 0, shard 0)."""
+    from lab3_lakehouse_spark import stores
+    from lab3_lakehouse_spark.operators import sketches
+
+    sk = stores.read_tier(spark, src_root, "kll").select(
+        (F.col("batch_id") * F.lit(shards) + F.col("__shard")).alias(
+            "__shard"
+        ),
+        "level",
+        "items",
+    )
+    folded = sketches.kll_sketch_compact(sk, [], k=k).select(
+        F.lit(0).cast("long").alias("batch_id"),
+        "__shard",
+        "level",
+        "items",
+    )
+    stores.gc_write(folded, dst_root, "kll", coalesce=1)

@@ -535,13 +535,11 @@ def test_holt_winters_matches_numpy_recursion(spark, sf_small):
 # ------------------------------------- decontamination Bloom store ----
 
 
-def test_bloom_store_append_only_and_union_semantics(spark, tmp_path):
-    """Second append only ADDS parquet files (batch-1 files stay
-    byte-identical — the store is never read by an append), and the
-    merged bit set equals the one-shot build over the union of keys."""
-    import glob
-    import os
-
+def test_bloom_store_union_semantics(spark, tmp_path):
+    """Two disjoint appends merge to the one-shot build over the union
+    of keys (bit sets are a union). The append-never-reads-store file
+    snapshot is the shared parameterized lifecycle test in
+    tests/test_stores.py."""
     from lab3_lakehouse_spark.operators import sketches
 
     keys = spark.createDataFrame(
@@ -551,21 +549,9 @@ def test_bloom_store_append_only_and_union_semantics(spark, tmp_path):
     sketches.bloom_store_append(
         root, keys.filter("sh < 'key1'"), "sh", n_bits=4096, n_hashes=3
     )
-
-    def snapshot():
-        return {
-            p: (os.path.getsize(p), os.path.getmtime(p))
-            for p in glob.glob(f"{root}/**/*.parquet", recursive=True)
-        }
-
-    before = snapshot()
     sketches.bloom_store_append(
         root, keys.filter("sh >= 'key1'"), "sh", n_bits=4096, n_hashes=3
     )
-    after = snapshot()
-    for path, sig in before.items():
-        assert after[path] == sig, f"append rewrote existing file {path}"
-    assert len(after) > len(before)
     merged = {
         r["bit"] for r in sketches.bloom_store_bits(spark, root).collect()
     }

@@ -818,19 +818,14 @@ def test_bm25_store_probe_handles_unknown_terms(spark, tmp_path):
 # ------------------------------------------------ IVF-PQ index store ----
 
 
-def test_ivfpq_store_append_only_and_probe_equals_memory(
+def test_ivfpq_store_probe_equals_memory(
     spark, clustered_vectors, tmp_path
 ):
-    """The persisted-index lifecycle contract: (a) an append only ADDS
-    parquet files to the codes tier — every file the first append wrote
-    is byte-identical afterwards (the store is never read or rewritten
-    by an append); (b) the store probe equals, triple for triple, an
-    in-memory probe of the same fitted index (parquet round-trip +
-    ``__cell IN`` pushdown change nothing); (c) recall vs brute force
-    holds on clustered geometry."""
-    import glob
-    import os
-
+    """(a) The store probe equals, triple for triple, an in-memory
+    probe of the same fitted index (parquet round-trip + ``__cell IN``
+    pushdown change nothing); (b) recall vs brute force holds on
+    clustered geometry. The append-never-reads-store file snapshot is
+    the shared parameterized lifecycle test in tests/test_stores.py."""
     emb = clustered_vectors
     root = str(tmp_path / "ivfpq")
     sim_ops.ivfpq_store_init(
@@ -841,22 +836,10 @@ def test_ivfpq_store_append_only_and_probe_equals_memory(
         spark, root, emb.filter(F.col("vec_id") % 2 == 0),
         "vec_id", "embedding",
     )
-
-    def snapshot():
-        return {
-            p: (os.path.getsize(p), os.path.getmtime(p))
-            for p in glob.glob(f"{root}/codes/**/*.parquet", recursive=True)
-        }
-
-    before = snapshot()
     sim_ops.ivfpq_store_append(
         spark, root, emb.filter(F.col("vec_id") % 2 == 1),
         "vec_id", "embedding",
     )
-    after = snapshot()
-    for path, sig in before.items():
-        assert after[path] == sig, f"append rewrote existing file {path}"
-    assert len(after) > len(before)
 
     queries = emb.filter(F.col("vec_id") % 30 == 0)
     store = sim_ops.ivfpq_store_topk(
@@ -919,14 +902,11 @@ def test_ivfpq_store_probe_prunes_to_routed_cells(
 # ---------------------------------------------- media signature store ----
 
 
-def test_phash_store_append_only_and_probe_equals_direct(spark, tmp_path):
-    """Signature-tier lifecycle: an append only ADDS parquet files
-    (decode-once contract — the store is never read or rewritten by an
-    append), and the store probe's pair set equals the decode-per-call
-    path's exactly."""
-    import glob
-    import os
-
+def test_phash_store_probe_equals_direct(spark, tmp_path):
+    """The store probe's pair set equals the decode-per-call path's
+    exactly (decode-once contract). The append-never-reads-store file
+    snapshot is the shared parameterized lifecycle test in
+    tests/test_stores.py."""
     docs = spark.createDataFrame(
         [(i, f"site{i % 5}") for i in range(30)], ["doc_id", "source"]
     )
@@ -935,23 +915,9 @@ def test_phash_store_append_only_and_probe_equals_direct(spark, tmp_path):
     mm_ops.phash_store_append(
         root, with_bin.filter(F.col("doc_id") % 2 == 0)
     )
-
-    def snapshot():
-        return {
-            p: (os.path.getsize(p), os.path.getmtime(p))
-            for p in glob.glob(
-                f"{root}/signatures/**/*.parquet", recursive=True
-            )
-        }
-
-    before = snapshot()
     mm_ops.phash_store_append(
         root, with_bin.filter(F.col("doc_id") % 2 == 1)
     )
-    after = snapshot()
-    for path, sig in before.items():
-        assert after[path] == sig, f"append rewrote existing file {path}"
-    assert len(after) > len(before)
 
     got = sorted(
         (r.id_a, r.id_b)

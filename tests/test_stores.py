@@ -1,0 +1,236 @@
+"""Shared lifecycle tests for the five persisted-store families
+(lab3_lakehouse_spark/stores.py): ONE parameterized
+append-never-reads-store file-snapshot test covering every family in
+stores.FAMILIES, plus randomized-append GC property tests for the two
+families with nontrivial merge logic (BM25 postings, KLL compactors) —
+probe results must be identical before and after compaction under ANY
+batch split/order history."""
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lab3_lakehouse_spark import stores
+from lab3_lakehouse_spark.operators import multimodal as mm_ops
+from lab3_lakehouse_spark.operators import similarity as sim_ops
+from lab3_lakehouse_spark.operators import sketches
+from lab3_lakehouse_spark.operators import text as text_ops
+from lab3_lakehouse_spark.streaming import monitor as mon
+
+_KLL_QS = [0.1, 0.5, 0.9]
+
+
+def _docs(spark, n=60):
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [
+        (i, " ".join(rng.choice(vocab, size=12)))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _vectors(spark, n=80, dim=16):
+    rng = np.random.RandomState(3)
+    centers = rng.normal(size=(4, dim))
+    rows = [
+        (
+            i,
+            [float(x) for x in centers[i % 4] + 0.1 * rng.normal(size=dim)],
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def _family_actions(spark, tmp_path):
+    """Per family: (root, init, append(part) for part in {0,1},
+    data-tier names). Each closure calls the SAME product entry points
+    the registry queries use."""
+    docs = _docs(spark)
+    vecs = _vectors(spark)
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(200)], ["sh"])
+    events = spark.createDataFrame(
+        [(i, float(i % 37)) for i in range(300)], ["eid", "value"]
+    )
+
+    def ivfpq_init(root):
+        sim_ops.ivfpq_store_init(
+            root, vecs, "vec_id", "embedding",
+            n_centroids=4, dim=16, m=4, n_codes=8,
+        )
+
+    return {
+        "bm25": (
+            None,
+            lambda root, p: text_ops.bm25_append_batch(
+                root, docs.filter(F.col("doc_id") % 2 == p)
+            ),
+        ),
+        "ivfpq": (
+            ivfpq_init,
+            lambda root, p: sim_ops.ivfpq_store_append(
+                spark, root, vecs.filter(F.col("vec_id") % 2 == p),
+                "vec_id", "embedding",
+            ),
+        ),
+        "bloom": (
+            None,
+            lambda root, p: sketches.bloom_store_append(
+                root,
+                keys.filter(F.pmod(F.xxhash64("sh"), F.lit(2)) == p),
+                "sh",
+                n_bits=4096,
+                n_hashes=3,
+            ),
+        ),
+        "phash": (
+            None,
+            lambda root, p: mm_ops.phash_store_append(
+                root,
+                mm_ops.text_as_binary(
+                    docs.filter(F.col("doc_id") % 2 == p), "text", "content"
+                ),
+            ),
+        ),
+        "kll": (
+            None,
+            lambda root, p: mon.kll_append_batch(
+                root,
+                events.filter(F.col("eid") % 2 == p),
+                p,
+                k=64,
+                shards=2,
+            ),
+        ),
+    }
+
+
+@pytest.mark.parametrize("family", sorted(stores.FAMILIES))
+def test_append_never_reads_or_rewrites_store(spark, tmp_path, family):
+    """The lifecycle invariant every family signs up for by being in
+    stores.FAMILIES: a second append only ADDS parquet files to every
+    data tier — each file the first append wrote is byte-identical
+    afterwards (size+mtime), proving appends neither read nor rewrite
+    the store. A family added to FAMILIES without wiring an action
+    here fails loudly (KeyError) rather than silently escaping the
+    contract."""
+    actions = _family_actions(spark, tmp_path)
+    init, append = actions[family]
+    spec = stores.FAMILIES[family]
+    root = str(tmp_path / family)
+    if init is not None:
+        init(root)
+    append(root, 0)
+    before = {
+        t: stores.snapshot_files(root, t) for t in spec.data_tiers
+    }
+    append(root, 1)
+    for tier in spec.data_tiers:
+        after = stores.snapshot_files(root, tier)
+        for path, sig in before[tier].items():
+            assert after[path] == sig, (
+                f"{family}: append rewrote existing file {path}"
+            )
+        assert len(after) > len(before[tier]), (
+            f"{family}: second append added no files to {tier}/"
+        )
+
+
+def test_families_registry_matches_known_layouts():
+    """The registry is the contract's source of truth — pin the tier
+    names probes and GC paths hard-code."""
+    assert stores.FAMILIES["bm25"].data_tiers == ("postings",)
+    assert stores.FAMILIES["bm25"].sidecar_tiers == ("meta",)
+    assert stores.FAMILIES["ivfpq"].init_tiers == ("centroids", "codebooks")
+    assert stores.FAMILIES["bloom"].sidecar_tiers == ("meta",)
+    assert stores.FAMILIES["phash"].data_tiers == ("signatures",)
+    assert stores.FAMILIES["kll"].data_tiers == ("kll",)
+
+
+def _random_batches(ids: list[int], rng: random.Random) -> list[list[int]]:
+    """Split ids into 1–4 non-empty batches in shuffled order — the
+    adversarial append history: GC must be invariant to it."""
+    ids = ids[:]
+    rng.shuffle(ids)
+    n_batches = rng.randint(1, 4)
+    cuts = sorted(rng.sample(range(1, len(ids)), n_batches - 1))
+    return [
+        ids[a:b] for a, b in zip([0, *cuts], [*cuts, len(ids)])
+    ]
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_bm25_gc_probe_identical_under_random_append_history(
+    spark, tmp_path, seed
+):
+    """GC property (hypothesis-style, seeded): append the corpus in a
+    RANDOM batch split and order, compact, and the store probe must
+    return row-identical top-k from the compacted root — compaction
+    moves postings rows, never merges or drops them, regardless of how
+    fragmented the append history was."""
+    rng = random.Random(seed)
+    docs = _docs(spark)
+    src = str(tmp_path / f"bm25_src_{seed}")
+    dst = str(tmp_path / f"bm25_dst_{seed}")
+    for batch_ids in _random_batches(list(range(60)), rng):
+        text_ops.bm25_append_batch(
+            src, docs.filter(F.col("doc_id").isin(batch_ids))
+        )
+    text_ops.bm25_compact_store(spark, src, dst, buckets=4)
+    q = spark.createDataFrame(
+        [(0, "w1", 1), (0, "w7", 1), (1, "w2", 2)],
+        ["query_id", "term", "qtf"],
+    )
+    pre = text_ops.bm25_topk_from_store(spark, src, q, k=5)
+    post = text_ops.bm25_topk_from_store(spark, dst, q, k=5)
+    got = sorted(tuple(r) for r in pre.collect())
+    want = sorted(tuple(r) for r in post.collect())
+    assert got == want and len(got) > 0
+
+
+@pytest.mark.parametrize("seed", [5, 31])
+def test_kll_gc_estimates_identical_under_random_append_history(
+    spark, tmp_path, seed
+):
+    """GC property for the quantile tier: append events in a RANDOM
+    batch split/order (distinct batch_ids, shuffled), compact to a new
+    root, and every quantile estimate read from the compacted tier is
+    BIT-IDENTICAL — the same deterministic shard-ordered fold the
+    reader runs, so GC can run on any maintenance cadence without a
+    consumer noticing."""
+    rng = random.Random(seed)
+    events = spark.createDataFrame(
+        [(i, float((i * 37) % 211)) for i in range(400)], ["eid", "value"]
+    )
+    src = str(tmp_path / f"kll_src_{seed}")
+    dst = str(tmp_path / f"kll_dst_{seed}")
+    batches = _random_batches(list(range(400)), rng)
+    batch_ids = list(range(len(batches)))
+    rng.shuffle(batch_ids)
+    for bid, ids in zip(batch_ids, batches):
+        mon.kll_append_batch(
+            src, events.filter(F.col("eid").isin(ids)), bid,
+            k=64, shards=3,
+        )
+    mon.kll_compact_store(spark, src, dst, k=64, shards=3)
+    pre = {
+        (r["q"],): r["est"]
+        for r in mon.kll_store_quantiles(
+            spark, src, _KLL_QS, k=64, shards=3
+        ).collect()
+    }
+    post = {
+        (r["q"],): r["est"]
+        for r in mon.kll_store_quantiles(
+            spark, dst, _KLL_QS, k=64, shards=3
+        ).collect()
+    }
+    assert pre == post and len(pre) == len(_KLL_QS)
+    # and the compacted tier is no larger than the fragmented one
+    n_pre = stores.read_tier(spark, src, "kll").count()
+    n_post = stores.read_tier(spark, dst, "kll").count()
+    assert n_post <= n_pre
