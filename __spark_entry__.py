@@ -28,115 +28,50 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Queries whose verdict would CHANGE this round come first (the driver
-# checks the first 50 registry entries per round). ROUND-10 rotation
-# (VERDICT r9 task #1 — the r9 stamp landed 50/50, so rotation works
-# again; ages below are DRIVER-stamped ages):
-#   slots 1-8   the eight NEW r10 entries (ann_store_ivfpq_topk /
-#               media_phash_store_partners / streaming_bm25_index /
-#               kll_tier_compaction / cross_source_containment /
-#               bm25_store_compaction / t_closeness_audit /
-#               functional_dependency_audit — the persisted-index
-#               tier family, its streaming lid, its GC, the
-#               privacy-trio completion, and FD validation).
-#   slots 9-23  the FIFTEEN r10-continuation ops (advstats.py), never
-#               stamped so they outrank everything re-stampable:
-#               skyline, Kaplan–Meier, Welch t, Spearman, Gini, ACF,
-#               assortativity, OOF target encoding, embedding feature
-#               covariance, Mann–Whitney U, conversion z-test,
-#               Holt–Winters weekly, decontamination Bloom store,
-#               Heaps' vocabulary growth, hard-negative mining.
-#   slot 24     kll_quantile_contract — the ONE r10 edit whose results
-#               change on the gate data itself (data-hash shards +
-#               sorted sketch rows change the emitted sketch contents).
-#   slots 25-50 ALL twenty-six r4-stamped entries (six rounds old) —
-#               the r9 verdict's top priority, still fitting in one
-#               window.
-# DISPLACED to make room for the 15 never-stamped continuation ops
-# (all previously driver-stamped green; every displaced entry is
-# covered by the full-registry pre-verification at HEAD):
-# bm25_postings_topk (NULL-text append fix changes results only on
-# NULL-text corpora — the gate corpus has none), ann_ivfpq_topk /
-# ann_pq_topk (pq_encode split is pure code motion),
-# rerank_fused_candidates (UDF-slot wiring; catalog oracle path
-# unchanged), winsorized_mean_event_values (test-only),
-# media_phash_dup_partners (the r9 watch item is about BENCH time,
-# which BENCH_r10 measures regardless of the correctness window), and
-# the r5-fill slots.
+# checks the first 50 registry entries per round). ROUND-11 rotation
+# (VERDICT r10 task #1; ages below are DRIVER-stamped ages):
+#   slots 1-3   the three NEW r11 entries (streaming_kll_store — the
+#               stream-fed quantile tier with the GC-bit-identical pin;
+#               calibration_threshold_audit — the pooled-cut share
+#               uniformity audit closing the calibration loop;
+#               rerank_store_candidates — IVF-PQ store probe composed
+#               with the pandas-UDF rerank slot, accumulator-pinned).
+#   slots 4-5   the two r11 result-relevant ADVICE edits
+#               (decontamination_bloom_store: try/finally + eager
+#               checkpoint; fold_target_encoding: degenerate-fold 0/0
+#               guard in both engines).
+#   slots 6-14  the NINE r10 ops never driver-stamped (they sat past
+#               the r10 window boundary): streaming Bloom lid,
+#               multi-touch attribution, hard-negative store mining,
+#               code-switch lang mix, source-length calibration,
+#               canonical dup selection, Neyman allocation, DP counts,
+#               Jaro-Winkler linkage. After this round NO never-stamped
+#               entry remains.
+#   slots 15-20 the six entries displaced after their r10 edits
+#               (previously stamped green; edits result-neutral on the
+#               gate corpus — see the r10 header note).
+#   slots 21-50 the r5-green block in age order from
+#               dedup_fingerprint_groups through bm25_lexical_topk —
+#               the oldest remaining stamps advance past r5.
 # All 50 pre-verified green through the exact driver gate (check_query
-# at sf0.01) before commit — CORRECTNESS_r10_pre.json.
+# at sf0.01) before commit — CORRECTNESS_r11_pre.json.
 #
-# ROUND-11 ROTATION PLAN (for the next builder): lead with (1) any
-# query round 11 edits, (2) the three never-stamped r10 ops just past
-# this round's boundary (streaming_bloom_decontamination,
-# multi_touch_attribution, hard_negative_store_mining), (3) the
-# displaced edited-in-r10 entries
-# (bm25_postings_topk, ann_ivfpq_topk, ann_pq_topk,
-# rerank_fused_candidates, winsorized_mean_event_values), then (4) the
-# r5-green block in registry order starting at dedup_fingerprint_groups,
-# then (5) r6-greens. With the r4 block stamped in r10, the oldest
-# remaining stamps are r5.
+# ROUND-12 ROTATION PLAN (for the next builder): lead with (1) any
+# query round 12 edits, (2) the remainder of the r5/r6-green fill in
+# the order listed after the boundary below (incremental_agg_-
+# retractions onward), then (3) the r10-stamped block (moved to the
+# very end of this list — freshest stamps re-verify last).
 # tests/test_engine.py::test_priority_rotation_names_all_registered
 # guards against typos silently shrinking the window.
 _PRIORITY = [
-    # ---- r10 new ----
-    "ann_store_ivfpq_topk",
-    "media_phash_store_partners",
-    "streaming_bm25_index",
-    "kll_tier_compaction",
-    "cross_source_containment",
-    "bm25_store_compaction",
-    "t_closeness_audit",
-    "functional_dependency_audit",
-    # ---- r10 continuation: 15 NEW ops (advstats.py), never stamped ----
-    "part_price_size_skyline",
-    "kaplan_meier_conversion",
-    "welch_ttest_purchase_click",
-    "spearman_value_hour",
-    "gini_segment_spend",
-    "acf_daily_revenue",
-    "copurchase_degree_assortativity",
-    "fold_target_encoding",
-    "embedding_feature_covariance",
-    "mannwhitney_value_shift",
-    "conversion_rate_ztest",
-    "holt_winters_weekly",
+    # ---- r11 new ----
+    "streaming_kll_store",
+    "calibration_threshold_audit",
+    "rerank_store_candidates",
+    # ---- r11 advice edits ----
     "decontamination_bloom_store",
-    "heaps_vocabulary_growth",
-    "hard_negative_mining",
-    # ---- the one r10 edit whose results change on the gate data ----
-    "kll_quantile_contract",
-    # ---- r4-stamped block (VERDICT r9 task #1) ----
-    "reject_report",
-    "derived_metrics",
-    "pricing_summary",
-    "join_customer_orders",
-    "join_left_order_stats",
-    "join_semi_customers_with_urgent_orders",
-    "join_anti_customers_without_urgent_orders",
-    "regional_revenue",
-    "global_top_orders",
-    "set_union_orders",
-    "approx_distinct_users",
-    "grouping_sets_orders",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "media_decode_features",
-    "media_frame_sample",
-    "pack_documents_concat_chop",
-    "stratified_sample_documents",
-    "sliding_window_counts",
-    "ml_feature_table",
-    "ml_rf_metrics",
-    "pivot_user_event_counts",
-    "explode_embedding_positions",
-    "latest_event_per_user",
-    "merge_cdc_orders",
-    "scd2_customer_priority",
-    # ---- 50-slot window boundary ----
-    # the three LAST-built r10 ops land just past the boundary (the
-    # window was already full with never-stamped + r4 entries); all
-    # are individually gate-verified and covered by the full-registry
-    # pre-verification at HEAD — round 11 should lead with them:
+    "fold_target_encoding",
+    # ---- r10 ops never driver-stamped ----
     "streaming_bloom_decontamination",
     "multi_touch_attribution",
     "hard_negative_store_mining",
@@ -146,15 +81,14 @@ _PRIORITY = [
     "neyman_stratified_sample",
     "dp_noisy_counts",
     "jaro_winkler_name_matches",
-    # displaced (previously stamped green; r10 edits result-neutral
-    # on the gate data — see header):
+    # ---- displaced r10-edited entries ----
     "bm25_postings_topk",
     "ann_ivfpq_topk",
     "ann_pq_topk",
     "rerank_fused_candidates",
     "winsorized_mean_event_values",
     "media_phash_dup_partners",
-    # r5-green fill:
+    # ---- r5-green block ----
     "dedup_fingerprint_groups",
     "word_jaccard_near_dups",
     "dup_groups_connected",
@@ -185,6 +119,9 @@ _PRIORITY = [
     "sql_shipping_priority",
     "asof_view_next_purchase",
     "bm25_lexical_topk",
+    # ---- 50-slot window boundary ----
+    # r5/r6-green fill continues (next rotation's source), r10-stamped
+    # block moved to the end:
     "incremental_agg_retractions",
     "matryoshka_truncation_audit",
     "dsir_target_selection",
@@ -333,6 +270,54 @@ _PRIORITY = [
     "retrieval_label_mrr",
     "funnel_conversion_deadline",
     "k_anonymity_audit",
+    "ann_store_ivfpq_topk",
+    "media_phash_store_partners",
+    "streaming_bm25_index",
+    "kll_tier_compaction",
+    "cross_source_containment",
+    "bm25_store_compaction",
+    "t_closeness_audit",
+    "functional_dependency_audit",
+    "part_price_size_skyline",
+    "kaplan_meier_conversion",
+    "welch_ttest_purchase_click",
+    "spearman_value_hour",
+    "gini_segment_spend",
+    "acf_daily_revenue",
+    "copurchase_degree_assortativity",
+    "embedding_feature_covariance",
+    "mannwhitney_value_shift",
+    "conversion_rate_ztest",
+    "holt_winters_weekly",
+    "heaps_vocabulary_growth",
+    "hard_negative_mining",
+    "kll_quantile_contract",
+    "reject_report",
+    "derived_metrics",
+    "pricing_summary",
+    "join_customer_orders",
+    "join_left_order_stats",
+    "join_semi_customers_with_urgent_orders",
+    "join_anti_customers_without_urgent_orders",
+    "regional_revenue",
+    "global_top_orders",
+    "set_union_orders",
+    "approx_distinct_users",
+    "grouping_sets_orders",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "media_decode_features",
+    "media_frame_sample",
+    "pack_documents_concat_chop",
+    "stratified_sample_documents",
+    "sliding_window_counts",
+    "ml_feature_table",
+    "ml_rf_metrics",
+    "pivot_user_event_counts",
+    "explode_embedding_positions",
+    "latest_event_per_user",
+    "merge_cdc_orders",
+    "scd2_customer_priority",
 ]
 
 

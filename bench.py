@@ -209,6 +209,9 @@ HEADLINE = [
     "neyman_stratified_sample",     # variance-optimal budget allocation (r10)
     "dp_noisy_counts",              # Laplace-mechanism DP count release (r10)
     "jaro_winkler_name_matches",    # blocked JW record linkage, Arrow UDF (r10)
+    "streaming_kll_store",          # stream-fed KLL tier + GC-identical pin (r11)
+    "calibration_threshold_audit",  # pooled-cut share uniformity audit (r11)
+    "rerank_store_candidates",      # IVF-PQ store probe -> UDF rerank (r11)
 ]
 
 

@@ -2333,6 +2333,118 @@ def source_length_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CAL_THR_PR = 0.75
+_CAL_TOL = 0.02
+
+
+def _calibration_audit_oracle() -> str:
+    return f"""
+    WITH cal AS ({_calibration_oracle()}),
+    granks AS (
+        SELECT n_chars AS g_val,
+               row_number() OVER (ORDER BY n_chars, doc_id) AS rg
+        FROM documents
+    ),
+    total AS (SELECT count(*) AS n FROM documents),
+    thr AS (
+        SELECT g_val AS thr FROM granks, total
+        WHERE rg = CAST(floor({_CAL_THR_PR} * (n - 1) + 0.5) AS BIGINT) + 1
+    ),
+    per AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               sum((n_chars > thr)::INT) AS raw_above,
+               sum((calibrated_n_chars > thr)::INT) AS cal_above
+        FROM cal CROSS JOIN thr
+        GROUP BY source
+    ),
+    pooled AS (
+        SELECT sum(cal_above)::DOUBLE / sum(n_docs) AS pooled_share FROM per
+    )
+    SELECT source, n_docs,
+           {sql_round4('raw_above::DOUBLE / n_docs')} AS raw_share,
+           {sql_round4('cal_above::DOUBLE / n_docs')} AS cal_share,
+           abs(cal_above::DOUBLE / n_docs - pooled_share) <= {_CAL_TOL}
+               AS within_tol
+    FROM per CROSS JOIN pooled
+    """
+
+
+@query("calibration_threshold_audit", oracle=_calibration_audit_oracle())
+def calibration_threshold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit that CLOSES the calibration loop: the whole point of
+    `source_length_calibration` is that one global threshold then
+    selects the same fraction from every source — so this entry applies
+    one (the pooled p75 value, by the calibration's own rank→value
+    rule) to BOTH scales and measures, per source, the selected share
+    on the raw scale vs the calibrated scale. Raw shares scatter (each
+    source's length distribution sits differently against a pooled
+    cut — the over-/under-selection a mixing pipeline suffers without
+    calibration); calibrated shares must agree across sources to
+    within ``|share − pooled| ≤ 0.02`` (quantile mapping pins each
+    source's share to the pooled rate up to 1/n_s rank granularity).
+
+    Consumes `source_length_calibration`'s OUTPUT frame verbatim —
+    audit over the operator, not a re-derivation — plus one global
+    ranking for the threshold value (two-phase global_row_number,
+    never a single-partition sort). Booleans are computed from the
+    same exact integers in both engines, so the pin is bit-stable."""
+    from lab3_lakehouse_spark.operators import windows as win_ops
+
+    tune_session(spark)
+    cal = source_length_calibration(spark, sf_dir)
+    t = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    glob = win_ops.global_row_number(
+        t.select(F.col("n_chars").alias("g_val"), "doc_id"),
+        "g_val",
+        ["doc_id"],
+        rank_col="rg",
+        ascending=True,
+    ).select("g_val", "rg")
+    total = t.agg(F.count(F.lit(1)).alias("n"))
+    thr = (
+        glob.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("rg")
+            == F.floor(
+                F.lit(_CAL_THR_PR) * (F.col("n") - 1) + F.lit(0.5)
+            ).cast("long")
+            + F.lit(1)
+        )
+        .select(F.col("g_val").alias("__thr"))
+    )
+    per = (
+        cal.crossJoin(F.broadcast(thr))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                (F.col("n_chars") > F.col("__thr")).cast("long")
+            ).alias("__raw_above"),
+            F.sum(
+                (F.col("calibrated_n_chars") > F.col("__thr")).cast("long")
+            ).alias("__cal_above"),
+        )
+    )
+    pooled = per.agg(
+        (
+            F.sum("__cal_above").cast("double")
+            / F.sum("n_docs").cast("double")
+        ).alias("__pooled")
+    )
+    nd = F.col("n_docs").cast("double")
+    return per.crossJoin(F.broadcast(pooled)).select(
+        "source",
+        "n_docs",
+        round4(F.col("__raw_above").cast("double") / nd).alias("raw_share"),
+        round4(F.col("__cal_above").cast("double") / nd).alias("cal_share"),
+        (
+            F.abs(F.col("__cal_above").cast("double") / nd - F.col("__pooled"))
+            <= F.lit(_CAL_TOL)
+        ).alias("within_tol"),
+    )
+
+
 # --------------------------------------- canonical dup selection ----
 
 

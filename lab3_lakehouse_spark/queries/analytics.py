@@ -241,6 +241,109 @@ def kll_tier_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_kll_store",
+    oracle=f"""
+    SELECT q, CAST(count(*) AS BIGINT) AS n,
+           true AS rank_within_eps,
+           true AS gc_identical
+    FROM events
+    CROSS JOIN (SELECT unnest([{', '.join(repr(q) for q in _KLL_QS)}]) AS q) qs
+    WHERE value IS NOT NULL
+    GROUP BY q
+    """,
+)
+def streaming_kll_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KLL quantile tier fed by a STREAM — the continuous lid on
+    kll_quantile_contract, mirroring streaming_bm25_index for the
+    sketch-store family: events arrive as a file stream (4 JSON
+    slices, maxFilesPerTrigger=2 → multiple real micro-batches), every
+    micro-batch appends its own deterministic compactor rows through
+    streaming/monitor.stream_kll_quantiles (batch cost ∝ batch; the
+    tier is never read by the writer), and after the stream drains the
+    store merge (kll_store_quantiles) estimates quantiles of EVERYTHING
+    the stream has seen — metadata-sized work at any stream age.
+
+    Differential contract (assert-style, the HLL/KLL pattern — the
+    estimates are sketch-internal, so the entry measures them against
+    the raw data and pins booleans): (a) each estimate's exact rank is
+    within ε·n + 1 of the target (mergeability: micro-batch sketches
+    merged must keep the contract bound — ε=0.015 at k=256 holds with
+    ~5× margin empirically); (b) disk-level GC (streaming/monitor.
+    kll_compact_store — the stores.py lifecycle's compaction leg)
+    folds the batches×shards rows to one compactor row-set in a NEW
+    root and every estimate read from it is BIT-IDENTICAL. Eager by
+    necessity (stream + store build at call time; roots via
+    _util.scratch_dir)."""
+    import shutil
+
+    from lab3_lakehouse_spark.queries._util import scratch_dir
+    from lab3_lakehouse_spark.streaming import monitor as st_mon
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    src = scratch_dir("kll_stream_src_")
+    store = scratch_dir("kll_stream_store_")
+    gc_root = scratch_dir("kll_stream_gc_")
+    try:
+        ev.select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        ).repartition(4).write.mode("overwrite").json(src)
+        sq = st_mon.stream_kll_quantiles(
+            spark, src, store,
+            k=_KLL_K, shards=_KLL_SHARDS, max_files_per_trigger=2,
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        est = st_mon.kll_store_quantiles(
+            spark, store, _KLL_QS, k=_KLL_K, shards=_KLL_SHARDS
+        )
+        st_mon.kll_compact_store(
+            spark, store, gc_root, k=_KLL_K, shards=_KLL_SHARDS
+        )
+        est_gc = st_mon.kll_store_quantiles(
+            spark, gc_root, _KLL_QS, k=_KLL_K, shards=_KLL_SHARDS
+        )
+        eq = (
+            est.withColumnRenamed("est", "__pre")
+            .join(est_gc.withColumnRenamed("est", "__post"), "q")
+            .select(
+                "q", (F.col("__pre") == F.col("__post")).alias("gc_identical")
+            )
+        )
+        ranked = (
+            ev.crossJoin(F.broadcast(est))
+            .groupBy("q")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(
+                    (F.col("value") <= F.col("est")).cast("long")
+                ).alias("__r"),
+            )
+        )
+        n = F.col("n").cast("double")
+        bound = F.lit(_KLL_EPS) * n + F.lit(1.0)
+        out = (
+            ranked.join(F.broadcast(eq), "q")
+            .select(
+                "q",
+                "n",
+                (
+                    F.abs(F.col("__r").cast("double") - F.col("q") * n)
+                    <= bound
+                ).alias("rank_within_eps"),
+                "gc_identical",
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(store, ignore_errors=True)
+        shutil.rmtree(gc_root, ignore_errors=True)
+
+
+@query(
     "salted_agg_event_type",
     oracle=f"""
     SELECT event_type,

@@ -1230,6 +1230,117 @@ def ann_store_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+_STORE_RERANK_DEPTH = 10
+
+_STORE_RERANK_ORACLE = f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST({_STORE_RERANK_DEPTH} * count(*) AS BIGINT) AS n_pairs,
+           CAST({_STORE_RERANK_DEPTH} * count(*) AS BIGINT) AS udf_rows,
+           true AS udf_saw_only_candidates,
+           true AS rerank_matches_twin
+    FROM embeddings WHERE vec_id < {_BM25_QUERIES}
+"""
+
+
+@query("rerank_store_candidates", oracle=_STORE_RERANK_ORACLE)
+def rerank_store_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two r10 retrieval pieces COMPOSED into the production
+    pipeline shape: first stage = the PERSISTED IVF-PQ index probe
+    (ann_store_ivfpq_topk's path — routed ``__cell IN`` sliver read +
+    ADC + bounded exact re-rank), second stage = the REAL Arrow-batched
+    pandas-UDF cross-encoder slot (operators/text.crossencoder_rerank)
+    over the ≤ |queries|·depth candidate pairs with both texts fetched
+    by broadcast joins — the corpus text tier is scanned ONCE, for the
+    candidate fetch; the expensive scorer never sees it at all.
+
+    Differential contract (assert-style, the ANN-store pattern):
+    (a) ``udf_rows`` — a Spark accumulator inside the scorer counts
+    every row it EVER scored; the entry pins it equal to the candidate
+    pair count (queries × depth), proving the composed plan feeds the
+    UDF exactly the bounded frame and nothing else (the economics of
+    rerankers at 100 TB, now pinned through the store-backed first
+    stage, not just the RRF one); (b) ``rerank_matches_twin`` — the
+    UDF's coverage score must equal, row for row after round4, the JVM
+    expression twin (array_intersect/size) on the same frame, pinning
+    the Arrow batch path against whole-stage codegen. Eager by
+    necessity (store build + accumulator read at call time)."""
+    import shutil
+
+    from lab3_lakehouse_spark.queries._util import round4 as _r4
+    from lab3_lakehouse_spark.queries._util import scratch_dir
+
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    q = emb.filter(F.col("vec_id") < _BM25_QUERIES)
+    root = scratch_dir("ivfpq_rerank_store_")
+    try:
+        sim_ops.ivfpq_store_init(
+            root, emb, "vec_id", "embedding",
+            n_centroids=16, dim=64, m=8, n_codes=32,
+        )
+        for residue in (0, 1):
+            sim_ops.ivfpq_store_append(
+                spark, root,
+                emb.filter(F.pmod("vec_id", F.lit(2)) == residue),
+                "vec_id", "embedding",
+            )
+        cands = sim_ops.ivfpq_store_topk(
+            spark, root, emb, q, "vec_id", "embedding",
+            k=_STORE_RERANK_DEPTH, n_probe=8, rerank=400,
+        ).select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").alias("ann_rank"),
+        )
+        # candidate text fetch: the ONLY corpus-text scan in the plan —
+        # query texts are the first 4 tokens (the catalog's query
+        # convention), doc texts ride a broadcast of the ≤ q·depth frame
+        qt = docs.filter(F.col("doc_id") < _BM25_QUERIES).select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(
+                F.slice(F.split(F.lower(F.col("text")), r"\s+"), 1, 4), " "
+            ).alias("__qtext"),
+        )
+        dt = docs.select("doc_id", F.col("text").alias("__dtext"))
+        pairs = (
+            dt.join(F.broadcast(cands), "doc_id")
+            .join(F.broadcast(qt), "query_id")
+        )
+        acc = spark.sparkContext.accumulator(0)
+        reranked = text_ops.crossencoder_rerank(
+            pairs,
+            scorer=text_ops.coverage_crossencoder_udf(acc),
+            tie_cols=("ann_rank",),
+        ).localCheckpoint(eager=True)  # materialize → accumulator final
+        udf_rows = int(acc.value)
+        # JVM expression twin of the UDF's coverage on the SAME frame
+        qtok = F.array_distinct(F.split(F.lower(F.col("__qtext")), r"\s+"))
+        dtok = F.array_distinct(F.split(F.lower(F.col("__dtext")), r"\s+"))
+        twin = F.size(F.array_intersect(qtok, dtok)).cast("double") / F.size(
+            qtok
+        )
+        stats = reranked.agg(
+            F.countDistinct("query_id").cast("long").alias("n_queries"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.min(_r4(F.col("ce_score")) == _r4(twin)).alias(
+                "rerank_matches_twin"
+            ),
+        )
+        out = stats.select(
+            "n_queries",
+            "n_pairs",
+            F.lit(udf_rows).cast("long").alias("udf_rows"),
+            (F.lit(udf_rows) == F.col("n_pairs")).alias(
+                "udf_saw_only_candidates"
+            ),
+            "rerank_matches_twin",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @query(
     "doc_fingerprint_matches",
     oracle="""

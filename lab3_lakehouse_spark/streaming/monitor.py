@@ -382,8 +382,14 @@ def stream_conversion_monitor(
     operator's guard.
 
     Per-batch cost: one filtered count of the BATCH against two frozen
-    scalars — independent of stream age; stateless across batches, so
-    replay is trivially idempotent."""
+    scalars — independent of stream age. Stateless across batches, so
+    a replayed batch re-appends a row IDENTICAL to its first delivery
+    (the row is a deterministic function of the batch contents and the
+    frozen reference) — at-least-once replay therefore duplicates
+    sidecar rows rather than corrupting them, and consumers de-dup on
+    ``batch_id`` (the same duplicate-row contract the CUSUM monitor
+    documents; pinned by the replay test in
+    tests/test_pipeline_streaming_ml.py)."""
     ref_row = (
         reference.agg(
             F.count(F.lit(1)).cast("double").alias("n_ref"),

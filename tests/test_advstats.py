@@ -963,3 +963,22 @@ def test_jaro_winkler_matches_planted_transposition(spark, tmp_path):
     assert (1, 2) in got            # transposition matched
     assert (1, 4) not in got        # blocking respected (brands differ)
     assert all(r["jw"] >= 0.9 for r in out)
+
+
+# ------------------------------------ calibration threshold audit ----
+
+
+def test_calibration_audit_shares_uniform_after_mapping(spark, sf_small):
+    """The audit's core claim on equal-sized sources: after quantile
+    calibration, one pooled threshold selects the SAME share from every
+    source (the raw shares scatter), and every within_tol boolean
+    holds."""
+    from lab3_lakehouse_spark.queries import QUERIES
+
+    rows = QUERIES["calibration_threshold_audit"](spark, sf_small).collect()
+    assert len(rows) >= 2
+    assert all(r.within_tol for r in rows)
+    cal_shares = {r.cal_share for r in rows}
+    assert len(cal_shares) == 1, cal_shares  # equal n_s -> identical share
+    raw_shares = {r.raw_share for r in rows}
+    assert len(raw_shares) > 1, "raw shares should scatter across sources"

@@ -1070,3 +1070,19 @@ def test_phash_store_probe_plan_is_decode_free(spark, tmp_path):
         "positive control failed: the decode plan shows no Python "
         "node — the pin would be vacuous"
     )
+
+
+# -------------------------------------- store-backed rerank compose ----
+
+
+def test_rerank_store_candidates_contract(spark, sf_small):
+    """The composed retrieval pipeline (IVF-PQ store probe → bounded
+    pair frame → pandas-UDF rerank): the accumulator-pinned boundedness
+    and UDF-equals-JVM-twin booleans must hold, and the pair count is
+    exactly queries × depth — the scorer never saw anything else."""
+    from lab3_lakehouse_spark.queries import QUERIES
+
+    row = QUERIES["rerank_store_candidates"](spark, sf_small).collect()[0]
+    assert row.n_queries == 8
+    assert row.n_pairs == 80 and row.udf_rows == 80
+    assert row.udf_saw_only_candidates and row.rerank_matches_twin

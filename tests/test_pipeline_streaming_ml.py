@@ -1377,3 +1377,62 @@ def test_stream_conversion_monitor_alarms_on_rate_shift(spark, tmpdir):
     # a zero-conversion batch against a nonzero reference is a genuine
     # (negative) shift — pooled z is defined and strongly negative
     assert rows[2].z < -1.96 and rows[2].alarm
+
+
+def test_stream_conversion_monitor_replay_duplicates_identically(
+    spark, tmpdir
+):
+    """The monitor's replay contract (its docstring's stateless claim,
+    pinned): wipe the checkpoint and restart over the SAME source — the
+    at-least-once worst case, every batch re-delivered — and each
+    batch_id's sidecar rows must be exact duplicates of the first
+    delivery (the row is deterministic in batch contents + frozen
+    reference), so the documented consumer de-dup on batch_id restores
+    the original sidecar verbatim."""
+    import json as _json
+    import shutil as _shutil
+
+    from lab3_lakehouse_spark.streaming import monitor as st_mon
+
+    src, out = f"{tmpdir}/arrivals_rp", f"{tmpdir}/mon_rp"
+    os.makedirs(src)
+    ref = spark.createDataFrame(
+        [("purchase", 200.0)] * 40 + [("click", 1.0)] * 360,
+        ["event_type", "value"],
+    )
+
+    def write_batch(name, base, pairs):
+        with open(f"{src}/{name}.json", "w") as f:
+            f.write("\n".join(
+                _json.dumps({"event_id": base + i,
+                             "ts": "2024-02-01T00:00:00", "user_id": 1,
+                             "event_type": et, "value": v})
+                for i, (et, v) in enumerate(pairs)))
+
+    write_batch("f0", 0, [("purchase", 200.0)] * 20 + [("click", 1.0)] * 180)
+    write_batch("f1", 1000, [("purchase", 200.0)] * 60
+                + [("click", 1.0)] * 140)
+    for _run in range(2):
+        q = st_mon.stream_conversion_monitor(spark, src, out, ref)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # losing the checkpoint forces full re-delivery on restart —
+        # the at-least-once replay the foreachBatch contract must absorb
+        _shutil.rmtree(f"{out}/_checkpoint")
+    rows = spark.read.parquet(f"{out}/conversion").collect()
+    assert len(rows) == 4  # 2 batches × 2 deliveries
+    by_batch = {}
+    for r in rows:
+        by_batch.setdefault(r.batch_id, []).append(tuple(r))
+    assert set(by_batch) == {0, 1}
+    for bid, pair in by_batch.items():
+        assert len(pair) == 2 and pair[0] == pair[1], (bid, pair)
+    # consumer contract: de-dup on batch_id == the single-delivery sidecar
+    dedup = (
+        spark.read.parquet(f"{out}/conversion")
+        .dropDuplicates(["batch_id"])
+        .collect()
+    )
+    assert len(dedup) == 2

@@ -234,3 +234,24 @@ def test_kll_gc_estimates_identical_under_random_append_history(
     n_pre = stores.read_tier(spark, src, "kll").count()
     n_post = stores.read_tier(spark, dst, "kll").count()
     assert n_post <= n_pre
+
+
+def test_bloom_store_meta_collapses_replayed_tagged_batches(spark, tmp_path):
+    """The ADVICE-r10 meta contract: a replayed (same batch_id) append
+    re-adds an identical meta row; bloom_store_meta de-dups tagged rows
+    on batch_id while keeping untagged one-shot appends verbatim."""
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(50)], ["sh"])
+    root = str(tmp_path / "bloom_meta")
+    # streaming-style tagged append, delivered twice (at-least-once)
+    for _ in range(2):
+        sketches.bloom_store_append(
+            root, keys, "sh", n_bits=4096, n_hashes=3, batch_id=7
+        )
+    # one-shot untagged append
+    sketches.bloom_store_append(root, keys, "sh", n_bits=4096, n_hashes=3)
+    raw = stores.read_tier(spark, root, "meta").collect()
+    assert len(raw) == 3
+    deduped = sketches.bloom_store_meta(spark, root).collect()
+    assert len(deduped) == 2
+    tagged = [r for r in deduped if r.batch_id == 7]
+    assert len(tagged) == 1 and tagged[0].n_keys == 50
