@@ -404,6 +404,18 @@ def workloads():
         "neyman_stratified_sample": QUERIES["neyman_stratified_sample"],
         "dp_noisy_counts": QUERIES["dp_noisy_counts"],
         "jaro_winkler_name_matches": QUERIES["jaro_winkler_name_matches"],
+        # round-11 additions: the streaming KLL tier (per-micro-batch
+        # rollup ∝ batch, merge/GC metadata-sized — alpha ~ scan in
+        # events, dominated by the JSON re-write + stream machinery
+        # fixed cost), the calibration audit (per-source windows +
+        # two-phase global ranking twice — the calibration cost class),
+        # and the store-backed rerank (store init/append ∝ corpus
+        # vectors, but embeddings ride the amplifier unchanged so this
+        # row pins the fixed store + bounded-UDF cost — the ann_store
+        # class)
+        "streaming_kll_store": QUERIES["streaming_kll_store"],
+        "calibration_threshold_audit": QUERIES["calibration_threshold_audit"],
+        "rerank_store_candidates": QUERIES["rerank_store_candidates"],
         "corpus_pipeline": corpus_pipeline,
     }
 
