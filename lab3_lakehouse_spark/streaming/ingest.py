@@ -339,3 +339,107 @@ def stream_bm25_append(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+#: Arriving-embedding schema (one JSON vector per line) for the dense
+#: index stream — JSON arrays parse directly into array<double>.
+EMBEDDING_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def stream_phash_append(
+    spark: SparkSession,
+    src_dir: str,
+    store_root: str,
+    *,
+    payload_from: str = "text",
+    buckets: int = 2,
+    max_files_per_trigger: int = 1,
+):
+    """Continuous media-signature ingestion — the streaming lid on the
+    perceptual-hash tier (operators/multimodal.phash_store_append):
+    every micro-batch of arriving documents runs its Arrow decode pass
+    ONCE and appends 16-byte ``(doc_id, phash)`` rows; later dedup
+    probes read signatures, never payloads. With this writer every
+    persisted-store family has a streaming lid (BM25, Bloom, KLL,
+    pHash, IVF-PQ). The stream carries text (the documented
+    FakeCodec-class stand-in: ``payload_from`` is wrapped to binary
+    in-batch exactly like the batch entry's text_as_binary); a real
+    crawl would stream binary payloads through the same seam.
+
+    Replay: a re-delivered batch re-appends IDENTICAL signature rows
+    (the hash is deterministic in the payload) — duplicate rows are
+    harmless for pair generation (the store contract) and offline GC
+    can drop them by doc_id. ``buckets`` caps files per micro-batch so
+    a long-lived tier doesn't fragment into one file per batch.
+    Returns the started StreamingQuery."""
+    from lab3_lakehouse_spark.operators import multimodal as mm_ops
+
+    checkpoint = f"{store_root}/_checkpoint"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        with_bin = mm_ops.text_as_binary(batch_df, payload_from, "content")
+        mm_ops.phash_store_append(
+            store_root, with_bin, "doc_id", "content", buckets=buckets
+        )
+
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(src_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def stream_ivfpq_append(
+    spark: SparkSession,
+    src_dir: str,
+    store_root: str,
+    *,
+    buckets: int = 8,
+    max_files_per_trigger: int = 1,
+):
+    """Continuous dense-index ingestion — the streaming lid on the
+    persisted IVF-PQ store: the index metadata (centroids + codebooks)
+    must already exist (operators/similarity.ivfpq_store_init — the
+    one-time fit, exactly as in production where the quantizer is
+    trained before ingestion begins); each micro-batch of arriving
+    vectors is then cell-assigned and PQ-encoded map-side against the
+    stored metadata and its code rows land cell-clustered in the codes
+    tier (ivfpq_store_append — reads ONLY the kilobyte metadata tiers,
+    never the codes). Probes (ivfpq_store_topk) see every committed
+    batch immediately; per-batch cost ∝ the batch at any index size.
+
+    Replay: a re-delivered batch re-appends identical code rows —
+    duplicate (id, cell, codes) rows inflate ADC candidate lists but
+    cannot change which TRUE neighbors exist; the globally-unique-id
+    store contract applies, and offline GC can dedup by id. Returns
+    the started StreamingQuery."""
+    from lab3_lakehouse_spark.operators import similarity as sim_ops
+
+    checkpoint = f"{store_root}/_checkpoint"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sim_ops.ivfpq_store_append(
+            spark, store_root, batch_df, "vec_id", "embedding",
+            buckets=buckets,
+        )
+
+    stream = (
+        spark.readStream.schema(EMBEDDING_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(src_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

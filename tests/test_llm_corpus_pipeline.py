@@ -205,3 +205,20 @@ def test_ab_analysis_pipeline_end_to_end(spark, sf_small, tmpdir):
     assert c["weekly_cycle"] == 7
     # determinism: identical rerun counts
     assert run_ab_analysis(spark, sf_small, str(tmpdir)) == c
+
+
+def test_continuous_index_pipeline_end_to_end(spark, sf_small, tmpdir):
+    """The five-store continuous-indexing example: one drained crawl
+    must leave every persisted-store family probe-ready (BM25 equal to
+    the one-shot scorer, pHash equal to decode-per-call, Bloom with no
+    false negatives, KLL within the rank bound, IVF-PQ above the recall
+    floor) and both GC passes must be invisible to probes. The asserts
+    live inside run_continuous_index; the test pins the metric shape."""
+    from continuous_index_pipeline import run_continuous_index
+
+    out = run_continuous_index(spark, sf_small, str(tmpdir / "cidx"))
+    assert out["bm25_topk_rows"] > 0
+    assert out["kll_estimates"] == 3
+    assert out["ann_recall"] >= 0.7
+    assert out["bm25_gc_identical"] and out["kll_gc_identical"]
+    assert out["bloom_pass"] >= out["bloom_exact"] > 0

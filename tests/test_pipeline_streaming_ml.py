@@ -1436,3 +1436,101 @@ def test_stream_conversion_monitor_replay_duplicates_identically(
         .collect()
     )
     assert len(dedup) == 2
+
+
+def test_stream_phash_append_equals_batch_pairs(spark, tmpdir):
+    """The streamed signature tier (one decode pass per micro-batch)
+    must produce the SAME near-dup pair set as the decode-per-call
+    batch path — the unified-API parity claim applied to the media
+    store. With this writer every persisted-store family has a
+    streaming lid."""
+    import json as _json
+
+    from lab3_lakehouse_spark.operators import multimodal as mm_ops
+    from lab3_lakehouse_spark.streaming import ingest as st_ingest
+
+    src, store = f"{tmpdir}/phash_src", f"{tmpdir}/phash_store"
+    os.makedirs(src)
+    docs = [(i, f"site{i % 5}", f"s{i % 3}") for i in range(30)]
+    for part in range(2):
+        with open(f"{src}/f{part}.json", "w") as f:
+            f.write("\n".join(
+                _json.dumps({"doc_id": d, "text": t, "source": s})
+                for d, t, s in docs if d % 2 == part))
+    q = st_ingest.stream_phash_append(spark, src, store)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in mm_ops.phash_pairs_from_store(
+            spark, store, max_hamming=6
+        ).collect()
+    )
+    batch = spark.createDataFrame(docs, ["doc_id", "text", "source"])
+    want = sorted(
+        (r.id_a, r.id_b)
+        for r in mm_ops.media_phash_pairs(
+            mm_ops.text_as_binary(batch, "text", "content"),
+            id_col="doc_id", binary_col="content", max_hamming=6,
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_stream_ivfpq_append_equals_batch_store(spark, tmpdir):
+    """The streamed dense index (metadata fitted once, per-micro-batch
+    cell-assign + PQ-encode appends) must probe identically to a
+    batch-appended store sharing the same fit — stream-equals-batch
+    for the IVF-PQ family."""
+    import json as _json
+
+    import numpy as np
+
+    from lab3_lakehouse_spark.operators import similarity as sim_ops
+    from lab3_lakehouse_spark.streaming import ingest as st_ingest
+
+    rng = np.random.RandomState(17)
+    centers = rng.normal(size=(4, 16))
+    rows = [
+        (i, [float(x) for x in centers[i % 4] + 0.1 * rng.normal(size=16)])
+        for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    src = f"{tmpdir}/ivfpq_src"
+    s_store, b_store = f"{tmpdir}/ivfpq_stream", f"{tmpdir}/ivfpq_batch"
+    os.makedirs(src)
+    # identical deterministic fit for both stores (same train, same seed)
+    for root in (s_store, b_store):
+        sim_ops.ivfpq_store_init(
+            root, emb, "vec_id", "embedding",
+            n_centroids=4, dim=16, m=4, n_codes=8,
+        )
+    for part in range(2):
+        with open(f"{src}/f{part}.json", "w") as f:
+            f.write("\n".join(
+                _json.dumps({"vec_id": vid, "embedding": vec})
+                for vid, vec in rows if vid % 2 == part))
+    q = st_ingest.stream_ivfpq_append(spark, src, s_store)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sim_ops.ivfpq_store_append(spark, b_store, emb, "vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim_ops.ivfpq_store_topk(
+            spark, s_store, emb, queries, "vec_id", "embedding",
+            k=5, n_probe=2, rerank=40,
+        ).collect()
+    )
+    want = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim_ops.ivfpq_store_topk(
+            spark, b_store, emb, queries, "vec_id", "embedding",
+            k=5, n_probe=2, rerank=40,
+        ).collect()
+    )
+    assert got == want and len(got) == 15
