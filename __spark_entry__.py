@@ -30,29 +30,33 @@ def entry(spark: SparkSession) -> DataFrame:
 # Queries whose verdict would CHANGE this round come first (the driver
 # checks the first 50 registry entries per round). ROUND-11 rotation
 # (VERDICT r10 task #1; ages below are DRIVER-stamped ages):
-#   slots 1-3   the three NEW r11 entries (streaming_kll_store — the
+#   slots 1-5   the five NEW r11 entries (streaming_kll_store — the
 #               stream-fed quantile tier with the GC-bit-identical pin;
 #               calibration_threshold_audit — the pooled-cut share
 #               uniformity audit closing the calibration loop;
 #               rerank_store_candidates — IVF-PQ store probe composed
-#               with the pandas-UDF rerank slot, accumulator-pinned).
-#   slots 4-5   the two r11 result-relevant ADVICE edits
+#               with the pandas-UDF rerank slot, accumulator-pinned;
+#               source_token_jsd — per-source JSD mixture diagnostic;
+#               good_turing_oov_estimate — hapax unseen-mass).
+#   slots 6-7   the two r11 result-relevant ADVICE edits
 #               (decontamination_bloom_store: try/finally + eager
 #               checkpoint; fold_target_encoding: degenerate-fold 0/0
 #               guard in both engines).
-#   slots 6-14  the NINE r10 ops never driver-stamped (they sat past
+#   slots 8-16  the NINE r10 ops never driver-stamped (they sat past
 #               the r10 window boundary): streaming Bloom lid,
 #               multi-touch attribution, hard-negative store mining,
 #               code-switch lang mix, source-length calibration,
 #               canonical dup selection, Neyman allocation, DP counts,
 #               Jaro-Winkler linkage. After this round NO never-stamped
 #               entry remains.
-#   slots 15-20 the six entries displaced after their r10 edits
+#   slots 17-22 the six entries displaced after their r10 edits
 #               (previously stamped green; edits result-neutral on the
 #               gate corpus — see the r10 header note).
-#   slots 21-50 the r5-green block in age order from
-#               dedup_fingerprint_groups through bm25_lexical_topk —
-#               the oldest remaining stamps advance past r5.
+#   slots 23-50 the r5-green block in age order from
+#               dedup_fingerprint_groups through sql_shipping_priority
+#               — the oldest remaining stamps advance past r5
+#               (asof_view_next_purchase / bm25_lexical_topk slipped
+#               past the boundary; they lead the r12 queue).
 # All 50 pre-verified green through the exact driver gate (check_query
 # at sf0.01) before commit — CORRECTNESS_r11_pre.json.
 #
@@ -68,6 +72,8 @@ _PRIORITY = [
     "streaming_kll_store",
     "calibration_threshold_audit",
     "rerank_store_candidates",
+    "source_token_jsd",
+    "good_turing_oov_estimate",
     # ---- r11 advice edits ----
     "decontamination_bloom_store",
     "fold_target_encoding",
@@ -117,11 +123,13 @@ _PRIORITY = [
     "dup_component_density_audit",
     "length_stratified_sample",
     "sql_shipping_priority",
+    # ---- 50-slot window boundary ----
+    # asof_view_next_purchase and bm25_lexical_topk were displaced past
+    # the boundary by the two late r11 entries (slots 4-5) — they lead
+    # the r12 re-stamp queue. r5/r6-green fill continues (next
+    # rotation's source), r10-stamped block moved to the end:
     "asof_view_next_purchase",
     "bm25_lexical_topk",
-    # ---- 50-slot window boundary ----
-    # r5/r6-green fill continues (next rotation's source), r10-stamped
-    # block moved to the end:
     "incremental_agg_retractions",
     "matryoshka_truncation_audit",
     "dsir_target_selection",

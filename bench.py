@@ -212,6 +212,8 @@ HEADLINE = [
     "streaming_kll_store",          # stream-fed KLL tier + GC-identical pin (r11)
     "calibration_threshold_audit",  # pooled-cut share uniformity audit (r11)
     "rerank_store_candidates",      # IVF-PQ store probe -> UDF rerank (r11)
+    "source_token_jsd",             # per-source JSD mixture diagnostic (r11)
+    "good_turing_oov_estimate",     # hapax unseen-mass per source (r11)
 ]
 
 

@@ -2358,6 +2358,176 @@ def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jsd_oracle() -> str:
+    from lab3_lakehouse_spark.queries._util import sql_round4
+
+    return rf"""
+    WITH tok AS (
+        SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS token
+        FROM documents
+    ),
+    st AS (
+        SELECT source, token, CAST(count(*) AS DOUBLE) AS c_st
+        FROM tok GROUP BY source, token
+    ),
+    tt AS (
+        SELECT token, CAST(count(*) AS DOUBLE) AS c_t FROM tok GROUP BY token
+    ),
+    ns AS (
+        SELECT source, CAST(count(*) AS DOUBLE) AS n_s
+        FROM tok GROUP BY source
+    ),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+    terms AS (
+        SELECT st.source,
+               st.c_st / ns.n_s AS p,
+               tt.c_t / nn.n AS q
+        FROM st JOIN tt USING (token) JOIN ns USING (source) CROSS JOIN nn
+    ),
+    agg AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_shared_types,
+               sum(0.5 * p * ln(p / ((p + q) / 2))
+                   + 0.5 * q * ln(q / ((p + q) / 2))) AS present,
+               sum(q) AS q_present
+        FROM terms GROUP BY source
+    )
+    SELECT a.source,
+           CAST(ns.n_s AS BIGINT) AS n_tokens,
+           a.n_shared_types,
+           {sql_round4(
+               f'(a.present + 0.5 * (1.0 - a.q_present) * {_LN2}) / {_LN2}'
+           )} AS jsd_bits
+    FROM agg a JOIN ns ON ns.source = a.source
+    """
+
+
+@query("source_token_jsd", oracle=_jsd_oracle())
+def source_token_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen–Shannon divergence between the source's
+    unigram distribution and the POOLED corpus distribution (Lin 1991)
+    — the mixture diagnostic a temperature mixer reads: JSD ≈ 0 means
+    the source is interchangeable with the blend, large JSD flags the
+    distinct-vocabulary sources whose up/down-weighting actually moves
+    the mixture. JSD is used over KL because it is finite under the
+    zero-probability asymmetry every real source pair has.
+
+    Exact, not sampled: one (source, token) grouped pass, one token
+    grouped pass, broadcast totals. Tokens ABSENT from a source still
+    contribute to KL(Q‖M) — their total is 0.5·ln2·(1 − Σ_present q),
+    folded in closed form so the per-source sum runs only over the
+    source's own vocabulary (never |sources| × |corpus vocab|). Both
+    engines evaluate the same ln expressions on identical exact count
+    ratios; the ln(2) divisor is the shared pinned literal."""
+    from lab3_lakehouse_spark.queries._util import round4
+
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "source", F.explode(text_ops.whitespace_tokens("text")).alias("token")
+    )
+    st = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("double").alias("c_st")
+    )
+    tt = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("c_t")
+    )
+    ns = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n_s")
+    )
+    nn = tok.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    p = F.col("c_st") / F.col("n_s")
+    q = F.col("c_t") / F.col("n")
+    m = (p + q) / F.lit(2.0)
+    ln2 = float(_LN2)
+    agg = (
+        st.join(tt, "token")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nn))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_types"),
+            F.sum(
+                F.lit(0.5) * p * F.log(p / m)
+                + F.lit(0.5) * q * F.log(q / m)
+            ).alias("__present"),
+            F.sum(q).alias("__q_present"),
+            F.first("n_s").alias("__n_s"),
+        )
+    )
+    return agg.select(
+        "source",
+        F.col("__n_s").cast("long").alias("n_tokens"),
+        "n_shared_types",
+        round4(
+            (
+                F.col("__present")
+                + F.lit(0.5) * (F.lit(1.0) - F.col("__q_present")) * F.lit(ln2)
+            )
+            / F.lit(ln2)
+        ).alias("jsd_bits"),
+    )
+
+
+@query(
+    "good_turing_oov_estimate",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS token
+        FROM documents
+    ),
+    st AS (
+        SELECT source, token, count(*) AS c FROM tok GROUP BY source, token
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT)   AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_singletons,
+           CAST(count(*) FILTER (WHERE c = 2) AS BIGINT) AS n_doubletons,
+           {sql_round4(
+               'CAST(count(*) FILTER (WHERE c = 1) AS DOUBLE)'
+               ' / CAST(sum(c) AS DOUBLE)'
+           )} AS gt_unseen_mass
+    FROM st GROUP BY source
+    """,
+)
+def good_turing_oov_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Good–Turing unseen-token mass: P(next token is a
+    NEW type) ≈ N₁/N — the hapax-legomena estimator (Good 1953; Gale &
+    Sampson 1995's starting point). The number a curation pipeline
+    reads before committing a tokenizer or a source budget: high
+    unseen mass = open vocabulary still growing (more data from this
+    source keeps buying new types — the Heaps'-law regime,
+    `heaps_vocabulary_growth` is the longitudinal twin), near-zero =
+    saturated/templated source. Doubleton count rides along (the next
+    Good–Turing frequency-of-frequency; N₁, N₂ together give the
+    Simple-GT discount for singletons).
+
+    Exact integer counting: one (source, token) grouped pass, one
+    per-source rollup — the estimate is one IEEE division of exact
+    counts, bit-stable across engines."""
+    from lab3_lakehouse_spark.queries._util import round4
+
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "source", F.explode(text_ops.whitespace_tokens("text")).alias("token")
+    )
+    st = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return st.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.count(F.when(F.col("c") == 1, 1)).cast("long").alias("n_singletons"),
+        F.count(F.when(F.col("c") == 2, 1)).cast("long").alias("n_doubletons"),
+        round4(
+            F.count(F.when(F.col("c") == 1, 1)).cast("double")
+            / F.sum("c").cast("double")
+        ).alias("gt_unseen_mass"),
+    )
+
+
 # --------------------------------------- bigram LM & collocations ----
 
 def _bigram_surprisal_oracle() -> str:

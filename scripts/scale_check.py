@@ -416,6 +416,13 @@ def workloads():
         "streaming_kll_store": QUERIES["streaming_kll_store"],
         "calibration_threshold_audit": QUERIES["calibration_threshold_audit"],
         "rerank_store_candidates": QUERIES["rerank_store_candidates"],
+        # r11 corpus diagnostics: both are one (source, token) grouped
+        # pass + bounded per-source rollups — alpha ~ 1 in corpus
+        # tokens (the tokenizer_fertility cost class); JSD adds a
+        # token-keyed join against the corpus vocab, which the
+        # prefixed amplifier copies grow linearly
+        "source_token_jsd": QUERIES["source_token_jsd"],
+        "good_turing_oov_estimate": QUERIES["good_turing_oov_estimate"],
         "corpus_pipeline": corpus_pipeline,
     }
 
