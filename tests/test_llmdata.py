@@ -1086,3 +1086,76 @@ def test_rerank_store_candidates_contract(spark, sf_small):
     assert row.n_queries == 8
     assert row.n_pairs == 80 and row.udf_rows == 80
     assert row.udf_saw_only_candidates and row.rerank_matches_twin
+
+
+# ------------------------------------- corpus mixture diagnostics ----
+
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(rows, ["doc_id", "source", "text"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+
+def test_jsd_zero_when_sources_share_the_distribution(spark, tmp_path):
+    """Identical per-source token distributions == the pooled blend →
+    JSD exactly 0 for every source."""
+    from lab3_lakehouse_spark.queries import QUERIES
+
+    rows = [
+        (i * 2 + s, f"src{s}", "a a b c")
+        for i in range(10)
+        for s in range(2)
+    ]
+    _write_docs(spark, tmp_path, rows)
+    out = QUERIES["source_token_jsd"](spark, str(tmp_path)).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r.jsd_bits == 0.0, r
+
+
+def test_jsd_matches_numpy_reference_on_skewed_sources(spark, tmp_path):
+    """Cross-check the closed-form absent-token fold against a dense
+    numpy JSD over the full vocabulary (disjoint + overlapping mix)."""
+    import numpy as np
+
+    from lab3_lakehouse_spark.queries import QUERIES
+
+    rows = (
+        [(i, "srcA", "x x y z") for i in range(10)]
+        + [(100 + i, "srcB", "y z z w") for i in range(10)]
+    )
+    _write_docs(spark, tmp_path, rows)
+    out = {
+        r.source: r.jsd_bits
+        for r in QUERIES["source_token_jsd"](spark, str(tmp_path)).collect()
+    }
+    # dense reference over vocab {x, y, z, w}
+    counts = {"srcA": {"x": 20, "y": 10, "z": 10, "w": 0},
+              "srcB": {"x": 0, "y": 10, "z": 20, "w": 10}}
+    vocab = ["x", "y", "z", "w"]
+    pooled = np.array([sum(counts[s][t] for s in counts) for t in vocab],
+                      dtype=float)
+    q = pooled / pooled.sum()
+    for s, want_src in counts.items():
+        p = np.array([want_src[t] for t in vocab], dtype=float)
+        p = p / p.sum()
+        m = (p + q) / 2
+        terms = np.where(p > 0, 0.5 * p * np.log(p / m), 0.0) + np.where(
+            q > 0, 0.5 * q * np.log(q / m), 0.0
+        )
+        want = terms.sum() / np.log(2)
+        assert out[s] == pytest.approx(want, abs=2e-4), (s, out[s], want)
+
+
+def test_good_turing_counts_hand_built(spark, tmp_path):
+    """Hand-built source: 2 hapax, 1 doubleton, 1 frequent type —
+    N1/N exact."""
+    from lab3_lakehouse_spark.queries import QUERIES
+
+    rows = [(1, "srcA", "rare1 rare2 twice twice common common common")]
+    _write_docs(spark, tmp_path, rows)
+    r = QUERIES["good_turing_oov_estimate"](spark, str(tmp_path)).collect()[0]
+    assert r.n_tokens == 7 and r.vocab_size == 4
+    assert r.n_singletons == 2 and r.n_doubletons == 1
+    assert r.gt_unseen_mass == pytest.approx(2 / 7, abs=1e-4)
