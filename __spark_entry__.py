@@ -30,33 +30,36 @@ def entry(spark: SparkSession) -> DataFrame:
 # Queries whose verdict would CHANGE this round come first (the driver
 # checks the first 50 registry entries per round). ROUND-11 rotation
 # (VERDICT r10 task #1; ages below are DRIVER-stamped ages):
-#   slots 1-5   the five NEW r11 entries (streaming_kll_store — the
+#   slots 1-6   the six NEW r11 entries (streaming_kll_store — the
 #               stream-fed quantile tier with the GC-bit-identical pin;
 #               calibration_threshold_audit — the pooled-cut share
 #               uniformity audit closing the calibration loop;
 #               rerank_store_candidates — IVF-PQ store probe composed
 #               with the pandas-UDF rerank slot, accumulator-pinned;
 #               source_token_jsd — per-source JSD mixture diagnostic;
-#               good_turing_oov_estimate — hapax unseen-mass).
-#   slots 6-7   the two r11 result-relevant ADVICE edits
+#               good_turing_oov_estimate — hapax unseen-mass;
+#               leakage_safe_split_assignment — component-hashed
+#               train/val split near-dups cannot straddle).
+#   slots 7-8   the two r11 result-relevant ADVICE edits
 #               (decontamination_bloom_store: try/finally + eager
 #               checkpoint; fold_target_encoding: degenerate-fold 0/0
 #               guard in both engines).
-#   slots 8-16  the NINE r10 ops never driver-stamped (they sat past
+#   slots 9-17  the NINE r10 ops never driver-stamped (they sat past
 #               the r10 window boundary): streaming Bloom lid,
 #               multi-touch attribution, hard-negative store mining,
 #               code-switch lang mix, source-length calibration,
 #               canonical dup selection, Neyman allocation, DP counts,
 #               Jaro-Winkler linkage. After this round NO never-stamped
 #               entry remains.
-#   slots 17-22 the six entries displaced after their r10 edits
+#   slots 18-23 the six entries displaced after their r10 edits
 #               (previously stamped green; edits result-neutral on the
 #               gate corpus — see the r10 header note).
-#   slots 23-50 the r5-green block in age order from
-#               dedup_fingerprint_groups through sql_shipping_priority
-#               — the oldest remaining stamps advance past r5
-#               (asof_view_next_purchase / bm25_lexical_topk slipped
-#               past the boundary; they lead the r12 queue).
+#   slots 24-50 the r5-green block in age order from
+#               dedup_fingerprint_groups through length_stratified_
+#               sample — the oldest remaining stamps advance past r5
+#               (sql_shipping_priority / asof_view_next_purchase /
+#               bm25_lexical_topk slipped past the boundary; they lead
+#               the r12 queue).
 # All 50 pre-verified green through the exact driver gate (check_query
 # at sf0.01) before commit — CORRECTNESS_r11_pre.json.
 #
@@ -74,6 +77,7 @@ _PRIORITY = [
     "rerank_store_candidates",
     "source_token_jsd",
     "good_turing_oov_estimate",
+    "leakage_safe_split_assignment",
     # ---- r11 advice edits ----
     "decontamination_bloom_store",
     "fold_target_encoding",
@@ -122,12 +126,13 @@ _PRIORITY = [
     "region_revenue_ols",
     "dup_component_density_audit",
     "length_stratified_sample",
-    "sql_shipping_priority",
     # ---- 50-slot window boundary ----
-    # asof_view_next_purchase and bm25_lexical_topk were displaced past
-    # the boundary by the two late r11 entries (slots 4-5) — they lead
-    # the r12 re-stamp queue. r5/r6-green fill continues (next
-    # rotation's source), r10-stamped block moved to the end:
+    # sql_shipping_priority, asof_view_next_purchase and
+    # bm25_lexical_topk were displaced past the boundary by the three
+    # late r11 entries (slots 4-6) — they lead the r12 re-stamp queue.
+    # r5/r6-green fill continues (next rotation's source), r10-stamped
+    # block moved to the end:
+    "sql_shipping_priority",
     "asof_view_next_purchase",
     "bm25_lexical_topk",
     "incremental_agg_retractions",

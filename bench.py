@@ -214,6 +214,7 @@ HEADLINE = [
     "rerank_store_candidates",      # IVF-PQ store probe -> UDF rerank (r11)
     "source_token_jsd",             # per-source JSD mixture diagnostic (r11)
     "good_turing_oov_estimate",     # hapax unseen-mass per source (r11)
+    "leakage_safe_split_assignment",  # component-hashed leak-free split (r11)
 ]
 
 
@@ -306,6 +307,48 @@ def _bench_overrides() -> dict:
         )
         verified = dedup_ops.minhash_verify_hashed(cands, hashed, threshold=0.8)
         return dedup_ops.connected_components(verified, "id_a", "id_b")
+
+    def leakage_split(spark, sf_dir):
+        # LSH pair source (the catalog's exact word-Jaccard tier is the
+        # oracle-replay twin), then the catalog query's own downstream:
+        # hash-min components + component-hash split assignment
+        from lab3_lakehouse_spark.operators.sketches import portable_hash60
+        from lab3_lakehouse_spark.queries.advstats import (
+            _SPLIT_SEED,
+            _SPLIT_TRAIN_OF_10,
+        )
+        from pyspark.sql import Window
+
+        docs = fan_out(load_table(spark, sf_dir, "documents"))
+        hashed = docs.select(
+            F.col("doc_id").alias("__id"),
+            dedup_ops.shingle_hashes("text", 3).alias("__h"),
+        ).localCheckpoint(eager=False)
+        cands = dedup_ops.minhash_lsh_candidates_from_hashes(
+            hashed, num_perm=64, bands=16
+        )
+        pairs = dedup_ops.minhash_verify_hashed(cands, hashed, threshold=0.8)
+        cc = dedup_ops.connected_components(pairs, "id_a", "id_b").select(
+            F.col("vertex").alias("doc_id"), "component"
+        )
+        assigned = docs.select("doc_id").join(cc, "doc_id", "left").select(
+            "doc_id", F.coalesce("component", "doc_id").alias("component")
+        )
+        return assigned.select(
+            "doc_id",
+            "component",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("component"))
+            .cast("long")
+            .alias("n_members"),
+            F.when(
+                portable_hash60(F.col("component"), _SPLIT_SEED) % 10
+                < _SPLIT_TRAIN_OF_10,
+                F.lit("train"),
+            )
+            .otherwise(F.lit("val"))
+            .alias("split"),
+        )
 
     def dup_canonical(spark, sf_dir):
         # LSH pair source (catalog's exact word-Jaccard tier is the
@@ -523,6 +566,7 @@ def _bench_overrides() -> dict:
         "ann_ivfpq_topk": ann_ivfpq,
         "dup_groups_connected": dup_groups,
         "dup_canonical_selection": dup_canonical,
+        "leakage_safe_split_assignment": leakage_split,
         "dup_group_size_histogram": dup_group_histogram,
         "cross_source_dup_matrix": cross_source_matrix,
         "dup_component_density_audit": dup_component_density,

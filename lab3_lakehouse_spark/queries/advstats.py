@@ -2575,6 +2575,105 @@ def _word_jaccard_pairs_adv(docs: DataFrame, threshold: float = 0.8):
     )
 
 
+_SPLIT_SEED = 71
+_SPLIT_TRAIN_OF_10 = 8
+
+
+def _leakage_split_oracle() -> str:
+    from lab3_lakehouse_spark.operators.sketches import sql_hash60
+
+    h = sql_hash60("component", _SPLIT_SEED)
+    return f"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, lang,
+               list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS w
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.w, b.w))::DOUBLE
+              / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach(u, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.u
+    ), comp AS (
+        SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u
+    ), assigned AS (
+        SELECT d.doc_id,
+               coalesce(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, component,
+           CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+               AS n_members,
+           CASE WHEN {h} % 10 < {_SPLIT_TRAIN_OF_10}
+                THEN 'train' ELSE 'val' END AS split
+    FROM assigned
+    """
+
+
+@query("leakage_safe_split_assignment", oracle=_leakage_split_oracle())
+def leakage_safe_split_assignment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train/validation split that near-dups CANNOT straddle — the
+    eval-integrity step naive random splits get wrong: if two
+    near-copies land on opposite sides, validation loss measures
+    memorization, not generalization (the same failure class
+    decontamination guards against benchmarks, applied to the
+    pipeline's own held-out split). The unit of assignment is the
+    near-dup CONNECTED COMPONENT (singletons are their own component),
+    and the split is a deterministic portable hash of the component id
+    — so no pair with Jaccard ≥ 0.8 can ever cross splits, BY
+    CONSTRUCTION, on any engine, under any partitioning, and the
+    assignment is reproducible without storing it. 80/20 via
+    hash60(component) % 10 < 8 (the crossval_fold_balance convention).
+
+    Same pair tier + hash-min components as dup_groups_connected
+    (recursive-closure oracle — the cross-engine check verifies the
+    GRAPH agreement, the hard part; the split rule is then pure
+    hashing); at scale the pair source swaps to the banded LSH tier
+    exactly as in dup_canonical_selection. Output is the per-doc
+    assignment table a data loader joins on."""
+    from lab3_lakehouse_spark.operators import dedup as dedup_ops
+    from lab3_lakehouse_spark.operators.sketches import portable_hash60
+
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    pairs = _word_jaccard_pairs_adv(docs)
+    cc = dedup_ops.connected_components(pairs, "id_a", "id_b").select(
+        F.col("vertex").alias("doc_id"), "component"
+    )
+    assigned = (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+        )
+    )
+    return assigned.select(
+        "doc_id",
+        "component",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("component"))
+        .cast("long")
+        .alias("n_members"),
+        F.when(
+            portable_hash60(F.col("component"), _SPLIT_SEED) % 10
+            < _SPLIT_TRAIN_OF_10,
+            F.lit("train"),
+        )
+        .otherwise(F.lit("val"))
+        .alias("split"),
+    )
+
+
 # ---------------------------------------- Neyman-allocated sampling ----
 
 _NEY_BUDGET = 200

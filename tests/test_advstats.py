@@ -982,3 +982,53 @@ def test_calibration_audit_shares_uniform_after_mapping(spark, sf_small):
     assert len(cal_shares) == 1, cal_shares  # equal n_s -> identical share
     raw_shares = {r.raw_share for r in rows}
     assert len(raw_shares) > 1, "raw shares should scatter across sources"
+
+
+# ---------------------------------------- leakage-safe split ----
+
+
+def test_leakage_safe_split_never_separates_near_dups(spark, tmp_path):
+    """Planted near-dup pairs (and a 3-chain) must land on ONE side of
+    the split — the construction guarantee, verified end-to-end — and
+    the assignment must be deterministic across invocations."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = []
+    # 3-chain: 1~2~3 (each adjacent pair >= 0.8 word-jaccard)
+    rows.append((1, "en", len(base), base))
+    rows.append((2, "en", len(base), base + " iota"))
+    rows.append((3, "en", len(base), base + " iota kappa"))
+    # isolated pair: 9 of 11 distinct words shared -> jaccard 0.818
+    rows.append(
+        (10, "en", 40, "one two three four five six seven eight nine ten")
+    )
+    rows.append(
+        (11, "en", 40, "one two three four five six seven eight nine zzz")
+    )
+    # singletons with disjoint vocab
+    rows.append((20, "en", 20, "red orange yellow green blue indigo"))
+    rows.append((21, "de", 20, "rot orange gelb gruen blau violett"))
+    spark.createDataFrame(
+        rows, ["doc_id", "lang", "n_chars", "text"]
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in QUERIES["leakage_safe_split_assignment"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert len(out) == 7
+    # chain 1-2-3: one component, one split
+    assert out[1].component == out[2].component == out[3].component == 1
+    assert out[1].n_members == 3
+    assert out[1].split == out[2].split == out[3].split
+    assert out[10].component == out[11].component == 10
+    assert out[10].split == out[11].split
+    assert out[20].n_members == 1 and out[21].n_members == 1
+    # deterministic: a second run reproduces the assignment exactly
+    again = {
+        r.doc_id: r.split
+        for r in QUERIES["leakage_safe_split_assignment"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert again == {k: v.split for k, v in out.items()}
