@@ -423,6 +423,11 @@ def workloads():
         # prefixed amplifier copies grow linearly
         "source_token_jsd": QUERIES["source_token_jsd"],
         "good_turing_oov_estimate": QUERIES["good_turing_oov_estimate"],
+        # leak-free split over the LSH pair source (the bench-override
+        # composition — the catalog's exact blocked tier is the oracle
+        # twin): banded candidates + CC + one corpus-wide left join and
+        # component window — alpha ~ the LSH dedup cost class
+        "leakage_split_lsh": ov["leakage_safe_split_assignment"],
         "corpus_pipeline": corpus_pipeline,
     }
 
