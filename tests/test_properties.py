@@ -901,3 +901,141 @@ def test_attribution_books_balance_property(spark, tmp_path_factory, events):
     got_conv = sum(r["credited_conversions"] for r in out)
     assert got_rev == pytest.approx(touched_total, abs=1e-2)
     assert got_conv == pytest.approx(n_touched, abs=1e-6)
+
+
+# ---------------------------------- r11: calibration equivariance ----
+
+_cal_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(min_value=1, max_value=500),
+    ),
+    min_size=4,
+    max_size=40,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_cal_rows)
+def test_calibration_equivariant_under_monotone_transform(
+    spark, tmp_path_factory, rows
+):
+    """Quantile normalization is rank-based, so a strictly increasing
+    transform of the value column must (a) leave every source_quantile
+    unchanged and (b) map every calibrated value through the SAME
+    transform — the scale-free operator contract the docstring claims
+    (n_chars stands in for any per-source score)."""
+    from lab3_lakehouse_spark.queries import QUERIES
+
+    def run(vals):
+        d = tmp_path_factory.mktemp("cal")
+        spark.createDataFrame(
+            [(i, s, v) for i, (s, v) in enumerate(vals)],
+            ["doc_id", "source", "n_chars"],
+        ).write.parquet(str(d / "documents.parquet"))
+        return {
+            r.doc_id: r
+            for r in QUERIES["source_length_calibration"](
+                spark, str(d)
+            ).collect()
+        }
+
+    base = run(rows)
+    f = lambda v: 3 * v + 7  # strictly increasing, integer-preserving
+    mapped = run([(s, f(v)) for s, v in rows])
+    assert set(base) == set(mapped)
+    for k in base:
+        assert base[k].source_quantile == mapped[k].source_quantile, k
+        assert f(base[k].calibrated_n_chars) == mapped[k].calibrated_n_chars, k
+
+
+# -------------------------------------- r11: JSD mixture diagnostic ----
+
+_jsd_docs = st.lists(
+    st.tuples(
+        st.sampled_from(["s0", "s1", "s2"]),
+        st.lists(
+            st.sampled_from(["t0", "t1", "t2", "t3", "t4"]),
+            min_size=1,
+            max_size=8,
+        ),
+    ),
+    min_size=2,
+    max_size=20,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_jsd_docs)
+def test_jsd_bounded_and_duplication_invariant(
+    spark, tmp_path_factory, docs
+):
+    """On ANY corpus: 0 ≤ JSD ≤ 1 bit (the Jensen–Shannon bound), and
+    duplicating every document (fresh ids) changes no distribution, so
+    every per-source JSD is unchanged — the diagnostic measures the
+    MIX, not the volume."""
+    from lab3_lakehouse_spark.queries import QUERIES
+
+    def run(docrows):
+        d = tmp_path_factory.mktemp("jsd")
+        spark.createDataFrame(
+            docrows, ["doc_id", "source", "text"]
+        ).write.parquet(str(d / "documents.parquet"))
+        return {
+            r.source: r.jsd_bits
+            for r in QUERIES["source_token_jsd"](spark, str(d)).collect()
+        }
+
+    rows = [
+        (i, s, " ".join(toks)) for i, (s, toks) in enumerate(docs)
+    ]
+    got = run(rows)
+    for s, j in got.items():
+        assert -1e-9 <= j <= 1.0 + 1e-9, (s, j)
+    doubled = rows + [
+        (1000 + i, s, t) for (i, s, t) in rows
+    ]
+    again = run(doubled)
+    assert again == got
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["u0", "u1", "u2", "u3"]),
+            min_size=1, max_size=6,
+        ),
+        min_size=1, max_size=10,
+    )
+)
+def test_good_turing_mass_extremes(spark, tmp_path_factory, docs):
+    """N₁/N pins its extremes: a corpus where every token occurrence is
+    a distinct type has unseen mass exactly 1.0; one where every type
+    occurs ≥ 2 times has exactly 0.0. Built from the SAME generated
+    shape so the property covers arbitrary doc partitionings."""
+    from lab3_lakehouse_spark.queries import QUERIES
+
+    def run(rows):
+        d = tmp_path_factory.mktemp("gt")
+        spark.createDataFrame(
+            rows, ["doc_id", "source", "text"]
+        ).write.parquet(str(d / "documents.parquet"))
+        out = QUERIES["good_turing_oov_estimate"](spark, str(d)).collect()
+        assert len(out) == 1
+        return out[0]
+
+    # all-distinct: token j of doc i becomes unique "d{i}_t{j}"
+    uniq = [
+        (i, "src", " ".join(f"d{i}_t{j}" for j in range(len(toks))))
+        for i, toks in enumerate(docs)
+    ]
+    r = run(uniq)
+    assert r.gt_unseen_mass == 1.0 and r.n_singletons == r.n_tokens
+    # every type doubled: repeat each token twice in place
+    doubled = [
+        (i, "src", " ".join(f"w{j} w{j}" for j in range(len(toks))))
+        for i, toks in enumerate(docs)
+    ]
+    r2 = run(doubled)
+    assert r2.gt_unseen_mass == 0.0 and r2.n_singletons == 0
