@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from lab3_lakehouse_spark.catalog import fan_out, load_table
 from lab3_lakehouse_spark.operators import dedup as dedup_ops
 from lab3_lakehouse_spark.sources import versioned as vt
-from lab3_lakehouse_spark.sources.medallion import materialize, read_tier
+from lab3_lakehouse_spark.sources.medallion import read_tier
 
 
 def _hashed(docs: DataFrame) -> DataFrame:
@@ -72,8 +72,9 @@ def run_incremental_ingest(
     delta_raw = docs.filter(F.col("doc_id") % 5 == 0)
 
     corpus_path = f"{out_root}/corpus"
-    bands_path = f"{out_root}/signature_store/bands"
-    hashes_path = f"{out_root}/signature_store/hashes"
+    store_root = f"{out_root}/signature_store"
+    bands_path = f"{store_root}/bands"
+    hashes_path = f"{store_root}/hashes"
 
     # ---- day 1: bootstrap -------------------------------------------
     corpus = dedup_ops.exact_dedup(corpus_raw, ["text"], ["doc_id"]).withColumn(
@@ -81,8 +82,7 @@ def run_incremental_ingest(
     )
     v1 = vt.write_version(corpus, spark, corpus_path)
     hashed = _hashed(corpus)
-    materialize(dedup_ops.banded_signatures(hashed), bands_path)
-    materialize(hashed, hashes_path)
+    dedup_ops.minhash_store_append(store_root, hashed)
 
     # ---- day 2: delta batch against the store -----------------------
     corpus_v1 = vt.read_version(spark, corpus_path, version=v1)
@@ -113,10 +113,7 @@ def run_incremental_ingest(
     # append → v2, and extend the store with the survivors
     v2 = vt.write_version(corpus_v1.unionByName(survivors), spark, corpus_path)
     surv_hashed = _hashed(survivors)
-    materialize(
-        dedup_ops.banded_signatures(surv_hashed), bands_path, mode="append"
-    )
-    materialize(surv_hashed, hashes_path, mode="append")
+    dedup_ops.minhash_store_append(store_root, surv_hashed)
 
     hot_row = hot.agg(
         F.count(F.lit(1)).alias("n"), F.max("n_members").alias("mx")

@@ -344,10 +344,39 @@ def banded_signatures(
     return _banded(hashed, num_perm, bands, seed)
 
 
-def compact_signature_store(spark, store_root: str) -> dict:
+def minhash_store_append(
+    store_root: str,
+    hashed: DataFrame,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> None:
+    """Append one batch's MinHash signatures to the persisted LSH
+    signature store — the ``minhash`` family of the stores.py
+    lifecycle: ``{root}/bands`` gets the batch's ``(__id, band, bh)``
+    band-bucket rows (:func:`banded_signatures`), ``{root}/hashes`` the
+    ``(__id, __h)`` verify rows. Append cost ∝ the batch; the existing
+    store is never read (probes go through
+    :func:`minhash_candidates_vs_bands` + :func:`minhash_verify_hashed`
+    — the corpus text is never re-tokenized). Parameters must match
+    across appends and probes. At-least-once replay re-appends
+    identical rows — harmless (candidates are distinct-ed, verify
+    dedups per id); :func:`compact_signature_store` is the GC."""
+    from lab3_lakehouse_spark import stores
+
+    stores.append_rows(
+        banded_signatures(hashed, num_perm, bands, seed),
+        store_root,
+        "bands",
+    )
+    stores.append_rows(hashed, store_root, "hashes")
+
+
+def compact_signature_store(spark, src_root: str, dst_root: str) -> dict:
     """Offline maintenance for the persisted LSH signature store
-    (``{store_root}/bands`` + ``{store_root}/hashes``): the streaming
-    ingest's at-least-once appends accumulate duplicate rows on every
+    (``{root}/bands`` + ``{root}/hashes``): the streaming ingest's
+    at-least-once appends accumulate duplicate rows on every
     crash-replay (harmless for correctness — candidate generation is
     distinct-ed and verify dedups per id — but they inflate every
     future probe's scan), and thousands of small appended files erode
@@ -356,28 +385,33 @@ def compact_signature_store(spark, store_root: str) -> dict:
     ``(band, bh)`` inside partitions so a probe's (band, bh) join reads
     clustered row groups (min/max pruning actually bites).
 
-    Not crash-safe mid-rewrite (plain parquet overwrite, same class as
-    sources/medallion.compact_tier): run it offline, not concurrently
-    with ingest. Returns ``{"bands_before": n, "bands_after": n,
-    "hashes_before": n, "hashes_after": n}``.
+    Writes to ``dst_root`` per the stores.gc_write contract (a NEW
+    tier, ``mode("error")``): probes against ``src_root`` are never
+    disturbed mid-compaction and a crash leaves the live store intact
+    — swap-in is the caller's atomic-rename/catalog-repoint step.
+    Returns ``{"bands_before": n, "bands_after": n, "hashes_before":
+    n, "hashes_after": n}``.
     """
+    from lab3_lakehouse_spark import stores
+
     stats: dict[str, int] = {}
-    for name, key_cols, layout in (
-        ("bands", ["__id", "band", "bh"], ("band",)),
-        ("hashes", ["__id"], None),
+    for name, key_cols, clustered in (
+        ("bands", ["__id", "band", "bh"], True),
+        ("hashes", ["__id"], False),
     ):
-        path = f"{store_root}/{name}"
-        df = spark.read.parquet(path)
+        df = stores.read_tier(spark, src_root, name)
         stats[f"{name}_before"] = df.count()
         deduped = df.dropDuplicates(key_cols)
-        if layout:
-            deduped = deduped.repartition(*[F.col(c) for c in layout])
-            deduped = deduped.sortWithinPartitions("band", "bh")
-        # checkpoint BEFORE overwrite: the plan must not re-read the
-        # files it is replacing mid-write
-        deduped = deduped.localCheckpoint(eager=True)
-        deduped.write.mode("overwrite").parquet(path)
-        stats[f"{name}_after"] = spark.read.parquet(path).count()
+        stores.gc_write(
+            deduped,
+            dst_root,
+            name,
+            cluster_expr=F.col("band") if clustered else None,
+            sort_cols=("band", "bh") if clustered else (),
+        )
+        stats[f"{name}_after"] = stores.read_tier(
+            spark, dst_root, name
+        ).count()
     return stats
 
 

@@ -1,10 +1,11 @@
 """Shared lifecycle for the persisted-store families.
 
-Five index families persist state between queries — BM25 postings
+Six index families persist state between queries — BM25 postings
 (operators/text.py), IVF-PQ codes (operators/similarity.py), Bloom
 decontamination bits (operators/sketches.py), media perceptual-hash
-signatures (operators/multimodal.py) and KLL quantile compactors
-(operators/sketches.py + streaming/monitor.py). They all follow ONE
+signatures (operators/multimodal.py), KLL quantile compactors
+(operators/sketches.py + streaming/monitor.py) and MinHash LSH
+band/hash signatures (operators/dedup.py). They all follow ONE
 contract, which this module owns so each family implements only its
 domain math:
 
@@ -67,6 +68,7 @@ FAMILIES: dict[str, StoreSpec] = {
     "bloom": StoreSpec("bloom", ("bits",), ("meta",)),
     "phash": StoreSpec("phash", ("signatures",)),
     "kll": StoreSpec("kll", ("kll",)),
+    "minhash": StoreSpec("minhash", ("bands", "hashes")),
 }
 
 
@@ -88,7 +90,10 @@ def _shaped(
     partitioning (a corpus-sized append's parallelism IS the tier's
     file count)."""
     if cluster_expr is not None:
-        df = df.repartition(buckets, cluster_expr)
+        if buckets is not None:
+            df = df.repartition(buckets, cluster_expr)
+        else:  # cluster on the key, count chosen by AQE/defaults
+            df = df.repartition(cluster_expr)
     elif buckets is not None:
         df = df.repartition(buckets)
     if sort_cols:

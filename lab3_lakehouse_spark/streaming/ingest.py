@@ -172,10 +172,7 @@ def stream_ingest_with_dedup(
         # docstring): signatures must exist before their corpus rows, or
         # a replay's fp gate strands corpus docs without signatures.
         surv_hashed = _hashed(survivors).localCheckpoint(eager=False)
-        dedup_ops.banded_signatures(surv_hashed).write.mode("append").parquet(
-            bands_path
-        )
-        surv_hashed.write.mode("append").parquet(hashes_path)
+        dedup_ops.minhash_store_append(f"{out_root}/store", surv_hashed)
         survivors.select("doc_id", "text", "source", "fp").write.mode(
             "append"
         ).parquet(corpus_path)

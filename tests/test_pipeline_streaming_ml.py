@@ -953,11 +953,10 @@ def test_compact_signature_store_dedupes_and_preserves_probes(spark, tmpdir):
         dedup_ops.shingle_hashes("text", 3).alias("__h"),
     )
     store = f"{tmpdir}/store"
-    bands = dedup_ops.banded_signatures(hashed)
+    compacted = f"{tmpdir}/store_gc"
     # simulate two crash-replays: three identical appends
     for _ in range(3):
-        bands.write.mode("append").parquet(f"{store}/bands")
-        hashed.write.mode("append").parquet(f"{store}/hashes")
+        dedup_ops.minhash_store_append(store, hashed)
 
     probe = docs.filter("doc_id = 0").select(
         F.col("doc_id").alias("__id"),
@@ -969,14 +968,18 @@ def test_compact_signature_store_dedupes_and_preserves_probes(spark, tmpdir):
             probe, spark.read.parquet(f"{store}/bands")
         ).collect()
     )
-    stats = dedup_ops.compact_signature_store(spark, store)
+    stats = dedup_ops.compact_signature_store(spark, store, compacted)
     assert stats["bands_before"] == 3 * stats["bands_after"]
     assert stats["hashes_before"] == 3 * stats["hashes_after"]
     assert stats["hashes_after"] == 10
+    # GC wrote a NEW root; the live store is untouched
+    assert spark.read.parquet(f"{store}/bands").count() == (
+        stats["bands_before"]
+    )
     after = sorted(
         (r.id_a, r.id_b)
         for r in dedup_ops.minhash_candidates_vs_bands(
-            probe, spark.read.parquet(f"{store}/bands")
+            probe, spark.read.parquet(f"{compacted}/bands")
         ).collect()
     )
     assert before == after

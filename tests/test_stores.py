@@ -14,6 +14,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from lab3_lakehouse_spark import stores
+from lab3_lakehouse_spark.operators import dedup as dedup_ops
 from lab3_lakehouse_spark.operators import multimodal as mm_ops
 from lab3_lakehouse_spark.operators import similarity as sim_ops
 from lab3_lakehouse_spark.operators import sketches
@@ -106,6 +107,16 @@ def _family_actions(spark, tmp_path):
                 shards=2,
             ),
         ),
+        "minhash": (
+            None,
+            lambda root, p: dedup_ops.minhash_store_append(
+                root,
+                docs.filter(F.col("doc_id") % 2 == p).select(
+                    F.col("doc_id").alias("__id"),
+                    dedup_ops.shingle_hashes("text", 3).alias("__h"),
+                ),
+            ),
+        ),
     }
 
 
@@ -149,6 +160,7 @@ def test_families_registry_matches_known_layouts():
     assert stores.FAMILIES["bloom"].sidecar_tiers == ("meta",)
     assert stores.FAMILIES["phash"].data_tiers == ("signatures",)
     assert stores.FAMILIES["kll"].data_tiers == ("kll",)
+    assert stores.FAMILIES["minhash"].data_tiers == ("bands", "hashes")
 
 
 def _random_batches(ids: list[int], rng: random.Random) -> list[list[int]]:
