@@ -317,6 +317,40 @@ SHOWCASE: dict[str, str] = {
         "time-range nested loop), position/count come from one "
         "conv_id-partitioned window, one grouped rollup ends it."
     ),
+    "source_token_jsd": (
+        "Per-source JSD mixture diagnostic: one (source, token) grouped "
+        "pass and one token grouped pass over the SAME exploded scan, "
+        "joined on the token key; source totals and the corpus total "
+        "broadcast — the only corpus-sized exchanges carry (source, "
+        "token, count) rows, and the absent-token KL mass is folded in "
+        "closed form so no |sources| x |vocab| frame ever exists."
+    ),
+    "leakage_safe_split_assignment": (
+        "Leak-free split: hash-min connected components over the "
+        "near-dup pair tier (per-round keyed aggregations, no driver "
+        "membership sets), ONE left join assigns every corpus doc its "
+        "component (singletons fall back to their own id map-side), and "
+        "the train/val side is a map-side portable hash of the "
+        "component — after the component join, zero additional shuffle "
+        "beyond the member-count window."
+    ),
+    "calibration_threshold_audit": (
+        "Calibration loop-closer: consumes source_length_calibration "
+        "(per-source ranking windows + the TWO-PHASE global ranking — "
+        "approx cuts, per-bucket row_number, offsets; never a "
+        "single-partition sort), derives the pooled p75 threshold from "
+        "the same global rank frame, and reduces to one "
+        "source-keyed aggregate with two broadcast singletons."
+    ),
+    "rerank_store_candidates": (
+        "The r11 composed retrieval pipeline: routed In(__cell) parquet "
+        "pushdown reads index slivers, the skinny ADC exchange ranks "
+        "candidates, both texts arrive on the BOUNDED pair frame via "
+        "broadcast joins (the only corpus-text scan), and the "
+        "Arrow-batched pandas-UDF scorer + rerank window run on "
+        "queries x depth rows — the expensive stage never sees the "
+        "corpus (accumulator-pinned in the registry entry)."
+    ),
     "hard_negative_mining": (
         "Contrastive negative mining: the bounded anchor set broadcasts "
         "into a single corpus scan (BroadcastNestedLoopJoin on the "
@@ -405,12 +439,55 @@ def _phash_store_probe_frame(spark):
     )
 
 
+def _rerank_store_frame(spark):
+    """The r11 composed pipeline with the checkpoint peeled off: IVF-PQ
+    store probe (In(__cell) pushdown) → broadcast text fetch onto the
+    bounded candidate frame → Arrow-batched pandas-UDF rerank window —
+    the full first-stage-index + second-stage-scorer plan."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lab3_lakehouse_spark.catalog import load_table
+    from lab3_lakehouse_spark.operators import similarity as sim_ops
+    from lab3_lakehouse_spark.operators import text as text_ops
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    docs = load_table(spark, SF_DIR, "documents")
+    q = emb.filter(F.col("vec_id") < 8)
+    tmp = tempfile.mkdtemp(prefix="plans_rerank_store_")
+    sim_ops.ivfpq_store_init(
+        tmp, emb, "vec_id", "embedding", n_centroids=16, dim=64, m=8,
+        n_codes=32,
+    )
+    sim_ops.ivfpq_store_append(spark, tmp, emb, "vec_id", "embedding")
+    cands = sim_ops.ivfpq_store_topk(
+        spark, tmp, emb, q, "vec_id", "embedding", k=10, n_probe=8,
+        rerank=400,
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("ann_rank"),
+    )
+    qt = docs.filter(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(F.split(F.lower(F.col("text")), r"\s+"), 1, 4), " "
+        ).alias("__qtext"),
+    )
+    dt = docs.select("doc_id", F.col("text").alias("__dtext"))
+    pairs = dt.join(F.broadcast(cands), "doc_id").join(F.broadcast(qt),
+                                                       "query_id")
+    return text_ops.crossencoder_rerank(pairs, tie_cols=("ann_rank",))
+
+
 #: plan built by a custom callable instead of QUERIES[name] (when the
 #: catalog body checkpoints away the interesting plan).
 CUSTOM_FRAME = {
     "bm25_postings_topk": _bm25_store_probe_frame,
     "ann_store_ivfpq_topk": _ivfpq_store_probe_frame,
     "media_phash_store_partners": _phash_store_probe_frame,
+    "rerank_store_candidates": _rerank_store_frame,
 }
 
 
