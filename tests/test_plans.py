@@ -662,3 +662,43 @@ def test_gram_matrix_exchanges_never_carry_vectors(spark, sf):
         if "RoundRobinPartitioning" in args:  # fan_out's low-SF spread
             continue
         assert "embedding" not in cols, (args, cols)
+
+
+def test_jsd_exchanges_carry_counts_never_text(spark, sf):
+    """The mixture diagnostic's scale claim: every exchange carries
+    (source, token, count) rows or smaller — the document text column
+    never crosses a shuffle, and the totals ride broadcasts (no
+    SortMergeJoin against a 1-row frame)."""
+    df = QUERIES["source_token_jsd"](spark, sf)
+    for args, cols in pa.exchange_inputs(df):
+        if "RoundRobinPartitioning" in args:  # fan_out's low-SF spread
+            continue
+        assert "text" not in cols, (args, cols)
+
+
+def test_calibration_audit_never_collapses_doc_frame(spark, sf):
+    """The audit inherits the calibration's two-phase global ranking:
+    SinglePartition exchanges exist ONLY for scalar/bounded frames
+    (global counts, percentile buffers, the ≤64-row bucket offsets) —
+    never for the doc-sized frame itself (collapsing it to one
+    partition for a global sort is the anti-pattern global_row_number
+    exists to avoid)."""
+    df = QUERIES["calibration_threshold_audit"](spark, sf)
+    saw_single = False
+    for args, cols in pa.exchange_inputs(df):
+        if "SinglePartition" not in args:
+            continue
+        saw_single = True
+        assert "doc_id" not in cols and "n_chars" not in cols, (args, cols)
+    assert saw_single  # the pin must have inspected something
+
+
+def test_leakage_split_assignment_join_keys(spark, sf):
+    """After the component CC (checkpointed), the split is ONE doc-keyed
+    join plus the component member-count window — every hash exchange
+    is keyed on doc_id or component, never on text or token columns."""
+    df = QUERIES["leakage_safe_split_assignment"](spark, sf)
+    for args, cols in pa.exchange_inputs(df):
+        if "hashpartitioning" in args:
+            assert ("doc_id" in args) or ("component" in args), (args, cols)
+        assert "text" not in cols, (args, cols)
