@@ -207,10 +207,15 @@ def bloom_store_meta(spark, store_root: str) -> DataFrame:
     ``(n_keys, batch_id)`` row per DISTINCT tagged batch (a checkpoint
     replay re-appends the same batch_id, which collapses here — the
     bit side was already idempotent), plus every untagged
-    (NULL batch_id) one-shot append verbatim."""
+    (NULL batch_id) one-shot append verbatim. The explicit read schema
+    makes pre-r11 stores (meta files written before the batch_id
+    column existed) read as untagged NULL rows instead of failing the
+    mixed-schema union — no rebuild needed."""
     from lab3_lakehouse_spark import stores
 
-    meta = stores.read_tier(spark, store_root, "meta")
+    meta = stores.read_tier(
+        spark, store_root, "meta", schema="n_keys long, batch_id long"
+    )
     tagged = meta.filter(F.col("batch_id").isNotNull()).dropDuplicates(
         ["batch_id"]
     )

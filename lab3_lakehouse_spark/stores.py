@@ -40,7 +40,8 @@ domain math:
   compacted tier must be identical (pinned per family by the
   randomized-append GC property tests).
 
-:data:`FAMILIES` is the machine-readable registry of the five layouts;
+:data:`FAMILIES` is the machine-readable registry of every layout
+(one :class:`StoreSpec` per family — count it, don't trust prose);
 the parameterized lifecycle tests iterate it so a new family added
 here is automatically held to the same contract.
 """
@@ -137,8 +138,18 @@ def overwrite_meta_tier(df: DataFrame, store_root: str, tier: str) -> None:
     ).parquet(tier_path(store_root, tier))
 
 
-def read_tier(spark, store_root: str, tier: str) -> DataFrame:
-    return spark.read.parquet(tier_path(store_root, tier))
+def read_tier(
+    spark, store_root: str, tier: str, *, schema: str | None = None
+) -> DataFrame:
+    """Read one tier. Pass a DDL ``schema`` when the tier's layout
+    gained a column over time (e.g. bloom meta's ``batch_id``, added
+    r11): an explicit read schema makes files written before the
+    column existed surface it as NULL instead of failing the union —
+    the migration-free path for mixed-age stores."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(tier_path(store_root, tier))
 
 
 def pruned_read(

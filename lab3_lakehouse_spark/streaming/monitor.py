@@ -675,9 +675,20 @@ def kll_compact_store(
     every reader runs, so estimates from the compacted tier are
     BIT-IDENTICAL), written to a NEW root per the stores.gc_write
     contract: the live tier is never mutated, swap-in is the caller's
-    atomic step. Compaction touches only sketch rows — metadata-sized
-    work at any stream age — and the result reads back through
-    :func:`kll_store_quantiles` unchanged (batch_id 0, shard 0)."""
+    atomic step (:func:`lab3_lakehouse_spark.stores.swap_root`).
+    Compaction touches only sketch rows — metadata-sized work at any
+    stream age — and the result reads back through
+    :func:`kll_store_quantiles` unchanged.
+
+    Compacted rows are stamped ``batch_id = -1`` — a RESERVED sentinel
+    no streaming writer can produce (foreachBatch batch_ids start at
+    0) — so a fresh-checkpoint stream that later appends into the
+    swapped-in root cannot collide with the compacted row-set: the
+    reader's composite shard for the sentinel is ``-shards``, disjoint
+    from every ``batch_id ≥ 0`` composite, and a SECOND compaction of
+    a mixed tier maps the sentinel rows into ``[-shards, 0)`` — still
+    disjoint, so compacted and raw tiers interleave freely even across
+    checkpoint resets."""
     from lab3_lakehouse_spark import stores
     from lab3_lakehouse_spark.operators import sketches
 
@@ -689,7 +700,7 @@ def kll_compact_store(
         "items",
     )
     folded = sketches.kll_sketch_compact(sk, [], k=k).select(
-        F.lit(0).cast("long").alias("batch_id"),
+        F.lit(-1).cast("long").alias("batch_id"),
         "__shard",
         "level",
         "items",

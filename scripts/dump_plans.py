@@ -21,6 +21,20 @@ from lab3_lakehouse_spark.session import build_session  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+
+def _scratch(prefix: str) -> str:
+    """mkdtemp that cleans up at interpreter exit — the store-frame
+    helpers below build scratch indexes purely so PLANS.md shows the
+    probe plan; without this they leaked one temp dir each per run
+    (ADVICE r11)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    return tmp
+
 #: query → what to look for in the plan (rendered above each dump).
 SHOWCASE: dict[str, str] = {
     "pricing_summary": (
@@ -385,7 +399,7 @@ def _bm25_store_probe_frame(spark):
         .groupBy("query_id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("qtf"))
     )
-    tmp = tempfile.mkdtemp(prefix="plans_bm25_store_")
+    tmp = _scratch("plans_bm25_store_")
     text_ops.bm25_append_batch(tmp, docs)
     return text_ops.bm25_topk_from_store(spark, tmp, q, k=10, reuse=False)
 
@@ -404,7 +418,7 @@ def _ivfpq_store_probe_frame(spark):
 
     emb = load_table(spark, SF_DIR, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
-    tmp = tempfile.mkdtemp(prefix="plans_ivfpq_store_")
+    tmp = _scratch("plans_ivfpq_store_")
     sim_ops.ivfpq_store_init(
         tmp, emb, "vec_id", "embedding", n_centroids=16, dim=64, m=8,
         n_codes=32,
@@ -428,7 +442,7 @@ def _phash_store_probe_frame(spark):
 
     docs = load_table(spark, SF_DIR, "documents")
     with_bin = mm_ops.text_as_binary(docs, "source", "content")
-    tmp = tempfile.mkdtemp(prefix="plans_phash_store_")
+    tmp = _scratch("plans_phash_store_")
     mm_ops.phash_store_append(tmp, with_bin)
     pairs = mm_ops.phash_pairs_from_store(spark, tmp, max_hamming=6)
     sym = pairs.select(F.col("id_a").alias("doc_id")).unionAll(
@@ -455,7 +469,7 @@ def _rerank_store_frame(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     docs = load_table(spark, SF_DIR, "documents")
     q = emb.filter(F.col("vec_id") < 8)
-    tmp = tempfile.mkdtemp(prefix="plans_rerank_store_")
+    tmp = _scratch("plans_rerank_store_")
     sim_ops.ivfpq_store_init(
         tmp, emb, "vec_id", "embedding", n_centroids=16, dim=64, m=8,
         n_codes=32,

@@ -1,10 +1,11 @@
-"""Shared lifecycle tests for the five persisted-store families
-(lab3_lakehouse_spark/stores.py): ONE parameterized
-append-never-reads-store file-snapshot test covering every family in
-stores.FAMILIES, plus randomized-append GC property tests for the two
-families with nontrivial merge logic (BM25 postings, KLL compactors) —
-probe results must be identical before and after compaction under ANY
-batch split/order history."""
+"""Shared lifecycle tests for the persisted-store families
+(lab3_lakehouse_spark/stores.py — one per entry in stores.FAMILIES;
+the parameterized tests iterate the registry, so they cover every
+family without re-counting here): ONE parameterized
+append-never-reads-store file-snapshot test covering every family,
+plus randomized-append GC property tests for the families with
+nontrivial merge/compaction logic — probe results must be identical
+before and after compaction under ANY batch split/order history."""
 from __future__ import annotations
 
 import random
@@ -248,6 +249,63 @@ def test_kll_gc_estimates_identical_under_random_append_history(
     assert n_post <= n_pre
 
 
+def test_kll_compacted_tier_survives_fresh_checkpoint_restart(
+    spark, tmp_path
+):
+    """ADVICE-r11 collision pin: compacted rows are stamped with the
+    reserved sentinel batch_id=-1, so a stream that restarts from a
+    FRESH checkpoint (its first micro-batch is batch_id 0) can append
+    into the swapped-in compacted root without colliding with the
+    compacted row-set — under the old batch_id=0 stamp, the reader's
+    per-composite {level: items} dict silently dropped one sketch's
+    items at every shared (shard 0, level) key."""
+    events = spark.createDataFrame(
+        [(i, float((i * 37) % 211)) for i in range(400)], ["eid", "value"]
+    )
+    src = str(tmp_path / "kll_restart_src")
+    dst = str(tmp_path / "kll_restart_dst")
+    for bid in range(3):
+        mon.kll_append_batch(
+            src,
+            events.filter(F.col("eid") % 3 == bid),
+            bid,
+            k=64,
+            shards=3,
+        )
+    mon.kll_compact_store(spark, src, dst, k=64, shards=3)
+    # fresh-checkpoint restart: the stream's first micro-batch is
+    # batch_id 0 again, carrying values far above the old range
+    fresh = spark.createDataFrame(
+        [(10_000 + i, 999.0) for i in range(400)], ["eid", "value"]
+    )
+    mon.kll_append_batch(dst, fresh, 0, k=64, shards=3)
+    # 1) the reader's composite key never collides: every
+    # (batch_id*shards + __shard, level) pair maps to exactly one row
+    tier = stores.read_tier(spark, dst, "kll")
+    dupes = (
+        tier.groupBy(
+            (F.col("batch_id") * F.lit(3) + F.col("__shard")).alias("c"),
+            "level",
+        )
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dupes == 0
+    # 2) the merged estimate sees BOTH tiers: half the mass is 999.0,
+    # so p90 of the union must be 999.0 exactly (every top-rank item
+    # is 999.0; a dropped fresh-batch sketch would pull it into the
+    # old [0, 211) range)
+    est = {
+        r["q"]: r["est"]
+        for r in mon.kll_store_quantiles(
+            spark, dst, [0.1, 0.9], k=64, shards=3
+        ).collect()
+    }
+    assert est[0.9] == 999.0
+    assert 0.0 <= est[0.1] < 211.0
+
+
 def test_bloom_store_meta_collapses_replayed_tagged_batches(spark, tmp_path):
     """The ADVICE-r10 meta contract: a replayed (same batch_id) append
     re-adds an identical meta row; bloom_store_meta de-dups tagged rows
@@ -266,4 +324,26 @@ def test_bloom_store_meta_collapses_replayed_tagged_batches(spark, tmp_path):
     deduped = sketches.bloom_store_meta(spark, root).collect()
     assert len(deduped) == 2
     tagged = [r for r in deduped if r.batch_id == 7]
+    assert len(tagged) == 1 and tagged[0].n_keys == 50
+
+
+def test_bloom_store_meta_reads_pre_batchid_files(spark, tmp_path):
+    """ADVICE-r11 mixed-age pin: a meta tier holding files written
+    BEFORE the batch_id column existed (pre-r11 stores) plus tagged
+    post-r11 appends must read cleanly — the explicit read schema
+    surfaces the missing column as NULL (untagged), no rebuild."""
+    root = str(tmp_path / "bloom_mixed_age")
+    # simulate a pre-r11 append: meta file with only n_keys
+    spark.createDataFrame([(40,)], "n_keys long").coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{root}/meta")
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(50)], ["sh"])
+    sketches.bloom_store_append(
+        root, keys, "sh", n_bits=4096, n_hashes=3, batch_id=3
+    )
+    rows = sketches.bloom_store_meta(spark, root).collect()
+    assert len(rows) == 2
+    legacy = [r for r in rows if r.batch_id is None]
+    assert len(legacy) == 1 and legacy[0].n_keys == 40
+    tagged = [r for r in rows if r.batch_id == 3]
     assert len(tagged) == 1 and tagged[0].n_keys == 50
