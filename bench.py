@@ -32,6 +32,19 @@ fresh JVM per query makes the committed number the isolated
 steady-state number with no adjudication step; the ~4 s of per-child
 startup happens OUTSIDE the timed window and the suite runs once per
 round.
+
+Timeout-proof by construction (round 12, after the r11 driver bench
+died at rc=124 with ZERO numbers recovered — the single end-of-run
+JSON line lost everything): (1) one compact ``{"name": sec}`` line
+streams to stdout as each child completes, so the driver's 2000-char
+stdout tail always carries the most recent ~60 numbers; (2)
+``BENCH_LOCAL.json`` is rewritten incrementally after every child, so
+a hard kill leaves every completed timing on disk; (3) a wall-clock
+budget (``$SPARK_GRAFT_BENCH_BUDGET_S``, default 1200) stops LAUNCHING
+children once exceeded and emits the final summary with a ``skipped``
+list; (4) ``WATCH_FIRST`` queries — this round's new/edited entries
+and active drift watch items — run before the HEADLINE order so any
+truncation window still contains the verdict-relevant numbers.
 """
 
 from __future__ import annotations
@@ -216,6 +229,38 @@ HEADLINE = [
     "good_turing_oov_estimate",     # hapax unseen-mass per source (r11)
     "leakage_safe_split_assignment",  # component-hashed leak-free split (r11)
 ]
+
+#: Run FIRST, before the HEADLINE order (r11 verdict task #1c): the
+#: r11 driver bench timed out with zero numbers recovered, so the
+#: queries whose timings the current round's verdict actually watches
+#: must complete inside any wall-clock budget. Keep fresh each round:
+#: this round's NEW/edited entries plus active drift watch items.
+WATCH_FIRST = [
+    # store-family drift watch: stores.py write-path unification moved
+    # these ~1.15-1.20x on both builder and judge spot-checks; the r12
+    # driver numbers adjudicate (bisect _shaped if >=1.3x).
+    "ann_store_ivfpq_topk",
+    "bm25_store_compaction",
+    "hard_negative_store_mining",
+    "media_phash_store_partners",
+    "kll_tier_compaction",
+    # r11 new entries — never measured by a driver bench (r11 timed out)
+    "streaming_kll_store",
+    "calibration_threshold_audit",
+    "rerank_store_candidates",
+    "source_token_jsd",
+    "good_turing_oov_estimate",
+    "leakage_safe_split_assignment",
+]
+
+
+def run_order() -> list[str]:
+    """Child launch order: watch items first, then the HEADLINE order,
+    then the end-to-end medallion pipeline — so a budget- or
+    timeout-truncated run still carries the numbers the round's
+    verdict needs (every name exactly once)."""
+    rest = [n for n in HEADLINE if n not in WATCH_FIRST]
+    return [*WATCH_FIRST, *rest, "medallion_pipeline"]
 
 
 def _bench_overrides() -> dict:
@@ -738,17 +783,72 @@ def _prior_bench() -> dict[str, float]:
     return {}
 
 
+def _write_local(payload: dict) -> None:
+    """(Re)write BENCH_LOCAL.json — called after EVERY child so a run
+    killed by an external timeout (the r11 driver bench died at rc=124
+    and its end-of-run-only output lost all 166 numbers) still leaves
+    the completed per-query timings on disk."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1)
+    os.replace(tmp, path)
+
+
 def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--one":
         name = sys.argv[2]
         print(json.dumps({name: run_single(name)}))
         return
 
-    timings: dict[str, float] = {}
-    for name in [*HEADLINE, "medallion_pipeline"]:
-        timings[name] = _child(name)
-
+    # Wall-clock budget (r11 postmortem): stop LAUNCHING children once
+    # exceeded and emit the summary with a "skipped" list — a partial
+    # artifact beats the empty one rc=124 left behind. The default sits
+    # under the driver's observed budget; WATCH_FIRST ordering puts the
+    # verdict-relevant queries inside any truncation window.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1200"))
+    # read the drift-gate prior BEFORE the loop: the incremental
+    # _write_local calls below overwrite BENCH_LOCAL.json (the prior's
+    # first-choice source) with THIS run's partial timings
     prior = _prior_bench()
+    t0 = time.monotonic()
+    order = run_order()
+    timings: dict[str, float] = {}
+    failed: list[str] = []
+    skipped: list[str] = []
+    for name in order:
+        if time.monotonic() - t0 > budget_s:
+            skipped = [
+                n for n in order if n not in timings and n not in failed
+            ]
+            print(
+                f"BUDGET: {budget_s}s exceeded after {len(timings)} queries;"
+                f" skipping {len(skipped)}",
+                file=sys.stderr,
+            )
+            break
+        try:
+            timings[name] = _child(name)
+        except RuntimeError as exc:  # fail-soft: one broken query must
+            failed.append(name)     # not cost the suite's artifact
+            print(f"FAILED {name}: {exc}", file=sys.stderr)
+            continue
+        # stream one compact line per completed child: the driver keeps
+        # the last ~2000 chars of stdout, so even a hard kill preserves
+        # the ~60 most recent per-query numbers in its tail
+        print(json.dumps({name: timings[name]}), flush=True)
+        _write_local(
+            {
+                "queries": timings,
+                "partial": True,
+                "failed": failed,
+                "cpus": default_parallelism(),
+                "sf": _sf_of(SF_DIR),
+            }
+        )
+
     prev_ratio = {
         n: round(t / prior[n], 2)
         for n, t in timings.items()
@@ -766,6 +866,8 @@ def main() -> None:
         "queries": timings,
         "prev_ratio": prev_ratio,
         "n_queries": len(timings),
+        "skipped": skipped,
+        "failed": failed,
         "cpus": default_parallelism(),
         "metric": "headline_suite_total",
         "value": total,
@@ -773,21 +875,23 @@ def main() -> None:
         "sf": _sf_of(SF_DIR),
     }
     # the full artifact this script owns — the drift gate's prior
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
-        "w",
-    ) as f:
-        json.dump(payload_full, f, indent=1)
+    _write_local(payload_full)
     # Key order matters: the driver records only the LAST ~2000 chars of
     # stdout, and the queries dict outgrew that window in round 5 (the
     # headline metric/value at the FRONT of the line were truncated away).
-    # queries first, headline last → any tail capture keeps the verdict.
+    # Least-valuable keys first: a budget-truncated run's skipped list
+    # can reach ~4 KB — putting it FIRST means the tail keeps the end of
+    # the queries dict, the full prev_ratio drift column and the
+    # headline metric (the full skipped list is on disk in BENCH_LOCAL).
     print(
         json.dumps(
             {
+                "skipped": skipped,
+                "failed": failed,
                 "queries": timings,
                 "prev_ratio": prev_ratio,
                 "n_queries": len(timings),
+                "n_skipped": len(skipped),
                 "cpus": default_parallelism(),
                 "isolation": "fresh JVM per query (warm-up at sf0.001 in-child)",
                 "metric": "headline_suite_total",

@@ -53,3 +53,71 @@ def test_overrides_differ_from_catalog_bodies():
 def test_headline_names_are_registered():
     missing = [n for n in bench.HEADLINE if n not in QUERIES]
     assert not missing, f"HEADLINE references unregistered queries: {missing}"
+
+
+def test_run_order_watch_items_first_every_name_once():
+    """r12 timeout-proofing: the launch order must start with the
+    WATCH_FIRST block (this round's verdict-relevant queries) and
+    contain every HEADLINE name plus the medallion pipeline exactly
+    once — a budget-truncated run then still carries the numbers the
+    verdict needs."""
+    order = bench.run_order()
+    assert order[: len(bench.WATCH_FIRST)] == bench.WATCH_FIRST
+    assert sorted(order) == sorted([*bench.HEADLINE, "medallion_pipeline"])
+    assert len(order) == len(set(order))
+    unknown = [n for n in bench.WATCH_FIRST if n not in bench.HEADLINE]
+    assert not unknown, f"WATCH_FIRST not in HEADLINE: {unknown}"
+
+
+def test_main_streams_lines_budgets_and_persists_incrementally(
+    monkeypatch, capsys, tmp_path
+):
+    """The r11 postmortem contract end-to-end (with a stubbed child):
+    one JSON line per completed query streams to stdout, BENCH_LOCAL
+    is rewritten after every child, the wall-clock budget stops
+    launching children and reports the remainder as skipped, and a
+    failing child costs only its own entry."""
+    import json
+    import time as _time
+
+    ran: list[str] = []
+    local_writes: list[dict] = []
+
+    def fake_child(name):
+        if name == bench.WATCH_FIRST[2]:
+            raise RuntimeError("boom")
+        ran.append(name)
+        _time.sleep(0.02)
+        return 1.5
+
+    monkeypatch.setattr(bench, "_child", fake_child)
+    monkeypatch.setattr(bench, "_prior_bench", lambda: {})
+    monkeypatch.setattr(
+        bench, "_write_local", lambda payload: local_writes.append(payload)
+    )
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_BUDGET_S", "0.1")
+    monkeypatch.setattr(bench.sys, "argv", ["bench.py"])
+    bench.main()
+    out_lines = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+        if ln.startswith("{")
+    ]
+    summary = out_lines[-1]
+    # budget truncated the run: something completed, something skipped
+    assert 0 < len(summary["queries"]) < len(bench.run_order())
+    assert summary["skipped"]
+    assert summary["failed"] == [bench.WATCH_FIRST[2]]
+    # one streamed line per completed child, in launch order
+    streamed = out_lines[:-1]
+    assert [list(d) for d in streamed] == [[n] for n in ran]
+    # BENCH_LOCAL rewritten after every child + once at the end
+    assert len(local_writes) == len(ran) + 1
+    assert local_writes[-1] is not None and not local_writes[-1].get(
+        "partial", False
+    )
+    assert all(w["partial"] for w in local_writes[:-1])
+    # completed + failed + skipped partitions the launch order
+    assert sorted(
+        [*summary["queries"], *summary["failed"], *summary["skipped"]]
+    ) == sorted(bench.run_order())
