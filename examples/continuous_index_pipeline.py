@@ -24,6 +24,9 @@ showcase of the unified store lifecycle (lab3_lakehouse_spark/stores.py).
     maintenance (GC to NEW roots; live probes never disturbed)
         bm25_compact_store / kll_compact_store
         → probe results identical pre/post (asserted)
+        stores.swap_root promotes each compacted root over the live
+        path (two atomic renames) → probes re-run against the LIVE
+        paths, still identical (asserted); retired roots deleted
 
 The point at 100 TB: after the one-time fit, every byte of state the
 retrieval/dedup/monitoring stack needs is maintained by batch-cost
@@ -226,6 +229,34 @@ def run_continuous_index(
     }
     out["kll_gc_identical"] = ests_gc == ests
     assert out["bm25_gc_identical"] and out["kll_gc_identical"]
+
+    # ---- swap-in: promote the compacted roots over the live paths
+    # (stores.swap_root — two atomic renames, crash recovery
+    # documented there) and re-probe the LIVE paths: consumers keep
+    # their configured root and see identical results; the retired
+    # fragmented roots are deleted once the probes agree.
+    from lab3_lakehouse_spark import stores
+
+    retired = [
+        stores.swap_root(roots["bm25"], bm25_gc),
+        stores.swap_root(roots["kll"], kll_gc),
+    ]
+    swapped_bm25 = sorted(
+        tuple(r)
+        for r in text_ops.bm25_topk_from_store(
+            spark, roots["bm25"], queries, k=10
+        ).collect()
+    )
+    swapped_ests = {
+        r["q"]: r["est"]
+        for r in st_mon.kll_store_quantiles(
+            spark, roots["kll"], _QS, k=_KLL_K, shards=_KLL_SHARDS
+        ).collect()
+    }
+    out["swap_identical"] = swapped_bm25 == got and swapped_ests == ests
+    assert out["swap_identical"]
+    for r in retired:
+        shutil.rmtree(r)
     return out
 
 

@@ -35,10 +35,12 @@ domain math:
 * **GC / compaction** — offline maintenance is the only pass allowed
   to read a data tier wholesale; it writes the re-clustered result to
   a **new** root (:func:`gc_write`, ``mode("error")``) so probes
-  against the live root are never disturbed — swap-in is the caller's
-  atomic-rename/catalog-repoint step. Probe results from the
-  compacted tier must be identical (pinned per family by the
-  randomized-append GC property tests).
+  against the live root are never disturbed — swap-in is
+  :func:`swap_root` (two atomic renames with documented crash
+  recovery; on an object store, the catalog-location repoint).
+  Probe results from the compacted tier must be identical (pinned per
+  family by the randomized-append GC property tests; probe-equality
+  across an executed swap is pinned by test_swap_root_*).
 
 :data:`FAMILIES` is the machine-readable registry of every layout
 (one :class:`StoreSpec` per family — count it, don't trust prose);
@@ -183,6 +185,49 @@ def gc_write(
     if coalesce is not None:
         out = out.coalesce(coalesce)
     out.write.mode("error").parquet(tier_path(dst_root, tier))
+
+
+def swap_root(live_root: str, new_root: str) -> str:
+    """Promote a GC'd store root over the live one — the swap-in step
+    the :func:`gc_write` contract leaves to the caller, now executable
+    instead of prose. Two atomic directory renames::
+
+        (1) live_root  → live_root + ".retired"
+        (2) new_root   → live_root
+
+    Returns the retired path; the caller deletes it once satisfied
+    (keeping it makes the swap trivially reversible).
+
+    Crash-safety ordering: each rename is atomic (same-filesystem
+    ``os.replace`` semantics), so no state ever loses data. A crash
+    between (1) and (2) leaves ``{live}.retired`` + ``new_root`` both
+    intact — recovery is "rename whichever you want live back into
+    place". (2) failing rolls (1) back automatically, so callers never
+    observe a half-swap. Probes that already OPENED files under the old
+    root keep reading them (POSIX rename doesn't invalidate open
+    handles); a probe that plans DURING the swap window can fail on the
+    briefly-absent path and must retry — on an object store or HDFS
+    deployment, the equivalent step is the catalog/metastore location
+    repoint, which has no window at all. Refuses to run if a previous
+    swap's retired root is still present (delete or recover it first:
+    silently stacking retired roots is how data loss hides)."""
+    import os
+
+    retired = live_root.rstrip("/") + ".retired"
+    if os.path.exists(retired):
+        raise FileExistsError(
+            f"{retired} exists — finish (delete) or recover the previous "
+            "swap before running another"
+        )
+    if not os.path.isdir(new_root):
+        raise FileNotFoundError(f"new root {new_root} is not a directory")
+    os.rename(live_root, retired)
+    try:
+        os.rename(new_root, live_root)
+    except OSError:
+        os.rename(retired, live_root)  # rollback: never a half-swap
+        raise
+    return retired
 
 
 def snapshot_files(

@@ -221,4 +221,5 @@ def test_continuous_index_pipeline_end_to_end(spark, sf_small, tmpdir):
     assert out["kll_estimates"] == 3
     assert out["ann_recall"] >= 0.7
     assert out["bm25_gc_identical"] and out["kll_gc_identical"]
+    assert out["swap_identical"]
     assert out["bloom_pass"] >= out["bloom_exact"] > 0

@@ -249,6 +249,72 @@ def test_kll_gc_estimates_identical_under_random_append_history(
     assert n_post <= n_pre
 
 
+def test_swap_root_promotes_gc_root_with_identical_probes(
+    spark, tmp_path
+):
+    """r11 verdict task #4: the GC contract's swap-in step is now an
+    executable primitive, not prose. Compact a BM25 store to a new
+    root, swap it over the live path, and the probe against the LIVE
+    path (the one consumers keep configured) returns exactly the
+    pre-swap results; the retired root keeps the fragmented tiers
+    intact so the swap is reversible."""
+    import os
+
+    from lab3_lakehouse_spark.operators import text as text_ops
+
+    docs = _docs(spark)
+    live = str(tmp_path / "bm25_live")
+    gc = str(tmp_path / "bm25_gc")
+    for part in (0, 1):
+        text_ops.bm25_append_batch(
+            live, docs.filter(F.col("doc_id") % 2 == part)
+        )
+    q = spark.createDataFrame(
+        [(0, "w1", 1), (0, "w7", 1), (1, "w2", 2)],
+        ["query_id", "term", "qtf"],
+    )
+    pre = sorted(
+        tuple(r)
+        for r in text_ops.bm25_topk_from_store(spark, live, q, k=5).collect()
+    )
+    n_live_files = len(stores.snapshot_files(live))
+    text_ops.bm25_compact_store(spark, live, gc, buckets=4)
+    retired = stores.swap_root(live, gc)
+    assert retired == live + ".retired"
+    # probe the LIVE path — consumers never re-point anything
+    post = sorted(
+        tuple(r)
+        for r in text_ops.bm25_topk_from_store(spark, live, q, k=5).collect()
+    )
+    assert post == pre and len(post) > 0
+    # the fragmented store is intact under the retired path (reversible)
+    assert len(stores.snapshot_files(retired)) == n_live_files
+    assert not os.path.exists(gc)
+
+
+def test_swap_root_refuses_unsafe_states(tmp_path):
+    """swap_root's guard rails: a stacked retired root (a previous
+    swap never cleaned up) and a missing new root both refuse before
+    ANY rename happens — the live store is untouched."""
+    import os
+
+    live = tmp_path / "store"
+    live.mkdir()
+    (live / "marker").write_text("live")
+    # missing new root: refuse, live untouched
+    with pytest.raises(FileNotFoundError):
+        stores.swap_root(str(live), str(tmp_path / "nope"))
+    assert (live / "marker").read_text() == "live"
+    # stacked retired root: refuse, live untouched
+    new = tmp_path / "new"
+    new.mkdir()
+    os.mkdir(str(live) + ".retired")
+    with pytest.raises(FileExistsError):
+        stores.swap_root(str(live), str(new))
+    assert (live / "marker").read_text() == "live"
+    assert new.is_dir()
+
+
 def test_kll_compacted_tier_survives_fresh_checkpoint_restart(
     spark, tmp_path
 ):
