@@ -388,7 +388,7 @@ def compact_signature_store(spark, src_root: str, dst_root: str) -> dict:
     Writes to ``dst_root`` per the stores.gc_write contract (a NEW
     tier, ``mode("error")``): probes against ``src_root`` are never
     disturbed mid-compaction and a crash leaves the live store intact
-    — swap-in is the caller's atomic-rename/catalog-repoint step.
+    — swap-in is :func:`lab3_lakehouse_spark.stores.swap_root`.
     Returns ``{"bands_before": n, "bands_after": n, "hashes_before":
     n, "hashes_after": n}``.
     """

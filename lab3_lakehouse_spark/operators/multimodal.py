@@ -280,6 +280,38 @@ def phash_store_append(
     stores.append_rows(sims, store_root, "signatures", buckets=buckets)
 
 
+def phash_compact_store(
+    spark, src_root: str, dst_root: str, *, buckets: int | None = None
+) -> dict:
+    """Offline maintenance for the persisted signature tier: streaming
+    ingest's at-least-once replays duplicate ``(doc_id, phash)`` rows
+    (harmless — pair generation dedups — but every future probe scans
+    them), and per-micro-batch appends accumulate small files.
+    Compaction rewrites the tier exactly-deduped to a NEW root per the
+    stores.gc_write contract (probes against ``src_root`` never
+    disturbed; swap-in is :func:`lab3_lakehouse_spark.stores.swap_root`).
+    Signatures are a pure function of the payload, so duplicate rows
+    are bit-identical and ``dropDuplicates`` loses nothing — probe
+    results from the compacted tier are row-identical (pinned by the
+    randomized-append GC property test). ``buckets`` caps the file
+    count; default keeps the dedup's natural partitioning (the probe's
+    first-stage parallelism is the tier's file count)."""
+    from lab3_lakehouse_spark import stores
+
+    df = stores.read_tier(spark, src_root, "signatures")
+    stats = {"signatures_before": df.count()}
+    stores.gc_write(
+        df.dropDuplicates(["doc_id", "phash"]),
+        dst_root,
+        "signatures",
+        buckets=buckets,
+    )
+    stats["signatures_after"] = stores.read_tier(
+        spark, dst_root, "signatures"
+    ).count()
+    return stats
+
+
 def phash_pairs_from_store(
     spark, store_root: str, *, max_hamming: int = 6
 ) -> DataFrame:

@@ -372,6 +372,94 @@ def test_kll_compacted_tier_survives_fresh_checkpoint_restart(
     assert 0.0 <= est[0.1] < 211.0
 
 
+@pytest.mark.parametrize("seed", [7, 19])
+def test_minhash_gc_probe_identical_under_random_append_history(
+    spark, tmp_path, seed
+):
+    """GC property for the LSH signature store (r11 verdict task #5):
+    append the corpus in a RANDOM batch split/order, replay one batch
+    (at-least-once duplicates), compact, and the full store probe —
+    band-candidate generation + exact-Jaccard verify, both against the
+    stored tiers — returns the identical pair set from the compacted
+    root, with strictly fewer rows on disk (the replay dedups away)."""
+    rng = random.Random(seed)
+    docs = _docs(spark, n=80)
+    hashed_all = docs.select(
+        F.col("doc_id").alias("__id"),
+        dedup_ops.shingle_hashes("text", 3).alias("__h"),
+    ).localCheckpoint(eager=True)
+    src = str(tmp_path / f"mh_src_{seed}")
+    dst = str(tmp_path / f"mh_dst_{seed}")
+    batches = _random_batches(list(range(80)), rng)
+    for ids in batches:
+        dedup_ops.minhash_store_append(
+            src, hashed_all.filter(F.col("__id").isin(ids))
+        )
+    # at-least-once replay: re-append one batch verbatim
+    dedup_ops.minhash_store_append(
+        src, hashed_all.filter(F.col("__id").isin(rng.choice(batches)))
+    )
+
+    def probe(root):
+        cands = dedup_ops.minhash_candidates_vs_bands(
+            hashed_all.filter(F.col("__id") % 4 == 0),
+            stores.read_tier(spark, root, "bands"),
+        )
+        verified = dedup_ops.minhash_verify_hashed(
+            cands, stores.read_tier(spark, root, "hashes"), threshold=0.5
+        )
+        return {tuple(r) for r in verified.collect()}
+
+    pre = probe(src)
+    stats = dedup_ops.compact_signature_store(spark, src, dst)
+    assert probe(dst) == pre
+    assert stats["bands_after"] < stats["bands_before"]
+    assert stats["hashes_after"] < stats["hashes_before"]
+
+
+@pytest.mark.parametrize("seed", [13, 29])
+def test_phash_gc_probe_identical_under_random_append_history(
+    spark, tmp_path, seed
+):
+    """GC property for the media signature tier (r11 verdict task #5):
+    random batch split/order plus one replayed batch, compact, and the
+    banded-Hamming pair probe from the compacted root is identical —
+    signatures are a pure function of the payload, so the replay's
+    bit-identical duplicate rows dedup away without touching results."""
+    rng = random.Random(seed)
+    base = _docs(spark, n=40)
+    # guarantee near-dup pairs regardless of seed: docs 40..79 are
+    # byte-identical twins of 0..39 (phash hamming 0)
+    docs = base.unionByName(
+        base.select((F.col("doc_id") + 40).alias("doc_id"), "text")
+    )
+    media = mm_ops.text_as_binary(docs, "text", "content").localCheckpoint(
+        eager=True
+    )
+    src = str(tmp_path / f"ph_src_{seed}")
+    dst = str(tmp_path / f"ph_dst_{seed}")
+    batches = _random_batches(list(range(80)), rng)
+    for ids in batches:
+        mm_ops.phash_store_append(
+            src, media.filter(F.col("doc_id").isin(ids)), buckets=2
+        )
+    mm_ops.phash_store_append(
+        src,
+        media.filter(F.col("doc_id").isin(rng.choice(batches))),
+        buckets=2,
+    )
+
+    def probe(root):
+        pairs = mm_ops.phash_pairs_from_store(spark, root, max_hamming=16)
+        return {tuple(r) for r in pairs.collect()}
+
+    pre = probe(src)
+    assert pre, "degenerate probe: no near-dup pairs to compare"
+    stats = mm_ops.phash_compact_store(spark, src, dst, buckets=2)
+    assert probe(dst) == pre
+    assert stats["signatures_after"] < stats["signatures_before"]
+
+
 def test_bloom_store_meta_collapses_replayed_tagged_batches(spark, tmp_path):
     """The ADVICE-r10 meta contract: a replayed (same batch_id) append
     re-adds an identical meta row; bloom_store_meta de-dups tagged rows
