@@ -28,110 +28,40 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Queries whose verdict would CHANGE this round come first (the driver
-# checks the first 50 registry entries per round). ROUND-11 rotation
-# (VERDICT r10 task #1; ages below are DRIVER-stamped ages):
-#   slots 1-6   the six NEW r11 entries (streaming_kll_store — the
-#               stream-fed quantile tier with the GC-bit-identical pin;
-#               calibration_threshold_audit — the pooled-cut share
-#               uniformity audit closing the calibration loop;
-#               rerank_store_candidates — IVF-PQ store probe composed
-#               with the pandas-UDF rerank slot, accumulator-pinned;
-#               source_token_jsd — per-source JSD mixture diagnostic;
-#               good_turing_oov_estimate — hapax unseen-mass;
-#               leakage_safe_split_assignment — component-hashed
-#               train/val split near-dups cannot straddle).
-#   slots 7-8   the two r11 result-relevant ADVICE edits
-#               (decontamination_bloom_store: try/finally + eager
-#               checkpoint; fold_target_encoding: degenerate-fold 0/0
-#               guard in both engines).
-#   slots 9-17  the NINE r10 ops never driver-stamped (they sat past
-#               the r10 window boundary): streaming Bloom lid,
-#               multi-touch attribution, hard-negative store mining,
-#               code-switch lang mix, source-length calibration,
-#               canonical dup selection, Neyman allocation, DP counts,
-#               Jaro-Winkler linkage. After this round NO never-stamped
-#               entry remains.
-#   slots 18-23 the six entries displaced after their r10 edits
-#               (previously stamped green; edits result-neutral on the
-#               gate corpus — see the r10 header note).
-#   slots 24-50 the r5-green block in age order from
-#               dedup_fingerprint_groups through length_stratified_
-#               sample — the oldest remaining stamps advance past r5
-#               (sql_shipping_priority / asof_view_next_purchase /
-#               bm25_lexical_topk slipped past the boundary; they lead
-#               the r12 queue).
-# All 50 pre-verified green through the exact driver gate (check_query
-# at sf0.01) before commit — CORRECTNESS_r11_pre.json.
+# checks the first 50 registry entries per round). ROUND-12 rotation
+# (executes the plan written in the r11 header; ages below are
+# DRIVER-stamped ages):
+#   slot 1      the NEW r12 entry (incremental_split_maintenance —
+#               batch-cost leakage-safe split upkeep: contracted-CC
+#               inherit/fresh/bridged/conflict statuses).
+#   slots 2-4   the r12 result-relevant ADVICE edits re-verified
+#               (streaming_kll_store: kll_compact_store now stamps the
+#               reserved batch_id=-1 sentinel; decontamination_bloom_
+#               store + streaming_bloom_decontamination: bloom meta now
+#               reads through an explicit schema for mixed-age stores).
+#   slots 5-7   the three entries displaced past the r11 boundary
+#               (sql_shipping_priority, asof_view_next_purchase,
+#               bm25_lexical_topk — all green in the r11 sweep/judge
+#               re-run; they led this round's queue per the r11 plan).
+#   slots 8-50  the r5/r6-green fill continuing in the order the r11
+#               header listed (incremental_agg_retractions onward
+#               through event_transition_matrix) — the oldest remaining
+#               driver stamps advance past r6.
+# After the boundary: the rest of the r5-r9 fill in prior order, the
+# r10-stamped block, and the r11-stamped window LAST (freshest stamps
+# re-verify last).
 #
-# ROUND-12 ROTATION PLAN (for the next builder): lead with (1) any
-# query round 12 edits, (2) the remainder of the r5/r6-green fill in
-# the order listed after the boundary below (incremental_agg_-
-# retractions onward), then (3) the r10-stamped block (moved to the
-# very end of this list — freshest stamps re-verify last).
+# ROUND-13 ROTATION PLAN (for the next builder): lead with (1) any
+# query round 13 edits/new ops, (2) the r5/r6-green fill continuing
+# from throttled_event_stream in the order below, (3) keep the r10
+# then r11 blocks at the end (freshest last).
 # tests/test_engine.py::test_priority_rotation_names_all_registered
 # guards against typos silently shrinking the window.
 _PRIORITY = [
-    # ---- r11 new ----
+    "incremental_split_maintenance",
     "streaming_kll_store",
-    "calibration_threshold_audit",
-    "rerank_store_candidates",
-    "source_token_jsd",
-    "good_turing_oov_estimate",
-    "leakage_safe_split_assignment",
-    # ---- r11 advice edits ----
     "decontamination_bloom_store",
-    "fold_target_encoding",
-    # ---- r10 ops never driver-stamped ----
     "streaming_bloom_decontamination",
-    "multi_touch_attribution",
-    "hard_negative_store_mining",
-    "code_switch_langmix",
-    "source_length_calibration",
-    "dup_canonical_selection",
-    "neyman_stratified_sample",
-    "dp_noisy_counts",
-    "jaro_winkler_name_matches",
-    # ---- displaced r10-edited entries ----
-    "bm25_postings_topk",
-    "ann_ivfpq_topk",
-    "ann_pq_topk",
-    "rerank_fused_candidates",
-    "winsorized_mean_event_values",
-    "media_phash_dup_partners",
-    # ---- r5-green block ----
-    "dedup_fingerprint_groups",
-    "word_jaccard_near_dups",
-    "dup_groups_connected",
-    "decontamination_ngram_overlap",
-    "tfidf_top_terms",
-    "minhash_lsh_near_dups",
-    "text_quality_features",
-    "lang_id_predictions",
-    "token_counts",
-    "bpe_pair_frequencies",
-    "domain_mix_weights",
-    "unigram_surprisal_scores",
-    "priority_status_mutual_info",
-    "retrieval_label_ndcg",
-    "temperature_mix_materialized",
-    "semantic_dedup_clustered",
-    "hybrid_rrf_retrieval",
-    "max_dup_span_segments",
-    "dup_span_repair_report",
-    "dup_group_size_histogram",
-    "ivf_cell_balance_report",
-    "tokenizer_fertility_by_source",
-    "embedding_norm_audit",
-    "cross_source_dup_matrix",
-    "region_revenue_ols",
-    "dup_component_density_audit",
-    "length_stratified_sample",
-    # ---- 50-slot window boundary ----
-    # sql_shipping_priority, asof_view_next_purchase and
-    # bm25_lexical_topk were displaced past the boundary by the three
-    # late r11 entries (slots 4-6) — they lead the r12 re-stamp queue.
-    # r5/r6-green fill continues (next rotation's source), r10-stamped
-    # block moved to the end:
     "sql_shipping_priority",
     "asof_view_next_purchase",
     "bm25_lexical_topk",
@@ -178,6 +108,7 @@ _PRIORITY = [
     "shared_span_dup_report",
     "referential_integrity_audit",
     "event_transition_matrix",
+    # ---- 50-slot window boundary (r12) ----
     "throttled_event_stream",
     "unicode_nfc_report",
     "segment_top_spenders_with_ties",
@@ -331,6 +262,53 @@ _PRIORITY = [
     "latest_event_per_user",
     "merge_cdc_orders",
     "scd2_customer_priority",
+    "calibration_threshold_audit",
+    "rerank_store_candidates",
+    "source_token_jsd",
+    "good_turing_oov_estimate",
+    "leakage_safe_split_assignment",
+    "fold_target_encoding",
+    "multi_touch_attribution",
+    "hard_negative_store_mining",
+    "code_switch_langmix",
+    "source_length_calibration",
+    "dup_canonical_selection",
+    "neyman_stratified_sample",
+    "dp_noisy_counts",
+    "jaro_winkler_name_matches",
+    "bm25_postings_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_topk",
+    "rerank_fused_candidates",
+    "winsorized_mean_event_values",
+    "media_phash_dup_partners",
+    "dedup_fingerprint_groups",
+    "word_jaccard_near_dups",
+    "dup_groups_connected",
+    "decontamination_ngram_overlap",
+    "tfidf_top_terms",
+    "minhash_lsh_near_dups",
+    "text_quality_features",
+    "lang_id_predictions",
+    "token_counts",
+    "bpe_pair_frequencies",
+    "domain_mix_weights",
+    "unigram_surprisal_scores",
+    "priority_status_mutual_info",
+    "retrieval_label_ndcg",
+    "temperature_mix_materialized",
+    "semantic_dedup_clustered",
+    "hybrid_rrf_retrieval",
+    "max_dup_span_segments",
+    "dup_span_repair_report",
+    "dup_group_size_histogram",
+    "ivf_cell_balance_report",
+    "tokenizer_fertility_by_source",
+    "embedding_norm_audit",
+    "cross_source_dup_matrix",
+    "region_revenue_ols",
+    "dup_component_density_audit",
+    "length_stratified_sample",
 ]
 
 

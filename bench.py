@@ -228,6 +228,7 @@ HEADLINE = [
     "source_token_jsd",             # per-source JSD mixture diagnostic (r11)
     "good_turing_oov_estimate",     # hapax unseen-mass per source (r11)
     "leakage_safe_split_assignment",  # component-hashed leak-free split (r11)
+    "incremental_split_maintenance",  # batch-cost leak-free split upkeep (r12)
 ]
 
 #: Run FIRST, before the HEADLINE order (r11 verdict task #1c): the
@@ -251,6 +252,8 @@ WATCH_FIRST = [
     "source_token_jsd",
     "good_turing_oov_estimate",
     "leakage_safe_split_assignment",
+    # r12 new entries
+    "incremental_split_maintenance",
 ]
 
 
@@ -394,6 +397,25 @@ def _bench_overrides() -> dict:
             .otherwise(F.lit("val"))
             .alias("split"),
         )
+
+    def incr_split(spark, sf_dir):
+        # LSH pair source (the catalog's exact word-Jaccard tier is the
+        # oracle-replay twin), then the catalog query's own downstream:
+        # corpus components -> contracted batch CC -> status + split
+        from lab3_lakehouse_spark.queries.advstats import (
+            _incremental_split_from_pairs,
+        )
+
+        docs = fan_out(load_table(spark, sf_dir, "documents"))
+        hashed = docs.select(
+            F.col("doc_id").alias("__id"),
+            dedup_ops.shingle_hashes("text", 3).alias("__h"),
+        ).localCheckpoint(eager=False)
+        cands = dedup_ops.minhash_lsh_candidates_from_hashes(
+            hashed, num_perm=64, bands=16
+        )
+        pairs = dedup_ops.minhash_verify_hashed(cands, hashed, threshold=0.8)
+        return _incremental_split_from_pairs(docs, pairs)
 
     def dup_canonical(spark, sf_dir):
         # LSH pair source (catalog's exact word-Jaccard tier is the
@@ -612,6 +634,7 @@ def _bench_overrides() -> dict:
         "dup_groups_connected": dup_groups,
         "dup_canonical_selection": dup_canonical,
         "leakage_safe_split_assignment": leakage_split,
+        "incremental_split_maintenance": incr_split,
         "dup_group_size_histogram": dup_group_histogram,
         "cross_source_dup_matrix": cross_source_matrix,
         "dup_component_density_audit": dup_component_density,

@@ -2674,6 +2674,243 @@ def leakage_safe_split_assignment(
     )
 
 
+def _incr_split_oracle() -> str:
+    from lab3_lakehouse_spark.operators.sketches import sql_hash60
+
+    h = sql_hash60("component", _SPLIT_SEED)
+    hv = sql_hash60("vertex", _SPLIT_SEED)
+    return f"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, lang,
+               list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS w
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.w, b.w))::DOUBLE
+              / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8
+    ), old_edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        WHERE id_a % 5 <> 0 AND id_b % 5 <> 0
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+        WHERE id_a % 5 <> 0 AND id_b % 5 <> 0
+    ), old_reach(u, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM old_edges)
+        UNION
+        SELECT e.v, old_reach.r
+        FROM old_reach JOIN old_edges e ON e.u = old_reach.u
+    ), comp_of AS (
+        SELECT d.doc_id,
+               coalesce(c.component, d.doc_id) AS component
+        FROM documents d
+        LEFT JOIN (
+            SELECT u AS doc_id, min(r) AS component
+            FROM old_reach GROUP BY u
+        ) c ON c.doc_id = d.doc_id
+        WHERE d.doc_id % 5 <> 0
+    ), contracted AS (
+        SELECT CASE WHEN p.id_a % 5 = 0 THEN p.id_a
+                    ELSE ca.component END AS u,
+               CASE WHEN p.id_b % 5 = 0 THEN p.id_b
+                    ELSE cb.component END AS v
+        FROM pairs p
+        LEFT JOIN comp_of ca ON ca.doc_id = p.id_a
+        LEFT JOIN comp_of cb ON cb.doc_id = p.id_b
+        WHERE p.id_a % 5 = 0 OR p.id_b % 5 = 0
+    ), cedges AS (
+        SELECT u, v FROM contracted
+        UNION
+        SELECT v AS u, u AS v FROM contracted
+    ), creach(u, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM cedges)
+        UNION
+        SELECT e.v, creach.r FROM creach JOIN cedges e ON e.u = creach.u
+    ), ccomp AS (
+        SELECT u AS vertex, min(r) AS cluster FROM creach GROUP BY u
+    ), cstats AS (
+        SELECT cluster,
+               count(DISTINCT vertex) AS n_comps,
+               min(vertex) AS min_comp,
+               count(DISTINCT CASE WHEN {hv} % 10 < {_SPLIT_TRAIN_OF_10}
+                                   THEN 'train' ELSE 'val' END) AS n_splits
+        FROM ccomp WHERE vertex % 5 <> 0 GROUP BY cluster
+    ), assigned AS (
+        SELECT n.doc_id,
+               coalesce(s.min_comp,
+                        coalesce(cc.cluster, n.doc_id)) AS component,
+               coalesce(s.n_comps, 0) AS n_comps,
+               coalesce(s.n_splits, 0) AS n_splits
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) n
+        LEFT JOIN ccomp cc ON cc.vertex = n.doc_id
+        LEFT JOIN cstats s ON s.cluster = cc.cluster
+    )
+    SELECT doc_id, component,
+           CAST(n_comps AS BIGINT) AS n_matched_components,
+           CASE WHEN {h} % 10 < {_SPLIT_TRAIN_OF_10}
+                THEN 'train' ELSE 'val' END AS split,
+           CASE WHEN n_comps = 0 THEN 'fresh'
+                WHEN n_comps = 1 THEN 'inherited'
+                WHEN n_splits = 1 THEN 'bridged'
+                ELSE 'conflict' END AS status
+    FROM assigned
+    """
+
+
+@query("incremental_split_maintenance", oracle=_incr_split_oracle())
+def incremental_split_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Assign a NEW ingest batch (doc_id % 5 == 0, the
+    incremental_near_dup_new_docs convention) to the train/val split
+    WITHOUT recomputing the global near-dup graph — the production
+    shape of :func:`leakage_safe_split_assignment` at 100 TB, where
+    existing assignments are immutable (checkpoints already trained on
+    them) and each day's batch must join the right side of the fence.
+
+    Rule, per new doc: contract every ≥0.8-Jaccard pair that touches
+    the batch onto the EXISTING corpus components (corpus doc → its
+    component id; component ids are corpus doc ids, disjoint from the
+    batch's ids), run connected components over that contracted
+    batch-sized graph, and then
+
+    - cluster touches no corpus component → ``fresh``: component = the
+      cluster's min new doc id (new-new near-dups share it — two fresh
+      near-copies can't straddle either), split = the component hash;
+    - exactly one corpus component → ``inherited``: the new doc joins
+      it, split = that component's (unchanged) split;
+    - ≥2 corpus components, all hashing to one side → ``bridged``:
+      assigned to the min component; no pair straddles because the
+      sides agree;
+    - ≥2 components on OPPOSITE sides → ``conflict``: the batch doc
+      bridges train and val — leak-freedom is impossible without
+      reassigning history, so it's flagged for quarantine (assigned
+      min-component's side; downstream drops or audits ``conflict``
+      rows). This is the honest failure mode every incremental splitter
+      has; surfacing it beats silently leaking.
+
+    Existing assignments never change BY CONSTRUCTION — the operator
+    emits only batch rows and never rewrites the corpus table (pinned,
+    with the no-straddle property, by tests/test_advstats.py). In all
+    cases split = hash60(component) % 10, so the loader's reproduce-
+    without-storing contract carries over unchanged.
+
+    Scale shape: the pair tier here is the exact word-Jaccard twin (so
+    the oracle can replay it); production swaps in the bipartite banded
+    LSH of incremental_near_dup_new_docs (bench override does exactly
+    that) — every stage is then batch-proportional: batch-vs-corpus
+    candidates from the persisted band store, one corpus-components
+    probe keyed on the matched doc ids, and a CC over a batch-sized
+    contracted graph. Cost ∝ the day's batch, never the corpus."""
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return _incremental_split_from_pairs(
+        docs, _word_jaccard_pairs_adv(docs).localCheckpoint(eager=False)
+    )
+
+
+def _incremental_split_from_pairs(
+    docs: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """Everything downstream of the pair tier in
+    :func:`incremental_split_maintenance` — shared with the bench
+    override, which feeds the banded-LSH pair source instead of the
+    oracle-replayable exact tier (same swap as
+    leakage_safe_split_assignment's)."""
+    from lab3_lakehouse_spark.operators import dedup as dedup_ops
+    from lab3_lakehouse_spark.operators.sketches import portable_hash60
+
+    is_new = F.col("doc_id") % 5 == 0
+
+    # existing corpus components (the state a production run would READ
+    # from the stored assignment table, not recompute — recomputed here
+    # so the entry is self-contained on the gate corpus)
+    old_pairs = pairs.filter(
+        (F.col("id_a") % 5 != 0) & (F.col("id_b") % 5 != 0)
+    )
+    comp_of = (
+        docs.filter(~is_new)
+        .select("doc_id")
+        .join(
+            dedup_ops.connected_components(
+                old_pairs, "id_a", "id_b"
+            ).select(F.col("vertex").alias("doc_id"), "component"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id", F.coalesce("component", "doc_id").alias("component")
+        )
+    )
+
+    # contract batch-touching pairs onto corpus component ids: corpus
+    # ids are % 5 != 0 and component ids are corpus ids, so the two
+    # vertex spaces can never collide with batch ids (% 5 == 0)
+    new_pairs = pairs.filter(
+        (F.col("id_a") % 5 == 0) | (F.col("id_b") % 5 == 0)
+    )
+    ca = comp_of.select(
+        F.col("doc_id").alias("id_a"), F.col("component").alias("__comp_a")
+    )
+    cb = comp_of.select(
+        F.col("doc_id").alias("id_b"), F.col("component").alias("__comp_b")
+    )
+    contracted = (
+        new_pairs.join(ca, "id_a", "left")
+        .join(cb, "id_b", "left")
+        .select(
+            F.when(F.col("id_a") % 5 == 0, F.col("id_a"))
+            .otherwise(F.col("__comp_a"))
+            .alias("u"),
+            F.when(F.col("id_b") % 5 == 0, F.col("id_b"))
+            .otherwise(F.col("__comp_b"))
+            .alias("v"),
+        )
+    )
+    ccomp = dedup_ops.connected_components(contracted, "u", "v").select(
+        F.col("vertex").alias("vertex"), F.col("component").alias("cluster")
+    )
+
+    split_of = lambda c: F.when(  # noqa: E731 — the one hash rule, twice
+        portable_hash60(c, _SPLIT_SEED) % 10 < _SPLIT_TRAIN_OF_10,
+        F.lit("train"),
+    ).otherwise(F.lit("val"))
+    cstats = (
+        ccomp.filter(F.col("vertex") % 5 != 0)
+        .groupBy("cluster")
+        .agg(
+            F.countDistinct("vertex").alias("n_comps"),
+            F.min("vertex").alias("min_comp"),
+            F.countDistinct(split_of(F.col("vertex"))).alias("n_splits"),
+        )
+    )
+    assigned = (
+        docs.filter(is_new)
+        .select("doc_id")
+        .join(ccomp, F.col("doc_id") == F.col("vertex"), "left")
+        .join(cstats, "cluster", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                "min_comp", F.coalesce("cluster", "doc_id")
+            ).alias("component"),
+            F.coalesce("n_comps", F.lit(0)).cast("long").alias("n_comps"),
+            F.coalesce("n_splits", F.lit(0)).alias("n_splits"),
+        )
+    )
+    return assigned.select(
+        "doc_id",
+        "component",
+        F.col("n_comps").alias("n_matched_components"),
+        split_of(F.col("component")).alias("split"),
+        F.when(F.col("n_comps") == 0, F.lit("fresh"))
+        .when(F.col("n_comps") == 1, F.lit("inherited"))
+        .when(F.col("n_splits") == 1, F.lit("bridged"))
+        .otherwise(F.lit("conflict"))
+        .alias("status"),
+    )
+
+
 # ---------------------------------------- Neyman-allocated sampling ----
 
 _NEY_BUDGET = 200

@@ -1032,3 +1032,124 @@ def test_leakage_safe_split_never_separates_near_dups(spark, tmp_path):
         ).collect()
     }
     assert again == {k: v.split for k, v in out.items()}
+
+
+# ------------------------------------ incremental split maintenance ----
+
+
+def test_incremental_split_planted_statuses_and_no_straddle(
+    spark, tmp_path
+):
+    """The r12 incremental splitter on a planted graph covering every
+    status: a batch doc inheriting a 2-member corpus component, a fresh
+    near-dup PAIR inside the batch (must share one fresh component), a
+    fresh singleton, and a batch doc bridging two corpus components
+    (bridged if their hashes agree, conflict — flagged, never silent —
+    if they straddle). Pins the two contract properties: existing
+    assignments never change (the op emits ONLY batch rows), and no
+    ≥0.8-Jaccard pair crosses the split except through a flagged
+    conflict cluster."""
+    from pyspark.sql import functions as F
+
+    from lab3_lakehouse_spark.operators.sketches import portable_hash60
+    from lab3_lakehouse_spark.queries.advstats import (
+        _SPLIT_SEED,
+        _SPLIT_TRAIN_OF_10,
+    )
+
+    n = [f"n{i}" for i in range(1, 11)]
+    rows = [
+        # corpus component {1, 2} (comp id 1): J(1,2) = 10/11
+        (1, "en", 50, " ".join([*n[:9], "a1"])),
+        (2, "en", 50, " ".join([*n[:9], "a1", "a2"])),
+        # corpus singleton component 11: J(25,11) = 9/11, J(1,11) = 8/12
+        (11, "en", 50, " ".join([*n[1:10], "b1"])),
+        # corpus component {31, 32} (comp id 31)
+        (31, "en", 50, "u1 u2 u3 u4 u5 u6 u7 u8"),
+        (32, "en", 50, "u1 u2 u3 u4 u5 u6 u7 u8 z1"),
+        # corpus singleton 21, disjoint vocab
+        (21, "en", 30, "s1 s2 s3 s4 s5 s6"),
+        # batch (% 5 == 0): 5 inherits comp 31 (J(5,31) = 8/9)
+        (5, "en", 50, "u1 u2 u3 u4 u5 u6 u7 u8 z2"),
+        # batch pair {10, 20}: fresh near-dups of each other (J = 9/11)
+        (10, "en", 40, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"),
+        (20, "en", 40, " ".join([f"q{i}" for i in range(2, 11)] + ["q11"])),
+        # batch fresh singleton
+        (15, "en", 20, "r1 r2 r3 r4 r5 r6"),
+        # batch doc 25 bridges comps 1 and 11 (J = 9/11 to each leg)
+        (25, "en", 50, " ".join(n)),
+    ]
+    spark.createDataFrame(
+        rows, ["doc_id", "lang", "n_chars", "text"]
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r.doc_id: r
+        for r in QUERIES["incremental_split_maintenance"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # existing assignments never change: ONLY batch rows are emitted
+    assert sorted(out) == [5, 10, 15, 20, 25]
+
+    # the hash rule the corpus assignment used (split is a pure
+    # function of the component id — recompute it for the pins)
+    splits = {
+        r.c: r.s
+        for r in spark.createDataFrame(
+            [(1,), (11,), (31,), (10,), (15,)], ["c"]
+        )
+        .select(
+            "c",
+            F.when(
+                portable_hash60(F.col("c"), _SPLIT_SEED) % 10
+                < _SPLIT_TRAIN_OF_10,
+                F.lit("train"),
+            )
+            .otherwise(F.lit("val"))
+            .alias("s"),
+        )
+        .collect()
+    }
+
+    assert out[5].status == "inherited"
+    assert out[5].component == 31 and out[5].n_matched_components == 1
+    assert out[5].split == splits[31]
+    # fresh batch pair: one shared fresh component, one side
+    assert out[10].status == out[20].status == "fresh"
+    assert out[10].component == out[20].component == 10
+    assert out[10].split == out[20].split == splits[10]
+    assert out[15].status == "fresh" and out[15].component == 15
+    assert out[15].split == splits[15]
+    # the bridge: two matched components; flagged conflict iff their
+    # hash splits disagree, silently safe (bridged) iff they agree
+    assert out[25].n_matched_components == 2
+    assert out[25].component == 1 and out[25].split == splits[1]
+    expected = "bridged" if splits[1] == splits[11] else "conflict"
+    assert out[25].status == expected
+
+    # no-straddle sweep over EVERY >=0.8 pair in the union: corpus
+    # rows keep their (unchanged) component-hash split; a pair may
+    # cross sides only by passing through the flagged conflict cluster
+    from lab3_lakehouse_spark.queries.advstats import (
+        _word_jaccard_pairs_adv,
+    )
+
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    corpus_split = {1: splits[1], 2: splits[1], 11: splits[11],
+                    31: splits[31], 32: splits[31], 21: None}
+    combined = {**corpus_split, **{d: out[d].split for d in out}}
+    conflict_docs = {d for d in out if out[d].status == "conflict"}
+    for p in _word_jaccard_pairs_adv(docs).collect():
+        if {p.id_a, p.id_b} & conflict_docs:
+            continue
+        assert combined[p.id_a] == combined[p.id_b], (p.id_a, p.id_b)
+
+    # deterministic across invocations
+    again = {
+        r.doc_id: tuple(r)
+        for r in QUERIES["incremental_split_maintenance"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert again == {k: tuple(v) for k, v in out.items()}
