@@ -59,6 +59,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # guards against typos silently shrinking the window.
 _PRIORITY = [
     "incremental_split_maintenance",
+    "token_budget_epoch_allocation",
     "streaming_kll_store",
     "decontamination_bloom_store",
     "streaming_bloom_decontamination",
@@ -107,8 +108,8 @@ _PRIORITY = [
     "kmeans_cluster_contract",
     "shared_span_dup_report",
     "referential_integrity_audit",
-    "event_transition_matrix",
     # ---- 50-slot window boundary (r12) ----
+    "event_transition_matrix",
     "throttled_event_stream",
     "unicode_nfc_report",
     "segment_top_spenders_with_ties",

@@ -229,6 +229,7 @@ HEADLINE = [
     "good_turing_oov_estimate",     # hapax unseen-mass per source (r11)
     "leakage_safe_split_assignment",  # component-hashed leak-free split (r11)
     "incremental_split_maintenance",  # batch-cost leak-free split upkeep (r12)
+    "token_budget_epoch_allocation",  # capped waterfill epoch schedule (r12)
 ]
 
 #: Run FIRST, before the HEADLINE order (r11 verdict task #1c): the
@@ -254,6 +255,7 @@ WATCH_FIRST = [
     "leakage_safe_split_assignment",
     # r12 new entries
     "incremental_split_maintenance",
+    "token_budget_epoch_allocation",
 ]
 
 

@@ -1077,3 +1077,195 @@ def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass_lang.alias("pass_lang"),
         (pass_rep & pass_rare & pass_surp & pass_lang).alias("keep"),
     )
+
+
+# ------------------------------- token-budget epoch allocation ----
+
+#: repetition cap: no source's data is seen more than E_MAX times
+#: (Muennighoff et al. 2023, "Scaling Data-Constrained Language
+#: Models": repeated epochs decay in value; pipelines cap them).
+_EPOCH_CAP = 2
+#: training token budget as a fraction of the corpus: 9/5 of the
+#: unique tokens (exact integer 9·T div 5 — data-derived so the capped
+#: branch of the waterfill stays exercised at every scale factor).
+_BUDGET_NUM, _BUDGET_DEN = 9, 5
+
+_EPOCH_ALLOC_ORACLE = f"""
+    WITH tok AS (
+        SELECT source,
+               CAST(sum(len(regexp_split_to_array(text, '\\s+')))
+                    AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_src,
+               CAST(({_BUDGET_NUM} * sum(n_tokens)) // {_BUDGET_DEN}
+                    AS BIGINT) AS budget
+        FROM tok
+    ), ordered AS (
+        SELECT t.source, t.n_tokens,
+               {_EPOCH_CAP} * t.n_tokens AS cap_tokens,
+               row_number() OVER w AS j,
+               coalesce(sum({_EPOCH_CAP} * t.n_tokens) OVER (
+                   ORDER BY {_EPOCH_CAP} * t.n_tokens, t.source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS c_prev
+        FROM tok t
+        WINDOW w AS (ORDER BY {_EPOCH_CAP} * t.n_tokens, t.source)
+    ), pref AS (
+        SELECT o.*, x.n_src, x.budget,
+               min(CASE WHEN o.cap_tokens * (x.n_src - (o.j - 1))
+                             <= x.budget - o.c_prev
+                        THEN 1 ELSE 0 END) OVER (
+                   ORDER BY o.j
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS is_capped
+        FROM ordered o CROSS JOIN tot x
+    ), stats AS (
+        SELECT CAST(sum(is_capped) AS BIGINT) AS k_star,
+               CAST(coalesce(sum(CASE WHEN is_capped = 1
+                                      THEN cap_tokens END), 0)
+                    AS BIGINT) AS c_star
+        FROM pref
+    ), lvl AS (
+        SELECT CASE WHEN p.k_star = p.n_src THEN 0.0
+                    ELSE {sql_round4('(p.budget - p.c_star)::DOUBLE'
+                                     ' / (p.n_src - p.k_star)')}
+               END AS t_star
+        FROM (SELECT DISTINCT n_src, budget, k_star, c_star
+              FROM pref CROSS JOIN stats) p
+    ), alloc AS (
+        SELECT p.source, p.n_tokens, p.cap_tokens, p.budget,
+               p.is_capped = 1 AS capped,
+               CASE WHEN p.is_capped = 1
+                    THEN {sql_round4('p.cap_tokens::DOUBLE')}
+                    ELSE l.t_star END AS alloc_tokens
+        FROM pref p CROSS JOIN lvl l
+    )
+    SELECT source, n_tokens, cap_tokens, budget, capped, alloc_tokens,
+           {sql_round4('alloc_tokens / n_tokens')} AS epochs
+    FROM alloc
+"""
+
+
+@query("token_budget_epoch_allocation", oracle=_EPOCH_ALLOC_ORACLE)
+def token_budget_epoch_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Allocate a fixed training-token budget across sources under a
+    repetition cap — the data-constrained-scaling allocation step
+    (Muennighoff et al. 2023) that turns per-source token counts into
+    an epoch schedule: every source gets an equal share of the budget
+    (uniform mixing) EXCEPT that no source may be repeated more than
+    ``_EPOCH_CAP`` epochs, and the budget a capped source can't absorb
+    waterfills to the uncapped ones.
+
+    The waterfill is solved in closed form, not iteratively: sort
+    sources by cap ascending; a prefix of that order is capped, and row
+    ``j`` is capped iff ``cap_j · (remaining sources) ≤ remaining
+    budget`` — evaluated with FULL prefix sums and made self-consistent
+    by the prefix-AND (``min`` of the indicator over the prefix), the
+    classic single-scan waterfilling argument. Everything up to the
+    final water level is exact 64-bit integer arithmetic (uniform
+    weights make the weight sums integers), so both engines agree
+    bit-for-bit on WHICH sources cap; the water level and epochs are
+    the only floats, round4-pinned at the reuse points.
+
+    Scale shape: one grouped token-count pass over the corpus (the only
+    data-sized stage, map-side combinable), then windows over the
+    ≤|sources| bounded frame with 1-row broadcast totals — the
+    two-phase discipline every bounded-frame op in the catalog uses.
+    At 100 TB the allocation itself is metadata work; generalizing to
+    non-uniform mixing weights swaps the integer `(n_src - j + 1)`
+    factor for a prefix-summed weight column (same plan shape)."""
+    tune_session(spark)
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.groupBy("source").agg(
+        F.sum(text_ops.token_count("text")).cast("long").alias("n_tokens")
+    )
+    tot = tok.agg(
+        F.count(F.lit(1)).cast("long").alias("n_src"),
+        F.expr(
+            f"CAST(({_BUDGET_NUM} * sum(n_tokens)) div {_BUDGET_DEN} "
+            "AS BIGINT)"
+        ).alias("budget"),
+    )
+    w = Window.orderBy("cap_tokens", "source")  # bounded: ≤ |sources|
+    ordered = (
+        tok.select(
+            "source",
+            "n_tokens",
+            (F.col("n_tokens") * _EPOCH_CAP).alias("cap_tokens"),
+        )
+        .withColumn("j", F.row_number().over(w))
+        .withColumn(
+            "c_prev",
+            F.coalesce(
+                F.sum("cap_tokens").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    wj = Window.orderBy("j").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pref = ordered.withColumn(
+        "is_capped",
+        F.min(
+            F.when(
+                F.col("cap_tokens") * (F.col("n_src") - (F.col("j") - 1))
+                <= F.col("budget") - F.col("c_prev"),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).over(wj),
+    )
+    stats = pref.agg(
+        F.sum("is_capped").cast("long").alias("k_star"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_capped") == 1, F.col("cap_tokens"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("c_star"),
+    )
+    lvl = (
+        pref.select("n_src", "budget")
+        .limit(1)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.when(F.col("k_star") == F.col("n_src"), F.lit(0.0))
+            .otherwise(
+                round4(
+                    (F.col("budget") - F.col("c_star")).cast("double")
+                    / (F.col("n_src") - F.col("k_star"))
+                )
+            )
+            .alias("t_star")
+        )
+    )
+    alloc = pref.crossJoin(F.broadcast(lvl)).select(
+        "source",
+        "n_tokens",
+        "cap_tokens",
+        "budget",
+        (F.col("is_capped") == 1).alias("capped"),
+        F.when(
+            F.col("is_capped") == 1,
+            round4(F.col("cap_tokens").cast("double")),
+        )
+        .otherwise(F.col("t_star"))
+        .alias("alloc_tokens"),
+    )
+    return alloc.select(
+        "source",
+        "n_tokens",
+        "cap_tokens",
+        "budget",
+        "capped",
+        "alloc_tokens",
+        round4(F.col("alloc_tokens") / F.col("n_tokens")).alias("epochs"),
+    )

@@ -219,3 +219,35 @@ def test_corpus_quality_gate_one_pass_plan_and_attribution(spark):
             and (g["dup_trigram_fraction"] is None or g["dup_trigram_fraction"] <= 0.1)
         )
         assert r["pass_repetition"] == expect, doc_id
+
+
+def test_token_budget_waterfill_cascading_caps(spark, tmp_path):
+    """Planted skew where the waterfill must cap a 3-source PREFIX
+    before the level settles (the prefix-AND self-consistency the
+    closed form relies on): sources of 10/10/100/1000 tokens, budget
+    9T/5 = 2016, cap 2 epochs → the three small sources saturate at
+    2 epochs each and the big one absorbs the rest exactly."""
+    from lab3_lakehouse_spark.queries import QUERIES
+
+    rows = []
+    for src, n_tok in [("a", 10), ("b", 10), ("c", 100), ("d", 1000)]:
+        text = " ".join(f"w{i}" for i in range(n_tok))
+        rows.append((hash(src) % 1000, "en", len(text), text, src))
+    spark.createDataFrame(
+        rows, ["doc_id", "lang", "n_chars", "text", "source"]
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.source: r
+        for r in QUERIES["token_budget_epoch_allocation"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out["a"].budget == 2016
+    assert out["a"].capped and out["b"].capped and out["c"].capped
+    assert not out["d"].capped
+    assert (out["a"].alloc_tokens, out["b"].alloc_tokens) == (20.0, 20.0)
+    assert out["c"].alloc_tokens == 200.0
+    assert out["d"].alloc_tokens == 1776.0  # (2016 - 240) / 1
+    assert out["a"].epochs == 2.0 and out["d"].epochs == 1.776
+    # budget exactly conserved
+    assert sum(r.alloc_tokens for r in out.values()) == 2016.0
