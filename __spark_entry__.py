@@ -31,35 +31,46 @@ def entry(spark: SparkSession) -> DataFrame:
 # checks the first 50 registry entries per round). ROUND-12 rotation
 # (executes the plan written in the r11 header; ages below are
 # DRIVER-stamped ages):
-#   slot 1      the NEW r12 entry (incremental_split_maintenance —
-#               batch-cost leakage-safe split upkeep: contracted-CC
-#               inherit/fresh/bridged/conflict statuses).
-#   slots 2-4   the r12 result-relevant ADVICE edits re-verified
+#   slots 1-3   the NEW r12 entries (incremental_split_maintenance —
+#               batch-cost leakage-safe split upkeep with contracted-CC
+#               inherit/fresh/bridged/conflict statuses;
+#               token_budget_epoch_allocation — closed-form capped
+#               waterfill epoch schedule; uniform_sample_store — the
+#               seventh store family: persisted mergeable bottom-k
+#               uniform sample).
+#   slots 4-6   the r12 result-relevant ADVICE edits re-verified
 #               (streaming_kll_store: kll_compact_store now stamps the
 #               reserved batch_id=-1 sentinel; decontamination_bloom_
 #               store + streaming_bloom_decontamination: bloom meta now
 #               reads through an explicit schema for mixed-age stores).
-#   slots 5-7   the three entries displaced past the r11 boundary
+#   slots 7-9   the three entries displaced past the r11 boundary
 #               (sql_shipping_priority, asof_view_next_purchase,
 #               bm25_lexical_topk — all green in the r11 sweep/judge
 #               re-run; they led this round's queue per the r11 plan).
-#   slots 8-50  the r5/r6-green fill continuing in the order the r11
+#   slots 10-50 the r5/r6-green fill continuing in the order the r11
 #               header listed (incremental_agg_retractions onward
-#               through event_transition_matrix) — the oldest remaining
-#               driver stamps advance past r6.
+#               through shared_span_dup_report; referential_integrity_
+#               audit and event_transition_matrix slipped past the
+#               boundary to make room for the two late r12 ops — they
+#               join the r13 queue) — the oldest remaining driver
+#               stamps advance past r6.
 # After the boundary: the rest of the r5-r9 fill in prior order, the
 # r10-stamped block, and the r11-stamped window LAST (freshest stamps
 # re-verify last).
 #
 # ROUND-13 ROTATION PLAN (for the next builder): lead with (1) any
-# query round 13 edits/new ops, (2) the r5/r6-green fill continuing
-# from throttled_event_stream in the order below, (3) keep the r10
-# then r11 blocks at the end (freshest last).
+# query round 13 edits/new ops, (2) the two entries displaced past
+# this round's boundary (referential_integrity_audit,
+# event_transition_matrix — both green in the r12 pre-sweep), (3) the
+# r5/r6-green fill continuing from throttled_event_stream in the
+# order below, (4) keep the r10 then r11 blocks at the end (freshest
+# last).
 # tests/test_engine.py::test_priority_rotation_names_all_registered
 # guards against typos silently shrinking the window.
 _PRIORITY = [
     "incremental_split_maintenance",
     "token_budget_epoch_allocation",
+    "uniform_sample_store",
     "streaming_kll_store",
     "decontamination_bloom_store",
     "streaming_bloom_decontamination",
@@ -107,8 +118,8 @@ _PRIORITY = [
     "ann_filtered_topk",
     "kmeans_cluster_contract",
     "shared_span_dup_report",
-    "referential_integrity_audit",
     # ---- 50-slot window boundary (r12) ----
+    "referential_integrity_audit",
     "event_transition_matrix",
     "throttled_event_stream",
     "unicode_nfc_report",

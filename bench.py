@@ -230,6 +230,7 @@ HEADLINE = [
     "leakage_safe_split_assignment",  # component-hashed leak-free split (r11)
     "incremental_split_maintenance",  # batch-cost leak-free split upkeep (r12)
     "token_budget_epoch_allocation",  # capped waterfill epoch schedule (r12)
+    "uniform_sample_store",           # persisted bottom-k sample tier (r12)
 ]
 
 #: Run FIRST, before the HEADLINE order (r11 verdict task #1c): the
@@ -256,6 +257,7 @@ WATCH_FIRST = [
     # r12 new entries
     "incremental_split_maintenance",
     "token_budget_epoch_allocation",
+    "uniform_sample_store",
 ]
 
 

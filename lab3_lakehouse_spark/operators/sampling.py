@@ -261,3 +261,76 @@ def source_mix_weights(
             F.lit(float(cap)), (F.lit(1.0) / F.col("n_sources")) / share
         ).alias("mix_weight"),
     )
+
+
+# ------------------------------ persisted bottom-k sample tier ----
+
+
+def sample_store_append(
+    store_root: str,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    k: int = 64,
+    seed: int = 131,
+) -> None:
+    """Append one batch's candidate rows to a persisted UNIFORM-sample
+    tier — the ``sample`` family of the stores.py lifecycle. The tier
+    stores each batch's bottom-``k`` ids by ``portable_hash60(id,
+    seed)``; because "global bottom-k of a union" = "bottom-k of the
+    per-part bottom-ks", :func:`sample_store_draw` reconstructs the
+    EXACT uniform-without-replacement k-sample of everything ever
+    appended from batches·k stored rows — metadata-sized at any corpus
+    age (the bottom-k sketch of Cohen & Kaplan 2007, here used as a
+    maintainable sample rather than a cardinality estimator).
+
+    Append cost ∝ the batch (one hash scan + per-partition top-k
+    merge, TakeOrderedAndProject — no global sort); the existing store
+    is never read. At-least-once replay re-appends IDENTICAL rows (the
+    hash is deterministic) and the reader de-duplicates by id, so the
+    tier is fully idempotent — no batch_id accounting needed.
+    ``k``/``seed`` must match across appends and draws."""
+    from lab3_lakehouse_spark import stores
+    from lab3_lakehouse_spark.operators.sketches import portable_hash60
+
+    mins = (
+        df.select(F.col(id_col).cast("long").alias("doc_id"))
+        .distinct()
+        .select("doc_id", portable_hash60(F.col("doc_id"), seed).alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(k)
+    )
+    stores.append_rows(mins, store_root, "mins", buckets=1)
+
+
+def sample_store_draw(spark, store_root: str, *, k: int = 64) -> DataFrame:
+    """The exact uniform k-sample of every id ever appended: merge the
+    stored per-batch bottom-k rows (dedup by id — replays collapse),
+    keep the global bottom-k. Input is batches·k rows, so the draw is
+    metadata work regardless of corpus size, and it is DETERMINISTIC:
+    the same appended id set always yields the same sample, on any
+    engine, under any partitioning or batch history (pinned by the
+    randomized-append property test)."""
+    from lab3_lakehouse_spark import stores
+
+    return (
+        stores.read_tier(spark, store_root, "mins")
+        .dropDuplicates(["doc_id"])
+        .orderBy("h", "doc_id")
+        .limit(k)
+    )
+
+
+def sample_store_compact(
+    spark, src_root: str, dst_root: str, *, k: int = 64
+) -> None:
+    """Disk GC for the sample tier: fold the batches·k accumulated
+    rows to the single global bottom-k row-set, written to a NEW root
+    per the stores.gc_write contract (live probes undisturbed; swap-in
+    is stores.swap_root). Draws from the compacted tier are identical
+    by construction — the fold IS the draw."""
+    from lab3_lakehouse_spark import stores
+
+    stores.gc_write(
+        sample_store_draw(spark, src_root, k=k), dst_root, "mins", coalesce=1
+    )

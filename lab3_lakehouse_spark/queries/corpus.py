@@ -1269,3 +1269,86 @@ def token_budget_epoch_allocation(
         "alloc_tokens",
         round4(F.col("alloc_tokens") / F.col("n_tokens")).alias("epochs"),
     )
+
+
+# ------------------------------------ persisted uniform sample ----
+
+_SAMPLE_K = 50
+_SAMPLE_SEED = 131
+
+_SAMPLE_STORE_ORACLE = f"""
+    SELECT d.doc_id,
+           {sql_hash60('d.doc_id', _SAMPLE_SEED)} AS h,
+           d.source,
+           CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d
+    ORDER BY h, d.doc_id
+    LIMIT {_SAMPLE_K}
+"""
+
+
+@query("uniform_sample_store", oracle=_SAMPLE_STORE_ORACLE)
+def uniform_sample_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintainable uniform sample as a persisted STORE (the ``sample``
+    family of the stores.py lifecycle): ingest the corpus in three
+    batches, each appending only its bottom-k ids by the portable hash
+    (cost ∝ the batch, the store is never read), then draw the exact
+    global without-replacement k-sample from the batches·k stored rows
+    — the bottom-k sketch (Cohen & Kaplan 2007) used as an always-fresh
+    sample instead of a cardinality estimator. The draw is DETERMINISTIC
+    in the appended id set (hash order), so the oracle is plain
+    ``ORDER BY hash LIMIT k`` over the same corpus: the cross-engine
+    gate verifies the merge-of-bottom-ks IS the global bottom-k under
+    a real multi-batch append history.
+
+    The entry also runs the family's GC leg (sample_store_compact to a
+    new root — the fold IS the draw) and pins draw equality in-plan via
+    an inner-join cardinality check column.
+
+    Scale shape at 100 TB: each append is one hash scan of the batch
+    plus a per-partition top-k merge (TakeOrderedAndProject, no global
+    sort); the draw and GC read batches·k rows — metadata at any
+    corpus age. Replay-idempotent by construction (deterministic rows,
+    id-dedup on read), so the streaming writer
+    (streaming/ingest.stream_sample_append) needs no batch_id
+    accounting."""
+    import shutil
+
+    from lab3_lakehouse_spark.operators import sampling
+    from lab3_lakehouse_spark.queries._util import scratch_dir
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    store = scratch_dir("sample_store_")
+    gc_root = scratch_dir("sample_store_gc_")
+    try:
+        for part in range(3):
+            sampling.sample_store_append(
+                store,
+                docs.filter(F.col("doc_id") % 3 == part),
+                "doc_id",
+                k=_SAMPLE_K,
+                seed=_SAMPLE_SEED,
+            )
+        draw = sampling.sample_store_draw(spark, store, k=_SAMPLE_K)
+        sampling.sample_store_compact(
+            spark, store, gc_root, k=_SAMPLE_K
+        )
+        draw_gc = sampling.sample_store_draw(spark, gc_root, k=_SAMPLE_K)
+        # GC-identical pin inside the returned plan: the inner join of
+        # the two draws on (doc_id, h) must cover all k rows — a
+        # diverging compacted draw would shrink the result and fail the
+        # oracle's row count
+        merged = draw.join(draw_gc, ["doc_id", "h"], "inner")
+        out = merged.join(
+            docs.select("doc_id", "source", "n_chars"), "doc_id"
+        ).select(
+            "doc_id",
+            "h",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+        shutil.rmtree(gc_root, ignore_errors=True)

@@ -1,13 +1,13 @@
 """Shared lifecycle for the persisted-store families.
 
-Six index families persist state between queries — BM25 postings
+The index families persist state between queries — BM25 postings
 (operators/text.py), IVF-PQ codes (operators/similarity.py), Bloom
 decontamination bits (operators/sketches.py), media perceptual-hash
 signatures (operators/multimodal.py), KLL quantile compactors
-(operators/sketches.py + streaming/monitor.py) and MinHash LSH
-band/hash signatures (operators/dedup.py). They all follow ONE
-contract, which this module owns so each family implements only its
-domain math:
+(operators/sketches.py + streaming/monitor.py), MinHash LSH
+band/hash signatures (operators/dedup.py) and bottom-k uniform-sample
+mins (operators/sampling.py). They all follow ONE contract, which this
+module owns so each family implements only its domain math:
 
 * **Root layout** — a store is a directory of named parquet *tiers*:
   ``{root}/{tier}``. Three tier classes:
@@ -72,6 +72,7 @@ FAMILIES: dict[str, StoreSpec] = {
     "phash": StoreSpec("phash", ("signatures",)),
     "kll": StoreSpec("kll", ("kll",)),
     "minhash": StoreSpec("minhash", ("bands", "hashes")),
+    "sample": StoreSpec("sample", ("mins",)),
 }
 
 

@@ -440,3 +440,47 @@ def stream_ivfpq_append(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def stream_sample_append(
+    spark: SparkSession,
+    src_dir: str,
+    store_root: str,
+    *,
+    k: int = 64,
+    seed: int = 131,
+    max_files_per_trigger: int = 1,
+):
+    """Continuous maintenance of the persisted uniform-sample tier:
+    every micro-batch of arriving documents appends ITS bottom-k ids by
+    the portable hash (operators/sampling.sample_store_append — never
+    reads the store), and sample_store_draw reconstructs the exact
+    global k-sample of everything ever streamed from batches·k stored
+    rows. The always-fresh uniform sample is the monitoring primitive
+    quality dashboards want ("show me 64 random docs from the whole
+    crawl so far") at metadata cost.
+
+    Replay semantics are the Bloom-tier best case: the per-batch
+    bottom-k is a deterministic function of the batch's ids, so a
+    re-delivered batch appends byte-identical rows and the draw's
+    id-dedup collapses them — fully idempotent, no batch_id accounting.
+    Returns the started StreamingQuery (caller owns stop)."""
+    from lab3_lakehouse_spark.operators import sampling
+
+    checkpoint = f"{store_root}/_checkpoint"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sampling.sample_store_append(
+            store_root, batch_df, "doc_id", k=k, seed=seed
+        )
+
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(src_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

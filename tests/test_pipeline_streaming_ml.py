@@ -1537,3 +1537,69 @@ def test_stream_ivfpq_append_equals_batch_store(spark, tmpdir):
         ).collect()
     )
     assert got == want and len(got) == 15
+
+
+def test_stream_sample_append_equals_one_shot_draw(spark, tmpdir):
+    """The streamed uniform-sample tier (bottom-k append per
+    micro-batch, streaming/ingest.stream_sample_append) must draw the
+    IDENTICAL sample as a single batch append over the same corpus —
+    the stream-equals-batch parity claim applied to the sample store,
+    plus replay idempotence (re-running the drained stream source
+    through a fresh checkpoint appends byte-identical rows and the
+    draw is unchanged)."""
+    import json as _json
+
+    from lab3_lakehouse_spark.operators import sampling
+    from lab3_lakehouse_spark.streaming import ingest as st_ingest
+
+    src = f"{tmpdir}/sample_arrivals"
+    store = f"{tmpdir}/sample_store"
+    once = f"{tmpdir}/sample_once"
+    os.makedirs(src)
+    docs = [
+        {"doc_id": i, "text": f"doc {i}", "source": "s"} for i in range(90)
+    ]
+    for chunk in range(3):
+        with open(f"{src}/f{chunk}.json", "w") as f:
+            f.write(
+                "\n".join(
+                    _json.dumps(d) for d in docs[chunk * 30 : chunk * 30 + 30]
+                )
+            )
+    q = st_ingest.stream_sample_append(
+        spark, src, store, k=16, max_files_per_trigger=1
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    docs_df = spark.createDataFrame(
+        [(d["doc_id"],) for d in docs], ["doc_id"]
+    )
+    sampling.sample_store_append(once, docs_df, "doc_id", k=16)
+    got = [
+        tuple(r)
+        for r in sampling.sample_store_draw(spark, store, k=16).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in sampling.sample_store_draw(spark, once, k=16).collect()
+    ]
+    assert got == want and len(got) == 16
+    # replay: a fresh checkpoint re-delivers every file; the draw is
+    # unchanged (deterministic rows, id-dedup on read)
+    import shutil
+
+    shutil.rmtree(f"{store}/_checkpoint")
+    q2 = st_ingest.stream_sample_append(
+        spark, src, store, k=16, max_files_per_trigger=2
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    again = [
+        tuple(r)
+        for r in sampling.sample_store_draw(spark, store, k=16).collect()
+    ]
+    assert again == want

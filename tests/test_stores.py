@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from lab3_lakehouse_spark import stores
 from lab3_lakehouse_spark.operators import dedup as dedup_ops
 from lab3_lakehouse_spark.operators import multimodal as mm_ops
+from lab3_lakehouse_spark.operators import sampling as samp_ops
 from lab3_lakehouse_spark.operators import similarity as sim_ops
 from lab3_lakehouse_spark.operators import sketches
 from lab3_lakehouse_spark.operators import text as text_ops
@@ -116,6 +117,12 @@ def _family_actions(spark, tmp_path):
                     F.col("doc_id").alias("__id"),
                     dedup_ops.shingle_hashes("text", 3).alias("__h"),
                 ),
+            ),
+        ),
+        "sample": (
+            None,
+            lambda root, p: samp_ops.sample_store_append(
+                root, docs.filter(F.col("doc_id") % 2 == p), "doc_id", k=16
             ),
         ),
     }
@@ -458,6 +465,57 @@ def test_phash_gc_probe_identical_under_random_append_history(
     stats = mm_ops.phash_compact_store(spark, src, dst, buckets=2)
     assert probe(dst) == pre
     assert stats["signatures_after"] < stats["signatures_before"]
+
+
+@pytest.mark.parametrize("seed", [3, 41])
+def test_sample_gc_draw_identical_under_random_append_history(
+    spark, tmp_path, seed
+):
+    """GC + merge property for the bottom-k sample tier: ANY batch
+    split/order (plus one at-least-once replay) must draw exactly the
+    global bottom-k of all appended ids, and the compacted tier draws
+    the identical sample from fewer rows — the mergeability claim
+    (bottom-k of per-batch bottom-ks == global bottom-k) under an
+    adversarial history."""
+    from lab3_lakehouse_spark.operators.sketches import portable_hash60
+
+    rng = random.Random(seed)
+    ids = list(range(500))
+    docs = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    src = str(tmp_path / f"sample_src_{seed}")
+    dst = str(tmp_path / f"sample_dst_{seed}")
+    batches = _random_batches(ids, rng)
+    for b in batches:
+        samp_ops.sample_store_append(
+            src, docs.filter(F.col("doc_id").isin(b)), "doc_id", k=32
+        )
+    samp_ops.sample_store_append(  # at-least-once replay
+        src, docs.filter(F.col("doc_id").isin(rng.choice(batches))),
+        "doc_id", k=32,
+    )
+    got = [
+        tuple(r)
+        for r in samp_ops.sample_store_draw(spark, src, k=32).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in docs.select(
+            "doc_id", portable_hash60(F.col("doc_id"), 131).alias("h")
+        )
+        .orderBy("h", "doc_id")
+        .limit(32)
+        .collect()
+    ]
+    assert got == want and len(got) == 32
+    samp_ops.sample_store_compact(spark, src, dst, k=32)
+    post = [
+        tuple(r)
+        for r in samp_ops.sample_store_draw(spark, dst, k=32).collect()
+    ]
+    assert post == want
+    n_src = stores.read_tier(spark, src, "mins").count()
+    n_dst = stores.read_tier(spark, dst, "mins").count()
+    assert n_dst == 32 <= n_src
 
 
 def test_bloom_store_meta_collapses_replayed_tagged_batches(spark, tmp_path):
