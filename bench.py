@@ -231,6 +231,7 @@ HEADLINE = [
     "incremental_split_maintenance",  # batch-cost leak-free split upkeep (r12)
     "token_budget_epoch_allocation",  # capped waterfill epoch schedule (r12)
     "uniform_sample_store",           # persisted bottom-k sample tier (r12)
+    "conformal_quality_threshold",    # finite-sample keep-guarantee cut (r12)
 ]
 
 #: Run FIRST, before the HEADLINE order (r11 verdict task #1c): the
@@ -258,6 +259,7 @@ WATCH_FIRST = [
     "incremental_split_maintenance",
     "token_budget_epoch_allocation",
     "uniform_sample_store",
+    "conformal_quality_threshold",
 ]
 
 

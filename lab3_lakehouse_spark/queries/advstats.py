@@ -3177,3 +3177,157 @@ def jaro_winkler_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("__jw") >= F.lit(_JW_THRESH)).select(
         "id_a", "id_b", round4(F.col("__jw")).alias("jw")
     )
+
+
+# ---------------------------------------- conformal quality gate ----
+
+#: one-sided miscoverage level: the kept-rate guarantee is
+#: P(new doc passes) >= 1 - alpha under exchangeability
+_CONF_ALPHA_NUM, _CONF_ALPHA_DEN = 1, 5  # alpha = 0.2
+_CONF_SEED = 83
+
+
+def _conformal_oracle() -> str:
+    from lab3_lakehouse_spark.operators.sketches import sql_hash60
+
+    h = sql_hash60("doc_id", _CONF_SEED)
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               CAST(length(text) AS DOUBLE)
+                   / len(regexp_split_to_array(text, '\\s+')) AS score,
+               {h} % 2 = 0 AS is_cal
+        FROM documents
+    ), ranked AS (
+        SELECT source, score,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY score, doc_id
+               ) AS rn
+        FROM scored WHERE is_cal
+    ), counts AS (
+        SELECT source,
+               CAST(count(CASE WHEN is_cal THEN 1 END) AS BIGINT)
+                   AS n_cal,
+               CAST(count(CASE WHEN NOT is_cal THEN 1 END) AS BIGINT)
+                   AS n_holdout
+        FROM scored GROUP BY source
+    ), ks AS (
+        SELECT source, n_cal, n_holdout,
+               CAST({_CONF_ALPHA_NUM} * (n_cal + 1)
+                    // {_CONF_ALPHA_DEN} AS BIGINT) AS k_rank
+        FROM counts
+    ), taus AS (
+        SELECT k.source, k.n_cal, k.n_holdout, k.k_rank, r.score AS tau
+        FROM ks k LEFT JOIN ranked r
+          ON r.source = k.source AND r.rn = k.k_rank
+    )
+    SELECT t.source, t.n_cal, t.n_holdout, t.k_rank,
+           {sql_round4('t.tau')} AS tau,
+           {sql_round4(
+               "sum(CASE WHEN t.tau IS NULL OR s.score >= t.tau"
+               " THEN 1.0 ELSE 0.0 END) / count(*)")}
+               AS holdout_keep_rate
+    FROM taus t JOIN scored s ON s.source = t.source AND NOT s.is_cal
+    GROUP BY t.source, t.n_cal, t.n_holdout, t.k_rank, t.tau
+    """
+
+
+@query("conformal_quality_threshold", oracle=_conformal_oracle())
+def conformal_quality_threshold(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source quality-filter threshold with a FINITE-SAMPLE keep
+    guarantee — split conformal prediction (Vovk et al.; Lei et al.
+    2018) applied to corpus curation: a quality cut chosen by eyeball
+    ("drop the bottom whatever") gives no statement about how much of
+    tomorrow's (exchangeable) data it rejects, while the conformal cut
+    τ = the ⌊α·(n_cal+1)⌋-th smallest calibration score guarantees
+    P(new doc's score ≥ τ) ≥ 1−α exactly, for ANY score distribution,
+    with no asymptotics. The score here is mean word length
+    (chars/token — an exact int/int division, so both engines rank
+    identically with the doc_id tie-break); the calibration split is
+    the deterministic portable-hash half, so the whole construction is
+    reproducible without storing it. The emitted holdout keep rate is
+    the guarantee's empirical check (≈ 1−α up to binomial noise;
+    k_rank = 0 means n_cal is too small for the level and the gate
+    keeps everything — surfaced, not hidden).
+
+    Scale shape: one scoring scan; ranking runs under a window
+    PARTITIONED by source (parallel across sources — at 100 TB the
+    per-source calibration sort is the textbook partitioned top-k,
+    prunable to k_rank rows per source); the τ table is
+    |sources|-bounded and broadcasts back onto the holdout scan."""
+    from lab3_lakehouse_spark.operators.sketches import portable_hash60
+
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        (
+            F.length("text").cast("double")
+            / F.size(F.split(F.col("text"), r"\s+"))
+        ).alias("score"),
+        (portable_hash60(F.col("doc_id"), _CONF_SEED) % 2 == 0).alias(
+            "is_cal"
+        ),
+    ).localCheckpoint(eager=False)
+    ranked = (
+        scored.filter("is_cal")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy("score", "doc_id")
+            ),
+        )
+        .select(
+            F.col("source").alias("cal_source"),
+            F.col("score").alias("cal_score"),
+            "rn",
+        )
+    )
+    counts = scored.groupBy("source").agg(
+        F.count(F.when(F.col("is_cal"), 1)).cast("long").alias("n_cal"),
+        F.count(F.when(~F.col("is_cal"), 1)).cast("long").alias("n_holdout"),
+    )
+    ks = counts.select(
+        "source",
+        "n_cal",
+        "n_holdout",
+        F.expr(
+            f"CAST(({_CONF_ALPHA_NUM} * (n_cal + 1)) div {_CONF_ALPHA_DEN} "
+            "AS BIGINT)"
+        ).alias("k_rank"),
+    )
+    taus = ks.join(
+        ranked,
+        (F.col("cal_source") == F.col("source"))
+        & (F.col("rn") == F.col("k_rank")),
+        "left",
+    ).select("source", "n_cal", "n_holdout", "k_rank",
+             F.col("cal_score").alias("tau"))
+    holdout = scored.filter(~F.col("is_cal")).select("source", "score")
+    return (
+        holdout.join(F.broadcast(taus), "source")
+        .groupBy("source", "n_cal", "n_holdout", "k_rank", "tau")
+        .agg(
+            round4(
+                F.sum(
+                    F.when(
+                        F.col("tau").isNull()
+                        | (F.col("score") >= F.col("tau")),
+                        F.lit(1.0),
+                    ).otherwise(F.lit(0.0))
+                )
+                / F.count(F.lit(1))
+            ).alias("holdout_keep_rate")
+        )
+        .select(
+            "source",
+            "n_cal",
+            "n_holdout",
+            "k_rank",
+            round4(F.col("tau")).alias("tau"),
+            "holdout_keep_rate",
+        )
+    )

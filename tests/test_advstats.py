@@ -1153,3 +1153,61 @@ def test_incremental_split_planted_statuses_and_no_straddle(
         ).collect()
     }
     assert again == {k: tuple(v) for k, v in out.items()}
+
+
+# ------------------------------------ conformal quality threshold ----
+
+
+def test_conformal_threshold_matches_plain_python(spark, tmp_path):
+    """Third-implementation check on planted single-token docs (score
+    == exact text length): recompute the split-conformal cut in plain
+    Python from the same deterministic hash split and the engine must
+    agree on k_rank, tau, and the exact holdout keep rate."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from lab3_lakehouse_spark.operators.sketches import portable_hash60
+    from lab3_lakehouse_spark.queries import QUERIES
+
+    # 40 docs, one source, text = one token of doc_id-determined length
+    rows = [
+        (i, "en", 3 + (i * 7) % 23, "x" * (3 + (i * 7) % 23), "s0")
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        rows, ["doc_id", "lang", "n_chars", "text", "source"]
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    member = {
+        r.doc_id: r.is_cal
+        for r in spark.createDataFrame(
+            [(i,) for i in range(40)], ["doc_id"]
+        )
+        .select(
+            "doc_id",
+            (portable_hash60(F.col("doc_id"), 83) % 2 == 0).alias("is_cal"),
+        )
+        .collect()
+    }
+    score = {i: float(3 + (i * 7) % 23) for i in range(40)}
+    cal = sorted(
+        (score[i], i) for i in range(40) if member[i]
+    )
+    hold = [score[i] for i in range(40) if not member[i]]
+    k = (len(cal) + 1) // 5  # floor(0.2 * (n_cal + 1))
+    tau = cal[k - 1][0] if k >= 1 else None
+    keep = (
+        1.0
+        if tau is None
+        else sum(1 for s in hold if s >= tau) / len(hold)
+    )
+
+    out = QUERIES["conformal_quality_threshold"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_cal, r.n_holdout) == (len(cal), len(hold))
+    assert r.k_rank == k and r.tau == tau
+    assert math.isclose(r.holdout_keep_rate, round(keep, 4), abs_tol=1e-9)
