@@ -232,6 +232,7 @@ HEADLINE = [
     "token_budget_epoch_allocation",  # capped waterfill epoch schedule (r12)
     "uniform_sample_store",           # persisted bottom-k sample tier (r12)
     "conformal_quality_threshold",    # finite-sample keep-guarantee cut (r12)
+    "streaming_split_assignment",     # store-probed continuous split (r12)
 ]
 
 #: Run FIRST, before the HEADLINE order (r11 verdict task #1c): the
@@ -260,6 +261,7 @@ WATCH_FIRST = [
     "token_budget_epoch_allocation",
     "uniform_sample_store",
     "conformal_quality_threshold",
+    "streaming_split_assignment",
 ]
 
 

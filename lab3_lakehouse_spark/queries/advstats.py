@@ -3331,3 +3331,182 @@ def conformal_quality_threshold(
             "holdout_keep_rate",
         )
     )
+
+
+# ------------------------------------ streaming split assignment ----
+
+
+def _stream_split_oracle() -> str:
+    from lab3_lakehouse_spark.operators.sketches import sql_hash60
+
+    h = sql_hash60("component", _SPLIT_SEED)
+    hc = sql_hash60("component", _SPLIT_SEED)
+    return f"""
+    WITH RECURSIVE w AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+        FROM documents
+    ), t AS (
+        SELECT doc_id,
+               list_distinct(
+                   list_transform(generate_series(1, greatest(len(w)-2, 1)),
+                                  i -> array_to_string(w[i:i+2], ' '))
+               ) AS s
+        FROM w
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+              >= 0.8
+    ), old_edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        WHERE id_a % 5 <> 0 AND id_b % 5 <> 0
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+        WHERE id_a % 5 <> 0 AND id_b % 5 <> 0
+    ), old_reach(u, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM old_edges)
+        UNION
+        SELECT e.v, old_reach.r
+        FROM old_reach JOIN old_edges e ON e.u = old_reach.u
+    ), comp_of AS (
+        SELECT d.doc_id,
+               coalesce(c.component, d.doc_id) AS component
+        FROM documents d
+        LEFT JOIN (
+            SELECT u AS doc_id, min(r) AS component
+            FROM old_reach GROUP BY u
+        ) c ON c.doc_id = d.doc_id
+        WHERE d.doc_id % 5 <> 0
+    ), matches AS (
+        SELECT CASE WHEN p.id_a % 5 = 0 THEN p.id_a
+                    ELSE p.id_b END AS doc_id,
+               c.component
+        FROM pairs p JOIN comp_of c
+          ON c.doc_id = CASE WHEN p.id_a % 5 = 0 THEN p.id_b
+                             ELSE p.id_a END
+        WHERE (p.id_a % 5 = 0) <> (p.id_b % 5 = 0)
+    ), agg AS (
+        SELECT doc_id,
+               count(DISTINCT component) AS n_comps,
+               min(component) AS min_comp,
+               count(DISTINCT CASE WHEN {hc} % 10 < {_SPLIT_TRAIN_OF_10}
+                                   THEN 'train' ELSE 'val' END)
+                   AS n_splits
+        FROM matches GROUP BY doc_id
+    ), assigned AS (
+        SELECT n.doc_id,
+               coalesce(a.min_comp, n.doc_id) AS component,
+               coalesce(a.n_comps, 0) AS n_comps,
+               coalesce(a.n_splits, 0) AS n_splits
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) n
+        LEFT JOIN agg a ON a.doc_id = n.doc_id
+    )
+    SELECT doc_id, component,
+           CAST(n_comps AS BIGINT) AS n_matched_components,
+           CASE WHEN {h} % 10 < {_SPLIT_TRAIN_OF_10}
+                THEN 'train' ELSE 'val' END AS split,
+           CASE WHEN n_comps = 0 THEN 'fresh'
+                WHEN n_comps = 1 THEN 'inherited'
+                WHEN n_splits = 1 THEN 'bridged'
+                ELSE 'conflict' END AS status
+    FROM assigned
+    """
+
+
+@query("streaming_split_assignment", oracle=_stream_split_oracle())
+def streaming_split_assignment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Store-backed CONTINUOUS split assignment: arriving documents are
+    assigned to train/val as they land, by probing the persisted
+    MinHash signature store of the frozen corpus index
+    (streaming/ingest.stream_split_assignment) — the always-on
+    companion of :func:`incremental_split_maintenance`. Per micro-batch:
+    band candidates vs the ``bands`` tier, exact shingle-hash-Jaccard
+    verify vs the ``hashes`` tier (corpus TEXT is never re-read — the
+    store contract), component lookup in the ``assign`` tier, then
+    inherit / hash-fresh / bridged / conflict exactly as in the batch
+    op. The index is FROZEN between re-index cadences, which buys the
+    two properties a streaming assigner needs: results independent of
+    micro-batch boundaries and arrival order, and fully idempotent
+    replay (deterministic rows, id-dedup on read). Intra-stream
+    near-dup clusters are the batch op's job at re-index time.
+
+    Similarity is 3-word-shingle Jaccard ≥ 0.8 (the minhash store's
+    native measure; the batch op's word-Jaccard variant is a config
+    choice). The oracle recomputes everything brute-force —
+    corpus components by recursive closure, matches by exact shingle
+    Jaccard — so the driver verifies LSH recall end-to-end; sound
+    because every true pair in this corpus sits at j ≥ 0.9 where the
+    16-band miss probability is < 5e-8 (the minhash_lsh_near_dups
+    argument).
+
+    Scale shape: per batch — banded probe join keyed on (band, bh),
+    verify and component lookups keyed on candidate ids, one grouped
+    pass per batch; appends are batch-cost (the store is never read by
+    a write). Necessity: stream + store probe at call time."""
+    import shutil
+
+    from lab3_lakehouse_spark import stores
+    from lab3_lakehouse_spark.operators import dedup as dedup_ops
+    from lab3_lakehouse_spark.queries._util import scratch_dir
+    from lab3_lakehouse_spark.streaming import ingest as st_ingest
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    store = scratch_dir("split_assign_store_")
+    src = scratch_dir("split_assign_src_")
+    try:
+        corpus = docs.filter(F.col("doc_id") % 5 != 0)
+        hashed = corpus.select(
+            F.col("doc_id").alias("__id"),
+            dedup_ops.shingle_hashes("text", 3).alias("__h"),
+        ).localCheckpoint(eager=True)
+        # index build: signature tiers + the assignment tier (corpus
+        # components from the store's own LSH pair source)
+        dedup_ops.minhash_store_append(store, hashed)
+        pairs = dedup_ops.minhash_verify_hashed(
+            dedup_ops.minhash_lsh_candidates_from_hashes(hashed),
+            hashed,
+            threshold=0.8,
+        )
+        comps = (
+            corpus.select("doc_id")
+            .join(
+                dedup_ops.connected_components(
+                    pairs, "id_a", "id_b"
+                ).select(F.col("vertex").alias("doc_id"), "component"),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.coalesce("component", "doc_id").alias("component"),
+            )
+        )
+        stores.append_rows(comps, store, "assign", buckets=1)
+        # the arrival stream: the batch docs, micro-batched by file
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            "doc_id", "text", "source"
+        ).repartition(3).write.mode("overwrite").json(src)
+        sq = st_ingest.stream_split_assignment(
+            spark, src, store, max_files_per_trigger=1
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        out = (
+            stores.read_tier(spark, store, "stream_assign")
+            .dropDuplicates(["doc_id"])
+            .select(
+                "doc_id",
+                "component",
+                "n_matched_components",
+                "split",
+                "status",
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)

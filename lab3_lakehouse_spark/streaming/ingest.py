@@ -484,3 +484,110 @@ def stream_sample_append(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def stream_split_assignment(
+    spark: SparkSession,
+    src_dir: str,
+    store_root: str,
+    *,
+    threshold: float = 0.8,
+    split_seed: int = 71,
+    train_of_10: int = 8,
+    max_files_per_trigger: int = 1,
+):
+    """Continuous leakage-safe split assignment against a FROZEN
+    corpus index — the streaming face of
+    queries/advstats.incremental_split_maintenance: every micro-batch
+    of arriving documents probes the persisted MinHash signature store
+    (band candidates vs ``{root}/bands``, exact shingle-hash-Jaccard
+    verify vs ``{root}/hashes`` — the store contract: corpus text is
+    never re-read), joins the matched docs' components from the
+    ``{root}/assign`` tier, and appends one assignment row per arriving
+    doc to ``{root}/stream_assign``: inherit the matched component's
+    split, or hash fresh, with bridged/conflict flagged exactly as in
+    the batch op.
+
+    FROZEN index by design: the writer never appends the batch's own
+    signatures, so (a) every batch's result is independent of
+    micro-batch boundaries and arrival ORDER (the batch-op's
+    contracted-CC handles intra-stream near-dup clusters on the
+    periodic re-index cadence), and (b) replay is fully idempotent —
+    a re-delivered batch recomputes byte-identical rows and the reader
+    de-duplicates by doc_id. split = hash60(component) in every case,
+    so assignments reproduce without storing them; the tier exists so
+    downstream loaders join one table instead of re-probing."""
+    from lab3_lakehouse_spark import stores
+    from lab3_lakehouse_spark.operators.sketches import portable_hash60
+
+    checkpoint = f"{store_root}/_checkpoint"
+
+    def split_of(c):
+        return F.when(
+            portable_hash60(c, split_seed) % 10 < train_of_10,
+            F.lit("train"),
+        ).otherwise(F.lit("val"))
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        hashed = _hashed(batch_df)
+        cands = dedup_ops.minhash_candidates_vs_bands(
+            hashed, stores.read_tier(spark, store_root, "bands")
+        )
+        pairs = dedup_ops.minhash_verify_hashed(
+            cands,
+            hashed.unionByName(
+                stores.read_tier(spark, store_root, "hashes")
+            ),
+            threshold=threshold,
+        )
+        comps = stores.read_tier(spark, store_root, "assign").select(
+            F.col("doc_id").alias("id_b"), "component"
+        )
+        agg = (
+            pairs.join(comps, "id_b")
+            .groupBy("id_a")
+            .agg(
+                F.countDistinct("component").alias("__n_comps"),
+                F.min("component").alias("__min_comp"),
+                F.countDistinct(split_of(F.col("component"))).alias(
+                    "__n_splits"
+                ),
+            )
+        )
+        rows = (
+            batch_df.select("doc_id")
+            .join(agg, F.col("doc_id") == F.col("id_a"), "left")
+            .select(
+                "doc_id",
+                F.coalesce("__min_comp", "doc_id").alias("component"),
+                F.coalesce("__n_comps", F.lit(0))
+                .cast("long")
+                .alias("n_matched_components"),
+                F.coalesce("__n_splits", F.lit(0))
+                .cast("long")
+                .alias("__n_splits"),
+            )
+            .select(
+                "doc_id",
+                "component",
+                "n_matched_components",
+                split_of(F.col("component")).alias("split"),
+                F.when(F.col("n_matched_components") == 0, F.lit("fresh"))
+                .when(F.col("n_matched_components") == 1, F.lit("inherited"))
+                .when(F.col("__n_splits") == 1, F.lit("bridged"))
+                .otherwise(F.lit("conflict"))
+                .alias("status"),
+            )
+        )
+        stores.append_rows(rows, store_root, "stream_assign", buckets=1)
+
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(src_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -1603,3 +1603,121 @@ def test_stream_sample_append_equals_one_shot_draw(spark, tmpdir):
         for r in sampling.sample_store_draw(spark, store, k=16).collect()
     ]
     assert again == want
+
+
+def test_stream_split_assignment_statuses_order_and_replay(spark, tmpdir):
+    """Planted store-backed streaming split assignment: inherit /
+    fresh / bridged-or-conflict statuses against a hand-built corpus
+    index, invariance to micro-batch boundaries AND arrival order
+    (frozen-index design), replay idempotence, and the documented
+    boundary — two intra-stream near-dups each hash fresh (the batch
+    op owns them at re-index time)."""
+    import json as _json
+    import shutil
+
+    from lab3_lakehouse_spark import stores
+    from lab3_lakehouse_spark.operators import dedup as dedup_ops
+    from lab3_lakehouse_spark.operators.sketches import portable_hash60
+    from lab3_lakehouse_spark.streaming import ingest as st_ingest
+
+    n = [f"n{i}" for i in range(1, 41)]
+    u = [f"u{i}" for i in range(1, 31)]
+    q = [f"q{i}" for i in range(1, 32)]
+    corpus = {
+        1: " ".join(n[:36]),            # comp 1 (with 2)
+        2: " ".join([*n[:36], "x1"]),
+        11: " ".join(n[4:40]),          # comp 11 (J(1,11)=30/38 < 0.8)
+        31: " ".join(u),                # comp 31 (with 32)
+        32: " ".join([*u, "x2"]),
+        21: "s1 s2 s3 s4 s5 s6",        # singleton
+    }
+    comp_of = {1: 1, 2: 1, 11: 11, 31: 31, 32: 31, 21: 21}
+    batch = {
+        5: " ".join(u),                 # inherits comp 31
+        10: " ".join(q[:30]),           # intra-stream near-dup pair:
+        20: " ".join(q),                # each FRESH (frozen index)
+        15: "r1 r2 r3 r4 r5 r6",        # fresh singleton
+        25: " ".join(n),                # bridges comps 1 and 11
+    }
+
+    store = f"{tmpdir}/split_store"
+    corpus_df = spark.createDataFrame(
+        list(corpus.items()), ["doc_id", "text"]
+    )
+    hashed = corpus_df.select(
+        F.col("doc_id").alias("__id"),
+        dedup_ops.shingle_hashes("text", 3).alias("__h"),
+    )
+    dedup_ops.minhash_store_append(store, hashed)
+    stores.append_rows(
+        spark.createDataFrame(
+            list(comp_of.items()), ["doc_id", "component"]
+        ),
+        store,
+        "assign",
+        buckets=1,
+    )
+
+    def write_src(path, order):
+        os.makedirs(path)
+        for i, doc_id in enumerate(order):
+            with open(f"{path}/f{i}.json", "w") as f:
+                f.write(
+                    _json.dumps(
+                        {"doc_id": doc_id, "text": batch[doc_id],
+                         "source": "s"}
+                    )
+                )
+
+    def run(src, trigger=1):
+        sq = st_ingest.stream_split_assignment(
+            spark, src, store, max_files_per_trigger=trigger
+        )
+        try:
+            sq.processAllAvailable()
+        finally:
+            sq.stop()
+        return {
+            r.doc_id: (r.component, r.n_matched_components, r.split,
+                       r.status)
+            for r in stores.read_tier(spark, store, "stream_assign")
+            .dropDuplicates(["doc_id"])
+            .collect()
+        }
+
+    src1 = f"{tmpdir}/arrivals_1"
+    write_src(src1, [5, 10, 20, 15, 25])
+    out = run(src1)
+    assert sorted(out) == [5, 10, 15, 20, 25]
+
+    splits = {
+        r.c: r.s
+        for r in spark.createDataFrame(
+            [(c,) for c in [1, 11, 31, 10, 15, 20]], ["c"]
+        )
+        .select(
+            "c",
+            F.when(portable_hash60(F.col("c"), 71) % 10 < 8, "train")
+            .otherwise("val")
+            .alias("s"),
+        )
+        .collect()
+    }
+    assert out[5] == (31, 1, splits[31], "inherited")
+    assert out[15] == (15, 0, splits[15], "fresh")
+    # intra-stream near-dups each hash fresh against the frozen index
+    # — the documented boundary the batch op closes at re-index time
+    assert out[10] == (10, 0, splits[10], "fresh")
+    assert out[20] == (20, 0, splits[20], "fresh")
+    expected = "bridged" if splits[1] == splits[11] else "conflict"
+    assert out[25] == (1, 2, splits[1], expected)
+
+    # replay into the same tier (fresh checkpoint): rows identical,
+    # dedup-by-id reader unchanged
+    shutil.rmtree(f"{store}/_checkpoint")
+    assert run(src1, trigger=2) == out
+    # different arrival order and batching: identical assignment
+    src2 = f"{tmpdir}/arrivals_2"
+    write_src(src2, [25, 15, 20, 10, 5])
+    shutil.rmtree(f"{store}/_checkpoint")
+    assert run(src2, trigger=3) == out
