@@ -372,6 +372,30 @@ SHOWCASE: dict[str, str] = {
         "Python worker in the plan; ranking exchanges carry scores, "
         "never vectors."
     ),
+    "token_budget_epoch_allocation": (
+        "Capped waterfill (r12): the grouped token-count pass is the "
+        "ONLY data-sized stage (partial→exchange→final), then windows "
+        "run over the ≤|sources| bounded frame with 1-row broadcast "
+        "totals; the capping prefix is decided in pure 64-bit integer "
+        "arithmetic inside codegen — no iteration, no SortMergeJoin, "
+        "text never crosses a shuffle."
+    ),
+    "incremental_split_maintenance": (
+        "Batch-cost split upkeep (r12): the pair tier is checkpointed "
+        "once; corpus components contract the batch-touching pairs "
+        "onto component ids (keyed joins), the second CC runs over the "
+        "batch-sized contracted graph, and every hash exchange is "
+        "keyed on doc/vertex/component ids — token and text columns "
+        "never shuffle after the pair tier."
+    ),
+    "conformal_quality_threshold": (
+        "Split-conformal gate (r12): one scoring scan, calibration "
+        "ranking under a source-PARTITIONED window (parallel across "
+        "sources, prunable to k_rank rows), and the ≤|sources| tau "
+        "table broadcasts back onto the holdout scan — "
+        "BroadcastHashJoin, never a SortMergeJoin, no doc-sized "
+        "single-partition collapse."
+    ),
 }
 
 

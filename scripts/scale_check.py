@@ -428,6 +428,26 @@ def workloads():
         # twin): banded candidates + CC + one corpus-wide left join and
         # component window — alpha ~ the LSH dedup cost class
         "leakage_split_lsh": ov["leakage_safe_split_assignment"],
+        # round-12 additions: incremental split upkeep over the LSH
+        # pair source (bench-override composition; corpus CC + the
+        # batch-sized contracted CC — the LSH dedup cost class), the
+        # token-budget waterfill (one grouped token pass + bounded
+        # windows — alpha ~ 1 in corpus tokens), the sample tier
+        # (per-batch bottom-k appends + metadata draw — near-flat: the
+        # hash scan is the only data-sized leg), the conformal gate
+        # (one scoring scan + source-partitioned ranking — alpha ~ 1
+        # in docs), and the streaming split assigner (stream + store
+        # probe per micro-batch — the streaming_kll cost class with a
+        # banded-probe leg that grows with the corpus index)
+        "incremental_split_lsh": ov["incremental_split_maintenance"],
+        "token_budget_epoch_allocation": QUERIES[
+            "token_budget_epoch_allocation"
+        ],
+        "uniform_sample_store": QUERIES["uniform_sample_store"],
+        "conformal_quality_threshold": QUERIES[
+            "conformal_quality_threshold"
+        ],
+        "streaming_split_assignment": QUERIES["streaming_split_assignment"],
         "corpus_pipeline": corpus_pipeline,
     }
 

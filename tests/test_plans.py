@@ -702,3 +702,80 @@ def test_leakage_split_assignment_join_keys(spark, sf):
         if "hashpartitioning" in args:
             assert ("doc_id" in args) or ("component" in args), (args, cols)
         assert "text" not in cols, (args, cols)
+
+
+# --------------------------------------------- round-12 new ops ----
+
+
+def test_token_budget_alloc_one_data_sized_stage(spark, sf):
+    """The waterfill's scale claim: the grouped token-count pass is the
+    ONLY data-sized stage (partial+final HashAggregate — map-side
+    combine before the one exchange); everything downstream runs on the
+    bounded per-source frame with broadcast 1-row totals — document
+    text never crosses a shuffle and no SortMergeJoin exists."""
+    df = QUERIES["token_budget_epoch_allocation"](spark, sf)
+    assert pa.count_nodes(df, "HashAggregate") >= 2
+    assert pa.count_nodes(df, "SortMergeJoin") == 0
+    for args, cols in pa.exchange_inputs(df):
+        assert "text" not in cols, (args, cols)
+
+
+def test_sample_store_append_is_takeordered_not_global_sort(spark, sf):
+    """The sample tier's append cost claim: the per-batch bottom-k is
+    TakeOrderedAndProject (per-partition top-k + tiny merge), never a
+    global range-partitioned sort — the same discipline as
+    revenue_pareto_curve's r5 fix, applied to the store write path.
+    (The registry frame is localCheckpoint-ed, so the pin drives the
+    exact frame sample_store_append writes.)"""
+    from pyspark.sql import functions as F
+
+    from lab3_lakehouse_spark.operators.sketches import portable_hash60
+
+    docs = load_table(spark, sf, "documents")
+    mins = (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .distinct()
+        .select("doc_id", portable_hash60(F.col("doc_id"), 131).alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(50)
+    )
+    assert pa.count_nodes(mins, "TakeOrderedAndProject") == 1
+    plan = pa.formatted_plan(mins)
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_conformal_threshold_broadcasts_tau_table(spark, sf):
+    """The conformal gate's scale claims: the per-source tau table is
+    BROADCAST back onto the holdout scan (never a SortMergeJoin), the
+    calibration ranking runs under a source-PARTITIONED window, and no
+    doc-sized frame ever collapses to a single partition (scalar
+    SinglePartition exchanges carry no score column)."""
+    df = QUERIES["conformal_quality_threshold"](spark, sf)
+    assert pa.count_nodes(df, "BroadcastHashJoin") >= 1
+    assert pa.count_nodes(df, "SortMergeJoin") == 0
+    for args, cols in pa.exchange_inputs(df):
+        if "SinglePartition" in args:
+            assert "score" not in cols, (args, cols)
+        assert "text" not in cols, (args, cols)
+
+
+def test_incremental_split_exchanges_keyed_on_ids_only(spark, sf):
+    """The incremental splitter inherits the leakage-split shuffle
+    discipline: after the (checkpointed) pair tier, every hash exchange
+    is keyed on doc/vertex/component ids — the contracted graph, the
+    cluster stats and the final assignment join never shuffle text or
+    token columns."""
+    df = QUERIES["incremental_split_maintenance"](spark, sf)
+    for args, cols in pa.exchange_inputs(df):
+        if "hashpartitioning" in args:
+            assert (
+                ("doc_id" in args)
+                or ("component" in args)
+                or ("vertex" in args)
+                or ("cluster" in args)
+                or ("u#" in args)
+                or ("v#" in args)
+                or ("id_a" in args)
+                or ("id_b" in args)
+            ), (args, cols)
+        assert "text" not in cols, (args, cols)
