@@ -6,10 +6,11 @@ showcase of the unified store lifecycle (lab3_lakehouse_spark/stores.py).
     ingestion begins)
         IVF-PQ metadata fit            → centroids + codebooks tiers
 
-    continuous (five Structured-Streaming writers, each micro-batch
+    continuous (six Structured-Streaming writers, each micro-batch
     cost ∝ the batch — no writer ever reads its store)
         documents stream  → BM25 postings store   (lexical retrieval)
                           → pHash signature tier  (media dedup)
+                          → bottom-k sample tier  (always-fresh sample)
         benchmark stream  → Bloom bit tier        (decontamination)
         events stream     → KLL compactor tier    (quantile monitoring)
         embeddings stream → IVF-PQ codes tier     (dense retrieval)
@@ -20,6 +21,7 @@ showcase of the unified store lifecycle (lab3_lakehouse_spark/stores.py).
         Bloom probe       no false negatives vs the exact join
         KLL estimates     rank error within ε·n + 1 of exact
         IVF-PQ top-k      recall vs brute force over the same vectors
+        sample draw       == the exact global bottom-k (bit-identical)
 
     maintenance (GC to NEW roots; live probes never disturbed)
         bm25_compact_store / kll_compact_store
@@ -56,12 +58,13 @@ from lab3_lakehouse_spark.streaming import monitor as st_mon
 _QS = [0.1, 0.5, 0.9]
 _KLL_K, _KLL_SHARDS = 256, 4
 _DECON_BITS, _DECON_K = 1 << 16, 3
+_SAMPLE_K = 32
 
 
 def run_continuous_index(
     spark: SparkSession, sf_dir: str, out_root: str
 ) -> dict:
-    """Drive the five-store pipeline end-to-end; returns the probe
+    """Drive the six-store pipeline end-to-end; returns the probe
     metrics dict (counts + the GC-identity booleans)."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
@@ -74,7 +77,7 @@ def run_continuous_index(
     src_emb = f"{out_root}/src/emb"
     src_events = f"{out_root}/src/events"
     roots = {f: f"{out_root}/{f}" for f in
-             ("bm25", "phash", "bloom", "kll", "ivfpq")}
+             ("bm25", "phash", "bloom", "kll", "ivfpq", "sample")}
 
     # ---- crawl sources: JSON file slices (2 slices → ≥2 micro-batches)
     docs.select("doc_id", "text", "source").repartition(2).write.mode(
@@ -96,7 +99,7 @@ def run_continuous_index(
         n_centroids=16, dim=64, m=8, n_codes=32,
     )
 
-    # ---- five continuous writers over one drained crawl
+    # ---- six continuous writers over one drained crawl
     streams = [
         st_ingest.stream_bm25_append(spark, src_docs, roots["bm25"]),
         st_ingest.stream_phash_append(spark, src_docs, roots["phash"]),
@@ -108,6 +111,9 @@ def run_continuous_index(
             spark, src_events, roots["kll"], k=_KLL_K, shards=_KLL_SHARDS
         ),
         st_ingest.stream_ivfpq_append(spark, src_emb, roots["ivfpq"]),
+        st_ingest.stream_sample_append(
+            spark, src_docs, roots["sample"], k=_SAMPLE_K
+        ),
     ]
     try:
         for q in streams:
@@ -205,6 +211,29 @@ def run_continuous_index(
     recall = len(ann_pairs & bf_pairs) / len(bf_pairs)
     assert recall >= 0.7, f"streamed IVF-PQ recall {recall}"
     out["ann_recall"] = round(recall, 4)
+
+    # ---- sample probe: the streamed tier draws the EXACT global
+    # bottom-k of every doc that flowed through the crawl
+    from lab3_lakehouse_spark.operators import sampling
+    from lab3_lakehouse_spark.operators.sketches import portable_hash60
+
+    got_sample = [
+        tuple(r)
+        for r in sampling.sample_store_draw(
+            spark, roots["sample"], k=_SAMPLE_K
+        ).collect()
+    ]
+    want_sample = [
+        tuple(r)
+        for r in docs.select(
+            "doc_id", portable_hash60(F.col("doc_id"), 131).alias("h")
+        )
+        .orderBy("h", "doc_id")
+        .limit(_SAMPLE_K)
+        .collect()
+    ]
+    assert got_sample == want_sample, "streamed sample diverged"
+    out["sample_k"] = len(got_sample)
 
     # ---- GC: compact the two merge-bearing tiers to NEW roots; probes
     # must not notice

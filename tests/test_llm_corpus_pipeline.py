@@ -208,7 +208,7 @@ def test_ab_analysis_pipeline_end_to_end(spark, sf_small, tmpdir):
 
 
 def test_continuous_index_pipeline_end_to_end(spark, sf_small, tmpdir):
-    """The five-store continuous-indexing example: one drained crawl
+    """The six-store continuous-indexing example: one drained crawl
     must leave every persisted-store family probe-ready (BM25 equal to
     the one-shot scorer, pHash equal to decode-per-call, Bloom with no
     false negatives, KLL within the rank bound, IVF-PQ above the recall
@@ -223,3 +223,4 @@ def test_continuous_index_pipeline_end_to_end(spark, sf_small, tmpdir):
     assert out["bm25_gc_identical"] and out["kll_gc_identical"]
     assert out["swap_identical"]
     assert out["bloom_pass"] >= out["bloom_exact"] > 0
+    assert out["sample_k"] == 32
