@@ -233,6 +233,7 @@ HEADLINE = [
     "uniform_sample_store",           # persisted bottom-k sample tier (r12)
     "conformal_quality_threshold",    # finite-sample keep-guarantee cut (r12)
     "streaming_split_assignment",     # store-probed continuous split (r12)
+    "embedding_centroid_drift",       # embedding-tier drift monitor (r12)
 ]
 
 #: Run FIRST, before the HEADLINE order (r11 verdict task #1c): the
@@ -262,6 +263,7 @@ WATCH_FIRST = [
     "uniform_sample_store",
     "conformal_quality_threshold",
     "streaming_split_assignment",
+    "embedding_centroid_drift",
 ]
 
 

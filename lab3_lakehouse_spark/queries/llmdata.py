@@ -2904,3 +2904,98 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(F.col("norm_out")).alias("norm_out"),
         round4(F.col("norm_out") / F.col("norm_in")).alias("norm_ratio"),
     )
+
+
+# ------------------------------------ embedding centroid drift ----
+
+_CENTROID_DRIFT_ORACLE = f"""
+    WITH e AS (
+        SELECT label,
+               vec_id % 2 = 0 AS is_ref,
+               t.i AS dim,
+               embedding[t.i] AS v
+        FROM embeddings, generate_series(1, 64) AS t(i)  -- dim=64
+             -- (fixed: DuckDB's generate_series can't be lateral)
+    ), cent AS (
+        SELECT label, dim,
+               {sql_round4('avg(CASE WHEN is_ref THEN v END)')} AS a,
+               {sql_round4('avg(CASE WHEN NOT is_ref THEN v END)')} AS b
+        FROM e GROUP BY label, dim
+    ), dots AS (
+        SELECT label,
+               sum(a * b) AS ab, sum(a * a) AS aa, sum(b * b) AS bb
+        FROM cent GROUP BY label
+    ), counts AS (
+        SELECT label,
+               CAST(count(CASE WHEN vec_id % 2 = 0 THEN 1 END)
+                    AS BIGINT) AS n_ref,
+               CAST(count(CASE WHEN vec_id % 2 <> 0 THEN 1 END)
+                    AS BIGINT) AS n_cand
+        FROM embeddings GROUP BY label
+    )
+    SELECT CAST(d.label AS BIGINT) AS label, c.n_ref, c.n_cand,
+           {sql_round4('d.ab / (sqrt(d.aa) * sqrt(d.bb))')}
+               AS centroid_cosine,
+           {sql_round4('sqrt(d.bb) / sqrt(d.aa)')} AS centroid_norm_ratio
+    FROM dots d JOIN counts c ON c.label = d.label
+"""
+
+
+@query("embedding_centroid_drift", oracle=_CENTROID_DRIFT_ORACLE)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-TIER drift monitor — the drift quintet's missing
+    modality: scalar drift (PSI/KS) and categorical drift (chi-square)
+    can't see an embedding-model regression that moves every vector a
+    little, so this compares per-label centroids between a reference
+    and a candidate snapshot (the vec_id parity halves here; in
+    production, yesterday's tier vs today's re-embed). Per label:
+    centroid cosine (direction drift — a re-embed with a silently
+    updated model shows cos ≪ 1 long before retrieval metrics tank)
+    and the centroid-norm ratio (scale drift — the embedding_norm_audit
+    signal at the aggregate level). The per-dim means are round4-PINNED
+    before any cross-dim math (the centroid policy every
+    embedding-aggregate query in the catalog uses), so both engines run
+    the cosine on identical 64-value inputs.
+
+    Scale shape: ONE scan-side posexplode into a (label, half, dim)
+    keyed aggregate — map-side combinable, dims × labels output rows —
+    then all remaining math on the ≤ labels·dims bounded frame; no
+    joins against the vector tier, no vector ever crosses a shuffle
+    (exchanges carry (label, dim, partial-sum) rows). At 100 TB this is
+    the cheapest possible full-tier pass: the same cost class as a
+    grouped count."""
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("is_ref"),
+        F.posexplode("embedding").alias("dim", "v"),
+    )
+    cent = e.groupBy("label", "dim").agg(
+        round4(F.avg(F.when(F.col("is_ref"), F.col("v")))).alias("a"),
+        round4(F.avg(F.when(~F.col("is_ref"), F.col("v")))).alias("b"),
+    )
+    dots = cent.groupBy("label").agg(
+        F.sum(F.col("a") * F.col("b")).alias("ab"),
+        F.sum(F.col("a") * F.col("a")).alias("aa"),
+        F.sum(F.col("b") * F.col("b")).alias("bb"),
+    )
+    counts = emb.groupBy("label").agg(
+        F.count(F.when(F.col("vec_id") % 2 == 0, 1))
+        .cast("long")
+        .alias("n_ref"),
+        F.count(F.when(F.col("vec_id") % 2 != 0, 1))
+        .cast("long")
+        .alias("n_cand"),
+    )
+    return dots.join(counts, "label").select(
+        F.col("label").cast("long").alias("label"),
+        "n_ref",
+        "n_cand",
+        round4(
+            F.col("ab") / (F.sqrt(F.col("aa")) * F.sqrt(F.col("bb")))
+        ).alias("centroid_cosine"),
+        round4(F.sqrt(F.col("bb")) / F.sqrt(F.col("aa"))).alias(
+            "centroid_norm_ratio"
+        ),
+    )

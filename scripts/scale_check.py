@@ -448,6 +448,10 @@ def workloads():
             "conformal_quality_threshold"
         ],
         "streaming_split_assignment": QUERIES["streaming_split_assignment"],
+        # the embedding-tier drift monitor: one scan-side posexplode
+        # into a (label, dim) keyed aggregate — but embeddings ride
+        # the fact amplifier unchanged, so this row pins fixed cost
+        "embedding_centroid_drift": QUERIES["embedding_centroid_drift"],
         "corpus_pipeline": corpus_pipeline,
     }
 

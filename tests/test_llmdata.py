@@ -1159,3 +1159,44 @@ def test_good_turing_counts_hand_built(spark, tmp_path):
     assert r.n_tokens == 7 and r.vocab_size == 4
     assert r.n_singletons == 2 and r.n_doubletons == 1
     assert r.gt_unseen_mass == pytest.approx(2 / 7, abs=1e-4)
+
+
+def test_embedding_centroid_drift_planted_geometry(spark, tmp_path):
+    """Planted drift geometry: identical halves → cosine 1 ratio 1;
+    a doubled candidate → cosine 1 ratio 2; an orthogonal candidate →
+    cosine 0 — the three regimes the monitor separates (direction vs
+    scale drift)."""
+    import numpy as np
+
+    from lab3_lakehouse_spark.queries import QUERIES
+
+    def vec(axis, scale=1.0, dim=64):
+        v = [0.0] * dim
+        v[axis] = float(scale)
+        return v
+
+    rows = []
+    vid = 0
+    for _ in range(4):  # label 0: ref == cand (axis 0)
+        rows.append((vid, vec(0), 0)); vid += 1
+    for _ in range(4):  # label 1: cand = 2x ref (axis 1)
+        scale = 1.0 if vid % 2 == 0 else 2.0
+        rows.append((vid, vec(1, scale), 1)); vid += 1
+    for _ in range(4):  # label 2: cand orthogonal to ref
+        axis = 2 if vid % 2 == 0 else 3
+        rows.append((vid, vec(axis), 2)); vid += 1
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = {
+        r.label: r
+        for r in QUERIES["embedding_centroid_drift"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[0].centroid_cosine == 1.0
+    assert out[0].centroid_norm_ratio == 1.0
+    assert out[1].centroid_cosine == 1.0
+    assert out[1].centroid_norm_ratio == 2.0
+    assert out[2].centroid_cosine == 0.0
+    assert out[2].n_ref == 2 and out[2].n_cand == 2
