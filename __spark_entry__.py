@@ -31,7 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # checks the first 50 registry entries per round). ROUND-12 rotation
 # (executes the plan written in the r11 header; ages below are
 # DRIVER-stamped ages):
-#   slots 1-6   the NEW r12 entries (incremental_split_maintenance —
+#   slots 1-7   the NEW r12 entries (incremental_split_maintenance —
 #               batch-cost leakage-safe split upkeep with contracted-CC
 #               inherit/fresh/bridged/conflict statuses;
 #               token_budget_epoch_allocation — closed-form capped
@@ -42,23 +42,26 @@ def entry(spark: SparkSession) -> DataFrame:
 #               streaming_split_assignment — store-probed continuous
 #               split against the frozen corpus index;
 #               embedding_centroid_drift — embedding-tier drift
-#               monitor, the drift quintet's missing modality).
-#   slots 7-9   the r12 result-relevant ADVICE edits re-verified
+#               monitor, the drift quintet's missing modality;
+#               weighted_sample_store — the sample family's weighted
+#               Efraimidis-Spirakis priorities tier).
+#   slots 8-10   the r12 result-relevant ADVICE edits re-verified
 #               (streaming_kll_store: kll_compact_store now stamps the
 #               reserved batch_id=-1 sentinel; decontamination_bloom_
 #               store + streaming_bloom_decontamination: bloom meta now
 #               reads through an explicit schema for mixed-age stores).
-#   slots 10-12 the three entries displaced past the r11 boundary
+#   slots 11-13 the three entries displaced past the r11 boundary
 #               (sql_shipping_priority, asof_view_next_purchase,
 #               bm25_lexical_topk — all green in the r11 sweep/judge
 #               re-run; they led this round's queue per the r11 plan).
-#   slots 13-50 the r5/r6-green fill continuing in the order the r11
+#   slots 14-50 the r5/r6-green fill continuing in the order the r11
 #               header listed (incremental_agg_retractions onward
-#               through per_source_document_quota; ann_filtered_
-#               topk, kmeans_cluster_contract, shared_span_dup_report,
-#               referential_integrity_audit and event_transition_
-#               matrix slipped past the boundary to make room for the
-#               late r12 ops — they join the r13 queue)
+#               through user_retention_cohorts; per_source_
+#               document_quota, ann_filtered_topk, kmeans_cluster_
+#               contract, shared_span_dup_report, referential_
+#               integrity_audit and event_transition_matrix slipped
+#               past the boundary to make room for the late r12 ops —
+#               they join the r13 queue)
 #               — the oldest remaining driver stamps advance past r6.
 # After the boundary: the rest of the r5-r9 fill in prior order, the
 # r10-stamped block, and the r11-stamped window LAST (freshest stamps
@@ -66,9 +69,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-13 ROTATION PLAN (for the next builder): lead with (1) any
 # query round 13 edits/new ops, (2) the two entries displaced past
-# this round's boundary (ann_filtered_topk, kmeans_cluster_contract,
-# shared_span_dup_report, referential_integrity_audit,
-# event_transition_matrix — all green in the r12 pre-sweep), (3) the
+# this round's boundary (per_source_document_quota,
+# ann_filtered_topk, kmeans_cluster_contract, shared_span_dup_report,
+# referential_integrity_audit, event_transition_matrix — all green in
+# the r12 pre-sweep), (3) the
 # r5/r6-green fill continuing from throttled_event_stream in the
 # order below, (4) keep the r10 then r11 blocks at the end (freshest
 # last).
@@ -81,6 +85,7 @@ _PRIORITY = [
     "conformal_quality_threshold",
     "streaming_split_assignment",
     "embedding_centroid_drift",
+    "weighted_sample_store",
     "streaming_kll_store",
     "decontamination_bloom_store",
     "streaming_bloom_decontamination",
@@ -124,8 +129,8 @@ _PRIORITY = [
     "time_decay_user_value",
     "mad_outlier_report",
     "user_retention_cohorts",
-    "per_source_document_quota",
     # ---- 50-slot window boundary (r12) ----
+    "per_source_document_quota",
     "ann_filtered_topk",
     "kmeans_cluster_contract",
     "shared_span_dup_report",

@@ -234,6 +234,7 @@ HEADLINE = [
     "conformal_quality_threshold",    # finite-sample keep-guarantee cut (r12)
     "streaming_split_assignment",     # store-probed continuous split (r12)
     "embedding_centroid_drift",       # embedding-tier drift monitor (r12)
+    "weighted_sample_store",          # persisted ES weighted-sample tier (r12)
 ]
 
 #: Run FIRST, before the HEADLINE order (r11 verdict task #1c): the
@@ -264,6 +265,7 @@ WATCH_FIRST = [
     "conformal_quality_threshold",
     "streaming_split_assignment",
     "embedding_centroid_drift",
+    "weighted_sample_store",
 ]
 
 

@@ -334,3 +334,73 @@ def sample_store_compact(
     stores.gc_write(
         sample_store_draw(spark, src_root, k=k), dst_root, "mins", coalesce=1
     )
+
+
+def weighted_sample_store_append(
+    store_root: str,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    *,
+    k: int = 64,
+    seed: int = 7,
+) -> None:
+    """Weighted twin of :func:`sample_store_append` — the ``priorities``
+    tier of the ``sample`` family: each batch appends only its top-k
+    rows by the deterministic Efraimidis–Spirakis priority
+    (:func:`weighted_priority`, inclusion probability ∝ weight), and
+    because per-item priorities are independent of batching, "global
+    top-k of a union" = "top-k of the per-batch top-ks" — the
+    A-ExpJ reservoir argument, realized as a mergeable persisted tier.
+    Same contracts as the uniform tier: append cost ∝ the batch
+    (TakeOrderedAndProject), store never read, replay-idempotent
+    (deterministic rows, id-dedup on draw). Non-positive/null weights
+    are excluded (the weighted_priority precondition). ``k``/``seed``
+    and the weight SEMANTICS must match across appends — a doc's
+    priority must not change between batches (re-appending an id with
+    a different weight breaks the reservoir argument; ids are unique
+    across batches per the store contract)."""
+    from lab3_lakehouse_spark import stores
+
+    w = F.col(weight_col)
+    tops = (
+        df.filter(w.cast("double") > 0)
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            weighted_priority(id_col, weight_col, seed).alias("priority"),
+        )
+        .dropDuplicates(["doc_id"])
+        .orderBy(F.desc("priority"), "doc_id")
+        .limit(k)
+    )
+    stores.append_rows(tops, store_root, "priorities", buckets=1)
+
+
+def weighted_sample_store_draw(spark, store_root: str, *, k: int = 64) -> DataFrame:
+    """The exact weighted k-sample (without replacement, inclusion ∝
+    weight) of every id ever appended: merge the stored per-batch
+    top-k priority rows, dedup by id, keep the global top-k —
+    batches·k input rows, deterministic in the appended id/weight set."""
+    from lab3_lakehouse_spark import stores
+
+    return (
+        stores.read_tier(spark, store_root, "priorities")
+        .dropDuplicates(["doc_id"])
+        .orderBy(F.desc("priority"), "doc_id")
+        .limit(k)
+    )
+
+
+def weighted_sample_store_compact(
+    spark, src_root: str, dst_root: str, *, k: int = 64
+) -> None:
+    """Disk GC for the weighted tier — the fold IS the draw (the
+    uniform-tier contract, desc order)."""
+    from lab3_lakehouse_spark import stores
+
+    stores.gc_write(
+        weighted_sample_store_draw(spark, src_root, k=k),
+        dst_root,
+        "priorities",
+        coalesce=1,
+    )

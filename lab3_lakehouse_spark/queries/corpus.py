@@ -1352,3 +1352,86 @@ def uniform_sample_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(store, ignore_errors=True)
         shutil.rmtree(gc_root, ignore_errors=True)
+
+
+_WSAMPLE_K = 40
+_WSAMPLE_SEED = 19
+
+
+def _weighted_sample_store_oracle() -> str:
+    u = (
+        f"(({sql_hash60('doc_id', _WSAMPLE_SEED)}) + 1)"
+        " / 1152921504606846976.0"
+    )
+    pr = f"ln({u}) / CAST(n_chars AS DOUBLE)"
+    return f"""
+    SELECT doc_id, {sql_round4(pr)} AS priority, source,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    WHERE CAST(n_chars AS DOUBLE) > 0
+    ORDER BY {pr} DESC, doc_id
+    LIMIT {_WSAMPLE_K}
+    """
+
+
+@query("weighted_sample_store", oracle=_weighted_sample_store_oracle())
+def weighted_sample_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling as a persisted STORE — the ``priorities`` tier
+    of the ``sample`` family: ingest the corpus in three batches, each
+    appending only its top-k rows by the deterministic Efraimidis–
+    Spirakis priority (inclusion probability ∝ n_chars), then draw the
+    exact global weighted k-sample (without replacement) from the
+    batches·k stored rows. Per-item priorities are independent of
+    batching, so "global top-k of a union" = "top-k of the per-batch
+    top-ks" — the A-ExpJ reservoir argument (Efraimidis & Spirakis
+    2006), realized as a mergeable tier: the always-fresh weighted
+    probe set a 100 TB curation pipeline keeps warm at metadata cost
+    (weighted_doc_sample is the one-shot twin; this is its
+    maintainable form). The oracle recomputes the identical priorities
+    in SQL over the whole corpus, so the gate verifies the merge
+    property end-to-end under a real multi-batch history. The entry
+    also runs the GC leg with an in-plan equality pin (the fold IS the
+    draw)."""
+    import shutil
+
+    from lab3_lakehouse_spark.operators import sampling
+    from lab3_lakehouse_spark.queries._util import scratch_dir
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    store = scratch_dir("wsample_store_")
+    gc_root = scratch_dir("wsample_store_gc_")
+    try:
+        for part in range(3):
+            sampling.weighted_sample_store_append(
+                store,
+                docs.filter(F.col("doc_id") % 3 == part),
+                "doc_id",
+                "n_chars",
+                k=_WSAMPLE_K,
+                seed=_WSAMPLE_SEED,
+            )
+        draw = sampling.weighted_sample_store_draw(
+            spark, store, k=_WSAMPLE_K
+        )
+        sampling.weighted_sample_store_compact(
+            spark, store, gc_root, k=_WSAMPLE_K
+        )
+        draw_gc = sampling.weighted_sample_store_draw(
+            spark, gc_root, k=_WSAMPLE_K
+        )
+        merged = draw.join(
+            draw_gc.select("doc_id"), "doc_id", "inner"
+        )
+        out = merged.join(
+            docs.select("doc_id", "source", "n_chars"), "doc_id"
+        ).select(
+            "doc_id",
+            round4(F.col("priority")).alias("priority"),
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+        shutil.rmtree(gc_root, ignore_errors=True)

@@ -5,8 +5,9 @@ The index families persist state between queries — BM25 postings
 decontamination bits (operators/sketches.py), media perceptual-hash
 signatures (operators/multimodal.py), KLL quantile compactors
 (operators/sketches.py + streaming/monitor.py), MinHash LSH
-band/hash signatures (operators/dedup.py) and bottom-k uniform-sample
-mins (operators/sampling.py). They all follow ONE contract, which this
+band/hash signatures (operators/dedup.py) and the bottom-k sample
+tiers — uniform mins + Efraimidis–Spirakis weighted priorities
+(operators/sampling.py). They all follow ONE contract, which this
 module owns so each family implements only its domain math:
 
 * **Root layout** — a store is a directory of named parquet *tiers*:
@@ -72,7 +73,7 @@ FAMILIES: dict[str, StoreSpec] = {
     "phash": StoreSpec("phash", ("signatures",)),
     "kll": StoreSpec("kll", ("kll",)),
     "minhash": StoreSpec("minhash", ("bands", "hashes")),
-    "sample": StoreSpec("sample", ("mins",)),
+    "sample": StoreSpec("sample", ("mins", "priorities")),
 }
 
 

@@ -452,6 +452,9 @@ def workloads():
         # into a (label, dim) keyed aggregate — but embeddings ride
         # the fact amplifier unchanged, so this row pins fixed cost
         "embedding_centroid_drift": QUERIES["embedding_centroid_drift"],
+        # weighted sample tier: per-batch top-k by deterministic ES
+        # priority — same near-flat class as the uniform tier
+        "weighted_sample_store": QUERIES["weighted_sample_store"],
         "corpus_pipeline": corpus_pipeline,
     }
 

@@ -121,8 +121,22 @@ def _family_actions(spark, tmp_path):
         ),
         "sample": (
             None,
-            lambda root, p: samp_ops.sample_store_append(
-                root, docs.filter(F.col("doc_id") % 2 == p), "doc_id", k=16
+            lambda root, p: (
+                samp_ops.sample_store_append(
+                    root,
+                    docs.filter(F.col("doc_id") % 2 == p),
+                    "doc_id",
+                    k=16,
+                ),
+                samp_ops.weighted_sample_store_append(
+                    root,
+                    docs.filter(F.col("doc_id") % 2 == p).withColumn(
+                        "n_chars", F.length("text")
+                    ),
+                    "doc_id",
+                    "n_chars",
+                    k=16,
+                ),
             ),
         ),
     }
@@ -516,6 +530,61 @@ def test_sample_gc_draw_identical_under_random_append_history(
     n_src = stores.read_tier(spark, src, "mins").count()
     n_dst = stores.read_tier(spark, dst, "mins").count()
     assert n_dst == 32 <= n_src
+
+
+@pytest.mark.parametrize("seed", [17, 53])
+def test_weighted_sample_gc_draw_identical_under_random_history(
+    spark, tmp_path, seed
+):
+    """GC + merge property for the WEIGHTED sample tier: any batch
+    split/order plus a replay must draw exactly the global top-k by
+    the deterministic Efraimidis–Spirakis priority — inclusion ∝
+    weight — and the compacted tier draws the identical sample."""
+    from lab3_lakehouse_spark.operators.sampling import weighted_priority
+
+    rng = random.Random(seed)
+    ids = list(range(400))
+    docs = spark.createDataFrame(
+        [(i, 10 + (i * 13) % 90) for i in ids], ["doc_id", "n_chars"]
+    )
+    src = str(tmp_path / f"wsample_src_{seed}")
+    dst = str(tmp_path / f"wsample_dst_{seed}")
+    batches = _random_batches(ids, rng)
+    for b in batches:
+        samp_ops.weighted_sample_store_append(
+            src, docs.filter(F.col("doc_id").isin(b)), "doc_id",
+            "n_chars", k=24,
+        )
+    samp_ops.weighted_sample_store_append(  # at-least-once replay
+        src, docs.filter(F.col("doc_id").isin(rng.choice(batches))),
+        "doc_id", "n_chars", k=24,
+    )
+    got = [
+        tuple(r)
+        for r in samp_ops.weighted_sample_store_draw(
+            spark, src, k=24
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in docs.select(
+            "doc_id",
+            weighted_priority("doc_id", "n_chars", 7).alias("priority"),
+        )
+        .orderBy(F.desc("priority"), "doc_id")
+        .limit(24)
+        .collect()
+    ]
+    assert got == want and len(got) == 24
+    samp_ops.weighted_sample_store_compact(spark, src, dst, k=24)
+    post = [
+        tuple(r)
+        for r in samp_ops.weighted_sample_store_draw(
+            spark, dst, k=24
+        ).collect()
+    ]
+    assert post == want
+    assert stores.read_tier(spark, dst, "priorities").count() == 24
 
 
 def test_bloom_store_meta_collapses_replayed_tagged_batches(spark, tmp_path):
