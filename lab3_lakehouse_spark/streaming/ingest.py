@@ -591,3 +591,48 @@ def stream_split_assignment(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def stream_weighted_sample_append(
+    spark: SparkSession,
+    src_dir: str,
+    store_root: str,
+    *,
+    weight_expr: str = "length(text)",
+    k: int = 64,
+    seed: int = 7,
+    max_files_per_trigger: int = 1,
+):
+    """Continuous maintenance of the WEIGHTED sample tier — the
+    priorities twin of :func:`stream_sample_append`: every micro-batch
+    appends its top-k ids by the deterministic Efraimidis–Spirakis
+    priority (inclusion ∝ ``weight_expr``), and
+    sampling.weighted_sample_store_draw reconstructs the exact global
+    weighted k-sample of everything ever streamed. Same replay story
+    as the uniform tier: rows are a deterministic function of the
+    batch's (id, weight) pairs, so re-delivery appends byte-identical
+    rows and the draw's id-dedup collapses them — fully idempotent."""
+    from lab3_lakehouse_spark.operators import sampling
+
+    checkpoint = f"{store_root}/_checkpoint"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sampling.weighted_sample_store_append(
+            store_root,
+            batch_df.withColumn("__w", F.expr(weight_expr)),
+            "doc_id",
+            "__w",
+            k=k,
+            seed=seed,
+        )
+
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(src_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

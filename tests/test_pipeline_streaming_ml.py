@@ -1721,3 +1721,55 @@ def test_stream_split_assignment_statuses_order_and_replay(spark, tmpdir):
     write_src(src2, [25, 15, 20, 10, 5])
     shutil.rmtree(f"{store}/_checkpoint")
     assert run(src2, trigger=3) == out
+
+
+def test_stream_weighted_sample_append_equals_one_shot_draw(spark, tmpdir):
+    """Stream-equals-batch parity for the WEIGHTED sample tier: the
+    streamed per-micro-batch top-k priorities must draw the identical
+    weighted sample as one batch append over the same corpus."""
+    import json as _json
+
+    from lab3_lakehouse_spark.operators import sampling
+    from lab3_lakehouse_spark.streaming import ingest as st_ingest
+
+    src = f"{tmpdir}/wsample_arrivals"
+    store = f"{tmpdir}/wsample_store"
+    once = f"{tmpdir}/wsample_once"
+    os.makedirs(src)
+    docs = [
+        {"doc_id": i, "text": "x" * (5 + (i * 11) % 60), "source": "s"}
+        for i in range(90)
+    ]
+    for chunk in range(3):
+        with open(f"{src}/f{chunk}.json", "w") as f:
+            f.write(
+                "\n".join(
+                    _json.dumps(d) for d in docs[chunk * 30 : chunk * 30 + 30]
+                )
+            )
+    q = st_ingest.stream_weighted_sample_append(
+        spark, src, store, k=16, max_files_per_trigger=1
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    docs_df = spark.createDataFrame(
+        [(d["doc_id"], len(d["text"])) for d in docs], ["doc_id", "n_chars"]
+    )
+    sampling.weighted_sample_store_append(
+        once, docs_df, "doc_id", "n_chars", k=16
+    )
+    got = [
+        tuple(r)
+        for r in sampling.weighted_sample_store_draw(
+            spark, store, k=16
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in sampling.weighted_sample_store_draw(
+            spark, once, k=16
+        ).collect()
+    ]
+    assert got == want and len(got) == 16
