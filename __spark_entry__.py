@@ -31,7 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # checks the first 50 registry entries per round). ROUND-12 rotation
 # (executes the plan written in the r11 header; ages below are
 # DRIVER-stamped ages):
-#   slots 1-7   the NEW r12 entries (incremental_split_maintenance —
+#   slots 1-8   the NEW r12 entries (incremental_split_maintenance —
 #               batch-cost leakage-safe split upkeep with contracted-CC
 #               inherit/fresh/bridged/conflict statuses;
 #               token_budget_epoch_allocation — closed-form capped
@@ -44,19 +44,22 @@ def entry(spark: SparkSession) -> DataFrame:
 #               embedding_centroid_drift — embedding-tier drift
 #               monitor, the drift quintet's missing modality;
 #               weighted_sample_store — the sample family's weighted
-#               Efraimidis-Spirakis priorities tier).
-#   slots 8-10   the r12 result-relevant ADVICE edits re-verified
+#               Efraimidis-Spirakis priorities tier;
+#               dedup_discounted_token_budget — the waterfill run on
+#               canonicalized per-source token counts).
+#   slots 9-11   the r12 result-relevant ADVICE edits re-verified
 #               (streaming_kll_store: kll_compact_store now stamps the
 #               reserved batch_id=-1 sentinel; decontamination_bloom_
 #               store + streaming_bloom_decontamination: bloom meta now
 #               reads through an explicit schema for mixed-age stores).
-#   slots 11-13 the three entries displaced past the r11 boundary
+#   slots 12-14 the three entries displaced past the r11 boundary
 #               (sql_shipping_priority, asof_view_next_purchase,
 #               bm25_lexical_topk — all green in the r11 sweep/judge
 #               re-run; they led this round's queue per the r11 plan).
-#   slots 14-50 the r5/r6-green fill continuing in the order the r11
+#   slots 15-50 the r5/r6-green fill continuing in the order the r11
 #               header listed (incremental_agg_retractions onward
-#               through user_retention_cohorts; per_source_
+#               through mad_outlier_report; user_retention_
+#               cohorts, per_source_
 #               document_quota, ann_filtered_topk, kmeans_cluster_
 #               contract, shared_span_dup_report, referential_
 #               integrity_audit and event_transition_matrix slipped
@@ -69,7 +72,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-13 ROTATION PLAN (for the next builder): lead with (1) any
 # query round 13 edits/new ops, (2) the two entries displaced past
-# this round's boundary (per_source_document_quota,
+# this round's boundary (user_retention_cohorts,
+# per_source_document_quota,
 # ann_filtered_topk, kmeans_cluster_contract, shared_span_dup_report,
 # referential_integrity_audit, event_transition_matrix — all green in
 # the r12 pre-sweep), (3) the
@@ -86,6 +90,7 @@ _PRIORITY = [
     "streaming_split_assignment",
     "embedding_centroid_drift",
     "weighted_sample_store",
+    "dedup_discounted_token_budget",
     "streaming_kll_store",
     "decontamination_bloom_store",
     "streaming_bloom_decontamination",
@@ -128,8 +133,8 @@ _PRIORITY = [
     "funnel_stage_conversion",
     "time_decay_user_value",
     "mad_outlier_report",
-    "user_retention_cohorts",
     # ---- 50-slot window boundary (r12) ----
+    "user_retention_cohorts",
     "per_source_document_quota",
     "ann_filtered_topk",
     "kmeans_cluster_contract",

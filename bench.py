@@ -235,6 +235,7 @@ HEADLINE = [
     "streaming_split_assignment",     # store-probed continuous split (r12)
     "embedding_centroid_drift",       # embedding-tier drift monitor (r12)
     "weighted_sample_store",          # persisted ES weighted-sample tier (r12)
+    "dedup_discounted_token_budget",  # waterfill on canonicalized tokens (r12)
 ]
 
 #: Run FIRST, before the HEADLINE order (r11 verdict task #1c): the
@@ -266,6 +267,7 @@ WATCH_FIRST = [
     "streaming_split_assignment",
     "embedding_centroid_drift",
     "weighted_sample_store",
+    "dedup_discounted_token_budget",
 ]
 
 
@@ -465,6 +467,39 @@ def _bench_overrides() -> dict:
             F.col("canonical_chars").cast("long").alias("canonical_chars"),
         )
 
+    def dedup_budget(spark, sf_dir):
+        # LSH pair source via the dup_canonical composition above, then
+        # the catalog query's own downstream: keeps -> grouped token
+        # counts -> the shared waterfill frame
+        from lab3_lakehouse_spark.operators import text as text_ops
+        from lab3_lakehouse_spark.queries._util import round4 as _r4
+        from lab3_lakehouse_spark.queries.corpus import _waterfill_frame
+
+        docs = load_table(spark, sf_dir, "documents")
+        mapping = dup_canonical(spark, sf_dir).select(
+            "doc_id", "is_canonical"
+        )
+        keep = (
+            docs.join(mapping, "doc_id", "left")
+            .filter(F.col("is_canonical").isNull() | F.col("is_canonical"))
+            .select("source", text_ops.token_count("text").alias("n_tok"))
+        )
+        tok = keep.groupBy("source").agg(
+            F.sum("n_tok").cast("long").alias("n_tokens")
+        )
+        rawtok = docs.groupBy("source").agg(
+            F.sum(text_ops.token_count("text")).cast("long")
+            .alias("n_tokens_raw")
+        )
+        return _waterfill_frame(tok).join(rawtok, "source").select(
+            "source", "n_tokens_raw",
+            F.col("n_tokens").alias("n_tokens_dedup"),
+            _r4(F.col("n_tokens").cast("double") / F.col("n_tokens_raw"))
+            .alias("dedup_keep_ratio"),
+            "cap_tokens", "budget", "capped", "alloc_tokens",
+            _r4(F.col("alloc_tokens") / F.col("n_tokens")).alias("epochs"),
+        )
+
     def cross_source_matrix(spark, sf_dir):
         # LSH pair source (the catalog's exact word-Jaccard pair tier is
         # the oracle-replay twin), then the same bounded source rollup
@@ -647,6 +682,7 @@ def _bench_overrides() -> dict:
         "dup_canonical_selection": dup_canonical,
         "leakage_safe_split_assignment": leakage_split,
         "incremental_split_maintenance": incr_split,
+        "dedup_discounted_token_budget": dedup_budget,
         "dup_group_size_histogram": dup_group_histogram,
         "cross_source_dup_matrix": cross_source_matrix,
         "dup_component_density_audit": dup_component_density,

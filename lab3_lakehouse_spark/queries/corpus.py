@@ -1090,13 +1090,12 @@ _EPOCH_CAP = 2
 #: branch of the waterfill stays exercised at every scale factor).
 _BUDGET_NUM, _BUDGET_DEN = 9, 5
 
-_EPOCH_ALLOC_ORACLE = f"""
-    WITH tok AS (
-        SELECT source,
-               CAST(sum(len(regexp_split_to_array(text, '\\s+')))
-                    AS BIGINT) AS n_tokens
-        FROM documents GROUP BY source
-    ), tot AS (
+#: the waterfill's CTE chain from ``tot`` through ``alloc`` — shared
+#: verbatim between the raw allocation oracle and the dedup-discounted
+#: variant (both define their own ``tok(source, n_tokens)`` CTE and
+#: final SELECT). Kept as one string so the two oracles cannot drift.
+_WATERFILL_SQL_TAIL = f"""
+    tot AS (
         SELECT CAST(count(*) AS BIGINT) AS n_src,
                CAST(({_BUDGET_NUM} * sum(n_tokens)) // {_BUDGET_DEN}
                     AS BIGINT) AS budget
@@ -1141,6 +1140,15 @@ _EPOCH_ALLOC_ORACLE = f"""
                     ELSE l.t_star END AS alloc_tokens
         FROM pref p CROSS JOIN lvl l
     )
+"""
+
+_EPOCH_ALLOC_ORACLE = f"""
+    WITH tok AS (
+        SELECT source,
+               CAST(sum(len(regexp_split_to_array(text, '\\s+')))
+                    AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ), {_WATERFILL_SQL_TAIL}
     SELECT source, n_tokens, cap_tokens, budget, capped, alloc_tokens,
            {sql_round4('alloc_tokens / n_tokens')} AS epochs
     FROM alloc
@@ -1178,12 +1186,31 @@ def token_budget_epoch_allocation(
     non-uniform mixing weights swaps the integer `(n_src - j + 1)`
     factor for a prefix-summed weight column (same plan shape)."""
     tune_session(spark)
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.groupBy("source").agg(
         F.sum(text_ops.token_count("text")).cast("long").alias("n_tokens")
     )
+    alloc = _waterfill_frame(tok)
+    return alloc.select(
+        "source",
+        "n_tokens",
+        "cap_tokens",
+        "budget",
+        "capped",
+        "alloc_tokens",
+        round4(F.col("alloc_tokens") / F.col("n_tokens")).alias("epochs"),
+    )
+
+
+def _waterfill_frame(tok: DataFrame) -> DataFrame:
+    """The closed-form capped waterfill over a ``(source, n_tokens)``
+    frame → ``(source, n_tokens, cap_tokens, budget, capped,
+    alloc_tokens)`` — shared by :func:`token_budget_epoch_allocation`
+    (raw token counts) and :func:`dedup_discounted_token_budget`
+    (counts after near-dup canonicalization); the SQL twin is shared
+    the same way (``_WATERFILL_SQL_TAIL``)."""
+    from pyspark.sql import Window
+
     tot = tok.agg(
         F.count(F.lit(1)).cast("long").alias("n_src"),
         F.expr(
@@ -1247,7 +1274,7 @@ def token_budget_epoch_allocation(
             .alias("t_star")
         )
     )
-    alloc = pref.crossJoin(F.broadcast(lvl)).select(
+    return pref.crossJoin(F.broadcast(lvl)).select(
         "source",
         "n_tokens",
         "cap_tokens",
@@ -1259,15 +1286,6 @@ def token_budget_epoch_allocation(
         )
         .otherwise(F.col("t_star"))
         .alias("alloc_tokens"),
-    )
-    return alloc.select(
-        "source",
-        "n_tokens",
-        "cap_tokens",
-        "budget",
-        "capped",
-        "alloc_tokens",
-        round4(F.col("alloc_tokens") / F.col("n_tokens")).alias("epochs"),
     )
 
 
@@ -1435,3 +1453,123 @@ def weighted_sample_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(store, ignore_errors=True)
         shutil.rmtree(gc_root, ignore_errors=True)
+
+
+# --------------------------- dedup-discounted token budget ----
+
+_DEDUP_BUDGET_ORACLE = f"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, source, lang,
+               regexp_split_to_array(text, '\\s+') AS wtok,
+               list_distinct(
+                   regexp_split_to_array(lower(text), '\\s+')) AS w,
+               n_chars
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.w, b.w))::DOUBLE
+              / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)))
+              >= 0.8
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach(u, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.u
+    ), comp AS (
+        SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u
+    ), canon AS (
+        SELECT c.doc_id
+        FROM comp c JOIN t d ON d.doc_id = c.doc_id
+        QUALIFY row_number() OVER (
+            PARTITION BY c.component ORDER BY d.n_chars DESC, c.doc_id
+        ) = 1
+    ), keep AS (
+        SELECT d.doc_id, d.source, len(d.wtok) AS n_tok
+        FROM t d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM comp)
+           OR d.doc_id IN (SELECT doc_id FROM canon)
+    ), rawtok AS (
+        SELECT source,
+               CAST(sum(len(wtok)) AS BIGINT) AS n_tokens_raw
+        FROM t GROUP BY source
+    ), tok AS (
+        SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        FROM keep GROUP BY source
+    ), {_WATERFILL_SQL_TAIL}
+    SELECT a.source,
+           r.n_tokens_raw,
+           a.n_tokens AS n_tokens_dedup,
+           {sql_round4(
+               'a.n_tokens::DOUBLE / r.n_tokens_raw')} AS dedup_keep_ratio,
+           a.cap_tokens, a.budget, a.capped, a.alloc_tokens,
+           {sql_round4('a.alloc_tokens / a.n_tokens')} AS epochs
+    FROM alloc a JOIN rawtok r ON r.source = a.source
+"""
+
+
+@query("dedup_discounted_token_budget", oracle=_DEDUP_BUDGET_ORACLE)
+def dedup_discounted_token_budget(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The allocation pipeline run on CLEAN data — the composition a
+    real mixture planner executes: near-dup canonicalization first
+    (keep one longest copy per connected component, the
+    dup_canonical_selection election), THEN the capped waterfill over
+    the deduplicated per-source token counts. Allocating on raw counts
+    double-pays syndicated content: a source whose volume is mostly
+    mirrored copies gets budget for tokens the model will effectively
+    see anyway via the canonical copies — the dedup discount
+    (``dedup_keep_ratio``) is exactly the correction, and because the
+    budget is 9/5 of the DEDUPED total, the whole schedule shrinks to
+    match the true unique-token supply.
+
+    Reuses the registered building blocks verbatim: the
+    dup_canonical_selection mapping table decides keeps, and
+    ``_waterfill_frame`` / ``_WATERFILL_SQL_TAIL`` are the same code
+    and SQL the raw allocation runs — the composition adds one
+    anti-join and one grouped count. Scale: the dedup leg is the
+    banded-LSH cost class (the mapping's pair tier swaps to the LSH
+    source at scale, as in dup_canonical_selection); the allocation
+    math stays bounded-frame."""
+    from lab3_lakehouse_spark.queries.advstats import (
+        dup_canonical_selection,
+    )
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    mapping = dup_canonical_selection(spark, sf_dir).select(
+        "doc_id", "is_canonical"
+    )
+    keep = (
+        docs.join(mapping, "doc_id", "left")
+        .filter(
+            F.col("is_canonical").isNull() | F.col("is_canonical")
+        )
+        .select("source", text_ops.token_count("text").alias("n_tok"))
+    )
+    tok = keep.groupBy("source").agg(
+        F.sum("n_tok").cast("long").alias("n_tokens")
+    )
+    rawtok = docs.groupBy("source").agg(
+        F.sum(text_ops.token_count("text"))
+        .cast("long")
+        .alias("n_tokens_raw")
+    )
+    alloc = _waterfill_frame(tok)
+    return alloc.join(rawtok, "source").select(
+        "source",
+        "n_tokens_raw",
+        F.col("n_tokens").alias("n_tokens_dedup"),
+        round4(
+            F.col("n_tokens").cast("double") / F.col("n_tokens_raw")
+        ).alias("dedup_keep_ratio"),
+        "cap_tokens",
+        "budget",
+        "capped",
+        "alloc_tokens",
+        round4(F.col("alloc_tokens") / F.col("n_tokens")).alias("epochs"),
+    )

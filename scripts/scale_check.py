@@ -455,6 +455,9 @@ def workloads():
         # weighted sample tier: per-batch top-k by deterministic ES
         # priority — same near-flat class as the uniform tier
         "weighted_sample_store": QUERIES["weighted_sample_store"],
+        # canonicalize-then-allocate composition over the LSH pair
+        # source — the dedup cost class plus bounded waterfill math
+        "dedup_budget_lsh": ov["dedup_discounted_token_budget"],
         "corpus_pipeline": corpus_pipeline,
     }
 
