@@ -1039,3 +1039,56 @@ def test_good_turing_mass_extremes(spark, tmp_path_factory, docs):
     ]
     r2 = run(doubled)
     assert r2.gt_unseen_mass == 0.0 and r2.n_singletons == 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=5000), min_size=2,
+             max_size=12)
+)
+def test_waterfill_invariants_on_random_token_counts(spark, toks):
+    """Property test for the closed-form capped waterfill (r12): for
+    ANY positive per-source token counts, the allocation must satisfy
+    the waterfilling optimality conditions — (1) budget exactly
+    conserved (sum alloc == B, exact because capped allocs are
+    integers and the uncapped share divides the integer remainder),
+    (2) every alloc ≤ its cap, (3) all uncapped sources sit at ONE
+    water level that is ≥ every capped source's cap (the exchange
+    argument: otherwise moving budget from an uncapped to a capped
+    source would equalize further), and (4) a sequential
+    cap-and-redistribute reference fixed point computed in plain
+    Python agrees on WHICH sources cap and on the level."""
+    from lab3_lakehouse_spark.queries.corpus import _waterfill_frame
+
+    tok = spark.createDataFrame(
+        [(f"s{i}", t) for i, t in enumerate(toks)],
+        "source string, n_tokens long",
+    )
+    rows = {r.source: r for r in _waterfill_frame(tok).collect()}
+    total = sum(toks)
+    budget = (9 * total) // 5
+    # plain-Python sequential reference: sort by cap, cap greedily
+    order = sorted((2 * t, f"s{i}") for i, t in enumerate(toks))
+    rem_b, rem_n, capped_ref = budget, len(toks), set()
+    for cap, name in order:
+        if cap * rem_n <= rem_b:
+            capped_ref.add(name)
+            rem_b -= cap
+            rem_n -= 1
+    level = rem_b / rem_n if rem_n else 0.0
+
+    assert {s for s, r in rows.items() if r.capped} == capped_ref
+    allocs = {s: r.alloc_tokens for s, r in rows.items()}
+    for s, r in rows.items():
+        assert r.cap_tokens == 2 * r.n_tokens
+        assert r.alloc_tokens <= r.cap_tokens + 1e-9
+        if r.capped:
+            assert r.alloc_tokens == float(r.cap_tokens)
+            if rem_n:  # caps sit at or below the water level
+                assert r.cap_tokens <= level + 1e-6
+        else:
+            assert abs(r.alloc_tokens - round(level, 4)) <= 1e-9
+    if rem_n:  # budget conserved (uncapped rows absorb the remainder)
+        assert abs(sum(allocs.values())
+                   - (budget - (rem_b - rem_n * round(level, 4)))) < 1e-6
+        assert abs(sum(allocs.values()) - budget) <= rem_n * 1e-4 + 1e-9
