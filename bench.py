@@ -50,6 +50,7 @@ truncation window still contains the verdict-relevant numbers.
 from __future__ import annotations
 
 import json
+import math
 import os
 import re
 import subprocess
@@ -244,40 +245,62 @@ HEADLINE = [
 #: must complete inside any wall-clock budget. Keep fresh each round:
 #: this round's NEW/edited entries plus active drift watch items.
 WATCH_FIRST = [
-    # store-family drift watch: stores.py write-path unification moved
-    # these ~1.15-1.20x on both builder and judge spot-checks; the r12
-    # driver numbers adjudicate (bisect _shaped if >=1.3x).
+    # store-family drift watch (r12 verdict task #1): BENCH_r12 showed
+    # these four 1.38-1.66x their driver-r10 priors while the fleet
+    # geomean sat at 1.06x — but all four ran as the FIRST cold-cache
+    # children. r13 de-confounds: an untimed __warmup__ child now runs
+    # before them (warms jars/venv/corpus page cache), and
+    # ann_store_ivfpq_topk runs AGAIN at slot ~30 (LATE_AB below) so
+    # the same driver run carries a cold-slot/warm-slot A/B.
     "ann_store_ivfpq_topk",
     "bm25_store_compaction",
     "hard_negative_store_mining",
-    "media_phash_store_partners",
     "kll_tier_compaction",
-    # r11 new entries — never measured by a driver bench (r11 timed out)
-    "streaming_kll_store",
-    "calibration_threshold_audit",
-    "rerank_store_candidates",
-    "source_token_jsd",
-    "good_turing_oov_estimate",
-    "leakage_safe_split_assignment",
-    # r12 new entries
+    "profile_orders_columns",    # only non-store entry >=1.3x in r12
+    # r13-edited entry (length-band blocking added to the pair tier)
     "incremental_split_maintenance",
-    "token_budget_epoch_allocation",
-    "uniform_sample_store",
-    "conformal_quality_threshold",
-    "streaming_split_assignment",
-    "embedding_centroid_drift",
-    "weighted_sample_store",
-    "dedup_discounted_token_budget",
 ]
+
+#: Same-run A/B for the store-drift adjudication: this sentinel re-runs
+#: ann_store_ivfpq_topk in its own fresh JVM at a LATE launch slot. If
+#: the late slot matches the (post-warm-up) early slot, the r12 spread
+#: was launch-position cold cache; if both still sit >=1.3x over the
+#: prior, it is a real regression — bisect with the phase profile in
+#: COVERAGE.md.
+LATE_AB = "ann_store_ivfpq_topk__late"
+LATE_AB_SLOT = 30
+
+
+def _prior_skipped() -> list[str]:
+    """The prior driver run's budget-skipped names (BENCH_LOCAL.json is
+    the driver's own committed artifact at round start). Read ONCE by
+    run_order() before main()'s incremental rewrites touch the file."""
+    local = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    try:
+        with open(local) as f:
+            return list(json.load(f).get("skipped", []))
+    except (OSError, ValueError):
+        return []
 
 
 def run_order() -> list[str]:
-    """Child launch order: watch items first, then the HEADLINE order,
-    then the end-to-end medallion pipeline — so a budget- or
-    timeout-truncated run still carries the numbers the round's
-    verdict needs (every name exactly once)."""
-    rest = [n for n in HEADLINE if n not in WATCH_FIRST]
-    return [*WATCH_FIRST, *rest, "medallion_pipeline"]
+    """Child launch order: watch items first, then the prior round's
+    budget-SKIPPED entries, then the rest — so a budget-truncated run
+    still carries the verdict-relevant numbers AND driver coverage
+    rotates across rounds instead of re-measuring the same ~57 entries
+    forever (r12 verdict task #3: ~115 entries had no driver timing
+    since r10). The A/B sentinel is spliced in at slot ~30. Every name
+    appears exactly once."""
+    pool = [*HEADLINE, "medallion_pipeline"]
+    rotated = [
+        n for n in _prior_skipped() if n in pool and n not in WATCH_FIRST
+    ]
+    rest = [n for n in pool if n not in WATCH_FIRST and n not in rotated]
+    order = [*WATCH_FIRST, *rotated, *rest]
+    order.insert(min(LATE_AB_SLOT, len(order)), LATE_AB)
+    return order
 
 
 def _bench_overrides() -> dict:
@@ -757,6 +780,35 @@ def run_single(name: str) -> float:
     """
     spark = build_session(app_name=f"lab3-bench-{name}")
     try:
+        if name == "__warmup__":
+            # Untimed host warm-up (r12 verdict task #1a): the FIRST
+            # fresh JVM on a cold host pays cold page cache for the
+            # Spark jar tree, the Python env and the sf0.1 corpus —
+            # BENCH_r12's four leading store entries measured
+            # 1.38-1.66x their priors from launch position alone. One
+            # throwaway child that scans every table and exercises the
+            # parquet WRITE path removes the confound for everything
+            # after it.
+            import glob as _glob
+            import shutil
+            import tempfile
+
+            t0 = time.perf_counter()
+            for p in sorted(_glob.glob(os.path.join(SF_DIR, "*.parquet"))):
+                spark.read.parquet(p).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            tmp = tempfile.mkdtemp(prefix="bench_warmup_")
+            try:
+                spark.range(100000).write.mode("overwrite").parquet(
+                    os.path.join(tmp, "w")
+                )
+                spark.read.parquet(os.path.join(tmp, "w")).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+            return round(time.perf_counter() - t0, 3)
         if name == "medallion_pipeline":
             # its own warm-up: one tiny end-to-end pass compiles the
             # write paths before the timed sf0.1 run
@@ -815,14 +867,25 @@ def _prior_bench() -> dict[str, float]:
     # the prior IS the driver's last run on this host; a builder's
     # mid-round run then compares against that same denominator (the
     # r9 verdict's attributability ask).
+    # Base layer (r13): BENCH_PRIORS.json carries the most recent
+    # DRIVER timing per query across rounds (r12 measured only 57
+    # entries before its budget; the rotated tail would otherwise have
+    # no drift denominator). BENCH_LOCAL (the freshest driver run)
+    # overlays it per-name.
+    merged: dict[str, float] = {}
+    try:
+        with open(os.path.join(root, "BENCH_PRIORS.json")) as f:
+            merged.update(json.load(f).get("queries", {}))
+    except (OSError, ValueError):
+        pass
     local = os.path.join(root, "BENCH_LOCAL.json")
     try:
         with open(local) as f:
-            prior = json.load(f).get("queries", {})
-        if prior:
-            return prior
+            merged.update(json.load(f).get("queries", {}))
     except (OSError, ValueError):
         pass
+    if merged:
+        return merged
     # fallback: a BENCH_r file whose tail still contains the START of
     # the queries dict — recover only pairs inside that segment, never
     # the prev_ratio block
@@ -885,10 +948,17 @@ def main() -> None:
     # first-choice source) with THIS run's partial timings
     prior = _prior_bench()
     t0 = time.monotonic()
-    order = run_order()
-    timings: dict[str, float] = {}
+    order = run_order()  # reads BENCH_LOCAL's skipped list — before
+    timings: dict[str, float] = {}   # _write_local overwrites the file
     failed: list[str] = []
     skipped: list[str] = []
+    # untimed warm-up child (r12 verdict task #1a): pays the cold-host
+    # page-cache cost so the first TIMED child doesn't. Not recorded.
+    try:
+        warm_s = _child("__warmup__")
+        print(f"warmup child: {warm_s}s (untimed)", file=sys.stderr)
+    except RuntimeError as exc:
+        print(f"warmup child failed (continuing): {exc}", file=sys.stderr)
     for name in order:
         if time.monotonic() - t0 > budget_s:
             skipped = [
@@ -900,8 +970,12 @@ def main() -> None:
                 file=sys.stderr,
             )
             break
+        # the late-slot A/B sentinel re-times its base query in a fresh
+        # JVM; the timing is recorded under the sentinel name so both
+        # slots land in the artifact side by side
+        child_name = name[: -len("__late")] if name.endswith("__late") else name
         try:
-            timings[name] = _child(name)
+            timings[name] = _child(child_name)
         except RuntimeError as exc:  # fail-soft: one broken query must
             failed.append(name)     # not cost the suite's artifact
             print(f"FAILED {name}: {exc}", file=sys.stderr)
@@ -972,6 +1046,34 @@ def main() -> None:
             },
             separators=(",", ":"),
         )
+    )
+    # FINAL compact line (r12 verdict task #2): the full summary above
+    # outgrew the driver's 2000-char stdout tail in r12 ("parsed":
+    # null), so a <300-char digest prints LAST — the driver's tail
+    # parser always sees a complete JSON object; per-query detail
+    # lives in BENCH_LOCAL.json.
+    pos = [r for r in prev_ratio.values() if r > 0]
+    geomean = (
+        round(math.exp(sum(math.log(r) for r in pos) / len(pos)), 3)
+        if pos
+        else None
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "sf": _sf_of(SF_DIR),
+                "n_queries": len(timings),
+                "n_skipped": len(skipped),
+                "n_failed": len(failed),
+                "worst_prev_ratio": max(pos) if pos else None,
+                "geomean_prev_ratio": geomean,
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
     )
 
 

@@ -58,15 +58,39 @@ def test_headline_names_are_registered():
 def test_run_order_watch_items_first_every_name_once():
     """r12 timeout-proofing: the launch order must start with the
     WATCH_FIRST block (this round's verdict-relevant queries) and
-    contain every HEADLINE name plus the medallion pipeline exactly
-    once — a budget-truncated run then still carries the numbers the
-    verdict needs."""
+    contain every HEADLINE name plus the medallion pipeline plus the
+    late-slot A/B sentinel exactly once — a budget-truncated run then
+    still carries the numbers the verdict needs."""
     order = bench.run_order()
     assert order[: len(bench.WATCH_FIRST)] == bench.WATCH_FIRST
-    assert sorted(order) == sorted([*bench.HEADLINE, "medallion_pipeline"])
+    assert sorted(order) == sorted(
+        [*bench.HEADLINE, "medallion_pipeline", bench.LATE_AB]
+    )
     assert len(order) == len(set(order))
     unknown = [n for n in bench.WATCH_FIRST if n not in bench.HEADLINE]
     assert not unknown, f"WATCH_FIRST not in HEADLINE: {unknown}"
+    # the A/B sentinel sits at a LATE slot (after the cold-start
+    # window) and its base query keeps its early WATCH_FIRST slot
+    assert order.index(bench.LATE_AB) == bench.LATE_AB_SLOT
+    assert order.index("ann_store_ivfpq_topk") < bench.LATE_AB_SLOT
+
+
+def test_run_order_rotates_through_prior_skipped(monkeypatch):
+    """r12 verdict task #3: entries the prior driver run budget-skipped
+    must run immediately after WATCH_FIRST, so driver coverage cycles
+    through the whole catalog across rounds instead of re-measuring
+    the same prefix forever."""
+    fake_skipped = [n for n in bench.HEADLINE if n not in bench.WATCH_FIRST][
+        -5:
+    ]
+    monkeypatch.setattr(bench, "_prior_skipped", lambda: list(fake_skipped))
+    order = bench.run_order()
+    no_ab = [n for n in order if n != bench.LATE_AB]
+    got = no_ab[len(bench.WATCH_FIRST) : len(bench.WATCH_FIRST) + 5]
+    assert got == fake_skipped
+    # unknown names in the prior artifact are ignored, not launched
+    monkeypatch.setattr(bench, "_prior_skipped", lambda: ["no_such_query"])
+    assert "no_such_query" not in bench.run_order()
 
 
 def test_main_streams_lines_budgets_and_persists_incrementally(
@@ -84,6 +108,8 @@ def test_main_streams_lines_budgets_and_persists_incrementally(
     local_writes: list[dict] = []
 
     def fake_child(name):
+        if name == "__warmup__":  # untimed, never recorded
+            return 0.5
         if name == bench.WATCH_FIRST[2]:
             raise RuntimeError("boom")
         ran.append(name)
@@ -103,13 +129,22 @@ def test_main_streams_lines_budgets_and_persists_incrementally(
         for ln in capsys.readouterr().out.strip().splitlines()
         if ln.startswith("{")
     ]
-    summary = out_lines[-1]
+    # the FINAL line is the compact driver-parseable digest (r12
+    # verdict task #2: the full summary outgrew the 2000-char tail)
+    compact = out_lines[-1]
+    assert len(json.dumps(compact, separators=(",", ":"))) < 300
+    assert compact["metric"] == "headline_suite_total"
+    assert compact["n_queries"] == len(ran)
+    assert compact["n_failed"] == 1
+    summary = out_lines[-2]
     # budget truncated the run: something completed, something skipped
     assert 0 < len(summary["queries"]) < len(bench.run_order())
     assert summary["skipped"]
     assert summary["failed"] == [bench.WATCH_FIRST[2]]
-    # one streamed line per completed child, in launch order
-    streamed = out_lines[:-1]
+    assert compact["n_skipped"] == len(summary["skipped"])
+    # one streamed line per completed child, in launch order (the
+    # untimed __warmup__ child streams nothing)
+    streamed = out_lines[:-2]
     assert [list(d) for d in streamed] == [[n] for n in ran]
     # BENCH_LOCAL rewritten after every child + once at the end
     assert len(local_writes) == len(ran) + 1
