@@ -980,3 +980,67 @@ def jaro_winkler_udf():
         )
 
     return jw
+
+
+def banded_word_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """Lang- AND length-banded exact word-Jaccard pair tier — the
+    SQL-replayable twin of the banded-LSH candidate source, shared by
+    the dup-family registry entries (queries/llmdata, queries/advstats,
+    queries/corpus).
+
+    The length band is a LOSSLESS blocking key on top of the lang
+    block: Jaccard(A, B) ≥ 0.8 forces ``5·min(|A|,|B|) ≥
+    4·max(|A|,|B|)`` (|A∩B| ≤ min, |A∪B| ≥ max), so with integer bands
+    ``b(n) = bitlength(n)`` a qualifying pair's bands differ by at most
+    1 (the larger side is < 2× the smaller). The SMALLER side (ties by
+    doc_id) probes ``{b, b+1}``, the equi-join key becomes
+    ``(lang, band)``, and the exact integer size-ratio guard runs as a
+    join condition next to the Jaccard predicate — so candidate
+    fan-out drops from |lang block|² to Σ|(lang, band) block|² and no
+    qualifying pair is ever dropped (the integer 4/5 filter is provably
+    implied by a correctly-rounded double Jaccard ≥ 0.8 at any
+    realistic set size). ``bitlength`` via ``length(bin(n))`` is
+    integer-exact and engine-portable (Spark and DuckDB both ship
+    ``bin``). Output: (id_a < id_b, jaccard), bit-identical to the
+    unbanded tier.
+    """
+    assert abs(threshold - 0.8) < 1e-12, "integer band filter encodes 4/5"
+    t = (
+        docs.select(
+            "doc_id", "lang", F.array_distinct(tokens("text")).alias("w")
+        )
+        .withColumn("n", F.size("w"))
+        .withColumn("band", F.length(F.bin(F.col("n"))))
+    )
+    probe = t.withColumn(
+        "pband", F.explode(F.array(F.col("band"), F.col("band") + F.lit(1)))
+    )
+    a, b = probe.alias("a"), t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.w"), F.col("b.w"))).cast(
+        "double"
+    )
+    union = (F.col("a.n") + F.col("b.n")).cast("double") - inter
+    jac = inter / union
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.lang") == F.col("b.lang"),
+                F.col("a.pband") == F.col("b.band"),
+                (F.col("a.n") < F.col("b.n"))
+                | (
+                    (F.col("a.n") == F.col("b.n"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id"))
+                ),
+                F.col("a.n") * 5 >= F.col("b.n") * 4,
+            ],
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

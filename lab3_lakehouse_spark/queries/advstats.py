@@ -1249,19 +1249,19 @@ def _holt_winters_oracle() -> str:
     bnew = f"({b} * ({lnew} - h.l) + {b1} * h.b)"
     snew = f"({g} * (r.rev - {lnew}) + {g1} * h.s[1])"
     return f"""
-    WITH RECURSIVE daily AS (
+    WITH RECURSIVE daily AS MATERIALIZED (
         SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
                {sql_round4('CAST(sum(o_totalprice) AS DOUBLE)')} AS rev
         FROM orders GROUP BY day
     ),
-    ranked AS (
+    ranked AS MATERIALIZED (
         SELECT day, rev, row_number() OVER (ORDER BY day) AS rn FROM daily
     ),
-    init AS (
+    init AS MATERIALIZED (
         SELECT {sql_round4(f'sum(rev) / {_HW_P}.0')} AS l0
         FROM ranked WHERE rn <= {_HW_P}
     ),
-    seed AS (
+    seed AS MATERIALIZED (
         SELECT CAST({_HW_P} AS BIGINT) AS rn,
                i.l0 AS l, CAST(0.0 AS DOUBLE) AS b,
                list(r.rev - i.l0 ORDER BY r.rn) AS s
@@ -2450,16 +2450,16 @@ def calibration_threshold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _canonical_oracle() -> str:
     return """
-    WITH RECURSIVE t AS (
+    WITH RECURSIVE t AS MATERIALIZED (
         SELECT doc_id, lang, n_chars,
                list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS w
         FROM documents
-    ), pairs AS (
+    ), pairs AS MATERIALIZED (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
         WHERE len(list_intersect(a.w, b.w))::DOUBLE
               / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8
-    ), edges AS (
+    ), edges AS MATERIALIZED (
         SELECT id_a AS u, id_b AS v FROM pairs
         UNION
         SELECT id_b AS u, id_a AS v FROM pairs
@@ -2467,12 +2467,12 @@ def _canonical_oracle() -> str:
         SELECT u, u FROM (SELECT DISTINCT u FROM edges)
         UNION
         SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.u
-    ), comp AS (
+    ), comp AS MATERIALIZED (
         SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u
-    ), members AS (
+    ), members AS MATERIALIZED (
         SELECT c.doc_id, c.component, d.n_chars
         FROM comp c JOIN t d ON d.doc_id = c.doc_id
-    ), canon AS (
+    ), canon AS MATERIALIZED (
         SELECT component, doc_id AS canonical_id,
                n_chars AS canonical_chars
         FROM members
@@ -2540,39 +2540,56 @@ def dup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _word_jaccard_pairs_adv(docs: DataFrame, threshold: float = 0.8):
-    """Lang-blocked exact word-Jaccard pair tier (the SQL-replayable
-    twin of the banded LSH source) — shared with
+    """Lang- AND length-banded exact word-Jaccard pair tier (the
+    SQL-replayable twin of the banded LSH source) — shared with
     queries/llmdata._word_jaccard_pairs; re-declared here to keep the
-    module import-acyclic."""
+    module import-acyclic.
+
+    r13 (r12 verdict task #6): a LOSSLESS length-band blocking key
+    cuts the quadratic constant of the exact tier in BOTH engines.
+    Jaccard(A, B) ≥ 0.8 forces ``5·min(|A|,|B|) ≥ 4·max(|A|,|B|)``
+    (|A∩B| ≤ min, |A∪B| ≥ max), so with integer bands
+    ``b(n) = bitlength(n)`` a qualifying pair's bands differ by at
+    most 1 (the larger side is < 2× the smaller). The SMALLER side
+    (ties broken by doc_id) probes ``{b, b+1}``, the equi-join key
+    becomes ``(lang, band)`` instead of ``(lang)``, and the exact
+    integer size-ratio check runs as a join condition BEFORE the
+    expensive ``array_intersect`` — pairs of incompatible lengths
+    never reach it. The integer filter is provably lossless for the
+    fixed 4/5 threshold (a correctly-rounded double Jaccard ≥ 0.8
+    implies the exact rational na/nb ≥ 4/5 for any realistic set
+    size), so the output is bit-identical to the unbanded tier; the
+    oracle SQL applies the SAME banding (``_BANDED_PAIRS_CTES``)."""
     from lab3_lakehouse_spark.operators import dedup as dedup_ops
 
-    t = docs.select(
-        "doc_id", "lang",
-        F.array_distinct(dedup_ops.tokens("text")).alias("w"),
-    )
-    a, b = t.alias("a"), t.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.w"), F.col("b.w"))).cast(
-        "double"
-    )
-    union = (
-        F.size(F.col("a.w")) + F.size(F.col("b.w"))
-    ).cast("double") - inter
-    jac = inter / union
-    return (
-        a.join(
-            b,
-            on=[
-                F.col("a.lang") == F.col("b.lang"),
-                F.col("a.doc_id") < F.col("b.doc_id"),
-            ],
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            jac.alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return dedup_ops.banded_word_jaccard_pairs(docs, threshold)
+
+
+#: The oracle-side twin of :func:`_word_jaccard_pairs_adv`'s banding —
+#: same (lang, band) equi-join, same {b, b+1} probe from the smaller
+#: side, same integer 5·min ≥ 4·max guard before the intersect, so the
+#: DuckDB leg's quadratic constant drops identically (output unchanged:
+#: the blocking is lossless). Splice after ``WITH RECURSIVE``.
+_BANDED_PAIRS_CTES = """t AS MATERIALIZED (
+        SELECT doc_id, lang,
+               list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS w
+        FROM documents
+    ), tn AS MATERIALIZED (
+        SELECT doc_id, lang, w, len(w) AS n, length(bin(len(w))) AS band
+        FROM t
+    ), pairs AS MATERIALIZED (
+        SELECT least(a.doc_id, b.doc_id) AS id_a,
+               greatest(a.doc_id, b.doc_id) AS id_b
+        FROM (SELECT doc_id, lang, w, n, band FROM tn
+              UNION ALL
+              SELECT doc_id, lang, w, n, band + 1 AS band FROM tn) a
+        JOIN tn b
+          ON a.lang = b.lang AND a.band = b.band
+         AND (a.n < b.n OR (a.n = b.n AND a.doc_id < b.doc_id))
+         AND 5 * a.n >= 4 * b.n
+        WHERE len(list_intersect(a.w, b.w))::DOUBLE
+              / (a.n + b.n - len(list_intersect(a.w, b.w))) >= 0.8
+    )"""
 
 
 _SPLIT_SEED = 71
@@ -2584,16 +2601,7 @@ def _leakage_split_oracle() -> str:
 
     h = sql_hash60("component", _SPLIT_SEED)
     return f"""
-    WITH RECURSIVE t AS (
-        SELECT doc_id, lang,
-               list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS w
-        FROM documents
-    ), pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        WHERE len(list_intersect(a.w, b.w))::DOUBLE
-              / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8
-    ), edges AS (
+    WITH RECURSIVE {_BANDED_PAIRS_CTES}, edges AS MATERIALIZED (
         SELECT id_a AS u, id_b AS v FROM pairs
         UNION
         SELECT id_b AS u, id_a AS v FROM pairs
@@ -2601,9 +2609,9 @@ def _leakage_split_oracle() -> str:
         SELECT u, u FROM (SELECT DISTINCT u FROM edges)
         UNION
         SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.u
-    ), comp AS (
+    ), comp AS MATERIALIZED (
         SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u
-    ), assigned AS (
+    ), assigned AS MATERIALIZED (
         SELECT d.doc_id,
                coalesce(c.component, d.doc_id) AS component
         FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
@@ -2680,16 +2688,7 @@ def _incr_split_oracle() -> str:
     h = sql_hash60("component", _SPLIT_SEED)
     hv = sql_hash60("vertex", _SPLIT_SEED)
     return f"""
-    WITH RECURSIVE t AS (
-        SELECT doc_id, lang,
-               list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS w
-        FROM documents
-    ), pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        WHERE len(list_intersect(a.w, b.w))::DOUBLE
-              / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8
-    ), old_edges AS (
+    WITH RECURSIVE {_BANDED_PAIRS_CTES}, old_edges AS MATERIALIZED (
         SELECT id_a AS u, id_b AS v FROM pairs
         WHERE id_a % 5 <> 0 AND id_b % 5 <> 0
         UNION
@@ -2700,7 +2699,7 @@ def _incr_split_oracle() -> str:
         UNION
         SELECT e.v, old_reach.r
         FROM old_reach JOIN old_edges e ON e.u = old_reach.u
-    ), comp_of AS (
+    ), comp_of AS MATERIALIZED (
         SELECT d.doc_id,
                coalesce(c.component, d.doc_id) AS component
         FROM documents d
@@ -2709,7 +2708,7 @@ def _incr_split_oracle() -> str:
             FROM old_reach GROUP BY u
         ) c ON c.doc_id = d.doc_id
         WHERE d.doc_id % 5 <> 0
-    ), contracted AS (
+    ), contracted AS MATERIALIZED (
         SELECT CASE WHEN p.id_a % 5 = 0 THEN p.id_a
                     ELSE ca.component END AS u,
                CASE WHEN p.id_b % 5 = 0 THEN p.id_b
@@ -2718,7 +2717,7 @@ def _incr_split_oracle() -> str:
         LEFT JOIN comp_of ca ON ca.doc_id = p.id_a
         LEFT JOIN comp_of cb ON cb.doc_id = p.id_b
         WHERE p.id_a % 5 = 0 OR p.id_b % 5 = 0
-    ), cedges AS (
+    ), cedges AS MATERIALIZED (
         SELECT u, v FROM contracted
         UNION
         SELECT v AS u, u AS v FROM contracted
@@ -2726,16 +2725,16 @@ def _incr_split_oracle() -> str:
         SELECT u, u FROM (SELECT DISTINCT u FROM cedges)
         UNION
         SELECT e.v, creach.r FROM creach JOIN cedges e ON e.u = creach.u
-    ), ccomp AS (
+    ), ccomp AS MATERIALIZED (
         SELECT u AS vertex, min(r) AS cluster FROM creach GROUP BY u
-    ), cstats AS (
+    ), cstats AS MATERIALIZED (
         SELECT cluster,
                count(DISTINCT vertex) AS n_comps,
                min(vertex) AS min_comp,
                count(DISTINCT CASE WHEN {hv} % 10 < {_SPLIT_TRAIN_OF_10}
                                    THEN 'train' ELSE 'val' END) AS n_splits
         FROM ccomp WHERE vertex % 5 <> 0 GROUP BY cluster
-    ), assigned AS (
+    ), assigned AS MATERIALIZED (
         SELECT n.doc_id,
                coalesce(s.min_comp,
                         coalesce(cc.cluster, n.doc_id)) AS component,
@@ -3342,23 +3341,23 @@ def _stream_split_oracle() -> str:
     h = sql_hash60("component", _SPLIT_SEED)
     hc = sql_hash60("component", _SPLIT_SEED)
     return f"""
-    WITH RECURSIVE w AS (
+    WITH RECURSIVE w AS MATERIALIZED (
         SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
         FROM documents
-    ), t AS (
+    ), t AS MATERIALIZED (
         SELECT doc_id,
                list_distinct(
                    list_transform(generate_series(1, greatest(len(w)-2, 1)),
                                   i -> array_to_string(w[i:i+2], ' '))
                ) AS s
         FROM w
-    ), pairs AS (
+    ), pairs AS MATERIALIZED (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM t a JOIN t b ON a.doc_id < b.doc_id
         WHERE len(list_intersect(a.s, b.s))::DOUBLE
               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
               >= 0.8
-    ), old_edges AS (
+    ), old_edges AS MATERIALIZED (
         SELECT id_a AS u, id_b AS v FROM pairs
         WHERE id_a % 5 <> 0 AND id_b % 5 <> 0
         UNION
@@ -3369,7 +3368,7 @@ def _stream_split_oracle() -> str:
         UNION
         SELECT e.v, old_reach.r
         FROM old_reach JOIN old_edges e ON e.u = old_reach.u
-    ), comp_of AS (
+    ), comp_of AS MATERIALIZED (
         SELECT d.doc_id,
                coalesce(c.component, d.doc_id) AS component
         FROM documents d
@@ -3378,7 +3377,7 @@ def _stream_split_oracle() -> str:
             FROM old_reach GROUP BY u
         ) c ON c.doc_id = d.doc_id
         WHERE d.doc_id % 5 <> 0
-    ), matches AS (
+    ), matches AS MATERIALIZED (
         SELECT CASE WHEN p.id_a % 5 = 0 THEN p.id_a
                     ELSE p.id_b END AS doc_id,
                c.component
@@ -3386,7 +3385,7 @@ def _stream_split_oracle() -> str:
           ON c.doc_id = CASE WHEN p.id_a % 5 = 0 THEN p.id_b
                              ELSE p.id_a END
         WHERE (p.id_a % 5 = 0) <> (p.id_b % 5 = 0)
-    ), agg AS (
+    ), agg AS MATERIALIZED (
         SELECT doc_id,
                count(DISTINCT component) AS n_comps,
                min(component) AS min_comp,
@@ -3394,7 +3393,7 @@ def _stream_split_oracle() -> str:
                                    THEN 'train' ELSE 'val' END)
                    AS n_splits
         FROM matches GROUP BY doc_id
-    ), assigned AS (
+    ), assigned AS MATERIALIZED (
         SELECT n.doc_id,
                coalesce(a.min_comp, n.doc_id) AS component,
                coalesce(a.n_comps, 0) AS n_comps,

@@ -1458,20 +1458,20 @@ def weighted_sample_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------- dedup-discounted token budget ----
 
 _DEDUP_BUDGET_ORACLE = f"""
-    WITH RECURSIVE t AS (
+    WITH RECURSIVE t AS MATERIALIZED (
         SELECT doc_id, source, lang,
                regexp_split_to_array(text, '\\s+') AS wtok,
                list_distinct(
                    regexp_split_to_array(lower(text), '\\s+')) AS w,
                n_chars
         FROM documents
-    ), pairs AS (
+    ), pairs AS MATERIALIZED (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
         WHERE len(list_intersect(a.w, b.w))::DOUBLE
               / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)))
               >= 0.8
-    ), edges AS (
+    ), edges AS MATERIALIZED (
         SELECT id_a AS u, id_b AS v FROM pairs
         UNION
         SELECT id_b AS u, id_a AS v FROM pairs
@@ -1479,24 +1479,24 @@ _DEDUP_BUDGET_ORACLE = f"""
         SELECT u, u FROM (SELECT DISTINCT u FROM edges)
         UNION
         SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.u
-    ), comp AS (
+    ), comp AS MATERIALIZED (
         SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u
-    ), canon AS (
+    ), canon AS MATERIALIZED (
         SELECT c.doc_id
         FROM comp c JOIN t d ON d.doc_id = c.doc_id
         QUALIFY row_number() OVER (
             PARTITION BY c.component ORDER BY d.n_chars DESC, c.doc_id
         ) = 1
-    ), keep AS (
+    ), keep AS MATERIALIZED (
         SELECT d.doc_id, d.source, len(d.wtok) AS n_tok
         FROM t d
         WHERE d.doc_id NOT IN (SELECT doc_id FROM comp)
            OR d.doc_id IN (SELECT doc_id FROM canon)
-    ), rawtok AS (
+    ), rawtok AS MATERIALIZED (
         SELECT source,
                CAST(sum(len(wtok)) AS BIGINT) AS n_tokens_raw
         FROM t GROUP BY source
-    ), tok AS (
+    ), tok AS MATERIALIZED (
         SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens
         FROM keep GROUP BY source
     ), {_WATERFILL_SQL_TAIL}

@@ -99,40 +99,29 @@ def word_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _word_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
-    """Lang-blocked exact word-Jaccard pairs ≥ threshold (shared by
-    word_jaccard_near_dups and dup_groups_connected)."""
-    t = docs.select(
-        "doc_id", "lang",
-        F.array_distinct(dedup_ops.tokens("text")).alias("w"),
-    )
-    a, b = t.alias("a"), t.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.w"), F.col("b.w"))).cast("double")
-    union = (F.size(F.col("a.w")) + F.size(F.col("b.w"))).cast("double") - inter
-    jac = inter / union
-    return (
-        a.join(b, on=[F.col("a.lang") == F.col("b.lang"), F.col("a.doc_id") < F.col("b.doc_id")])
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            jac.alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    """Lang- and length-banded exact word-Jaccard pairs ≥ threshold
+    (shared by the dup family). r13: delegates to
+    :func:`operators.dedup.banded_word_jaccard_pairs` — the LOSSLESS
+    length-band blocking key (bitlength of the distinct-word count;
+    qualifying pairs differ by ≤1 band) cuts the per-lang-block
+    quadratic constant without changing a single output row, so the
+    unbanded oracle SQL still matches bit-for-bit."""
+    return dedup_ops.banded_word_jaccard_pairs(docs, threshold)
 
 
 @query(
     "dup_groups_connected",
     oracle="""
-    WITH RECURSIVE t AS (
+    WITH RECURSIVE t AS MATERIALIZED (
         SELECT doc_id, lang,
                list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS w
         FROM documents
-    ), pairs AS (
+    ), pairs AS MATERIALIZED (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
         WHERE len(list_intersect(a.w, b.w))::DOUBLE
               / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8
-    ), edges AS (
+    ), edges AS MATERIALIZED (
         SELECT id_a AS u, id_b AS v FROM pairs
         UNION
         SELECT id_b AS u, id_a AS v FROM pairs
@@ -140,7 +129,7 @@ def _word_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
         SELECT u, u FROM (SELECT DISTINCT u FROM edges)
         UNION
         SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.u
-    ), comp AS (
+    ), comp AS MATERIALIZED (
         SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u
     )
     SELECT doc_id, component,
@@ -247,16 +236,16 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dup_group_size_histogram",
     oracle="""
-    WITH RECURSIVE t AS (
+    WITH RECURSIVE t AS MATERIALIZED (
         SELECT doc_id, lang,
                list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS w
         FROM documents
-    ), pairs AS (
+    ), pairs AS MATERIALIZED (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
         WHERE len(list_intersect(a.w, b.w))::DOUBLE
               / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8
-    ), edges AS (
+    ), edges AS MATERIALIZED (
         SELECT id_a AS u, id_b AS v FROM pairs
         UNION
         SELECT id_b AS u, id_a AS v FROM pairs
@@ -264,9 +253,9 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT u, u FROM (SELECT DISTINCT u FROM edges)
         UNION
         SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.u
-    ), comp AS (
+    ), comp AS MATERIALIZED (
         SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u
-    ), sizes AS (
+    ), sizes AS MATERIALIZED (
         SELECT component, CAST(count(*) AS BIGINT) AS group_size
         FROM comp GROUP BY component
     )
@@ -307,16 +296,16 @@ def dup_group_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dup_component_density_audit",
     oracle="""
-    WITH RECURSIVE t AS (
+    WITH RECURSIVE t AS MATERIALIZED (
         SELECT doc_id, lang,
                list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS w
         FROM documents
-    ), pairs AS (
+    ), pairs AS MATERIALIZED (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
         WHERE len(list_intersect(a.w, b.w))::DOUBLE
               / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8
-    ), edges AS (
+    ), edges AS MATERIALIZED (
         SELECT id_a AS u, id_b AS v FROM pairs
         UNION
         SELECT id_b AS u, id_a AS v FROM pairs
@@ -324,12 +313,12 @@ def dup_group_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT u, u FROM (SELECT DISTINCT u FROM edges)
         UNION
         SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.u
-    ), comp AS (
+    ), comp AS MATERIALIZED (
         SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u
-    ), sizes AS (
+    ), sizes AS MATERIALIZED (
         SELECT component, CAST(count(*) AS BIGINT) AS n_members
         FROM comp GROUP BY component
-    ), pair_counts AS (
+    ), pair_counts AS MATERIALIZED (
         SELECT c.component, CAST(count(*) AS BIGINT) AS n_pairs
         FROM pairs p JOIN comp c ON c.doc_id = p.id_a
         GROUP BY c.component

@@ -418,17 +418,17 @@ _KCORE_K_SQL = (
 
 def _kcore_oracle() -> str:
     return f"""
-    WITH RECURSIVE e AS (
+    WITH RECURSIVE e AS MATERIALIZED (
         SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
                         greatest(a.l_partkey, b.l_partkey) AS b
         FROM lineitem a
         JOIN lineitem b ON a.l_orderkey = b.l_orderkey
                        AND a.l_partkey <> b.l_partkey
     ),
-    ue AS (
+    ue AS MATERIALIZED (
         SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
     ),
-    kth AS (SELECT {_KCORE_K_SQL} AS kv FROM ue),
+    kth AS MATERIALIZED (SELECT {_KCORE_K_SQL} AS kv FROM ue),
     alive(r, nodes) AS (
         SELECT 0, (SELECT list(DISTINCT u ORDER BY u) FROM ue)
         UNION ALL
@@ -444,7 +444,7 @@ def _kcore_oracle() -> str:
                 ))
         FROM alive WHERE r < {_KCORE_ROUNDS}
     ),
-    final AS (SELECT nodes FROM alive WHERE r = {_KCORE_ROUNDS})
+    final AS MATERIALIZED (SELECT nodes FROM alive WHERE r = {_KCORE_ROUNDS})
     SELECT CAST(ue.u AS BIGINT) AS node,
            CAST(count(*) AS BIGINT) AS residual_deg
     FROM ue, final
@@ -902,15 +902,15 @@ _CUSUM_H_FRAC = 0.15   # alarm threshold, as a fraction of mean
 
 def _cusum_oracle() -> str:
     return f"""
-    WITH RECURSIVE daily AS (
+    WITH RECURSIVE daily AS MATERIALIZED (
         SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
                {sql_round4('CAST(sum(o_totalprice) AS DOUBLE)')} AS rev
         FROM orders GROUP BY day
     ),
-    ranked AS (
+    ranked AS MATERIALIZED (
         SELECT day, rev, row_number() OVER (ORDER BY day) AS rn FROM daily
     ),
-    p AS (
+    p AS MATERIALIZED (
         SELECT {sql_round4('avg(rev)')} AS mu FROM ranked
     ),
     cus(rn, day, rev, sp, sn) AS (
@@ -1043,12 +1043,12 @@ def _holt_oracle() -> str:
     b, b1 = f"CAST({_HOLT_B} AS DOUBLE)", f"CAST({_HOLT_B1} AS DOUBLE)"
     lnew = f"{a} * r.rev + {a1} * (h.l + h.b)"
     return f"""
-    WITH RECURSIVE daily AS (
+    WITH RECURSIVE daily AS MATERIALIZED (
         SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
                {sql_round4('CAST(sum(o_totalprice) AS DOUBLE)')} AS rev
         FROM orders GROUP BY day
     ),
-    ranked AS (
+    ranked AS MATERIALIZED (
         SELECT day, rev, row_number() OVER (ORDER BY day) AS rn FROM daily
     ),
     holt(rn, day, rev, l, b) AS (
