@@ -28,120 +28,70 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Queries whose verdict would CHANGE this round come first (the driver
-# checks the first 50 registry entries per round). ROUND-12 rotation
-# (executes the plan written in the r11 header; ages below are
+# checks the first 50 registry entries per round). ROUND-13 rotation
+# (executes the plan written in the r12 header; ages below are
 # DRIVER-stamped ages):
-#   slots 1-8   the NEW r12 entries (incremental_split_maintenance —
-#               batch-cost leakage-safe split upkeep with contracted-CC
-#               inherit/fresh/bridged/conflict statuses;
-#               token_budget_epoch_allocation — closed-form capped
-#               waterfill epoch schedule; uniform_sample_store — the
-#               seventh store family: persisted mergeable bottom-k
-#               uniform sample; conformal_quality_threshold —
-#               split-conformal keep-guarantee quality cut;
-#               streaming_split_assignment — store-probed continuous
-#               split against the frozen corpus index;
-#               embedding_centroid_drift — embedding-tier drift
-#               monitor, the drift quintet's missing modality;
-#               weighted_sample_store — the sample family's weighted
-#               Efraimidis-Spirakis priorities tier;
-#               dedup_discounted_token_budget — the waterfill run on
-#               canonicalized per-source token counts).
-#   slots 9-11   the r12 result-relevant ADVICE edits re-verified
-#               (streaming_kll_store: kll_compact_store now stamps the
-#               reserved batch_id=-1 sentinel; decontamination_bloom_
-#               store + streaming_bloom_decontamination: bloom meta now
-#               reads through an explicit schema for mixed-age stores).
-#   slots 12-14 the three entries displaced past the r11 boundary
-#               (sql_shipping_priority, asof_view_next_purchase,
-#               bm25_lexical_topk — all green in the r11 sweep/judge
-#               re-run; they led this round's queue per the r11 plan).
-#   slots 15-50 the r5/r6-green fill continuing in the order the r11
-#               header listed (incremental_agg_retractions onward
-#               through mad_outlier_report; user_retention_
-#               cohorts, per_source_
-#               document_quota, ann_filtered_topk, kmeans_cluster_
-#               contract, shared_span_dup_report, referential_
-#               integrity_audit and event_transition_matrix slipped
-#               past the boundary to make room for the late r12 ops —
-#               they join the r13 queue)
-#               — the oldest remaining driver stamps advance past r6.
+#   slot  1     the NEW r13 op (ann_store_reindex_swap — the
+#               drift→reindex loop closed end-to-end: stale-fit IVF-PQ
+#               store, cross-engine-checked centroid-drift trigger,
+#               refit+re-encode into a NEW root, atomic swap_root
+#               promotion, post-swap probe pinned equal to an
+#               in-memory twin of the refit index + brute-force recall
+#               floor). Further r13 ops stack here as they land.
+#   slots 2-15  the r13-EDITED entries re-verified: the exact
+#               word-Jaccard pair tier gained a LOSSLESS length-band
+#               blocking key (operators/dedup.banded_word_jaccard_
+#               pairs — output bit-identical, bodies changed), and
+#               every WITH RECURSIVE oracle now declares its
+#               non-recursive CTEs AS MATERIALIZED (DuckDB was
+#               re-evaluating the pair join / daily aggregate every
+#               closure iteration). Covers the dup family, both split
+#               entries, dedup_discounted_token_budget,
+#               streaming_split_assignment, kcore/cusum/holt/
+#               holt-winters.
+#   slots 16-22 the seven entries displaced past the r12 boundary
+#               (user_retention_cohorts … event_transition_matrix —
+#               all green in the r12 pre-sweep; they led this queue
+#               per the r12 plan).
+#   slots 23-50 the r5/r6-green fill continuing from
+#               throttled_event_stream in the r12-header order — the
+#               oldest remaining driver stamps advance.
 # After the boundary: the rest of the r5-r9 fill in prior order, the
-# r10-stamped block, and the r11-stamped window LAST (freshest stamps
-# re-verify last).
+# r10 block, the r11 block, and the r12-stamped window LAST (freshest
+# stamps re-verify last).
 #
-# ROUND-13 ROTATION PLAN (for the next builder): lead with (1) any
-# query round 13 edits/new ops, (2) the two entries displaced past
-# this round's boundary (user_retention_cohorts,
-# per_source_document_quota,
-# ann_filtered_topk, kmeans_cluster_contract, shared_span_dup_report,
-# referential_integrity_audit, event_transition_matrix — all green in
-# the r12 pre-sweep), (3) the
-# r5/r6-green fill continuing from throttled_event_stream in the
-# order below, (4) keep the r10 then r11 blocks at the end (freshest
-# last).
+# ROUND-14 ROTATION PLAN (for the next builder): lead with (1) any
+# r14 edits/new ops, (2) whatever this round's late additions displace
+# past slot 50 (displacements are taken from the END of the slot-23-50
+# fill block — check CORRECTNESS_r13.json's actual window), (3) the
+# r5/r6-green fill continuing after the boundary in the order below,
+# (4) keep the r10, r11, then r12 blocks at the end (freshest last).
 # tests/test_engine.py::test_priority_rotation_names_all_registered
 # guards against typos silently shrinking the window.
 _PRIORITY = [
-    "incremental_split_maintenance",
-    "token_budget_epoch_allocation",
-    "uniform_sample_store",
-    "conformal_quality_threshold",
-    "streaming_split_assignment",
-    "embedding_centroid_drift",
-    "weighted_sample_store",
+    "ann_store_reindex_swap",  # --- r13 NEW op (slot 1)
+    "incremental_split_maintenance",  # --- r13-EDITED entries: banded
+    "leakage_safe_split_assignment",  #     pair tier (lossless length-band
+    "word_jaccard_near_dups",  #     blocking) changed these Spark bodies;
+    "dup_groups_connected",  #     the four below them got AS MATERIALIZED
+    "cross_source_dup_matrix",
+    "dup_group_size_histogram",
+    "dup_component_density_audit",
+    "dup_canonical_selection",
     "dedup_discounted_token_budget",
-    "streaming_kll_store",
-    "decontamination_bloom_store",
-    "streaming_bloom_decontamination",
-    "sql_shipping_priority",
-    "asof_view_next_purchase",
-    "bm25_lexical_topk",
-    "incremental_agg_retractions",
-    "matryoshka_truncation_audit",
-    "dsir_target_selection",
-    "trimmed_mean_event_values",
-    "categorical_drift_chi2",
+    "streaming_split_assignment",
+    "kcore_part_graph",  #     oracle CTEs (holt/cusum/kcore family)
+    "revenue_cusum_changepoints",
     "revenue_holt_trend",
-    "l_diversity_audit",
-    "streaming_tumbling_hourly",
-    "streaming_session_windows",
-    "streaming_dedup_users",
-    "streaming_static_enrichment",
-    "streaming_purchase_view_join",
-    "streaming_stateful_user_totals",
-    "copurchase_edge_embeddedness",
-    "events_gap_filled_daily",
-    "window_top_orders_per_customer",
-    "window_running_spend",
-    "window_rank_parts_by_price",
-    "window_lag_lead_events",
-    "value_percentiles",
-    "unpivot_order_amounts",
-    "top_building_orders",
-    "daily_revenue",
-    "hourly_demand",
-    "quality_filter",
-    "zipf_fit_tokens",
-    "hll_mergeable_daily_users",
-    "lineitem_stat_moments",
-    "event_value_trends",
-    "chunk_documents_sliding",
-    "cms_heavy_tokens_contract",
-    "bloom_filter_semi_join",
-    "rare_token_doc_quality",
-    "funnel_stage_conversion",
-    "time_decay_user_value",
-    "mad_outlier_report",
-    # ---- 50-slot window boundary (r12) ----
-    "user_retention_cohorts",
+    "holt_winters_weekly",
+    "user_retention_cohorts",  # --- the 7 entries displaced past the r12 boundary (r12 plan step 2)
     "per_source_document_quota",
     "ann_filtered_topk",
     "kmeans_cluster_contract",
     "shared_span_dup_report",
     "referential_integrity_audit",
     "event_transition_matrix",
-    "throttled_event_stream",
+    "throttled_event_stream",  # --- r5/r6-green fill continuing in the r12-header order (step 3)
     "unicode_nfc_report",
     "segment_top_spenders_with_ties",
     "revenue_pareto_curve",
@@ -169,6 +119,7 @@ _PRIORITY = [
     "token_pmi_collocations",
     "crossval_fold_balance",
     "embedding_random_projection",
+    # ---- 50-slot window boundary (r13, before any late additions) ----
     "sql_returned_item_report",
     "order_price_histogram",
     "profile_orders_columns",
@@ -238,11 +189,9 @@ _PRIORITY = [
     "distribution_drift_ks",
     "bootstrap_revenue_ci",
     "revenue_theilsen_trend",
-    "kcore_part_graph",
     "event_type_trigram_paths",
     "domain_temperature_mix",
     "doc_quality_rank_ensemble",
-    "revenue_cusum_changepoints",
     "retrieval_label_mrr",
     "funnel_conversion_deadline",
     "k_anonymity_audit",
@@ -264,7 +213,6 @@ _PRIORITY = [
     "embedding_feature_covariance",
     "mannwhitney_value_shift",
     "conversion_rate_ztest",
-    "holt_winters_weekly",
     "heaps_vocabulary_growth",
     "hard_negative_mining",
     "kll_quantile_contract",
@@ -298,13 +246,11 @@ _PRIORITY = [
     "rerank_store_candidates",
     "source_token_jsd",
     "good_turing_oov_estimate",
-    "leakage_safe_split_assignment",
     "fold_target_encoding",
     "multi_touch_attribution",
     "hard_negative_store_mining",
     "code_switch_langmix",
     "source_length_calibration",
-    "dup_canonical_selection",
     "neyman_stratified_sample",
     "dp_noisy_counts",
     "jaro_winkler_name_matches",
@@ -315,8 +261,6 @@ _PRIORITY = [
     "winsorized_mean_event_values",
     "media_phash_dup_partners",
     "dedup_fingerprint_groups",
-    "word_jaccard_near_dups",
-    "dup_groups_connected",
     "decontamination_ngram_overlap",
     "tfidf_top_terms",
     "minhash_lsh_near_dups",
@@ -333,15 +277,59 @@ _PRIORITY = [
     "hybrid_rrf_retrieval",
     "max_dup_span_segments",
     "dup_span_repair_report",
-    "dup_group_size_histogram",
     "ivf_cell_balance_report",
     "tokenizer_fertility_by_source",
     "embedding_norm_audit",
-    "cross_source_dup_matrix",
     "region_revenue_ols",
-    "dup_component_density_audit",
     "length_stratified_sample",
+    "token_budget_epoch_allocation",
+    "uniform_sample_store",
+    "conformal_quality_threshold",
+    "embedding_centroid_drift",
+    "weighted_sample_store",
+    "streaming_kll_store",
+    "decontamination_bloom_store",
+    "streaming_bloom_decontamination",
+    "sql_shipping_priority",
+    "asof_view_next_purchase",
+    "bm25_lexical_topk",
+    "incremental_agg_retractions",
+    "matryoshka_truncation_audit",
+    "dsir_target_selection",
+    "trimmed_mean_event_values",
+    "categorical_drift_chi2",
+    "l_diversity_audit",
+    "streaming_tumbling_hourly",
+    "streaming_session_windows",
+    "streaming_dedup_users",
+    "streaming_static_enrichment",
+    "streaming_purchase_view_join",
+    "streaming_stateful_user_totals",
+    "copurchase_edge_embeddedness",
+    "events_gap_filled_daily",
+    "window_top_orders_per_customer",
+    "window_running_spend",
+    "window_rank_parts_by_price",
+    "window_lag_lead_events",
+    "value_percentiles",
+    "unpivot_order_amounts",
+    "top_building_orders",
+    "daily_revenue",
+    "hourly_demand",
+    "quality_filter",
+    "zipf_fit_tokens",
+    "hll_mergeable_daily_users",
+    "lineitem_stat_moments",
+    "event_value_trends",
+    "chunk_documents_sliding",
+    "cms_heavy_tokens_contract",
+    "bloom_filter_semi_join",
+    "rare_token_doc_quality",
+    "funnel_stage_conversion",
+    "time_decay_user_value",
+    "mad_outlier_report",
 ]
+
 
 
 def _ordered(names: dict) -> list[str]:

@@ -193,6 +193,7 @@ HEADLINE = [
     "sql_shipping_priority",        # Q3 shape: dual pushed date filters (r9)
     "asof_view_next_purchase",      # forward as-of: time-to-convert (r9)
     "ann_store_ivfpq_topk",         # persisted IVF-PQ index: append+probe (r10)
+    "ann_store_reindex_swap",       # drift monitor -> refit -> swap_root (r13)
     "media_phash_store_partners",   # signature-tier probe, decode amortized (r10)
     "kll_tier_compaction",          # quantile-store GC, bit-identical reads (r10)
     "cross_source_containment",     # directional syndication matrix (r10)
@@ -259,6 +260,8 @@ WATCH_FIRST = [
     "profile_orders_columns",    # only non-store entry >=1.3x in r12
     # r13-edited entry (length-band blocking added to the pair tier)
     "incremental_split_maintenance",
+    # r13 new entries
+    "ann_store_reindex_swap",
 ]
 
 #: Same-run A/B for the store-drift adjudication: this sentinel re-runs

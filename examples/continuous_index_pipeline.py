@@ -286,6 +286,71 @@ def run_continuous_index(
     assert out["swap_identical"]
     for r in retired:
         shutil.rmtree(r)
+
+    # ---- drift→reindex→swap (the ann_store_reindex_swap registry
+    # entry's production shape): when the centroid-drift monitor fires
+    # on the live IVF-PQ store, refit centroids/codebooks on the
+    # CURRENT corpus, re-encode into a NEW root (the live store is
+    # never written), swap_root it in, and prove the post-swap probe
+    # serves the refit index before deleting the retired root.
+    ref_cent = (
+        emb.filter(F.col("vec_id") % 2 == 0)
+        .select(F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("dim").agg(F.avg("v").alias("a"))
+    )
+    cand_cent = (
+        emb.filter(F.col("vec_id") % 2 != 0)
+        .select(F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("dim").agg(F.avg("v").alias("b"))
+    )
+    d = ref_cent.join(cand_cent, "dim").agg(
+        (
+            F.sum(F.col("a") * F.col("b"))
+            / (
+                F.sqrt(F.sum(F.col("a") * F.col("a")))
+                * F.sqrt(F.sum(F.col("b") * F.col("b")))
+            )
+        ).alias("cos")
+    ).collect()[0]["cos"]
+    out["drift_cosine"] = round(float(d), 4)
+    if d < 0.99:  # the monitor fired: refit + re-encode + swap
+        refit_root = f"{out_root}/ivfpq_refit"
+        sim_ops.ivfpq_store_init(
+            refit_root, emb, "vec_id", "embedding",
+            n_centroids=16, dim=64, m=8, n_codes=32,
+        )
+        sim_ops.ivfpq_store_append(
+            spark, refit_root, emb, "vec_id", "embedding"
+        )
+        new_cents, new_books = sim_ops.ivfpq_load_meta(spark, refit_root)
+        retired_ivfpq = stores.swap_root(roots["ivfpq"], refit_root)
+        post_ann = sim_ops.ivfpq_store_topk(
+            spark, roots["ivfpq"], emb, q8, "vec_id", "embedding",
+            k=5, n_probe=8, rerank=400,
+        )
+        mem_index = sim_ops.pq_encode(
+            sim_ops.assign_cells_literal(
+                emb, "vec_id", "embedding", new_cents
+            ),
+            "neighbor_id", "__cvec", new_books, keep=("__cell",),
+        ).select("neighbor_id", "__cell", "__codes")
+        mem_ann = sim_ops.ivfpq_probe_index(
+            mem_index, new_books, new_cents, q8, "vec_id", "embedding",
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("__cvec"),
+            ),
+            k=5, n_probe=8, rerank=400,
+        )
+        got_post = sorted(
+            (r.query_id, r.neighbor_id, r.rank) for r in post_ann.collect()
+        )
+        want_post = sorted(
+            (r.query_id, r.neighbor_id, r.rank) for r in mem_ann.collect()
+        )
+        out["reindex_swap_serves_refit"] = got_post == want_post
+        assert out["reindex_swap_serves_refit"]
+        shutil.rmtree(retired_ivfpq)
     return out
 
 

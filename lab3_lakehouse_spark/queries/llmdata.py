@@ -1219,6 +1219,180 @@ def ann_store_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+_REINDEX_DRIFT_THRESHOLD = 0.99
+
+_REINDEX_SWAP_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id % 2 = 0 AS is_ref, t.i AS dim, embedding[t.i] AS v
+        FROM embeddings, generate_series(1, 64) AS t(i)  -- dim=64
+    ), cent AS (
+        SELECT dim,
+               {sql_round4('avg(CASE WHEN is_ref THEN v END)')} AS a,
+               {sql_round4('avg(CASE WHEN NOT is_ref THEN v END)')} AS b
+        FROM e GROUP BY dim
+    ), d AS (
+        SELECT sum(a * b) AS ab, sum(a * a) AS aa, sum(b * b) AS bb
+        FROM cent
+    ), nq AS (
+        SELECT CAST(count(*) AS BIGINT) AS n
+        FROM embeddings WHERE vec_id < 8
+    )
+    SELECT nq.n AS n_queries,
+           CAST(5 * nq.n AS BIGINT) AS n_bf_pairs,
+           {sql_round4('d.ab / (sqrt(d.aa) * sqrt(d.bb))')}
+               AS drift_cosine,
+           {sql_round4('d.ab / (sqrt(d.aa) * sqrt(d.bb))')}
+               < {_REINDEX_DRIFT_THRESHOLD} AS reindex_triggered,
+           true AS recall_ok,
+           true AS swap_serves_refit,
+           true AS fit_changed
+    FROM d CROSS JOIN nq
+"""
+
+
+@query("ann_store_reindex_swap", oracle=_REINDEX_SWAP_ORACLE)
+def ann_store_reindex_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift→reindex loop CLOSED end-to-end — the 100 TB operation
+    the r12 pieces exist for (embedding_centroid_drift built the
+    monitor, stores.swap_root the executable swap-in): a live IVF-PQ
+    store whose fit has gone STALE (fitted on the reference half only
+    — yesterday's distribution), a drift monitor that detects the
+    shift, a refit+re-encode into a NEW root (never touching the live
+    store — the gc_write discipline), an atomic ``swap_root``
+    promotion, and a post-swap probe that must serve the REFIT index
+    with full recall. In production this runs as: monitor fires →
+    refit centroids/codebooks on a bounded sample (constant cost) →
+    one linear re-encode pass of the corpus into the new root → swap
+    → probes never see a half-updated index.
+
+    Differential contract: (a) ``drift_cosine`` + ``reindex_triggered``
+    — the monitor value itself is cross-engine checked (global
+    ref-vs-candidate centroid cosine, per-dim means round4-pinned, the
+    embedding_centroid_drift policy; the synthetic halves are
+    independent draws, so the cosine sits near 0 and the < 0.99
+    trigger fires deterministically at every SF); (b) ``recall_ok`` —
+    the POST-swap probe of the live root must reach the brute-force
+    recall floor (0.7, the ann_store_ivfpq_topk bound), so the swapped
+    index actually answers; (c) ``swap_serves_refit`` — the post-swap
+    store probe must EQUAL, triple for triple, an in-memory probe
+    built from the refit metadata captured from the NEW root BEFORE
+    the swap — proving the old path now serves the new index, not a
+    cached or half-swapped one; (d) ``fit_changed`` — the refit
+    centroids must differ from the stale ones (the swap moved real
+    bits). Eager by necessity (store lifecycle at call time; roots via
+    _util.scratch_dir — see its documented local-mode assumption)."""
+    import shutil
+
+    from lab3_lakehouse_spark import stores
+    from lab3_lakehouse_spark.queries._util import scratch_dir
+
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    bf = sim_ops.brute_force_topk(emb, q, "vec_id", "embedding", k=5)
+    is_ref = F.pmod("vec_id", F.lit(2)) == 0
+    root = scratch_dir("ivfpq_reindex_")
+    new_root = root.rstrip("/") + ".refit"
+    try:
+        # live store with the STALE fit: centroids/codebooks fitted on
+        # the reference half only, full corpus appended in two batches
+        sim_ops.ivfpq_store_init(
+            root, emb.filter(is_ref), "vec_id", "embedding",
+            n_centroids=16, dim=64, m=8, n_codes=32,
+        )
+        for residue in (0, 1):
+            sim_ops.ivfpq_store_append(
+                spark, root,
+                emb.filter(F.pmod("vec_id", F.lit(2)) == residue),
+                "vec_id", "embedding",
+            )
+        old_cents, _old_books = sim_ops.ivfpq_load_meta(spark, root)
+
+        # monitor: global ref-vs-candidate centroid cosine (the
+        # embedding_centroid_drift math without the label split)
+        e = emb.select(
+            is_ref.alias("is_ref"), F.posexplode("embedding").alias("dim", "v")
+        )
+        cent = e.groupBy("dim").agg(
+            round4(F.avg(F.when(F.col("is_ref"), F.col("v")))).alias("a"),
+            round4(F.avg(F.when(~F.col("is_ref"), F.col("v")))).alias("b"),
+        )
+        cos = F.col("ab") / (F.sqrt(F.col("aa")) * F.sqrt(F.col("bb")))
+        drift = cent.agg(
+            F.sum(F.col("a") * F.col("b")).alias("ab"),
+            F.sum(F.col("a") * F.col("a")).alias("aa"),
+            F.sum(F.col("b") * F.col("b")).alias("bb"),
+        ).select(
+            round4(cos).alias("drift_cosine"),
+            (round4(cos) < F.lit(_REINDEX_DRIFT_THRESHOLD)).alias(
+                "reindex_triggered"
+            ),
+        )
+
+        # refit on the FULL current corpus + linear re-encode, all into
+        # a NEW root — the live store is never written during the GC
+        sim_ops.ivfpq_store_init(
+            new_root, emb, "vec_id", "embedding",
+            n_centroids=16, dim=64, m=8, n_codes=32,
+        )
+        for residue in (0, 1):
+            sim_ops.ivfpq_store_append(
+                spark, new_root,
+                emb.filter(F.pmod("vec_id", F.lit(2)) == residue),
+                "vec_id", "embedding",
+            )
+        # capture the refit metadata from the NEW root BEFORE the swap:
+        # the in-memory twin below is the independent witness that the
+        # post-swap probe serves THIS fit
+        new_cents, new_books = sim_ops.ivfpq_load_meta(spark, new_root)
+        mem_index = sim_ops.pq_encode(
+            sim_ops.assign_cells_literal(
+                emb, "vec_id", "embedding", new_cents
+            ),
+            "neighbor_id", "__cvec", new_books, keep=("__cell",),
+        ).select("neighbor_id", "__cell", "__codes")
+        rerank_vecs = emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("__cvec"),
+        )
+        mem = sim_ops.ivfpq_probe_index(
+            mem_index, new_books, new_cents, q, "vec_id", "embedding",
+            rerank_vecs, k=5, n_probe=8, rerank=400,
+        ).localCheckpoint(eager=False)  # feeds both exceptAll legs
+
+        retired = stores.swap_root(root, new_root)
+        shutil.rmtree(retired, ignore_errors=True)
+
+        # post-swap probe of the LIVE root — now the refit index
+        store = sim_ops.ivfpq_store_topk(
+            spark, root, emb, q, "vec_id", "embedding",
+            k=5, n_probe=8, rerank=400,
+        ).localCheckpoint(eager=False)
+        s_t = store.select("query_id", "neighbor_id", "rank")
+        m_t = mem.select("query_id", "neighbor_id", "rank")
+        match = (
+            s_t.exceptAll(m_t)
+            .unionByName(m_t.exceptAll(s_t))
+            .agg((F.count(F.lit(1)) == 0).alias("swap_serves_refit"))
+        )
+        out = (
+            _ann_recall_stats(bf, store, floor=0.7)
+            .crossJoin(drift)
+            .crossJoin(match)
+            .withColumn("fit_changed", F.lit(old_cents != new_cents))
+            .select(
+                "n_queries", "n_bf_pairs", "drift_cosine",
+                "reindex_triggered", "recall_ok", "swap_serves_refit",
+                "fit_changed",
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(new_root, ignore_errors=True)
+        shutil.rmtree(root.rstrip("/") + ".retired", ignore_errors=True)
+
+
 _STORE_RERANK_DEPTH = 10
 
 _STORE_RERANK_ORACLE = f"""

@@ -224,3 +224,8 @@ def test_continuous_index_pipeline_end_to_end(spark, sf_small, tmpdir):
     assert out["swap_identical"]
     assert out["bloom_pass"] >= out["bloom_exact"] > 0
     assert out["sample_k"] == 32
+    # the drift→reindex→swap leg: the synthetic halves are independent
+    # draws, so the centroid-cosine monitor fires and the post-swap
+    # probe must equal the in-memory twin of the refit index
+    assert out["drift_cosine"] < 0.99
+    assert out["reindex_swap_serves_refit"]

@@ -1200,3 +1200,61 @@ def test_embedding_centroid_drift_planted_geometry(spark, tmp_path):
     assert out[1].centroid_norm_ratio == 2.0
     assert out[2].centroid_cosine == 0.0
     assert out[2].n_ref == 2 and out[2].n_cand == 2
+
+
+def test_ivfpq_refit_swap_serves_new_index(
+    spark, clustered_vectors, tmp_path
+):
+    """The drift→reindex loop's swap step (ann_store_reindex_swap):
+    a live store fitted on HALF the corpus is refit on the full corpus
+    into a NEW root, swap_root promotes it, and a probe of the OLD
+    (live) path must equal the in-memory twin of the REFIT index —
+    proving the swap switched real bits — while the stale fit's
+    centroids differ from the refit's (the swap wasn't a no-op)."""
+    from lab3_lakehouse_spark import stores
+
+    emb = clustered_vectors
+    live = str(tmp_path / "ivfpq")
+    refit = str(tmp_path / "ivfpq.refit")
+    # stale fit: trained on the even half only
+    sim_ops.ivfpq_store_init(
+        live, emb.filter(F.col("vec_id") % 2 == 0), "vec_id", "embedding",
+        n_centroids=8, dim=32, m=8, n_codes=16,
+    )
+    sim_ops.ivfpq_store_append(spark, live, emb, "vec_id", "embedding")
+    old_cents, _ = sim_ops.ivfpq_load_meta(spark, live)
+
+    # refit on the full corpus into the NEW root; live never written
+    sim_ops.ivfpq_store_init(
+        refit, emb, "vec_id", "embedding",
+        n_centroids=8, dim=32, m=8, n_codes=16,
+    )
+    sim_ops.ivfpq_store_append(spark, refit, emb, "vec_id", "embedding")
+    new_cents, new_books = sim_ops.ivfpq_load_meta(spark, refit)
+    assert old_cents != new_cents  # the refit moved real bits
+
+    retired = stores.swap_root(live, refit)
+    queries = emb.filter(F.col("vec_id") % 30 == 0)
+    store = sim_ops.ivfpq_store_topk(
+        spark, live, emb, queries, "vec_id", "embedding",
+        k=5, n_probe=4, rerank=60,
+    )
+    mem_index = sim_ops.pq_encode(
+        sim_ops.assign_cells_literal(emb, "vec_id", "embedding", new_cents),
+        "neighbor_id", "__cvec", new_books, keep=("__cell",),
+    ).select("neighbor_id", "__cell", "__codes")
+    mem = sim_ops.ivfpq_probe_index(
+        mem_index, new_books, new_cents, queries, "vec_id", "embedding",
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("__cvec"),
+        ),
+        k=5, n_probe=4, rerank=60,
+    )
+    got = sorted((r.query_id, r.neighbor_id, r.rank) for r in store.collect())
+    want = sorted((r.query_id, r.neighbor_id, r.rank) for r in mem.collect())
+    assert got == want  # the live path serves the refit index
+    # the retired root still holds the stale index (swap is reversible)
+    import os
+
+    assert os.path.isdir(retired)
