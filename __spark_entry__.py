@@ -69,7 +69,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_engine.py::test_priority_rotation_names_all_registered
 # guards against typos silently shrinking the window.
 _PRIORITY = [
-    "ann_store_reindex_swap",  # --- r13 NEW op (slot 1)
+    "ann_store_reindex_swap",  # --- r13 NEW ops first
+    "minhash_band_rebalance",
     "incremental_split_maintenance",  # --- r13-EDITED entries: banded
     "leakage_safe_split_assignment",  #     pair tier (lossless length-band
     "word_jaccard_near_dups",  #     blocking) changed these Spark bodies;

@@ -194,6 +194,7 @@ HEADLINE = [
     "asof_view_next_purchase",      # forward as-of: time-to-convert (r9)
     "ann_store_ivfpq_topk",         # persisted IVF-PQ index: append+probe (r10)
     "ann_store_reindex_swap",       # drift monitor -> refit -> swap_root (r13)
+    "minhash_band_rebalance",       # signature-store threshold retarget (r13)
     "media_phash_store_partners",   # signature-tier probe, decode amortized (r10)
     "kll_tier_compaction",          # quantile-store GC, bit-identical reads (r10)
     "cross_source_containment",     # directional syndication matrix (r10)
@@ -262,6 +263,7 @@ WATCH_FIRST = [
     "incremental_split_maintenance",
     # r13 new entries
     "ann_store_reindex_swap",
+    "minhash_band_rebalance",
 ]
 
 #: Same-run A/B for the store-drift adjudication: this sentinel re-runs

@@ -1044,3 +1044,48 @@ def banded_word_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def rebalance_signature_store(
+    spark,
+    src_root: str,
+    dst_root: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 32,
+    seed: int = 42,
+) -> None:
+    """Re-band the persisted LSH signature store for a NEW threshold
+    target — the maintenance op a similarity-threshold change demands:
+    the banding S-curve's midpoint is ``(1/b)^(r/num_perm·b)`` ≈
+    ``(1/bands)^(1/rows_per_band)``, so moving the dedup threshold
+    (say 0.5 → 0.18 to catch more distant near-dups) means a different
+    (bands, rows) split of the SAME minhash permutations. Because the
+    store's ``hashes`` tier persists the per-doc shingle-hash arrays,
+    the new ``bands`` tier is ONE pass over that tier — the corpus
+    text is never re-read or re-tokenized (at 100 TB the avoided
+    re-tokenize is a full corpus scan; the hashes tier is a small
+    fixed multiple of doc count). Writes BOTH tiers of a fresh root
+    per the :func:`stores.gc_write` contract (``mode("error")``, live
+    store untouched; hashes pass through exactly-deduped — the
+    compact_signature_store discipline); swap-in is
+    :func:`lab3_lakehouse_spark.stores.swap_root`.
+
+    Candidate-set monotonicity: with ``num_perm`` fixed and ``bands``
+    doubled, every old band's row block splits into two new blocks, so
+    any pair whose minhash values collided on an old band still
+    collides on both sub-bands — the rebanded candidate set is a
+    SUPERSET of the old one (the registry entry pins this)."""
+    from lab3_lakehouse_spark import stores
+
+    hashes = stores.read_tier(spark, src_root, "hashes").dropDuplicates(
+        ["__id"]
+    )
+    stores.gc_write(
+        banded_signatures(hashes, num_perm, bands, seed),
+        dst_root,
+        "bands",
+        cluster_expr=F.col("band"),
+        sort_cols=("band", "bh"),
+    )
+    stores.gc_write(hashes, dst_root, "hashes")

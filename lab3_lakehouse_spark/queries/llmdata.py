@@ -1393,6 +1393,135 @@ def ann_store_reindex_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root.rstrip("/") + ".retired", ignore_errors=True)
 
 
+_BAND_REBALANCE_ORACLE = f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           {sql_round4('pow(1.0/16.0, 1.0/4.0)')} AS old_midpoint,
+           {sql_round4('pow(1.0/32.0, 1.0/2.0)')} AS new_midpoint,
+           true AS rebanded_matches_direct,
+           true AS old_candidates_preserved,
+           true AS swap_serves_rebanded
+    FROM documents
+"""
+
+
+@query("minhash_band_rebalance", oracle=_BAND_REBALANCE_ORACLE)
+def minhash_band_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold RETARGETING on the persisted LSH signature store —
+    the maintenance op every dedup deployment eventually needs: the
+    similarity threshold moves (here the banding midpoint drops from
+    (1/16)^(1/4) = 0.5 to (1/32)^(1/2) ≈ 0.18 — catch more distant
+    near-dups), which means a different (bands, rows-per-band) split
+    of the SAME minhash permutations. Because the store's ``hashes``
+    tier persists per-doc shingle-hash arrays, the re-band is ONE pass
+    over that tier (operators/dedup.rebalance_signature_store) into a
+    NEW root — the corpus text is never re-read or re-tokenized, which
+    at 100 TB is the difference between a store-sized job and a full
+    corpus re-scan — then ``stores.swap_root`` promotes it atomically.
+
+    Differential contract: (a) ``rebanded_matches_direct`` — the bands
+    tier rebuilt FROM THE STORE must equal, row for row, a direct
+    re-band of the corpus-derived hash frame (the expensive path the
+    store makes unnecessary); (b) ``old_candidates_preserved`` — with
+    num_perm fixed and bands doubled, every old band's row block
+    splits in two, so the old candidate set must be a SUBSET of the
+    new one (monotone recall: loosening the threshold never loses
+    pairs); (c) ``swap_serves_rebanded`` — the post-swap probe of the
+    LIVE path must produce exactly the direct-twin candidate set; (d)
+    the two S-curve midpoints are emitted as cross-engine-checked
+    values (closed-form, round4). Eager by necessity (store lifecycle
+    at call time; roots via _util.scratch_dir)."""
+    import shutil
+
+    from lab3_lakehouse_spark import stores
+    from lab3_lakehouse_spark.queries._util import scratch_dir
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    root = scratch_dir("minhash_rebal_")
+    new_root = root.rstrip("/") + ".rebanded"
+    try:
+        hashed = docs.select(
+            F.col("doc_id").alias("__id"),
+            dedup_ops.shingle_hashes("text", 3).alias("__h"),
+        ).localCheckpoint(eager=True)
+        for residue in (0, 1):
+            dedup_ops.minhash_store_append(
+                root,
+                hashed.filter(F.pmod("__id", F.lit(2)) == residue),
+                num_perm=64,
+                bands=16,
+            )
+        # pre-swap snapshot of the OLD candidate set — the live bands
+        # tier is replaced below, so pin the rows now
+        old_cands = dedup_ops.minhash_lsh_candidates_from_bands(
+            stores.read_tier(spark, root, "bands")
+        ).localCheckpoint(eager=True)
+
+        # the re-band: one pass over the hashes tier, corpus never read
+        dedup_ops.rebalance_signature_store(
+            spark, root, new_root, num_perm=64, bands=32
+        )
+        # direct twin: re-band the corpus-derived hash frame (what the
+        # store path must reproduce without touching text)
+        direct = dedup_ops.banded_signatures(hashed, 64, 32)
+        key = ["__id", "band", "bh"]
+        rb = stores.read_tier(spark, new_root, "bands").select(*key)
+        match_bands = (
+            rb.exceptAll(direct.select(*key))
+            .unionByName(direct.select(*key).exceptAll(rb))
+            .agg(
+                (F.count(F.lit(1)) == 0).alias("rebanded_matches_direct")
+            )
+            .localCheckpoint(eager=True)  # executes BEFORE the swap
+        )                                 # renames new_root away
+
+        retired = stores.swap_root(root, new_root)
+        shutil.rmtree(retired, ignore_errors=True)
+
+        # post-swap probe of the LIVE path — now the rebanded tier
+        live_cands = dedup_ops.minhash_lsh_candidates_from_bands(
+            stores.read_tier(spark, root, "bands")
+        ).localCheckpoint(eager=False)  # feeds equality AND subset legs
+        direct_cands = dedup_ops.minhash_lsh_candidates_from_bands(direct)
+        pk = ["id_a", "id_b"]
+        swap_ok = (
+            live_cands.select(*pk).exceptAll(direct_cands.select(*pk))
+            .unionByName(
+                direct_cands.select(*pk).exceptAll(live_cands.select(*pk))
+            )
+            .agg((F.count(F.lit(1)) == 0).alias("swap_serves_rebanded"))
+        )
+        preserved = (
+            old_cands.join(live_cands, pk, "left_anti")
+            .agg(
+                (F.count(F.lit(1)) == 0).alias("old_candidates_preserved")
+            )
+        )
+        out = (
+            docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .crossJoin(match_bands)
+            .crossJoin(preserved)
+            .crossJoin(swap_ok)
+            .select(
+                "n_docs",
+                round4(
+                    F.pow(F.lit(1.0 / 16.0), F.lit(1.0 / 4.0))
+                ).alias("old_midpoint"),
+                round4(
+                    F.pow(F.lit(1.0 / 32.0), F.lit(1.0 / 2.0))
+                ).alias("new_midpoint"),
+                "rebanded_matches_direct",
+                "old_candidates_preserved",
+                "swap_serves_rebanded",
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(new_root, ignore_errors=True)
+        shutil.rmtree(root.rstrip("/") + ".retired", ignore_errors=True)
+
+
 _STORE_RERANK_DEPTH = 10
 
 _STORE_RERANK_ORACLE = f"""

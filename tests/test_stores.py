@@ -628,3 +628,65 @@ def test_bloom_store_meta_reads_pre_batchid_files(spark, tmp_path):
     assert len(legacy) == 1 and legacy[0].n_keys == 40
     tagged = [r for r in rows if r.batch_id == 3]
     assert len(tagged) == 1 and tagged[0].n_keys == 50
+
+
+@pytest.mark.parametrize("seed", [7, 31])
+def test_minhash_rebalance_equals_direct_and_preserves_candidates(
+    spark, tmp_path, seed
+):
+    """Threshold retargeting on the signature store (r13): rebuild the
+    bands tier at DOUBLE the band count from the persisted hashes tier
+    alone and (a) the result must equal a direct re-band of the
+    corpus-derived hash frame, (b) the old candidate set must be a
+    subset of the new one (num_perm fixed + bands doubled splits every
+    old row block in two — monotone recall), (c) the live store's
+    pre-existing files are untouched (gc_write to a NEW root), and
+    (d) at-least-once replay in the append history changes nothing
+    (the rebalance dedups the hashes tier)."""
+    rng = random.Random(seed)
+    docs = _docs(spark, n=80)
+    hashed_all = docs.select(
+        F.col("doc_id").alias("__id"),
+        dedup_ops.shingle_hashes("text", 3).alias("__h"),
+    ).localCheckpoint(eager=True)
+    src = str(tmp_path / f"mh_rb_src_{seed}")
+    dst = str(tmp_path / f"mh_rb_dst_{seed}")
+    batches = _random_batches(list(range(80)), rng)
+    for ids in batches:
+        dedup_ops.minhash_store_append(
+            src, hashed_all.filter(F.col("__id").isin(ids))
+        )
+    dedup_ops.minhash_store_append(  # at-least-once replay
+        src, hashed_all.filter(F.col("__id").isin(rng.choice(batches)))
+    )
+    old_cands = {
+        tuple(r)
+        for r in dedup_ops.minhash_lsh_candidates_from_bands(
+            stores.read_tier(spark, src, "bands")
+        ).collect()
+    }
+
+    before = stores.snapshot_files(src)
+    dedup_ops.rebalance_signature_store(spark, src, dst, bands=32)
+    assert stores.snapshot_files(src) == before  # live store untouched
+
+    key = ["__id", "band", "bh"]
+    got = sorted(
+        tuple(r)
+        for r in stores.read_tier(spark, dst, "bands").select(*key).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in dedup_ops.banded_signatures(hashed_all, 64, 32)
+        .select(*key)
+        .collect()
+    )
+    assert got == want  # store path == corpus-recompute path
+
+    new_cands = {
+        tuple(r)
+        for r in dedup_ops.minhash_lsh_candidates_from_bands(
+            stores.read_tier(spark, dst, "bands")
+        ).collect()
+    }
+    assert old_cands <= new_cands  # monotone recall on band doubling
