@@ -71,6 +71,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     "ann_store_reindex_swap",  # --- r13 NEW ops first
     "minhash_band_rebalance",
+    "deterministic_shard_assignment",
+    "semantic_decontamination",
     "incremental_split_maintenance",  # --- r13-EDITED entries: banded
     "leakage_safe_split_assignment",  #     pair tier (lossless length-band
     "word_jaccard_near_dups",  #     blocking) changed these Spark bodies;

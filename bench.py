@@ -195,6 +195,8 @@ HEADLINE = [
     "ann_store_ivfpq_topk",         # persisted IVF-PQ index: append+probe (r10)
     "ann_store_reindex_swap",       # drift monitor -> refit -> swap_root (r13)
     "minhash_band_rebalance",       # signature-store threshold retarget (r13)
+    "deterministic_shard_assignment",  # token-balanced snake loader shards (r13)
+    "semantic_decontamination",     # embedding-level benchmark decon (r13)
     "media_phash_store_partners",   # signature-tier probe, decode amortized (r10)
     "kll_tier_compaction",          # quantile-store GC, bit-identical reads (r10)
     "cross_source_containment",     # directional syndication matrix (r10)
@@ -264,6 +266,8 @@ WATCH_FIRST = [
     # r13 new entries
     "ann_store_reindex_swap",
     "minhash_band_rebalance",
+    "deterministic_shard_assignment",
+    "semantic_decontamination",
 ]
 
 #: Same-run A/B for the store-drift adjudication: this sentinel re-runs

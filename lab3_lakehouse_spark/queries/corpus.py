@@ -1573,3 +1573,167 @@ def dedup_discounted_token_budget(
         "alloc_tokens",
         round4(F.col("alloc_tokens") / F.col("n_tokens")).alias("epochs"),
     )
+
+
+# ----------------------------- deterministic shard assignment ----
+
+_N_SHARDS = 8
+
+_SHARD_ASSIGN_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+        FROM documents
+    ), r AS (
+        SELECT doc_id, n_tokens,
+               row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rk
+        FROM t
+    ), s AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN (rk // {_N_SHARDS}) % 2 = 0
+                    THEN rk % {_N_SHARDS}
+                    ELSE {_N_SHARDS} - 1 - rk % {_N_SHARDS}
+               END AS shard
+        FROM r
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(sum(n_tokens) OVER (PARTITION BY shard) AS BIGINT)
+               AS shard_total_tokens
+    FROM s
+"""
+
+
+@query("deterministic_shard_assignment", oracle=_SHARD_ASSIGN_ORACLE)
+def deterministic_shard_assignment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-BALANCED loader shards, reproducible without storing them
+    — the data-loader step between a curated corpus and a distributed
+    training job: every worker should stream a near-equal token count
+    (stragglers idle the whole cluster at the epoch barrier), and the
+    assignment must be a pure function of the corpus (any job, any
+    day, any engine recomputes the identical sharding — the split/fold
+    reproduce-without-storing contract applied to loader layout).
+
+    Balance rule: rank every document by whitespace-token count
+    descending (doc_id tiebreak) and deal ranks to the S = 8 shards
+    BOUSTROPHEDON (snake draft: 0..S-1 then S-1..0) — the
+    classic one-pass LPT approximation: each round of S docs adds a
+    near-equal token mass to every shard, and the reversal cancels the
+    within-round bias, so shard totals track each other to within a
+    couple of documents' mass with NO greedy state to replicate.
+
+    Scale shape: the global rank runs through
+    operators/windows.global_row_number (broadcast approx-percentile
+    cuts → partitioned per-bucket row_number + cumulative offsets) —
+    NO single-partition sort anywhere; the snake arithmetic is
+    row-local integer math, and the per-shard totals are one grouped
+    sum over ≤ S rows broadcast back. All columns are exact integers —
+    bit-stable cross-engine, no rounding policy needed."""
+    from lab3_lakehouse_spark.operators import windows as win_ops
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", text_ops.token_count("text").alias("n_tokens")
+    )
+    ranked = win_ops.global_row_number(
+        t, metric="n_tokens", tie_breakers=("doc_id",),
+        rank_col="__rk", ascending=False,
+    )
+    rk0 = F.col("__rk") - 1
+    pos = F.pmod(rk0, F.lit(_N_SHARDS))
+    rnd = ((rk0 - pos) / _N_SHARDS).cast("long")
+    assigned = ranked.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.when(F.pmod(rnd, F.lit(2)) == 0, pos)
+        .otherwise(F.lit(_N_SHARDS - 1) - pos)
+        .cast("long")
+        .alias("shard"),
+    )
+    totals = assigned.groupBy("shard").agg(
+        F.sum("n_tokens").cast("long").alias("shard_total_tokens")
+    )  # ≤ S rows — broadcast back onto the doc frame
+    return assigned.join(F.broadcast(totals), "shard").select(
+        "doc_id", "n_tokens", "shard", "shard_total_tokens"
+    )
+
+
+# ----------------------------- semantic decontamination ----
+
+_SEMDECON_TAU = 0.3
+
+_SEMDECON_ORACLE = f"""
+    WITH bench AS MATERIALIZED (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0
+    ), corp AS (
+        SELECT vec_id, label, embedding
+        FROM embeddings WHERE vec_id % 25 <> 0
+    ), mx AS (
+        SELECT c.vec_id, c.label,
+               max(list_cosine_similarity(c.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[])) AS mc
+        FROM corp c CROSS JOIN bench b
+        GROUP BY c.vec_id, c.label
+    )
+    SELECT vec_id,
+           CAST(label AS BIGINT) AS label,
+           {sql_round4('mc')} AS max_benchmark_cosine,
+           mc >= CAST({_SEMDECON_TAU} AS DOUBLE) AS contaminated
+    FROM mx
+"""
+
+
+@query("semantic_decontamination", oracle=_SEMDECON_ORACLE)
+def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-level benchmark decontamination — the semantic
+    companion to decontamination_ngram_overlap: n-gram overlap catches
+    verbatim and lightly-edited test-set leaks, but a paraphrased or
+    translated benchmark item shares almost no n-grams while sitting
+    right next to the original in embedding space (the leak mode
+    n-gram decon provably cannot see). Per corpus vector: the MAX
+    cosine to any benchmark vector and a ``contaminated`` flag at
+    τ = 0.3 — the per-document rewrite table a curator drops or audits
+    before training.
+
+    Differential contract: the cosine is the exact JVM fold
+    (operators/similarity.cosine_similarity), bit-identical to the
+    oracle's ``list_cosine_similarity``, so the MAX (order-independent)
+    and the threshold boolean cannot diverge cross-engine; the emitted
+    value is round4-pinned.
+
+    Scale shape: the benchmark side is SMALL by definition (a test
+    set, not a corpus), so this is a broadcast bipartite scan — one
+    pass over the corpus tier, cost |corpus|·|bench|, no shuffle of
+    vectors (the grouped max is map-side combinable on vec_id, which
+    the scan already partitions). When the benchmark outgrows
+    broadcast (multi-benchmark suites), the production path swaps in
+    the persisted IVF-PQ store probe (ann_store_ivfpq_topk) with
+    bench as the query batch and flags anything whose top-1 exceeds τ
+    — the exact tier here is the gate's oracle-replayable twin, the
+    decontamination_bloom_store pattern."""
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_bench = F.pmod("vec_id", F.lit(25)) == 0
+    bench = emb.filter(is_bench).select(
+        F.col("vec_id").alias("__bid"), F.col("embedding").alias("__bvec")
+    )
+    corp = emb.filter(~is_bench).select("vec_id", "label", "embedding")
+    mx = (
+        corp.crossJoin(F.broadcast(bench))
+        .withColumn(
+            "__cos",
+            sim_ops.cosine_similarity(F.col("embedding"), F.col("__bvec")),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.max("__cos").alias("__mc"))
+    )
+    return mx.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        round4(F.col("__mc")).alias("max_benchmark_cosine"),
+        (F.col("__mc") >= F.lit(_SEMDECON_TAU)).alias("contaminated"),
+    )

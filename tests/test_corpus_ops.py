@@ -251,3 +251,80 @@ def test_token_budget_waterfill_cascading_caps(spark, tmp_path):
     assert out["a"].epochs == 2.0 and out["d"].epochs == 1.776
     # budget exactly conserved
     assert sum(r.alloc_tokens for r in out.values()) == 2016.0
+
+
+def test_snake_shard_assignment_balances_and_is_deterministic(spark):
+    """deterministic_shard_assignment: the snake draft over the global
+    token-count rank must (a) give every shard the same doc count ±1,
+    (b) keep shard token totals within one max-document of each other
+    on this skewed corpus, (c) be a pure function of the data (two
+    evaluations agree row for row), and (d) cover every doc exactly
+    once."""
+    import random
+
+    from lab3_lakehouse_spark.queries.corpus import (
+        _N_SHARDS,
+        deterministic_shard_assignment,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        Row(doc_id=i, text=" ".join("w" for _ in range(rng.randint(1, 400))))
+        for i in range(173)
+    ]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows).write.parquet(f"{d}/documents.parquet")
+        out1 = {
+            r.doc_id: (r.n_tokens, r.shard, r.shard_total_tokens)
+            for r in deterministic_shard_assignment(spark, d).collect()
+        }
+        out2 = {
+            r.doc_id: (r.n_tokens, r.shard, r.shard_total_tokens)
+            for r in deterministic_shard_assignment(spark, d).collect()
+        }
+    assert out1 == out2  # pure function of the corpus
+    assert sorted(out1) == list(range(173))  # every doc exactly once
+    from collections import Counter
+
+    per_shard_docs = Counter(s for _, s, _ in out1.values())
+    assert len(per_shard_docs) == _N_SHARDS
+    assert max(per_shard_docs.values()) - min(per_shard_docs.values()) <= 1
+    totals = {}
+    for n, s, tot in out1.values():
+        totals.setdefault(s, 0)
+        totals[s] += n
+    # the emitted shard_total_tokens column agrees with recomputation
+    for n, s, tot in out1.values():
+        assert totals[s] == tot
+    max_doc = max(n for n, _, _ in out1.values())
+    assert max(totals.values()) - min(totals.values()) <= max_doc
+
+
+def test_semantic_decontamination_flags_planted_leak(spark):
+    """A corpus vector that is a scaled copy of a benchmark vector
+    (cosine 1.0 — the paraphrase/translation leak shape n-gram decon
+    misses) must be flagged; an orthogonal vector must not; and the
+    benchmark rows themselves never appear in the output."""
+    import tempfile
+
+    from lab3_lakehouse_spark.queries.corpus import semantic_decontamination
+
+    dim = 64
+    e0 = [1.0] + [0.0] * (dim - 1)
+    e1 = [0.0, 1.0] + [0.0] * (dim - 2)
+    rows = [
+        Row(vec_id=0, embedding=e0, label=0),           # benchmark (0 % 25)
+        Row(vec_id=1, embedding=[x * 3.0 for x in e0], label=0),  # leak
+        Row(vec_id=2, embedding=e1, label=1),           # orthogonal: clean
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows).write.parquet(f"{d}/embeddings.parquet")
+        out = {
+            r.vec_id: (r.max_benchmark_cosine, r.contaminated)
+            for r in semantic_decontamination(spark, d).collect()
+        }
+    assert set(out) == {1, 2}  # benchmark vec 0 excluded from output
+    assert out[1] == (1.0, True)   # scaled copy: cosine exactly 1
+    assert out[2] == (0.0, False)  # orthogonal: clean
