@@ -73,6 +73,9 @@ _PRIORITY = [
     "minhash_band_rebalance",
     "deterministic_shard_assignment",
     "semantic_decontamination",
+    "epoch_shuffle_plan",
+    "context_window_fit",
+    "curriculum_quality_phases",
     "incremental_split_maintenance",  # --- r13-EDITED entries: banded
     "leakage_safe_split_assignment",  #     pair tier (lossless length-band
     "word_jaccard_near_dups",  #     blocking) changed these Spark bodies;

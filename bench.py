@@ -197,6 +197,9 @@ HEADLINE = [
     "minhash_band_rebalance",       # signature-store threshold retarget (r13)
     "deterministic_shard_assignment",  # token-balanced snake loader shards (r13)
     "semantic_decontamination",     # embedding-level benchmark decon (r13)
+    "epoch_shuffle_plan",           # computed per-epoch loader orders (r13)
+    "context_window_fit",           # sequence-length sizing report (r13)
+    "curriculum_quality_phases",    # quality-ranked curriculum cuts (r13)
     "media_phash_store_partners",   # signature-tier probe, decode amortized (r10)
     "kll_tier_compaction",          # quantile-store GC, bit-identical reads (r10)
     "cross_source_containment",     # directional syndication matrix (r10)
@@ -268,6 +271,9 @@ WATCH_FIRST = [
     "minhash_band_rebalance",
     "deterministic_shard_assignment",
     "semantic_decontamination",
+    "epoch_shuffle_plan",
+    "context_window_fit",
+    "curriculum_quality_phases",
 ]
 
 #: Same-run A/B for the store-drift adjudication: this sentinel re-runs

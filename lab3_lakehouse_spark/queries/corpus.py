@@ -1632,10 +1632,24 @@ def deterministic_shard_assignment(
     row-local integer math, and the per-shard totals are one grouped
     sum over ≤ S rows broadcast back. All columns are exact integers —
     bit-stable cross-engine, no rounding policy needed."""
-    from lab3_lakehouse_spark.operators import windows as win_ops
-
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
+    assigned = _snake_shard_frame(docs)
+    totals = assigned.groupBy("shard").agg(
+        F.sum("n_tokens").cast("long").alias("shard_total_tokens")
+    )  # ≤ S rows — broadcast back onto the doc frame
+    return assigned.join(F.broadcast(totals), "shard").select(
+        "doc_id", "n_tokens", "shard", "shard_total_tokens"
+    )
+
+
+def _snake_shard_frame(docs: DataFrame) -> DataFrame:
+    """``(doc_id, n_tokens, shard)`` — the snake-draft shard
+    assignment shared by :func:`deterministic_shard_assignment` and
+    :func:`epoch_shuffle_plan` (same rank, same snake, one
+    definition)."""
+    from lab3_lakehouse_spark.operators import windows as win_ops
+
     t = docs.select(
         "doc_id", text_ops.token_count("text").alias("n_tokens")
     )
@@ -1646,19 +1660,13 @@ def deterministic_shard_assignment(
     rk0 = F.col("__rk") - 1
     pos = F.pmod(rk0, F.lit(_N_SHARDS))
     rnd = ((rk0 - pos) / _N_SHARDS).cast("long")
-    assigned = ranked.select(
+    return ranked.select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.when(F.pmod(rnd, F.lit(2)) == 0, pos)
         .otherwise(F.lit(_N_SHARDS - 1) - pos)
         .cast("long")
         .alias("shard"),
-    )
-    totals = assigned.groupBy("shard").agg(
-        F.sum("n_tokens").cast("long").alias("shard_total_tokens")
-    )  # ≤ S rows — broadcast back onto the doc frame
-    return assigned.join(F.broadcast(totals), "shard").select(
-        "doc_id", "n_tokens", "shard", "shard_total_tokens"
     )
 
 
@@ -1736,4 +1744,302 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("long").alias("label"),
         round4(F.col("__mc")).alias("max_benchmark_cosine"),
         (F.col("__mc") >= F.lit(_SEMDECON_TAU)).alias("contaminated"),
+    )
+
+
+# ----------------------------- epoch shuffle plan ----
+
+_N_EPOCHS = 3
+_EPOCH_SEED = 101
+
+_EPOCH_SHUFFLE_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+        FROM documents
+    ), r AS (
+        SELECT doc_id, n_tokens,
+               row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rk
+        FROM t
+    ), s AS (
+        SELECT doc_id,
+               CASE WHEN (rk // {_N_SHARDS}) % 2 = 0
+                    THEN rk % {_N_SHARDS}
+                    ELSE {_N_SHARDS} - 1 - rk % {_N_SHARDS}
+               END AS shard
+        FROM r
+    ), se AS (
+        SELECT doc_id, shard, e.epoch
+        FROM s, (SELECT unnest(range({_N_EPOCHS})) AS epoch) e
+    )
+    SELECT doc_id,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(epoch AS BIGINT) AS epoch,
+           CAST(row_number() OVER (
+               PARTITION BY shard, epoch
+               ORDER BY {sql_hash60(
+                   "CAST(epoch AS VARCHAR) || '#' || CAST(doc_id AS VARCHAR)",
+                   _EPOCH_SEED)}, doc_id
+           ) AS BIGINT) AS position
+    FROM se
+"""
+
+
+@query("epoch_shuffle_plan", oracle=_EPOCH_SHUFFLE_ORACLE)
+def epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-once-read-many, computed instead of stored — the data
+    ORDER half of the loader contract (:func:`deterministic_shard_
+    assignment` is the placement half): every training epoch must
+    visit each shard's documents in a fresh pseudorandom order (epoch
+    reshuffling measurably improves convergence), every worker/restart
+    must agree on that order WITHOUT a coordinator, and at 100 TB you
+    cannot afford to materialize E permutations of the corpus. The
+    order is therefore a pure function: position(epoch, doc) =
+    rank of ``hash60(epoch # doc_id)`` within the doc's snake shard —
+    any job, any day, any engine recomputes the same schedule, and a
+    resumed run seeks straight to (epoch, shard, position).
+
+    Per (shard, epoch) the hash ranks are a fresh deterministic
+    permutation — epochs decorrelate because the epoch id is INSIDE
+    the hash input, not a rotation of one stored order. Differential
+    contract: the full (doc_id, shard, epoch, position) schedule,
+    bit-exact cross-engine (integer hash + integer ranks — the
+    crossval_fold_balance hashing convention; doc_id tiebreak makes
+    even a 60-bit hash collision deterministic).
+
+    Scale shape: the snake rank is the two-phase global ranking (no
+    single-partition sort); the epoch fan-out is a scan-side explode
+    (E× rows, constant E); the position windows are PARTITIONED by
+    (shard, epoch) — S·E independent sorts, each 1/S of the corpus,
+    exactly the partitioning a multi-worker loader reads."""
+    from pyspark.sql import Window
+
+    from lab3_lakehouse_spark.operators.sketches import portable_hash60
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    shards = _snake_shard_frame(docs).select("doc_id", "shard")
+    se = shards.withColumn(
+        "epoch",
+        F.explode(F.array(*[F.lit(e) for e in range(_N_EPOCHS)])),
+    )
+    hkey = portable_hash60(
+        F.concat(
+            F.col("epoch").cast("string"),
+            F.lit("#"),
+            F.col("doc_id").cast("string"),
+        ),
+        _EPOCH_SEED,
+    )
+    w = Window.partitionBy("shard", "epoch").orderBy(
+        hkey.asc(), F.col("doc_id").asc()
+    )
+    return se.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        F.col("epoch").cast("long").alias("epoch"),
+        F.row_number().over(w).cast("long").alias("position"),
+    )
+
+
+# ----------------------------- context-window fit report ----
+
+_CTX_WINDOWS = (64, 128, 256, 512)
+
+_CTX_FIT_ORACLE = f"""
+    WITH t AS (
+        SELECT len(regexp_split_to_array(text, '\\s+')) AS n
+        FROM documents
+    ), w AS (
+        SELECT unnest([{', '.join(str(w) for w in _CTX_WINDOWS)}])
+            AS window_size
+    )
+    SELECT CAST(window_size AS BIGINT) AS window_size,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n <= window_size THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_docs_fit,
+           {sql_round4(
+               'sum(CASE WHEN n <= window_size THEN 1 ELSE 0 END)::DOUBLE'
+               ' / count(*)')} AS fit_ratio,
+           CAST(sum(greatest(n - window_size, 0)) AS BIGINT)
+               AS truncated_tokens,
+           {sql_round4(
+               'sum(greatest(n - window_size, 0))::DOUBLE / sum(n)')}
+               AS truncation_loss,
+           {sql_round4(
+               'sum(least(n, window_size))::DOUBLE'
+               ' / (count(*) * window_size)')} AS unpacked_utilization,
+           CAST(ceil(sum(least(n, window_size))::DOUBLE / window_size)
+               AS BIGINT) AS packed_seqs_lower_bound
+    FROM t CROSS JOIN w
+    GROUP BY window_size
+"""
+
+
+@query("context_window_fit", oracle=_CTX_FIT_ORACLE)
+def context_window_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window sizing report — the numbers a pretraining run is
+    actually planned with: for each candidate sequence length, how
+    much of the corpus fits whole (``fit_ratio``), how many tokens a
+    truncate-at-W policy throws away (``truncation_loss`` — the
+    long-document mass that silently vanishes), how badly
+    one-document-per-sequence padding wastes compute
+    (``unpacked_utilization`` — the number that motivates sequence
+    packing), and the packed sequence count lower bound
+    (⌈kept tokens / W⌉ — what pack_documents_concat_chop approaches).
+    Read together the four rows ARE the window-size decision: pick the
+    W where truncation loss and padding waste cross.
+
+    All ratios are exact int/int divisions (round4-pinned); the packed
+    bound divides by a power-of-two W, so even the double division is
+    exact — bit-stable cross-engine. Scale shape: ONE token-count scan
+    exploded ×|windows| (constant 4) into a map-side-combinable
+    grouped aggregate; output is |windows| rows. The same cost class
+    as a grouped count at any corpus size."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(text_ops.token_count("text").alias("n"))
+    e = t.withColumn(
+        "window_size",
+        F.explode(F.array(*[F.lit(w) for w in _CTX_WINDOWS])),
+    )
+    w = F.col("window_size")
+    n = F.col("n")
+    kept = F.least(n, w)
+    return (
+        e.groupBy("window_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(n <= w, 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_fit"),
+            F.sum(F.greatest(n - w, F.lit(0)))
+            .cast("long")
+            .alias("truncated_tokens"),
+            F.sum(n).alias("__total"),
+            F.sum(kept).alias("__kept"),
+        )
+        .select(
+            F.col("window_size").cast("long").alias("window_size"),
+            "n_docs",
+            "n_docs_fit",
+            round4(
+                F.col("n_docs_fit").cast("double") / F.col("n_docs")
+            ).alias("fit_ratio"),
+            "truncated_tokens",
+            round4(
+                F.col("truncated_tokens").cast("double") / F.col("__total")
+            ).alias("truncation_loss"),
+            round4(
+                F.col("__kept").cast("double")
+                / (F.col("n_docs") * F.col("window_size"))
+            ).alias("unpacked_utilization"),
+            F.ceil(
+                F.col("__kept").cast("double") / F.col("window_size")
+            )
+            .cast("long")
+            .alias("packed_seqs_lower_bound"),
+        )
+    )
+
+
+# ----------------------------- curriculum quality phases ----
+
+_N_PHASES = 3
+
+def _curriculum_oracle() -> str:
+    from lab3_lakehouse_spark.operators import text as t_ops
+
+    sw = "['" + "','".join(t_ops.STOPWORDS) + "']"
+    return f"""
+    WITH q AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+               len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               w -> list_contains({sw}, w)))::DOUBLE
+                 / len(regexp_split_to_array(text, '\\s+'))::DOUBLE AS score
+        FROM documents
+    ), r AS (
+        SELECT doc_id, n_tokens, score,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rk,
+               count(*) OVER () AS n
+        FROM q
+    ), p AS (
+        SELECT doc_id, n_tokens, score,
+               ((rk - 1) * {_N_PHASES}) // n + 1 AS phase
+        FROM r
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           {sql_round4('score')} AS quality_score,
+           CAST(phase AS BIGINT) AS phase,
+           CAST(sum(n_tokens) OVER (PARTITION BY phase) AS BIGINT)
+               AS phase_tokens
+    FROM p
+    """
+
+
+@query("curriculum_quality_phases", oracle=_curriculum_oracle())
+def curriculum_quality_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ordered CURRICULUM phases — the schedule behind
+    "train on everything early, anneal on the best data last"
+    (high-quality upweighting in the final phase is standard practice
+    for modern pretraining runs): rank every document by a quality
+    score (stopword ratio here — the text_quality_features signal most
+    correlated with natural prose; production swaps in a model-based
+    score) and cut the ranking into 3 equal-count phases; phase 1 =
+    highest quality (the annealing set), with per-phase token budgets
+    a schedule planner reads off directly. The phase boundary uses the
+    explicit integer formula ``((rank-1)·k) // n + 1`` in BOTH engines
+    rather than each engine's native ntile — front-loaded remainder
+    semantics pinned by arithmetic, not by implementation agreement.
+
+    The score is an exact int/int division (bit-stable cross-engine;
+    round4 only on the EMITTED value, the ordering uses raw bits —
+    identical in both engines, doc_id tiebreak for safety). Scale
+    shape: one quality scan; the global rank via the two-phase
+    bucketed ranking (no single-partition sort); phase arithmetic is
+    row-local; phase totals are a ≤ k-row aggregate broadcast back."""
+    from lab3_lakehouse_spark.operators import text as t_ops
+    from lab3_lakehouse_spark.operators import windows as win_ops
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = t_ops.token_count("text")
+    q = docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        (
+            t_ops.stopword_count("text").cast("double")
+            / n_tok.cast("double")
+        ).alias("score"),
+    )
+    ranked = win_ops.global_row_number(
+        q, metric="score", tie_breakers=("doc_id",),
+        rank_col="__rk", ascending=False,
+    )
+    total = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    p = ranked.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        "score",
+        (
+            ((F.col("__rk") - 1) * _N_PHASES - F.pmod(
+                (F.col("__rk") - 1) * _N_PHASES, F.col("__n")
+            ))
+            / F.col("__n")
+            + 1
+        )
+        .cast("long")
+        .alias("phase"),
+    )
+    totals = p.groupBy("phase").agg(
+        F.sum("n_tokens").cast("long").alias("phase_tokens")
+    )  # ≤ k rows — broadcast back
+    return p.join(F.broadcast(totals), "phase").select(
+        "doc_id",
+        "n_tokens",
+        round4(F.col("score")).alias("quality_score"),
+        "phase",
+        "phase_tokens",
     )

@@ -458,6 +458,27 @@ def workloads():
         # canonicalize-then-allocate composition over the LSH pair
         # source — the dedup cost class plus bounded waterfill math
         "dedup_budget_lsh": ov["dedup_discounted_token_budget"],
+        # round-13 additions: the drift→reindex→swap loop (two store
+        # builds + linear re-encode passes — alpha ~ 1 in vectors, but
+        # embeddings ride the amplifier unchanged so this row pins
+        # fixed cost), the signature-store re-band (one pass over the
+        # hashes tier + banded self-join — the LSH dedup cost class),
+        # token-balanced snake sharding (one token-count scan + the
+        # two-phase global rank — alpha ~ 1 in docs), and the
+        # embedding decon scan (broadcast bipartite — fixed-size
+        # embeddings pin fixed cost)
+        "ann_store_reindex_swap": QUERIES["ann_store_reindex_swap"],
+        "minhash_band_rebalance": QUERIES["minhash_band_rebalance"],
+        "deterministic_shard_assignment": QUERIES[
+            "deterministic_shard_assignment"
+        ],
+        "semantic_decontamination": QUERIES["semantic_decontamination"],
+        # the loader-schedule pair (snake rank + partitioned hash-rank
+        # windows — alpha ~ 1 in docs) and the window-fit report (one
+        # grouped scan ×4 — the grouped-count cost class)
+        "epoch_shuffle_plan": QUERIES["epoch_shuffle_plan"],
+        "context_window_fit": QUERIES["context_window_fit"],
+        "curriculum_quality_phases": QUERIES["curriculum_quality_phases"],
         "corpus_pipeline": corpus_pipeline,
     }
 

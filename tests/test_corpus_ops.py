@@ -328,3 +328,85 @@ def test_semantic_decontamination_flags_planted_leak(spark):
     assert set(out) == {1, 2}  # benchmark vec 0 excluded from output
     assert out[1] == (1.0, True)   # scaled copy: cosine exactly 1
     assert out[2] == (0.0, False)  # orthogonal: clean
+
+
+def test_epoch_shuffle_plan_fresh_permutation_per_epoch(spark):
+    """epoch_shuffle_plan: each (shard, epoch) position column must be
+    a permutation of 1..|shard|, epochs must produce DIFFERENT orders
+    (the epoch id is inside the hash), and the whole schedule must be
+    reproducible (two evaluations identical)."""
+    import random
+    import tempfile
+
+    from lab3_lakehouse_spark.queries.corpus import (
+        _N_EPOCHS,
+        epoch_shuffle_plan,
+    )
+
+    rng = random.Random(5)
+    rows = [
+        Row(doc_id=i, text=" ".join("w" for _ in range(rng.randint(1, 99))))
+        for i in range(120)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows).write.parquet(f"{d}/documents.parquet")
+        out1 = sorted(
+            (r.doc_id, r.shard, r.epoch, r.position)
+            for r in epoch_shuffle_plan(spark, d).collect()
+        )
+        out2 = sorted(
+            (r.doc_id, r.shard, r.epoch, r.position)
+            for r in epoch_shuffle_plan(spark, d).collect()
+        )
+    assert out1 == out2  # reproducible without storing
+    from collections import defaultdict
+
+    per = defaultdict(dict)  # (shard, epoch) -> {position: doc}
+    for doc, shard, epoch, pos in out1:
+        per[(shard, epoch)][pos] = doc
+    for (shard, epoch), d_ in per.items():
+        assert sorted(d_) == list(range(1, len(d_) + 1))  # a permutation
+    # same shard, different epochs -> different visit orders
+    shards = {s for s, _ in per}
+    differing = 0
+    for s in shards:
+        orders = [
+            [per[(s, e)][p] for p in sorted(per[(s, e)])]
+            for e in range(_N_EPOCHS)
+        ]
+        assert all(sorted(o) == sorted(orders[0]) for o in orders)  # same docs
+        if len({tuple(o) for o in orders}) == _N_EPOCHS:
+            differing += 1
+    assert differing == len(shards)  # every shard reshuffles every epoch
+
+
+def test_curriculum_phases_integer_formula_matches_ntile_semantics(spark):
+    """curriculum_quality_phases: the explicit ((rank-1)k)//n + 1 cut
+    must give front-loaded equal-count phases (sizes differ by at most
+    one, larger first) and phase 1 must hold the highest scores."""
+    import tempfile
+
+    from lab3_lakehouse_spark.queries.corpus import curriculum_quality_phases
+
+    # 10 docs with strictly decreasing stopword ratio ("the" density)
+    rows = [
+        Row(
+            doc_id=i,
+            text=" ".join(["the"] * (10 - i) + ["zzz"] * (i + 1)),
+        )
+        for i in range(10)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows).write.parquet(f"{d}/documents.parquet")
+        out = {
+            r.doc_id: (r.phase, r.quality_score, r.phase_tokens)
+            for r in curriculum_quality_phases(spark, d).collect()
+        }
+    phases = [out[i][0] for i in range(10)]
+    # scores strictly decrease with doc_id, so phases are monotone and
+    # front-loaded: 4, 3, 3
+    assert phases == [1, 1, 1, 1, 2, 2, 2, 3, 3, 3]
+    from collections import Counter
+
+    sizes = Counter(phases)
+    assert sizes[1] == 4 and sizes[2] == 3 and sizes[3] == 3
