@@ -779,3 +779,51 @@ def test_incremental_split_exchanges_keyed_on_ids_only(spark, sf):
                 or ("id_b" in args)
             ), (args, cols)
         assert "text" not in cols, (args, cols)
+
+
+# --------------------------------------------- round-13 new ops ----
+
+
+def test_shard_assignment_no_doc_sized_single_partition(spark, sf):
+    """The snake sharding's scale claim: the global token-count rank
+    runs through the two-phase bucketed ranking — SinglePartition
+    exchanges exist only for bounded frames (the ≤64-row bucket
+    offsets, the ≤S-row shard totals), never for the doc-sized frame,
+    and text never crosses a shuffle."""
+    df = QUERIES["deterministic_shard_assignment"](spark, sf)
+    saw_single = False
+    for args, cols in pa.exchange_inputs(df):
+        if "SinglePartition" in args:
+            saw_single = True
+            assert "doc_id" not in cols, (args, cols)
+        assert "text" not in cols, (args, cols)
+    assert saw_single
+
+
+def test_epoch_shuffle_windows_are_partitioned(spark, sf):
+    """The loader-order windows must be PARTITIONED by (shard, epoch) —
+    S·E independent sorts — with the only SinglePartition exchanges on
+    bounded ranking frames; position ranks shuffle (doc_id, shard,
+    epoch, hash) rows, never text."""
+    df = QUERIES["epoch_shuffle_plan"](spark, sf)
+    for args, cols in pa.exchange_inputs(df):
+        if "SinglePartition" in args:
+            assert "doc_id" not in cols, (args, cols)
+        assert "text" not in cols, (args, cols)
+    # the (shard, epoch) hash exchange exists
+    assert any(
+        "hashpartitioning" in args and "shard" in args
+        for args, _ in pa.exchange_inputs(df)
+    )
+
+
+def test_semantic_decon_broadcasts_benchmark_side(spark, sf):
+    """The decon scan's scale claim: the benchmark side is broadcast
+    (BroadcastNestedLoopJoin — a bipartite scan, not a shuffle join)
+    and the grouped max exchanges carry (vec_id, label, cosine) rows —
+    the corpus embedding vectors never cross a shuffle."""
+    df = QUERIES["semantic_decontamination"](spark, sf)
+    assert pa.count_nodes(df, "BroadcastNestedLoopJoin") >= 1
+    assert pa.count_nodes(df, "SortMergeJoin") == 0
+    for args, cols in pa.exchange_inputs(df):
+        assert "embedding" not in cols and "__bvec" not in cols, (args, cols)
