@@ -76,6 +76,7 @@ _PRIORITY = [
     "epoch_shuffle_plan",
     "context_window_fit",
     "curriculum_quality_phases",
+    "streaming_semantic_decontamination",
     "incremental_split_maintenance",  # --- r13-EDITED entries: banded
     "leakage_safe_split_assignment",  #     pair tier (lossless length-band
     "word_jaccard_near_dups",  #     blocking) changed these Spark bodies;

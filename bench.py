@@ -200,6 +200,7 @@ HEADLINE = [
     "epoch_shuffle_plan",           # computed per-epoch loader orders (r13)
     "context_window_fit",           # sequence-length sizing report (r13)
     "curriculum_quality_phases",    # quality-ranked curriculum cuts (r13)
+    "streaming_semantic_decontamination",  # continuous embedding decon (r13)
     "media_phash_store_partners",   # signature-tier probe, decode amortized (r10)
     "kll_tier_compaction",          # quantile-store GC, bit-identical reads (r10)
     "cross_source_containment",     # directional syndication matrix (r10)
@@ -274,6 +275,7 @@ WATCH_FIRST = [
     "epoch_shuffle_plan",
     "context_window_fit",
     "curriculum_quality_phases",
+    "streaming_semantic_decontamination",
 ]
 
 #: Same-run A/B for the store-drift adjudication: this sentinel re-runs

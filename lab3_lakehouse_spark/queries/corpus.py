@@ -2043,3 +2043,91 @@ def curriculum_quality_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phase",
         "phase_tokens",
     )
+
+
+@query("streaming_semantic_decontamination", oracle=_SEMDECON_ORACLE)
+def streaming_semantic_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """:func:`semantic_decontamination` as a CONTINUOUS gate — the
+    deployment shape: new embedding batches arrive on a file stream
+    and each micro-batch is probed against the FROZEN benchmark set
+    (a broadcast static frame; the benchmark changes only when evals
+    do), appending per-document verdicts to the audit tier. Per-batch
+    cost ∝ the batch — each document's max-cosine depends on nothing
+    but itself and the benchmark, so the operator is embarrassingly
+    batch-local: order-independent, replay-idempotent (re-appended
+    verdicts are identical rows; the read side dedups by vec_id), no
+    streaming state store at all.
+
+    Differential contract: the drained stream's audit table must
+    EQUAL, row for row, the batch operator on the full corpus — the
+    oracle is the SAME SQL as semantic_decontamination (the
+    stream-equals-batch discipline every streaming entry follows).
+    The corpus is re-sliced into 3 parquet files and drained with
+    maxFilesPerTrigger=1, so the equality really spans multiple
+    micro-batches; parquet slices keep the float bits exact (a JSON
+    hop would re-parse decimal strings). Eager by necessity (stream
+    drain at call time; roots via _util.scratch_dir)."""
+    import shutil
+
+    from lab3_lakehouse_spark.queries._util import scratch_dir
+
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_bench = F.pmod("vec_id", F.lit(25)) == 0
+    bench = emb.filter(is_bench).select(
+        F.col("vec_id").alias("__bid"), F.col("embedding").alias("__bvec")
+    )
+    root = scratch_dir("stream_semdecon_")
+    src = f"{root}/src"
+    out = f"{root}/audit"
+    ckpt = f"{root}/ckpt"
+    try:
+        # the "arriving corpus": 3 parquet slices → 3 micro-batches
+        emb.filter(~is_bench).select(
+            "vec_id", "label", "embedding"
+        ).repartition(3).write.mode("overwrite").parquet(src)
+
+        def probe_batch(bdf, batch_id):  # noqa: ARG001 — foreachBatch sig
+            (
+                bdf.crossJoin(F.broadcast(bench))
+                .withColumn(
+                    "__cos",
+                    sim_ops.cosine_similarity(
+                        F.col("embedding"), F.col("__bvec")
+                    ),
+                )
+                .groupBy("vec_id", "label")
+                .agg(F.max("__cos").alias("__mc"))
+                .write.mode("append")
+                .parquet(out)
+            )
+
+        q = (
+            spark.readStream.schema(
+                "vec_id long, label int, embedding array<float>"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(probe_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        audit = spark.read.parquet(out).dropDuplicates(["vec_id"])
+        return (
+            audit.select(
+                "vec_id",
+                F.col("label").cast("long").alias("label"),
+                round4(F.col("__mc")).alias("max_benchmark_cosine"),
+                (F.col("__mc") >= F.lit(_SEMDECON_TAU)).alias(
+                    "contaminated"
+                ),
+            )
+            .localCheckpoint(eager=True)  # outlives the scratch root
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -479,6 +479,12 @@ def workloads():
         "epoch_shuffle_plan": QUERIES["epoch_shuffle_plan"],
         "context_window_fit": QUERIES["context_window_fit"],
         "curriculum_quality_phases": QUERIES["curriculum_quality_phases"],
+        # continuous embedding decon: slice + drain a 3-batch stream,
+        # per-batch broadcast probe — embeddings ride the amplifier
+        # unchanged, so this row pins the fixed streaming-harness cost
+        "streaming_semantic_decontamination": QUERIES[
+            "streaming_semantic_decontamination"
+        ],
         "corpus_pipeline": corpus_pipeline,
     }
 

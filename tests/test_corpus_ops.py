@@ -410,3 +410,26 @@ def test_curriculum_phases_integer_formula_matches_ntile_semantics(spark):
 
     sizes = Counter(phases)
     assert sizes[1] == 4 and sizes[2] == 3 and sizes[3] == 3
+
+
+def test_streaming_semantic_decon_equals_batch(spark, sf_small):
+    """Stream-equals-batch parity for the continuous decon gate: the
+    drained 3-micro-batch stream must produce exactly the batch
+    operator's verdict table (same max cosines, same flags), and every
+    non-benchmark vector must appear exactly once."""
+    from lab3_lakehouse_spark.queries.corpus import (
+        semantic_decontamination,
+        streaming_semantic_decontamination,
+    )
+
+    batch = sorted(
+        tuple(r) for r in semantic_decontamination(spark, sf_small).collect()
+    )
+    streamed = sorted(
+        tuple(r)
+        for r in streaming_semantic_decontamination(
+            spark, sf_small
+        ).collect()
+    )
+    assert streamed == batch
+    assert len({t[0] for t in streamed}) == len(streamed)
