@@ -31,14 +31,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # checks the first 50 registry entries per round). ROUND-13 rotation
 # (executes the plan written in the r12 header; ages below are
 # DRIVER-stamped ages):
-#   slot  1     the NEW r13 op (ann_store_reindex_swap — the
-#               drift→reindex loop closed end-to-end: stale-fit IVF-PQ
-#               store, cross-engine-checked centroid-drift trigger,
-#               refit+re-encode into a NEW root, atomic swap_root
-#               promotion, post-swap probe pinned equal to an
-#               in-memory twin of the refit index + brute-force recall
-#               floor). Further r13 ops stack here as they land.
-#   slots 2-15  the r13-EDITED entries re-verified: the exact
+#   slots 1-8   the NEW r13 ops (ann_store_reindex_swap — the
+#               drift→reindex loop closed end-to-end;
+#               minhash_band_rebalance — signature-store threshold
+#               retarget from the hashes tier alone;
+#               deterministic_shard_assignment — token-balanced snake
+#               loader shards; semantic_decontamination —
+#               embedding-level benchmark decon;
+#               epoch_shuffle_plan — computed per-epoch loader orders;
+#               context_window_fit — sequence-length sizing table;
+#               curriculum_quality_phases — quality-ranked curriculum
+#               cuts; streaming_semantic_decontamination — the decon
+#               gate as a continuous stream, batch-oracle parity).
+#   slots 9-22  the r13-EDITED entries re-verified: the exact
 #               word-Jaccard pair tier gained a LOSSLESS length-band
 #               blocking key (operators/dedup.banded_word_jaccard_
 #               pairs — output bit-identical, bodies changed), and
@@ -49,13 +54,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #               entries, dedup_discounted_token_budget,
 #               streaming_split_assignment, kcore/cusum/holt/
 #               holt-winters.
-#   slots 16-22 the seven entries displaced past the r12 boundary
+#   slots 23-29 the seven entries displaced past the r12 boundary
 #               (user_retention_cohorts … event_transition_matrix —
 #               all green in the r12 pre-sweep; they led this queue
 #               per the r12 plan).
-#   slots 23-50 the r5/r6-green fill continuing from
+#   slots 30-50 the r5/r6-green fill continuing from
 #               throttled_event_stream in the r12-header order — the
-#               oldest remaining driver stamps advance.
+#               oldest remaining driver stamps advance (its last seven
+#               entries, containment_near_dups …
+#               embedding_random_projection, slipped past the boundary
+#               as the late r13 ops landed — they lead the r14 fill).
 # After the boundary: the rest of the r5-r9 fill in prior order, the
 # r10 block, the r11 block, and the r12-stamped window LAST (freshest
 # stamps re-verify last).
@@ -119,6 +127,12 @@ _PRIORITY = [
     "distinct_user_event_types",
     "distinct_user_count",
     "global_balance_ranks",
+    # ---- 50-slot window boundary (r13 final: the 8 new ops pushed
+    # containment_near_dups, containment_prefix_filtered,
+    # weighted_doc_sample, bigram_surprisal_scores,
+    # token_pmi_collocations, crossval_fold_balance and
+    # embedding_random_projection past the boundary — they lead the
+    # r14 fill queue) ----
     "containment_near_dups",
     "containment_prefix_filtered",
     "weighted_doc_sample",
@@ -126,7 +140,6 @@ _PRIORITY = [
     "token_pmi_collocations",
     "crossval_fold_balance",
     "embedding_random_projection",
-    # ---- 50-slot window boundary (r13, before any late additions) ----
     "sql_returned_item_report",
     "order_price_histogram",
     "profile_orders_columns",

@@ -1335,12 +1335,12 @@ def ann_store_reindex_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
             new_root, emb, "vec_id", "embedding",
             n_centroids=16, dim=64, m=8, n_codes=32,
         )
-        for residue in (0, 1):
-            sim_ops.ivfpq_store_append(
-                spark, new_root,
-                emb.filter(F.pmod("vec_id", F.lit(2)) == residue),
-                "vec_id", "embedding",
-            )
+        # the re-encode is a GC pass, not daily ingestion: ONE linear
+        # append of the whole corpus (the live store's two-batch append
+        # history above is the daily shape; the refit compacts it)
+        sim_ops.ivfpq_store_append(
+            spark, new_root, emb, "vec_id", "embedding"
+        )
         # capture the refit metadata from the NEW root BEFORE the swap:
         # the in-memory twin below is the independent witness that the
         # post-swap probe serves THIS fit

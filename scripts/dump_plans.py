@@ -396,6 +396,33 @@ SHOWCASE: dict[str, str] = {
         "BroadcastHashJoin, never a SortMergeJoin, no doc-sized "
         "single-partition collapse."
     ),
+    "deterministic_shard_assignment": (
+        "Snake loader shards (r13): the global token rank is the "
+        "two-phase bucketed ranking (broadcast approx-percentile cuts "
+        "→ per-bucket partitioned row_number + ≤64-row offsets) — the "
+        "only SinglePartition exchanges are bounded frames; the snake "
+        "arithmetic is row-local and the ≤8-row shard totals "
+        "broadcast back."
+    ),
+    "semantic_decontamination": (
+        "Embedding decon scan (r13): the benchmark side broadcasts "
+        "(BroadcastNestedLoopJoin — a bipartite scan, not a shuffle "
+        "join); the grouped max exchanges carry (vec_id, label, "
+        "cosine) rows only — corpus vectors never cross a shuffle."
+    ),
+    "epoch_shuffle_plan": (
+        "Computed loader orders (r13): the snake rank feeds a "
+        "constant-×E scan-side explode, then position ranks run under "
+        "(shard, epoch)-PARTITIONED windows — S·E independent sorts, "
+        "each 1/S of the corpus; exchanges carry ids + 64-bit hashes, "
+        "never text."
+    ),
+    "curriculum_quality_phases": (
+        "Curriculum cuts (r13): one quality scan → the two-phase "
+        "global rank (no doc-sized single-partition sort) → row-local "
+        "integer phase arithmetic with a broadcast 1-row total and "
+        "≤3-row phase budgets broadcast back."
+    ),
 }
 
 
