@@ -31,7 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # checks the first 50 registry entries per round). ROUND-13 rotation
 # (executes the plan written in the r12 header; ages below are
 # DRIVER-stamped ages):
-#   slots 1-8   the NEW r13 ops (ann_store_reindex_swap — the
+#   slots 1-9   the NEW r13 ops (ann_store_reindex_swap — the
 #               drift→reindex loop closed end-to-end;
 #               minhash_band_rebalance — signature-store threshold
 #               retarget from the hashes tier alone;
@@ -42,8 +42,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #               context_window_fit — sequence-length sizing table;
 #               curriculum_quality_phases — quality-ranked curriculum
 #               cuts; streaming_semantic_decontamination — the decon
-#               gate as a continuous stream, batch-oracle parity).
-#   slots 9-22  the r13-EDITED entries re-verified: the exact
+#               gate as a continuous stream, batch-oracle parity;
+#               ann_recall_frontier — the n_probe recall/cost tuning
+#               curve on the persisted IVF-PQ store, monotone +
+#               exact-at-full-probe by construction).
+#   slots 10-23 the r13-EDITED entries re-verified: the exact
 #               word-Jaccard pair tier gained a LOSSLESS length-band
 #               blocking key (operators/dedup.banded_word_jaccard_
 #               pairs — output bit-identical, bodies changed), and
@@ -54,11 +57,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #               entries, dedup_discounted_token_budget,
 #               streaming_split_assignment, kcore/cusum/holt/
 #               holt-winters.
-#   slots 23-29 the seven entries displaced past the r12 boundary
+#   slots 24-30 the seven entries displaced past the r12 boundary
 #               (user_retention_cohorts … event_transition_matrix —
 #               all green in the r12 pre-sweep; they led this queue
 #               per the r12 plan).
-#   slots 30-50 the r5/r6-green fill continuing from
+#   slots 31-50 the r5/r6-green fill continuing from
 #               throttled_event_stream in the r12-header order — the
 #               oldest remaining driver stamps advance (its last seven
 #               entries, containment_near_dups …
@@ -85,6 +88,7 @@ _PRIORITY = [
     "context_window_fit",
     "curriculum_quality_phases",
     "streaming_semantic_decontamination",
+    "ann_recall_frontier",
     "incremental_split_maintenance",  # --- r13-EDITED entries: banded
     "leakage_safe_split_assignment",  #     pair tier (lossless length-band
     "word_jaccard_near_dups",  #     blocking) changed these Spark bodies;
@@ -126,13 +130,13 @@ _PRIORITY = [
     "set_except_orders",
     "distinct_user_event_types",
     "distinct_user_count",
+    # ---- 50-slot window boundary (r13 final: the 9 new ops pushed
+    # global_balance_ranks, containment_near_dups,
+    # containment_prefix_filtered, weighted_doc_sample,
+    # bigram_surprisal_scores, token_pmi_collocations,
+    # crossval_fold_balance and embedding_random_projection past the
+    # boundary — they lead the r14 fill queue) ----
     "global_balance_ranks",
-    # ---- 50-slot window boundary (r13 final: the 8 new ops pushed
-    # containment_near_dups, containment_prefix_filtered,
-    # weighted_doc_sample, bigram_surprisal_scores,
-    # token_pmi_collocations, crossval_fold_balance and
-    # embedding_random_projection past the boundary — they lead the
-    # r14 fill queue) ----
     "containment_near_dups",
     "containment_prefix_filtered",
     "weighted_doc_sample",

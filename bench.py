@@ -201,6 +201,7 @@ HEADLINE = [
     "context_window_fit",           # sequence-length sizing report (r13)
     "curriculum_quality_phases",    # quality-ranked curriculum cuts (r13)
     "streaming_semantic_decontamination",  # continuous embedding decon (r13)
+    "ann_recall_frontier",          # IVF-PQ n_probe recall/cost curve (r13)
     "media_phash_store_partners",   # signature-tier probe, decode amortized (r10)
     "kll_tier_compaction",          # quantile-store GC, bit-identical reads (r10)
     "cross_source_containment",     # directional syndication matrix (r10)
@@ -276,6 +277,7 @@ WATCH_FIRST = [
     "context_window_fit",
     "curriculum_quality_phases",
     "streaming_semantic_decontamination",
+    "ann_recall_frontier",
 ]
 
 #: Same-run A/B for the store-drift adjudication: this sentinel re-runs

@@ -3291,3 +3291,123 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_norm_ratio"
         ),
     )
+
+
+# ----------------------------- ANN recall/cost frontier ----
+
+_FRONTIER_PROBES = (1, 2, 4, 8, 16)
+
+_ANN_FRONTIER_ORACLE = f"""
+    WITH p AS (
+        SELECT unnest([{', '.join(str(p) for p in _FRONTIER_PROBES)}])
+            AS n_probe
+    ), nq AS (
+        SELECT CAST(count(*) AS BIGINT) AS n
+        FROM embeddings WHERE vec_id < 8
+    )
+    SELECT CAST(p.n_probe AS BIGINT) AS n_probe,
+           nq.n AS n_queries,
+           {sql_round4('p.n_probe / 16.0')} AS scanned_fraction,
+           true AS recall_ge_prev,
+           true AS exact_when_all_cells
+    FROM p CROSS JOIN nq
+"""
+
+
+@query("ann_recall_frontier", oracle=_ANN_FRONTIER_ORACLE)
+def ann_recall_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall/cost TUNING CURVE for the persisted IVF-PQ store —
+    the table an ANN deployment is actually configured from: one probe
+    of the same store per ``n_probe`` in (1, 2, 4, 8, 16 = all cells),
+    each reading only its routed cells' row groups, with recall
+    measured against the exact brute-force top-k. Operators read off
+    the knee: the n_probe where recall stops paying for scan fraction.
+
+    The rerank depth is set ABOVE any possible candidate count, so the
+    exact-cosine re-rank pool IS the full routed candidate set — and
+    that makes two properties deterministic instead of empirical:
+    (a) ``recall_ge_prev`` — more probed cells is a candidate-pool
+    SUPERSET, and a true top-k member in the pool always survives an
+    exact re-rank (only other true top-k members can displace it), so
+    recall is monotone nondecreasing in n_probe BY CONSTRUCTION;
+    (b) ``exact_when_all_cells`` — at n_probe = n_centroids the pool
+    is the whole corpus (minus self), the re-rank is exact cosine, and
+    recall is exactly 1.0: the frontier provably terminates at the
+    brute-force answer. ``scanned_fraction`` = n_probe/16 (power-of-2
+    division — bit-exact cross-engine).
+
+    Scale shape: ONE store build amortized across the sweep; each
+    probe is the ann_store_ivfpq_topk plan (routed ``__cell IN``
+    sliver read + ADC + bounded re-rank); the recall joins are over
+    ≤ |q|·k rows. Eager by necessity (store lifecycle at call time)."""
+    import shutil
+
+    from lab3_lakehouse_spark.queries._util import scratch_dir
+
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    bf = sim_ops.brute_force_topk(
+        emb, q, "vec_id", "embedding", k=5
+    ).localCheckpoint(eager=False)  # consumed once per probe setting
+    root = scratch_dir("ann_frontier_")
+    try:
+        sim_ops.ivfpq_store_init(
+            root, emb, "vec_id", "embedding",
+            n_centroids=16, dim=64, m=8, n_codes=32,
+        )
+        sim_ops.ivfpq_store_append(spark, root, emb, "vec_id", "embedding")
+        bf_pairs = bf.select("query_id", "neighbor_id")
+        rows = []
+        for n_probe in _FRONTIER_PROBES:
+            ann = sim_ops.ivfpq_store_topk(
+                spark, root, emb, q, "vec_id", "embedding",
+                k=5, n_probe=n_probe, rerank=10**6,
+            )
+            stats = (
+                bf_pairs.join(
+                    ann.select("query_id", "neighbor_id").withColumn(
+                        "__hit", F.lit(1)
+                    ),
+                    ["query_id", "neighbor_id"],
+                    "left",
+                )
+                .agg(
+                    F.countDistinct("query_id")
+                    .cast("long")
+                    .alias("n_queries"),
+                    F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias(
+                        "__hits"
+                    ),
+                    F.count(F.lit(1)).alias("__n"),
+                )
+                .select(
+                    F.lit(n_probe).cast("long").alias("n_probe"),
+                    "n_queries",
+                    (F.col("__hits") / F.col("__n")).alias("__recall"),
+                )
+            )
+            rows.append(stats)
+        frontier = rows[0]
+        for r in rows[1:]:
+            frontier = frontier.unionByName(r)
+        w = Window.orderBy("n_probe")  # 5-row frame — bounded by design
+        out = frontier.select(
+            "n_probe",
+            "n_queries",
+            round4(F.col("n_probe") / F.lit(16.0)).alias(
+                "scanned_fraction"
+            ),
+            F.coalesce(
+                F.col("__recall")
+                >= F.lag("__recall").over(w),
+                F.lit(True),
+            ).alias("recall_ge_prev"),
+            (
+                (F.col("n_probe") < F.lit(16))
+                | (F.col("__recall") == F.lit(1.0))
+            ).alias("exact_when_all_cells"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

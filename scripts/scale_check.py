@@ -485,6 +485,9 @@ def workloads():
         "streaming_semantic_decontamination": QUERIES[
             "streaming_semantic_decontamination"
         ],
+        # the n_probe sweep over one store build: 5 sliver probes,
+        # embeddings unchanged by the amplifier -> fixed cost row
+        "ann_recall_frontier": QUERIES["ann_recall_frontier"],
         "corpus_pipeline": corpus_pipeline,
     }
 
