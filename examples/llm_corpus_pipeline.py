@@ -250,6 +250,25 @@ def run_corpus_pipeline(
     counts["packed_rows"] = final.count()
     counts["n_packs"] = final.select("shard", "pack_id").distinct().count()
     counts["corpus_version"] = version
+
+    # loader schedule (r13): token-balanced snake shards over the
+    # SURVIVING docs — the placement any trainer/loader re-derives
+    # deterministically (deterministic_shard_assignment's frame; the
+    # epoch visit order is then rank of hash60(epoch#doc_id) within
+    # each shard, computed not stored — epoch_shuffle_plan)
+    from lab3_lakehouse_spark.queries.corpus import _snake_shard_frame
+
+    shard_tokens = [
+        int(r["t"])
+        for r in _snake_shard_frame(capped)
+        .groupBy("shard")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    ]
+    counts["loader_shards"] = len(shard_tokens)
+    counts["loader_token_imbalance"] = round(
+        max(shard_tokens) / max(1, min(shard_tokens)), 4
+    )
     return counts
 
 

@@ -28,6 +28,11 @@ def test_corpus_pipeline_end_to_end(spark, sf_small, tmpdir):
     assert c["mix_n_sources"] >= 1
     assert 0 < c["mix_weight_min"] <= c["mix_weight_max"] <= 4.0
     assert vt.history(spark, f"{tmpdir}/corpus") == [c["corpus_version"]]
+    # loader schedule: 8 snake shards over the surviving docs with
+    # near-equal token mass (the deterministic placement a trainer
+    # re-derives; 1.5 is generous for a small surviving set)
+    assert c["loader_shards"] == 8
+    assert 1.0 <= c["loader_token_imbalance"] <= 1.5
     # rerun publishes a NEW snapshot with identical content (determinism)
     c2 = run_corpus_pipeline(spark, sf_small, str(tmpdir), seq_len=128)
     assert c2["packed_rows"] == c["packed_rows"]
