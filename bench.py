@@ -45,6 +45,18 @@ children once exceeded and emits the final summary with a ``skipped``
 list; (4) ``WATCH_FIRST`` queries — this round's new/edited entries
 and active drift watch items — run before the HEADLINE order so any
 truncation window still contains the verdict-relevant numbers.
+
+Round-13 additions: (5) an untimed ``__warmup__`` child pays the
+cold-host page-cache cost (Spark jars + corpus) before any timed
+child — BENCH_r12's four leading store entries measured 1.38-1.66×
+their priors from launch position alone; (6) the ``LATE_AB`` sentinel
+re-times ann_store_ivfpq_topk at slot ~30, so one run carries its own
+cold/warm A/B; (7) the post-WATCH_FIRST order resumes from the prior
+driver run's ``skipped`` list (coverage rotates through the whole
+catalog across rounds) with ``BENCH_PRIORS.json`` as the drift
+denominator for rotated entries; (8) a <300-char compact digest
+prints as the FINAL stdout line so the driver's 2000-char tail parser
+always sees a complete JSON object.
 """
 
 from __future__ import annotations
