@@ -266,40 +266,46 @@ HEADLINE = [
 #: must complete inside any wall-clock budget. Keep fresh each round:
 #: this round's NEW/edited entries plus active drift watch items.
 WATCH_FIRST = [
-    # store-family drift watch (r12 verdict task #1): BENCH_r12 showed
-    # these four 1.38-1.66x their driver-r10 priors while the fleet
-    # geomean sat at 1.06x — but all four ran as the FIRST cold-cache
-    # children. r13 de-confounds: an untimed __warmup__ child now runs
-    # before them (warms jars/venv/corpus page cache), and
-    # ann_store_ivfpq_topk runs AGAIN at slot ~30 (LATE_AB below) so
-    # the same driver run carries a cold-slot/warm-slot A/B.
+    # r14 adjudication (r13 verdict task #1): global_balance_ranks came
+    # back at 2.12x its driver-r10 prior in the r13 rotation — over the
+    # 2x bar, but the only proven same-run slot spread was 1.36x (on
+    # ann_store_ivfpq_topk). Early slot here + __late sentinel below
+    # gives the same-run A/B the adjudication needs.
+    "global_balance_ranks",
+    # intra-run spread calibration pair retained from r13 (measured
+    # 1.36x early->late on identical code); keeps the noise floor
+    # current each round.
     "ann_store_ivfpq_topk",
-    "bm25_store_compaction",
-    "hard_negative_store_mining",
-    "kll_tier_compaction",
-    "profile_orders_columns",    # only non-store entry >=1.3x in r12
-    # r13-edited entry (length-band blocking added to the pair tier)
-    "incremental_split_maintenance",
-    # r13 new entries
-    "ann_store_reindex_swap",
-    "minhash_band_rebalance",
-    "deterministic_shard_assignment",
-    "semantic_decontamination",
-    "epoch_shuffle_plan",
-    "context_window_fit",
-    "curriculum_quality_phases",
-    "streaming_semantic_decontamination",
-    "ann_recall_frontier",
+    # rotated-cohort watch: 1.45-2.00x on their first re-timing since
+    # r10 in BENCH_r13, plans unchanged — fresh driver-r13 priors (now
+    # in BENCH_PRIORS) plus slot metadata adjudicate them this round.
+    "sql_waiting_suppliers",
+    "snapshot_diff_orders",
+    "containment_near_dups",
+    "sql_forecast_revenue",
+    # r14 new entries
+    "quality_classifier_curriculum",
+    "packed_batch_manifest",
 ]
 
-#: Same-run A/B for the store-drift adjudication: this sentinel re-runs
-#: ann_store_ivfpq_topk in its own fresh JVM at a LATE launch slot. If
-#: the late slot matches the (post-warm-up) early slot, the r12 spread
-#: was launch-position cold cache; if both still sit >=1.3x over the
-#: prior, it is a real regression — bisect with the phase profile in
-#: COVERAGE.md.
-LATE_AB = "ann_store_ivfpq_topk__late"
-LATE_AB_SLOT = 30
+#: Same-run early/late A/B sentinels (r13 verdict task #1, generalized
+#: from the single r13 sentinel): each re-runs its base query in a
+#: fresh JVM at a LATE launch slot. If the late slot matches the
+#: (post-warm-up) early slot, ratio outliers were launch-position
+#: noise; if both sit >=1.3x over the prior it is a real regression —
+#: bisect (phase profile for ann_store_ivfpq_topk in COVERAGE.md;
+#: global_row_number's percentile-cut and offsets-broadcast passes for
+#: global_balance_ranks). Timings land under the sentinel name so both
+#: slots sit side by side in the artifact; sentinel names are NEVER
+#: drift denominators and never enter the persisted skipped list.
+LATE_AB = {
+    "ann_store_ivfpq_topk__late": 30,
+    "global_balance_ranks__late": 40,
+}
+
+
+def _is_sentinel(name: str) -> bool:
+    return name.endswith("__late")
 
 
 def _prior_skipped() -> list[str]:
@@ -328,9 +334,13 @@ def run_order() -> list[str]:
     rotated = [
         n for n in _prior_skipped() if n in pool and n not in WATCH_FIRST
     ]
-    rest = [n for n in pool if n not in WATCH_FIRST and n not in rotated]
-    order = [*WATCH_FIRST, *rotated, *rest]
-    order.insert(min(LATE_AB_SLOT, len(order)), LATE_AB)
+    # pool-membership guard: WATCH_FIRST is edited ahead of new ops
+    # landing in HEADLINE; a name not yet benchable must not 404 a child
+    watch = [n for n in WATCH_FIRST if n in pool]
+    rest = [n for n in pool if n not in watch and n not in rotated]
+    order = [*watch, *rotated, *rest]
+    for sentinel, slot in sorted(LATE_AB.items(), key=lambda kv: kv[1]):
+        order.insert(min(slot, len(order)), sentinel)
     return order
 
 
@@ -978,9 +988,9 @@ def main() -> None:
     # _write_local calls below overwrite BENCH_LOCAL.json (the prior's
     # first-choice source) with THIS run's partial timings
     prior = _prior_bench()
-    t0 = time.monotonic()
     order = run_order()  # reads BENCH_LOCAL's skipped list — before
     timings: dict[str, float] = {}   # _write_local overwrites the file
+    slots: dict[str, dict] = {}
     failed: list[str] = []
     skipped: list[str] = []
     # untimed warm-up child (r12 verdict task #1a): pays the cold-host
@@ -990,10 +1000,20 @@ def main() -> None:
         print(f"warmup child: {warm_s}s (untimed)", file=sys.stderr)
     except RuntimeError as exc:
         print(f"warmup child failed (continuing): {exc}", file=sys.stderr)
-    for name in order:
+    # budget clock starts AFTER the warm-up (r13 advice): the warm-up
+    # exists to fix timing skew; on a slow host its wall-clock must not
+    # shrink the timed window and push entries into the skipped list
+    t0 = time.monotonic()
+    for slot, name in enumerate(order):
         if time.monotonic() - t0 > budget_s:
+            # sentinels are synthetic — keep them out of the persisted
+            # skipped list (it is the next round's rotation source)
             skipped = [
-                n for n in order if n not in timings and n not in failed
+                n
+                for n in order
+                if n not in timings
+                and n not in failed
+                and not _is_sentinel(n)
             ]
             print(
                 f"BUDGET: {budget_s}s exceeded after {len(timings)} queries;"
@@ -1004,13 +1024,18 @@ def main() -> None:
         # the late-slot A/B sentinel re-times its base query in a fresh
         # JVM; the timing is recorded under the sentinel name so both
         # slots land in the artifact side by side
-        child_name = name[: -len("__late")] if name.endswith("__late") else name
+        child_name = name[: -len("__late")] if _is_sentinel(name) else name
+        launch_offset = round(time.monotonic() - t0, 1)
         try:
             timings[name] = _child(child_name)
         except RuntimeError as exc:  # fail-soft: one broken query must
             failed.append(name)     # not cost the suite's artifact
             print(f"FAILED {name}: {exc}", file=sys.stderr)
             continue
+        # per-query launch-slot metadata (r13 verdict task #1a): ratio
+        # outliers in the artifact can now be correlated with launch
+        # position without a rerun
+        slots[name] = {"slot": slot, "t_offset_s": launch_offset}
         # stream one compact line per completed child: the driver keeps
         # the last ~2000 chars of stdout, so even a hard kill preserves
         # the ~60 most recent per-query numbers in its tail
@@ -1018,6 +1043,7 @@ def main() -> None:
         _write_local(
             {
                 "queries": timings,
+                "slots": slots,
                 "partial": True,
                 "failed": failed,
                 "cpus": default_parallelism(),
@@ -1025,10 +1051,12 @@ def main() -> None:
             }
         )
 
+    # sentinel (__late) timings stay in `queries` for the A/B read, but
+    # never carry a drift ratio — they are synthetic slot probes
     prev_ratio = {
         n: round(t / prior[n], 2)
         for n, t in timings.items()
-        if prior.get(n)
+        if prior.get(n) and not _is_sentinel(n)
     }
     for n, r in sorted(prev_ratio.items(), key=lambda kv: -kv[1]):
         if r > 1.5:  # fail-soft: log loudly, never abort the suite
@@ -1040,6 +1068,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     payload_full = {
         "queries": timings,
+        "slots": slots,
         "prev_ratio": prev_ratio,
         "n_queries": len(timings),
         "skipped": skipped,

@@ -362,7 +362,16 @@ def minhash_store_append(
     — the corpus text is never re-tokenized). Parameters must match
     across appends and probes. At-least-once replay re-appends
     identical rows — harmless (candidates are distinct-ed, verify
-    dedups per id); :func:`compact_signature_store` is the GC."""
+    dedups per id); :func:`compact_signature_store` is the GC.
+
+    Every append also records ``(num_perm, bands, seed)`` in the
+    ``params`` sidecar tier (one tiny row per batch; replay-idempotent
+    since validation reads it ``distinct``-ed): the banding layout is
+    meaningless without these, and a later maintenance call with
+    mismatched parameters would silently produce an incompatible bands
+    tier — :func:`minhash_store_params` lets
+    :func:`rebalance_signature_store` / :func:`compact_signature_store`
+    fail loudly instead."""
     from lab3_lakehouse_spark import stores
 
     stores.append_rows(
@@ -371,6 +380,39 @@ def minhash_store_append(
         "bands",
     )
     stores.append_rows(hashed, store_root, "hashes")
+    stores.append_sidecar(
+        hashed.sparkSession.createDataFrame(
+            [(num_perm, bands, seed)], "num_perm int, bands int, seed int"
+        ),
+        store_root,
+        "params",
+    )
+
+
+def minhash_store_params(spark, store_root: str) -> tuple[int, int, int] | None:
+    """The persisted ``(num_perm, bands, seed)`` of a signature store,
+    or ``None`` for a store written before the params tier existed
+    (pre-r14 stores — validation is skipped for them, the documented
+    migration-free path). A store whose appends disagree on parameters
+    is corrupt (its bands tier mixes incompatible bucketings) and
+    raises. Driver cost is bounded: the distinct of a 3-int sidecar."""
+    import os
+
+    from lab3_lakehouse_spark import stores
+
+    if not os.path.exists(stores.tier_path(store_root, "params")):
+        return None
+    rows = (
+        stores.read_tier(spark, store_root, "params").distinct().collect()
+    )
+    if len(rows) != 1:
+        raise ValueError(
+            f"signature store {store_root} has {len(rows)} distinct "
+            "(num_perm, bands, seed) parameter rows — appends were made "
+            "with mismatched parameters; the bands tier is incompatible"
+        )
+    r = rows[0]
+    return (r.num_perm, r.bands, r.seed)
 
 
 def compact_signature_store(spark, src_root: str, dst_root: str) -> dict:
@@ -394,6 +436,10 @@ def compact_signature_store(spark, src_root: str, dst_root: str) -> dict:
     """
     from lab3_lakehouse_spark import stores
 
+    # raises on a mixed-parameter store (appends that disagree on
+    # (num_perm, bands, seed) — compacting one would launder the
+    # corruption into a clean-looking tier); None = pre-params store
+    params = minhash_store_params(spark, src_root)
     stats: dict[str, int] = {}
     for name, key_cols, clustered in (
         ("bands", ["__id", "band", "bh"], True),
@@ -412,6 +458,14 @@ def compact_signature_store(spark, src_root: str, dst_root: str) -> dict:
         stats[f"{name}_after"] = stores.read_tier(
             spark, dst_root, name
         ).count()
+    if params is not None:  # carry the validated params forward deduped
+        stores.append_sidecar(
+            spark.createDataFrame(
+                [params], "num_perm int, bands int, seed int"
+            ),
+            dst_root,
+            "params",
+        )
     return stats
 
 
@@ -1006,7 +1060,16 @@ def banded_word_jaccard_pairs(
     ``bin``). Output: (id_a < id_b, jaccard), bit-identical to the
     unbanded tier.
     """
-    assert abs(threshold - 0.8) < 1e-12, "integer band filter encodes 4/5"
+    # hard error, not assert (r13 advice): under python -O an assert is
+    # stripped and a threshold below 0.8 would get silently INCOMPLETE
+    # pairs — the hardcoded 5·min ≥ 4·max guard is lossless only for
+    # the 4/5 threshold
+    if abs(threshold - 0.8) >= 1e-12:
+        raise ValueError(
+            "banded_word_jaccard_pairs supports threshold=0.8 only: the "
+            "integer size-ratio guard 5*min>=4*max encodes Jaccard>=4/5; "
+            f"got threshold={threshold!r}"
+        )
     t = (
         docs.select(
             "doc_id", "lang", F.array_distinct(tokens("text")).alias("w")
@@ -1075,9 +1138,33 @@ def rebalance_signature_store(
     doubled, every old band's row block splits into two new blocks, so
     any pair whose minhash values collided on an old band still
     collides on both sub-bands — the rebanded candidate set is a
-    SUPERSET of the old one (the registry entry pins this)."""
+    SUPERSET of the old one (the registry entry pins this).
+
+    Parameter validation (r13 advice): the superset guarantee only
+    holds when ``num_perm``/``seed`` match what the store was appended
+    with and the new band count is a MULTIPLE of the old. The store's
+    ``params`` sidecar (written by :func:`minhash_store_append`) is
+    checked before anything is rewritten; a mismatched call raises
+    instead of producing a plausible-looking incompatible bands tier.
+    Stores predating the params tier skip validation (``None``)."""
     from lab3_lakehouse_spark import stores
 
+    stored = minhash_store_params(spark, src_root)
+    if stored is not None:
+        s_num_perm, s_bands, s_seed = stored
+        if (num_perm, seed) != (s_num_perm, s_seed):
+            raise ValueError(
+                f"rebalance params (num_perm={num_perm}, seed={seed}) do "
+                f"not match the store's persisted (num_perm={s_num_perm}, "
+                f"seed={s_seed}) — re-banding with different permutations "
+                "would build an incompatible bands tier"
+            )
+        if s_bands <= 0 or bands % s_bands != 0:
+            raise ValueError(
+                f"new band count {bands} is not a multiple of the store's "
+                f"persisted {s_bands} — the candidate-superset guarantee "
+                "does not hold for non-multiple re-bandings"
+            )
     hashes = stores.read_tier(spark, src_root, "hashes").dropDuplicates(
         ["__id"]
     )
@@ -1089,3 +1176,10 @@ def rebalance_signature_store(
         sort_cols=("band", "bh"),
     )
     stores.gc_write(hashes, dst_root, "hashes")
+    stores.append_sidecar(  # the NEW banding is the rebanded store's truth
+        spark.createDataFrame(
+            [(num_perm, bands, seed)], "num_perm int, bands int, seed int"
+        ),
+        dst_root,
+        "params",
+    )

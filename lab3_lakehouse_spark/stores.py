@@ -72,7 +72,7 @@ FAMILIES: dict[str, StoreSpec] = {
     "bloom": StoreSpec("bloom", ("bits",), ("meta",)),
     "phash": StoreSpec("phash", ("signatures",)),
     "kll": StoreSpec("kll", ("kll",)),
-    "minhash": StoreSpec("minhash", ("bands", "hashes")),
+    "minhash": StoreSpec("minhash", ("bands", "hashes"), ("params",)),
     "sample": StoreSpec("sample", ("mins", "priorities")),
 }
 

@@ -183,6 +183,7 @@ def test_families_registry_matches_known_layouts():
     assert stores.FAMILIES["phash"].data_tiers == ("signatures",)
     assert stores.FAMILIES["kll"].data_tiers == ("kll",)
     assert stores.FAMILIES["minhash"].data_tiers == ("bands", "hashes")
+    assert stores.FAMILIES["minhash"].sidecar_tiers == ("params",)
 
 
 def _random_batches(ids: list[int], rng: random.Random) -> list[list[int]]:
@@ -690,3 +691,63 @@ def test_minhash_rebalance_equals_direct_and_preserves_candidates(
         ).collect()
     }
     assert old_cands <= new_cands  # monotone recall on band doubling
+
+
+def test_minhash_params_sidecar_guards_maintenance(spark, tmp_path):
+    """The params sidecar (r14, from r13 advice): every append records
+    (num_perm, bands, seed); maintenance validates them BEFORE
+    rewriting anything, because a mismatched rebalance would produce a
+    plausible-looking yet incompatible bands tier. (a) replayed appends
+    still read back as ONE distinct params row; (b) a rebalance with
+    the wrong seed / wrong num_perm / a non-multiple band count raises
+    ValueError and leaves the destination root unwritten; (c) a valid
+    rebalance stamps the NEW banding into the destination's params
+    tier; (d) compaction refuses a mixed-parameter store."""
+    import os
+
+    docs = _docs(spark, n=40)
+    hashed = docs.select(
+        F.col("doc_id").alias("__id"),
+        dedup_ops.shingle_hashes("text", 3).alias("__h"),
+    ).localCheckpoint(eager=True)
+    src = str(tmp_path / "mh_params_src")
+    dedup_ops.minhash_store_append(src, hashed.filter(F.col("__id") < 20))
+    dedup_ops.minhash_store_append(src, hashed.filter(F.col("__id") >= 20))
+    dedup_ops.minhash_store_append(  # at-least-once replay
+        src, hashed.filter(F.col("__id") >= 20)
+    )
+    assert dedup_ops.minhash_store_params(spark, src) == (64, 16, 42)
+
+    for bad in (
+        dict(seed=7),          # wrong permutations
+        dict(num_perm=128),    # wrong signature width
+        dict(bands=24),        # 24 % 16 != 0: superset guarantee gone
+    ):
+        dst = str(tmp_path / f"mh_params_bad_{sorted(bad)[0]}_{list(bad.values())[0]}")
+        with pytest.raises(ValueError):
+            dedup_ops.rebalance_signature_store(spark, src, dst, **bad)
+        assert not os.path.exists(dst)  # validation ran before any write
+
+    dst_ok = str(tmp_path / "mh_params_ok")
+    dedup_ops.rebalance_signature_store(spark, src, dst_ok, bands=32)
+    assert dedup_ops.minhash_store_params(spark, dst_ok) == (64, 32, 42)
+
+    # (d) a store whose appends disagree on parameters is corrupt:
+    # params surfaces it and compaction refuses to launder it
+    dedup_ops.minhash_store_append(src, hashed, bands=32)
+    with pytest.raises(ValueError):
+        dedup_ops.minhash_store_params(spark, src)
+    with pytest.raises(ValueError):
+        dedup_ops.compact_signature_store(
+            spark, src, str(tmp_path / "mh_params_gc")
+        )
+
+
+def test_banded_jaccard_threshold_guard_is_a_hard_error(spark):
+    """r13 advice: the 4/5 integer band guard is only lossless at
+    threshold 0.8 — any other threshold must raise in ALL interpreter
+    modes (an assert would vanish under python -O and silently drop
+    qualifying pairs)."""
+    docs = _docs(spark, n=4)
+    with pytest.raises(ValueError, match="0.8"):
+        dedup_ops.banded_word_jaccard_pairs(docs, threshold=0.7)
