@@ -28,115 +28,54 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Queries whose verdict would CHANGE this round come first (the driver
-# checks the first 50 registry entries per round). ROUND-13 rotation
-# (executes the plan written in the r12 header; ages below are
+# checks the first 50 registry entries per round). ROUND-14 rotation
+# (executes the plan written in the r13 header; ages below are
 # DRIVER-stamped ages):
-#   slots 1-9   the NEW r13 ops (ann_store_reindex_swap — the
-#               drift→reindex loop closed end-to-end;
-#               minhash_band_rebalance — signature-store threshold
-#               retarget from the hashes tier alone;
-#               deterministic_shard_assignment — token-balanced snake
-#               loader shards; semantic_decontamination —
-#               embedding-level benchmark decon;
-#               epoch_shuffle_plan — computed per-epoch loader orders;
-#               context_window_fit — sequence-length sizing table;
-#               curriculum_quality_phases — quality-ranked curriculum
-#               cuts; streaming_semantic_decontamination — the decon
-#               gate as a continuous stream, batch-oracle parity;
-#               ann_recall_frontier — the n_probe recall/cost tuning
-#               curve on the persisted IVF-PQ store, monotone +
-#               exact-at-full-probe by construction).
-#   slots 10-23 the r13-EDITED entries re-verified: the exact
-#               word-Jaccard pair tier gained a LOSSLESS length-band
-#               blocking key (operators/dedup.banded_word_jaccard_
-#               pairs — output bit-identical, bodies changed), and
-#               every WITH RECURSIVE oracle now declares its
-#               non-recursive CTEs AS MATERIALIZED (DuckDB was
-#               re-evaluating the pair join / daily aggregate every
-#               closure iteration). Covers the dup family, both split
-#               entries, dedup_discounted_token_budget,
-#               streaming_split_assignment, kcore/cusum/holt/
-#               holt-winters.
-#   slots 24-30 the seven entries displaced past the r12 boundary
-#               (user_retention_cohorts … event_transition_matrix —
-#               all green in the r12 pre-sweep; they led this queue
-#               per the r12 plan).
-#   slots 31-50 the r5/r6-green fill continuing from
-#               throttled_event_stream in the r12-header order — the
-#               oldest remaining driver stamps advance (its last seven
-#               entries, containment_near_dups …
-#               embedding_random_projection, slipped past the boundary
-#               as the late r13 ops landed — they lead the r14 fill).
+#   slots 1-2   the NEW r14 ops (quality_classifier_curriculum — a
+#               GD-trained logistic quality classifier DISTILLING the
+#               corpus-frequency Gopher gate into four scan-local
+#               features, trajectory round4-pinned so training,
+#               scores, AUC, loss and phase cuts all replay exactly
+#               in the recursive-CTE oracle; packed_batch_manifest —
+#               the per-(shard, epoch) packed-sequence manifest that
+#               composes deterministic_shard_assignment +
+#               epoch_shuffle_plan + concat-chop packing into the
+#               table a training data loader actually consumes).
+#   slots 3-5   the r14-EDITED entries re-verified: epoch_shuffle_plan
+#               (shared _epoch_order_frame refactor with the new
+#               manifest entry), minhash_band_rebalance (the params
+#               sidecar tier now validates num_perm/seed/band
+#               multiplicity before any rewrite), and
+#               word_jaccard_near_dups (banded-pairs threshold guard
+#               hardened from assert to ValueError).
+#   slots 6-13  the 8 entries displaced past the r13 boundary
+#               (global_balance_ranks … embedding_random_projection —
+#               all green in the r13 pre-sweep; they led this queue
+#               per the r13 plan; global_balance_ranks is also the
+#               r13 verdict's perf-weak item, re-adjudicated in
+#               COVERAGE.md §r14 and A/B-slotted in bench.py).
+#   slots 14-50 the r5-r9-green fill continuing from
+#               sql_returned_item_report in the r13-header order —
+#               the oldest remaining driver stamps advance.
 # After the boundary: the rest of the r5-r9 fill in prior order, the
-# r10 block, the r11 block, and the r12-stamped window LAST (freshest
+# r10, r11, r12 blocks, and the r13-stamped window LAST (freshest
 # stamps re-verify last).
 #
-# ROUND-14 ROTATION PLAN (for the next builder): lead with (1) any
-# r14 edits/new ops, (2) whatever this round's late additions displace
-# past slot 50 (displacements are taken from the END of the slot-23-50
-# fill block — check CORRECTNESS_r13.json's actual window), (3) the
-# r5/r6-green fill continuing after the boundary in the order below,
-# (4) keep the r10, r11, then r12 blocks at the end (freshest last).
+# ROUND-15 ROTATION PLAN (for the next builder): lead with (1) any
+# r15 edits/new ops, (2) whatever this round's additions displace
+# past slot 50 (check CORRECTNESS_r14.json's actual window against
+# the list below), (3) the r5-r9 fill continuing after the boundary
+# in the order below, (4) keep the r10-r13 blocks at the end
+# (freshest last).
 # tests/test_engine.py::test_priority_rotation_names_all_registered
 # guards against typos silently shrinking the window.
 _PRIORITY = [
-    "ann_store_reindex_swap",  # --- r13 NEW ops first
-    "minhash_band_rebalance",
-    "deterministic_shard_assignment",
-    "semantic_decontamination",
-    "epoch_shuffle_plan",
-    "context_window_fit",
-    "curriculum_quality_phases",
-    "streaming_semantic_decontamination",
-    "ann_recall_frontier",
-    "incremental_split_maintenance",  # --- r13-EDITED entries: banded
-    "leakage_safe_split_assignment",  #     pair tier (lossless length-band
-    "word_jaccard_near_dups",  #     blocking) changed these Spark bodies;
-    "dup_groups_connected",  #     the four below them got AS MATERIALIZED
-    "cross_source_dup_matrix",
-    "dup_group_size_histogram",
-    "dup_component_density_audit",
-    "dup_canonical_selection",
-    "dedup_discounted_token_budget",
-    "streaming_split_assignment",
-    "kcore_part_graph",  #     oracle CTEs (holt/cusum/kcore family)
-    "revenue_cusum_changepoints",
-    "revenue_holt_trend",
-    "holt_winters_weekly",
-    "user_retention_cohorts",  # --- the 7 entries displaced past the r12 boundary (r12 plan step 2)
-    "per_source_document_quota",
-    "ann_filtered_topk",
-    "kmeans_cluster_contract",
-    "shared_span_dup_report",
-    "referential_integrity_audit",
-    "event_transition_matrix",
-    "throttled_event_stream",  # --- r5/r6-green fill continuing in the r12-header order (step 3)
-    "unicode_nfc_report",
-    "segment_top_spenders_with_ties",
-    "revenue_pareto_curve",
-    "customer_rfm_segments",
-    "packing_utilization_report",
-    "dow_hour_activity_matrix",
-    "join_key_skew_report",
-    "join_cardinality_preflight",
-    "seasonal_residual_anomalies",
-    "part_copurchase_pagerank",
-    "kmv_audience_overlap",
-    "incremental_join_maintenance",
-    "daily_user_novelty_rate",
-    "sql_forecast_revenue",
-    "sql_shipmode_priority",
-    "set_intersect_orders",
-    "set_except_orders",
-    "distinct_user_event_types",
-    "distinct_user_count",
-    # ---- 50-slot window boundary (r13 final: the 9 new ops pushed
-    # global_balance_ranks, containment_near_dups,
-    # containment_prefix_filtered, weighted_doc_sample,
-    # bigram_surprisal_scores, token_pmi_collocations,
-    # crossval_fold_balance and embedding_random_projection past the
-    # boundary — they lead the r14 fill queue) ----
-    "global_balance_ranks",
+    "quality_classifier_curriculum",  # --- r14 NEW ops first
+    "packed_batch_manifest",
+    "epoch_shuffle_plan",  # --- r14-EDITED: shared _epoch_order_frame refactor
+    "minhash_band_rebalance",  # --- r14-EDITED: params-sidecar validation
+    "word_jaccard_near_dups",  #     (+ banded-pairs ValueError guard)
+    "global_balance_ranks",  # --- the 8 entries displaced past the r13 boundary
     "containment_near_dups",
     "containment_prefix_filtered",
     "weighted_doc_sample",
@@ -144,7 +83,7 @@ _PRIORITY = [
     "token_pmi_collocations",
     "crossval_fold_balance",
     "embedding_random_projection",
-    "sql_returned_item_report",
+    "sql_returned_item_report",  # --- r5-r9 fill continuing in prior order
     "order_price_histogram",
     "profile_orders_columns",
     "approx_top_tokens_contract",
@@ -352,6 +291,53 @@ _PRIORITY = [
     "funnel_stage_conversion",
     "time_decay_user_value",
     "mad_outlier_report",
+    "ann_store_reindex_swap",  # --- the r13-stamped window (freshest stamps last)
+    "deterministic_shard_assignment",
+    "semantic_decontamination",
+    "context_window_fit",
+    "curriculum_quality_phases",
+    "streaming_semantic_decontamination",
+    "ann_recall_frontier",
+    "incremental_split_maintenance",
+    "leakage_safe_split_assignment",
+    "dup_groups_connected",
+    "cross_source_dup_matrix",
+    "dup_group_size_histogram",
+    "dup_component_density_audit",
+    "dup_canonical_selection",
+    "dedup_discounted_token_budget",
+    "streaming_split_assignment",
+    "kcore_part_graph",
+    "revenue_cusum_changepoints",
+    "revenue_holt_trend",
+    "holt_winters_weekly",
+    "user_retention_cohorts",
+    "per_source_document_quota",
+    "ann_filtered_topk",
+    "kmeans_cluster_contract",
+    "shared_span_dup_report",
+    "referential_integrity_audit",
+    "event_transition_matrix",
+    "throttled_event_stream",
+    "unicode_nfc_report",
+    "segment_top_spenders_with_ties",
+    "revenue_pareto_curve",
+    "customer_rfm_segments",
+    "packing_utilization_report",
+    "dow_hour_activity_matrix",
+    "join_key_skew_report",
+    "join_cardinality_preflight",
+    "seasonal_residual_anomalies",
+    "part_copurchase_pagerank",
+    "kmv_audience_overlap",
+    "incremental_join_maintenance",
+    "daily_user_novelty_rate",
+    "sql_forecast_revenue",
+    "sql_shipmode_priority",
+    "set_intersect_orders",
+    "set_except_orders",
+    "distinct_user_event_types",
+    "distinct_user_count",
 ]
 
 

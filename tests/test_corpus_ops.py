@@ -6,6 +6,8 @@ differentials exercise only statistically.
 
 from __future__ import annotations
 
+import math
+
 import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
@@ -433,3 +435,168 @@ def test_streaming_semantic_decon_equals_batch(spark, sf_small):
     )
     assert streamed == batch
     assert len({t[0] for t in streamed}) == len(streamed)
+
+
+def test_packed_manifest_full_sequences_and_token_conservation(spark):
+    """packed_batch_manifest: per (shard, epoch), (a) every sequence
+    except the last is exactly full (concat-and-chop leaves no
+    internal padding), (b) seq_ids are contiguous from 0, (c) the
+    manifest's token total equals the shard's token total (nothing
+    lost or double-counted across sequence boundaries), (d) position
+    spans are ordered and non-degenerate, and (e) the manifest is a
+    pure function of the corpus (two evaluations agree)."""
+    import random
+    import tempfile
+    from collections import defaultdict
+
+    from lab3_lakehouse_spark.queries.corpus import (
+        _MANIFEST_SEQ_LEN,
+        _N_EPOCHS,
+        packed_batch_manifest,
+    )
+
+    rng = random.Random(23)
+    rows = [
+        Row(doc_id=i, text=" ".join("w" for _ in range(rng.randint(1, 400))))
+        for i in range(151)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows).write.parquet(f"{d}/documents.parquet")
+        out1 = sorted(
+            tuple(r) for r in packed_batch_manifest(spark, d).collect()
+        )
+        out2 = sorted(
+            tuple(r) for r in packed_batch_manifest(spark, d).collect()
+        )
+    assert out1 == out2  # pure function of the corpus
+    by_se = defaultdict(list)
+    for shard, epoch, seq_id, n_docs, seq_tokens, fp, lp, fill in out1:
+        by_se[(shard, epoch)].append((seq_id, n_docs, seq_tokens, fp, lp, fill))
+        assert n_docs >= 1 and fp <= lp
+        assert fill == math.floor(seq_tokens / _MANIFEST_SEQ_LEN * 10000.0 + 0.5) / 10000.0
+    total_tokens = sum(len(r.text.split()) for r in rows)
+    epochs_seen = {e for _, e in by_se}
+    assert epochs_seen == set(range(_N_EPOCHS))
+    grand = 0
+    for (shard, epoch), seqs in by_se.items():
+        seqs.sort()
+        ids = [s[0] for s in seqs]
+        assert ids == list(range(len(ids)))  # contiguous from 0
+        for seq_id, _, seq_tokens, _, _, _ in seqs[:-1]:
+            assert seq_tokens == _MANIFEST_SEQ_LEN, (shard, epoch, seq_id)
+        assert 0 < seqs[-1][2] <= _MANIFEST_SEQ_LEN
+        grand += sum(s[2] for s in seqs)
+    # each epoch repacks the SAME corpus: total manifest tokens = E x corpus
+    assert grand == total_tokens * _N_EPOCHS
+
+
+def test_quality_classifier_agrees_with_sparkml_logreg(spark, sf_small):
+    """The GD-trained classifier (the bit-replayable trajectory the
+    oracle verifies) must agree with spark.ml's LogisticRegression on
+    the SAME design matrix — keeping the MLlib surface honest without
+    putting its non-replayable LBFGS float path inside the
+    differential contract: (a) the GD iterate CONVERGES to the LBFGS
+    coefficient direction (cosine >= 0.95 at 200 replica steps —
+    same optimizer target, the entry's 16 steps are an early stop on
+    the same trajectory), (b) the entry's emitted scores rank-agree
+    with spark.ml's (Spearman >= 0.9), (c) both models' rank-sum AUC
+    within 0.05 of each other."""
+    import math as m
+
+    import numpy as np
+
+    from lab3_lakehouse_spark.catalog import load_table
+    from lab3_lakehouse_spark.operators import text as text_ops
+    from lab3_lakehouse_spark.queries.corpus import (
+        _QC_STEPS,
+        corpus_quality_gate,
+        quality_classifier_curriculum,
+    )
+
+    entry = {
+        r.doc_id: (r.model_score, r.model_auc)
+        for r in quality_classifier_curriculum(spark, sf_small).collect()
+    }
+
+    # the same design matrix, rebuilt independently of the entry
+    gate = corpus_quality_gate(spark, sf_small).select("doc_id", "keep")
+    docs = load_table(spark, sf_small, "documents")
+    t = F.col("text")
+    n_tok = text_ops.token_count(t)
+    lower_toks = F.split(F.lower(t), r"\s+")
+    feats = docs.select(
+        "doc_id",
+        F.log(n_tok.cast("double")).alias("x1"),
+        (
+            (F.length(t).cast("double") - (n_tok - F.lit(1)).cast("double"))
+            / n_tok.cast("double")
+        ).alias("x2"),
+        (text_ops.stopword_count(t).cast("double") / n_tok.cast("double")).alias("x3"),
+        (
+            F.size(F.array_distinct(lower_toks)).cast("double")
+            / n_tok.cast("double")
+        ).alias("x4"),
+    ).join(gate, "doc_id")
+    pdf = feats.toPandas().sort_values("doc_id").reset_index(drop=True)
+    X = pdf[["x1", "x2", "x3", "x4"]].to_numpy()
+    y = pdf["keep"].to_numpy().astype(float)
+    Z = (X - X.mean(0)) / np.maximum(X.std(0), 1e-4)
+
+    # GD replica (same recipe as the entry): the entry's step count for
+    # the score comparison, a long run for the convergence-direction one
+    D = np.column_stack([np.ones(len(Z)), Z])
+
+    def gd(steps: int):
+        b = np.zeros(5)
+        for _ in range(steps):
+            p = 1.0 / (1.0 + np.exp(-(D @ b)))
+            b = b - D.T @ (p - y) / len(y)
+        return b
+
+    s_gd = D @ gd(_QC_STEPS)
+    b_converged = gd(200)
+
+    # spark.ml LogisticRegression on the identical standardized matrix
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.linalg import Vectors
+
+    mldf = spark.createDataFrame(
+        [(Vectors.dense(z.tolist()), float(lbl)) for z, lbl in zip(Z, y)],
+        ["features", "label"],
+    )
+    lr = LogisticRegression(
+        maxIter=100, regParam=0.0, standardization=False, featuresCol="features"
+    )
+    model = lr.fit(mldf)
+    b_lr = np.array(model.coefficients.toArray())
+
+    cos = float(
+        b_converged[1:]
+        @ b_lr
+        / (np.linalg.norm(b_converged[1:]) * np.linalg.norm(b_lr))
+    )
+    assert cos >= 0.95, cos
+
+    # rank agreement between the ENTRY's emitted scores and spark.ml's
+    s_lr = np.array(
+        [float(model.intercept) + float(z @ b_lr) for z in Z]
+    )
+    s_entry = np.array([entry[d][0] for d in pdf["doc_id"]])
+
+    def spearman(a, b):
+        ra = np.argsort(np.argsort(a)).astype(float)
+        rb = np.argsort(np.argsort(b)).astype(float)
+        ra -= ra.mean(); rb -= rb.mean()
+        return float((ra @ rb) / m.sqrt((ra @ ra) * (rb @ rb)))
+
+    assert spearman(s_entry, s_lr) >= 0.9
+    assert spearman(s_gd, s_lr) >= 0.9
+
+    def rank_auc(s):
+        order = np.argsort(s, kind="stable")
+        ranks = np.empty(len(s)); ranks[order] = np.arange(1, len(s) + 1)
+        n1 = y.sum(); n0 = len(y) - n1
+        return (ranks[y == 1].sum() - n1 * (n1 + 1) / 2) / (n1 * n0)
+
+    auc_entry = entry[next(iter(entry))][1]
+    assert abs(rank_auc(s_lr) - auc_entry) <= 0.05

@@ -827,3 +827,36 @@ def test_semantic_decon_broadcasts_benchmark_side(spark, sf):
     assert pa.count_nodes(df, "SortMergeJoin") == 0
     for args, cols in pa.exchange_inputs(df):
         assert "embedding" not in cols and "__bvec" not in cols, (args, cols)
+
+
+# --------------------------------------------- round-14 new ops ----
+
+
+def test_packed_manifest_windows_are_partitioned(spark, sf):
+    """packed_batch_manifest's scale claim: the position rank and the
+    prefix-sum offset windows are PARTITIONED by (shard, epoch) — S·E
+    independent sorts sharing one partitioning — with SinglePartition
+    exchanges only on bounded ranking frames, and neither text nor any
+    doc-sized frame crossing a global sort."""
+    df = QUERIES["packed_batch_manifest"](spark, sf)
+    for args, cols in pa.exchange_inputs(df):
+        if "SinglePartition" in args:
+            assert "doc_id" not in cols, (args, cols)
+        assert "text" not in cols, (args, cols)
+    assert any(
+        "hashpartitioning" in args and "shard" in args
+        for args, _ in pa.exchange_inputs(df)
+    )
+
+
+def test_quality_classifier_broadcasts_bounded_frames_only(spark, sf):
+    """quality_classifier_curriculum's scale claim: the scoring frame
+    never carries text across a shuffle, and the only broadcast /
+    SinglePartition structures are bounded (the ≤k-row phase totals,
+    the 1-row coefficient relation, the bucket offsets) — never the
+    doc-sized feature frame."""
+    df = QUERIES["quality_classifier_curriculum"](spark, sf)
+    for args, cols in pa.exchange_inputs(df):
+        if "SinglePartition" in args:
+            assert "doc_id" not in cols, (args, cols)
+        assert "text" not in cols, (args, cols)
