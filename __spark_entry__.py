@@ -31,7 +31,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # checks the first 50 registry entries per round). ROUND-14 rotation
 # (executes the plan written in the r13 header; ages below are
 # DRIVER-stamped ages):
-#   slots 1-2   the NEW r14 ops (quality_classifier_curriculum — a
+#   slots 1-3   the NEW r14 second-batch ops: bpe_train_apply (full
+#               iterative BPE merge training on the word-frequency
+#               vocabulary collapse, trajectory replayed by chained
+#               oracle CTEs), xlingual_mined_pairs (ratio-margin
+#               bitext mining over one bipartite cosine frame), and
+#               ngram_novelty_profile (first-occurrence trigram
+#               novelty per document). These shift every slot below
+#               by 3 — the last 3 entries of the r13-planned window
+#               (rollup_lineitem_status, cube_order_status_priority,
+#               scalar_string_funcs) fall past the boundary and lead
+#               the r15 displaced queue.
+#   (next 2)    the NEW r14 first-batch ops (quality_classifier_curriculum — a
 #               GD-trained logistic quality classifier DISTILLING the
 #               corpus-frequency Gopher gate into four scan-local
 #               features, trajectory round4-pinned so training,
@@ -70,7 +81,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_engine.py::test_priority_rotation_names_all_registered
 # guards against typos silently shrinking the window.
 _PRIORITY = [
-    "quality_classifier_curriculum",  # --- r14 NEW ops first
+    "bpe_train_apply",  # --- r14 NEW ops first (second batch: iterative
+    "xlingual_mined_pairs",  #     BPE trainer, CCMatrix margin mining,
+    "ngram_novelty_profile",  #    first-occurrence trigram novelty)
+    "quality_classifier_curriculum",  # --- r14 NEW ops (first batch)
     "packed_batch_manifest",
     "epoch_shuffle_plan",  # --- r14-EDITED: shared _epoch_order_frame refactor
     "minhash_band_rebalance",  # --- r14-EDITED: params-sidecar validation

@@ -260,6 +260,9 @@ HEADLINE = [
     "dedup_discounted_token_budget",  # waterfill on canonicalized tokens (r12)
     "quality_classifier_curriculum",  # GD-trained gate-distilled scorer (r14)
     "packed_batch_manifest",          # per-(shard,epoch) seq manifest (r14)
+    "bpe_train_apply",                # iterative BPE merge training (r14)
+    "xlingual_mined_pairs",           # ratio-margin bitext mining (r14)
+    "ngram_novelty_profile",          # first-occurrence trigram novelty (r14)
 ]
 
 #: Run FIRST, before the HEADLINE order (r11 verdict task #1c): the
@@ -288,6 +291,9 @@ WATCH_FIRST = [
     # r14 new entries
     "quality_classifier_curriculum",
     "packed_batch_manifest",
+    "bpe_train_apply",
+    "xlingual_mined_pairs",
+    "ngram_novelty_profile",
 ]
 
 #: Same-run early/late A/B sentinels (r13 verdict task #1, generalized

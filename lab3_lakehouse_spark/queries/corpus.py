@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lab3_lakehouse_spark.catalog import load_table
+from lab3_lakehouse_spark.catalog import fan_out, load_table
 from lab3_lakehouse_spark.operators import similarity as sim_ops
 from lab3_lakehouse_spark.operators import text as text_ops
 from lab3_lakehouse_spark.operators.sketches import sql_hash60
@@ -2371,11 +2371,13 @@ def _qcc_oracle() -> str:
     ), rkasc AS (
         SELECT y, row_number() OVER (ORDER BY s, doc_id) AS r FROM scored
     ), aucq AS (
-        SELECT {sql_round4(
+        SELECT CASE
+            WHEN sum(y) = 0 OR count(*) - sum(y) = 0 THEN 0.5
+            ELSE {sql_round4(
             "CAST(sum(CASE WHEN y = 1.0 THEN r ELSE 0 END)"
             " - (CAST(sum(y) AS BIGINT) * (CAST(sum(y) AS BIGINT) + 1)) // 2"
             " AS DOUBLE) / (sum(y) * (count(*) - sum(y)))"
-        )} AS model_auc
+        )} END AS model_auc
         FROM rkasc
     ), rk AS (
         SELECT scored.*,
@@ -2503,7 +2505,7 @@ def quality_classifier_curriculum(
             F.sum(F.col(f"x{j}") * F.col(f"x{j}")).alias(f"q{j}")
             for j in (1, 2, 3, 4)
         ],
-    ).collect()[0]
+    ).collect()[0]  # bounded metadata: one 9-number stats row
     n = stat_row["n"]
     mu, sd = {}, {}
     for j in (1, 2, 3, 4):
@@ -2552,7 +2554,7 @@ def quality_classifier_curriculum(
                     for j in (1, 2, 3, 4)
                 ],
             )
-            .collect()[0]
+            .collect()[0]  # bounded metadata: one gradient row/step
         )
         b = [r4(b[j] - g[f"g{j}"] / g["n"]) for j in range(5)]
 
@@ -2579,7 +2581,7 @@ def quality_classifier_curriculum(
             )
             / F.count(F.lit(1))
         ).alias("loss")
-    ).collect()[0]
+    ).collect()[0]  # bounded metadata: one loss scalar
     final_loss = r4(loss_row["loss"])
 
     rkasc = win_ops.global_row_number(
@@ -2592,18 +2594,25 @@ def quality_classifier_curriculum(
         ).alias("sumr"),
         F.sum("y").alias("n1d"),
         F.count(F.lit(1)).alias("nn"),
-    ).collect()[0]
+    ).collect()[0]  # bounded metadata: one rank-sum row
     n1 = int(a["n1d"])
     n0 = int(a["nn"]) - n1
-    model_auc = r4(
-        float(int(a["sumr"]) - (n1 * (n1 + 1)) // 2) / (float(n1) * float(n0))
-    )
-
-    if model_auc < _QC_AUC_FLOOR:
-        raise ValueError(
-            f"quality classifier AUC {model_auc} below floor "
-            f"{_QC_AUC_FLOOR} — the model does not separate the gate label"
+    if n1 == 0 or n0 == 0:
+        # single-class weak label (tiny/degenerate corpus slices where
+        # the Gopher gate passes or fails everything): rank-sum AUC is
+        # undefined — pin 0.5 on BOTH engines and skip the separation
+        # floor, which is only meaningful with two classes present
+        model_auc = 0.5
+    else:
+        model_auc = r4(
+            float(int(a["sumr"]) - (n1 * (n1 + 1)) // 2)
+            / (float(n1) * float(n0))
         )
+        if model_auc < _QC_AUC_FLOOR:
+            raise ValueError(
+                f"quality classifier AUC {model_auc} below floor "
+                f"{_QC_AUC_FLOOR} — the model does not separate the gate label"
+            )
     if final_loss >= r4(math.log(2.0)):
         raise ValueError(
             f"final train loss {final_loss} did not improve on the b=0 "
@@ -2646,4 +2655,102 @@ def quality_classifier_curriculum(
         "phase_keep_rate",
         F.lit(model_auc).alias("model_auc"),
         F.lit(final_loss).alias("final_loss"),
+    )
+
+
+# ------------------------------------------- n-gram novelty profile ----
+
+_NOVELTY_ORACLE = f"""
+    WITH g AS (
+        SELECT DISTINCT doc_id, source,
+               z[1] || ' ' || z[2] || ' ' || z[3] AS gram
+        FROM (
+            SELECT doc_id, source,
+                   unnest(list_zip(t[:len(t)-2], t[2:len(t)-1], t[3:])) AS z
+            FROM (
+                SELECT doc_id, source,
+                       regexp_split_to_array(text, '\\s+') AS t
+                FROM documents
+            ) q
+            WHERE len(t) >= 3
+        ) q2
+    ),
+    fl AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY gram)
+                    THEN 1 ELSE 0 END AS novel
+        FROM g
+    )
+    SELECT doc_id, source,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(novel) AS BIGINT) AS n_novel,
+           {sql_round4("sum(novel) / CAST(count(*) AS DOUBLE)")}
+               AS novelty_rate
+    FROM fl
+    GROUP BY doc_id, source
+"""
+
+
+@query("ngram_novelty_profile", oracle=_NOVELTY_ORACLE)
+def ngram_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram NOVELTY — what fraction of each document's
+    distinct trigrams appears for the FIRST time in that document
+    (first = smallest doc_id holding the gram, a deterministic proxy
+    for ingest order). The curation signal behind data-age / freshness
+    analyses and repeat-exposure studies: low-novelty documents add
+    mostly n-grams the corpus already contains (boilerplate, template
+    spam, near-copies below the dedup thresholds), and a falling
+    corpus-level novelty curve is the classic sign a crawl has started
+    re-reading itself.
+
+    Plan: ONE corpus scan explodes trigrams partition-locally (the
+    adjacent_token_pairs transform pattern, no Python); the gram frame
+    is then consumed exactly once — first-occurrence novelty is a
+    ``min(doc_id)`` window over the gram partition computed in the
+    SAME flow as the per-doc counts, so there is no DAG branch that
+    would re-scan and re-explode the corpus (the two-aggregates-plus-
+    join formulation reads the parquet twice; a plan-pin test guards
+    the single scan). No gram-level join anywhere: the wide frame is
+    windowed and aggregated, never joined. All counts are exact
+    BIGINTs; the rate is one int/int double division, round4-pinned."""
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    grams = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.split(F.col("text"), r"\s+").alias("__t"),
+        )
+        .filter(F.size("__t") >= 3)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(__t) - 3),"
+                    " i -> concat_ws(' ', __t[i], __t[i+1], __t[i+2]))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    from pyspark.sql import Window as W
+
+    flagged = grams.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id")
+            == F.min("doc_id").over(W.partitionBy("gram")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("__novel"),
+    )
+    return flagged.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum("__novel").cast("long").alias("n_novel"),
+        round4(
+            F.sum("__novel") / F.count(F.lit(1)).cast("double")
+        ).alias("novelty_rate"),
     )

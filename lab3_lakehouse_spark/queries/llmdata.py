@@ -1036,6 +1036,120 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("label", "id_a", "id_b", "cosine")
 
 
+_XLING_K = 4
+_XLING_SRC, _XLING_TGT = "en", "fr"
+_XLING_MARGIN = 1.05
+
+
+def _xling_oracle() -> str:
+    return f"""
+    WITH sided AS (
+        SELECT e.vec_id, e.embedding, d.lang
+        FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    ),
+    cos AS (
+        SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+               list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]) AS c
+        FROM sided a, sided b
+        WHERE a.lang = '{_XLING_SRC}' AND b.lang = '{_XLING_TGT}'
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY src_id
+                                  ORDER BY c DESC, tgt_id) AS ra,
+               row_number() OVER (PARTITION BY tgt_id
+                                  ORDER BY c DESC, src_id) AS rb
+        FROM cos
+    ),
+    ka AS (SELECT src_id, sum(c) / {float(_XLING_K)} AS ka FROM ranked
+           WHERE ra <= {_XLING_K} GROUP BY src_id),
+    kb AS (SELECT tgt_id, sum(c) / {float(_XLING_K)} AS kb FROM ranked
+           WHERE rb <= {_XLING_K} GROUP BY tgt_id),
+    best AS (SELECT * FROM ranked WHERE ra = 1)
+    SELECT best.src_id, best.tgt_id,
+           {sql_round4("best.c")} AS cosine,
+           {sql_round4("best.c / ((ka.ka + kb.kb) / 2.0)")} AS margin,
+           {sql_round4("best.c / ((ka.ka + kb.kb) / 2.0)")}
+               >= {_XLING_MARGIN} AS accepted
+    FROM best
+    JOIN ka ON best.src_id = ka.src_id
+    JOIN kb ON best.tgt_id = kb.tgt_id
+    """
+
+
+@query("xlingual_mined_pairs", oracle=_xling_oracle())
+def xlingual_mined_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (re-derived from the published
+    CCMatrix / Artetxe & Schwenk 2019 ratio-margin criterion): for
+    every source-language (en) document, its best target-language (fr)
+    candidate by embedding cosine, scored by the RATIO margin —
+    cos(x, y) divided by the mean of the two sides' k-NN similarity
+    averages — which suppresses hubness (a target that is everyone's
+    nearest neighbor scores a high cosine but a low margin). Rows with
+    ``accepted`` are the mined translation-pair candidates a parallel-
+    corpus builder would keep; the margin itself is the ranking signal.
+
+    Plan shape: ONE |src|x|tgt| cosine frame (target side broadcast —
+    the smaller language by construction), both direction's k-NN means
+    and the best-match pick are windows over that same frame, so the
+    bipartite scan runs once. Both aggregates are 4-term per-group
+    sums absorbed by round4 (the nDCG convention); the cosines
+    themselves are the bit-identical JVM fold, so rank membership
+    cannot diverge cross-engine, and ``accepted`` compares the ROUNDED
+    margin on both engines. Scale: brute |A|x|B| is the
+    oracle-replayable exact tier; at corpus scale both directions'
+    k-NN lookups route through the persisted IVF-PQ store
+    (ann_store_ivfpq_topk) with each language as a query batch — the
+    same margin arithmetic over its top-k output."""
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    sided = emb.join(docs, "vec_id")
+    a = sided.filter(F.col("lang") == _XLING_SRC).select(
+        F.col("vec_id").alias("src_id"), F.col("embedding").alias("__av")
+    )
+    b = sided.filter(F.col("lang") == _XLING_TGT).select(
+        F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("__bv")
+    )
+    cos = a.crossJoin(F.broadcast(b)).select(
+        "src_id",
+        "tgt_id",
+        sim_ops.cosine_similarity(F.col("__av"), F.col("__bv")).alias("__c"),
+    )
+    wa = Window.partitionBy("src_id").orderBy(F.desc("__c"), "tgt_id")
+    wb = Window.partitionBy("tgt_id").orderBy(F.desc("__c"), "src_id")
+    ranked = cos.withColumn("__ra", F.row_number().over(wa)).withColumn(
+        "__rb", F.row_number().over(wb)
+    )
+    knn_a = (
+        ranked.filter(F.col("__ra") <= _XLING_K)
+        .groupBy("src_id")
+        .agg((F.sum("__c") / F.lit(float(_XLING_K))).alias("__ka"))
+    )
+    knn_b = (
+        ranked.filter(F.col("__rb") <= _XLING_K)
+        .groupBy("tgt_id")
+        .agg((F.sum("__c") / F.lit(float(_XLING_K))).alias("__kb"))
+    )
+    return (
+        ranked.filter(F.col("__ra") == 1)
+        .join(knn_a, "src_id")
+        .join(F.broadcast(knn_b), "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            round4(F.col("__c")).alias("cosine"),
+            round4(
+                F.col("__c") / ((F.col("__ka") + F.col("__kb")) / F.lit(2.0))
+            ).alias("margin"),
+        )
+        .withColumn("accepted", F.col("margin") >= F.lit(_XLING_MARGIN))
+    )
+
+
 @query(
     "ann_topk_bruteforce",
     oracle="""
@@ -2413,6 +2527,166 @@ def bpe_pair_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("pair_count"))
         .orderBy(F.desc("pair_count"), "tok_a", "tok_b")
         .limit(20)
+    )
+
+
+_BPE_STEPS = 6
+
+
+def _bpe_train_oracle(k_steps: int = _BPE_STEPS) -> str:
+    """Chained-CTE replay of the full merge trajectory: the SAME
+    word-frequency collapse, argmax selection, and two-pass
+    delimiter-bounded replace as the Spark loop, step by step."""
+    blocks = [
+        r"""
+    v0 AS (
+        SELECT CAST(count(*) AS BIGINT) AS wf,
+               '|' || regexp_replace(w, '(.)', '\1|', 'g') AS sym
+        FROM (
+            SELECT unnest(regexp_split_to_array(text, '\s+')) AS w
+            FROM documents
+        ) q
+        WHERE len(w) > 0 AND w NOT LIKE '%|%'
+        GROUP BY w
+    )"""
+    ]
+    for k in range(1, k_steps + 1):
+        p = k - 1
+        blocks.append(
+            f"""
+    p{k} AS (
+        SELECT z[1] AS a, z[2] AS b, CAST(sum(wf) AS BIGINT) AS cnt
+        FROM (
+            SELECT wf,
+                   unnest(list_zip(s[2:len(s)-2], s[3:len(s)-1])) AS z
+            FROM (SELECT wf, string_split(sym, '|') AS s FROM v{p}) q
+            WHERE len(s) >= 4
+        ) q2
+        GROUP BY a, b
+    ),
+    m{k} AS (SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1),
+    v{k} AS (
+        SELECT wf,
+               replace(replace(sym,
+                   '|' || m.a || '|' || m.b || '|',
+                   '|' || m.a || m.b || '|'),
+                   '|' || m.a || '|' || m.b || '|',
+                   '|' || m.a || m.b || '|') AS sym
+        FROM v{p}, m{k} m
+    ),
+    t{k} AS (
+        SELECT CAST(sum((len(string_split(sym, '|')) - 2) * wf)
+               AS BIGINT) AS toks
+        FROM v{k}
+    )"""
+        )
+    selects = [
+        f"""
+    SELECT CAST({k} AS BIGINT) AS step, a AS sym_a, b AS sym_b,
+           a || b AS merged, cnt AS pair_weight,
+           (SELECT toks FROM t{k}) AS corpus_tokens_after
+    FROM m{k}"""
+        for k in range(1, k_steps + 1)
+    ]
+    return "WITH" + ",".join(blocks) + "\n" + "\nUNION ALL".join(selects)
+
+
+@query("bpe_train_apply", oracle=_bpe_train_oracle())
+def bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE tokenizer TRAINING + application — the full loop
+    bpe_pair_frequencies shows one round of (Sennrich et al. 2016):
+    learn the top ``_BPE_STEPS`` merges end-to-end and measure the
+    corpus token count after every merge. Output is the artifact a
+    tokenizer build actually produces: one row per merge step with the
+    learned pair, its corpus-weighted frequency, and the resulting
+    corpus size — the compression trajectory that decides vocab size.
+
+    Scale design (how real BPE trainers work at 100 TB): ONE corpus
+    pass collapses the corpus to the word-frequency VOCABULARY table
+    (Heaps' law: sublinear in corpus size), checkpointed once; every
+    training iteration after that is vocab-sized — an adjacent
+    symbol-pair explode + a pair-keyed weighted count + an argmax.
+    The per-step driver fetch is ONE row (the winning pair — the
+    n_centroids-style bounded metadata collect), and the merge is
+    applied vocab-side with a literal ``replace``; corpus text is
+    never re-read after the first pass.
+
+    Determinism contract: pair weights are exact BIGINT sums; the
+    argmax tie-breaks on (count DESC, sym_a, sym_b). Merge application
+    is DELIMITER-BOUNDED two-pass string replace — '|a|b|' → '|ab|'
+    applied twice — which both engines evaluate as leftmost
+    non-overlapping global replace, so runs of a repeated symbol
+    resolve identically cross-engine (a deterministic greedy variant
+    of the reference BPE's leftmost-pair merge; the second pass
+    catches the adjacent pair the first pass's consumed delimiter
+    skipped). Tokens containing the delimiter are excluded up front
+    on both engines."""
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    words = docs.select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("w")
+    ).filter((F.length("w") > 0) & (~F.col("w").contains("|")))
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+        .select(
+            "wf",
+            F.concat(
+                F.lit("|"), F.regexp_replace("w", "(.)", "$1|")
+            ).alias("sym"),
+        )
+        .localCheckpoint(eager=True)  # the ONE corpus-pass collapse
+    )
+    rows: list[tuple] = []
+    cur = vocab
+    for k in range(1, _BPE_STEPS + 1):
+        best = (
+            cur.select(
+                "wf",
+                F.expr(
+                    "slice(split(sym, '\\\\|'), 2,"
+                    " size(split(sym, '\\\\|')) - 2)"
+                ).alias("__s"),
+            )
+            .filter(F.size("__s") >= 2)
+            .select(
+                "wf",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(__s) - 1),"
+                        " i -> struct(__s[i-1] AS a, __s[i] AS b))"
+                    )
+                ).alias("__p"),
+            )
+            .select("wf", "__p.a", "__p.b")
+            .groupBy("a", "b")
+            .agg(F.sum("wf").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()  # bounded metadata: the 1-row winning pair
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], best[0]["cnt"]
+        pat, rep = f"|{a}|{b}|", f"|{a}{b}|"
+        cur = cur.select(
+            "wf",
+            F.replace(
+                F.replace("sym", F.lit(pat), F.lit(rep)),
+                F.lit(pat),
+                F.lit(rep),
+            ).alias("sym"),
+        ).localCheckpoint(eager=True)  # keep lineage flat across steps
+        toks = cur.select(
+            F.sum(
+                (F.size(F.split("sym", r"\|")) - F.lit(2)) * F.col("wf")
+            ).alias("t")
+        ).collect()[0]["t"]  # bounded metadata: one corpus-size scalar
+        rows.append((k, a, b, a + b, int(cnt), int(toks)))
+    return spark.createDataFrame(
+        rows,
+        "step bigint, sym_a string, sym_b string, merged string,"
+        " pair_weight bigint, corpus_tokens_after bigint",
     )
 
 

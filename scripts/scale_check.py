@@ -488,6 +488,29 @@ def workloads():
         # the n_probe sweep over one store build: 5 sliver probes,
         # embeddings unchanged by the amplifier -> fixed cost row
         "ann_recall_frontier": QUERIES["ann_recall_frontier"],
+        # round-14 additions: the GD-trained quality classifier (one
+        # feature scan + 16 vocab... er, doc-sized full-batch aggregate
+        # steps — alpha ~ 1 in docs), the per-(shard,epoch) packed
+        # manifest (snake rank + partitioned prefix sums — alpha ~ 1),
+        # iterative BPE training (ONE corpus word-count pass, then
+        # vocab-sized iterations; the prefixed amplifier copies grow
+        # the vocab linearly, so alpha tracks vocab growth), and the
+        # trigram novelty profile (gram domain grows linearly with the
+        # prefixed copies — two gram-keyed shuffles, alpha ~ 1)
+        "quality_classifier_curriculum": QUERIES[
+            "quality_classifier_curriculum"
+        ],
+        "packed_batch_manifest": QUERIES["packed_batch_manifest"],
+        "bpe_train_apply": QUERIES["bpe_train_apply"],
+        "ngram_novelty_profile": QUERIES["ngram_novelty_profile"],
+        # xlingual_mined_pairs carries NO fact-amplifier row on
+        # purpose: it joins documents.doc_id = embeddings.vec_id, and
+        # the amplifier's key remap (doc_id*stride+i) breaks that
+        # linkage, so an amplified run silently shrinks the joined set
+        # instead of growing the workload. Its brute |A|x|B| tier is
+        # the oracle-parity device only — the at-scale path routes
+        # both directions' k-NN through the persisted IVF-PQ store,
+        # whose growth ivfpq_store_probe_experiment measures.
         "corpus_pipeline": corpus_pipeline,
     }
 

@@ -64,15 +64,16 @@ def test_run_order_watch_items_first_every_name_once():
     order = bench.run_order()
     assert order[: len(bench.WATCH_FIRST)] == bench.WATCH_FIRST
     assert sorted(order) == sorted(
-        [*bench.HEADLINE, "medallion_pipeline", bench.LATE_AB]
+        [*bench.HEADLINE, "medallion_pipeline", *bench.LATE_AB]
     )
     assert len(order) == len(set(order))
     unknown = [n for n in bench.WATCH_FIRST if n not in bench.HEADLINE]
     assert not unknown, f"WATCH_FIRST not in HEADLINE: {unknown}"
-    # the A/B sentinel sits at a LATE slot (after the cold-start
-    # window) and its base query keeps its early WATCH_FIRST slot
-    assert order.index(bench.LATE_AB) == bench.LATE_AB_SLOT
-    assert order.index("ann_store_ivfpq_topk") < bench.LATE_AB_SLOT
+    # each A/B sentinel sits at its LATE slot (after the cold-start
+    # window) and its base query keeps an earlier slot
+    for sentinel, slot in bench.LATE_AB.items():
+        assert order.index(sentinel) == slot
+        assert order.index(sentinel.removesuffix("__late")) < slot
 
 
 def test_run_order_rotates_through_prior_skipped(monkeypatch):
@@ -85,7 +86,7 @@ def test_run_order_rotates_through_prior_skipped(monkeypatch):
     ]
     monkeypatch.setattr(bench, "_prior_skipped", lambda: list(fake_skipped))
     order = bench.run_order()
-    no_ab = [n for n in order if n != bench.LATE_AB]
+    no_ab = [n for n in order if n not in bench.LATE_AB]
     got = no_ab[len(bench.WATCH_FIRST) : len(bench.WATCH_FIRST) + 5]
     assert got == fake_skipped
     # unknown names in the prior artifact are ignored, not launched
@@ -152,7 +153,16 @@ def test_main_streams_lines_budgets_and_persists_incrementally(
         "partial", False
     )
     assert all(w["partial"] for w in local_writes[:-1])
-    # completed + failed + skipped partitions the launch order
-    assert sorted(
-        [*summary["queries"], *summary["failed"], *summary["skipped"]]
-    ) == sorted(bench.run_order())
+    # completed + failed + skipped partitions the launch order, except
+    # that un-run A/B sentinels never enter the persisted skipped list
+    # (they are synthetic names, not catalog rotation sources)
+    launched = [*summary["queries"], *summary["failed"], *summary["skipped"]]
+    expected = [
+        n
+        for n in bench.run_order()
+        if n not in bench.LATE_AB
+        or n in summary["queries"]
+        or n in summary["failed"]
+    ]
+    assert sorted(launched) == sorted(expected)
+    assert not [n for n in summary["skipped"] if n in bench.LATE_AB]

@@ -600,3 +600,53 @@ def test_quality_classifier_agrees_with_sparkml_logreg(spark, sf_small):
 
     auc_entry = entry[next(iter(entry))][1]
     assert abs(rank_auc(s_lr) - auc_entry) <= 0.05
+
+
+# ------------------------------------ r14: n-gram novelty profile ----
+
+
+def test_ngram_novelty_planted_first_occurrence(spark, tmp_path):
+    """Planted corpus: first writer of a trigram owns it (smallest
+    doc_id), exact copies score zero novelty, and partially-seen docs
+    score the unseen fraction."""
+    from pyspark.sql import Row
+
+    from lab3_lakehouse_spark.queries.corpus import ngram_novelty_profile
+
+    rows = [
+        Row(doc_id=0, source="s0", text="x y z x y z"),   # 3 novel grams
+        Row(doc_id=1, source="s0", text="x y z w"),       # 1 of 2 novel
+        Row(doc_id=2, source="s1", text="x y z x y z"),   # exact copy
+        Row(doc_id=3, source="s1", text="a b"),           # too short
+    ]
+    spark.createDataFrame(rows).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r.doc_id: (r.n_grams, r.n_novel, r.novelty_rate)
+        for r in ngram_novelty_profile(spark, str(tmp_path)).collect()
+    }
+    # doc 0: grams {x y z, y z x, z x y} all first here
+    assert out[0] == (3, 3, 1.0)
+    # doc 1: {x y z (seen), y z w (new)}
+    assert out[1] == (2, 1, 0.5)
+    # doc 2: exact copy of doc 0 -> zero novelty
+    assert out[2] == (3, 0, 0.0)
+    # doc 3: shorter than the gram width -> no row at all
+    assert 3 not in out
+
+
+def test_ngram_novelty_single_scan_no_gram_join(spark, sf_small):
+    """Plan pin: one scan of the documents parquet, and the wide gram
+    frame is aggregated (never joined) — the only joins in the plan are
+    the skinny doc-keyed assembly."""
+    from lab3_lakehouse_spark.queries.corpus import ngram_novelty_profile
+
+    df = ngram_novelty_profile(spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("documents.parquet") == 1
+    total = df.agg(
+        F.sum("n_novel").alias("nv"), F.sum("n_grams").alias("ng")
+    ).collect()[0]
+    # every gram has exactly one first occurrence; novel <= grams
+    assert 0 < total["nv"] <= total["ng"]

@@ -1327,3 +1327,160 @@ def test_banded_pair_tier_equals_unbanded(spark, seed):
     }
     assert banded == naive
     assert naive  # the corpus must actually contain qualifying pairs
+
+
+# ------------------------------------------ r14: BPE train + apply ----
+
+
+def test_bpe_train_apply_hand_trajectory(spark, tmp_path):
+    """Hand-computable corpus: the full merge trajectory, the two-pass
+    delimiter-bounded replace on a repeated-pair word, and the
+    early-stop when no pairs remain."""
+    from pyspark.sql import Row
+
+    from lab3_lakehouse_spark.queries.llmdata import bpe_train_apply
+
+    rows = [
+        Row(doc_id=0, text="abab abab ab"),
+        Row(doc_id=1, text="abab cd"),
+    ]
+    spark.createDataFrame(rows).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = [
+        (r.step, r.sym_a, r.sym_b, r.merged, r.pair_weight,
+         r.corpus_tokens_after)
+        for r in bpe_train_apply(spark, str(tmp_path))
+        .orderBy("step")
+        .collect()
+    ]
+    # step 1: (a,b) weight 7 (3 copies of abab contribute 2 each + ab);
+    #   'abab' = |a|b|a|b| -> two-pass replace -> |ab|ab| (the second
+    #   pass catches the pair the consumed delimiter skipped)
+    # step 2: (ab,ab) weight 3; corpus = ab*3(1 sym) + ab(1) + cd(2) = 6
+    # step 3: (c,d) weight 1 -> everything is a single symbol: 5 tokens
+    # steps 4-6: no adjacent pairs left -> loop stops early at 3 rows
+    assert out == [
+        (1, "a", "b", "ab", 7, 9),
+        (2, "ab", "ab", "abab", 3, 6),
+        (3, "c", "d", "cd", 1, 5),
+    ]
+
+
+def test_bpe_merge_weights_monotone_on_corpus(spark, sf_small):
+    """On the real corpus: weights non-increasing across steps (BPE
+    invariant: a merge can only create pair counts that were already
+    bounded by its own frequency... not strictly, but the ARGMAX
+    sequence must be non-increasing), token counts strictly falling,
+    and each step removes exactly pair_weight tokens."""
+    from lab3_lakehouse_spark.queries.llmdata import bpe_train_apply
+
+    rows = bpe_train_apply(spark, sf_small).orderBy("step").collect()
+    assert len(rows) == 6
+    weights = [r.pair_weight for r in rows]
+    assert weights == sorted(weights, reverse=True)
+    toks = [r.corpus_tokens_after for r in rows]
+    assert all(t2 < t1 for t1, t2 in zip(toks, toks[1:]))
+    # each merge of weight w collapses exactly w adjacent pairs -> w
+    # fewer symbols than the previous step's corpus
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.corpus_tokens_after - cur.corpus_tokens_after == (
+            cur.pair_weight
+        )
+
+
+# ------------------------------------- r14: margin bitext mining ----
+
+
+def test_xlingual_margin_suppresses_hub(spark, tmp_path):
+    """Planted geometry: a 'hub' fr vector moderately close to EVERY en
+    vector vs an exclusive near-translation pair. Cosine alone ranks
+    the hub first for most queries; the ratio margin must rank the
+    exclusive pair's margin strictly above every hub-matched margin."""
+    import math as _m
+
+    from pyspark.sql import Row
+
+    from lab3_lakehouse_spark.queries.llmdata import xlingual_mined_pairs
+
+    def unit(v):
+        n = _m.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    en = {
+        0: unit([1.0, 0.0, 0.0, 0.8]),
+        1: unit([0.0, 1.0, 0.0, 0.8]),
+        2: unit([0.0, 0.0, 1.0, 0.8]),
+        3: unit([0.3, 0.3, 0.3, 0.8]),
+    }
+    # fr side: 10 = exclusive translation of en 0; 15 = hub pointed at
+    # the shared 4th axis every en vector leans on (wins raw cosine
+    # for en 2 and en 3); 11..14 = noise
+    fr = {
+        10: unit([1.0, 0.0, 0.0, 0.8]),
+        11: unit([0.1, 0.3, -0.2, 0.05]),
+        12: unit([-0.3, 0.1, 0.25, 0.0]),
+        13: unit([0.2, -0.4, 0.1, 0.1]),
+        14: unit([-0.1, -0.1, -0.3, 0.2]),
+        15: unit([0.0, 0.0, 0.0, 1.0]),
+    }
+    docs = [Row(doc_id=i, lang="en", text="x") for i in en] + [
+        Row(doc_id=i, lang="fr", text="y") for i in fr
+    ]
+    emb = [
+        Row(vec_id=i, embedding=[float(x) for x in v], label=0)
+        for i, v in {**en, **fr}.items()
+    ]
+    spark.createDataFrame(docs).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    spark.createDataFrame(emb).write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out = {
+        r.src_id: r for r in xlingual_mined_pairs(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == set(en)
+    # en 0's best candidate is its exclusive translation, not the hub
+    assert out[0].tgt_id == 10
+    # hub-matched queries exist (the hub wins raw cosine somewhere)...
+    hub_matched = [r for r in out.values() if r.tgt_id == 15]
+    assert hub_matched
+    # ...but the exclusive pair's margin dominates every hub margin
+    assert all(out[0].margin > r.margin for r in hub_matched)
+
+
+def test_xlingual_margin_matches_numpy(spark, sf_small):
+    """Margin arithmetic replayed in numpy on the real corpus (k-NN
+    means over the same bipartite cosine matrix, fixed-k division)."""
+    import numpy as np
+
+    from lab3_lakehouse_spark.catalog import load_table
+    from lab3_lakehouse_spark.queries.llmdata import (
+        _XLING_K,
+        xlingual_mined_pairs,
+    )
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_small, "embeddings").collect()
+    }
+    langs = {
+        r.doc_id: r.lang
+        for r in load_table(spark, sf_small, "documents").collect()
+    }
+    src = sorted(i for i in emb if langs.get(i) == "en")
+    tgt = sorted(i for i in emb if langs.get(i) == "fr")
+    A = np.stack([emb[i] / np.linalg.norm(emb[i]) for i in src])
+    B = np.stack([emb[i] / np.linalg.norm(emb[i]) for i in tgt])
+    C = A @ B.T
+    ka = -np.sort(-C, axis=1)[:, :_XLING_K].sum(axis=1) / _XLING_K
+    kb = -np.sort(-C.T, axis=1)[:, :_XLING_K].sum(axis=1) / _XLING_K
+    out = xlingual_mined_pairs(spark, sf_small).collect()
+    assert len(out) == len(src)
+    for r in out[:25]:
+        i, j = src.index(r.src_id), tgt.index(r.tgt_id)
+        # best candidate: argmax cosine (ties broken by id upstream)
+        assert C[i].max() == C[i, j]
+        expect = C[i, j] / ((ka[i] + kb[j]) / 2.0)
+        assert abs(r.margin - expect) < 5e-4
