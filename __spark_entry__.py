@@ -83,7 +83,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     "bpe_train_apply",  # --- r14 NEW ops first (second batch: iterative
     "xlingual_mined_pairs",  #     BPE trainer, CCMatrix margin mining,
-    "ngram_novelty_profile",  #    first-occurrence trigram novelty)
+    "ngram_novelty_profile",  #    first-occurrence trigram novelty,
+    "cluster_balanced_sample",  #  embedding-space quota sampling,
+    "vocab_coverage_curve",  #     tokenizer vocab sizing table)
     "quality_classifier_curriculum",  # --- r14 NEW ops (first batch)
     "packed_batch_manifest",
     "epoch_shuffle_plan",  # --- r14-EDITED: shared _epoch_order_frame refactor

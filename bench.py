@@ -263,6 +263,8 @@ HEADLINE = [
     "bpe_train_apply",                # iterative BPE merge training (r14)
     "xlingual_mined_pairs",           # ratio-margin bitext mining (r14)
     "ngram_novelty_profile",          # first-occurrence trigram novelty (r14)
+    "cluster_balanced_sample",        # embedding-space quota sampling (r14)
+    "vocab_coverage_curve",           # tokenizer vocab sizing table (r14)
 ]
 
 #: Run FIRST, before the HEADLINE order (r11 verdict task #1c): the
@@ -294,6 +296,8 @@ WATCH_FIRST = [
     "bpe_train_apply",
     "xlingual_mined_pairs",
     "ngram_novelty_profile",
+    "cluster_balanced_sample",
+    "vocab_coverage_curve",
 ]
 
 #: Same-run early/late A/B sentinels (r13 verdict task #1, generalized

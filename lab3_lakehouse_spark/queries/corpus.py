@@ -15,7 +15,7 @@ Cross-engine determinism notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lab3_lakehouse_spark.catalog import fan_out, load_table
@@ -2753,4 +2753,191 @@ def ngram_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(
             F.sum("__novel") / F.count(F.lit(1)).cast("double")
         ).alias("novelty_rate"),
+    )
+
+
+# ------------------------------------ cluster-balanced sampling ----
+
+_CBS_QUOTA = 20
+
+_CBS_ORACLE = f"""
+    WITH {_KMEANS_A2_CTES},
+    sizes AS (
+        SELECT cid, CAST(count(*) AS BIGINT) AS cell_size FROM a2 GROUP BY cid
+    ),
+    picked AS (
+        SELECT cid, vec_id,
+               CAST(row_number() OVER (
+                   PARTITION BY cid
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) AS BIGINT) AS pick_rank
+        FROM a2
+    )
+    SELECT p.cid AS cluster, p.vec_id, e.label, p.pick_rank,
+           s.cell_size,
+           least(s.cell_size, {_CBS_QUOTA}) AS cell_take
+    FROM picked p
+    JOIN sizes s ON s.cid = p.cid
+    JOIN embeddings e ON e.vec_id = p.vec_id
+    WHERE p.pick_rank <= {_CBS_QUOTA}
+"""
+
+
+@query("cluster_balanced_sample", oracle=_CBS_ORACLE)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-preserving subsampling in EMBEDDING space — the
+    cluster-balanced selection modern multimodal/data-curation
+    pipelines use (re-derived from the published DataComp /
+    cluster-based-selection pattern): k-means-cluster the corpus
+    embeddings, then draw a fixed per-cluster quota uniformly inside
+    each cluster. Uniform random sampling preserves the majority
+    mode's dominance; per-cluster quotas keep the tail modes (rare
+    topics, rare styles) represented in the subsample — the embedding-
+    space analog of per-source quotas, stratifying on CONTENT instead
+    of provenance.
+
+    Composition, both engines replayed exactly: the engine-portable
+    pinned k-means assignment (operators/similarity.
+    kmeans_assign_portable — the SemDeDup/IVF oracle-parity device) +
+    the md5-ranked per-key quota cap (operators/sampling.cap_per_key —
+    deterministic pseudo-random order, reproducible on any engine and
+    rerun). Output: every picked vector with its cluster, pick rank,
+    cell size, and the cell's realized take — the audit columns a
+    curator checks before accepting the subsample.
+
+    Scale: assignment passes are map-side scans (centroid literals
+    ride the plan; vectors never shuffle), the quota cap is ONE
+    cluster-partitioned window, and at k in the thousands the same
+    composition swaps the literal assigner for the fitted-center IVF
+    route (ivf_build) — this entry is the oracle-replayable twin, the
+    SemDeDup k=8 pattern."""
+    from lab3_lakehouse_spark.operators import sampling as sampling_ops
+
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = sim_ops.kmeans_assign_portable(
+        emb, "vec_id", "embedding", dim=_SEMDEDUP_DIM, k=_SEMDEDUP_K
+    )
+    sized = assigned.withColumn(
+        "cell_size",
+        F.count(F.lit(1)).over(Window.partitionBy("cluster")).cast("long"),
+    )
+    picked = sampling_ops.cap_per_key(
+        sized,
+        key_col="cluster",
+        k=_CBS_QUOTA,
+        id_col="vec_id",
+        rank_col="pick_rank",
+    )
+    return picked.select(
+        "cluster",
+        "vec_id",
+        "label",
+        "pick_rank",
+        "cell_size",
+        F.least("cell_size", F.lit(_CBS_QUOTA)).cast("long").alias("cell_take"),
+    )
+
+
+# ------------------------------------- vocabulary coverage curve ----
+
+_VOCAB_SIZES = (100, 500, 1000, 2000)
+
+_VOCAB_COVERAGE_ORACLE = f"""
+    WITH wc AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM (
+            SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w
+            FROM documents
+        ) q
+        WHERE len(w) > 0
+        GROUP BY w
+    ),
+    rk AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r FROM wc
+    ),
+    tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS total_tokens,
+               CAST(count(*) AS BIGINT) AS vocab_total
+        FROM wc
+    )
+    SELECT CAST(v.vocab_size AS BIGINT) AS vocab_size,
+           CAST(sum(CASE WHEN rk.r <= v.vocab_size THEN rk.c ELSE 0 END)
+                AS BIGINT) AS covered_tokens,
+           tot.total_tokens,
+           tot.vocab_total,
+           {sql_round4(
+               "sum(CASE WHEN rk.r <= v.vocab_size THEN rk.c ELSE 0 END)"
+               " / CAST(tot.total_tokens AS DOUBLE)"
+           )} AS coverage
+    FROM rk
+    CROSS JOIN (SELECT unnest({list(_VOCAB_SIZES)}) AS vocab_size) v
+    CROSS JOIN tot
+    GROUP BY v.vocab_size, tot.total_tokens, tot.vocab_total
+"""
+
+
+@query("vocab_coverage_curve", oracle=_VOCAB_COVERAGE_ORACLE)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary SIZING table: for each candidate vocabulary
+    size, the corpus token share covered by the top-N most frequent
+    words — the Zipf-tail curve that decides how large a word-level (or
+    merge-level) vocabulary must be before the OOV/byte-fallback rate
+    is acceptable. heaps_vocabulary_growth answers "how fast does the
+    vocab grow", good_turing_oov_estimate answers "how much mass is
+    unseen"; this answers the design question in between: "what does a
+    vocab of size N actually buy".
+
+    Plan: ONE corpus pass collapses to the word-frequency vocabulary
+    (the bpe_train_apply collapse); ranks come from the two-phase
+    bucketed global ranking (operators/windows.global_row_number — no
+    single-partition sort on the vocab, which at web scale is tens of
+    millions of rows); each candidate size is then a conditional exact
+    BIGINT sum in ONE grouped pass over the ranked vocab (sizes ride a
+    4-element explode, not separate jobs). The 1-row corpus totals
+    broadcast back. Exact integers everywhere; the coverage share is
+    one int/int double division, round4-pinned."""
+    from lab3_lakehouse_spark.operators import windows as win_ops
+
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    wc = (
+        docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = win_ops.global_row_number(
+        wc, metric="c", tie_breakers=("w",), rank_col="__r", ascending=False
+    )
+    # after the explode every vocab_size group sees the FULL vocab
+    # exactly once, so the corpus totals fall out of the same grouped
+    # pass — no second branch re-reading the corpus (the novelty-op
+    # single-consumption rule)
+    sizes = F.array(*[F.lit(s) for s in _VOCAB_SIZES])
+    return (
+        ranked.select(
+            "c", "__r", F.explode(sizes).alias("vocab_size")
+        )
+        .groupBy("vocab_size")
+        .agg(
+            F.sum(
+                F.when(F.col("__r") <= F.col("vocab_size"), F.col("c"))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("covered_tokens"),
+            F.sum("c").cast("long").alias("total_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab_total"),
+        )
+        .select(
+            F.col("vocab_size").cast("long").alias("vocab_size"),
+            "covered_tokens",
+            "total_tokens",
+            "vocab_total",
+            round4(
+                F.col("covered_tokens")
+                / F.col("total_tokens").cast("double")
+            ).alias("coverage"),
+        )
     )

@@ -503,6 +503,15 @@ def workloads():
         "packed_batch_manifest": QUERIES["packed_batch_manifest"],
         "bpe_train_apply": QUERIES["bpe_train_apply"],
         "ngram_novelty_profile": QUERIES["ngram_novelty_profile"],
+        # vocab coverage: the same word-frequency collapse + two-phase
+        # rank — vocab grows linearly with the prefixed copies, so
+        # alpha tracks vocab growth like the BPE row
+        "vocab_coverage_curve": QUERIES["vocab_coverage_curve"],
+        # cluster-balanced sample: embeddings ride the fact amplifier
+        # unchanged -> fixed-cost row (the portable-assigner class);
+        # the at-scale assignment path is the fitted-center IVF route,
+        # measured by the semdedup/ivfpq embeddings experiments
+        "cluster_balanced_sample": QUERIES["cluster_balanced_sample"],
         # xlingual_mined_pairs carries NO fact-amplifier row on
         # purpose: it joins documents.doc_id = embeddings.vec_id, and
         # the amplifier's key remap (doc_id*stride+i) breaks that

@@ -650,3 +650,107 @@ def test_ngram_novelty_single_scan_no_gram_join(spark, sf_small):
     ).collect()[0]
     # every gram has exactly one first occurrence; novel <= grams
     assert 0 < total["nv"] <= total["ng"]
+
+
+# ------------------------------- r14: cluster-balanced sampling ----
+
+
+def test_cluster_balanced_sample_preserves_tail_mode(spark, tmp_path):
+    """Planted two-mode geometry: a 100-vector dominant mode and a
+    5-vector tail mode far away (tail holds the lowest ids, so it owns
+    seed centroids). The balanced sample must keep EVERY tail vector
+    while quota-capping the dominant mode — the whole point of
+    stratifying on content: a uniform draw of the same size would keep
+    the modes' 20:1 imbalance."""
+    import random
+
+    from pyspark.sql import Row
+
+    from lab3_lakehouse_spark.queries.corpus import (
+        _CBS_QUOTA,
+        cluster_balanced_sample,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(5):  # tail mode: ids 0-4 near +e0
+        v = [0.0] * 64
+        v[0] = 10.0 + rng.uniform(-0.1, 0.1)
+        v[1] = rng.uniform(-0.1, 0.1)
+        rows.append(Row(vec_id=i, embedding=v, label=1))
+    for i in range(5, 105):  # dominant mode: ids 5-104 near -e2
+        v = [0.0] * 64
+        v[2] = -10.0 + rng.uniform(-0.5, 0.5)
+        v[3] = rng.uniform(-0.5, 0.5)
+        rows.append(Row(vec_id=i, embedding=v, label=0))
+    spark.createDataFrame(rows).write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out = cluster_balanced_sample(spark, str(tmp_path)).collect()
+    sampled = {r.vec_id for r in out}
+    # every tail vector survives
+    assert {0, 1, 2, 3, 4} <= sampled
+    # the dominant mode is quota-capped, not carried wholesale
+    dominant = [r for r in out if r.vec_id >= 5]
+    assert 0 < len(dominant) < 100
+    # per-cluster realized take == min(cell_size, quota), and the
+    # emitted audit columns agree with recomputation
+    from collections import Counter
+
+    per_cluster = Counter(r.cluster for r in out)
+    for r in out:
+        assert r.cell_take == min(r.cell_size, _CBS_QUOTA)
+        assert per_cluster[r.cluster] == r.cell_take
+        assert 1 <= r.pick_rank <= _CBS_QUOTA
+    # deterministic: identical on rerun
+    out2 = cluster_balanced_sample(spark, str(tmp_path)).collect()
+    assert sorted((r.vec_id, r.pick_rank) for r in out2) == sorted(
+        (r.vec_id, r.pick_rank) for r in out
+    )
+
+
+# --------------------------------- r14: vocab coverage curve ----
+
+
+def test_vocab_coverage_curve_matches_counter(spark, tmp_path):
+    """Planted 150-word Zipf-ish vocabulary recomputed with a Python
+    Counter: exact covered/total tokens at every candidate size, and
+    coverage strictly increasing while the size is below the vocab."""
+    import random
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    from lab3_lakehouse_spark.queries.corpus import (
+        _VOCAB_SIZES,
+        vocab_coverage_curve,
+    )
+
+    rng = random.Random(3)
+    words = []
+    for i in range(150):
+        words += [f"w{i:03d}"] * (151 - i)
+    rng.shuffle(words)
+    rows = [
+        Row(doc_id=d, text=" ".join(words[d * 200 : (d + 1) * 200]))
+        for d in range((len(words) + 199) // 200)
+    ]
+    spark.createDataFrame(rows).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    cnt = Counter(words)
+    total = sum(cnt.values())
+    by_rank = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    out = {
+        r.vocab_size: r
+        for r in vocab_coverage_curve(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == set(_VOCAB_SIZES)
+    for n in _VOCAB_SIZES:
+        expect = sum(c for _, c in by_rank[:n])
+        assert out[n].covered_tokens == expect
+        assert out[n].total_tokens == total
+        assert out[n].vocab_total == 150
+    # below the vocab size the curve strictly rises; at/after it, flat
+    assert out[100].covered_tokens < out[500].covered_tokens
+    assert out[500].covered_tokens == out[1000].covered_tokens == total
