@@ -265,6 +265,7 @@ HEADLINE = [
     "ngram_novelty_profile",          # first-occurrence trigram novelty (r14)
     "cluster_balanced_sample",        # embedding-space quota sampling (r14)
     "vocab_coverage_curve",           # tokenizer vocab sizing table (r14)
+    "lsh_banding_frontier",           # MinHash S-curve tuning table (r14)
 ]
 
 #: Run FIRST, before the HEADLINE order (r11 verdict task #1c): the
@@ -298,6 +299,7 @@ WATCH_FIRST = [
     "ngram_novelty_profile",
     "cluster_balanced_sample",
     "vocab_coverage_curve",
+    "lsh_banding_frontier",
 ]
 
 #: Same-run early/late A/B sentinels (r13 verdict task #1, generalized

@@ -269,6 +269,33 @@ def run_corpus_pipeline(
     counts["loader_token_imbalance"] = round(
         max(shard_tokens) / max(1, min(shard_tokens)), 4
     )
+
+    # tokenizer design probe (r14): what a 1k-word vocabulary buys on
+    # the SURVIVING corpus — the vocab_coverage_curve collapse + the
+    # two-phase bucketed rank, run where a tokenizer would actually be
+    # trained (after dedup/decontamination, not on the raw crawl)
+    from lab3_lakehouse_spark.operators import windows as win_ops
+
+    wc = (
+        capped.select(F.explode(F.split(F.col("text"), r"\s+")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rk = win_ops.global_row_number(
+        wc, metric="c", tie_breakers=("w",), rank_col="r", ascending=False
+    )
+    cov = rk.agg(
+        F.sum(
+            F.when(F.col("r") <= 1000, F.col("c")).otherwise(F.lit(0))
+        ).alias("cov"),
+        F.sum("c").alias("tot"),
+        F.count(F.lit(1)).alias("v"),
+    ).first()
+    counts["vocab_total"] = int(cov["v"] or 0)
+    counts["vocab_top1000_coverage"] = round(
+        float(cov["cov"] or 0) / float(cov["tot"] or 1), 4
+    )
     return counts
 
 

@@ -3685,3 +3685,146 @@ def ann_recall_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ------------------------------------------ LSH banding frontier ----
+
+_LSH_FRONTIER_PERMS = 64
+#: (bands, rows_per_band) configurations of a 64-permutation signature
+_LSH_FRONTIER_CONFIGS = ((8, 8), (16, 4), (32, 2), (64, 1))
+#: observed-tail Jaccard buckets: [0.8,0.85) [0.85,0.9) [0.9,0.95) [0.95,1.0]
+_LSH_FRONTIER_MIDS = (0.825, 0.875, 0.925, 0.975)
+
+
+def _lsh_detect_prob(s: float, b: int, r: int) -> float:
+    """S-curve P(candidate) = 1 - (1 - s^r)^b, computed ONCE in Python
+    (power-of-two exponents via repeated squaring) and consumed by both
+    engines as the same repr-pinned double literal — the bootstrap-CDF
+    convention, so no query-time pow() anywhere."""
+    sr = s
+    e = 1
+    while e < r:
+        sr *= sr
+        e *= 2
+    q = 1.0 - sr
+    e = 1
+    while e < b:
+        q *= q
+        e *= 2
+    return 1.0 - q
+
+
+def _lsh_frontier_grid() -> list[tuple[int, int, int, float, float]]:
+    return [
+        (b, r, k, _LSH_FRONTIER_MIDS[k], _lsh_detect_prob(_LSH_FRONTIER_MIDS[k], b, r))
+        for b, r in _LSH_FRONTIER_CONFIGS
+        for k in range(len(_LSH_FRONTIER_MIDS))
+    ]
+
+
+def _lsh_frontier_oracle() -> str:
+    # the e0 suffix forces DuckDB to LEX the literal as DOUBLE (strtod
+    # round-trip of Python's repr); a bare decimal literal would parse
+    # as DECIMAL(17,16) first and lose the last ulp on the cast
+    grid_rows = ",\n        ".join(
+        f"({b}, {r}, {k}, {s!r}e0, {p!r}e0)"
+        for b, r, k, s, p in _lsh_frontier_grid()
+    )
+    jac = (
+        "len(list_intersect(a.w, b.w))::DOUBLE"
+        " / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)))"
+    )
+    return f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS w
+        FROM documents
+    ),
+    pairs AS (
+        SELECT {jac} AS j
+        FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE {jac} >= 0.8
+    ),
+    hist AS (
+        SELECT CAST(least(floor((j - 0.8) / 0.05), 3) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pairs GROUP BY 1
+    ),
+    grid(bands, rows_per_band, bucket, s_mid, detect_prob) AS (
+        VALUES {grid_rows}
+    )
+    SELECT CAST(g.bands AS BIGINT) AS bands,
+           CAST(g.rows_per_band AS BIGINT) AS rows_per_band,
+           CAST(g.bucket AS BIGINT) AS bucket,
+           g.s_mid, g.detect_prob,
+           CAST(coalesce(h.n_pairs, 0) AS BIGINT) AS n_pairs,
+           {sql_round4("coalesce(h.n_pairs, 0) * (1.0 - g.detect_prob)")}
+               AS expected_missed
+    FROM grid g LEFT JOIN hist h ON h.bucket = g.bucket
+    """
+
+
+@query("lsh_banding_frontier", oracle=_lsh_frontier_oracle())
+def lsh_banding_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH TUNING table — the dedup analog of
+    ann_recall_frontier: for every (bands, rows_per_band) split of a
+    64-permutation signature, the S-curve detection probability
+    P = 1 - (1 - s^r)^b at each observed-tail Jaccard bucket, joined
+    with the corpus's ACTUAL qualifying-pair histogram to give the
+    expected number of missed true pairs per configuration. This is
+    the table an operator reads before choosing the banding (and
+    before asking minhash_band_rebalance to re-band a live signature
+    store): more bands → earlier S-curve threshold → fewer misses but
+    more candidate verification work.
+
+    Determinism: the 16 S-curve probabilities are computed once in
+    Python (power-of-two exponents by repeated squaring) and consumed
+    by BOTH engines as identical repr-pinned double literals — the
+    bootstrap-CDF convention, no query-time pow(); the observed
+    histogram comes from the LOSSLESS lang+length-banded exact pair
+    tier (operators/dedup.banded_word_jaccard_pairs), whose jaccard
+    doubles are exact int/int divisions, so bucket membership cannot
+    diverge cross-engine. Scale, measured honestly (SCALE_r14_newops:
+    alpha 1.34 under the amplifier): the exact pair tier is quadratic
+    WITHIN (lang, length-band) blocks — that tier is the
+    oracle-replayable twin, not the 100 TB path. At scale the observed
+    tail comes from a bounded SAMPLE: either a hash-sampled subset of
+    blocks (the histogram is a distribution estimate — sampling blocks
+    preserves it) or the signature store's already-verified candidate
+    pairs; everything after the histogram is a 16-row literal grid
+    join either way."""
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    hist = (
+        _word_jaccard_pairs(docs)
+        .select(
+            F.least(
+                F.floor((F.col("jaccard") - F.lit(0.8)) / F.lit(0.05)),
+                F.lit(3),
+            )
+            .cast("long")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    grid = spark.createDataFrame(
+        _lsh_frontier_grid(),
+        "bands bigint, rows_per_band bigint, bucket bigint,"
+        " s_mid double, detect_prob double",
+    )
+    return (
+        grid.join(F.broadcast(hist), "bucket", "left")
+        .select(
+            "bands",
+            "rows_per_band",
+            "bucket",
+            "s_mid",
+            "detect_prob",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            round4(
+                F.coalesce("n_pairs", F.lit(0))
+                * (F.lit(1.0) - F.col("detect_prob"))
+            ).alias("expected_missed"),
+        )
+    )

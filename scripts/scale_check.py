@@ -512,6 +512,10 @@ def workloads():
         # the at-scale assignment path is the fitted-center IVF route,
         # measured by the semdedup/ivfpq embeddings experiments
         "cluster_balanced_sample": QUERIES["cluster_balanced_sample"],
+        # LSH banding frontier: the observed-tail histogram IS the
+        # banded exact pair tier (the standing dedup cost class);
+        # everything downstream is a 16-row literal grid join
+        "lsh_banding_frontier": QUERIES["lsh_banding_frontier"],
         # xlingual_mined_pairs carries NO fact-amplifier row on
         # purpose: it joins documents.doc_id = embeddings.vec_id, and
         # the amplifier's key remap (doc_id*stride+i) breaks that

@@ -33,6 +33,12 @@ def test_corpus_pipeline_end_to_end(spark, sf_small, tmpdir):
     # re-derives; 1.5 is generous for a small surviving set)
     assert c["loader_shards"] == 8
     assert 1.0 <= c["loader_token_imbalance"] <= 1.5
+    # tokenizer design probe (r14): the surviving corpus's word vocab
+    # and the top-1000 coverage share in (0, 1]
+    assert c["vocab_total"] >= 1
+    assert 0.0 < c["vocab_top1000_coverage"] <= 1.0
+    if c["vocab_total"] <= 1000:
+        assert c["vocab_top1000_coverage"] == 1.0
     # rerun publishes a NEW snapshot with identical content (determinism)
     c2 = run_corpus_pipeline(spark, sf_small, str(tmpdir), seq_len=128)
     assert c2["packed_rows"] == c["packed_rows"]

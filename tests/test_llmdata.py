@@ -1484,3 +1484,45 @@ def test_xlingual_margin_matches_numpy(spark, sf_small):
         assert C[i].max() == C[i, j]
         expect = C[i, j] / ((ka[i] + kb[j]) / 2.0)
         assert abs(r.margin - expect) < 5e-4
+
+
+# ------------------------------------ r14: LSH banding frontier ----
+
+
+def test_lsh_frontier_scurve_shape(spark, sf_small):
+    """S-curve sanity on the emitted table: P rises with the band count
+    at fixed s (finer banding catches more), rises with s at fixed
+    banding, and the expected misses fall as bands grow; the pinned
+    literals match the closed form."""
+    import math as _m
+
+    from lab3_lakehouse_spark.queries.llmdata import (
+        _lsh_detect_prob,
+        lsh_banding_frontier,
+    )
+
+    rows = lsh_banding_frontier(spark, sf_small).collect()
+    assert len(rows) == 16
+    by = {(r.bands, r.bucket): r for r in rows}
+    for r in rows:
+        # literal matches the closed form 1 - (1 - s^r)^b
+        closed = 1.0 - (1.0 - r.s_mid**r.rows_per_band) ** r.bands
+        assert abs(r.detect_prob - closed) < 1e-12
+        assert r.bands * r.rows_per_band == 64
+        assert r.expected_missed <= r.n_pairs
+    for bucket in range(4):
+        probs = [by[(b, bucket)].detect_prob for b in (8, 16, 32, 64)]
+        assert probs == sorted(probs)  # more bands -> earlier curve
+        missed = [by[(b, bucket)].expected_missed for b in (8, 16, 32, 64)]
+        assert missed == sorted(missed, reverse=True)
+    for b in (8, 16, 32, 64):
+        probs = [by[(b, k)].detect_prob for k in range(4)]
+        assert probs == sorted(probs)  # higher similarity -> higher P
+    # the observed histogram partitions the >=0.8 exact pair tier
+    from lab3_lakehouse_spark.catalog import fan_out, load_table
+    from lab3_lakehouse_spark.queries.llmdata import _word_jaccard_pairs
+
+    n_pairs_total = _word_jaccard_pairs(
+        fan_out(load_table(spark, sf_small, "documents"))
+    ).count()
+    assert sum(r.n_pairs for r in rows if r.bands == 8) == n_pairs_total
