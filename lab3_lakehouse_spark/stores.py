@@ -127,8 +127,20 @@ def append_rows(
 def append_sidecar(df: DataFrame, store_root: str, tier: str = "meta") -> None:
     """Append one bounded accounting row-set to a sidecar tier (one
     file per batch — the sidecar stays batches-sized, so probes
-    aggregate it instead of the data tier)."""
-    df.coalesce(1).write.mode("append").parquet(tier_path(store_root, tier))
+    aggregate it instead of the data tier).
+
+    Eager localCheckpoint first, the :func:`overwrite_meta_tier`
+    lesson applied to the append path too: pushing a driver-local
+    relation (``createDataFrame`` of a params/accounting row) straight
+    through the parquet writer measures ~5 s PER CALL on this build —
+    the write task re-ships the embedded local relation — vs ~0.2 s
+    from block storage. Sidecar frames are bounded by contract, so the
+    checkpoint is always rows-sized. (Found r14: the r13 params
+    sidecar added ~20 s to the minhash_band_rebalance gate entry
+    through three un-checkpointed 1-row writes.)"""
+    df.localCheckpoint(eager=True).coalesce(1).write.mode("append").parquet(
+        tier_path(store_root, tier)
+    )
 
 
 def overwrite_meta_tier(df: DataFrame, store_root: str, tier: str) -> None:
