@@ -86,7 +86,8 @@ _PRIORITY = [
     "ngram_novelty_profile",  #    first-occurrence trigram novelty,
     "cluster_balanced_sample",  #  embedding-space quota sampling,
     "vocab_coverage_curve",  #     tokenizer vocab sizing table,
-    "lsh_banding_frontier",  #     MinHash S-curve tuning table)
+    "lsh_banding_frontier",  #     MinHash S-curve tuning table,
+    "packing_ffd_report",  #       no-split FFD sequence packing)
     "quality_classifier_curriculum",  # --- r14 NEW ops (first batch)
     "packed_batch_manifest",
     "epoch_shuffle_plan",  # --- r14-EDITED: shared _epoch_order_frame refactor

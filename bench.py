@@ -266,6 +266,7 @@ HEADLINE = [
     "cluster_balanced_sample",        # embedding-space quota sampling (r14)
     "vocab_coverage_curve",           # tokenizer vocab sizing table (r14)
     "lsh_banding_frontier",           # MinHash S-curve tuning table (r14)
+    "packing_ffd_report",             # no-split FFD sequence packing (r14)
 ]
 
 #: Run FIRST, before the HEADLINE order (r11 verdict task #1c): the
@@ -300,6 +301,7 @@ WATCH_FIRST = [
     "cluster_balanced_sample",
     "vocab_coverage_curve",
     "lsh_banding_frontier",
+    "packing_ffd_report",
 ]
 
 #: Same-run early/late A/B sentinels (r13 verdict task #1, generalized

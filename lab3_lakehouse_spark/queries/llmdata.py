@@ -3828,3 +3828,159 @@ def lsh_banding_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("expected_missed"),
         )
     )
+
+
+# --------------------------------------- FFD bin-packing report ----
+
+_FFD_W = 128       # sequence capacity (tokens)
+_FFD_WINDOW = 256  # docs per packing window (bounded FFD group size)
+
+_FFD_ORACLE = f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               least(len(regexp_split_to_array(text, '\\s+')),
+                     {_FFD_W})::BIGINT AS len_eff,
+               len(regexp_split_to_array(text, '\\s+'))::BIGINT AS n_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (ORDER BY len_eff DESC, doc_id) AS r
+        FROM toks
+    ),
+    d AS (
+        SELECT *, CAST((r - 1) // {_FFD_WINDOW} AS BIGINT) AS pack_window,
+               row_number() OVER (
+                   PARTITION BY CAST((r - 1) // {_FFD_WINDOW} AS BIGINT)
+                   ORDER BY r
+               ) AS i
+        FROM ranked
+    ),
+    f AS (
+        -- FFD fold: state = list of bin loads per window; docs arrive
+        -- in (len_eff DESC, doc_id) order; first bin that fits wins,
+        -- else a new bin opens
+        SELECT d.pack_window, d.i, d.doc_id, d.n_tokens, d.len_eff,
+               [d.len_eff] AS loads, 1::BIGINT AS bin
+        FROM d WHERE d.i = 1
+        UNION ALL
+        SELECT d.pack_window, d.i, d.doc_id, d.n_tokens, d.len_eff,
+               CASE WHEN fit.j IS NULL
+                    THEN list_append(f.loads, d.len_eff)
+                    ELSE list_transform(
+                        range(1, len(f.loads) + 1),
+                        x -> CASE WHEN x = fit.j
+                                  THEN f.loads[x] + d.len_eff
+                                  ELSE f.loads[x] END)
+               END AS loads,
+               coalesce(fit.j, len(f.loads) + 1)::BIGINT AS bin
+        FROM f
+        JOIN d ON d.pack_window = f.pack_window AND d.i = f.i + 1
+        LEFT JOIN LATERAL (
+            SELECT list_filter(
+                range(1, len(f.loads) + 1),
+                x -> f.loads[x] + d.len_eff <= {_FFD_W}
+            )[1] AS j
+        ) fit ON true
+    )
+    SELECT pack_window, doc_id, n_tokens, len_eff, bin,
+           CAST(sum(len_eff) OVER (PARTITION BY pack_window, bin)
+                AS BIGINT) AS bin_used,
+           {sql_round4(
+               f"sum(len_eff) OVER (PARTITION BY pack_window, bin)"
+               f" / CAST({_FFD_W} AS DOUBLE)"
+           )} AS fill_ratio
+    FROM f
+"""
+
+
+@query("packing_ffd_report", oracle=_FFD_ORACLE)
+def packing_ffd_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing SEQUENCE packing — the no-split alternative
+    to pack_documents_concat_chop: concat-chop wastes nothing but cuts
+    documents across sequence boundaries (cross-doc attention
+    contamination unless the trainer masks it); FFD keeps every
+    document intact inside one sequence at the cost of some pad waste
+    (classically ≤ 11/9·OPT + 6/9 bins — Dósa's tight FFD bound,
+    public result). Output: the per-document bin assignment plus each
+    bin's realized token load and fill ratio — the manifest a
+    doc-integrity loader consumes, and the waste table you compare
+    against packing_utilization_report before choosing a packer.
+
+    Scale design: FFD is inherently sequential, so the corpus is cut
+    into BOUNDED packing windows — consecutive ``_FFD_WINDOW``-doc
+    slices of the global (len DESC, id) rank (two-phase bucketed
+    ranking, no single-partition sort) — and each window packs
+    independently in one Arrow-batched applyInPandas group (the
+    documented custom-operator tier: per-group imperative logic the
+    relational algebra can't express; group size is bounded by
+    construction, so executor memory is bounded at ANY corpus size).
+    Sorted-segmented FFD only forgoes cross-window bin sharing: with
+    windows sorted by length the tail of one window and the head of
+    the next differ by at most one length class, so the waste delta
+    vs global FFD is bounded by one bin per window — the standard
+    large-scale approximation.
+
+    Determinism contract: the ENTIRE greedy trajectory replays in the
+    oracle as a recursive-CTE fold over the same (len DESC, id) order
+    (state = the per-window bin-load list; first-fit index via a list
+    scan; recursion depth = window size, bounded). Docs longer than
+    the capacity are clipped to ``len_eff`` (emitted alongside the
+    true n_tokens so truncation is auditable). All integers exact;
+    fill_ratio is one int/int division, round4-pinned."""
+    from lab3_lakehouse_spark.operators import windows as win_ops
+
+    tune_session(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.least(F.size(F.split(F.col("text"), r"\s+")), F.lit(_FFD_W))
+        .cast("long")
+        .alias("len_eff"),
+        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    ranked = win_ops.global_row_number(
+        toks, metric="len_eff", tie_breakers=("doc_id",),
+        rank_col="__r", ascending=False,
+    ).withColumn(
+        "pack_window", F.expr(f"(__r - 1) div {_FFD_WINDOW}").cast("bigint")
+    )
+
+    import pandas as pd
+
+    def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__r"]).reset_index(drop=True)
+        loads: list[int] = []
+        bins: list[int] = []
+        for ln in pdf["len_eff"]:
+            placed = None
+            for j, ld in enumerate(loads):
+                if ld + ln <= _FFD_W:
+                    placed = j
+                    break
+            if placed is None:
+                loads.append(int(ln))
+                bins.append(len(loads))
+            else:
+                loads[placed] += int(ln)
+                bins.append(placed + 1)
+        pdf["bin"] = pd.Series(bins, dtype="int64")
+        return pdf[["pack_window", "doc_id", "n_tokens", "len_eff", "bin"]]
+
+    packed = ranked.groupBy("pack_window").applyInPandas(
+        ffd,
+        "pack_window bigint, doc_id bigint, n_tokens bigint,"
+        " len_eff bigint, bin bigint",
+    )
+    wb = Window.partitionBy("pack_window", "bin")
+    return packed.select(
+        "pack_window",
+        "doc_id",
+        "n_tokens",
+        "len_eff",
+        "bin",
+        F.sum("len_eff").over(wb).cast("long").alias("bin_used"),
+        round4(
+            F.sum("len_eff").over(wb) / F.lit(float(_FFD_W))
+        ).alias("fill_ratio"),
+    )

@@ -516,6 +516,10 @@ def workloads():
         # banded exact pair tier (the standing dedup cost class);
         # everything downstream is a 16-row literal grid join
         "lsh_banding_frontier": QUERIES["lsh_banding_frontier"],
+        # FFD packing: token-count scan + two-phase rank + bounded
+        # 256-doc Arrow groups — alpha ~ 1 in docs (group count grows,
+        # group size is constant by construction)
+        "packing_ffd_report": QUERIES["packing_ffd_report"],
         # xlingual_mined_pairs carries NO fact-amplifier row on
         # purpose: it joins documents.doc_id = embeddings.vec_id, and
         # the amplifier's key remap (doc_id*stride+i) breaks that

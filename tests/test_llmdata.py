@@ -1526,3 +1526,80 @@ def test_lsh_frontier_scurve_shape(spark, sf_small):
         fan_out(load_table(spark, sf_small, "documents"))
     ).count()
     assert sum(r.n_pairs for r in rows if r.bands == 8) == n_pairs_total
+
+
+# -------------------------------------- r14: FFD packing report ----
+
+
+def test_ffd_hand_trajectory_with_exact_fit(spark, tmp_path):
+    """Hand-computable FFD: first-fit order, a new-bin open, and an
+    exact capacity fit (100+28 = 128)."""
+    from pyspark.sql import Row
+
+    from lab3_lakehouse_spark.queries.llmdata import packing_ffd_report
+
+    lengths = {0: 100, 1: 80, 2: 60, 3: 50, 4: 28, 5: 20}
+    rows = [
+        Row(doc_id=i, text=" ".join(["w"] * n)) for i, n in lengths.items()
+    ]
+    spark.createDataFrame(rows).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r.doc_id: r for r in packing_ffd_report(spark, str(tmp_path)).collect()
+    }
+    # FFD on [100, 80, 60, 50, 28, 20] at W=128:
+    #   100 -> bin1; 80 -> bin2; 60 -> bin3 (80+60 > 128);
+    #   50 -> bin3 (110); 28 -> bin1 (exact 128); 20 -> bin2 (100)
+    assert {i: out[i].bin for i in lengths} == {
+        0: 1, 1: 2, 2: 3, 3: 3, 4: 1, 5: 2
+    }
+    assert out[0].bin_used == 128 and out[0].fill_ratio == 1.0
+    assert out[1].bin_used == 100
+    assert out[2].bin_used == 110
+
+
+def test_ffd_invariants_on_corpus(spark, sf_small):
+    """Every document lands intact in exactly one bin, no bin exceeds
+    capacity, and the realized bin count respects the fractional lower
+    bound (the packer is a real packer, not a partitioner)."""
+    import math as _m
+
+    from lab3_lakehouse_spark.catalog import load_table
+    from lab3_lakehouse_spark.queries.llmdata import (
+        _FFD_W,
+        packing_ffd_report,
+    )
+
+    out = packing_ffd_report(spark, sf_small).collect()
+    n_docs = load_table(spark, sf_small, "documents").count()
+    assert len(out) == n_docs  # one row per doc: documents never split
+    assert len({r.doc_id for r in out}) == n_docs
+    from collections import defaultdict
+
+    loads = defaultdict(int)
+    for r in out:
+        assert 1 <= r.len_eff <= _FFD_W
+        loads[(r.pack_window, r.bin)] += r.len_eff
+    assert all(v <= _FFD_W for v in loads.values())
+    for r in out:
+        assert r.bin_used == loads[(r.pack_window, r.bin)]
+    total_eff = sum(r.len_eff for r in out)
+    assert len(loads) >= _m.ceil(total_eff / _FFD_W)  # >= OPT lower bound
+    # SOUND first-fit invariant (checkable without solving OPT): two
+    # final bins in the same window always sum past the capacity — if
+    # load_a + load_b <= W, bin b's opening item would have fit bin a
+    # when b opened (loads only grow), contradiction. Corollary: at
+    # most one bin per window at or below half capacity.
+    from itertools import combinations
+
+    per_window = defaultdict(list)
+    for (w, _), v in loads.items():
+        per_window[w].append(v)
+    for w, ls in per_window.items():
+        assert sum(1 for v in ls if v <= _FFD_W // 2) <= 1, (w, sorted(ls))
+        if len(ls) <= 200:  # exhaustive pairwise on small windows
+            assert all(a + b > _FFD_W for a, b in combinations(ls, 2))
+        else:
+            two_smallest = sorted(ls)[:2]
+            assert sum(two_smallest) > _FFD_W, (w, two_smallest)
