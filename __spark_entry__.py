@@ -31,17 +31,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # checks the first 50 registry entries per round). ROUND-14 rotation
 # (executes the plan written in the r13 header; ages below are
 # DRIVER-stamped ages):
-#   slots 1-3   the NEW r14 second-batch ops: bpe_train_apply (full
-#               iterative BPE merge training on the word-frequency
-#               vocabulary collapse, trajectory replayed by chained
-#               oracle CTEs), xlingual_mined_pairs (ratio-margin
-#               bitext mining over one bipartite cosine frame), and
+#   slots 1-7   the NEW r14 second-batch ops: bpe_train_apply
+#               (iterative BPE merge training on the word-frequency
+#               collapse, trajectory replayed by chained oracle CTEs),
+#               xlingual_mined_pairs (ratio-margin bitext mining),
 #               ngram_novelty_profile (first-occurrence trigram
-#               novelty per document). These shift every slot below
-#               by 3 — the last 3 entries of the r13-planned window
-#               (rollup_lineitem_status, cube_order_status_priority,
-#               scalar_string_funcs) fall past the boundary and lead
-#               the r15 displaced queue.
+#               novelty), cluster_balanced_sample (embedding-space
+#               quota sampling), vocab_coverage_curve (tokenizer
+#               sizing table), lsh_banding_frontier (MinHash S-curve
+#               tuning table), packing_ffd_report (no-split FFD
+#               packing, recursive-CTE oracle). These shift every
+#               slot below by 7 — with the 2 first-batch ops, the
+#               last 9 entries of the r13-planned window
+#               (sql_important_parts … scalar_math_funcs) fall past
+#               the boundary and lead the r15 displaced queue.
 #   (next 2)    the NEW r14 first-batch ops (quality_classifier_curriculum — a
 #               GD-trained logistic quality classifier DISTILLING the
 #               corpus-frequency Gopher gate into four scan-local

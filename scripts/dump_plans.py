@@ -423,6 +423,34 @@ SHOWCASE: dict[str, str] = {
         "integer phase arithmetic with a broadcast 1-row total and "
         "≤3-row phase budgets broadcast back."
     ),
+    "ngram_novelty_profile": (
+        "First-occurrence trigram novelty (r14): ONE parquet scan "
+        "feeds a partition-local gram explode, and the min(doc_id) "
+        "first-occurrence is a gram-partitioned window computed in "
+        "the same flow as the per-doc counts — no DAG branch "
+        "re-reading the corpus, no gram-level join."
+    ),
+    "xlingual_mined_pairs": (
+        "Ratio-margin bitext mining (r14): the target language side "
+        "is BroadcastExchange'd into one bipartite cosine frame; both "
+        "directions' k-NN means and the best-match pick are windows "
+        "over that same frame, so the |src|×|tgt| scoring runs once."
+    ),
+    "packing_ffd_report": (
+        "No-split FFD packing (r14): token-count scan → the two-phase "
+        "global rank → 256-doc bounded Arrow groups (ArrowEvalPython "
+        "only over fixed-size windows — executor memory bounded at "
+        "any corpus size) → one (window, bin)-partitioned load "
+        "window. The sequential greedy never sees more than one "
+        "window."
+    ),
+    "vocab_coverage_curve": (
+        "Tokenizer sizing table (r14): word-frequency collapse → "
+        "two-phase bucketed vocab rank (no single-partition sort) → "
+        "ONE grouped conditional-sum pass over the 4-way size explode "
+        "(corpus totals fall out of the same pass — no second corpus "
+        "branch)."
+    ),
 }
 
 
