@@ -546,15 +546,20 @@ def _pq_fit_codebooks(
     TakeOrderedAndProject (per-partition top-k heaps + driver merge,
     no sort shuffle and no extra full-corpus ``count()`` pass)."""
     sub = dim // m
-    sample = (
-        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-        .orderBy(F.crc32(F.col("__id").cast("string")).asc(), F.col("__id").asc())
-        .limit(train_cap)
-        .collect()
+    flat = _fit_sample_matrix(corpus, id_col, vec_col, train_cap)
+    return _pq_codebooks_from_matrix(
+        flat, m=m, sub=sub, n_codes=n_codes, seed=seed, iters=iters
     )
-    X = np.array([r["__v"] for r in sample], dtype=np.float64).reshape(
-        len(sample), m, sub
-    )
+
+
+def _pq_codebooks_from_matrix(
+    flat: np.ndarray, *, m: int, sub: int, n_codes: int, seed: int,
+    iters: int = 10,
+) -> np.ndarray:
+    """Per-subspace Lloyd over an already-collected sample matrix (the
+    body of :func:`_pq_fit_codebooks`, split so ``ivfpq_store_init``
+    can share one sample collect between both fits)."""
+    X = flat.reshape(len(flat), m, sub)
     rng = np.random.RandomState(seed)
     books = []
     for s in range(m):
@@ -896,6 +901,45 @@ def assign_cells_literal(
     )
 
 
+def _fit_sample_matrix(
+    train: DataFrame, id_col: str, vec_col: str, train_cap: int = 4096
+) -> np.ndarray:
+    """The ONE bounded fit-sample collect both quantizer fits share:
+    the ``train_cap`` rows with the smallest ``(crc32(id), id)`` — a
+    deterministic function of the id set alone, planned as
+    TakeOrderedAndProject (per-partition heaps, no sort shuffle).
+    Factored out in r14 so ``ivfpq_store_init`` collects the sample
+    once instead of once per fit (the centroid and codebook fits use
+    the identical sample rule, so sharing is bit-identical)."""
+    sample = (
+        train.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .orderBy(F.crc32(F.col("__id").cast("string")).asc(), F.col("__id").asc())
+        .limit(train_cap)
+        .collect()
+    )
+    return np.array([r["__v"] for r in sample], dtype=np.float64)
+
+
+def _lloyd_centroids_from_matrix(
+    X: np.ndarray, *, n_centroids: int, seed: int, iters: int = 8
+) -> list[tuple[int, list[float]]]:
+    """numpy Lloyd over an already-collected sample matrix (the body
+    of :func:`_fit_centroids_sample`, split so the sample collect can
+    be shared)."""
+    rng = np.random.RandomState(seed)
+    cent = X[
+        rng.choice(len(X), size=n_centroids, replace=len(X) < n_centroids)
+    ].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        a = d2.argmin(1)
+        for c in range(n_centroids):
+            mask = a == c
+            if mask.any():
+                cent[c] = X[mask].mean(0)
+    return [(int(i), [float(x) for x in c]) for i, c in enumerate(cent)]
+
+
 def _fit_centroids_sample(
     train: DataFrame,
     id_col: str,
@@ -917,25 +961,10 @@ def _fit_centroids_sample(
     path, kept for the in-memory one-shot operator): measured ~12×
     faster at sf0.1 with recall unchanged, and the fit is a
     deterministic function of the id set alone."""
-    sample = (
-        train.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-        .orderBy(F.crc32(F.col("__id").cast("string")).asc(), F.col("__id").asc())
-        .limit(train_cap)
-        .collect()
+    X = _fit_sample_matrix(train, id_col, vec_col, train_cap)
+    return _lloyd_centroids_from_matrix(
+        X, n_centroids=n_centroids, seed=seed, iters=iters
     )
-    X = np.array([r["__v"] for r in sample], dtype=np.float64)
-    rng = np.random.RandomState(seed)
-    cent = X[
-        rng.choice(len(X), size=n_centroids, replace=len(X) < n_centroids)
-    ].copy()
-    for _ in range(iters):
-        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
-        a = d2.argmin(1)
-        for c in range(n_centroids):
-            mask = a == c
-            if mask.any():
-                cent[c] = X[mask].mean(0)
-    return [(int(i), [float(x) for x in c]) for i, c in enumerate(cent)]
 
 
 def ivfpq_store_init(
@@ -950,30 +979,37 @@ def ivfpq_store_init(
     n_codes: int = 16,
     seed: int = 42,
     max_iter: int = 8,
-) -> None:
+) -> tuple[list[tuple[int, list[float]]], np.ndarray]:
     """Fit and persist the index METADATA tiers — IVF centroids
     (numpy Lloyd on the bounded hash-deterministic sample,
     :func:`_fit_centroids_sample`) and PQ codebooks (same sample rule,
     :func:`_pq_fit_codebooks`) — writing NO code rows: corpora enter
     the index through :func:`ivfpq_store_append`. Both tiers are
     kilobytes regardless of corpus size (≤ n_centroids + m·n_codes
-    rows), and the whole fit touches ≤ 2·train_cap collected rows —
-    at 100 TB the init is a constant-cost step before the linear
-    append passes."""
+    rows), and the whole fit collects the bounded sample ONCE (shared
+    by both fits — identical sample rule, so bit-identical to the two
+    r13-era collects) — at 100 TB the init is a constant-cost step
+    before the linear append passes.
+
+    Returns ``(cents, books)`` — the exact values persisted — so
+    same-process callers (append right after init, the probe sweep)
+    can skip re-loading the tiers they just wrote
+    (:func:`ivfpq_load_meta` reads back the same doubles: float64
+    round-trips parquet exactly)."""
     from lab3_lakehouse_spark import stores
 
     spark = train.sparkSession
-    cents = _fit_centroids_sample(
-        train, id_col, vec_col,
-        n_centroids=n_centroids, seed=seed, iters=max_iter,
+    X = _fit_sample_matrix(train, id_col, vec_col)
+    cents = _lloyd_centroids_from_matrix(
+        X, n_centroids=n_centroids, seed=seed, iters=max_iter
     )
     stores.overwrite_meta_tier(
         spark.createDataFrame(cents, ["__cell", "__centroid"]),
         store_root,
         "centroids",
     )
-    books = _pq_fit_codebooks(
-        train, id_col, vec_col, dim=dim, m=m, n_codes=n_codes, seed=seed
+    books = _pq_codebooks_from_matrix(
+        X, m=m, sub=dim // m, n_codes=n_codes, seed=seed
     )
     rows = [
         (int(s), int(c), [float(x) for x in books[s, c]])
@@ -985,6 +1021,7 @@ def ivfpq_store_init(
         store_root,
         "codebooks",
     )
+    return cents, books
 
 
 def ivfpq_load_meta(
@@ -1017,6 +1054,7 @@ def ivfpq_store_append(
     vec_col: str,
     *,
     buckets: int = 8,
+    meta: tuple[list[tuple[int, list[float]]], np.ndarray] | None = None,
 ) -> None:
     """Append one vector batch to the persisted index — cost ∝ the
     BATCH, never the corpus: only the two metadata tiers are read
@@ -1027,12 +1065,19 @@ def ivfpq_store_append(
     codebooks (:func:`pq_encode`), then the code rows land clustered
     on ``__cell`` so probe-side ``__cell IN (…)`` prunes row groups.
 
+    ``meta`` (r14): pass the ``(cents, books)`` returned by
+    :func:`ivfpq_store_init` / :func:`ivfpq_load_meta` to skip the two
+    tier-read collects when the caller already holds the fit —
+    identical values either way (float64 round-trips parquet exactly).
+
     Contract (same as the BM25/signature stores): ids are globally
     unique across batches — re-appending a vector double-counts it.
     """
     from lab3_lakehouse_spark import stores
 
-    cents, books = ivfpq_load_meta(spark, store_root)
+    cents, books = meta if meta is not None else ivfpq_load_meta(
+        spark, store_root
+    )
     assigned = assign_cells_literal(batch, id_col, vec_col, cents)
     coded = pq_encode(
         assigned, "neighbor_id", "__cvec", books, keep=("__cell",)
@@ -1059,28 +1104,24 @@ def _ivfpq_pruned_codes(spark, store_root: str, cells: list[int]) -> DataFrame:
     )
 
 
-def ivfpq_probe_index(
-    index: DataFrame,
-    books: np.ndarray,
-    centroids: list[tuple[int, list[float]]],
+def _routed_query_frame(
     queries: DataFrame,
     id_col: str,
     vec_col: str,
-    rerank_vecs: DataFrame,
-    *,
-    k: int = 5,
-    n_probe: int = 8,
-    rerank: int = 50,
+    centroids: list[tuple[int, list[float]]],
+    n_probe: int,
 ) -> DataFrame:
-    """Probe an IVF-PQ code frame (in-memory or store-pruned): route
-    each query to its ``n_probe`` nearest cells against the broadcast
-    centroid table, ADC-score ONLY those cells' codes (skinny
-    ``(query_id, neighbor_id, __adc)`` exchange — the pq_topk
-    contract), exact-cosine re-rank of the bounded candidate set
-    against ``rerank_vecs`` ``(neighbor_id, __cvec)`` — the corpus
-    tier, NOT the index: codes stay 4-16 bytes/vector and floats are
-    only fetched for ≤ |queries|·rerank rows."""
-    spark = index.sparkSession
+    """``(query_id, __qvec, __cell)`` — each query paired with its
+    ``n_probe`` nearest cells: crossJoin against the broadcast
+    ≤ n_centroids-row centroid frame, L2² fold, per-query
+    ``row_number`` cut. Factored out in r14 so a store probe computes
+    the routing ONCE (checkpointed, |queries|·n_probe bounded) instead
+    of once for the pushdown-cell collect and again inside the probe
+    plan. (A map-side literal-centroid variant was measured and
+    rejected: 16 zip_with/aggregate lambda folds per plan cost more in
+    analysis than the tiny broadcast-join window saves — 1.4 s vs
+    0.7 s per routing at sf0.1.)"""
+    spark = queries.sparkSession
     cdf = spark.createDataFrame(centroids, ["__cell", "__centroid"])
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
@@ -1097,13 +1138,47 @@ def ivfpq_probe_index(
     wc = Window.partitionBy("query_id").orderBy(
         F.col("__d2").asc(), F.col("__cell").asc()
     )
-    routed = (
+    return (
         q.crossJoin(F.broadcast(cdf))
         .withColumn("__d2", dist2)
         .withColumn("__cr", F.row_number().over(wc))
         .filter(F.col("__cr") <= n_probe)
         .select("query_id", "__qvec", "__cell")
     )
+
+
+def ivfpq_probe_index(
+    index: DataFrame,
+    books: np.ndarray,
+    centroids: list[tuple[int, list[float]]],
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    rerank_vecs: DataFrame,
+    *,
+    k: int = 5,
+    n_probe: int = 8,
+    rerank: int = 50,
+    routed: DataFrame | None = None,
+) -> DataFrame:
+    """Probe an IVF-PQ code frame (in-memory or store-pruned): route
+    each query to its ``n_probe`` nearest cells against the broadcast
+    centroid table (:func:`_routed_query_frame`), ADC-score ONLY those
+    cells' codes (skinny ``(query_id, neighbor_id, __adc)`` exchange —
+    the pq_topk contract), exact-cosine re-rank of the bounded
+    candidate set against ``rerank_vecs`` ``(neighbor_id, __cvec)`` —
+    the corpus tier, NOT the index: codes stay 4-16 bytes/vector and
+    floats are only fetched for ≤ |queries|·rerank rows. ``routed``
+    (r14): a pre-computed (ideally checkpointed) routing frame — the
+    store probe passes the one it already collected pushdown cells
+    from, so the routing window runs once per probe, not twice."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    if routed is None:
+        routed = _routed_query_frame(
+            queries, id_col, vec_col, centroids, n_probe
+        )
     scored = (
         index.join(F.broadcast(routed), "__cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -1129,6 +1204,7 @@ def ivfpq_store_topk(
     k: int = 5,
     n_probe: int = 8,
     rerank: int = 50,
+    meta: tuple[list[tuple[int, list[float]]], np.ndarray] | None = None,
 ) -> DataFrame:
     """ANN top-k against the PERSISTED IVF-PQ index: load the two
     metadata tiers (bounded), route the query batch, and read ONLY the
@@ -1136,36 +1212,28 @@ def ivfpq_store_topk(
     IN`` pushdown — an index probe, not an index scan); the exact
     re-rank fetches its ≤ |queries|·rerank float vectors from the
     corpus tier via broadcast lookup. At 100 TB the init+append cost
-    amortizes across every query batch that ever probes the store."""
-    cents, books = ivfpq_load_meta(spark, store_root)
+    amortizes across every query batch that ever probes the store.
+    ``meta`` (r14): pre-loaded ``(cents, books)`` skips the two
+    tier-read collects — a probe SWEEP over one store (the recall
+    frontier) loads the kilobyte tiers once, not once per setting."""
+    cents, books = meta if meta is not None else ivfpq_load_meta(
+        spark, store_root
+    )
     # route first so the store read can prune: nearest n_probe cells
-    # per query, computed on the driver-bounded centroid list
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
-    )
-    cdf = spark.createDataFrame(cents, ["__cell", "__centroid"])
-    dist2 = F.aggregate(
-        F.zip_with(
-            F.col("__qvec").cast("array<double>"),
-            F.col("__centroid"),
-            lambda a, b: (a - b) * (a - b),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    wc = Window.partitionBy("query_id").orderBy(
-        F.col("__d2").asc(), F.col("__cell").asc()
-    )
+    # per query. ONE routing computation serves both consumers (r14):
+    # the checkpointed |queries|·n_probe frame feeds the pushdown-cell
+    # collect here AND rides into the probe plan below — the r13 form
+    # ran the same crossJoin + window twice per probe.
+    routed = _routed_query_frame(
+        queries, id_col, vec_col, cents, n_probe
+    ).localCheckpoint(eager=False)  # bounded: |queries| x n_probe rows;
+    # lazy — the cells collect right below materializes it, so the
+    # checkpoint adds no job of its own
     routed_cells = [
         int(r["__cell"])
         for r in (
-            q.crossJoin(F.broadcast(cdf))
-            .withColumn("__d2", dist2)
-            .withColumn("__cr", F.row_number().over(wc))
-            .filter(F.col("__cr") <= n_probe)
-            .select("__cell")
-            .distinct()
-            .collect()  # ≤ n_centroids rows — bounded metadata
+            routed.select("__cell").distinct().collect()
+            # ≤ n_centroids rows — bounded metadata
         )
     ]
     pruned = _ivfpq_pruned_codes(spark, store_root, routed_cells)
@@ -1175,5 +1243,5 @@ def ivfpq_store_topk(
     )
     return ivfpq_probe_index(
         pruned, books, cents, queries, id_col, vec_col, rerank_vecs,
-        k=k, n_probe=n_probe, rerank=rerank,
+        k=k, n_probe=n_probe, rerank=rerank, routed=routed,
     )

@@ -2010,7 +2010,7 @@ def hard_negative_store_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchors = emb.filter(F.col("vec_id") % _HN_ANCHOR_MOD == 0)
     root = scratch_dir("hns_store_")
     try:
-        sim_ops.ivfpq_store_init(
+        fit = sim_ops.ivfpq_store_init(
             root, emb, "vec_id", "embedding",
             n_centroids=16, dim=64, m=8, n_codes=32,
         )
@@ -2019,10 +2019,11 @@ def hard_negative_store_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark, root,
                 emb.filter(F.pmod("vec_id", F.lit(2)) == residue),
                 "vec_id", "embedding",
+                meta=fit,  # same-process appends reuse the just-written fit
             )
         probed = sim_ops.ivfpq_store_topk(
             spark, root, emb, anchors, "vec_id", "embedding",
-            k=_HNS_OVERSAMPLE, n_probe=8, rerank=400,
+            k=_HNS_OVERSAMPLE, n_probe=8, rerank=400, meta=fit,
         ).localCheckpoint(eager=False)
         labels = emb.select(
             F.col("vec_id").alias("negative_id"),

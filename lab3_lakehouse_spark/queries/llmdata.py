@@ -1285,7 +1285,7 @@ def ann_store_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bf = sim_ops.brute_force_topk(emb, q, "vec_id", "embedding", k=5)
     root = scratch_dir("ivfpq_store_")
     try:
-        sim_ops.ivfpq_store_init(
+        fit = sim_ops.ivfpq_store_init(
             root, emb, "vec_id", "embedding",
             n_centroids=16, dim=64, m=8, n_codes=32,
         )
@@ -1294,18 +1294,23 @@ def ann_store_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark, root,
                 emb.filter(F.pmod("vec_id", F.lit(2)) == residue),
                 "vec_id", "embedding",
+                meta=fit,  # same-process appends reuse the just-written fit
             )
+        # ONE read-back of the persisted metadata tiers serves BOTH the
+        # probe and the twin below (r14: was four separate tier loads —
+        # init's duplicate fit collects + one load per append/probe/twin;
+        # the parquet round-trip of the meta tiers stays witnessed here)
+        cents, books = sim_ops.ivfpq_load_meta(spark, root)
         # the bounded (≤ |q|·k rows) probe result feeds recall stats AND
         # both exceptAll legs — checkpoint so the probe pipeline (store
         # read + ADC + re-rank) runs once, not three times
         store = sim_ops.ivfpq_store_topk(
             spark, root, emb, q, "vec_id", "embedding",
-            k=5, n_probe=8, rerank=400,
+            k=5, n_probe=8, rerank=400, meta=(cents, books),
         ).localCheckpoint(eager=False)
         # in-memory twin SHARING the stored fit: same centroids, same
         # codebooks, same assignment/encode expressions — the only
         # difference is whether the code rows round-tripped parquet
-        cents, books = sim_ops.ivfpq_load_meta(spark, root)
         mem_index = sim_ops.pq_encode(
             sim_ops.assign_cells_literal(emb, "vec_id", "embedding", cents),
             "neighbor_id", "__cvec", books, keep=("__cell",),
@@ -1410,7 +1415,7 @@ def ann_store_reindex_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         # live store with the STALE fit: centroids/codebooks fitted on
         # the reference half only, full corpus appended in two batches
-        sim_ops.ivfpq_store_init(
+        stale_fit = sim_ops.ivfpq_store_init(
             root, emb.filter(is_ref), "vec_id", "embedding",
             n_centroids=16, dim=64, m=8, n_codes=32,
         )
@@ -1419,8 +1424,9 @@ def ann_store_reindex_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark, root,
                 emb.filter(F.pmod("vec_id", F.lit(2)) == residue),
                 "vec_id", "embedding",
+                meta=stale_fit,  # same-process ingestion reuses the fit
             )
-        old_cents, _old_books = sim_ops.ivfpq_load_meta(spark, root)
+        old_cents = stale_fit[0]
 
         # monitor: global ref-vs-candidate centroid cosine (the
         # embedding_centroid_drift math without the label split)
@@ -1445,7 +1451,7 @@ def ann_store_reindex_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         # refit on the FULL current corpus + linear re-encode, all into
         # a NEW root — the live store is never written during the GC
-        sim_ops.ivfpq_store_init(
+        refit = sim_ops.ivfpq_store_init(
             new_root, emb, "vec_id", "embedding",
             n_centroids=16, dim=64, m=8, n_codes=32,
         )
@@ -1453,7 +1459,7 @@ def ann_store_reindex_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
         # append of the whole corpus (the live store's two-batch append
         # history above is the daily shape; the refit compacts it)
         sim_ops.ivfpq_store_append(
-            spark, new_root, emb, "vec_id", "embedding"
+            spark, new_root, emb, "vec_id", "embedding", meta=refit
         )
         # capture the refit metadata from the NEW root BEFORE the swap:
         # the in-memory twin below is the independent witness that the
@@ -1681,7 +1687,7 @@ def rerank_store_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < _BM25_QUERIES)
     root = scratch_dir("ivfpq_rerank_store_")
     try:
-        sim_ops.ivfpq_store_init(
+        fit = sim_ops.ivfpq_store_init(
             root, emb, "vec_id", "embedding",
             n_centroids=16, dim=64, m=8, n_codes=32,
         )
@@ -1690,10 +1696,11 @@ def rerank_store_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark, root,
                 emb.filter(F.pmod("vec_id", F.lit(2)) == residue),
                 "vec_id", "embedding",
+                meta=fit,  # same-process appends reuse the just-written fit
             )
         cands = sim_ops.ivfpq_store_topk(
             spark, root, emb, q, "vec_id", "embedding",
-            k=_STORE_RERANK_DEPTH, n_probe=8, rerank=400,
+            k=_STORE_RERANK_DEPTH, n_probe=8, rerank=400, meta=fit,
         ).select(
             "query_id",
             F.col("neighbor_id").alias("doc_id"),
@@ -3626,17 +3633,24 @@ def ann_recall_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)  # consumed once per probe setting
     root = scratch_dir("ann_frontier_")
     try:
-        sim_ops.ivfpq_store_init(
+        fit = sim_ops.ivfpq_store_init(
             root, emb, "vec_id", "embedding",
             n_centroids=16, dim=64, m=8, n_codes=32,
         )
-        sim_ops.ivfpq_store_append(spark, root, emb, "vec_id", "embedding")
+        sim_ops.ivfpq_store_append(
+            spark, root, emb, "vec_id", "embedding", meta=fit
+        )
         bf_pairs = bf.select("query_id", "neighbor_id")
+        # ONE read-back of the kilobyte metadata tiers for the whole
+        # sweep (r14: was one load per probe setting — 5x two bounded
+        # collects that always return the same rows; each probe still
+        # reads its routed slivers of the persisted codes tier)
+        meta = sim_ops.ivfpq_load_meta(spark, root)
         rows = []
         for n_probe in _FRONTIER_PROBES:
             ann = sim_ops.ivfpq_store_topk(
                 spark, root, emb, q, "vec_id", "embedding",
-                k=5, n_probe=n_probe, rerank=10**6,
+                k=5, n_probe=n_probe, rerank=10**6, meta=meta,
             )
             stats = (
                 bf_pairs.join(

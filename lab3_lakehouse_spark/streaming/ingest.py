@@ -423,11 +423,16 @@ def stream_ivfpq_append(
     from lab3_lakehouse_spark.operators import similarity as sim_ops
 
     checkpoint = f"{store_root}/_checkpoint"
+    # the quantizer metadata is FROZEN during ingestion by contract
+    # (init happens before the stream starts; only re-index swaps it),
+    # so load the kilobyte tiers ONCE per stream instead of twice per
+    # micro-batch (r14 — two bounded collects per trigger removed)
+    meta = sim_ops.ivfpq_load_meta(spark, store_root)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         sim_ops.ivfpq_store_append(
             spark, store_root, batch_df, "vec_id", "embedding",
-            buckets=buckets,
+            buckets=buckets, meta=meta,
         )
 
     stream = (
