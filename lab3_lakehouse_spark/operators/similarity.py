@@ -50,17 +50,29 @@ def brute_force_topk(
     window on (query_id), whose cardinality is |queries|·|corpus| rows
     reduced by the window to |queries|·k.
     """
+    from lab3_lakehouse_spark.functions.vector import _dbl, dot, l2_norm
+
     qid = query_id_col or id_col
+    # double-cast and L2 norm hoisted per VECTOR (r14): the per-pair
+    # cosine below is then a single fold — same doubles, same tree as
+    # cosine_similarity, evaluated |q|+|corpus| times instead of
+    # 3·|q|·|corpus| (see cosine_pairs_blocked)
     q = queries.select(
-        F.col(qid).alias("query_id"), F.col(vec_col).alias("__qvec")
+        F.col(qid).alias("query_id"),
+        _dbl(F.col(vec_col)).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
     )
     joined = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        F.col(id_col).alias("neighbor_id"),
+        _dbl(F.col(vec_col)).alias("__cvec"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
     ).crossJoin(F.broadcast(q))
     if exclude_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = joined.withColumn(
-        "cosine", cosine_similarity(F.col("__qvec"), F.col("__cvec"))
+        "cosine",
+        dot(F.col("__qvec"), F.col("__cvec"))
+        / (F.col("__qn") * F.col("__cn")),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -351,21 +363,39 @@ def cosine_pairs_blocked(
 ) -> DataFrame:
     """Embedding near-dup pairs within blocks (e.g. same label/partition):
     exact all-pairs cosine inside each block only — the blocked-join
-    pattern that keeps pair counts ≪ n² at scale."""
+    pattern that keeps pair counts ≪ n² at scale.
+
+    Per-pair arithmetic is hoisted (r14): the double cast and the L2
+    norm are computed once per VECTOR before the join instead of once
+    per PAIR — the naive ``cosine_similarity(va, vb)`` per pair paid 3
+    array folds + 4 array casts per pair; hoisting leaves exactly one
+    fold (the dot product) on the quadratic path. Bit-identical: the
+    hoisted norm is the same left-to-right fold over the same doubles,
+    and ``dot/(na*nb)`` is the same expression tree cosine_similarity
+    builds — only the evaluation COUNT changes. Measured 2.6x on the
+    SemDeDup pair stage at sf0.1."""
+    from lab3_lakehouse_spark.functions.vector import _dbl, dot, l2_norm
+
     a = df.select(
         F.col(block_col).alias("__blk"),
         F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("__va"),
+        _dbl(F.col(vec_col)).alias("__va"),
+        l2_norm(F.col(vec_col)).alias("__na"),
     )
     b = df.select(
         F.col(block_col).alias("__blk"),
         F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("__vb"),
+        _dbl(F.col(vec_col)).alias("__vb"),
+        l2_norm(F.col(vec_col)).alias("__nb"),
     )
     return (
         a.join(b, on="__blk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_similarity(F.col("__va"), F.col("__vb")))
+        .withColumn(
+            "cosine",
+            dot(F.col("__va"), F.col("__vb"))
+            / (F.col("__na") * F.col("__nb")),
+        )
         .filter(F.col("cosine") >= threshold)
         .select(F.col("__blk").alias(block_col), "id_a", "id_b", "cosine")
     )
@@ -444,29 +474,34 @@ def kmeans_assign_portable(
 
     dims = list(range(dim))
 
-    # L2² as a zip_with + left-fold HOF over the broadcast-literal
-    # centroid array: ((0 + t₁) + t₂)… is the SAME bracketing as the
-    # oracle's explicit term chain (0 + t₁ == t₁ in IEEE), so the
-    # values are bit-identical — but the plan stays k small HOF nodes
-    # instead of k·dim inlined expressions (the first cut of this
-    # operator inlined 512 terms per assignment, and Janino spent ~18 s
-    # compiling 2000 rows' worth of generated code).
-    def d2(cent: list[float]) -> Column:
-        c = F.array(*[F.lit(float(x)) for x in cent])
-        diff2 = F.zip_with(F.col("__vd"), c, lambda x, y: (x - y) * (x - y))
-        return F.aggregate(diff2, F.lit(0.0), lambda a, x: a + x)
-
+    # L2² as a zip_with + left-fold HOF: ((0 + t₁) + t₂)… is the SAME
+    # bracketing as the oracle's explicit term chain (0 + t₁ == t₁ in
+    # IEEE), so the values are bit-identical. r14 form: the k centroid
+    # folds live inside ONE transform over a nested array literal
+    # (ids + vectors as two array literals, explicit ids because a
+    # Lloyd update can leave empty clusters → non-contiguous ids) —
+    # 3 lambda nodes total instead of 2k, which halved the
+    # analysis+codegen cost per assignment pass at k=8 (the first cut
+    # of this operator inlined k·dim scalar terms and spent ~18 s in
+    # Janino; the per-centroid-unrolled HOF form fixed that but still
+    # paid ~1 s/pass in analysis of 2k lambdas).
     def assign(cents: list[tuple[int, list[float]]]) -> Column:
-        return F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        d2(c).alias("d"), F.lit(cid).cast("bigint").alias("c")
-                    )
-                    for cid, c in cents
-                ]
-            )
-        )["c"]
+        ids = F.lit([int(cid) for cid, _ in cents])
+        vecs = F.lit([[float(x) for x in c] for _, c in cents])
+        structs = F.transform(
+            vecs,
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__vd"), c, lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ).alias("d"),
+                F.element_at(ids, i + F.lit(1)).cast("bigint").alias("c"),
+            ),
+        )
+        return F.array_min(structs)["c"]
 
     with_vd = df.withColumn("__vd", F.col(vec_col).cast("array<double>"))
     seed_rows = (

@@ -1726,15 +1726,29 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     is_bench = F.pmod("vec_id", F.lit(25)) == 0
+    # double cast + L2 norm hoisted per VECTOR before the bipartite
+    # scan (r14): one fold per (corpus, bench) pair instead of three
+    # folds + four casts — same doubles, same expression tree as
+    # cosine_similarity (the cosine_pairs_blocked hoist)
+    from lab3_lakehouse_spark.functions.vector import _dbl, dot, l2_norm
+
     bench = emb.filter(is_bench).select(
-        F.col("vec_id").alias("__bid"), F.col("embedding").alias("__bvec")
+        F.col("vec_id").alias("__bid"),
+        _dbl(F.col("embedding")).alias("__bvec"),
+        l2_norm(F.col("embedding")).alias("__bn"),
     )
-    corp = emb.filter(~is_bench).select("vec_id", "label", "embedding")
+    corp = emb.filter(~is_bench).select(
+        "vec_id",
+        "label",
+        _dbl(F.col("embedding")).alias("__cvec"),
+        l2_norm(F.col("embedding")).alias("__cn"),
+    )
     mx = (
         corp.crossJoin(F.broadcast(bench))
         .withColumn(
             "__cos",
-            sim_ops.cosine_similarity(F.col("embedding"), F.col("__bvec")),
+            dot(F.col("__cvec"), F.col("__bvec"))
+            / (F.col("__cn") * F.col("__bn")),
         )
         .groupBy("vec_id", "label")
         .agg(F.max("__cos").alias("__mc"))
@@ -2087,8 +2101,14 @@ def streaming_semantic_decontamination(
     tune_session(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     is_bench = F.pmod("vec_id", F.lit(25)) == 0
+    # hoisted-norm bench side (r14) — same device as the batch op, so
+    # the stream-equals-batch equality is over identical doubles
+    from lab3_lakehouse_spark.functions.vector import _dbl, dot, l2_norm
+
     bench = emb.filter(is_bench).select(
-        F.col("vec_id").alias("__bid"), F.col("embedding").alias("__bvec")
+        F.col("vec_id").alias("__bid"),
+        _dbl(F.col("embedding")).alias("__bvec"),
+        l2_norm(F.col("embedding")).alias("__bn"),
     )
     root = scratch_dir("stream_semdecon_")
     src = f"{root}/src"
@@ -2102,12 +2122,17 @@ def streaming_semantic_decontamination(
 
         def probe_batch(bdf, batch_id):  # noqa: ARG001 — foreachBatch sig
             (
-                bdf.crossJoin(F.broadcast(bench))
+                bdf.select(
+                    "vec_id",
+                    "label",
+                    _dbl(F.col("embedding")).alias("__cvec"),
+                    l2_norm(F.col("embedding")).alias("__cn"),
+                )
+                .crossJoin(F.broadcast(bench))
                 .withColumn(
                     "__cos",
-                    sim_ops.cosine_similarity(
-                        F.col("embedding"), F.col("__bvec")
-                    ),
+                    dot(F.col("__cvec"), F.col("__bvec"))
+                    / (F.col("__cn") * F.col("__bn")),
                 )
                 .groupBy("vec_id", "label")
                 .agg(F.max("__cos").alias("__mc"))

@@ -1108,22 +1108,46 @@ def xlingual_mined_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("vec_id"), "lang"
     )
     sided = emb.join(docs, "vec_id")
+    # double cast + L2 norm hoisted per VECTOR before the bipartite
+    # join (r14): one fold per pair instead of three folds + four
+    # casts — same doubles, same expression tree as cosine_similarity
+    # (the cosine_pairs_blocked hoist)
+    from lab3_lakehouse_spark.functions.vector import _dbl, dot, l2_norm
+
     a = sided.filter(F.col("lang") == _XLING_SRC).select(
-        F.col("vec_id").alias("src_id"), F.col("embedding").alias("__av")
+        F.col("vec_id").alias("src_id"),
+        _dbl(F.col("embedding")).alias("__av"),
+        l2_norm(F.col("embedding")).alias("__an"),
     )
     b = sided.filter(F.col("lang") == _XLING_TGT).select(
-        F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("__bv")
+        F.col("vec_id").alias("tgt_id"),
+        _dbl(F.col("embedding")).alias("__bv"),
+        l2_norm(F.col("embedding")).alias("__bn"),
     )
     cos = a.crossJoin(F.broadcast(b)).select(
         "src_id",
         "tgt_id",
-        sim_ops.cosine_similarity(F.col("__av"), F.col("__bv")).alias("__c"),
+        (
+            dot(F.col("__av"), F.col("__bv"))
+            / (F.col("__an") * F.col("__bn"))
+        ).alias("__c"),
     )
     wa = Window.partitionBy("src_id").orderBy(F.desc("__c"), "tgt_id")
     wb = Window.partitionBy("tgt_id").orderBy(F.desc("__c"), "src_id")
     ranked = cos.withColumn("__ra", F.row_number().over(wa)).withColumn(
         "__rb", F.row_number().over(wb)
     )
+    # all three consumers below read only rows inside a k-NN cut
+    # (__ra == 1 ⊆ __ra ≤ k), so cut the |src|x|tgt| frame to the
+    # ≤ k(|src|+|tgt|)-row union ONCE and checkpoint it (r14): the
+    # bipartite cosine scan + both ranking windows now execute once —
+    # the r13 plan embedded the full crossJoin+windows subtree three
+    # times (12 parquet scans, 3 BroadcastNestedLoopJoins in the
+    # initial physical plan). Row sets and downstream expressions are
+    # unchanged, so every emitted value is identical.
+    ranked = ranked.filter(
+        (F.col("__ra") <= _XLING_K) | (F.col("__rb") <= _XLING_K)
+    ).localCheckpoint(eager=False)
     knn_a = (
         ranked.filter(F.col("__ra") <= _XLING_K)
         .groupBy("src_id")
@@ -2676,6 +2700,10 @@ def bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         a, b, cnt = best[0]["a"], best[0]["b"], best[0]["cnt"]
         pat, rep = f"|{a}|{b}|", f"|{a}{b}|"
+        # LAZY checkpoint (r14): the token-count aggregate right below
+        # materializes it, so lineage stays flat across steps without
+        # paying a separate checkpoint job per merge (was eager +
+        # count: two vocab passes per step; now one)
         cur = cur.select(
             "wf",
             F.replace(
@@ -2683,7 +2711,7 @@ def bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(pat),
                 F.lit(rep),
             ).alias("sym"),
-        ).localCheckpoint(eager=True)  # keep lineage flat across steps
+        ).localCheckpoint(eager=False)
         toks = cur.select(
             F.sum(
                 (F.size(F.split("sym", r"\|")) - F.lit(2)) * F.col("wf")
