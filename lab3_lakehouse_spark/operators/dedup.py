@@ -351,6 +351,7 @@ def minhash_store_append(
     num_perm: int = 64,
     bands: int = 16,
     seed: int = 42,
+    banded: DataFrame | None = None,
 ) -> None:
     """Append one batch's MinHash signatures to the persisted LSH
     signature store — the ``minhash`` family of the stores.py
@@ -371,11 +372,19 @@ def minhash_store_append(
     mismatched parameters would silently produce an incompatible bands
     tier — :func:`minhash_store_params` lets
     :func:`rebalance_signature_store` / :func:`compact_signature_store`
-    fail loudly instead."""
+    fail loudly instead.
+
+    ``banded`` (r14): a caller that ALSO needs the band table (e.g. to
+    self-join it into the corpus candidate pairs right after indexing)
+    can band once — ideally behind a lazy localCheckpoint — and pass
+    the frame in; it must be ``banded_signatures(hashed, num_perm,
+    bands, seed)`` of the same batch, or the store and the caller's
+    candidates silently disagree."""
     from lab3_lakehouse_spark import stores
 
     stores.append_rows(
-        banded_signatures(hashed, num_perm, bands, seed),
+        banded if banded is not None
+        else banded_signatures(hashed, num_perm, bands, seed),
         store_root,
         "bands",
     )

@@ -3464,10 +3464,16 @@ def streaming_split_assignment(
             dedup_ops.shingle_hashes("text", 3).alias("__h"),
         ).localCheckpoint(eager=True)
         # index build: signature tiers + the assignment tier (corpus
-        # components from the store's own LSH pair source)
-        dedup_ops.minhash_store_append(store, hashed)
+        # components from the store's own LSH pair source). Band ONCE
+        # (r14): the same (__id, band, bh) frame is appended to the
+        # bands tier AND self-joined into the corpus candidate pairs —
+        # the r13 form computed the 64-permutation signatures twice.
+        banded = dedup_ops.banded_signatures(hashed).localCheckpoint(
+            eager=False
+        )
+        dedup_ops.minhash_store_append(store, hashed, banded=banded)
         pairs = dedup_ops.minhash_verify_hashed(
-            dedup_ops.minhash_lsh_candidates_from_hashes(hashed),
+            dedup_ops.minhash_lsh_candidates_from_bands(banded),
             hashed,
             threshold=0.8,
         )
