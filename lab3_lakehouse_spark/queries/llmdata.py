@@ -1606,8 +1606,13 @@ def minhash_band_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, root, new_root, num_perm=64, bands=32
         )
         # direct twin: re-band the corpus-derived hash frame (what the
-        # store path must reproduce without touching text)
-        direct = dedup_ops.banded_signatures(hashed, 64, 32)
+        # store path must reproduce without touching text). Lazy
+        # checkpoint (r14): the twin feeds both match_bands exceptAll
+        # legs AND the candidate self-join behind swap_ok — without the
+        # pin the 64-perm re-band evaluated up to 4x in one action.
+        direct = dedup_ops.banded_signatures(hashed, 64, 32).localCheckpoint(
+            eager=False
+        )
         key = ["__id", "band", "bh"]
         rb = stores.read_tier(spark, new_root, "bands").select(*key)
         match_bands = (
