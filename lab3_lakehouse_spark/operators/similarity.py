@@ -718,8 +718,8 @@ def pq_topk(
         .select(
             "query_id",
             "neighbor_id",
-            _adc_udf(books)(
-                F.col("__qvec").cast("array<double>"), F.col("__codes")
+            _adc_col(
+                books, F.col("__qvec").cast("array<double>"), F.col("__codes")
             ).alias("__adc"),
         )
     )
@@ -730,7 +730,13 @@ def _adc_udf(books: np.ndarray):
     """Arrow-batched ADC scorer: per distinct query vector in the batch,
     one (m, n_codes) lookup table of subvector→codebook distances; each
     row then scores as m table lookups. The codebooks ride the closure
-    (kilobytes)."""
+    (kilobytes).
+
+    r15: RETIRED from every probe plan in favor of :func:`_adc_col`
+    (the JVM expression form — no Python boundary on the ADC scan).
+    Kept as the reference implementation: the bit-equality pin
+    (tests/test_r15_optimizations.py) evaluates both forms on the same
+    frame and compares raw float64 bit patterns."""
     m, n_codes, sub = books.shape
 
     @F.pandas_udf("double")
@@ -750,6 +756,96 @@ def _adc_udf(books: np.ndarray):
         return pd.Series(out)
 
     return adc
+
+
+def _np_pairwise_sum(terms: list[Column]) -> Column:
+    """Combine double-typed addend Columns in EXACTLY numpy's pairwise-
+    summation order (numpy/_core/src/umath/loops.c.src,
+    ``pairwise_sum_DOUBLE``), so a JVM expression sum is bit-identical
+    to the ``ndarray.sum()`` the retired ADC UDF performed:
+
+    - n < 8: plain sequential left-to-right adds;
+    - 8 ≤ n ≤ 128 (numpy's PW_BLOCKSIZE): eight running accumulators
+      ``r[j] += a[i+j]`` over full blocks of 8, combined as
+      ``((r0+r1)+(r2+r3)) + ((r4+r5)+(r6+r7))``, then a sequential peel
+      of the non-multiple-of-8 tail;
+    - n > 128: recursive halving with the split rounded DOWN to a
+      multiple of 8 (``n2 = n//2 - (n//2 % 8)``).
+
+    IEEE 754 double arithmetic is deterministic given an operation
+    order, so reproducing the order reproduces the bits (pinned by
+    tests/test_r15_optimizations.py against np.sum directly and
+    against the UDF end to end)."""
+    n = len(terms)
+    if n == 0:
+        return F.lit(0.0)
+    if n < 8:
+        res = terms[0]
+        for t in terms[1:]:
+            res = res + t
+        return res
+    if n <= 128:
+        r = list(terms[:8])
+        i = 8
+        while i + 8 <= n:
+            for j in range(8):
+                r[j] = r[j] + terms[i + j]
+            i += 8
+        res = ((r[0] + r[1]) + (r[2] + r[3])) + ((r[4] + r[5]) + (r[6] + r[7]))
+        for t in terms[i:]:
+            res = res + t
+        return res
+    n2 = (n // 2) - ((n // 2) % 8)
+    return _np_pairwise_sum(terms[:n2]) + _np_pairwise_sum(terms[n2:])
+
+
+def _adc_col(books: np.ndarray, qvec: Column, codes: Column) -> Column:
+    """JVM ADC scorer (r15, guide §4 "prefer built-ins"): the same
+    asymmetric distance the retired Arrow UDF computed —
+    ``Σ_s ‖q[s·sub:(s+1)·sub] − books[s, codes[s]]‖²`` — as ONE scalar
+    Catalyst expression, so the probe's corpus scan never crosses the
+    JVM↔Python boundary (the UDF shipped the 64-double query vector
+    plus the code array through Arrow for EVERY scored row; the
+    expression reads both from the already-joined row inside
+    whole-stage codegen).
+
+    Economics vs the UDF's per-query lookup table: the expression
+    recomputes the subspace distances per ROW (~3·dim flops) instead
+    of m table lookups, but the flops are codegen'd JVM arithmetic on
+    in-register doubles — measured, the boundary cost the LUT
+    amortized was orders of magnitude above the re-arithmetic. (A
+    JVM-side LUT would need per-query-row array construction the
+    expression language can only bind via lambda folds — the exact
+    analysis-cost trap the r14 routing rewrite measured and rejected.)
+
+    Bit-equality with the UDF (the values feed rank membership, so
+    ties must not move): each squared-difference term is the same IEEE
+    expression numpy evaluates (``x**2`` lowers to ``x*x`` via numpy's
+    ``fast_scalar_power``), the per-subspace sum and the final
+    cross-subspace sum reproduce numpy's pairwise order via
+    :func:`_np_pairwise_sum`, and the codebooks ride the plan as ONE
+    flat array<double> literal shared by reference across the 64
+    ``element_at`` accesses. Pinned bit-for-bit by
+    tests/test_r15_optimizations.py.
+
+    ``qvec`` must already be ``array<double>`` (callers cast, exactly
+    as they did for the UDF); ``codes`` is the ``array<int>`` PQ code
+    column."""
+    m, n_codes, sub = books.shape
+    flat = F.lit([float(x) for x in books.reshape(-1)])
+    lut_terms = []
+    for s in range(m):
+        # 1-based element_at into the flat (m·n_codes·sub) codebook:
+        # entry j of codebook (s, codes[s]) sits at s·n_codes·sub +
+        # codes[s]·sub + j. codes[s] is bounds-checked by construction
+        # (pq_encode emits argmin indices < n_codes).
+        base = F.lit(s * n_codes * sub + 1) + codes[s] * F.lit(sub)
+        diff_sq = []
+        for j in range(sub):
+            d = qvec[s * sub + j] - F.element_at(flat, base + F.lit(j))
+            diff_sq.append(d * d)
+        lut_terms.append(_np_pairwise_sum(diff_sq))
+    return _np_pairwise_sum(lut_terms)
 
 
 def _adc_rank_and_rerank(
@@ -864,8 +960,8 @@ def ivfpq_topk(
         .select(
             "query_id",
             "neighbor_id",
-            _adc_udf(books)(
-                F.col("__qvec").cast("array<double>"), F.col("__codes")
+            _adc_col(
+                books, F.col("__qvec").cast("array<double>"), F.col("__codes")
             ).alias("__adc"),
         )
     )
@@ -1220,8 +1316,8 @@ def ivfpq_probe_index(
         .select(
             "query_id",
             "neighbor_id",
-            _adc_udf(books)(
-                F.col("__qvec").cast("array<double>"), F.col("__codes")
+            _adc_col(
+                books, F.col("__qvec").cast("array<double>"), F.col("__codes")
             ).alias("__adc"),
         )
     )
