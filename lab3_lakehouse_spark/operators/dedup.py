@@ -352,6 +352,7 @@ def minhash_store_append(
     bands: int = 16,
     seed: int = 42,
     banded: DataFrame | None = None,
+    banded_params: tuple[int, int, int] | None = None,
 ) -> None:
     """Append one batch's MinHash signatures to the persisted LSH
     signature store — the ``minhash`` family of the stores.py
@@ -379,9 +380,29 @@ def minhash_store_append(
     can band once — ideally behind a lazy localCheckpoint — and pass
     the frame in; it must be ``banded_signatures(hashed, num_perm,
     bands, seed)`` of the same batch, or the store and the caller's
-    candidates silently disagree."""
+    candidates silently disagree. ``banded_params`` (r15, r14 advice):
+    the passthrough is REQUIRED to state the ``(num_perm, bands,
+    seed)`` the frame was built with — a mismatch with the append
+    kwargs would write band rows the params sidecar misdescribes,
+    exactly the silent incompatibility the sidecar exists to prevent,
+    so it raises here instead (zero-job guard: callers thread one
+    shared tuple through banding and append)."""
     from lab3_lakehouse_spark import stores
 
+    if banded is not None:
+        if banded_params is None:
+            raise ValueError(
+                "minhash_store_append: banded= requires banded_params="
+                "(num_perm, bands, seed) — the parameters the band frame"
+                " was built with"
+            )
+        if tuple(banded_params) != (num_perm, bands, seed):
+            raise ValueError(
+                f"minhash_store_append: banded frame was built with "
+                f"(num_perm, bands, seed)={tuple(banded_params)} but the "
+                f"append records ({num_perm}, {bands}, {seed}) in the "
+                "params sidecar — pass one shared tuple to both"
+            )
     stores.append_rows(
         banded if banded is not None
         else banded_signatures(hashed, num_perm, bands, seed),
@@ -634,16 +655,24 @@ def connected_components(
     sym = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
+    # Lazy checkpoints throughout (r15, guide §1.2 — the r14
+    # bpe_train_apply pattern): every round ALREADY runs one scalar
+    # action (the convergence sum), so letting that action materialize
+    # the round's checkpoint halves the per-round job count (eager
+    # checkpoint job + sum job → one fused job); the setup frames
+    # piggyback on round 1's action the same way. Lineage stays O(1)
+    # per round exactly as before — only the materializing action
+    # changes. Measured on dup_groups_connected: 45 → 38 Spark jobs.
     sym = (
         sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.select("u")
         .distinct()
         .withColumn("comp", F.col("u"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sum = None
     for _ in range(max_iter):
@@ -654,7 +683,7 @@ def connected_components(
             labels.unionByName(neighbor_labels)
             .groupBy("u")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         label_sum = labels.agg(F.sum("comp")).first()[0]
         if label_sum == prev_sum:
@@ -702,10 +731,12 @@ def _connected_components_alternating(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     ).filter(F.col("u") != F.col("v"))
     # canonical direction large → small, deduped
+    # lazy: the signature aggregate right below materializes it (r15,
+    # same per-round job fusion as the hash-min loop)
     e = (
         e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sig = _edge_signature(e)
     for _ in range(max_iter):
@@ -728,8 +759,8 @@ def _connected_components_alternating(
             .union(mins.select(F.col("u"), F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
-        )
+            .localCheckpoint(eager=False)  # materialized by the
+        )                                  # signature action below
         e = linked
         sig = _edge_signature(e)
         if sig == prev_sig:
@@ -1068,6 +1099,25 @@ def banded_word_jaccard_pairs(
     integer-exact and engine-portable (Spark and DuckDB both ship
     ``bin``). Output: (id_a < id_b, jaccard), bit-identical to the
     unbanded tier.
+
+    Skew (r15, guide §2.5): (lang, band) is a LOW-CARDINALITY key by
+    construction (languages × ~4 occupied length bands — 14 keys at
+    the bench corpus), and the in-block work is quadratic, so one
+    block dominates: measured at sf0.1, the (en, band=5) block alone
+    holds 65% of all in-block candidate pairs — one straggler task ran
+    two-thirds of the ``array_intersect`` verification and made the
+    lsh_banding_frontier bench bimodal (3.5 vs 9.8 s). The probe side
+    therefore carries a DETERMINISTIC salt (``pmod(xxhash64(doc_id),
+    16)`` — stable under task retry, guide §2.5's rand() warning) and
+    the build side replicates across the 16 salt values, splitting
+    every block's pair enumeration 16 ways (14 → 224 join keys). Each
+    qualifying pair still meets exactly once (the probe row has ONE
+    salt; the build row exists at every salt), so the pair SET — and
+    every downstream dup-family result — is unchanged. Cost: build-side
+    shuffle bytes ×16; at 100 TB this tier is the bounded
+    oracle-replay twin (the at-scale path samples blocks — see the
+    lsh_banding_frontier docstring), so the replication is bounded by
+    the sample, not the corpus.
     """
     # hard error, not assert (r13 advice): under python -O an assert is
     # stripped and a threshold below 0.8 would get silently INCOMPLETE
@@ -1086,10 +1136,17 @@ def banded_word_jaccard_pairs(
         .withColumn("n", F.size("w"))
         .withColumn("band", F.length(F.bin(F.col("n"))))
     )
+    n_salts = 16
     probe = t.withColumn(
         "pband", F.explode(F.array(F.col("band"), F.col("band") + F.lit(1)))
+    ).withColumn(
+        "salt",
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_salts)).cast("int"),
     )
-    a, b = probe.alias("a"), t.alias("b")
+    build = t.withColumn(
+        "salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
+    )
+    a, b = probe.alias("a"), build.alias("b")
     inter = F.size(F.array_intersect(F.col("a.w"), F.col("b.w"))).cast(
         "double"
     )
@@ -1101,6 +1158,7 @@ def banded_word_jaccard_pairs(
             on=[
                 F.col("a.lang") == F.col("b.lang"),
                 F.col("a.pband") == F.col("b.band"),
+                F.col("a.salt") == F.col("b.salt"),
                 (F.col("a.n") < F.col("b.n"))
                 | (
                     (F.col("a.n") == F.col("b.n"))

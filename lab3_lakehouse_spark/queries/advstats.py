@@ -3468,10 +3468,14 @@ def streaming_split_assignment(
         # (r14): the same (__id, band, bh) frame is appended to the
         # bands tier AND self-joined into the corpus candidate pairs —
         # the r13 form computed the 64-permutation signatures twice.
-        banded = dedup_ops.banded_signatures(hashed).localCheckpoint(
-            eager=False
+        lsh_params = (64, 16, 42)  # (num_perm, bands, seed) — ONE tuple
+        banded = dedup_ops.banded_signatures(
+            hashed, *lsh_params
+        ).localCheckpoint(eager=False)
+        dedup_ops.minhash_store_append(
+            store, hashed, num_perm=lsh_params[0], bands=lsh_params[1],
+            seed=lsh_params[2], banded=banded, banded_params=lsh_params,
         )
-        dedup_ops.minhash_store_append(store, hashed, banded=banded)
         pairs = dedup_ops.minhash_verify_hashed(
             dedup_ops.minhash_lsh_candidates_from_bands(banded),
             hashed,

@@ -173,7 +173,9 @@ def test_banded_passthrough_writes_identical_bands_tier(spark):
         banded = dedup_ops.banded_signatures(hashed).localCheckpoint(
             eager=False
         )
-        dedup_ops.minhash_store_append(r2, hashed, banded=banded)
+        dedup_ops.minhash_store_append(
+            r2, hashed, banded=banded, banded_params=(64, 16, 42)
+        )
         t1 = stores.read_tier(spark, r1, "bands")
         t2 = stores.read_tier(spark, r2, "bands")
         assert t1.exceptAll(t2).count() == 0
