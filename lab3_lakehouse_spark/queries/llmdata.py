@@ -2572,10 +2572,19 @@ _BPE_STEPS = 6
 def _bpe_train_oracle(k_steps: int = _BPE_STEPS) -> str:
     """Chained-CTE replay of the full merge trajectory: the SAME
     word-frequency collapse, argmax selection, and two-pass
-    delimiter-bounded replace as the Spark loop, step by step."""
+    delimiter-bounded replace as the Spark loop, step by step.
+
+    Every chained CTE is MATERIALIZED (r15, r14 verdict task #6):
+    DuckDB inlines CTEs by default, and v{{k}} / m{{k}} are each
+    referenced twice (v{{k}} by p{{k+1}} AND v{{k+1}}; m{{k}} by
+    v{{k}} AND the final step row) — inlined, the k-step chain
+    re-expands the vocabulary collapse O(2^k) times. Materialization
+    pins each step's frame to one evaluation, exactly like the Spark
+    loop's per-merge checkpoint; the emitted values are identical
+    (exact integer/string arithmetic)."""
     blocks = [
         r"""
-    v0 AS (
+    v0 AS MATERIALIZED (
         SELECT CAST(count(*) AS BIGINT) AS wf,
                '|' || regexp_replace(w, '(.)', '\1|', 'g') AS sym
         FROM (
@@ -2590,7 +2599,7 @@ def _bpe_train_oracle(k_steps: int = _BPE_STEPS) -> str:
         p = k - 1
         blocks.append(
             f"""
-    p{k} AS (
+    p{k} AS MATERIALIZED (
         SELECT z[1] AS a, z[2] AS b, CAST(sum(wf) AS BIGINT) AS cnt
         FROM (
             SELECT wf,
@@ -2600,8 +2609,9 @@ def _bpe_train_oracle(k_steps: int = _BPE_STEPS) -> str:
         ) q2
         GROUP BY a, b
     ),
-    m{k} AS (SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1),
-    v{k} AS (
+    m{k} AS MATERIALIZED (
+        SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1),
+    v{k} AS MATERIALIZED (
         SELECT wf,
                replace(replace(sym,
                    '|' || m.a || '|' || m.b || '|',
@@ -2610,7 +2620,7 @@ def _bpe_train_oracle(k_steps: int = _BPE_STEPS) -> str:
                    '|' || m.a || m.b || '|') AS sym
         FROM v{p}, m{k} m
     ),
-    t{k} AS (
+    t{k} AS MATERIALIZED (
         SELECT CAST(sum((len(string_split(sym, '|')) - 2) * wf)
                AS BIGINT) AS toks
         FROM v{k}
@@ -3883,19 +3893,24 @@ _FFD_W = 128       # sequence capacity (tokens)
 _FFD_WINDOW = 256  # docs per packing window (bounded FFD group size)
 
 _FFD_ORACLE = f"""
-    WITH RECURSIVE toks AS (
+    WITH RECURSIVE toks AS MATERIALIZED (
         SELECT doc_id,
                least(len(regexp_split_to_array(text, '\\s+')),
                      {_FFD_W})::BIGINT AS len_eff,
                len(regexp_split_to_array(text, '\\s+'))::BIGINT AS n_tokens
         FROM documents
     ),
-    ranked AS (
+    ranked AS MATERIALIZED (
         SELECT *,
                row_number() OVER (ORDER BY len_eff DESC, doc_id) AS r
         FROM toks
     ),
-    d AS (
+    -- MATERIALIZED (r15, r14 verdict task #6): d is referenced by BOTH
+    -- arms of the recursive fold below — DuckDB inlines CTEs by
+    -- default, re-deriving toks/ranked (two full tokenize+sort passes)
+    -- inside the recursion instead of once. Values are exact integers
+    -- either way; only evaluation count changes.
+    d AS MATERIALIZED (
         SELECT *, CAST((r - 1) // {_FFD_WINDOW} AS BIGINT) AS pack_window,
                row_number() OVER (
                    PARTITION BY CAST((r - 1) // {_FFD_WINDOW} AS BIGINT)

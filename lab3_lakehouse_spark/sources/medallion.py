@@ -39,6 +39,48 @@ def _delta_available() -> bool:
         return False
 
 
+def _layout(
+    df: DataFrame,
+    partition_by: list[str] | None,
+    cluster_by: list[str] | None,
+    target_partitions: int | None,
+) -> DataFrame:
+    """The write-layout stage of :func:`materialize`, factored out so
+    its physical plan is independently inspectable (plans/r15)."""
+    out = df
+    if cluster_by:
+        cols = [F.col(c) for c in cluster_by]
+        if target_partitions:
+            out = out.repartitionByRange(target_partitions, *cols)
+        else:
+            out = out.repartitionByRange(*cols)
+        out = out.sortWithinPartitions(*cols)
+    elif partition_by:
+        # co-locate rows of each output directory, avoiding the
+        # files = tasks × partitions small-file explosion. r15 (guide
+        # §6 "REBALANCE hint before the write"): the default is now an
+        # AQE REBALANCE on the partition columns instead of
+        # repartition(cols) — hash-repartitioning on LOW-cardinality
+        # partition columns (year, month → ~tens of distinct values)
+        # pins each output directory to ONE task, which at 100 TB
+        # makes the biggest directory a multi-hundred-GB straggler
+        # and one giant file. REBALANCE keeps the co-location but lets
+        # AQE split oversized directories into advisory-sized tasks
+        # (multiple right-sized files per dir) and coalesce tiny ones —
+        # scale-adaptive in both directions, no constant to tune.
+        # An explicit target_partitions still forces a plain hash
+        # repartition (callers that pin file counts keep that control).
+        cols = [F.col(c) for c in partition_by]
+        out = (
+            out.repartition(target_partitions, *cols)
+            if target_partitions
+            else out.hint("rebalance", *cols)
+        )
+    elif target_partitions:
+        out = out.repartition(target_partitions)
+    return out
+
+
 def materialize(
     df: DataFrame,
     path: str,
@@ -63,27 +105,9 @@ def materialize(
       other 3 649 days of a 10-year tier). Per-writer option, so it
       never leaks session-wide config.
     """
-    out = df
-    if cluster_by:
-        cols = [F.col(c) for c in cluster_by]
-        if target_partitions:
-            out = out.repartitionByRange(target_partitions, *cols)
-        else:
-            out = out.repartitionByRange(*cols)
-        out = out.sortWithinPartitions(*cols)
-    elif partition_by:
-        # co-locate rows of each output directory into one task each,
-        # avoiding the files = tasks × partitions small-file explosion
-        cols = [F.col(c) for c in partition_by]
-        out = (
-            out.repartition(target_partitions, *cols)
-            if target_partitions
-            else out.repartition(*cols)
-        )
-    elif target_partitions:
-        out = out.repartition(target_partitions)
-
-    writer = out.write.format(fmt).mode(mode)
+    writer = _layout(
+        df, partition_by, cluster_by, target_partitions
+    ).write.format(fmt).mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
         if dynamic_partition_overwrite:
