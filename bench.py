@@ -275,33 +275,38 @@ HEADLINE = [
 #: must complete inside any wall-clock budget. Keep fresh each round:
 #: this round's NEW/edited entries plus active drift watch items.
 WATCH_FIRST = [
-    # r14 adjudication (r13 verdict task #1): global_balance_ranks came
-    # back at 2.12x its driver-r10 prior in the r13 rotation — over the
-    # 2x bar, but the only proven same-run slot spread was 1.36x (on
-    # ann_store_ivfpq_topk). Early slot here + __late sentinel below
-    # gives the same-run A/B the adjudication needs.
-    "global_balance_ranks",
     # intra-run spread calibration pair retained from r13 (measured
     # 1.36x early->late on identical code); keeps the noise floor
-    # current each round.
+    # current each round. Also an r15-touched entry (ADC JVM
+    # expression in the store probe).
     "ann_store_ivfpq_topk",
-    # rotated-cohort watch: 1.45-2.00x on their first re-timing since
-    # r10 in BENCH_r13, plans unchanged — fresh driver-r13 priors (now
-    # in BENCH_PRIORS) plus slot metadata adjudicate them this round.
-    "sql_waiting_suppliers",
-    "snapshot_diff_orders",
-    "containment_near_dups",
-    "sql_forecast_revenue",
-    # r14 new entries
+    # r14 winners kept one more round at matched cores so the r14
+    # 0.82x geomean gets a second independent driver confirmation
+    # (r14 verdict task #7).
     "quality_classifier_curriculum",
-    "packed_batch_manifest",
-    "bpe_train_apply",
+    "semantic_dedup_clustered",
     "xlingual_mined_pairs",
-    "ngram_novelty_profile",
-    "cluster_balanced_sample",
-    "vocab_coverage_curve",
+    "streaming_split_assignment",
+    # r15 touched: the ADC scorer is now a JVM expression (no Python
+    # boundary in any PQ / IVF-PQ probe) — every entry below probes it.
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "ann_recall_frontier",
+    "ann_store_reindex_swap",
+    "rerank_store_candidates",
+    "hard_negative_store_mining",
+    # r15 touched: connected-components per-round job fusion.
+    "dup_groups_connected",
+    # r15 dedicated passes (r14 verdict tasks #4 and #5): medallion has
+    # had no driver timing since r10; lsh_banding_frontier is the
+    # bimodality watch item (needs consecutive driver numbers).
+    "medallion_pipeline",
     "lsh_banding_frontier",
-    "packing_ffd_report",
+    # cleared from WATCH_FIRST this round (r14 verdict task #8 — their
+    # adjudication closed at 0.44-0.70x in the driver-r14 run):
+    # global_balance_ranks, sql_waiting_suppliers, snapshot_diff_orders,
+    # containment_near_dups, sql_forecast_revenue; the remaining r14
+    # new entries got their first driver numbers in BENCH_r14/_c8.
 ]
 
 #: Same-run early/late A/B sentinels (r13 verdict task #1, generalized
@@ -316,7 +321,9 @@ WATCH_FIRST = [
 #: drift denominators and never enter the persisted skipped list.
 LATE_AB = {
     "ann_store_ivfpq_topk__late": 30,
-    "global_balance_ranks__late": 40,
+    # global_balance_ranks__late removed r15: its r13 drift adjudication
+    # closed (0.44x in the driver-r14 run) — the calibration pair above
+    # keeps measuring the slot-noise floor.
 }
 
 
@@ -324,18 +331,18 @@ def _is_sentinel(name: str) -> bool:
     return name.endswith("__late")
 
 
-def _prior_skipped() -> list[str]:
-    """The prior driver run's budget-skipped names (BENCH_LOCAL.json is
-    the driver's own committed artifact at round start). Read ONCE by
+def _prior_local() -> dict:
+    """The prior driver run's full artifact (BENCH_LOCAL.json is the
+    driver's own committed artifact at round start). Read ONCE by
     run_order() before main()'s incremental rewrites touch the file."""
     local = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
     try:
         with open(local) as f:
-            return list(json.load(f).get("skipped", []))
+            return json.load(f)
     except (OSError, ValueError):
-        return []
+        return {}
 
 
 def run_order() -> list[str]:
@@ -345,16 +352,57 @@ def run_order() -> list[str]:
     rotates across rounds instead of re-measuring the same ~57 entries
     forever (r12 verdict task #3: ~115 entries had no driver timing
     since r10). The A/B sentinel is spliced in at slot ~30. Every name
-    appears exactly once."""
+    appears exactly once.
+
+    Fixed-subset modes (r14 verdict task #2b — the r14 c32/c8 scaling
+    A/B shared 3 of ~70 queries because BOTH runs rotated):
+
+    - ``SPARK_GRAFT_BENCH_FIXED=1``: rotation off; order is WATCH_FIRST
+      then the static HEADLINE order. Two runs at any core counts then
+      measure the identical subset.
+    - auto-follow: when BENCH_LOCAL was written at a HIGHER core count
+      than this run (``cpus`` recorded per run since r14), this run is
+      the scaling A/B's low-core follower — it replays the higher-core
+      run's launch order verbatim instead of rotating, so the scaling
+      comparison gets a full common subset. A same-or-higher-core run
+      (the next round's main bench) still rotates, so cross-round
+      coverage is unaffected.
+    """
     pool = [*HEADLINE, "medallion_pipeline"]
-    rotated = [
-        n for n in _prior_skipped() if n in pool and n not in WATCH_FIRST
-    ]
-    # pool-membership guard: WATCH_FIRST is edited ahead of new ops
-    # landing in HEADLINE; a name not yet benchable must not 404 a child
     watch = [n for n in WATCH_FIRST if n in pool]
-    rest = [n for n in pool if n not in watch and n not in rotated]
-    order = [*watch, *rotated, *rest]
+    prior = _prior_local()
+    fixed = os.environ.get("SPARK_GRAFT_BENCH_FIXED", "") == "1"
+    prior_cpus = prior.get("cpus")
+    follow = (
+        not fixed
+        and isinstance(prior_cpus, int)
+        and prior_cpus > default_parallelism()
+        and prior.get("queries")
+    )
+    if follow:
+        slots = prior.get("slots") or {}
+        recorded = [
+            n for n in prior["queries"] if not _is_sentinel(n) and n in pool
+        ]
+        recorded.sort(key=lambda n: slots.get(n, {}).get("slot", 1 << 30))
+        order = recorded + [
+            n for n in watch if n not in recorded
+        ]  # new watch items still get measured, at the tail
+    else:
+        rotated = (
+            []
+            if fixed
+            else [
+                n
+                for n in prior.get("skipped", [])
+                if n in pool and n not in watch
+            ]
+        )
+        # pool-membership guard: WATCH_FIRST is edited ahead of new ops
+        # landing in HEADLINE; a name not yet benchable must not 404 a
+        # child
+        rest = [n for n in pool if n not in watch and n not in rotated]
+        order = [*watch, *rotated, *rest]
     for sentinel, slot in sorted(LATE_AB.items(), key=lambda kv: kv[1]):
         order.insert(min(slot, len(order)), sentinel)
     return order
@@ -938,7 +986,16 @@ def _prior_bench() -> dict[str, float]:
     local = os.path.join(root, "BENCH_LOCAL.json")
     try:
         with open(local) as f:
-            merged.update(json.load(f).get("queries", {}))
+            obj = json.load(f)
+        # r15 guard: only overlay BENCH_LOCAL when it was produced at
+        # THIS run's core count. The r14 driver's last run was the
+        # 8-core scaling probe — overlaying its numbers onto a 32-core
+        # run's drift column compares across core counts and produced
+        # the r14 verdict's spurious 1.3-2.3x "regressions". Same-cpus
+        # overlays (the normal freshest-driver-run case) are unchanged;
+        # artifacts predating the cpus field keep the old behavior.
+        if obj.get("cpus") in (None, default_parallelism()):
+            merged.update(obj.get("queries", {}))
     except (OSError, ValueError):
         pass
     if merged:
@@ -1125,15 +1182,39 @@ def main() -> None:
     )
     # FINAL compact line (r12 verdict task #2): the full summary above
     # outgrew the driver's 2000-char stdout tail in r12 ("parsed":
-    # null), so a <300-char digest prints LAST — the driver's tail
-    # parser always sees a complete JSON object; per-query detail
+    # null), so a compact digest prints LAST — the driver's tail
+    # parser always sees a complete JSON object; full per-query detail
     # lives in BENCH_LOCAL.json.
+    #
+    # r15 (r14 verdict task #2a): the r12 fix cost the driver its
+    # per-query view entirely (PERF_r14: n_common 0, per_query {}) —
+    # the digest now carries a CAPPED per-query dict under the
+    # contract's "queries" key: seconds at 1 decimal, WATCH_FIRST
+    # entries first then the rest in launch order, greedily packed to
+    # ~1200 chars so the whole line stays well inside the 2000-char
+    # tail. Deterministic given the measured set, so the c32 and c8
+    # runs of one round include the same names (a populated
+    # scaling.per_query needs the intersection). n_queries still
+    # counts ALL measured entries; the uncapped dict is in BENCH_LOCAL.
     pos = [r for r in prev_ratio.values() if r > 0]
     geomean = (
         round(math.exp(sum(math.log(r) for r in pos) / len(pos)), 3)
         if pos
         else None
     )
+    digest_q: dict[str, float] = {}
+    used = 2
+    for n in [
+        *[w for w in WATCH_FIRST if w in timings],
+        *[o for o in order if o in timings and o not in WATCH_FIRST],
+    ]:
+        if _is_sentinel(n):
+            continue
+        frag = len(json.dumps({n: round(timings[n], 1)})) - 1
+        if used + frag > 1200:
+            continue  # greedy fill: shorter names later may still fit
+        digest_q[n] = round(timings[n], 1)
+        used += frag
     print(
         json.dumps(
             {
@@ -1146,6 +1227,8 @@ def main() -> None:
                 "n_failed": len(failed),
                 "worst_prev_ratio": max(pos) if pos else None,
                 "geomean_prev_ratio": geomean,
+                "cpus": default_parallelism(),
+                "queries": digest_q,
             },
             separators=(",", ":"),
         ),

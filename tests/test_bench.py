@@ -67,8 +67,9 @@ def test_run_order_watch_items_first_every_name_once():
         [*bench.HEADLINE, "medallion_pipeline", *bench.LATE_AB]
     )
     assert len(order) == len(set(order))
-    unknown = [n for n in bench.WATCH_FIRST if n not in bench.HEADLINE]
-    assert not unknown, f"WATCH_FIRST not in HEADLINE: {unknown}"
+    pool = [*bench.HEADLINE, "medallion_pipeline"]
+    unknown = [n for n in bench.WATCH_FIRST if n not in pool]
+    assert not unknown, f"WATCH_FIRST not benchable: {unknown}"
     # each A/B sentinel sits at its LATE slot (after the cold-start
     # window) and its base query keeps an earlier slot
     for sentinel, slot in bench.LATE_AB.items():
@@ -84,14 +85,76 @@ def test_run_order_rotates_through_prior_skipped(monkeypatch):
     fake_skipped = [n for n in bench.HEADLINE if n not in bench.WATCH_FIRST][
         -5:
     ]
-    monkeypatch.setattr(bench, "_prior_skipped", lambda: list(fake_skipped))
+    monkeypatch.setattr(
+        bench, "_prior_local", lambda: {"skipped": list(fake_skipped)}
+    )
     order = bench.run_order()
     no_ab = [n for n in order if n not in bench.LATE_AB]
     got = no_ab[len(bench.WATCH_FIRST) : len(bench.WATCH_FIRST) + 5]
     assert got == fake_skipped
     # unknown names in the prior artifact are ignored, not launched
-    monkeypatch.setattr(bench, "_prior_skipped", lambda: ["no_such_query"])
+    monkeypatch.setattr(
+        bench, "_prior_local", lambda: {"skipped": ["no_such_query"]}
+    )
     assert "no_such_query" not in bench.run_order()
+
+
+def test_run_order_fixed_subset_env_disables_rotation(monkeypatch):
+    """r14 verdict task #2b: SPARK_GRAFT_BENCH_FIXED=1 must freeze the
+    launch order to WATCH_FIRST + the static HEADLINE order regardless
+    of the prior artifact — two same-round runs then measure the
+    identical subset."""
+    fake_skipped = [n for n in bench.HEADLINE if n not in bench.WATCH_FIRST][
+        -5:
+    ]
+    monkeypatch.setattr(
+        bench, "_prior_local", lambda: {"skipped": list(fake_skipped)}
+    )
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_FIXED", "1")
+    order = [n for n in bench.run_order() if n not in bench.LATE_AB]
+    expect = [
+        *bench.WATCH_FIRST,
+        *[
+            n
+            for n in [*bench.HEADLINE, "medallion_pipeline"]
+            if n not in bench.WATCH_FIRST
+        ],
+    ]
+    assert order == expect
+
+
+def test_run_order_low_core_run_follows_high_core_subset(monkeypatch):
+    """r14 verdict task #2b (auto mode): when BENCH_LOCAL records a
+    HIGHER core count than this run, this run is the scaling A/B's
+    low-core follower and must replay the recorded launch order
+    verbatim (sentinels re-spliced, new watch items at the tail) —
+    the r14 c32/c8 pair shared only 3 of ~70 queries because both
+    runs rotated."""
+    recorded = [n for n in bench.HEADLINE if n not in bench.WATCH_FIRST][:6]
+    prior = {
+        "cpus": 1 << 20,  # always above this host's core count
+        "queries": {
+            **{n: 1.0 for n in recorded},
+            "ann_store_ivfpq_topk__late": 2.0,  # sentinel: not replayed
+        },
+        "slots": {
+            n: {"slot": i} for i, n in enumerate(reversed(recorded))
+        },
+        "skipped": [n for n in bench.HEADLINE if n not in recorded][:10],
+    }
+    monkeypatch.setattr(bench, "_prior_local", lambda: dict(prior))
+    order = [n for n in bench.run_order() if n not in bench.LATE_AB]
+    # recorded subset first, in the recorded slot order
+    assert order[: len(recorded)] == list(reversed(recorded))
+    # current watch items not in the recorded subset run at the tail
+    assert set(order) == set(recorded) | set(bench.WATCH_FIRST)
+    # a same-or-higher-core run (cpus equal/lower in the artifact)
+    # still rotates — coverage across rounds is unaffected
+    monkeypatch.setattr(
+        bench, "_prior_local", lambda: {**prior, "cpus": 1}
+    )
+    rotated = [n for n in bench.run_order() if n not in bench.LATE_AB]
+    assert rotated[: len(bench.WATCH_FIRST)] == bench.WATCH_FIRST
 
 
 def test_main_streams_lines_budgets_and_persists_incrementally(
@@ -131,13 +194,21 @@ def test_main_streams_lines_budgets_and_persists_incrementally(
         if ln.startswith("{")
     ]
     # the FINAL line is the compact driver-parseable digest (r12
-    # verdict task #2: the full summary outgrew the 2000-char tail)
+    # verdict task #2: the full summary outgrew the 2000-char tail;
+    # r14 verdict task #2a: it now carries a capped per-query dict —
+    # the whole line must still fit the driver's 2000-char tail)
     compact = out_lines[-1]
-    assert len(json.dumps(compact, separators=(",", ":"))) < 300
+    assert len(json.dumps(compact, separators=(",", ":"))) < 1700
     assert compact["metric"] == "headline_suite_total"
     assert compact["n_queries"] == len(ran)
     assert compact["n_failed"] == 1
     summary = out_lines[-2]
+    # per-query seconds at 1 decimal, WATCH_FIRST included, sentinels
+    # excluded, every value matching the full artifact's rounding
+    assert compact["queries"]
+    assert not [n for n in compact["queries"] if n.endswith("__late")]
+    for n, v in compact["queries"].items():
+        assert v == round(summary["queries"][n], 1)
     # budget truncated the run: something completed, something skipped
     assert 0 < len(summary["queries"]) < len(bench.run_order())
     assert summary["skipped"]
