@@ -2552,15 +2552,16 @@ def quality_classifier_curriculum(
     ).localCheckpoint(eager=True)  # pins bits for the whole trajectory
 
     # ---- fixed-step full-batch GD, coefficient vector pinned per step.
-    # Coefficients ride in as plain LITERALS (r14): Spark 4 hoists
-    # literal values into codegen references, so the generated code is
-    # identical across steps and the codegen cache pays once even
-    # though the coefficient values change — measured ~0.2 s/step vs
-    # ~0.6 s/step for the r13 broadcast-1-row-frame form, whose
-    # BroadcastExchange + extra AQE query stage cost ~0.4 s per
-    # iteration on top of the actual aggregate (the arithmetic is the
+    # Coefficients ride in as plain LITERALS (r14): the measured win
+    # (~0.2 s/step vs ~0.6 s/step for the r13 broadcast-1-row-frame
+    # form) comes from ELIMINATING the per-step BroadcastExchange +
+    # extra AQE query stage, NOT from a codegen-cache hit — on Spark
+    # 4.1 double literals are inlined into the generated whole-stage
+    # source (verified via explain('codegen')), so each step still
+    # compiles its own codegen; that recompile would start to matter
+    # if the step count or the plan size grew. The arithmetic is the
     # same IEEE expression either way, so the trajectory is
-    # bit-identical).
+    # bit-identical.
     b = [0.0, 0.0, 0.0, 0.0, 0.0]
     for _ in range(_QC_STEPS):
         lin = (

@@ -415,18 +415,40 @@ def stream_ivfpq_append(
     never the codes). Probes (ivfpq_store_topk) see every committed
     batch immediately; per-batch cost ∝ the batch at any index size.
 
+    ORDERING CONTRACT (r14 snapshot semantics): call
+    ``ivfpq_store_init`` BEFORE this factory — the quantizer metadata
+    is snapshotted here, once, at stream-construction time, and every
+    micro-batch encodes against that snapshot. A store that is
+    re-initialized or re-fitted while the returned stream lives keeps
+    being encoded with the SNAPSHOTTED codebooks (re-index flows must
+    stop the stream, swap roots, and start a new one — the
+    ann_store_reindex_swap pattern). A missing/uninitialized store
+    raises here, at setup, with the ordering stated.
+
     Replay: a re-delivered batch re-appends identical code rows —
     duplicate (id, cell, codes) rows inflate ADC candidate lists but
     cannot change which TRUE neighbors exist; the globally-unique-id
     store contract applies, and offline GC can dedup by id. Returns
     the started StreamingQuery."""
+    import os
+
     from lab3_lakehouse_spark.operators import similarity as sim_ops
 
     checkpoint = f"{store_root}/_checkpoint"
     # the quantizer metadata is FROZEN during ingestion by contract
     # (init happens before the stream starts; only re-index swaps it),
     # so load the kilobyte tiers ONCE per stream instead of twice per
-    # micro-batch (r14 — two bounded collects per trigger removed)
+    # micro-batch (r14 — two bounded collects per trigger removed).
+    # Explicit existence check (r14 advice): fail at setup with the
+    # ordering requirement, not with a parquet path error mid-load.
+    for tier in ("centroids", "codebooks"):
+        if not os.path.isdir(os.path.join(store_root, tier)):
+            raise ValueError(
+                f"stream_ivfpq_append: store {store_root!r} has no "
+                f"'{tier}' tier — run ivfpq_store_init BEFORE creating "
+                "the ingestion stream (the quantizer metadata is "
+                "snapshotted at stream-construction time)"
+            )
     meta = sim_ops.ivfpq_load_meta(spark, store_root)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -866,8 +866,10 @@ def test_quality_classifier_broadcasts_bounded_frames_only(spark, sf):
     """quality_classifier_curriculum's scale claim: the scoring frame
     never carries text across a shuffle, and the only broadcast /
     SinglePartition structures are bounded (the ≤k-row phase totals,
-    the bucket offsets; GD coefficients ride as codegen-hoisted
-    literals since r14) — never the doc-sized feature frame."""
+    the bucket offsets; GD coefficients ride as plain literals since
+    r14, eliminating the per-step BroadcastExchange — each step still
+    recompiles its codegen, the literals are inlined into the
+    generated source) — never the doc-sized feature frame."""
     df = QUERIES["quality_classifier_curriculum"](spark, sf)
     for args, cols in pa.exchange_inputs(df):
         if "SinglePartition" in args:
